@@ -1,0 +1,96 @@
+"""Content-stream tokenization — text and XObject operators.
+
+The reference declares but never implements this surface: ``StreamType::
+Content`` (/root/reference/src/pdf_doc/pdf_file/pdf_file.rs:705), the empty
+``ContentStream`` struct (pdf_objects.rs:477) and the token-stream design
+notes in the dead prototype (/root/reference/src/bin/old_code/temp.rs:35-65).
+Semantics come from ISO 32000 §8.2/§9.4 (required by BASELINE.json:6).
+
+Content streams are *postfix*: operands are pushed, operators pop them —
+exactly the reference's object-buffer discipline for ``R`` (pdf_file.rs:
+347-384) generalized.  We reuse the object tokenizer for operands and treat
+unknown tokens as operators.
+
+Emitted events (per stream, in byte order):
+    ('text',  offset, font_name, operand_bytes)   for Tj / ' / "
+    ('textarr', offset, font_name, [bytes|num])   for TJ
+    ('media', offset, xobject_name)               for Do
+Positioning operators (Td/TD/Tm/T*) only delimit ordering here — the span
+order invariant is byte order within the stream, page order across streams.
+"""
+
+from __future__ import annotations
+
+from .errors import ParsingError
+from .objects import Name
+from .tokenizer import _next_token
+
+
+def tokenize_content(data: bytes):
+    """Run the postfix machine over one decoded content stream."""
+    events = []
+    stack: list = []
+    font: str | None = None
+    pos = 0
+    n = len(data)
+    while pos < n:
+        try:
+            kind, val, p = _next_token(data, pos)
+        except ParsingError:
+            # skip one byte and resync — lenient mode must not lose the doc
+            pos += 1
+            continue
+        if kind == "eof":
+            break
+        at = pos
+        pos = p
+        if kind in ("value", "name", "number"):
+            stack.append(val)
+            continue
+        if kind == "array_open":
+            stack.append("[")
+            continue
+        if kind == "array_close":
+            arr = []
+            while stack and stack[-1] != "[":
+                arr.append(stack.pop())
+            if stack:
+                stack.pop()
+            arr.reverse()
+            stack.append(arr)
+            continue
+        if kind in ("dict_open", "dict_close"):
+            # inline dicts (BDC/DP property lists) — treat as one operand
+            if kind == "dict_open":
+                stack.append({})
+            continue
+        # keyword = operator
+        op = val
+        if op == b"Tf":
+            if len(stack) >= 2 and isinstance(stack[-2], Name):
+                font = str(stack[-2])
+            stack.clear()
+        elif op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                events.append(("text", at, font, stack[-1]))
+            stack.clear()
+        elif op == b"'":
+            if stack and isinstance(stack[-1], bytes):
+                events.append(("text", at, font, stack[-1]))
+            stack.clear()
+        elif op == b'"':
+            if stack and isinstance(stack[-1], bytes):
+                events.append(("text", at, font, stack[-1]))
+            stack.clear()
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                events.append(("textarr", at, font, stack[-1]))
+            stack.clear()
+        elif op == b"Do":
+            if stack and isinstance(stack[-1], Name):
+                events.append(("media", at, str(stack[-1])))
+            stack.clear()
+        else:
+            # BT/ET/Td/TD/Tm/T*/TL/graphics ops: ordering-only here
+            stack.clear()
+    return events

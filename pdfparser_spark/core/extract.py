@@ -1,0 +1,212 @@
+"""Per-document extraction kernel: bytes -> ordered (kind, text, media_ref)
+spans.
+
+This is the sequential heart that runs inside the pipeline's Arrow-batch
+UDFs.  End-to-end flow mirrors the reference's
+``PdfDoc::create_pdf_from_file`` trace (SURVEY.md §3.1;
+/root/reference/src/pdf_doc/doc_tree.rs:145-157):
+
+    version sniff -> startxref/trailer -> xref (classic or stream, /Prev
+    chain) -> parse ALL objects -> decode stream filters -> Root ->
+    page-tree walk (B1-B5, doc_tree.rs:63-142) -> per-page content-stream
+    tokenize -> font CMap decode -> ordered span emission.
+
+Strict ("sensitive", pdf_file.rs:858-877) vs lenient ("stoic",
+pdf_file.rs:879-889): strict returns no spans if any error was recorded;
+lenient keeps going and reports errors as metric rows.
+"""
+
+from __future__ import annotations
+
+from .cmap import CMap, simple_decode
+from .content import tokenize_content
+from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
+from .filters import build_filter_chain, decode_chain, is_media_chain
+from .objects import Name, Ref, Stream, get_resolved, resolve
+from .xref import parse_all_objects, read_xref, sniff_version
+
+MAX_TREE_DEPTH = 64
+
+
+def classify_stream(attrs: dict, objects: dict) -> str:
+    """D1 (reference decode.rs:197-203, 261-271) extended: classify before
+    decoding so media payloads skip the filter fold entirely — the
+    reference's one 'pushdown' (SURVEY.md §4)."""
+    subtype = get_resolved(attrs, "Subtype", objects)
+    if isinstance(subtype, str) and str(subtype) == "Image":
+        return "image"
+    t = get_resolved(attrs, "Type", objects)
+    if isinstance(t, str):
+        ts = str(t)
+        if ts == "XRef":
+            return "xref"
+        if ts == "ObjStm":
+            return "objstm"
+    return "unknown"
+
+
+def decode_doc_streams(objects: dict, errors: list) -> None:
+    """Decode stage core (D2-D9): fill ``Stream.data`` for every
+    non-media stream; media/undecodable chains pass through with
+    kind='image' (reference decode.rs:184-239, spec-corrected)."""
+    for _key, val in sorted(objects.items()):
+        if not isinstance(val, Stream):
+            continue
+        val.kind = classify_stream(val.attrs, objects)
+        chain = build_filter_chain(val.attrs, lambda v: resolve(v, objects))
+        # D9: /Length validation as a metric, never a panic (decode.rs:185-193)
+        length = resolve(val.attrs.get("Length"), objects)
+        if isinstance(length, int) and length != len(val.raw):
+            errors.append((FILTER_ERROR, "decode", f"/Length {length} != payload {len(val.raw)}"))
+        if val.kind == "image" or is_media_chain(chain):
+            val.kind = "image"
+            val.data = None  # never rasterized (D8)
+            continue
+        try:
+            val.data = decode_chain(val.raw, chain)
+        except FilterError as e:
+            val.data = None
+            val.kind = "image"  # unsupported filter -> media routing (D8)
+            errors.append((FILTER_ERROR, "decode", str(e)))
+
+
+def _page_content_bytes(page: dict, objects: dict, errors: list) -> bytes:
+    """B4: /Contents may be a stream or an array of streams; concatenate
+    decoded payloads in order (doc_tree.rs:83)."""
+    contents = get_resolved(page, "Contents", objects)
+    if contents is None:
+        return b""
+    items = contents if isinstance(contents, list) else [contents]
+    out = bytearray()
+    for it in items:
+        st = resolve(it, objects)
+        if isinstance(st, Stream) and st.data is not None:
+            out += st.data
+            out += b"\n"
+        elif isinstance(st, Stream):
+            errors.append((FILTER_ERROR, "decode", "content stream undecoded"))
+        elif it is not None:
+            errors.append((REFERENCE_ERROR, "classify", "dangling /Contents reference"))
+    return bytes(out)
+
+
+def _walk_pages(root_pages, objects: dict, errors: list):
+    """B2/B3 (reference PageTree::new + add_node doc_tree.rs:63-124):
+    depth-first over /Kids, yielding page dicts in document order.
+    Iterative with an explicit stack; depth-capped against cycles."""
+    pages = []
+    stack = [(root_pages, 0)]
+    while stack:
+        node, depth = stack.pop()
+        node = resolve(node, objects)
+        if node is None:
+            errors.append((REFERENCE_ERROR, "assemble", "dangling page-tree reference"))
+            continue
+        if not isinstance(node, dict):
+            errors.append((DOC_TREE_ERROR, "assemble", "page-tree node is not a dict"))
+            continue
+        if depth > MAX_TREE_DEPTH:
+            errors.append((DOC_TREE_ERROR, "assemble", "page tree too deep"))
+            continue
+        ntype = get_resolved(node, "Type", objects)
+        ntype = str(ntype) if ntype is not None else None
+        kids = get_resolved(node, "Kids", objects)
+        if ntype == "Page":
+            pages.append(node)
+        elif kids is not None:  # Pages / intermediate
+            for kid in reversed(kids if isinstance(kids, list) else [kids]):
+                stack.append((kid, depth + 1))
+        elif ntype == "Pages":
+            pass  # empty intermediate
+        else:
+            # NotImplemented node type (doc_tree.rs:116-124)
+            errors.append((DOC_TREE_ERROR, "assemble", f"unhandled node type {ntype}"))
+    return pages
+
+
+def _font_decoder(font_obj, objects: dict, errors: list):
+    """§2.7 fonts: prefer /ToUnicode CMap; else simple encoding."""
+    font = resolve(font_obj, objects)
+    if not isinstance(font, dict):
+        return lambda raw: simple_decode(raw, None)
+    tu = get_resolved(font, "ToUnicode", objects)
+    if isinstance(tu, Stream) and tu.data is not None:
+        cm = CMap.parse(tu.data)
+        return cm.decode
+    enc = get_resolved(font, "Encoding", objects)
+    enc_name = str(enc) if isinstance(enc, str) else None
+    return lambda raw: simple_decode(raw, enc_name)
+
+
+def extract_spans(data: bytes, strict: bool = False):
+    """Full kernel.  Returns dict with keys:
+       version: str | None
+       spans:   list[(kind, text, media_ref)]  in reading order
+       errors:  list[(error_kind, stage, detail)]
+       n_objects, n_pages, n_streams: ints (metrics/lineage fodder)
+    """
+    errors: list = []
+    version = None
+    spans: list = []
+    n_objects = n_pages = n_streams = 0
+    try:
+        version = sniff_version(data)
+        offsets, trailer, compressed = read_xref(data)
+        objects = parse_all_objects(data, offsets, compressed, errors)
+        n_objects = len(objects)
+        decode_doc_streams(objects, errors)
+        n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
+
+        # B1: trailer -> Root (doc_tree.rs:147-150)
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        pages = _walk_pages(pages_node, objects, errors)
+        n_pages = len(pages)
+
+        # per-page: tokenize content, decode text, resolve XObjects
+        font_cache: dict = {}
+        for page in pages:
+            resources = get_resolved(page, "Resources", objects) or {}
+            fonts = get_resolved(resources, "Font", objects) or {}
+            xobjects = get_resolved(resources, "XObject", objects) or {}
+            content = _page_content_bytes(page, objects, errors)
+            for ev in tokenize_content(content):
+                if ev[0] == "media":
+                    name = ev[2]
+                    xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None
+                    if xo is None and isinstance(xobjects, dict) and name not in xobjects:
+                        errors.append((REFERENCE_ERROR, "classify", f"dangling XObject {name}"))
+                    spans.append(("media", None, name))
+                    continue
+                font_name = ev[2]
+                fkey = font_name or ""
+                if fkey not in font_cache:
+                    fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
+                    font_cache[fkey] = _font_decoder(fobj, objects, errors)
+                dec = font_cache[fkey]
+                if ev[0] == "text":
+                    spans.append(("text", dec(ev[3]), None))
+                else:  # textarr (TJ): concatenate string operands, skip kerning numbers
+                    txt = "".join(dec(x) for x in ev[3] if isinstance(x, (bytes, bytearray)))
+                    spans.append(("text", txt, None))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except ParsingError as e:  # pragma: no cover - subclass of PdfError
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient catch-all: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+
+    if strict and errors:
+        spans = []
+    return {
+        "version": version,
+        "spans": spans,
+        "errors": errors,
+        "n_objects": n_objects,
+        "n_pages": n_pages,
+        "n_streams": n_streams,
+    }

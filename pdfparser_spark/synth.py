@@ -1,0 +1,399 @@
+"""Deterministic interleaved-corpus generator.
+
+Builds real (spec-valid, ASCII-armored) PDF documents from rows of the
+driver's ``documents`` table via *SQL-expressible* rules, so the DuckDB
+oracle can compute the expected extracted spans analytically while the
+Spark pipeline computes them the hard way (reconstruct -> decode ->
+tokenize -> classify -> assemble).  Seeded by ``doc_id`` only — no
+wall-clock, no RNG (FIXTURES.md §4).
+
+Generation rules (all arithmetic on the integer ``doc_id``):
+
+  n_pages          = 1 + doc_id % 3          (3 pages => 3-level tree, family C)
+  page p words     = words[p*8 : (p+1)*8]    (pages with empty slice emit nothing)
+  version          = '1.' + str(4 + doc_id % 4)
+  xref kind        = classic table if doc_id % 2 == 0 else xref *stream* (family G)
+  filter chain     = doc_id % 4: 0 [AHx,Fl] | 1 [A85,Fl] | 2 [AHx,LZW] | 3 [AHx]
+                     (ASCII armor keeps every span a valid UTF-8 string)
+  font             = ToUnicode CMap 2-byte font if doc_id % 7 == 0 (family H)
+                     else simple /Type1 + WinAnsiEncoding
+  TJ vs Tj         = page 1 uses a TJ array split after the first word (§2.7)
+  octal escapes    = doc_id % 17 == 0: first char of page-0 text as \\ddd (T3)
+  media            = doc_id % 5 == 0: image XObject Im1 drawn after page-0 text
+                     (family E); expected media span between page 0 and page 1
+  dangling Do      = doc_id % 13 == 0: /ImMissing Do with no XObject entry ->
+                     media span + ReferenceError metric (family F anti-join)
+  indirect /Length = doc_id % 11 == 0 for the page-0 content stream + comment
+                     noise (family F; reference pdf_file.rs:647-656)
+
+Expected spans per doc (ordering key seq = p*10 for page text, 1 for Im1,
+1000 for ImMissing; ord = rank of seq):
+  [page0 text, (Im1), page1 text, page2 text, (ImMissing)]
+"""
+
+from __future__ import annotations
+
+import binascii
+import zlib
+from base64 import a85encode
+
+from .core.filters import lzw_encode
+
+WORDS_PER_PAGE = 8
+
+
+# --------------------------------------------------------------------------
+# rule helpers (mirrored 1:1 in the DuckDB oracle SQL — keep in sync with
+# __spark_entry__.py oracle_sql())
+# --------------------------------------------------------------------------
+
+def doc_rules(doc_id: int) -> dict:
+    return {
+        "n_pages": 1 + doc_id % 3,
+        "version": f"1.{4 + doc_id % 4}",
+        "xref_stream": doc_id % 2 == 1,
+        "filter_mode": doc_id % 4,
+        "cmap_font": doc_id % 7 == 0,
+        "octal": doc_id % 17 == 0,
+        "media": doc_id % 5 == 0,
+        "dangling": doc_id % 13 == 0,
+        "indirect_length": doc_id % 11 == 0,
+    }
+
+
+def page_texts(text: str, n_pages: int) -> list[str]:
+    words = text.split(" ")
+    out = []
+    for p in range(n_pages):
+        chunk = words[p * WORDS_PER_PAGE : (p + 1) * WORDS_PER_PAGE]
+        out.append(" ".join(chunk))
+    return out
+
+
+def expected_spans(doc_id: int, text: str) -> list[tuple[str, str | None, str | None]]:
+    """Analytic ground truth: (kind, text, media_ref) in reading order."""
+    r = doc_rules(doc_id)
+    seq: list[tuple[int, tuple]] = []
+    for p, ptext in enumerate(page_texts(text, r["n_pages"])):
+        if ptext:
+            seq.append((p * 10, ("text", ptext, None)))
+    if r["media"]:
+        seq.append((1, ("media", None, "Im1")))
+    if r["dangling"]:
+        seq.append((1000, ("media", None, "ImMissing")))
+    return [s for _, s in sorted(seq, key=lambda kv: kv[0])]
+
+
+# --------------------------------------------------------------------------
+# byte-level document builder
+# --------------------------------------------------------------------------
+
+class _Builder:
+    """Sequential byte builder tracking span pieces.
+
+    Piece tags: 'struct' (structural bytes), 'text' (encoded content-stream
+    payload).  Media markers are zero-width (text NULL) at a byte offset
+    strictly inside the surrounding struct piece, so span offsets stay
+    strictly increasing (FIXTURES.md §1.1)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.pieces: list[tuple[str, int, bytes | None, str | None]] = []
+        self._open_struct_start: int | None = 0
+
+    @property
+    def pos(self) -> int:
+        return len(self.buf)
+
+    def _close_struct(self) -> None:
+        if self._open_struct_start is not None and self.pos > self._open_struct_start:
+            seg = bytes(self.buf[self._open_struct_start : self.pos])
+            self.pieces.append(("struct", self._open_struct_start, seg, None))
+        self._open_struct_start = None
+
+    def struct(self, b: bytes) -> int:
+        if self._open_struct_start is None:
+            self._open_struct_start = self.pos
+        off = self.pos
+        self.buf += b
+        return off
+
+    def text_payload(self, b: bytes) -> int:
+        self._close_struct()
+        off = self.pos
+        self.buf += b
+        self.pieces.append(("text", off, b, None))
+        self._open_struct_start = self.pos
+        return off
+
+    def media_marker(self, name: str) -> None:
+        # zero-width marker strictly inside the currently-open struct run
+        self.pieces.append(("media", self.pos, None, name))
+
+    def finish(self) -> bytes:
+        self._close_struct()
+        return bytes(self.buf)
+
+    def span_rows(self) -> list[dict]:
+        rows = []
+        for kind, off, payload, media in sorted(self.pieces, key=lambda p: (p[1], p[0] != "media")):
+            rows.append(
+                {
+                    "kind": kind,
+                    "text": payload.decode("ascii") if payload is not None else None,
+                    "media_ref": media,
+                    "offset": off,
+                }
+            )
+        return rows
+
+
+def _encode_payload(plain: bytes, mode: int) -> tuple[bytes, str]:
+    """ASCII-armored filter chains (decode folds left-to-right)."""
+    if mode == 0:
+        return binascii.hexlify(zlib.compress(plain)) + b">", "[/ASCIIHexDecode /FlateDecode]"
+    if mode == 1:
+        return a85encode(zlib.compress(plain), adobe=False) + b"~>", "[/ASCII85Decode /FlateDecode]"
+    if mode == 2:
+        return binascii.hexlify(lzw_encode(plain)) + b">", "[/ASCIIHexDecode /LZWDecode]"
+    return binascii.hexlify(plain) + b">", "/ASCIIHexDecode"
+
+
+def _octal_escape_first(s: str) -> str:
+    return f"\\{ord(s[0]):03o}{s[1:]}" if s else s
+
+
+_CMAP_BODY = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfrange
+<0000> <00FF> <0000>
+<0100> <01FF> <0100>
+endbfrange
+1 beginbfchar
+<2603> <2603>
+endbfchar
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
+    """The decoded content-stream body for one page."""
+    cmap = rules["cmap_font"]
+    if cmap:
+        def show(s: str) -> str:
+            return "<" + "".join(f"{ord(c):04X}" for c in s) + ">"
+    else:
+        def show(s: str) -> str:
+            return "(" + s + ")"
+
+    parts = [f"BT /F1 12 Tf 72 {720 - 14 * page_idx} Td "]
+    if page_idx == 1 and " " in ptext:
+        first, rest = ptext.split(" ", 1)
+        parts.append(f"[{show(first)} -120 {show(' ' + rest)}] TJ ")
+    else:
+        body = ptext
+        if page_idx == 0 and rules["octal"] and not cmap and body:
+            parts.append(f"({_octal_escape_first(body)}) Tj ")
+        else:
+            parts.append(f"{show(body)} Tj ")
+    parts.append("ET")
+    if page_idx == 0 and rules["media"]:
+        parts.append(" q /Im1 Do Q")
+    if rules["dangling"] and page_idx == rules["_last_page"]:
+        parts.append(" q /ImMissing Do Q")
+    return "".join(parts).encode("ascii")
+
+
+def build_document(doc_id: int, text: str) -> dict:
+    """Build one document.  Returns {doc_id, bytes, span_rows, expected}."""
+    r = doc_rules(doc_id)
+    texts = page_texts(text, r["n_pages"])
+    pages = [(p, t) for p, t in enumerate(texts)]
+    nonempty_last = max((p for p, t in pages if t), default=0)
+    r["_last_page"] = nonempty_last
+
+    b = _Builder()
+    offsets: dict[int, int] = {}
+
+    b.struct(f"%PDF-{r['version']}\n".encode("ascii"))
+
+    # object numbering
+    CATALOG, PAGESROOT, FONT = 1, 2, 3
+    next_id = 4
+    cmap_id = imgobj_id = inter_id = None
+    if r["cmap_font"]:
+        cmap_id = next_id
+        next_id += 1
+    if r["media"]:
+        imgobj_id = next_id
+        next_id += 1
+    if r["n_pages"] == 3:
+        inter_id = next_id
+        next_id += 1
+    page_ids, content_ids, length_ids = {}, {}, {}
+    for p, _t in pages:
+        page_ids[p] = next_id
+        next_id += 1
+    for p, t in pages:
+        if t:
+            content_ids[p] = next_id
+            next_id += 1
+            if r["indirect_length"] and p == 0:
+                length_ids[p] = next_id
+                next_id += 1
+
+    def obj_open(oid: int) -> None:
+        offsets[oid] = b.struct(f"{oid} 0 obj\n".encode("ascii"))
+
+    def obj_close() -> None:
+        b.struct(b"\nendobj\n")
+        if r["indirect_length"]:
+            b.struct(b"% interleaved comment noise\n")
+
+    # 1: Catalog
+    obj_open(CATALOG)
+    b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+    obj_close()
+
+    # 2: Pages root (3-level tree when n_pages == 3: kids [inter(p0,p1), p2])
+    obj_open(PAGESROOT)
+    if inter_id is not None:
+        kids = f"[{inter_id} 0 R {page_ids[2]} 0 R]"
+        count = len(pages)
+    else:
+        kids = "[" + " ".join(f"{page_ids[p]} 0 R" for p, _ in pages) + "]"
+        count = len(pages)
+    b.struct(f"<< /Type /Pages /Kids {kids} /Count {count} >>".encode("ascii"))
+    obj_close()
+
+    # 3: Font
+    obj_open(FONT)
+    if r["cmap_font"]:
+        b.struct(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            f"/Encoding /Identity-H /ToUnicode {cmap_id} 0 R >>".encode("ascii")
+        )
+    else:
+        b.struct(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    obj_close()
+
+    # CMap stream (ASCIIHex-armored so the row stays valid UTF-8)
+    if cmap_id is not None:
+        payload = binascii.hexlify(_CMAP_BODY) + b">"
+        obj_open(cmap_id)
+        b.struct(f"<< /Length {len(payload)} /Filter /ASCIIHexDecode >>\nstream\n".encode("ascii"))
+        b.struct(payload)
+        b.struct(b"\nendstream")
+        obj_close()
+
+    # image XObject (media marker points at the object start; payload is a
+    # deterministic fake DCT body — never decoded, per SURVEY.md §2.5 D8)
+    if imgobj_id is not None:
+        b.media_marker("Im1")
+        fake = ("JPEGDATA" + format(doc_id, "08x")) * 2
+        obj_open(imgobj_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter /DCTDecode /Length {len(fake)} >>\nstream\n".encode("ascii")
+        )
+        b.struct(fake.encode("ascii"))
+        b.struct(b"\nendstream")
+        obj_close()
+
+    # intermediate Pages node
+    if inter_id is not None:
+        obj_open(inter_id)
+        b.struct(
+            f"<< /Type /Pages /Parent {PAGESROOT} 0 R "
+            f"/Kids [{page_ids[0]} 0 R {page_ids[1]} 0 R] /Count 2 >>".encode("ascii")
+        )
+        obj_close()
+
+    # page objects
+    for p, t in pages:
+        parent = inter_id if (inter_id is not None and p < 2) else PAGESROOT
+        res = f"<< /Font << /F1 {FONT} 0 R >>"
+        if imgobj_id is not None:
+            res += f" /XObject << /Im1 {imgobj_id} 0 R >>"
+        res += " >>"
+        entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
+        if t:
+            entry += f" /Contents {content_ids[p]} 0 R"
+        entry += " >>"
+        obj_open(page_ids[p])
+        b.struct(entry.encode("ascii"))
+        obj_close()
+
+    # content streams (the *text* input spans)
+    for p, t in pages:
+        if not t:
+            continue
+        plain = _content_plain(t, p, r)
+        payload, filt = _encode_payload(plain, r["filter_mode"])
+        obj_open(content_ids[p])
+        if p in length_ids:
+            b.struct(f"<< /Length {length_ids[p]} 0 R /Filter {filt} >>\nstream\n".encode("ascii"))
+        else:
+            b.struct(f"<< /Length {len(payload)} /Filter {filt} >>\nstream\n".encode("ascii"))
+        b.text_payload(payload)
+        b.struct(b"\nendstream")
+        obj_close()
+        if p in length_ids:
+            obj_open(length_ids[p])
+            b.struct(str(len(payload)).encode("ascii"))
+            obj_close()
+
+    n_objs = next_id  # ids 1..next_id-1, plus obj 0 free
+    if not r["xref_stream"]:
+        xref_at = b.struct(b"xref\n")
+        b.struct(f"0 {n_objs}\n".encode("ascii"))
+        b.struct(b"0000000000 65535 f \n")
+        for oid in range(1, n_objs):
+            b.struct(f"{offsets[oid]:010d} 00000 n \n".encode("ascii"))
+        b.struct(f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode("ascii"))
+    else:
+        # PDF 1.5+ cross-reference stream (/W [1 4 2]), ASCII-armored
+        xref_id = n_objs
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for oid in range(1, n_objs):
+            rows += bytes([1]) + offsets[oid].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        # self-entry for the xref stream object
+        xref_at = b.pos
+        rows += bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        payload = binascii.hexlify(zlib.compress(bytes(rows))) + b">"
+        obj_open(xref_id)
+        b.struct(
+            f"<< /Type /XRef /Size {n_objs + 1} /W [1 4 2] /Root {CATALOG} 0 R "
+            f"/Filter [/ASCIIHexDecode /FlateDecode] /Length {len(payload)} >>\nstream\n".encode("ascii")
+        )
+        b.struct(payload)
+        b.struct(b"\nendstream\nendobj\n")
+        b.struct(f"startxref\n{xref_at}\n%%EOF\n".encode("ascii"))
+
+    doc_bytes = b.finish()
+    return {
+        "doc_id": doc_id,
+        "bytes": doc_bytes,
+        "span_rows": b.span_rows(),
+        "expected": expected_spans(doc_id, text),
+    }
+
+
+def reconstruct(span_rows: list[dict]) -> bytes:
+    """Decode-stage step 0: reassemble document bytes from input spans
+    (media markers are zero-width; text fields concatenate in offset
+    order — offsets are validated as cumulative positions)."""
+    out = bytearray()
+    for row in sorted(span_rows, key=lambda s: (s["offset"], s["kind"] == "media")):
+        t = row.get("text")
+        if t is not None:
+            out += t.encode("latin-1")
+    return bytes(out)

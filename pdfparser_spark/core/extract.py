@@ -138,6 +138,90 @@ def _font_decoder(font_obj, objects: dict, errors: list):
     return lambda raw: simple_decode(raw, enc_name)
 
 
+def decode_document(data: bytes):
+    """Decode-stage kernel: everything up to (and including) per-page
+    decoded content bytes and font/XObject bindings, but *no* content
+    tokenization — that is the tokenize stage's job, and classification /
+    assembly happen in DataFrame algebra (joins + ordered aggregation).
+
+    Returns dict:
+       version: str | None
+       contents: list[(page_idx, seq, decoded_bytes)]
+       fonts:    list[(page_idx, font_name, cmap_bytes | None, encoding | None)]
+       xobjs:    list[(page_idx, media_name)]
+       errors:   list[(error_kind, stage, detail)]
+       n_objects, n_pages, n_streams
+    """
+    errors: list = []
+    version = None
+    contents: list = []
+    fonts: list = []
+    xobjs: list = []
+    n_objects = n_pages = n_streams = 0
+    try:
+        version = sniff_version(data)
+        offsets, trailer, compressed = read_xref(data)
+        objects = parse_all_objects(data, offsets, compressed, errors)
+        n_objects = len(objects)
+        decode_doc_streams(objects, errors)
+        n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
+
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        pages = _walk_pages(pages_node, objects, errors)
+        n_pages = len(pages)
+
+        for page_idx, page in enumerate(pages):
+            resources = get_resolved(page, "Resources", objects) or {}
+            fdict = get_resolved(resources, "Font", objects) or {}
+            if isinstance(fdict, dict):
+                for fname, fref in fdict.items():
+                    font = resolve(fref, objects)
+                    cmap_bytes = None
+                    enc_name = None
+                    if isinstance(font, dict):
+                        tu = get_resolved(font, "ToUnicode", objects)
+                        if isinstance(tu, Stream) and tu.data is not None:
+                            cmap_bytes = tu.data
+                        else:
+                            enc = get_resolved(font, "Encoding", objects)
+                            enc_name = str(enc) if isinstance(enc, str) else None
+                    fonts.append((page_idx, str(fname), cmap_bytes, enc_name))
+            xdict = get_resolved(resources, "XObject", objects) or {}
+            if isinstance(xdict, dict):
+                for xname in xdict:
+                    xobjs.append((page_idx, str(xname)))
+
+            cobj = get_resolved(page, "Contents", objects)
+            items = cobj if isinstance(cobj, list) else ([cobj] if cobj is not None else [])
+            for seq, it in enumerate(items):
+                st = resolve(it, objects)
+                if isinstance(st, Stream) and st.data is not None:
+                    contents.append((page_idx, seq, st.data))
+                elif isinstance(st, Stream):
+                    errors.append((FILTER_ERROR, "decode", "content stream undecoded"))
+                elif it is not None:
+                    errors.append((REFERENCE_ERROR, "classify", "dangling /Contents reference"))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {
+        "version": version,
+        "contents": contents,
+        "fonts": fonts,
+        "xobjs": xobjs,
+        "errors": errors,
+        "n_objects": n_objects,
+        "n_pages": n_pages,
+        "n_streams": n_streams,
+    }
+
+
 def extract_spans(data: bytes, strict: bool = False):
     """Full kernel.  Returns dict with keys:
        version: str | None

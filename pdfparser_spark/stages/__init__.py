@@ -1,0 +1,18 @@
+"""The four pipeline stages (BASELINE.json north star):
+
+    decode -> tokenize -> classify -> assemble
+
+Each stage is a DataFrame -> DataFrame function with a checkpointable
+boundary (pipeline.py persists each output).  Sequential per-document work
+happens only inside ``mapInPandas`` kernels; *between* stages everything is
+Spark algebra — font binding and XObject resolution are joins, dangling
+references fall out of an anti-join, ordering is one ordered aggregation.
+"""
+
+from .assemble import assemble, flatten_spans
+from .classify import classify
+from .decode import decode
+from .synthesize import synthesize_corpus
+from .tokenize import tokenize
+
+__all__ = ["assemble", "classify", "decode", "flatten_spans", "synthesize_corpus", "tokenize"]

@@ -1,0 +1,39 @@
+"""Corpus synthesis stage: driver ``documents`` table -> interleaved span
+table in the authoritative input shape (BASELINE.json:15).
+
+Deterministic per doc_id (synth.py rules) — no RNG, no wall clock — so the
+same table is reproduced bit-identically at any scale factor or parallelism,
+and the DuckDB oracle can derive the expected extraction output analytically
+from the same source rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schema import DOCUMENTS_RAW
+from ..synth import build_document
+
+
+def synthesize_corpus(documents: DataFrame, repeat: int = 1) -> DataFrame:
+    """``documents(doc_id, text)`` -> ``documents_raw(doc_id, spans)``.
+
+    ``repeat`` > 1 tiles the corpus with distinct doc_ids (doc_id +
+    k * 10^9) for bench scale-up without new source data; rules shift with
+    the new id, so the tiled corpus is still rule-consistent.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for k in range(repeat):
+                    did = int(doc_id) + k * 1_000_000_000
+                    d = build_document(did, text)
+                    out.append({"doc_id": did, "spans": d["span_rows"]})
+            yield pd.DataFrame(out, columns=["doc_id", "spans"])
+
+    return documents.select("doc_id", "text").mapInPandas(gen, schema=DOCUMENTS_RAW)

@@ -1,0 +1,64 @@
+"""Stage 2 — tokenize.
+
+Input:  DECODED rows with rtype='content' (decoded content-stream bytes).
+Output: TOKENS — postfix-machine events in byte order per stream.
+
+This is the content-stream operator layer the reference only sketched
+(StreamType::Content pdf_file.rs:705, design notes temp.rs:35-65; SURVEY.md
+§2.7): Tj/TJ/'/" text-show operators carrying their raw operand bytes and
+the active /Tf font, and Do XObject placements.  Each content stream is
+independent, so this stage is embarrassingly parallel — no shuffle is
+introduced (narrow mapInPandas over the pruned content columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.content import tokenize_content
+from ..schema import TOKENS
+
+_COLS = [f.name for f in TOKENS.fields]
+
+
+def tokenize(decoded: DataFrame) -> DataFrame:
+    content = decoded.filter(F.col("rtype") == "content").select("doc_id", "page_idx", "seq", "data")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for doc_id, page_idx, seq, data in zip(pdf["doc_id"], pdf["page_idx"], pdf["seq"], pdf["data"]):
+                for ev_idx, ev in enumerate(tokenize_content(bytes(data))):
+                    if ev[0] == "media":
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "page_idx": int(page_idx),
+                                "seq": int(seq),
+                                "ev_idx": ev_idx,
+                                "ev_type": "media",
+                                "media_name": ev[2],
+                            }
+                        )
+                    else:
+                        operand = ev[3] if ev[0] == "text" else b"".join(
+                            x for x in ev[3] if isinstance(x, (bytes, bytearray))
+                        )
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "page_idx": int(page_idx),
+                                "seq": int(seq),
+                                "ev_idx": ev_idx,
+                                "ev_type": "text",
+                                "font_name": ev[2],
+                                "operand": operand,
+                            }
+                        )
+            yield pd.DataFrame(rows).reindex(columns=_COLS)
+
+    return content.mapInPandas(run, schema=TOKENS)

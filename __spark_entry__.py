@@ -1,38 +1,392 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2:
+the extraction pipeline itself (synthesize -> decode -> tokenize ->
+classify -> assemble over the interleaved span corpus derived
+deterministically from the ``documents`` table), the training-data curation
+operators (dedup / MinHash-LSH / SimHash / Jaccard / quality / lang-id /
+fingerprint / ANN / media metadata), and classical relational coverage
+(agg, join+top-k, window).
+
+The DuckDB ``oracle_sql()`` entries compute the *expected* pipeline output
+analytically from the same generation rules (synth.py docstring) — so the
+value-hash comparison verifies the real parse path end to end, including
+xref streams, filter chains, CMap fonts and media interleaving.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdfparser_spark.pipeline import Pipeline, run_extraction
+from pdfparser_spark.stages import synthesize_corpus
+from pdfparser_spark.textops import ann, dedup, media, textqc
+
+# ---------------------------------------------------------------------------
+# pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
+# and every query reads the stage tables (resume-from-checkpoint in action).
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "pdfparser_spark_ck")
+
+
+def _pipeline(spark: SparkSession, sf_dir: str, strict: bool = False) -> dict:
+    tag = os.path.basename(os.path.normpath(sf_dir)) + ("_strict" if strict else "")
+    work_dir = os.path.join(_CACHE_ROOT, tag)
+    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    raw = synthesize_corpus(documents)
+    return Pipeline(spark, work_dir=work_dir, strict=strict).run(raw)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction at sf0.001 -> flat ordered span rows."""
+    return run_extraction(spark, "/root/testdata/sf0.001")["spans_flat"]
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def _flat(spark, sf_dir, where=None):
+    df = _pipeline(spark, sf_dir)["spans_flat"]
+    return df.filter(where) if where is not None else df
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
+        "extract_spans": lambda s, d: _flat(s, d),
+        "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
+        "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
+        "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
+        "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
+        "version_sniff": lambda s, d: (
+            _pipeline(s, d)["decoded"].filter(F.col("rtype") == "meta").select("doc_id", "version")
+        ),
+        "object_stats": lambda s, d: (
+            _pipeline(s, d)["decoded"]
+            .filter(F.col("rtype") == "meta")
+            .select("doc_id", "n_objects", "n_pages", "n_streams")
+        ),
+        "parse_metrics": lambda s, d: _pipeline(s, d)["metrics"],
+        "media_metadata": lambda s, d: media.media_metadata(_pipeline(s, d)["spans_flat"]),
+        # --- training-data curation ops ------------------------------------
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
+        "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
+        "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
+        "lang_id": lambda s, d: textqc.lang_id(_docs(s, d)),
+        "fingerprints": lambda s, d: textqc.fingerprints(_docs(s, d)),
+        "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
+        "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
+        # --- classical relational coverage (SURVEY.md §2.9) ----------------
+        "tpch_q1_pricing": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        ),
+        "top_revenue_orders": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+            .limit(10)
+        ),
+        "customer_order_window": lambda s, d: (
+            _tbl(s, d, "orders")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.row_number()
+                .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+                .alias("order_seq"),
+            )
+            .filter(F.col("order_seq") <= 3)
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# Analytic expected-span CTE: mirrors pdfparser_spark/synth.py doc_rules /
+# page_texts / expected_spans EXACTLY (words-per-page 8; media Im1 after
+# page-0 text when doc_id%5=0; dangling ImMissing last when doc_id%13=0).
+_SPAN_CTE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np FROM documents
+),
+pg AS (
+  SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+),
+txt AS (
+  SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
+  FROM pg WHERE len(w) > p*8
+),
+sp AS (
+  SELECT doc_id, p*10 AS s, 'text' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref FROM txt
+  UNION ALL
+  SELECT doc_id, 1, 'media', NULL, 'Im1' FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 1000, 'media', NULL, 'ImMissing' FROM base WHERE doc_id % 13 = 0
+),
+spans AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS ord,
+         kind, text, media_ref
+  FROM sp
+)
+"""
+
+
+def _span_sql(where: str = "TRUE") -> str:
+    return _SPAN_CTE + f"SELECT doc_id, ord, kind, text, media_ref FROM spans WHERE {where}"
+
+
+_STOP_EN = "'the','and','of','is','to','in'"
+_STOP_ES = "'el','la','de','que','los','un'"
+_STOP_DE = "'der','die','und','das','ein','zu'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_spans": _span_sql(),
+        "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
+        "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
+        "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
+        "extract_strict_mode": _span_sql("doc_id % 13 <> 0"),
+        "version_sniff": """
+            SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents
+        """,
+        "object_stats": """
+            WITH base AS (
+              SELECT doc_id, string_split(text,' ') AS w, 1 + (doc_id % 3) AS np FROM documents
+            ), ne AS (
+              SELECT doc_id, np,
+                     CAST((len(w) > 0) AS INT) + CAST((np >= 2 AND len(w) > 8) AS INT)
+                       + CAST((np >= 3 AND len(w) > 16) AS INT) AS nonempty
+              FROM base
+            )
+            SELECT doc_id,
+              CAST(3 + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
+                 + CAST(np = 3 AS INT) + np + nonempty + CAST(doc_id % 11 = 0 AS INT)
+                 + CAST(doc_id % 2 = 1 AS INT) AS INT) AS n_objects,
+              CAST(np AS INT) AS n_pages,
+              CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
+                 + CAST(doc_id % 2 = 1 AS INT) AS INT) AS n_streams
+            FROM ne
+        """,
+        "parse_metrics": """
+            SELECT doc_id, 'ReferenceError' AS error_kind, 'classify' AS stage, CAST(1 AS BIGINT) AS count
+            FROM documents WHERE doc_id % 13 = 0
+        """,
+        "media_metadata": _SPAN_CTE + """
+            SELECT doc_id, media_ref, 'jpeg-stub' AS fmt,
+                   CAST(16 * (1 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || media_ref), 1, 1)) % 8) AS INT) AS width,
+                   CAST(16 * (1 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || media_ref), 2, 1)) % 8) AS INT) AS height,
+                   CAST(1 AS INT) AS n_frames
+            FROM spans WHERE kind = 'media'
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_bands": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(w[i : i+2], ' ') AS sh
+              FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), mh AS (
+              SELECT doc_id,
+                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
+                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
+                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
+                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
+              FROM sh GROUP BY doc_id
+            )
+            SELECT doc_id, band_idx, band_hash FROM (
+              SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh
+              UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+            )
+        """,
+        "lsh_duplicate_pairs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS sh
+              FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), mh AS (
+              SELECT doc_id,
+                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
+                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
+                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
+                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh
+              UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard_adjacent": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct([array_to_string(w[i : i+2], ' ') FOR i IN generate_series(1, len(w)-2)])
+                ELSE [] END AS sh
+              FROM w
+            )
+            SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "simhash16": """
+            WITH wx AS (
+              SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents
+            ), s AS (
+              SELECT doc_id,
+                """ + ",\n                ".join(
+                    f"SUM(CASE WHEN substr(h,{b+1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{b}"
+                    for b in range(16)
+                ) + """
+              FROM wx GROUP BY doc_id
+            )
+            SELECT doc_id, """ + " || ".join(
+                    f"(CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END)" for b in range(16)
+                ) + """ AS simhash
+            FROM s
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+                   CAST(list_sum([CAST(ceil(len(x)/4.0) AS BIGINT) FOR x IN string_split(text,' ')]) AS BIGINT) AS n_subwords
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+            ), c AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     (CAST(len(text) AS DOUBLE) - len(w) + 1) / len(w) AS avg_len,
+                     CAST(len(list_filter(w, x -> x IN ({_STOP_EN}))) AS DOUBLE) / len(w) AS stop_ratio
+              FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                   ROUND(avg_len, 4) AS avg_word_len,
+                   ROUND(stop_ratio, 4) AS stop_ratio,
+                   ROUND(LEAST(n_tokens/100.0, 1.0)*0.5 + stop_ratio*0.3 + LEAST(avg_len/10.0, 1.0)*0.2, 4) AS quality
+            FROM c
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(list_filter(w, x -> x IN ({_STOP_EN}))) AS n_en,
+                len(list_filter(w, x -> x IN ({_STOP_ES}))) AS n_es,
+                len(list_filter(w, x -> x IN ({_STOP_DE}))) AS n_de
+              FROM t
+            )
+            SELECT doc_id, CAST(n_en AS INT) AS n_en, CAST(n_es AS INT) AS n_es, CAST(n_de AS INT) AS n_de,
+                   CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en > 0 THEN 'en'
+                        WHEN n_es >= n_de AND n_es > 0 THEN 'es'
+                        WHEN n_de > 0 THEN 'de'
+                        ELSE 'und' END AS lang_guess
+            FROM c
+        """,
+        "fingerprints": """
+            SELECT doc_id,
+                   list_reduce(list_prepend(CAST(7 AS BIGINT), [CAST(len(x)*17 + ascii(x) AS BIGINT) FOR x IN string_split(text,' ')]),
+                               (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+            FROM documents
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                ROUND(
+                  (SELECT SUM(x::DOUBLE * y::DOUBLE) FROM (SELECT unnest(qv) AS x, unnest(cv) AS y) z)
+                  / (sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE) FROM (SELECT unnest(qv) AS x) z2))
+                     * sqrt((SELECT SUM(y::DOUBLE * y::DOUBLE) FROM (SELECT unnest(cv) AS y) z3))), 4) AS cos_sim
+              FROM q, c WHERE query_id <> neighbor_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+        """,
+        # ann_lsh_topk: intentionally no oracle (approximate op; rows-only check)
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            WITH r AS (
+              SELECT l_orderkey AS orderkey,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem GROUP BY 1
+            )
+            SELECT orderkey, o.o_custkey AS custkey, revenue
+            FROM r JOIN orders o ON o.o_orderkey = r.orderkey
+            ORDER BY revenue DESC, orderkey LIMIT 10
+        """,
+        "customer_order_window": """
+            SELECT o_custkey, o_orderkey, CAST(order_seq AS INT) AS order_seq FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+              FROM orders
+            ) WHERE order_seq <= 3
+        """,
+    }

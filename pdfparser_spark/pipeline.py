@@ -165,6 +165,8 @@ class Pipeline:
             "spans_flat": flatten_spans(spans),
             "metrics": metrics,
             "lineage": lineage,
+            "decoded": decoded,
+            "tokens": tokens,
         }
 
 

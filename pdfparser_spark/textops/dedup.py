@@ -1,0 +1,124 @@
+"""Deduplication operators: exact, MinHash-LSH, n-gram Jaccard, SimHash.
+
+Design notes for 100 TB scale:
+  * exact dedup is a single hash aggregation with map-side partial combine —
+    the cheapest possible shuffle (one md5 per doc, 16 bytes per key);
+  * MinHash-LSH: shingle -> k md5-keyed min-hashes -> banded signatures;
+    candidate pairs come from a self-equi-join on (band_idx, band_hash),
+    which Spark executes as a shuffled hash join keyed by tiny hashes —
+    never an O(n^2) cross join.  Lexicographic MIN over fixed-width md5 hex
+    strings equals numeric min, so signatures stay portable strings (the
+    DuckDB oracle computes the identical value);
+  * SimHash: 16-bit sign-aggregated fingerprint, computed with explode +
+    conditional sums (pure JVM expressions);
+  * n-gram Jaccard uses array_intersect/array_union on distinct shingle
+    sets — exact verification for near-dup candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 8
+LSH_BANDS = 4  # 2 rows per band
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def shingles_expr(col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as an array<string> (JVM-side)."""
+    w = _words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return F.array_distinct(F.when(F.size(w) >= n, sh).otherwise(F.array()))
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text."""
+    return (
+        documents.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): banded MinHash signature rows.
+
+    minhash_k(doc) = MIN over shingles of md5(k || '|' || shingle);
+    band_b = md5(mh_{2b} || mh_{2b+1}).
+    """
+    sh = documents.select("doc_id", F.explode(shingles_expr()).alias("sh"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_hash"),
+        )
+        for b in range(LSH_BANDS)
+    ]
+    return (
+        sigs.select("doc_id", F.explode(F.array(*bands)).alias("band"))
+        .select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """Near-dup candidates: docs sharing any LSH band bucket."""
+    sig = minhash_signatures(documents)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_hash"], how="inner")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_neighbors(documents: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for adjacent doc_id pairs — the dense
+    verification kernel LSH candidates would be fed through (adjacent pairs
+    keep the check dense on a corpus with no organic dups)."""
+    sh = documents.select("doc_id", shingles_expr().alias("sh"))
+    a = sh.alias("a")
+    b = sh.select((F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_b")).alias("b")
+    return (
+        a.join(b, on="doc_id", how="inner")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("sh", "sh_b"))
+                / F.size(F.array_union("sh", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash) — 16-bit sign-aggregated fingerprint as a '0'/'1'
+    string (portable across engines; no 64-bit overflow semantics to match).
+    Bit b is set iff sum over words of sign(md5 hex digit b's high bit) >= 0.
+    """
+    w = documents.select("doc_id", F.explode(_words()).alias("word"))
+    w = w.withColumn("h", F.md5("word"))
+    sums = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*sums)
+    bit_cols = [F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))

@@ -1,0 +1,90 @@
+"""Text analysis: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure JVM expressions (no Python in the hot path).  Formulas are
+deterministic and mirrored 1:1 in the DuckDB oracle SQL (__spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOP_EN = ("the", "and", "of", "is", "to", "in")
+STOP_ES = ("el", "la", "de", "que", "los", "un")
+STOP_DE = ("der", "die", "und", "das", "ein", "zu")
+
+FP_MOD = 1_000_000_007
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def token_counts(documents: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (ceil(chars/4) per
+    word — the standard chars/4 token heuristic, exact-arithmetic so the
+    oracle matches)."""
+    w = _words()
+    return documents.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda acc, x: acc + F.ceil(F.length(x) / F.lit(4.0))
+        ).alias("n_subwords"),
+    )
+
+
+def _stop_count(w, stops):
+    return F.size(F.filter(w, lambda x: x.isin(*stops)))
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Composite quality score from length, stopword density and mean word
+    length — the classic cheap pre-filter for corpus curation."""
+    w = _words()
+    n_tok = F.size(w).cast("double")
+    avg_len = (F.length("text") - F.size(w) + 1) / F.size(w)
+    stop_ratio = _stop_count(w, STOP_EN) / n_tok
+    score = F.round(
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2,
+        4,
+    )
+    return documents.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.round(avg_len, 4).alias("avg_word_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Stopword-overlap language guess (deterministic argmax, ties broken
+    en > es > de)."""
+    w = _words()
+    en, es, de = (_stop_count(w, s) for s in (STOP_EN, STOP_ES, STOP_DE))
+    guess = (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return documents.select(
+        "doc_id", en.alias("n_en"), es.alias("n_es"), de.alias("n_de"), guess.alias("lang_guess")
+    )
+
+
+def fingerprints(documents: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the word stream (order-sensitive, unlike
+    the shingle-set dedup hashes): fp = fold (acc*31 + len(w)*17 + ascii(w))
+    mod 1e9+7, seeded 7."""
+    w = _words()
+    fp = F.aggregate(
+        w,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + F.length(x).cast("long") * 17 + F.ascii(x).cast("long")) % FP_MOD,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))

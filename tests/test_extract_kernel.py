@@ -1,0 +1,81 @@
+"""End-to-end span-sequence equality on the synthesized fixture families
+(the BASELINE.json:15 invariant: (kind, text, media_ref, order) per doc) —
+pure-Python kernel level; the Spark level is covered in test_pipeline.py."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pdfparser_spark.core.extract import extract_spans
+from pdfparser_spark.synth import build_document, expected_spans, reconstruct
+
+
+def _docs(limit=120):
+    return duckdb.sql(
+        "select doc_id, text from '/root/testdata/sf0.001/documents.parquet' order by doc_id limit "
+        + str(limit)
+    ).fetchall()
+
+
+@pytest.mark.parametrize("family,pred", [
+    ("classic-xref", lambda i: i % 2 == 0),
+    ("xref-stream", lambda i: i % 2 == 1),
+    ("cmap", lambda i: i % 7 == 0),
+    ("media", lambda i: i % 5 == 0),
+    ("dangling", lambda i: i % 13 == 0),
+    ("indirect-length", lambda i: i % 11 == 0),
+    ("octal", lambda i: i % 17 == 0),
+])
+def test_span_sequence_equality(family, pred):
+    checked = 0
+    for doc_id, text in _docs():
+        did = int(doc_id)
+        if not pred(did):
+            continue
+        d = build_document(did, text)
+        res = extract_spans(d["bytes"])
+        got = [(k, t, m) for (k, t, m) in res["spans"]]
+        assert got == d["expected"], f"{family} doc {did}"
+        assert got == expected_spans(did, text)
+        checked += 1
+    assert checked > 0
+
+
+def test_reconstruct_roundtrip():
+    for doc_id, text in _docs(40):
+        d = build_document(int(doc_id), text)
+        assert reconstruct(d["span_rows"]) == d["bytes"]
+
+
+def test_input_span_offsets_strictly_increasing():
+    for doc_id, text in _docs(40):
+        d = build_document(int(doc_id), text)
+        offs = [r["offset"] for r in d["span_rows"]]
+        assert offs == sorted(offs)
+        assert len(set(offs)) == len(offs)
+
+
+def test_dangling_ref_metric():
+    for doc_id, text in _docs():
+        did = int(doc_id)
+        if did % 13:
+            continue
+        d = build_document(did, text)
+        res = extract_spans(d["bytes"])
+        kinds = [k for (k, _s, _d2) in res["errors"]]
+        assert "ReferenceError" in kinds
+
+
+def test_strict_mode_empties_errored_doc():
+    doc_id, text = next((int(i), t) for i, t in _docs() if int(i) % 13 == 0)
+    d = build_document(doc_id, text)
+    assert extract_spans(d["bytes"], strict=True)["spans"] == []
+    assert extract_spans(d["bytes"], strict=False)["spans"] != []
+
+
+def test_corrupt_doc_is_lenient_not_fatal():
+    d = build_document(2, "some words here for a tiny document body ok")
+    res = extract_spans(d["bytes"][: len(d["bytes"]) // 3])
+    assert res["spans"] == []
+    assert res["errors"]

@@ -1,0 +1,112 @@
+"""Spark-level pipeline tests: stage DAG, span equality, resume, metrics,
+lineage, and the curation operators' Spark plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from pdfparser_spark.pipeline import Pipeline
+from pdfparser_spark.stages import synthesize_corpus
+from pdfparser_spark.synth import expected_spans
+
+
+@pytest.fixture(scope="module")
+def results(spark, sf_dir, tmp_path_factory):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(F.col("doc_id") < 150)
+    raw = synthesize_corpus(docs)
+    work = str(tmp_path_factory.mktemp("ck"))
+    res = Pipeline(spark, work_dir=work).run(raw)
+    return res, work, docs
+
+
+def _expected_flat(limit=150):
+    rows = duckdb.sql(
+        f"select doc_id, text from '/root/testdata/sf0.001/documents.parquet' where doc_id < {limit} order by doc_id"
+    ).fetchall()
+    out = []
+    for did, text in rows:
+        for i, (k, t, m) in enumerate(expected_spans(int(did), text)):
+            out.append((int(did), i, k, t, m))
+    return out
+
+
+def test_spark_span_equality(results):
+    res, _work, _docs = results
+    got = [
+        (r.doc_id, r.ord, r.kind, r.text, r.media_ref)
+        for r in res["spans_flat"].orderBy("doc_id", "ord").collect()
+    ]
+    assert got == _expected_flat()
+
+
+def test_empty_docs_preserved(results):
+    res, _w, docs = results
+    n_docs = docs.count()
+    assert res["spans"].count() == n_docs  # every doc present, even span-less
+
+
+def test_metrics_dangling(results):
+    res, _w, _d = results
+    m = {(r.doc_id, r.error_kind, r.stage): r["count"] for r in res["metrics"].collect()}
+    expected = {(d, "ReferenceError", "classify"): 1 for d in range(0, 150, 13)}
+    assert m == expected
+
+
+def test_lineage_totals(results):
+    res, _w, _d = results
+    agg = res["lineage"].agg(F.sum("docs").alias("d"), F.sum("spans_out").alias("s")).first()
+    assert agg["d"] == 150
+    assert agg["s"] == len(_expected_flat())
+
+
+def test_media_metadata_plumbing(results, spark):
+    from pdfparser_spark.textops.media import media_metadata
+
+    res, _w, _d = results
+    meta = media_metadata(res["spans_flat"]).collect()
+    flat_media = res["spans_flat"].filter(F.col("kind") == "media").count()
+    assert len(meta) == flat_media
+    assert all(16 <= r.width <= 128 and 16 <= r.height <= 128 for r in meta)
+
+
+# NOTE: the resume/invalidate tests below rewrite the checkpoint files the
+# module fixture's DataFrames point at — keep them after any test that
+# re-collects from `results`.
+def test_resume_skips_completed_stages(results, spark):
+    res, work, docs = results
+    raw = synthesize_corpus(docs)
+    p2 = Pipeline(spark, work_dir=work)
+    assert all(p2._stage_done(s) for s in ("decode", "tokenize", "classify", "assemble"))
+    res2 = p2.run(raw)
+    assert res2["spans_flat"].count() == len(_expected_flat())
+
+
+def test_invalidate_forces_recompute(results, spark):
+    res, work, docs = results
+    p = Pipeline(spark, work_dir=work)
+    p.invalidate("classify")
+    assert p._stage_done("decode") and p._stage_done("tokenize")
+    assert not p._stage_done("classify") and not p._stage_done("assemble")
+    res3 = p.run(synthesize_corpus(docs))
+    assert res3["spans_flat"].count() == len(_expected_flat())
+
+
+def test_strict_mode_spark(results, spark):
+    _res, _w, docs = results
+    res = Pipeline(spark, strict=True).run(synthesize_corpus(docs))
+    flat = res["spans_flat"]
+    assert flat.filter(F.col("doc_id") % 13 == 0).count() == 0
+    assert flat.count() == sum(1 for r in _expected_flat() if r[0] % 13 != 0)
+
+
+def test_repartition_docs_balances(spark, results):
+    from pdfparser_spark.partitioning import repartition_docs
+
+    _res, _w, docs = results
+    raw = synthesize_corpus(docs)
+    parts = repartition_docs(raw, 4, isolate_threshold=10).rdd.getNumPartitions()
+    assert parts == 8  # target + big_slots

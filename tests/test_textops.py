@@ -1,0 +1,109 @@
+"""Curation-operator tests (dedup / quality / ANN) on small synthetic frames
+— deterministic values asserted, not just shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from pdfparser_spark.textops import ann, dedup, textqc
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        Row(doc_id=2, text="the quick brown fox leaps over the lazy dog"),  # near dup
+        Row(doc_id=3, text="completely different words entirely unrelated text body here"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(docs):
+    res = {r.min_doc_id: r.n_docs for r in dedup.exact_dedup(docs).collect()}
+    assert res[0] == 2  # docs 0,1 collapse
+    assert res[2] == 1 and res[3] == 1
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    sig = dedup.minhash_signatures(docs)
+    by_doc = {}
+    for r in sig.collect():
+        by_doc.setdefault(r.doc_id, {})[r.band_idx] = r.band_hash
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[3]
+
+
+def test_lsh_pairs_find_exact_dup(docs):
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_adjacent(docs):
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_neighbors(docs).collect()}
+    assert j[(0, 1)] == 1.0
+    assert 0 < j[(1, 2)] < 1.0
+    assert j[(2, 3)] == 0.0
+
+
+def test_simhash_close_for_near_dups(docs):
+    s = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+    assert s[0] == s[1]
+    assert ham(s[0], s[2]) <= ham(s[0], s[3])
+    assert len(s[0]) == 16 and set(s[0]) <= {"0", "1"}
+
+
+def test_token_counts_and_quality(docs):
+    t = {r.doc_id: (r.n_tokens, r.n_subwords) for r in textqc.token_counts(docs).collect()}
+    assert t[0][0] == 9
+    q = {r.doc_id: r for r in textqc.quality_scores(docs).collect()}
+    assert 0 <= q[0].quality <= 1
+    assert q[0].stop_ratio == pytest.approx(2 / 9, abs=1e-4)
+
+
+def test_lang_id(docs, spark):
+    extra = spark.createDataFrame([Row(doc_id=9, text="el perro de la casa que un dia")])
+    res = {r.doc_id: r.lang_guess for r in textqc.lang_id(docs.unionByName(extra)).collect()}
+    assert res[0] == "en"
+    assert res[9] == "es"
+
+
+def test_fingerprint_order_sensitive(docs, spark):
+    rev = spark.createDataFrame([Row(doc_id=10, text="dog lazy the over jumps fox brown quick the")])
+    fp = {r.doc_id: r.fingerprint for r in textqc.fingerprints(docs.unionByName(rev)).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[10]  # same words, different order
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(emb):
+    res = ann.cosine_topk(emb, n_queries=1, k=2).collect()
+    assert [r.neighbor_id for r in res] == [1, 4]
+    assert res[0].cos_sim > res[1].cos_sim
+
+
+def test_lsh_buckets_group_similar(emb):
+    b = {r.vec_id: r.bucket for r in ann.lsh_buckets(emb).collect()}
+    assert b[0] == b[1]  # nearly identical vectors share all sign bits
+    assert b[0] != b[3]  # antipodal vector flips every plane
+
+
+def test_ann_lsh_topk_subset_of_bucket(emb):
+    res = ann.ann_lsh_topk(emb, n_queries=1, k=3).collect()
+    assert all(r.query_id == 0 for r in res)
+    assert 1 in {r.neighbor_id for r in res}

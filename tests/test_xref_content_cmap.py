@@ -1,0 +1,75 @@
+"""Xref resolution, content-stream tokenization, and CMap units."""
+
+from __future__ import annotations
+
+import binascii
+import zlib
+
+from pdfparser_spark.core.cmap import CMap, simple_decode
+from pdfparser_spark.core.content import tokenize_content
+from pdfparser_spark.core.xref import find_startxref, read_xref, sniff_version
+from pdfparser_spark.synth import build_document
+
+
+def test_sniff_version_reference_fixture_semantics():
+    # mirrors reference doc_tree.rs:181-195 version assertions
+    assert sniff_version(b"%PDF-1.7\nrest") == "1.7"
+    assert sniff_version(b"%PDF-1.3\n") == "1.3"
+
+
+def test_startxref_locates_offset():
+    data = b"junk ... startxref\n12345\n%%EOF"
+    assert find_startxref(data) == 12345
+
+
+def test_classic_xref_multi_and_prev():
+    d0 = build_document(0, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    offsets, trailer, compressed = read_xref(d0["bytes"])
+    assert trailer["Size"] >= 4
+    assert all(gen == 0 for (_oid, gen) in offsets)
+    assert compressed == {}
+
+
+def test_xref_stream_parses():
+    d1 = build_document(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    offsets, trailer, _ = read_xref(d1["bytes"])
+    assert str(trailer["Type"]) == "XRef"
+    assert len(offsets) >= 5
+
+
+def test_content_tokenize_tj_tf_td_do():
+    content = b"BT /F1 12 Tf 72 720 Td (Hello) Tj ET q /Im1 Do Q"
+    evs = tokenize_content(content)
+    assert [e[0] for e in evs] == ["text", "media"]
+    assert evs[0][2] == "F1" and evs[0][3] == b"Hello"
+    assert evs[1][2] == "Im1"
+
+
+def test_content_tokenize_tj_array():
+    evs = tokenize_content(b"BT /F2 9 Tf [(A) -120 (B)] TJ ET")
+    assert evs[0][0] == "textarr"
+    assert [x for x in evs[0][3] if isinstance(x, bytes)] == [b"A", b"B"]
+
+
+def test_content_resyncs_after_garbage():
+    evs = tokenize_content(b"\xff\xfe BT /F1 1 Tf (ok) Tj ET")
+    assert any(e[0] == "text" and e[3] == b"ok" for e in evs)
+
+
+def test_cmap_bfchar_and_bfrange():
+    cm = CMap.parse(
+        b"""begincodespacerange <0000> <FFFF> endcodespacerange
+        2 beginbfchar <0041> <0061> <0042> <0062> endbfchar
+        1 beginbfrange <0043> <0045> <0063> endbfrange"""
+    )
+    assert cm.width == 2
+    assert cm.decode(b"\x00A\x00B\x00C\x00D\x00E") == "abcde"
+
+
+def test_cmap_bfrange_array_form():
+    cm = CMap.parse(b"1 beginbfrange <01> <03> [<0058> <0059> <005A>] endbfrange")
+    assert cm.decode(b"\x01\x02\x03") == "XYZ"
+
+
+def test_simple_decode_winansi():
+    assert simple_decode(b"caf\xe9", "WinAnsiEncoding") == "café"

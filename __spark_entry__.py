@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pdfparser_spark.pipeline import Pipeline, run_extraction
-from pdfparser_spark.stages import synthesize_corpus
-from pdfparser_spark.textops import ann, dedup, media, textqc
+from pdfparser_spark.stages import extract_fused, flatten_spans, synthesize_corpus
+from pdfparser_spark.textops import ann, dedup, events, html, media, textqc
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
         "extract_spans": lambda s, d: _flat(s, d),
+        "extract_spans_fused": lambda s, d: flatten_spans(
+            extract_fused(synthesize_corpus(_docs(s, d).repartition(8, "doc_id")))
+        ),
         "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
         "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
         "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
@@ -100,6 +103,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": lambda s, d: textqc.fingerprints(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
+        "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
+        "html_main_content": lambda s, d: html.html_main_content(_docs(s, d)),
+        "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
+        "events_stream_window": lambda s, d: events.stream_tumbling_window(
+            s, os.path.join(d, "events.parquet")
+        ),
         # --- classical relational coverage (SURVEY.md §2.9) ----------------
         "tpch_q1_pricing": lambda s, d: (
             _tbl(s, d, "lineitem")
@@ -181,6 +190,7 @@ _STOP_DE = "'der','die','und','das','ein','zu'"
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _span_sql(),
+        "extract_spans_fused": _span_sql(),
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
@@ -363,6 +373,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
         """,
         # ann_lsh_topk: intentionally no oracle (approximate op; rows-only check)
+        "embedding_neardup": """
+            WITH u AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+        """,
+        "html_main_content": """
+            WITH h AS (
+              SELECT doc_id,
+                '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+                || '<nav><a href=''/''>Home</a> <a href=''/about''>About</a> <a href=''/contact''>Contact</a></nav>'
+                || '<div>AD: BUY NOW offer ' || CAST(doc_id % 7 AS VARCHAR) || '</div><article><p>'
+                || text || '</p></article><footer>Copyright 2026 <a href=''/terms''>Terms</a></footer>'
+                || '</body></html>' AS html
+              FROM documents
+            ), b AS (
+              SELECT doc_id,
+                regexp_extract_all(html, '<(?:nav|div|article|footer)>.*?</(?:nav|div|article|footer)>') AS blocks
+              FROM h
+            ), e AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS block_idx, blocks[i] AS block
+              FROM b, LATERAL unnest(generate_series(1, len(blocks))) AS t(i)
+            ), s AS (
+              SELECT doc_id, block_idx,
+                regexp_replace(block, '<[^>]*>', '', 'g') AS main_text,
+                CAST(len(regexp_replace(block, '<[^>]*>', '', 'g'))
+                     - 20 * len(regexp_extract_all(block, '<a href')) AS INT) AS score
+              FROM e
+            ), r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, block_idx) AS rnk
+              FROM s
+            )
+            SELECT doc_id, main_text, block_idx, score FROM r WHERE rnk = 1
+        """,
+        "events_tumbling_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_stream_window": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -41,10 +41,16 @@ class Pipeline:
         work_dir: str | None = None,
         strict: bool = False,
         target_partitions: int | None = None,
+        pre_balanced: bool = False,
     ) -> None:
+        """``pre_balanced=True`` skips the input salting shuffle: the caller
+        guarantees the corpus is already laid out by ``repartition_docs``
+        (at production the salted layout is applied when the input Iceberg
+        table is written, so steady-state extraction jobs start from it)."""
         self.spark = spark
         self.work_dir = work_dir
         self.strict = strict
+        self.pre_balanced = pre_balanced
         self.target_partitions = target_partitions or int(
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
@@ -77,9 +83,20 @@ class Pipeline:
     def _read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._table_path(name))
 
-    def _checkpointed(self, name: str, build) -> DataFrame:
+    def _checkpointed(self, name: str, build, eager: bool = True) -> DataFrame:
         if not self.work_dir:
-            return build()
+            # no durable checkpoint requested: persist so the stage runs once
+            # even though several downstream branches reference it — the
+            # in-memory analog of the stage table (same single-execution
+            # guarantee the reference gets from its memo cache,
+            # pdf_file.rs:53-64).  ``eager`` materializes immediately: needed
+            # for diamond-shaped stages (decode feeds tokenize + classify +
+            # metrics + assemble in ONE action) where a lazy cache would race;
+            # chain stages skip the extra job barrier.
+            df = build().persist()
+            if eager:
+                df.count()
+            return df
         if self._stage_done(name):
             return self._read(name)
         return self._write(build(), name)
@@ -103,11 +120,13 @@ class Pipeline:
         """Execute (or resume) the DAG.  Returns dict of DataFrames:
         spans (doc_id, spans), spans_flat, metrics, lineage."""
         def build_decode():
+            if self.pre_balanced:
+                return decode(documents_raw)
             balanced = repartition_docs(documents_raw, self.target_partitions)
             return decode(balanced)
 
         decoded = self._checkpointed("decode", build_decode)
-        tokens = self._checkpointed("tokenize", lambda: tokenize(decoded))
+        tokens = self._checkpointed("tokenize", lambda: tokenize(decoded), eager=False)
 
         def build_classify():
             spans, dangling = classify(tokens, decoded)
@@ -147,7 +166,9 @@ class Pipeline:
         )
 
         spans = self._checkpointed(
-            "assemble", lambda: assemble(classified, decoded, strict=self.strict, metrics=metrics)
+            "assemble",
+            lambda: assemble(classified, decoded, strict=self.strict, metrics=metrics),
+            eager=False,
         )
 
         # per-partition lineage of the final table
@@ -178,7 +199,14 @@ def run_extraction(
     repeat: int = 1,
 ) -> dict:
     """Convenience wrapper: synthesize the interleaved corpus from the
-    driver's ``documents`` table, then run the DAG."""
-    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    driver's ``documents`` table, then run the DAG.
+
+    The source parquet is one split at small SFs and mapInPandas preserves
+    partitioning, so spread the scan first — otherwise synthesis (and the
+    first read of every downstream branch) runs single-threaded."""
+    n_parts = spark.sparkContext.defaultParallelism
+    documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(
+        n_parts, "doc_id"
+    )
     raw = synthesize_corpus(documents, repeat=repeat)
     return Pipeline(spark, work_dir=work_dir, strict=strict).run(raw)

@@ -1,0 +1,52 @@
+"""Fused single-pass extraction: documents_raw -> (doc_id, spans).
+
+The staged DAG (decode -> tokenize -> classify -> assemble) buys
+checkpoint/resume and per-stage lineage at the cost of three shuffles and
+two persisted intermediates.  But extraction itself is *per-document*
+embarrassingly parallel — nothing in the kernel crosses documents — so the
+maximum-throughput production mode is this fused stage: ONE ``mapInPandas``
+running the whole kernel (core/extract.py: version -> xref -> objects ->
+filters -> page tree -> content tokenize -> CMap decode -> ordered spans)
+per document, zero shuffles, no intermediate materialization.
+
+Semantics are identical to the staged DAG (same kernel functions; asserted
+by the shared DuckDB oracle and pytest span-equality).  Use the staged
+pipeline when you need resumability on very long jobs; use the fused stage
+for steady-state throughput — at 1000 executors its only data movement is
+the input scan and the output write.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..core.extract import extract_spans
+from ..schema import DOCUMENTS_RAW
+
+def _doc_bytes(spans) -> bytes:
+    parts = sorted((s for s in spans if s["text"] is not None), key=lambda s: s["offset"])
+    return "".join(s["text"] for s in parts).encode("latin-1")
+
+
+def extract_fused(documents_raw: DataFrame, strict: bool = False) -> DataFrame:
+    """-> ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` —
+    byte-identical to ``Pipeline.run(...)["spans"]``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_spans = [], []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_spans(_doc_bytes(spans), strict=strict)
+                out_ids.append(int(doc_id))
+                out_spans.append(
+                    [
+                        {"kind": k, "text": t, "media_ref": m, "offset": i}
+                        for i, (k, t, m) in enumerate(res["spans"])
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return documents_raw.mapInPandas(run, schema=DOCUMENTS_RAW)

@@ -73,8 +73,13 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
-    """Near-dup candidates: docs sharing any LSH band bucket."""
-    sig = minhash_signatures(documents)
+    """Near-dup candidates: docs sharing any LSH band bucket.
+
+    Signatures are persisted so the self-join's two sides share one
+    computation (the signature build — shingle explode + 8 MinHash aggs —
+    is ~10x the join cost; at cluster scale this is a checkpointed table).
+    """
+    sig = minhash_signatures(documents).persist()
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -103,6 +108,36 @@ def ngram_jaccard_neighbors(documents: DataFrame) -> DataFrame:
                 4,
             ).alias("jaccard"),
         )
+    )
+
+
+def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) with
+    cosine >= tau, vec_a < vec_b.  Exact all-pairs (the oracle-verifiable
+    baseline); at corpus scale the same predicate runs over LSH-bucketed
+    candidates (``ann.lsh_buckets``) so the join is per-bucket, not O(n^2).
+    Dot products/norms are JVM-side (zip_with + aggregate), and vectors are
+    pre-normalized once per side so the pair loop is a plain dot product.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    unit = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("u")
+    )
+    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
+    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
+    cos = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= tau)
     )
 
 

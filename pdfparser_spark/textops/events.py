@@ -1,0 +1,87 @@
+"""Windowed event aggregation — batch and Structured Streaming variants.
+
+The reference is pure batch (SURVEY.md §2.9: streaming absent), but a
+training-data platform ingests event streams; this module supplies the
+streaming surface with tumbling-window semantics that are *identical* in
+batch and stream, so one DuckDB oracle (`time_bucket`) verifies both:
+
+  * ``tumbling_window`` — batch ``F.window`` aggregation (what a backfill
+    runs over the same table);
+  * ``stream_tumbling_window`` — a real Structured Streaming job over the
+    same parquet via ``readStream`` + watermark + ``Trigger.AvailableNow``
+    into a memory sink; parity with the batch result is asserted in tests.
+
+At scale: the window agg shuffles once on (window, event_type) with
+map-side partial aggregation; watermarking bounds state for late data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def tumbling_window(events: DataFrame) -> DataFrame:
+    """Batch tumbling 1-hour window: (window_start, event_type, n_events,
+    sum_value)."""
+    return _agg(events)
+
+
+def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
+    """Same aggregation as a genuine Structured Streaming job.
+
+    Reads the parquet directory as a stream, applies a 2-hour watermark
+    (late-data bound; with AvailableNow over static input it discards
+    nothing, so the result equals the batch run), aggregates into a memory
+    sink, and returns the completed result as a DataFrame.
+    """
+    schema = spark.read.parquet(events_path).schema
+    # FileStreamSource requires a *directory*; if given a bare parquet file
+    # (the shape of the small-SF test tables), expose it through a symlink
+    # directory (content-addressed, so repeated calls reuse it).
+    if os.path.isfile(events_path):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "stream_src_" + hashlib.md5(events_path.encode()).hexdigest()[:12],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-0000.parquet")
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+        events_path = d
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    # watermarks require TIMESTAMP (with zone); parquet may carry NTZ —
+    # session tz is pinned UTC so the cast is value-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = _agg(stream.withWatermark("ts", "2 hours"))
+    sink = f"events_window_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

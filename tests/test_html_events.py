@@ -1,0 +1,95 @@
+"""HTML boilerplate-strip, embedding near-dup, and windowed-event tests
+(batch + Structured Streaming parity)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from pdfparser_spark.textops import dedup, events, html
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=7, text=""),  # empty main: heuristic picks boilerplate
+        Row(doc_id=13, text="x"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_html_main_content_picks_article(docs):
+    res = {r["doc_id"]: r for r in html.html_main_content(docs).collect()}
+    assert res[0]["main_text"] == "alpha beta gamma delta epsilon zeta eta theta"
+    # block order: nav=0, ad=1, article=2, footer=3
+    assert res[0]["block_idx"] == 2
+    assert res[0]["score"] == len(res[0]["main_text"])
+    # one winning block per doc
+    assert len(res) == 3
+
+
+def test_html_empty_main_falls_to_ad_block(docs):
+    res = {r["doc_id"]: r for r in html.html_main_content(docs).collect()}
+    # empty article scores 0; nav/footer are link-penalized negative;
+    # the ad div ("AD: BUY NOW offer 0", no links) wins — the classic
+    # boilerplate-heuristic failure mode, deterministic and documented.
+    assert res[7]["block_idx"] == 1
+    assert res[7]["main_text"] == "AD: BUY NOW offer 0"
+
+
+def test_html_link_penalty_beats_length(spark):
+    # The nav block's raw markup is longer than this article text, but the
+    # link penalty (3 links x 20) must push nav far below the article; the
+    # article must also beat the 19-char ad block.
+    d = spark.createDataFrame([Row(doc_id=1, text="twenty-plus characters of body")])
+    res = html.html_main_content(d).collect()[0]
+    assert res["main_text"] == "twenty-plus characters of body"
+    assert res["block_idx"] == 2
+
+
+def test_embedding_neardup_exact(spark):
+    e = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0]),
+            Row(vec_id=1, embedding=[0.8, 0.6]),  # cos with 0 = 0.8
+            Row(vec_id=2, embedding=[0.0, 1.0]),  # cos with 0 = 0.0
+        ]
+    )
+    got = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in dedup.embedding_neardup(e, tau=0.5).collect()}
+    assert got == {(0, 1): 0.8, (1, 2): 0.6}
+
+
+@pytest.fixture(scope="module")
+def ev(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=0, ts=base + dt.timedelta(minutes=10), event_type="click", value=1.0),
+        Row(event_id=1, ts=base + dt.timedelta(minutes=50), event_type="click", value=2.0),
+        Row(event_id=2, ts=base + dt.timedelta(minutes=70), event_type="click", value=4.0),
+        Row(event_id=3, ts=base + dt.timedelta(minutes=10), event_type="view", value=8.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_tumbling_window_batch(ev):
+    got = {
+        (r["window_start"].hour, r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in events.tumbling_window(ev).collect()
+    }
+    assert got == {
+        (0, "click"): (2, 3.0),
+        (1, "click"): (1, 4.0),
+        (0, "view"): (1, 8.0),
+    }
+
+
+def test_stream_matches_batch(spark, ev, tmp_path):
+    path = str(tmp_path / "events_parquet")
+    ev.write.parquet(path)
+    batch = sorted(map(tuple, events.tumbling_window(spark.read.parquet(path)).collect()))
+    stream = sorted(map(tuple, events.stream_tumbling_window(spark, path).collect()))
+    assert stream == batch
+    assert len(stream) == 3

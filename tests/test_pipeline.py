@@ -110,3 +110,34 @@ def test_repartition_docs_balances(spark, results):
     raw = synthesize_corpus(docs)
     parts = repartition_docs(raw, 4, isolate_threshold=10).rdd.getNumPartitions()
     assert parts == 8  # target + big_slots
+
+
+def test_fused_equals_staged(spark, sf_dir):
+    """The fused single-pass mode must be span-for-span identical to the
+    staged DAG's expected output (same kernel, no shuffle).  Compared
+    against the analytic ground truth rather than the ``results`` fixture's
+    DataFrames, whose checkpoint files the resume tests above rewrite."""
+    from pdfparser_spark.stages import extract_fused, flatten_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 150
+    )
+    fused = flatten_spans(extract_fused(synthesize_corpus(docs)))
+    got_fused = [
+        (r.doc_id, r.ord, r.kind, r.text, r.media_ref)
+        for r in fused.orderBy("doc_id", "ord").collect()
+    ]
+    assert got_fused == _expected_flat()
+
+
+def test_fused_strict_mode(spark, sf_dir):
+    from pdfparser_spark.stages import extract_fused
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 30
+    )
+    fused = extract_fused(synthesize_corpus(docs), strict=True)
+    # docs with a dangling xobject (doc_id % 13 == 0) lose their spans in strict mode
+    got = {r.doc_id: len(r.spans) for r in fused.collect()}
+    assert got[0] == 0 and got[13] == 0 and got[26] == 0
+    assert got[1] > 0

@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "parse_metrics": lambda s, d: _pipeline(s, d)["metrics"],
         "media_metadata": lambda s, d: media.media_metadata(_pipeline(s, d)["spans_flat"]),
+        "media_frame_sample": lambda s, d: media.media_frame_sample(
+            media.media_metadata(_pipeline(s, d)["spans_flat"])
+        ),
+        "media_resize": lambda s, d: media.media_resize(
+            media.media_metadata(_pipeline(s, d)["spans_flat"])
+        ),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -182,6 +188,25 @@ def _span_sql(where: str = "TRUE") -> str:
     return _SPAN_CTE + f"SELECT doc_id, ord, kind, text, media_ref FROM spans WHERE {where}"
 
 
+# media decode-stub rules (textops/media.py _fake_meta) expressed over the
+# expected media spans: md5 hex chars 1-4 drive dims/format/frame count.
+_MEDIA_META_CTE = _SPAN_CTE + """
+, mh AS (
+  SELECT doc_id, media_ref, md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h
+  FROM spans WHERE kind = 'media'
+),
+meta AS (
+  SELECT doc_id, media_ref,
+         CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0 THEN 'mp4-stub' ELSE 'jpeg-stub' END AS fmt,
+         CAST(16 * (1 + ascii(substr(h, 1, 1)) % 8) AS INT) AS width,
+         CAST(16 * (1 + ascii(substr(h, 2, 1)) % 8) AS INT) AS height,
+         CAST(CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0
+                   THEN 1 + ascii(substr(h, 4, 1)) % 60 ELSE 1 END AS INT) AS n_frames
+  FROM mh
+)
+"""
+
+
 _STOP_EN = "'the','and','of','is','to','in'"
 _STOP_ES = "'el','la','de','que','los','un'"
 _STOP_DE = "'der','die','und','das','ein','zu'"
@@ -220,12 +245,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'ReferenceError' AS error_kind, 'classify' AS stage, CAST(1 AS BIGINT) AS count
             FROM documents WHERE doc_id % 13 = 0
         """,
-        "media_metadata": _SPAN_CTE + """
-            SELECT doc_id, media_ref, 'jpeg-stub' AS fmt,
-                   CAST(16 * (1 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || media_ref), 1, 1)) % 8) AS INT) AS width,
-                   CAST(16 * (1 + ascii(substr(md5(CAST(doc_id AS VARCHAR) || ':' || media_ref), 2, 1)) % 8) AS INT) AS height,
-                   CAST(1 AS INT) AS n_frames
-            FROM spans WHERE kind = 'media'
+        "media_metadata": _MEDIA_META_CTE + """
+            SELECT doc_id, media_ref, fmt, width, height, n_frames FROM meta
+        """,
+        "media_frame_sample": _MEDIA_META_CTE + """
+            SELECT doc_id, media_ref, CAST(i AS INT) AS frame_idx
+            FROM meta, LATERAL unnest(generate_series(0, n_frames - 1, 10)) AS t(i)
+        """,
+        "media_resize": _MEDIA_META_CTE + """
+            SELECT doc_id, media_ref, CAST(64 AS INT) AS out_w,
+                   CAST(GREATEST(1, round(height * 64.0 / width)) AS INT) AS out_h,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || media_ref || ':64x'
+                       || CAST(CAST(GREATEST(1, round(height * 64.0 / width)) AS INT) AS VARCHAR)) AS resized_md5
+            FROM meta
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

@@ -93,3 +93,24 @@ def test_stream_matches_batch(spark, ev, tmp_path):
     stream = sorted(map(tuple, events.stream_tumbling_window(spark, path).collect()))
     assert stream == batch
     assert len(stream) == 3
+
+
+def test_media_frame_sample_and_resize(spark):
+    from pdfparser_spark.textops import media
+
+    meta = spark.createDataFrame(
+        [
+            # (doc_id, media_ref, fmt, width, height, n_frames)
+            (1, "Im1", "mp4-stub", 32, 48, 25),
+            (2, "Im2", "jpeg-stub", 128, 16, 1),
+        ],
+        schema="doc_id long, media_ref string, fmt string, width int, height int, n_frames int",
+    )
+    frames = {(r.doc_id, r.frame_idx) for r in media.media_frame_sample(meta).collect()}
+    assert frames == {(1, 0), (1, 10), (1, 20), (2, 0)}
+
+    rs = {r.doc_id: r for r in media.media_resize(meta).collect()}
+    assert (rs[1].out_w, rs[1].out_h) == (64, 96)   # 48 * 64/32
+    assert (rs[2].out_w, rs[2].out_h) == (64, 8)    # 16 * 64/128
+    import hashlib
+    assert rs[1].resized_md5 == hashlib.md5(b"1:Im1:64x96").hexdigest()

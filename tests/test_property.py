@@ -1,0 +1,224 @@
+"""Property-based round-trip tests (hypothesis) for the parse kernel.
+
+The reference's unit suites assert point examples (SURVEY.md §5); these
+push the same operators through randomized round-trips: encode with an
+independent reference encoder, decode with our kernel, require identity.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from base64 import a85encode
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfparser_spark.core import filters
+from pdfparser_spark.core.cmap import CMap
+from pdfparser_spark.core.tokenizer import (
+    Tokenizer,
+    _parse_hex_string,
+    _parse_literal_string,
+    _parse_number,
+)
+
+BYTES = st.binary(min_size=0, max_size=300)
+SETTINGS = dict(max_examples=120, deadline=None)
+
+
+# --- filters ---------------------------------------------------------------
+
+
+@given(data=BYTES, chunk=st.integers(1, 9), upper=st.booleans())
+@settings(**SETTINGS)
+def test_ascii_hex_roundtrip(data, chunk, upper):
+    h = data.hex().upper() if upper else data.hex()
+    # inject whitespace at chunk boundaries (spec allows arbitrary ws)
+    spaced = "\n".join(h[i : i + chunk] for i in range(0, len(h), chunk))
+    assert filters.ascii_hex_decode(spaced.encode() + b">") == data
+
+
+@given(data=BYTES)
+@settings(**SETTINGS)
+def test_ascii85_roundtrip(data):
+    assert filters.ascii85_decode(a85encode(data, adobe=False) + b"~>") == data
+
+
+@given(data=BYTES, level=st.integers(0, 9))
+@settings(**SETTINGS)
+def test_flate_roundtrip(data, level):
+    assert filters.flate_decode(zlib.compress(data, level)) == data
+
+
+@given(data=st.binary(min_size=0, max_size=2000), early=st.integers(0, 1))
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip(data, early):
+    enc = filters.lzw_encode(data, early_change=early)
+    assert filters.lzw_decode(enc, {"EarlyChange": early}) == data
+
+
+@given(
+    rows=st.integers(1, 12),
+    cols=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_flate_png_predictor_roundtrip(rows, cols, seed):
+    """Forward-encode with each PNG row filter (None/Sub/Up/Avg/Paeth chosen
+    per row from the seed), flate-compress, then decode with Predictor=15."""
+    import random
+
+    rng = random.Random(seed)
+    raw = bytes(rng.randrange(256) for _ in range(rows * cols))
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    prev = bytes(cols)
+    enc = bytearray()
+    for r in range(rows):
+        row = raw[r * cols : (r + 1) * cols]
+        ft = rng.randrange(5)
+        enc.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - 1] if i > 0 else 0
+            b = prev[i]
+            c = prev[i - 1] if i > 0 else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = (x - a) & 0xFF
+            elif ft == 2:
+                v = (x - b) & 0xFF
+            elif ft == 3:
+                v = (x - (a + b) // 2) & 0xFF
+            else:
+                v = (x - paeth(a, b, c)) & 0xFF
+            enc.append(v)
+        prev = row
+    parms = {"Predictor": 15, "Columns": cols, "Colors": 1, "BitsPerComponent": 8}
+    assert filters.flate_decode(zlib.compress(bytes(enc)), parms) == raw
+
+
+# --- tokenizer -------------------------------------------------------------
+
+
+def _escape_literal(data: bytes) -> bytes:
+    """Independent PDF literal-string writer: escape specials, octal-encode
+    non-printables and EOL bytes (so the parser's EOL normalization never
+    fires on payload bytes)."""
+    out = bytearray(b"(")
+    for b in data:
+        if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif 32 <= b <= 126:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode()
+    out += b")"
+    return bytes(out)
+
+
+@given(data=BYTES)
+@settings(**SETTINGS)
+def test_literal_string_roundtrip(data):
+    got, end = _parse_literal_string(_escape_literal(data), 0)
+    assert got == data
+    assert end == len(_escape_literal(data))
+
+
+@given(data=BYTES, upper=st.booleans())
+@settings(**SETTINGS)
+def test_hex_string_roundtrip(data, upper):
+    h = data.hex().upper() if upper else data.hex()
+    got, _ = _parse_hex_string(("<" + h + ">").encode(), 0)
+    assert got == data
+
+
+@given(n=st.integers(-(2**31), 2**31 - 1))
+@settings(**SETTINGS)
+def test_integer_roundtrip(n):
+    val, _ = _parse_number(str(n).encode(), 0)
+    assert val == n and isinstance(val, int)
+
+
+@given(n=st.floats(allow_nan=False, allow_infinity=False, width=32))
+@settings(**SETTINGS)
+def test_real_roundtrip(n):
+    s = repr(float(n))
+    if "e" in s or "E" in s:  # PDF reals have no exponent notation
+        s = f"{float(n):.10f}"
+    val, _ = _parse_number(s.encode(), 0)
+    assert abs(val - float(s)) <= max(1e-6 * abs(float(s)), 1e-6)
+
+
+@given(
+    items=st.lists(
+        st.one_of(
+            st.integers(-1000, 1000),
+            st.binary(min_size=0, max_size=12),
+            st.booleans(),
+        ),
+        max_size=8,
+    )
+)
+@settings(**SETTINGS)
+def test_array_roundtrip(items):
+    parts = []
+    for it in items:
+        if isinstance(it, bool):
+            parts.append(b"true" if it else b"false")
+        elif isinstance(it, int):
+            parts.append(str(it).encode())
+        else:
+            parts.append(_escape_literal(it))
+    src = b"[ " + b" ".join(parts) + b" ]"
+    val, _ = Tokenizer(src).parse_value(0)
+    assert val == items
+
+
+# --- CMap ------------------------------------------------------------------
+
+
+@given(
+    mapping=st.dictionaries(
+        st.integers(0, 255),
+        st.integers(0x20, 0xD700),  # BMP, below surrogates
+        min_size=1,
+        max_size=20,
+    ),
+    data=st.lists(st.integers(0, 255), max_size=40),
+)
+@settings(**SETTINGS)
+def test_cmap_bfchar_roundtrip(mapping, data):
+    entries = "\n".join(
+        f"<{code:02X}> <{ord(ch):04X}>"
+        for code, ch in ((c, chr(u)) for c, u in mapping.items())
+    )
+    cmap = (
+        "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        f"{len(mapping)} beginbfchar\n{entries}\nendbfchar\nendcmap"
+    ).encode()
+    cm = CMap.parse(cmap)
+    expected = "".join(chr(mapping[b]) if b in mapping else "�" for b in data)
+    assert cm.decode(bytes(data)) == expected
+
+
+@given(lo=st.integers(0, 200), span=st.integers(0, 55), base=st.integers(0x41, 0x2000))
+@settings(**SETTINGS)
+def test_cmap_bfrange_roundtrip(lo, span, base):
+    hi = lo + span
+    cmap = (
+        "begincmap\n1 beginbfrange\n"
+        f"<{lo:02X}> <{hi:02X}> <{base:04X}>\n"
+        "endbfrange\nendcmap"
+    ).encode()
+    cm = CMap.parse(cmap)
+    data = bytes(range(lo, min(hi + 1, 256)))
+    expected = "".join(chr(base + i) for i in range(len(data)))
+    assert cm.decode(data) == expected

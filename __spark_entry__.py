@@ -115,6 +115,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": lambda s, d: events.stream_tumbling_window(
             s, os.path.join(d, "events.parquet")
         ),
+        "events_props_json": lambda s, d: (
+            _tbl(s, d, "events")
+            .select(
+                "event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .filter(F.col("k") > 80)
+        ),
+        "top_terms_by_lang": lambda s, d: (
+            _docs(s, d)
+            .select("lang", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.length("term") >= 4)
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+                ),
+            )
+            .filter(F.col("rnk") <= 5)
+            .select("lang", "term", "n", "rnk")
+        ),
         # --- classical relational coverage (SURVEY.md §2.9) ----------------
         "tpch_q1_pricing": lambda s, d: (
             _tbl(s, d, "lineitem")
@@ -452,6 +475,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_props_json": """
+            SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+            FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 80
+        """,
+        "top_terms_by_lang": """
+            WITH t AS (
+              SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+            ), c AS (
+              SELECT lang, term, COUNT(*) AS n FROM t WHERE len(term) >= 4 GROUP BY 1, 2
+            )
+            SELECT lang, term, n, CAST(rnk AS INT) AS rnk FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+              FROM c
+            ) WHERE rnk <= 5
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,

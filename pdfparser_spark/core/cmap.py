@@ -114,5 +114,10 @@ class CMap:
 def simple_decode(raw: bytes, encoding_name: str | None) -> str:
     """Fallback single-byte decode when the font has no /ToUnicode
     (reference has no equivalent; WinAnsi == cp1252 per ISO 32000 D.2)."""
-    enc = "cp1252" if encoding_name == "WinAnsiEncoding" else "latin-1"
+    if encoding_name == "WinAnsiEncoding":
+        enc = "cp1252"
+    elif encoding_name == "MacRomanEncoding":
+        enc = "mac_roman"
+    else:
+        enc = "latin-1"
     return raw.decode(enc, errors="replace")

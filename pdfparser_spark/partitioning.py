@@ -2,18 +2,31 @@
 
 Document corpora are heavy-tailed: a handful of giant documents can straggle
 an entire mapInPandas stage because AQE's skew handling only re-splits
-*shuffle* partitions at join/agg boundaries, not Python map stages.  Policy:
+*shuffle* partitions at join/agg boundaries, not Python map stages.
 
-  1. compute each doc's payload weight (total span bytes) with built-in
-     expressions (F.aggregate — JVM-side, no UDF);
-  2. giant docs (weight > isolate_threshold) are spread round-robin over
-     dedicated partitions, one-ish doc per partition;
-  3. the remainder is hash-distributed on doc_id.
+Two strategies, both pure DataFrame API:
 
-Both subsets use ``repartition`` with explicit partition counts, so the
-downstream Arrow batches are bounded in bytes, not just rows.  At cluster
-scale the same policy holds with larger constants; the threshold should sit
-near (executor memory / arrow batch rows).
+``split`` (default, deterministic)
+    Filter the corpus into small/giant branches, repartition each on the
+    full-entropy ``doc_id``, and union.  Union CONCATENATES child
+    partitions, so giants provably occupy the dedicated partition range
+    ``[target, target + big_slots)`` and never share a partition with the
+    small-doc bulk.  Costs one extra pass over the input predicate (two
+    pushed scans of a table-backed input; for an expensive lazy upstream,
+    persist it first or use ``salt``).
+
+``salt`` (single-shuffle, probabilistic)
+    One repartition on a salt key.  The salt must stay FULL-ENTROPY: an
+    early version used ``pmod(hash(doc_id), k)`` — re-hashing those small
+    integers through HashPartitioning collapses badly (murmur3 of adjacent
+    small ints is heavily correlated modulo small partition counts; we
+    observed 3 distinct salts landing in 1 of 20 partitions).  Instead the
+    giant tier re-seeds the full 32-bit hash, so placement is uniform and
+    giants spread by independence rather than by construction.
+
+At cluster scale the same policy holds with larger constants; the isolate
+threshold should sit near (executor memory / arrow batch rows), and
+``target_partitions`` should scale with corpus bytes, not just cores.
 """
 
 from __future__ import annotations
@@ -39,19 +52,22 @@ def repartition_docs(
     isolate_threshold: int = DEFAULT_ISOLATE_THRESHOLD,
     big_slots: int | None = None,
     weight_col=None,
+    strategy: str = "split",
 ) -> DataFrame:
-    """Salted two-tier repartition of a document table.
+    """Two-tier repartition of a document table (see module docstring).
 
     Entirely lazy — no driver-side action — so upstream synthesis/scan
-    stages are never recomputed just to plan the partitioning.  Giant docs
-    get salt keys from a disjoint key range so they spread across the extra
-    ``big_slots`` instead of clumping with (or inside) the hash partitions
-    of the small docs.
+    stages are never executed just to plan the partitioning.
     """
     big_slots = big_slots or target_partitions
     w = weight_col if weight_col is not None else doc_weight()
-    salt = F.when(
-        w > isolate_threshold,
-        F.pmod(F.hash("doc_id"), F.lit(big_slots)) + F.lit(target_partitions),
-    ).otherwise(F.pmod(F.hash("doc_id"), F.lit(target_partitions)))
-    return df.repartition(target_partitions + big_slots, salt)
+    if strategy == "split":
+        small = df.filter(w <= isolate_threshold).repartition(target_partitions, "doc_id")
+        big = df.filter(w > isolate_threshold).repartition(big_slots, "doc_id")
+        return small.union(big)
+    if strategy == "salt":
+        salt = F.when(
+            w > isolate_threshold, F.hash(F.col("doc_id"), F.lit("isolate"))
+        ).otherwise(F.hash(F.col("doc_id")))
+        return df.repartition(target_partitions + big_slots, salt)
+    raise ValueError(f"unknown strategy {strategy!r}")

@@ -108,8 +108,14 @@ def test_repartition_docs_balances(spark, results):
 
     _res, _w, docs = results
     raw = synthesize_corpus(docs)
+    # threshold=10 -> every doc is "giant": the empty small branch is
+    # eliminated (PropagateEmptyRelation) and only the big_slots remain
     parts = repartition_docs(raw, 4, isolate_threshold=10).rdd.getNumPartitions()
-    assert parts == 8  # target + big_slots
+    assert parts == 4
+    # huge threshold -> every doc is small: only the target partitions remain
+    parts = repartition_docs(raw, 4, isolate_threshold=1 << 40).rdd.getNumPartitions()
+    assert parts == 4
+    # mixed corpus keeps both ranges (see test_giant_docs_isolated_by_split_strategy)
 
 
 def test_fused_equals_staged(spark, sf_dir):
@@ -141,3 +147,55 @@ def test_fused_strict_mode(spark, sf_dir):
     got = {r.doc_id: len(r.spans) for r in fused.collect()}
     assert got[0] == 0 and got[13] == 0 and got[26] == 0
     assert got[1] > 0
+
+
+def test_giant_docs_isolated_by_split_strategy(spark):
+    """Skew policy (partitioning.py, strategy='split'): giant documents
+    provably occupy the dedicated partition range [target, target+slots)
+    and never share a partition with the small-doc bulk — one straggler
+    can't blockade a mapInPandas partition of smalls."""
+    from pyspark.sql import Row
+
+    from pdfparser_spark.partitioning import repartition_docs
+    from pdfparser_spark.schema import DOCUMENTS_RAW
+
+    span = lambda text: Row(kind="struct", text=text, media_ref=None, offset=0)
+    rows = [Row(doc_id=i, spans=[span("x" * 100)]) for i in range(50)]
+    big_ids = [901, 902, 903, 904]
+    rows += [Row(doc_id=b, spans=[span("y" * 5000)]) for b in big_ids]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_RAW)
+
+    target, slots = 4, 16
+    out = repartition_docs(df, target, isolate_threshold=1000, big_slots=slots)
+    assert out.rdd.getNumPartitions() == target + slots
+    pid = out.select("doc_id", F.spark_partition_id().alias("pid")).collect()
+    big_pids = [r.pid for r in pid if r.doc_id in big_ids]
+    small_pids = {r.pid for r in pid if r.doc_id not in big_ids}
+    assert all(p >= target for p in big_pids)      # giants in dedicated range
+    assert all(p < target for p in small_pids)     # smalls in their own range
+    assert len(set(big_pids)) >= 2                 # giants spread, not clumped
+
+
+def test_salt_strategy_spreads_giants(spark):
+    """strategy='salt': single shuffle; full-entropy re-seeded hash must
+    not clump the giants into one partition (regression: pre-modded small
+    integer salts collapsed under HashPartitioning's re-hash)."""
+    from pyspark.sql import Row
+
+    from pdfparser_spark.partitioning import repartition_docs
+    from pdfparser_spark.schema import DOCUMENTS_RAW
+
+    span = lambda text: Row(kind="struct", text=text, media_ref=None, offset=0)
+    big_ids = list(range(900, 912))
+    rows = [Row(doc_id=i, spans=[span("x" * 100)]) for i in range(50)]
+    rows += [Row(doc_id=b, spans=[span("y" * 5000)]) for b in big_ids]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_RAW)
+
+    out = repartition_docs(df, 4, isolate_threshold=1000, big_slots=16, strategy="salt")
+    pid = out.select("doc_id", F.spark_partition_id().alias("pid")).collect()
+    big_pids = [r.pid for r in pid if r.doc_id in big_ids]
+    from collections import Counter
+
+    most_common = Counter(big_pids).most_common(1)[0][1]
+    assert len(set(big_pids)) >= 6   # 12 giants over 20 partitions: spread
+    assert most_common <= 4          # and no single-partition pile-up

@@ -222,3 +222,51 @@ def test_cmap_bfrange_roundtrip(lo, span, base):
     data = bytes(range(lo, min(hi + 1, 256)))
     expected = "".join(chr(base + i) for i in range(len(data)))
     assert cm.decode(data) == expected
+
+
+# --- crash-safety fuzz -----------------------------------------------------
+# Lenient ("stoic", reference pdf_file.rs:879-889) semantics: a corrupt
+# document must produce error rows, never an exception — at cluster scale an
+# exception is a task failure that kills the whole stage.
+
+from pdfparser_spark.core.extract import extract_spans  # noqa: E402
+from pdfparser_spark.synth import build_document  # noqa: E402
+
+
+def _doc_payload(doc_id: int, text: str) -> bytes:
+    d = build_document(doc_id, text)
+    parts = sorted((s for s in d["span_rows"] if s["text"] is not None), key=lambda s: s["offset"])
+    return "".join(s["text"] for s in parts).encode("latin-1")
+
+
+@given(data=st.binary(min_size=0, max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_extract_never_raises_on_garbage(data):
+    res = extract_spans(data)
+    assert isinstance(res["spans"], list)
+    assert res["errors"]  # garbage must be *reported*, not silently empty
+
+
+@given(
+    doc_id=st.integers(0, 500),
+    cut=st.floats(0.01, 0.99),
+)
+@settings(max_examples=60, deadline=None)
+def test_extract_never_raises_on_truncation(doc_id, cut):
+    payload = _doc_payload(doc_id, "the quick brown fox jumps over the lazy dog")
+    res = extract_spans(payload[: int(len(payload) * cut)])
+    assert isinstance(res["spans"], list)
+
+
+@given(
+    doc_id=st.integers(0, 500),
+    flips=st.lists(st.tuples(st.integers(0, 10**6), st.integers(0, 255)), min_size=1, max_size=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_extract_never_raises_on_byte_flips(doc_id, flips):
+    payload = bytearray(_doc_payload(doc_id, "stream filter sort hash merge join window"))
+    for pos, val in flips:
+        payload[pos % len(payload)] = val
+    res = extract_spans(bytes(payload))
+    assert isinstance(res["spans"], list)
+    assert isinstance(res["errors"], list)

@@ -270,3 +270,58 @@ def test_extract_never_raises_on_byte_flips(doc_id, flips):
     res = extract_spans(bytes(payload))
     assert isinstance(res["spans"], list)
     assert isinstance(res["errors"], list)
+
+
+# --- content-stream tokenizer property -------------------------------------
+
+from pdfparser_spark.core.content import tokenize_content  # noqa: E402
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("Tj"), st.binary(min_size=0, max_size=20)),
+            st.tuples(st.just("TJ"), st.lists(st.binary(min_size=1, max_size=8), min_size=1, max_size=4)),
+            st.tuples(st.just("Tf"), st.sampled_from(["F1", "F2", "Helv"])),
+            st.tuples(st.just("Do"), st.sampled_from(["Im1", "Im2"])),
+            st.tuples(st.just("Td"), st.integers(-500, 500)),
+        ),
+        max_size=15,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_content_tokenizer_event_sequence(ops):
+    """Build a content stream from a random operator program with an
+    independent writer; the tokenizer must recover exactly the text/media
+    events in order, with the font state threaded correctly."""
+    parts = [b"BT"]
+    expected = []
+    font = None
+    for op, arg in ops:
+        if op == "Tj":
+            parts.append(_escape_literal(arg) + b" Tj")
+            expected.append(("text", font, arg))
+        elif op == "TJ":
+            arr = b"[ " + b" ".join(_escape_literal(x) + b" -120" for x in arg) + b" ] TJ"
+            parts.append(arr)
+            expected.append(("textarr", font, list(arg)))
+        elif op == "Tf":
+            font = arg
+            parts.append(f"/{arg} 12 Tf".encode())
+        elif op == "Do":
+            parts.append(f"/{arg} Do".encode())
+            expected.append(("media", arg))
+        else:  # Td: positioning only, no event
+            parts.append(f"{arg} 0 Td".encode())
+    parts.append(b"ET")
+    stream = b"\n".join(parts)
+
+    got = []
+    for ev in tokenize_content(stream):
+        if ev[0] == "text":
+            got.append(("text", ev[2], ev[3]))
+        elif ev[0] == "textarr":
+            got.append(("textarr", ev[2], [x for x in ev[3] if isinstance(x, bytes)]))
+        elif ev[0] == "media":
+            got.append(("media", ev[2]))
+    assert got == expected

@@ -160,6 +160,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("revenue").desc(), F.col("orderkey"))
             .limit(10)
         ),
+        "customers_with_orders_semi": lambda s, d: (
+            _tbl(s, d, "customer")
+            .join(_tbl(s, d, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name")
+        ),
+        "customers_without_recent_orders_anti": lambda s, d: (
+            _tbl(s, d, "customer")
+            .join(
+                _tbl(s, d, "orders").filter(F.col("o_orderdate") >= "1998-01-01"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .select("c_custkey", "c_name")
+        ),
         "customer_order_window": lambda s, d: (
             _tbl(s, d, "orders")
             .select(
@@ -509,6 +523,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT orderkey, o.o_custkey AS custkey, revenue
             FROM r JOIN orders o ON o.o_orderkey = r.orderkey
             ORDER BY revenue DESC, orderkey LIMIT 10
+        """,
+        "customers_with_orders_semi": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "customers_without_recent_orders_anti": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+            )
         """,
         "customer_order_window": """
             SELECT o_custkey, o_orderkey, CAST(order_seq AS INT) AS order_seq FROM (

@@ -36,8 +36,32 @@ from pdfparser_spark.textops import ann, dedup, events, html, media, textqc
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "pdfparser_spark_ck")
 
 
+def _source_fingerprint() -> str:
+    """Cache-busting key: checkpointed stage tables must be recomputed when
+    the package source changes, else stale results mask code changes."""
+    import hashlib
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pdfparser_spark")
+    h = hashlib.md5()
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        if "__pycache__" in dirpath:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(dirpath, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+_SRC_TAG = _source_fingerprint()
+
+
 def _pipeline(spark: SparkSession, sf_dir: str, strict: bool = False) -> dict:
-    tag = os.path.basename(os.path.normpath(sf_dir)) + ("_strict" if strict else "")
+    tag = (
+        os.path.basename(os.path.normpath(sf_dir))
+        + ("_strict" if strict else "")
+        + "_" + _SRC_TAG
+    )
     work_dir = os.path.join(_CACHE_ROOT, tag)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     raw = synthesize_corpus(documents)

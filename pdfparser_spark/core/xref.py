@@ -156,6 +156,22 @@ def read_xref(data: bytes, max_prev: int = 64):
         if data[probe : probe + 4] == b"xref":
             offs, tr = _parse_classic_xref(data, probe, tok)
             comp: dict = {}
+            # hybrid-reference file (ISO 32000 §7.5.8.4): the classic
+            # trailer's /XRefStm points at an xref stream carrying the
+            # entries the classic table leaves free (objects living in
+            # object streams).  Merge it before following /Prev.
+            xstm = tr.get("XRefStm")
+            if isinstance(xstm, int) and 0 <= xstm < len(data):
+                try:
+                    soffs, _str_tr, scomp = _parse_xref_stream(
+                        data, skip_ws(data, xstm), tok
+                    )
+                    for k, v in soffs.items():
+                        offs.setdefault(k, v)
+                    for k, v in scomp.items():
+                        comp.setdefault(k, v)
+                except ParsingError:
+                    pass  # lenient: hybrid stream unreadable -> classic only
         else:
             offs, tr, comp = _parse_xref_stream(data, probe, tok)
         for k, v in offs.items():

@@ -73,3 +73,42 @@ def test_cmap_bfrange_array_form():
 
 def test_simple_decode_winansi():
     assert simple_decode(b"caf\xe9", "WinAnsiEncoding") == "café"
+
+
+def test_hybrid_xrefstm_merges_classic_and_stream():
+    """Hybrid-reference file (ISO 32000 §7.5.8.4): classic trailer carries
+    /XRefStm pointing at an xref stream whose entries complement the classic
+    table.  read_xref must surface objects from BOTH."""
+    buf = bytearray()
+
+    def emit(b: bytes) -> int:
+        at = len(buf)
+        buf.extend(b)
+        return at
+
+    emit(b"%PDF-1.5\n")
+    off1 = emit(b"1 0 obj\n42\nendobj\n")
+    off2 = emit(b"2 0 obj\n43\nendobj\n")
+    # xref stream object: one type-1 row for object 2 -> off2
+    payload = bytes([1]) + off2.to_bytes(2, "big") + (0).to_bytes(2, "big")
+    off3 = emit(
+        b"3 0 obj\n<< /Type /XRef /W [1 2 2] /Size 4 /Index [2 1] /Length "
+        + str(len(payload)).encode()
+        + b" >>\nstream\n"
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+    offx = emit(
+        b"xref\n0 2\n0000000000 65535 f \n"
+        + f"{off1:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 4 /Root 1 0 R /XRefStm "
+        + str(off3).encode()
+        + b" >>\n"
+    )
+    emit(b"startxref\n" + str(offx).encode() + b"\n%%EOF")
+
+    offsets, trailer, compressed = read_xref(bytes(buf))
+    assert offsets[(1, 0)] == off1   # from the classic table
+    assert offsets[(2, 0)] == off2   # from the hybrid /XRefStm stream
+    assert int(trailer["Size"]) == 4
+    assert compressed == {}

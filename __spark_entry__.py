@@ -418,10 +418,12 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(list_filter(w, x -> x IN ({_STOP_EN}))) AS DOUBLE) / len(w) AS stop_ratio
               FROM t
             )
+            -- floor(x*1e4+0.5)/1e4, not ROUND(): matches the Spark side's
+            -- engine-portable half-up on pure double arithmetic
             SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-                   ROUND(avg_len, 4) AS avg_word_len,
-                   ROUND(stop_ratio, 4) AS stop_ratio,
-                   ROUND(LEAST(n_tokens/100.0, 1.0)*0.5 + stop_ratio*0.3 + LEAST(avg_len/10.0, 1.0)*0.2, 4) AS quality
+                   FLOOR(avg_len * 10000.0 + 0.5) / 10000.0 AS avg_word_len,
+                   FLOOR(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+                   FLOOR((LEAST(n_tokens/100.0, 1.0)*0.5 + stop_ratio*0.3 + LEAST(avg_len/10.0, 1.0)*0.2) * 10000.0 + 0.5) / 10000.0 AS quality
             FROM c
         """,
         "lang_id": f"""

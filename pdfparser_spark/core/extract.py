@@ -27,6 +27,19 @@ from .xref import parse_all_objects, read_xref, sniff_version
 
 MAX_TREE_DEPTH = 64
 
+def _check_encrypted(trailer: dict) -> None:
+    """Encrypted document (ISO 32000 §7.6): strings/streams are ciphertext;
+    without decryption support extraction would emit garbage spans — surface
+    as an error row instead (same family as the reference's unsupported
+    Crypt filter, decode.rs:46, 83-87)."""
+    if "Encrypt" in trailer:
+        raise PdfError(
+            "encrypted document (/Encrypt) unsupported",
+            kind=FILTER_ERROR,
+            stage="decode",
+        )
+
+
 
 def classify_stream(attrs: dict, objects: dict) -> str:
     """D1 (reference decode.rs:197-203, 261-271) extended: classify before
@@ -161,6 +174,7 @@ def decode_document(data: bytes):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
+        _check_encrypted(trailer)
         objects = parse_all_objects(data, offsets, compressed, errors)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
@@ -236,6 +250,7 @@ def extract_spans(data: bytes, strict: bool = False):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
+        _check_encrypted(trailer)
         objects = parse_all_objects(data, offsets, compressed, errors)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)

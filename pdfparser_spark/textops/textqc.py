@@ -46,17 +46,24 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     n_tok = F.size(w).cast("double")
     avg_len = (F.length("text") - F.size(w) + 1) / F.size(w)
     stop_ratio = _stop_count(w, STOP_EN) / n_tok
-    score = F.round(
+
+    def r4(x):
+        # floor(x*1e4 + 0.5)/1e4 instead of round(): decimal-HALF_UP round
+        # disagrees with DuckDB's double rounding on exact .xxxx5
+        # boundaries; this form is pure double arithmetic, so any engine
+        # computes the identical value
+        return F.floor(x * 10000.0 + 0.5) / 10000.0
+
+    score = r4(
         F.least(n_tok / 100.0, F.lit(1.0)) * 0.5
         + stop_ratio * 0.3
-        + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2,
-        4,
+        + F.least(avg_len / 10.0, F.lit(1.0)) * 0.2
     )
     return documents.select(
         "doc_id",
         F.size(w).alias("n_tokens"),
-        F.round(avg_len, 4).alias("avg_word_len"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
+        r4(avg_len).alias("avg_word_len"),
+        r4(stop_ratio).alias("stop_ratio"),
         score.alias("quality"),
     )
 

@@ -79,3 +79,25 @@ def test_corrupt_doc_is_lenient_not_fatal():
     res = extract_spans(d["bytes"][: len(d["bytes"]) // 3])
     assert res["spans"] == []
     assert res["errors"]
+
+
+def test_encrypted_document_rejected_with_error_row():
+    """A document whose trailer carries /Encrypt must yield a FilterError
+    row and no spans — never ciphertext garbage."""
+    from pdfparser_spark.core.extract import decode_document, extract_spans
+    from pdfparser_spark.synth import build_document
+
+    d = build_document(1, "alpha beta gamma delta epsilon zeta eta theta")
+    raw = d["bytes"]
+    # splice /Encrypt into the trailer dict (classic or stream trailer)
+    for marker in (b"/Size", b"/Root"):
+        if marker in raw:
+            raw = raw.replace(marker, b"/Encrypt 99 0 R " + marker, 1)
+            break
+    res = extract_spans(raw)
+    assert res["spans"] == []
+    assert any(k == "FilterError" and "Encrypt" in detail for (k, _s, detail) in res["errors"])
+
+    dres = decode_document(raw)
+    assert dres["contents"] == []
+    assert any(k == "FilterError" for (k, _s, _d) in dres["errors"])

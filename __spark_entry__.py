@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": lambda s, d: events.stream_tumbling_window(
             s, os.path.join(d, "events.parquet")
         ),
+        "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         "events_props_json": lambda s, d: (
             _tbl(s, d, "events")
             .select(
@@ -515,6 +516,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                          OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "events_props_json": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k

@@ -85,3 +85,23 @@ def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows: events within ``gap`` of each other merge
+    into one session (``F.session_window`` — Spark's native session
+    aggregation, one shuffle on (user_id, window), map-side partial merge).
+    Output: (user_id, session_start, n_events, sum_value)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -114,3 +114,24 @@ def test_media_frame_sample_and_resize(spark):
     assert (rs[2].out_w, rs[2].out_h) == (64, 8)    # 16 * 64/128
     import hashlib
     assert rs[1].resized_md5 == hashlib.md5(b"1:Im1:64x96").hexdigest()
+
+
+def test_sessionize_gap_merge(spark):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 2h gap (new session)
+        Row(event_id=0, ts=base, user_id=1, event_type="a", value=1.0),
+        Row(event_id=1, ts=base + dt.timedelta(minutes=10), user_id=1, event_type="a", value=2.0),
+        Row(event_id=2, ts=base + dt.timedelta(hours=3), user_id=1, event_type="a", value=4.0),
+        # user 2: single event
+        Row(event_id=3, ts=base + dt.timedelta(minutes=5), user_id=2, event_type="b", value=8.0),
+    ]
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in events.sessionize(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        (1, base): (2, 3.0),
+        (1, base + dt.timedelta(hours=3)): (1, 4.0),
+        (2, base + dt.timedelta(minutes=5)): (1, 8.0),
+    }

@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, os.path.join(d, "events.parquet")
         ),
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
+        "events_stateful_totals": lambda s, d: events.stream_user_totals(
+            s, os.path.join(d, "events.parquet")
+        ),
         "events_props_json": lambda s, d: (
             _tbl(s, d, "events")
             .select(
@@ -516,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_stateful_totals": """
+            SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY user_id
         """,
         "events_sessionize": """
             WITH o AS (

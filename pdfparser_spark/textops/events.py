@@ -24,6 +24,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _agg(df: DataFrame) -> DataFrame:
@@ -104,4 +105,66 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
             "sum_value",
         )
+    )
+
+
+def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-user running totals via
+    ``applyInPandasWithState`` (Arrow-batched state updates — the escape
+    hatch for stateful logic Spark's built-in windows can't express).
+    State = (n_events, sum_value) per user; each micro-batch folds its rows
+    into the state and emits the user's current totals (update mode).
+
+    Returns the final per-user totals after an ``availableNow`` pass over
+    the (static) input — equal to the batch groupBy aggregation, which the
+    DuckDB oracle checks.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(events_path).schema
+    if os.path.isfile(events_path):
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "stream_src_" + hashlib.md5(events_path.encode()).hexdigest()[:12],
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "part-0000.parquet")
+        if not os.path.exists(link):
+            os.symlink(events_path, link)
+        events_path = d
+    stream = spark.readStream.schema(schema).parquet(events_path)
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"user_totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per (user, micro-batch); the final state
+    # is the row with the highest n_events per user
+    t = spark.table(sink)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
     )

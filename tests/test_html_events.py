@@ -135,3 +135,20 @@ def test_sessionize_gap_merge(spark):
         (1, base + dt.timedelta(hours=3)): (1, 4.0),
         (2, base + dt.timedelta(minutes=5)): (1, 8.0),
     }
+
+
+def test_stateful_stream_totals_match_batch(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(event_id=0, ts=base, user_id=1, event_type="a", value=1.0),
+        Row(event_id=1, ts=base + dt.timedelta(minutes=1), user_id=1, event_type="a", value=2.0),
+        Row(event_id=2, ts=base + dt.timedelta(minutes=2), user_id=1, event_type="a", value=4.0),
+        Row(event_id=3, ts=base + dt.timedelta(minutes=3), user_id=2, event_type="b", value=8.0),
+    ]
+    path = str(tmp_path / "ev_state")
+    spark.createDataFrame(rows).write.parquet(path)
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in events.stream_user_totals(spark, path).collect()
+    }
+    assert got == {1: (3, 7.0), 2: (1, 8.0)}

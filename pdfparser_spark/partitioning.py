@@ -38,11 +38,16 @@ DEFAULT_ISOLATE_THRESHOLD = 8 * 1024 * 1024  # bytes of span payload
 
 
 def doc_weight(col: str = "spans"):
-    """Total payload bytes per document, computed JVM-side."""
-    return F.aggregate(
-        F.col(col),
+    """Total payload bytes per document, computed JVM-side.  NULL span
+    arrays weigh 0 — without the outer coalesce a NULL weight fails BOTH
+    split-strategy filter predicates and the row silently vanishes."""
+    return F.coalesce(
+        F.aggregate(
+            F.col(col),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0)),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, s: acc + F.coalesce(F.length(s["text"]).cast("long"), F.lit(0)),
     )
 
 

@@ -30,7 +30,10 @@ _COLS = [f.name for f in DECODED.fields]
 
 def _rows_for_doc(doc_id: int, spans) -> list[dict]:
     # reconstruct: text-bearing spans concatenate in offset order (media
-    # markers are zero-width); latin-1 is byte-faithful for ASCII-armored docs
+    # markers are zero-width); latin-1 is byte-faithful for ASCII-armored docs.
+    # NULL spans (malformed upstream row) -> empty doc, never a task failure
+    if spans is None:
+        spans = []
     parts = sorted((s for s in spans if s["text"] is not None), key=lambda s: s["offset"])
     data = "".join(s["text"] for s in parts).encode("latin-1")
 

@@ -27,6 +27,9 @@ from ..core.extract import extract_spans
 from ..schema import DOCUMENTS_RAW
 
 def _doc_bytes(spans) -> bytes:
+    # spans may be NULL (malformed upstream row) — treat as empty, never crash
+    if spans is None:
+        return b""
     parts = sorted((s for s in spans if s["text"] is not None), key=lambda s: s["offset"])
     return "".join(s["text"] for s in parts).encode("latin-1")
 

@@ -199,3 +199,27 @@ def test_salt_strategy_spreads_giants(spark):
     most_common = Counter(big_pids).most_common(1)[0][1]
     assert len(set(big_pids)) >= 6   # 12 giants over 20 partitions: spread
     assert most_common <= 4          # and no single-partition pile-up
+
+
+def test_degenerate_span_arrays(spark):
+    """Docs with empty or NULL span arrays and media-only docs must flow
+    through both execution modes without task failures."""
+    from pyspark.sql import Row
+
+    from pdfparser_spark.schema import DOCUMENTS_RAW
+    from pdfparser_spark.stages import extract_fused
+
+    rows = [
+        Row(doc_id=1, spans=[]),
+        Row(doc_id=2, spans=None),
+        Row(doc_id=3, spans=[Row(kind="media", text=None, media_ref="Im9", offset=0)]),
+    ]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_RAW)
+    got = {r.doc_id: r.spans for r in extract_fused(df).collect()}
+    assert got[1] == [] and got[3] == []  # no bytes -> no spans, no crash
+    assert 2 in got
+
+    res = Pipeline(spark).run(df)
+    assert res["spans"].count() == 3
+    m = res["metrics"].collect()
+    assert all(r.error_kind for r in m)  # degenerate docs reported as errors

@@ -58,6 +58,9 @@ def doc_rules(doc_id: int) -> dict:
         "media": doc_id % 5 == 0,
         "dangling": doc_id % 13 == 0,
         "indirect_length": doc_id % 11 == 0,
+        # classic-xref docs get an appended incremental update every 19th id
+        # (re-written Catalog + second xref with /Prev); output is unchanged
+        "incremental": doc_id % 19 == 0 and doc_id % 2 == 0,
     }
 
 
@@ -358,6 +361,22 @@ def build_document(doc_id: int, text: str) -> dict:
         for oid in range(1, n_objs):
             b.struct(f"{offsets[oid]:010d} 00000 n \n".encode("ascii"))
         b.struct(f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode("ascii"))
+        if r["incremental"]:
+            # incremental update (ISO 32000 §7.5.6): append a re-written
+            # Catalog (same content, so extraction output is unchanged) plus
+            # a second xref section whose trailer /Prev chains to the first.
+            # read_xref must take the NEWEST definition and follow /Prev for
+            # the rest — exercised end-to-end through the span oracles.
+            upd_at = b.struct(f"{CATALOG} 0 obj\n".encode("ascii"))
+            b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+            b.struct(b"\nendobj\n")
+            xref2_at = b.struct(b"xref\n")
+            b.struct(f"{CATALOG} 1\n".encode("ascii"))
+            b.struct(f"{upd_at:010d} 00000 n \n".encode("ascii"))
+            b.struct(
+                f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R /Prev {xref_at} >>\n"
+                f"startxref\n{xref2_at}\n%%EOF\n".encode("ascii")
+            )
     else:
         # PDF 1.5+ cross-reference stream (/W [1 4 2]), ASCII-armored
         xref_id = n_objs

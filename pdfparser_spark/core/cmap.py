@@ -1,18 +1,21 @@
-"""Font CMap / ToUnicode glyph-to-text mapping (ISO 32000 §9.10.3).
+"""Font CMap / ToUnicode glyph-to-text mapping (ISO 32000 §9.10.3, §9.7.6.2).
 
 Absent from the reference entirely (SURVEY.md §2.7: "no font code at all");
 required by BASELINE.json:6.  Supports:
 
-  - ``begincodespacerange`` (code byte-width detection, 1- or 2-byte),
+  - ``begincodespacerange`` with MIXED code widths (real CID fonts declare
+    e.g. a 1-byte ASCII range alongside 2-byte CJK ranges; a code matches a
+    range iff each byte lies within the corresponding lo/hi byte, per
+    §9.7.6.2's byte-wise containment rule),
   - ``beginbfchar`` pairs ``<src> <dst>``,
   - ``beginbfrange`` runs ``<lo> <hi> <dst>`` and ``<lo> <hi> [<d0> ...]``,
   - UTF-16BE destination strings (surrogate-safe),
-  - fallback simple encodings: WinAnsiEncoding ~ cp1252, Standard/MacRoman
-    approximated by latin-1 (sufficient for the printable-ASCII corpus;
-    full difference tables are a straightforward extension).
+  - fallback simple encodings: WinAnsiEncoding = cp1252, MacRomanEncoding =
+    mac_roman, else latin-1 (ISO 32000 annex D).
 
-The classify stage builds one decoder per (doc, font) and applies it to the
-raw Tj/TJ operand bytes.
+Mappings are keyed by the raw code BYTES (not an integer) so a 1-byte code
+``<41>`` and a 2-byte code ``<0041>`` stay distinct.  The classify stage
+builds one decoder per (doc, font) and applies it to raw Tj/TJ operands.
 """
 
 from __future__ import annotations
@@ -40,12 +43,21 @@ def _utf16be(b: bytes) -> str:
         return b.decode("utf-16-be", errors="replace")
 
 
+def _in_range(chunk: bytes, lo: bytes, hi: bytes) -> bool:
+    """Byte-wise codespace containment (§9.7.6.2): every byte of the code
+    must lie within the corresponding byte of [lo, hi] — NOT plain integer
+    comparison (e.g. range <8140> <9FFC> excludes <8200>: the second byte
+    0x00 is below 0x40 even though 0x8140 <= 0x8200 <= 0x9FFC as ints)."""
+    return all(lo[k] <= chunk[k] <= hi[k] for k in range(len(lo)))
+
+
 class CMap:
-    """byte-code -> unicode mapping with explicit code width."""
+    """byte-code -> unicode mapping with (possibly mixed-width) codespaces."""
 
     def __init__(self) -> None:
-        self.width = 1
-        self.map: dict[int, str] = {}
+        self.width = 1  # fallback width when no codespace is declared
+        self.map: dict[bytes, str] = {}
+        self.ranges: list[tuple[bytes, bytes]] = []  # codespace (lo, hi)
 
     @classmethod
     def parse(cls, cmap_bytes: bytes) -> "CMap":
@@ -54,17 +66,23 @@ class CMap:
             bfchar, bfrange, codespace = m.group(1), m.group(2), m.group(3)
             if codespace:
                 hexes = _HEX.findall(codespace)
-                if hexes:
-                    cm.width = max(1, len(_hexbytes(hexes[0])))
+                for i in range(0, len(hexes) - 1, 2):
+                    lo = _hexbytes(hexes[i])
+                    hi = _hexbytes(hexes[i + 1])
+                    if lo and len(lo) == len(hi):
+                        cm.ranges.append((lo, hi))
+                        cm.width = max(cm.width, len(lo))
             elif bfchar:
                 hexes = _HEX.findall(bfchar)
                 for i in range(0, len(hexes) - 1, 2):
                     src = _hexbytes(hexes[i])
                     dst = _hexbytes(hexes[i + 1])
                     cm.width = max(cm.width, len(src))
-                    cm.map[int.from_bytes(src, "big")] = _utf16be(dst)
+                    cm.map[src] = _utf16be(dst)
             elif bfrange:
                 cm._parse_bfrange(bfrange)
+        # deterministic match order: shorter codes probe first, then by lo
+        cm.ranges.sort(key=lambda r: (len(r[0]), r[0]))
         return cm
 
     def _parse_bfrange(self, body: bytes) -> None:
@@ -81,7 +99,8 @@ class CMap:
                 break
             lo = _hexbytes(m1.group(1))
             hi = _hexbytes(m2.group(1))
-            self.width = max(self.width, len(lo))
+            w = len(lo)
+            self.width = max(self.width, w)
             lo_i = int.from_bytes(lo, "big")
             hi_i = int.from_bytes(hi, "big")
             marr = pat_arr.match(body, m2.end())
@@ -89,7 +108,7 @@ class CMap:
                 dsts = _HEX.findall(marr.group(1))
                 for k, d in enumerate(dsts):
                     if lo_i + k <= hi_i:
-                        self.map[lo_i + k] = _utf16be(_hexbytes(d))
+                        self.map[(lo_i + k).to_bytes(w, "big")] = _utf16be(_hexbytes(d))
                 pos = marr.end()
             else:
                 m3 = pat_hex.match(body, m2.end())
@@ -99,15 +118,36 @@ class CMap:
                 base_i = int.from_bytes(base, "big")
                 blen = len(base)
                 for k in range(hi_i - lo_i + 1):
-                    self.map[lo_i + k] = _utf16be((base_i + k).to_bytes(blen, "big"))
+                    self.map[(lo_i + k).to_bytes(w, "big")] = _utf16be(
+                        (base_i + k).to_bytes(blen, "big")
+                    )
                 pos = m3.end()
 
     def decode(self, raw: bytes) -> str:
-        w = self.width
         out = []
-        for i in range(0, len(raw) - w + 1, w):
-            code = int.from_bytes(raw[i : i + w], "big")
-            out.append(self.map.get(code, "�"))
+        i = 0
+        n = len(raw)
+        if not self.ranges:
+            # no codespace declared: single fixed width (max src length)
+            w = self.width
+            while i + w <= n:
+                out.append(self.map.get(raw[i : i + w], "�"))
+                i += w
+            return "".join(out)
+        min_w = len(self.ranges[0][0])
+        while i < n:
+            for lo, hi in self.ranges:
+                k = len(lo)
+                chunk = raw[i : i + k]
+                if len(chunk) == k and _in_range(chunk, lo, hi):
+                    out.append(self.map.get(chunk, "�"))
+                    i += k
+                    break
+            else:
+                # no codespace matched: emit replacement, consume the
+                # shortest declared width (§9.7.6.3 partial-match handling)
+                out.append("�")
+                i += min_w
         return "".join(out)
 
 

@@ -112,3 +112,35 @@ def test_hybrid_xrefstm_merges_classic_and_stream():
     assert offsets[(2, 0)] == off2   # from the hybrid /XRefStm stream
     assert int(trailer["Size"]) == 4
     assert compressed == {}
+
+
+def test_cmap_mixed_width_codespace():
+    """Real CID fonts declare mixed-width codespaces (1-byte ASCII range +
+    2-byte CJK range in one font); decode must pick the code width by
+    byte-wise codespace containment per position (ISO 32000 §9.7.6.2)."""
+    cmap = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <7F>\n<8000> <80FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<41> <0041>\n<8001> <4E2D>\nendbfchar\n"
+        b"1 beginbfrange\n<8010> <8012> <0061>\nendbfrange\n"
+        b"endcmap"
+    )
+    cm = CMap.parse(cmap)
+    # 1-byte 'A', then 2-byte CJK, then 2-byte range codes a,b,c, then 1-byte again
+    raw = b"\x41" + b"\x80\x01" + b"\x80\x10\x80\x11\x80\x12" + b"\x41"
+    assert cm.decode(raw) == "A中abcA"
+    # byte-wise containment: <8200> is outside both ranges -> replacement,
+    # consume shortest width (1), then resync on the 1-byte range
+    assert cm.decode(b"\x82\x41") == "�A"
+
+
+def test_cmap_distinct_widths_same_prefix():
+    """1-byte code <41> and 2-byte code <0041> must stay distinct (bytes-
+    keyed mapping, not integer-keyed)."""
+    cmap = (
+        b"begincmap\n"
+        b"2 begincodespacerange\n<00> <3F>\n<4000> <41FF>\nendcodespacerange\n"
+        b"2 beginbfchar\n<3A> <0058>\n<4041> <0059>\nendbfchar\nendcmap"
+    )
+    cm = CMap.parse(cmap)
+    assert cm.decode(b"\x3a" + b"\x40\x41") == "XY"

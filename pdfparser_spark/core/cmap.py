@@ -43,6 +43,9 @@ def _utf16be(b: bytes) -> str:
         return b.decode("utf-16-be", errors="replace")
 
 
+_PARSE_CACHE: dict[bytes, "CMap"] = {}
+
+
 def _in_range(chunk: bytes, lo: bytes, hi: bytes) -> bool:
     """Byte-wise codespace containment (§9.7.6.2): every byte of the code
     must lie within the corresponding byte of [lo, hi] — NOT plain integer
@@ -61,6 +64,19 @@ class CMap:
 
     @classmethod
     def parse(cls, cmap_bytes: bytes) -> "CMap":
+        """Parse (memoized): fonts repeat across documents of a corpus, so
+        the parsed CMap is cached globally by payload bytes (bounded)."""
+        hit = _PARSE_CACHE.get(cmap_bytes)
+        if hit is not None:
+            return hit
+        cm = cls._parse(cmap_bytes)
+        if len(_PARSE_CACHE) > 4096:
+            _PARSE_CACHE.clear()
+        _PARSE_CACHE[cmap_bytes] = cm
+        return cm
+
+    @classmethod
+    def _parse(cls, cmap_bytes: bytes) -> "CMap":
         cm = cls()
         for m in _TOKEN.finditer(cmap_bytes):
             bfchar, bfrange, codespace = m.group(1), m.group(2), m.group(3)

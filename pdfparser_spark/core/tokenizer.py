@@ -23,6 +23,8 @@ documents.
 
 from __future__ import annotations
 
+import re
+
 from .errors import ParsingError
 from .objects import IndirectObject, Name, Ref, Stream
 
@@ -33,6 +35,13 @@ DELIMITERS = frozenset(b"()<>[]{}/%")
 _DIGITS = frozenset(b"0123456789")
 _NUMBER_START = frozenset(b"0123456789+-.")
 _REGULAR_END = WHITESPACE | DELIMITERS
+_WS_BYTES = bytes(WHITESPACE)
+
+# C-side scanners for the hot paths (name / number / keyword runs): one
+# regex match replaces a per-character Python loop
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_NUM_RE = re.compile(rb"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]*)")
+_KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
 
 def skip_ws(data: bytes, pos: int) -> int:
@@ -124,7 +133,7 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
     end = data.find(b">", pos + 1)
     if end == -1:
         raise ParsingError("unterminated hex string")
-    body = bytes(c for c in data[pos + 1 : end] if c not in WHITESPACE)
+    body = data[pos + 1 : end].translate(None, delete=_WS_BYTES)
     if len(body) % 2:
         body += b"0"
     try:
@@ -135,58 +144,49 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
 
 def _parse_name(data: bytes, pos: int) -> tuple[Name, int]:
     """T5 (reference pdf_file.rs:476-485) + spec ``#xx`` escapes."""
-    assert data[pos] == 0x2F
-    pos += 1
+    m = _NAME_RE.match(data, pos)
+    body = m.group(1)
+    if b"#" not in body:
+        return Name(body.decode("latin-1")), m.end()
+    # slow path: resolve #xx hex escapes
     out = bytearray()
-    n = len(data)
-    while pos < n and data[pos] not in _REGULAR_END:
-        c = data[pos]
-        if c == 0x23 and pos + 2 < n:  # '#'
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c == 0x23 and i + 2 < n:
             try:
-                out.append(int(data[pos + 1 : pos + 3].decode("ascii"), 16))
-                pos += 3
+                out.append(int(body[i + 1 : i + 3].decode("ascii"), 16))
+                i += 3
                 continue
             except (ValueError, UnicodeDecodeError):
                 pass
         out.append(c)
-        pos += 1
-    return Name(out.decode("latin-1")), pos
+        i += 1
+    return Name(out.decode("latin-1")), m.end()
 
 
 def _parse_number(data: bytes, pos: int):
     """T6 (reference pdf_file.rs:486-515): int vs real by '.'; leading
     sign; reals like ``.5`` / ``4.`` allowed by spec."""
-    start = pos
-    n = len(data)
-    if pos < n and data[pos] in (0x2B, 0x2D):
-        pos += 1
-    seen_dot = False
-    seen_digit = False
-    while pos < n:
-        c = data[pos]
-        if c in _DIGITS:
-            seen_digit = True
-            pos += 1
-        elif c == 0x2E and not seen_dot:
-            seen_dot = True
-            pos += 1
-        else:
-            break
-    if not seen_digit and not seen_dot:
-        raise ParsingError(f"malformed number at {start}")
-    text = data[start:pos].decode("ascii")
-    if seen_dot:
-        return float(text), pos
-    return int(text), pos
+    m = _NUM_RE.match(data, pos)
+    if not m:
+        raise ParsingError(f"malformed number at {pos}")
+    text = m.group()
+    if text in (b".", b"+.", b"-."):
+        # digit-less form — report as a parse error (resync-able)
+        raise ParsingError(f"malformed number at {pos}")
+    if b"." in text:
+        return float(text), m.end()
+    return int(text), m.end()
 
 
 def _read_keyword(data: bytes, pos: int) -> tuple[bytes, int]:
     """T8 (reference pdf_file.rs:525-595, util.rs:35-41)."""
-    start = pos
-    n = len(data)
-    while pos < n and data[pos] not in _REGULAR_END:
-        pos += 1
-    return data[start:pos], pos
+    m = _KW_RE.match(data, pos)
+    if not m:
+        return b"", pos
+    return m.group(), m.end()
 
 
 _KEYWORD_VALUES = {b"true": True, b"false": False, b"null": None}
@@ -196,8 +196,13 @@ def _next_token(data: bytes, pos: int):
     """One token: returns (kind, value, newpos) with kind in
     {'value','name','dict_open','dict_close','array_open','array_close',
     'keyword','number','eof'}."""
-    pos = skip_ws(data, pos)
     n = len(data)
+    # inlined whitespace fast path (skip_ws call overhead dominates when
+    # tokens are separated by a single space, the common case)
+    while pos < n and data[pos] in WHITESPACE:
+        pos += 1
+    if pos < n and data[pos] == 0x25:  # '%' comment -> full skipper
+        pos = skip_ws(data, pos)
     if pos >= n:
         return "eof", None, pos
     c = data[pos]

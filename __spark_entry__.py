@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
         "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
@@ -272,6 +273,32 @@ meta AS (
 """
 
 
+# MinHash-LSH candidate pairs as a reusable CTE chain (mirrors
+# textops/dedup.py minhash_signatures/lsh_candidate_pairs exactly)
+_LSH_PAIRS_CTE = """w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS sh
+              FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), mh AS (
+              SELECT doc_id,
+                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
+                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
+                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
+                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
+              FROM sh GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh
+              UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
+              UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
+              UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+            )"""
+
 _STOP_EN = "'the','and','of','is','to','in'"
 _STOP_ES = "'el','la','de','que','los','un'"
 _STOP_DE = "'der','die','und','das','ein','zu'"
@@ -351,29 +378,19 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
             )
         """,
-        "lsh_duplicate_pairs": """
-            WITH w AS (
-              SELECT doc_id, string_split(text,' ') AS w FROM documents
-            ), sh AS (
-              SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS sh
-              FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
-              WHERE len(w) >= 3
-            ), mh AS (
-              SELECT doc_id,
-                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
-                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
-                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
-                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
-              FROM sh GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh
-              UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
-              UNION ALL SELECT doc_id, 2, md5(mh4 || mh5) FROM mh
-              UNION ALL SELECT doc_id, 3, md5(mh6 || mh7) FROM mh
+        "lsh_duplicate_pairs": "WITH " + _LSH_PAIRS_CTE + " SELECT doc_a, doc_b FROM pairs",
+        "dedup_clusters": "WITH RECURSIVE " + _LSH_PAIRS_CTE + """,
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
             )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+            SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
         """,
         "ngram_jaccard_adjacent": """
             WITH w AS (

@@ -141,6 +141,58 @@ def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
     )
 
 
+def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: documents
+    reachable through shared band buckets form one duplicate cluster,
+    labeled by the cluster's minimum doc_id.
+
+    Iterative min-label propagation — the standard distributed
+    connected-components pattern: each round every vertex takes the min of
+    its own label and its neighbors' labels (one join + aggregate per
+    round); converges in O(graph diameter) rounds, checked by a driver-side
+    fixpoint test on a count (cheap: the label table is tiny relative to
+    the corpus).  Returns (doc_id, cluster_id) for documents that appear in
+    at least one candidate pair.
+    """
+    pairs = lsh_candidate_pairs(documents)
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """(doc_id, simhash) — 16-bit sign-aggregated fingerprint as a '0'/'1'
     string (portable across engines; no 64-bit overflow semantics to match).

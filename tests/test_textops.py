@@ -107,3 +107,27 @@ def test_ann_lsh_topk_subset_of_bucket(emb):
     res = ann.ann_lsh_topk(emb, n_queries=1, k=3).collect()
     assert all(r.query_id == 0 for r in res)
     assert 1 in {r.neighbor_id for r in res}
+
+
+def test_dedup_clusters_connected_components(spark):
+    from pyspark.sql import Row
+
+    from pdfparser_spark.textops.dedup import dedup_clusters
+
+    # docs 0,1 exact dups; 2 near-dup of both (transitively one cluster);
+    # 10,11 exact dups (second cluster); 20 unique (no candidate pairs)
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = "the quick brown fox leaps over the lazy dog again and again today"
+    rows = [
+        Row(doc_id=0, text=t1),
+        Row(doc_id=1, text=t1),
+        Row(doc_id=2, text=t2),
+        Row(doc_id=10, text="completely different words entirely unrelated body of text here now"),
+        Row(doc_id=11, text="completely different words entirely unrelated body of text here now"),
+        Row(doc_id=20, text="zebra xylophone quartz jigsaw vortex plasma nebula cosmic dust cloud"),
+    ]
+    labels = {r.doc_id: r.cluster_id for r in dedup_clusters(spark.createDataFrame(rows)).collect()}
+    assert labels[0] == labels[1] == 0
+    assert labels.get(2, labels[0]) == 0  # near-dup joins cluster 0 if banded together
+    assert labels[10] == labels[11] == 10
+    assert 20 not in labels  # no pairs -> not in any cluster

@@ -398,6 +398,20 @@ def main() -> None:
         if os.path.exists(cached):
             with open(cached) as f:
                 result["scaling"] = json.load(f)
+            hist = _history()
+            if len(hist) >= 2:
+                effs = sorted(h["efficiency"] for h in hist)
+                norms = sorted(
+                    h["efficiency_vs_hardware_ceiling"]
+                    for h in hist
+                    if h.get("efficiency_vs_hardware_ceiling") is not None
+                )
+                mid = lambda xs: xs[len(xs) // 2] if len(xs) % 2 else round((xs[len(xs)//2 - 1] + xs[len(xs)//2]) / 2, 3)
+                result["scaling"]["history"] = {
+                    "runs": len(hist),
+                    "median_efficiency": mid(effs),
+                    "median_efficiency_vs_hardware_ceiling": mid(norms) if norms else None,
+                }
 
     print(json.dumps(result))
 

@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
+        "lsh_verified_dups": lambda s, d: dedup.lsh_verified_dups(_docs(s, d)),
         "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
@@ -379,6 +380,23 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "lsh_duplicate_pairs": "WITH " + _LSH_PAIRS_CTE + " SELECT doc_a, doc_b FROM pairs",
+        "lsh_verified_dups": "WITH " + _LSH_PAIRS_CTE + """,
+            shv AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct([array_to_string(w[i : i+2], ' ') FOR i IN generate_series(1, len(w)-2)])
+                ELSE [] END AS sh
+              FROM w
+            )
+            SELECT p.doc_a, p.doc_b,
+                   FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM pairs p
+            JOIN shv a ON a.doc_id = p.doc_a
+            JOIN shv b ON b.doc_id = p.doc_b
+            WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 >= 0.8
+        """,
         "dedup_clusters": "WITH RECURSIVE " + _LSH_PAIRS_CTE + """,
             edges AS (
               SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -141,6 +141,35 @@ def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
     )
 
 
+def lsh_verified_dups(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """The standard two-stage near-dup pipeline: cheap LSH candidate
+    generation, then EXACT shingle-set Jaccard on the candidates only —
+    verification cost scales with candidate count, not corpus^2.  Returns
+    (doc_a, doc_b, jaccard) for candidates with jaccard >= threshold."""
+    pairs = lsh_candidate_pairs(documents)
+    sh = documents.select("doc_id", shingles_expr().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: documents
     reachable through shared band buckets form one duplicate cluster,

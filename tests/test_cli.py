@@ -1,0 +1,35 @@
+"""Deployment-surface test: the spark-submit entry point (run_pipeline.py)
+must run the resumable pipeline end-to-end from a cold process and print a
+valid JSON summary — the `spark-submit --py-files` shape of BASELINE.json."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_run_pipeline_cli(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = str(tmp_path / "work")
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "run_pipeline.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--work-dir", work,
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["docs"] == 500
+    assert summary["docs_per_sec"] > 0
+    # checkpoints written -> a second run resumes (manifest marks all stages)
+    manifest = json.load(open(os.path.join(work, "manifest.json")))
+    assert set(manifest["stages"]) == {"decode", "tokenize", "classify", "assemble"}

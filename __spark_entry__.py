@@ -36,6 +36,16 @@ from pdfparser_spark.textops import ann, dedup, events, html, media, textqc
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "pdfparser_spark_ck")
 
 
+def _r2(x):
+    """Engine-portable half-up to 2dp on computed doubles (never pair
+    F.round with DuckDB ROUND there — they disagree on .xx5 boundaries)."""
+    return F.floor(x * 100.0 + 0.5) / 100.0
+
+
+def _r4(x):
+    return F.floor(x * 10000.0 + 0.5) / 10000.0
+
+
 def _source_fingerprint() -> str:
     """Cache-busting key: checkpointed stage tables must be recomputed when
     the package source changes, else stale results mask code changes."""
@@ -99,7 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
         "extract_spans": lambda s, d: _flat(s, d),
         "extract_spans_fused": lambda s, d: flatten_spans(
-            extract_fused(synthesize_corpus(_docs(s, d).repartition(8, "doc_id")))
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+                )
+            )
         ),
         "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
         "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
@@ -174,16 +188,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
-                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                _r2(F.sum("l_quantity")).alias("sum_qty"),
+                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+                _r4(F.avg("l_discount")).alias("avg_disc"),
                 F.count(F.lit(1)).alias("count_order"),
             )
         ),
         "top_revenue_orders": lambda s, d: (
             _tbl(s, d, "lineitem")
             .groupBy("l_orderkey")
-            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
             .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
@@ -299,6 +313,33 @@ _LSH_PAIRS_CTE = """w AS (
               FROM bands a JOIN bands b
                 ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
             )"""
+
+# --- vector-math SQL mirrors (textops/ann.py) ------------------------------
+# Operand order is IDENTICAL to the Spark expressions (cast-to-double before
+# multiply, left fold over array order, floor-form rounding), so DuckDB
+# computes bit-identical doubles and even the LSH plans hash-match exactly.
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, [CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_plane_bit(p: int, col: str = "embedding") -> str:
+    """Sign bit of the md5-derived hyperplane projection (ann._plane_coeff_at)."""
+    h = f"md5('plane{p}:dim' || CAST(i - 1 AS VARCHAR))"
+    coeff = f"(((ascii(substr({h}, 1, 1)) * 31 + ascii(substr({h}, 2, 1))) % 101) / 101.0 - 0.5)"
+    proj = (
+        f"list_reduce(list_prepend(0.0, [CAST({col}[i] AS DOUBLE) * {coeff} "
+        f"FOR i IN generate_series(1, len({col}))]), (acc, x) -> acc + x)"
+    )
+    return f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)"
+
 
 _STOP_EN = "'the','and','of','is','to','in'"
 _STOP_ES = "'el','la','de','que','los','un'"
@@ -421,8 +462,8 @@ def oracle_sql() -> dict[str, str]:
               FROM w
             )
             SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
-                   ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+                   FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         "simhash16": """
@@ -487,17 +528,14 @@ def oracle_sql() -> dict[str, str]:
                                (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
             FROM documents
         """,
-        "ann_cosine_topk": """
+        "ann_cosine_topk": f"""
             WITH q AS (
               SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
             ), c AS (
               SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
             ), scored AS (
               SELECT query_id, neighbor_id,
-                ROUND(
-                  (SELECT SUM(x::DOUBLE * y::DOUBLE) FROM (SELECT unnest(qv) AS x, unnest(cv) AS y) z)
-                  / (sqrt((SELECT SUM(x::DOUBLE * x::DOUBLE) FROM (SELECT unnest(qv) AS x) z2))
-                     * sqrt((SELECT SUM(y::DOUBLE * y::DOUBLE) FROM (SELECT unnest(cv) AS y) z3))), 4) AS cos_sim
+                     FLOOR({_sql_cos('qv', 'cv')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
               FROM q, c WHERE query_id <> neighbor_id
             ), ranked AS (
               SELECT query_id, neighbor_id, cos_sim,
@@ -506,16 +544,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
         """,
-        # ann_lsh_topk: intentionally no oracle (approximate op; rows-only check)
-        "embedding_neardup": """
-            WITH u AS (
-              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        # ann_lsh_topk: the LSH planes are deterministic md5-derived
+        # expressions, so even the approximate path has an exact oracle —
+        # the SQL recomputes the identical sign bits and 8x4-bit bands.
+        "ann_lsh_topk": f"""
+            WITH sgn AS MATERIALIZED (
+              SELECT vec_id,
+                     {', '.join(f'{_sql_plane_bit(p)} AS b{p}' for p in range(32))}
               FROM embeddings
+            ), bands AS (
+              {' UNION ALL '.join(
+                  f"SELECT vec_id, {b} AS band_idx, b{4*b} || b{4*b+1} || b{4*b+2} || b{4*b+3} AS band_key FROM sgn"
+                  for b in range(8)
+              )}
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored
             )
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
-            FROM u a JOIN u b ON a.vec_id < b.vec_id
-            WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.35
+            SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+        """,
+        # bucketed (banded hyperplane-LSH) near-dup — mirrors
+        # dedup.embedding_neardup: candidates share any 2-bit band, tau
+        # filters the UNROUNDED cosine on both sides
+        "embedding_neardup": f"""
+            WITH sgn AS MATERIALIZED (
+              SELECT vec_id,
+                     {', '.join(f'{_sql_plane_bit(p)} AS b{p}' for p in range(8))}
+              FROM embeddings
+            ), bands AS (
+              SELECT vec_id, 0 AS band_idx, b0 || b1 AS band_key FROM sgn
+              UNION ALL SELECT vec_id, 1, b2 || b3 FROM sgn
+              UNION ALL SELECT vec_id, 2, b4 || b5 FROM sgn
+              UNION ALL SELECT vec_id, 3, b6 || b7 FROM sgn
+            ), pairs AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bands a JOIN bands b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.vec_id < b.vec_id
+            )
+            SELECT vec_a, vec_b,
+                   FLOOR({_sql_cos('ea.embedding', 'eb.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+            FROM pairs
+            JOIN embeddings ea ON ea.vec_id = pairs.vec_a
+            JOIN embeddings eb ON eb.vec_id = pairs.vec_b
+            WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= 0.35
         """,
         "html_main_content": """
             WITH h AS (
@@ -547,18 +631,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+                   COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_stream_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+                   COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_stateful_totals": """
-            SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY user_id
         """,
+        # Spark's session_window boundary is INCLUSIVE: an event exactly
+        # `gap` after its predecessor MERGES into the same session (windows
+        # that touch are merged) — verified empirically in
+        # tests/test_html_events.py::test_sessionize_exact_gap_boundary —
+        # so the oracle's new-session predicate is strict `>`
         "events_sessionize": """
             WITH o AS (
               SELECT user_id, ts, value,
@@ -571,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
               FROM o
             )
             SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS sum_value
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM s GROUP BY user_id, sid
         """,
         "events_props_json": """
@@ -591,9 +680,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1_pricing": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   FLOOR(SUM(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue,
+                   FLOOR(AVG(l_discount) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
@@ -601,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": """
             WITH r AS (
               SELECT l_orderkey AS orderkey,
-                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                     FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
               FROM lineitem GROUP BY 1
             )
             SELECT orderkey, o.o_custkey AS custkey, revenue

@@ -33,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from pdfparser_spark.cache import release_cached  # noqa: E402
 from pdfparser_spark.partitioning import repartition_docs  # noqa: E402
 from pdfparser_spark.pipeline import Pipeline  # noqa: E402
 from pdfparser_spark.session import build_session  # noqa: E402
@@ -103,10 +104,13 @@ def run_headline(spark) -> tuple[dict, int]:
     # q1: full extraction DAG (the north-star workload). Time includes every
     # stage materialization; no checkpoint dir -> pure compute.
     def full_dag():
-        res = Pipeline(spark, work_dir=None, pre_balanced=True).run(raw)
-        return res["spans"].select(
+        pl = Pipeline(spark, work_dir=None, pre_balanced=True)
+        res = pl.run(raw)
+        out = res["spans"].select(
             F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans")
         ).collect()
+        pl.release()
+        return out
 
     sec, agg = timed(full_dag)
     out["extract_full_dag"] = sec
@@ -120,6 +124,7 @@ def run_headline(spark) -> tuple[dict, int]:
     docs = _docs(spark)
     emb = _docs(spark, "embeddings")
     out["dedup_minhash_lsh"], _ = timed(lambda: dedup.lsh_candidate_pairs(docs).count())
+    release_cached()  # drop the persisted signature table between timed ops
     out["dedup_simhash"], _ = timed(lambda: dedup.simhash(docs).count())
     out["textqc_quality_langid"], _ = timed(
         lambda: textqc.quality_scores(docs).join(textqc.lang_id(docs), "doc_id").count()
@@ -327,6 +332,14 @@ def _run_level(n_cores: int) -> tuple[dict, float]:
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=560)
+    if out.returncode != 0 or not out.stdout.strip():
+        # surface the child's stderr: an empty stdout otherwise dies as an
+        # opaque IndexError that hides the real failure (OOM, bad taskset
+        # range, Spark startup)
+        raise RuntimeError(
+            f"scaling level local[{n_cores}] failed (rc={out.returncode}); "
+            f"stderr tail:\n{out.stderr[-2000:]}"
+        )
     line = out.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
     return payload["spark"], payload["hw_dps"]

@@ -28,6 +28,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cache import register_persisted
 from .partitioning import repartition_docs
 from .stages import assemble, classify, decode, flatten_spans, synthesize_corpus, tokenize
 
@@ -55,6 +56,7 @@ class Pipeline:
             spark.conf.get("spark.sql.shuffle.partitions", "32")
         )
         self._manifest: dict = {"stages": {}}
+        self._persisted: list[DataFrame] = []
         if work_dir:
             os.makedirs(work_dir, exist_ok=True)
             mpath = self._manifest_path()
@@ -93,13 +95,25 @@ class Pipeline:
             # for diamond-shaped stages (decode feeds tokenize + classify +
             # metrics + assemble in ONE action) where a lazy cache would race;
             # chain stages skip the extra job barrier.
-            df = build().persist()
+            df = register_persisted(build().persist())
+            self._persisted.append(df)
             if eager:
                 df.count()
             return df
         if self._stage_done(name):
             return self._read(name)
         return self._write(build(), name)
+
+    def release(self) -> None:
+        """Unpersist this run's in-memory stage caches (work_dir=None mode).
+        Call once the result DataFrames have been materialized/consumed —
+        a long-lived driver running many pipelines otherwise accumulates
+        cached plans until eviction pressure degrades timed runs."""
+        while self._persisted:
+            try:
+                self._persisted.pop().unpersist()
+            except Exception:
+                pass
 
     def invalidate(self, from_stage: str = "decode") -> None:
         """Drop checkpoints from ``from_stage`` onward (forced recompute)."""

@@ -11,37 +11,61 @@ Two paths:
     bucket key, and candidate generation is an equi-join on the bucket —
     turning all-pairs O(n^2) into per-bucket work, the standard
     sharded-ANN layout (IVF-style: partition by bucket, search within).
+
+Numeric discipline: every float is cast to double BEFORE multiplication,
+folds run left-to-right over array order, and rounding uses the
+engine-portable ``floor(x*10^4 + 0.5)/10^4`` form — so the DuckDB oracle
+(identical operand order) computes bit-identical values and the hash gate
+can check even the LSH path exactly.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 N_PLANES = 8
+# banded OR-amplification for the top-k path: a vector is a candidate iff
+# ANY 4-bit band matches the query's (32 planes = 8 bands x 4 bits; sized
+# against the real embeddings table: recall@5 = 0.76 with ~40% fan-out on
+# its weakly-clustered vectors, and the fan-out tightens as clustering
+# strengthens — see tests/test_textops.py::test_ann_lsh_topk_recall_floor)
+TOPK_PLANES = 32
+TOPK_BANDS = 8
+
+
+def _r4(x):
+    """floor(x*1e4 + 0.5)/1e4 — engine-portable half-up on doubles (see
+    textqc.quality_scores; never pair F.round with DuckDB ROUND on
+    computed doubles)."""
+    return F.floor(x * 10000.0 + 0.5) / 10000.0
 
 
 def _dot(a, b):
+    """Left-fold dot product, doubles throughout (cast before multiply so
+    the oracle's DOUBLE arithmetic sees identical operands)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
 
 
 def _norm(a):
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v)
-    )
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for vec_id < n_queries.
 
-    Returns (query_id, neighbor_id, cos_sim) with cos_sim rounded to 4dp;
-    ranking uses the rounded score with neighbor_id tiebreak so the result
-    is engine-portable.
+    Returns (query_id, neighbor_id, cos_sim) with cos_sim floor-rounded to
+    4dp; ranking uses the rounded score with neighbor_id tiebreak so the
+    result is engine-portable.
     """
     q = embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -53,57 +77,102 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5) -> DataFr
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias(
-                "cos_sim"
-            ),
+            _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
 
 
-def _plane_coeff(p: int, d: int):
-    """Deterministic pseudo-random coefficient in [-0.5, 0.5) for plane p,
-    dim d, via md5 char codes — engine-portable arithmetic (no base-16
-    conversion builtins needed), data-independent."""
-    h = F.md5(F.lit(f"plane{p}:dim{d}"))
+def _plane_coeff_at(p: int, i):
+    """Deterministic pseudo-random coefficient in [-0.5, 0.5) for plane p at
+    runtime dimension index ``i`` (a column), via md5 char codes —
+    engine-portable arithmetic, data-independent, and dimension-agnostic:
+    no driver-side action is needed to learn the vector width (the old
+    version ran ``.first()`` at plan-construction time)."""
+    h = F.md5(F.concat(F.lit(f"plane{p}:dim"), i.cast("string")))
     mixed = (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) % 101
     return mixed.cast("double") / 101.0 - 0.5
 
 
-def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """(vec_id, bucket) — sign pattern across the hyperplanes as a bit
-    string.  Coefficients fold into a closed-form projection per plane."""
-    dims = embeddings.select(F.size("embedding").alias("d")).first()["d"]
+def plane_signs(col, n_planes: int = N_PLANES) -> list[Column]:
+    """Per-plane sign bits ('0'/'1' string columns) of the hyperplane
+    projections of ``col`` (array<float>)."""
+    idx = F.sequence(F.lit(0), F.size(col) - 1)
     bits = []
     for p in range(n_planes):
-        coeffs = F.array(*[_plane_coeff(p, d) for d in range(dims)])
         proj = F.aggregate(
-            F.zip_with(F.col("embedding"), coeffs, lambda x, c: (x * c).cast("double")),
+            F.zip_with(col, idx, lambda x, i: x.cast("double") * _plane_coeff_at(p, i)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return bits
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) — sign pattern across the hyperplanes as a bit
+    string.  Pure expressions over the row's own array: works for any
+    (even per-row varying) dimensionality, no driver action."""
+    bits = plane_signs(F.col("embedding"), n_planes)
     return embeddings.select("vec_id", F.concat(*bits).alias("bucket"))
 
 
-def ann_lsh_topk(embeddings: DataFrame, n_queries: int = 5, k: int = 5, n_planes: int = N_PLANES) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine within the bucket.  At cluster scale the bucket join is the
-    only shuffle and buckets bound the candidate fan-out."""
-    b = lsh_buckets(embeddings, n_planes)
-    e = embeddings.join(b, "vec_id")
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+def lsh_band_keys(
+    embeddings: DataFrame, n_planes: int, n_bands: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, band_idx, band_key) — hyperplane sign bits grouped into bands
+    (the OR-amplification construction, same shape as the MinHash bands):
+    two vectors are candidates iff ANY band's bit pattern matches.  Shared
+    by ``ann_lsh_topk`` and ``dedup.embedding_neardup``."""
+    bits = plane_signs(F.col("embedding"), n_planes)
+    per = n_planes // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(*bits[b * per : (b + 1) * per]).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    return embeddings.select(F.col(id_col), F.explode(F.array(*bands)).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
-    scored = (
-        q.join(c, "bucket")
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_planes: int = TOPK_PLANES,
+    n_bands: int = TOPK_BANDS,
+) -> DataFrame:
+    """Approximate top-k: candidates share ANY LSH band with the query
+    (banded OR-amplification), then exact cosine over the candidates.  At
+    cluster scale the band equi-join is the only shuffle and the bands
+    bound the candidate fan-out — never all-pairs."""
+    bands = lsh_band_keys(embeddings, n_planes, n_bands)
+    qb = bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "band_idx", "band_key"
+    )
+    cb = bands.select(F.col("vec_id").alias("neighbor_id"), "band_idx", "band_key")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, on=["band_idx", "band_key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 4).alias("cos_sim"),
+            _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

@@ -20,8 +20,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import ann
+from ..cache import register_persisted
+
 MINHASH_K = 8
 LSH_BANDS = 4  # 2 rows per band
+EMB_PLANES = 8  # hyperplane signs for embedding near-dup banding
+EMB_BANDS = 4  # OR-amplification: candidate iff ANY 2-bit band matches
+
+
+def _r4(x):
+    """floor(x*1e4 + 0.5)/1e4 — engine-portable half-up on computed doubles
+    (see CLAUDE.md: never pair F.round with DuckDB ROUND there)."""
+    return F.floor(x * 10000.0 + 0.5) / 10000.0
 
 
 def _words(col: str = "text"):
@@ -79,7 +90,7 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     computation (the signature build — shingle explode + 8 MinHash aggs —
     is ~10x the join cost; at cluster scale this is a checkpointed table).
     """
-    sig = minhash_signatures(documents).persist()
+    sig = register_persisted(minhash_signatures(documents).persist())
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -102,42 +113,67 @@ def ngram_jaccard_neighbors(documents: DataFrame) -> DataFrame:
         .select(
             F.col("doc_id").alias("doc_a"),
             (F.col("doc_id") + 1).alias("doc_b"),
-            F.round(
+            _r4(
                 F.size(F.array_intersect("sh", "sh_b"))
-                / F.size(F.array_union("sh", "sh_b")),
-                4,
+                / F.size(F.array_union("sh", "sh_b"))
             ).alias("jaccard"),
         )
     )
 
 
+def embedding_lsh_bands(embeddings: DataFrame, n_planes: int = EMB_PLANES, n_bands: int = EMB_BANDS) -> DataFrame:
+    """(vec_id, band_idx, band_key) — hyperplane sign bits grouped into
+    bands (OR-amplification, same construction as the MinHash bands): two
+    vectors are near-dup *candidates* iff any band's bit pattern matches.
+    Sign bits come from ``ann.plane_signs`` (deterministic md5-derived
+    planes, no driver action, dimension-agnostic)."""
+    return ann.lsh_band_keys(embeddings, n_planes, n_bands)
+
+
 def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) with
-    cosine >= tau, vec_a < vec_b.  Exact all-pairs (the oracle-verifiable
-    baseline); at corpus scale the same predicate runs over LSH-bucketed
-    candidates (``ann.lsh_buckets``) so the join is per-bucket, not O(n^2).
-    Dot products/norms are JVM-side (zip_with + aggregate), and vectors are
-    pre-normalized once per side so the pair loop is a plain dot product.
+    cosine >= tau, vec_a < vec_b — the LSH-BUCKETED plan: candidates come
+    from a self-equi-join on (band_idx, band_key) hyperplane-sign bands
+    (never all-pairs; at 100 TB the band join is the only shuffle and bounds
+    the candidate fan-out), then the exact cosine predicate runs per
+    candidate.  ``embedding_neardup_allpairs`` is the exact baseline the
+    recall test (tests/test_textops.py) compares against.
+
+    The filter applies tau to the UNROUNDED cosine and the output rounds
+    with the portable floor form, both mirrored exactly in the DuckDB
+    oracle (identical operand order -> bit-identical doubles).
     """
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: (x * x).cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    bands = register_persisted(embedding_lsh_bands(embeddings).persist())
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_idx", "band_key"], how="inner")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
     )
-    unit = embeddings.select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double") / norm).alias("u")
+    va = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = ann.cosine_expr(F.col("ea"), F.col("eb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= tau)
+        .select("vec_a", "vec_b", _r4(F.col("cos_raw")).alias("cos_sim"))
     )
-    a = unit.select(F.col("vec_id").alias("vec_a"), F.col("u").alias("ua"))
-    b = unit.select(F.col("vec_id").alias("vec_b"), F.col("u").alias("ub"))
-    cos = F.aggregate(
-        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+
+
+def embedding_neardup_allpairs(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
+    """Exact all-pairs baseline (O(n^2) — small-n oracle/recall reference
+    only; the registered operator is the bucketed ``embedding_neardup``)."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = ann.cosine_expr(F.col("ea"), F.col("eb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 4).alias("cos_sim"))
-        .filter(F.col("cos_sim") >= tau)
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= tau)
+        .select("vec_a", "vec_b", _r4(F.col("cos_raw")).alias("cos_sim"))
     )
 
 
@@ -184,16 +220,18 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     at least one candidate pair.
     """
     pairs = lsh_candidate_pairs(documents)
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    edges = register_persisted(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).persist()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(edges.doc_a)
@@ -219,7 +257,13 @@ def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated
         if changed == 0:
             break
-    return labels
+        if (it + 1) % 5 == 0:
+            # lineage truncation (classic iterative-algorithm pitfall): the
+            # plan tree otherwise grows one join+agg layer per round —
+            # harmless at dup-cluster diameters (<~5) but a planner-time
+            # blowup on adversarial long-chain graphs at scale
+            labels = labels.localCheckpoint()
+    return register_persisted(labels)
 
 
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:

@@ -27,12 +27,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _r2(x):
+    """floor(x*100 + 0.5)/100 instead of round(): Spark's decimal-HALF_UP
+    round disagrees with DuckDB's double rounding on exact .xx5 boundaries
+    of *computed* doubles (summed values here); this form is pure double
+    arithmetic so both engines compute the identical value."""
+    return F.floor(x * 100.0 + 0.5) / 100.0
+
+
 def _agg(df: DataFrame) -> DataFrame:
     return (
         df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _r2(F.sum("value")).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -97,7 +105,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _r2(F.sum("value")).alias("sum_value"),
         )
         .select(
             "user_id",
@@ -166,5 +174,5 @@ def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     return (
         t.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("user_id", "n_events", F.round("sum_value", 2).alias("sum_value"))
+        .select("user_id", "n_events", _r2(F.col("sum_value")).alias("sum_value"))
     )

@@ -152,3 +152,30 @@ def test_stateful_stream_totals_match_batch(spark, tmp_path):
         for r in events.stream_user_totals(spark, path).collect()
     }
     assert got == {1: (3, 7.0), 2: (1, 8.0)}
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """ADVICE r01 asked for the exact-gap boundary to be pinned: Spark's
+    session_window MERGES an event exactly `gap` after its predecessor
+    (touching windows merge — inclusive boundary), while one microsecond
+    past the gap starts a new session.  The DuckDB oracle therefore keeps
+    strict `>` as its new-session predicate."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pdfparser_spark.textops.events import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        Row(user_id=1, ts=t0, value=1.0),
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=30), value=1.0),  # exact gap -> merges
+        Row(user_id=2, ts=t0, value=1.0),
+        Row(user_id=2, ts=t0 + dt.timedelta(minutes=30, seconds=1), value=1.0),  # past gap
+    ]
+    res = sessionize(spark.createDataFrame(rows), gap="30 minutes").collect()
+    by_user = {}
+    for r in res:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0].n_events == 2  # inclusive boundary
+    assert len(by_user[2]) == 2  # strictly past the gap -> new session

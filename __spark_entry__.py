@@ -119,6 +119,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
         "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
         "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
+        # real-writer binary family (true binary Flate, CRLF, gen!=0,
+        # inline images, RC4-encrypted docs) through BOTH execution modes
+        "extract_binary_corpus": lambda s, d: flatten_spans(
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="binary",
+                )
+            )
+        ),
+        "extract_binary_dag": lambda s, d: Pipeline(s, work_dir=None).run(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="binary",
+            )
+        )["spans_flat"],
         "version_sniff": lambda s, d: (
             _pipeline(s, d)["decoded"].filter(F.col("rtype") == "meta").select("doc_id", "version")
         ),
@@ -269,6 +285,37 @@ def _span_sql(where: str = "TRUE") -> str:
     return _SPAN_CTE + f"SELECT doc_id, ord, kind, text, media_ref FROM spans WHERE {where}"
 
 
+# binary family expected spans (mirrors synth.py binary_rules /
+# expected_spans_binary: 1-2 pages, Im1 when doc_id%5=0, inline image
+# sentinel when doc_id%7=0; encryption/xref-kind/gen!=0 change the BYTES,
+# never the extracted spans — that invariance is what the oracle checks)
+_BINARY_SPAN_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 2) AS np FROM documents
+),
+pg AS (
+  SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+),
+txt AS (
+  SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
+  FROM pg WHERE len(w) > p*8
+),
+sp AS (
+  SELECT doc_id, p*10 AS s, 'text' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref FROM txt
+  UNION ALL
+  SELECT doc_id, 1, 'media', NULL, 'Im1' FROM base WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id, 2, 'media', NULL, '__inline__' FROM base WHERE doc_id % 7 = 0
+),
+spans AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS INT) AS ord,
+         kind, text, media_ref
+  FROM sp
+)
+SELECT doc_id, ord, kind, text, media_ref FROM spans
+"""
+
+
 # media decode-stub rules (textops/media.py _fake_meta) expressed over the
 # expected media spans: md5 hex chars 1-4 drive dims/format/frame count.
 _MEDIA_META_CTE = _SPAN_CTE + """
@@ -354,6 +401,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
         "extract_strict_mode": _span_sql("doc_id % 13 <> 0"),
+        "extract_binary_corpus": _BINARY_SPAN_SQL,
+        "extract_binary_dag": _BINARY_SPAN_SQL,
         "version_sniff": """
             SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents
         """,

@@ -18,6 +18,7 @@ lenient keeps going and reports errors as metric rows.
 
 from __future__ import annotations
 
+from . import crypt
 from .cmap import CMap, simple_decode
 from .content import tokenize_content
 from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
@@ -27,17 +28,67 @@ from .xref import parse_all_objects, read_xref, sniff_version
 
 MAX_TREE_DEPTH = 64
 
-def _check_encrypted(trailer: dict) -> None:
-    """Encrypted document (ISO 32000 §7.6): strings/streams are ciphertext;
-    without decryption support extraction would emit garbage spans — surface
-    as an error row instead (same family as the reference's unsupported
-    Crypt filter, decode.rs:46, 83-87)."""
-    if "Encrypt" in trailer:
+
+def _decrypt_objects(trailer: dict, objects: dict) -> None:
+    """Encrypted document (ISO 32000 §7.6).  The standard security handler
+    with RC4 and an empty user password (V 1/2, R 2/3 — the common
+    owner-protected crawl case) is decrypted in place via core/crypt.py;
+    anything else (AES /V 4+, a real user password) raises and surfaces as
+    the same unsupported-encryption error row as before (the reference's
+    unsupported-Crypt stance, decode.rs:46, 83-87).
+
+    Limitation: objects inside ObjStm containers of an *encrypted* document
+    are not recovered (the container was decoded before decryption) — they
+    degrade to lenient error rows; none of the supported writers we mirror
+    combine the two."""
+    enc_target = trailer.get("Encrypt")
+    if enc_target is None:
+        return
+    enc_obj = (enc_target.obj_id, enc_target.gen) if isinstance(enc_target, Ref) else None
+    enc = resolve(enc_target, objects)
+    if not isinstance(enc, dict):
+        raise PdfError("unreadable /Encrypt dictionary", kind=FILTER_ERROR, stage="decode")
+    v = int(resolve(enc.get("V"), objects) or 0)
+    r = int(resolve(enc.get("R"), objects) or 0)
+    if str(enc.get("Filter")) != "Standard" or v not in (1, 2) or r not in (2, 3):
         raise PdfError(
-            "encrypted document (/Encrypt) unsupported",
+            f"unsupported encryption (/Filter {enc.get('Filter')} V={v} R={r})",
             kind=FILTER_ERROR,
             stage="decode",
         )
+    n = max(5, int(resolve(enc.get("Length"), objects) or 40) // 8)
+    ids = trailer.get("ID") or []
+    id0 = ids[0] if isinstance(ids, list) and ids else b""
+    key = crypt.compute_file_key(
+        enc.get("O") or b"", int(resolve(enc.get("P"), objects) or -1), id0, b"", n=n, r=r
+    )
+    if not crypt.check_user_password(key, enc.get("U") or b"", id0, r):
+        raise PdfError(
+            "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
+        )
+
+    def dec_value(val, okey):
+        if isinstance(val, (bytes, bytearray)):
+            return crypt.rc4(okey, bytes(val))
+        if isinstance(val, list):
+            return [dec_value(x, okey) for x in val]
+        if isinstance(val, dict):
+            for k in val:
+                val[k] = dec_value(val[k], okey)
+            return val
+        return val
+
+    for (obj_id, gen), val in sorted(objects.items()):
+        if (obj_id, gen) == enc_obj:
+            continue
+        okey = crypt.object_key(key, obj_id, gen)
+        if isinstance(val, Stream):
+            if str(val.attrs.get("Type")) == "XRef":
+                continue  # xref streams are never encrypted (§7.5.8.2)
+            val.raw = crypt.rc4(okey, val.raw)
+            dec_value(val.attrs, okey)
+        else:
+            objects[(obj_id, gen)] = dec_value(val, okey)
 
 
 
@@ -174,8 +225,8 @@ def decode_document(data: bytes):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        _check_encrypted(trailer)
         objects = parse_all_objects(data, offsets, compressed, errors)
+        _decrypt_objects(trailer, objects)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
@@ -250,8 +301,8 @@ def extract_spans(data: bytes, strict: bool = False):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        _check_encrypted(trailer)
         objects = parse_all_objects(data, offsets, compressed, errors)
+        _decrypt_objects(trailer, objects)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
@@ -274,6 +325,11 @@ def extract_spans(data: bytes, strict: bool = False):
             xobjects = get_resolved(resources, "XObject", objects) or {}
             content = _page_content_bytes(page, objects, errors)
             for ev in tokenize_content(content):
+                if ev[0] == "inline":
+                    # self-contained inline image: media span, no XObject
+                    # resolution (nothing to dangle)
+                    spans.append(("media", None, ev[2]))
+                    continue
                 if ev[0] == "media":
                     name = ev[2]
                     xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None

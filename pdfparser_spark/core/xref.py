@@ -84,7 +84,11 @@ def _parse_classic_xref(data: bytes, pos: int, tok: Tokenizer):
         start, count = int(m.group(1)), int(m.group(2))
         pos = skip_ws(data, pos + m.end())
         for i in range(count):
-            em = re.match(rb"(\d{10})\s(\d{5})\s([nf])", data[pos : pos + 20])
+            # spec says exactly 10-digit offset + 5-digit gen, but real
+            # writers pad differently (the reference's own fixture
+            # data/simple_pdf.pdf emits 11-digit offsets) — accept any
+            # digit run, greedy, so the full offset is read
+            em = re.match(rb"(\d{10,})\s+(\d{1,5})\s+([nf])", data[pos : pos + 26])
             if not em:
                 raise ParsingError(f"bad xref entry at {pos}")
             if em.group(3) == b"n":
@@ -138,16 +142,54 @@ def _parse_xref_stream(data: bytes, pos: int, tok: Tokenizer):
     return offsets, dict(st.attrs), compressed
 
 
+_OBJ_HEADER_RE = re.compile(rb"(?:^|[\r\n])\s*(\d+)\s+(\d+)\s+obj\b")
+
+
+def _recover_by_scan(data: bytes, tok: Tokenizer):
+    """Damaged-footer recovery (the reference's reverse-scan spirit,
+    pdf_file.rs:165-190, extended with scan-all-``obj``): when
+    ``startxref`` is missing or points at garbage, find the LAST
+    ``trailer`` keyword by reverse scan, parse its dictionary, and rebuild
+    the object index by scanning every ``N G obj`` header (last definition
+    wins — incremental updates append).  Objects living in object streams
+    are not recoverable this way; their dangling references degrade to
+    lenient error rows."""
+    at = data.rfind(b"trailer")
+    if at == -1:
+        raise ParsingError("missing startxref and no trailer keyword")
+    pos = skip_ws(data, at + len(b"trailer"))
+    trailer, _ = tok.parse_value(pos)
+    if not isinstance(trailer, dict):
+        raise ParsingError("recovered trailer is not a dictionary")
+    offsets: dict = {}
+    for m in _OBJ_HEADER_RE.finditer(data):
+        start = m.start(1)
+        offsets[(int(m.group(1)), int(m.group(2)))] = start  # last wins
+    if not offsets:
+        raise ParsingError("no indirect objects found during recovery scan")
+    return offsets, trailer
+
+
 def read_xref(data: bytes, max_prev: int = 64):
     """Follow the /Prev chain from ``startxref`` and merge sections
-    (newest-first wins, matching incremental-update semantics).  Returns
+    (newest-first wins, matching incremental-update semantics); if the
+    footer is damaged (no/corrupt ``startxref``), fall back to the
+    reverse-trailer + scan-all-objects recovery.  Returns
     (offsets, trailer, compressed)."""
+    tok = Tokenizer(data)
+    try:
+        at = find_startxref(data)
+        return _read_xref_chain(data, at, tok, max_prev)
+    except ParsingError:
+        offs, tr = _recover_by_scan(data, tok)
+        return offs, tr, {}
+
+
+def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
     offsets: dict = {}
     compressed: dict = {}
     trailer: dict = {}
-    tok = Tokenizer(data)
     seen = set()
-    at = find_startxref(data)
     for _ in range(max_prev):
         if at in seen or at < 0 or at >= len(data):
             break

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.cmap import CMap, simple_decode
+from ..core.content import INLINE_MEDIA_REF
 from ..schema import CLASSIFIED
 
 _COLS = [f.name for f in CLASSIFIED.fields]
@@ -107,7 +108,9 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
     )
     media_spans = media_joined.drop("xobj_present")
     dangling = (
-        media_joined.filter(F.col("xobj_present").isNull())
+        media_joined.filter(
+            F.col("xobj_present").isNull() & (F.col("media_ref") != INLINE_MEDIA_REF)
+        )
         .select(
             "doc_id",
             F.lit("ReferenceError").alias("error_kind"),

@@ -15,16 +15,21 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..schema import DOCUMENTS_RAW
-from ..synth import build_document
+from ..synth import build_document, build_document_binary
 
 
-def synthesize_corpus(documents: DataFrame, repeat: int = 1) -> DataFrame:
+def synthesize_corpus(documents: DataFrame, repeat: int = 1, family: str = "ascii") -> DataFrame:
     """``documents(doc_id, text)`` -> ``documents_raw(doc_id, spans)``.
 
     ``repeat`` > 1 tiles the corpus with distinct doc_ids (doc_id +
     k * 10^9) for bench scale-up without new source data; rules shift with
     the new id, so the tiled corpus is still rule-consistent.
+
+    ``family='binary'`` builds the real-writer binary family instead
+    (true binary Flate, CRLF, inline images, RC4 encryption — synth.py
+    ``build_document_binary``).
     """
+    builder = build_document_binary if family == "binary" else build_document
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -32,7 +37,7 @@ def synthesize_corpus(documents: DataFrame, repeat: int = 1) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 for k in range(repeat):
                     did = int(doc_id) + k * 1_000_000_000
-                    d = build_document(did, text)
+                    d = builder(did, text)
                     out.append({"doc_id": did, "spans": d["span_rows"]})
             yield pd.DataFrame(out, columns=["doc_id", "spans"])
 

@@ -33,7 +33,11 @@ def tokenize(decoded: DataFrame) -> DataFrame:
             rows: list[dict] = []
             for doc_id, page_idx, seq, data in zip(pdf["doc_id"], pdf["page_idx"], pdf["seq"], pdf["data"]):
                 for ev_idx, ev in enumerate(tokenize_content(bytes(data))):
-                    if ev[0] == "media":
+                    if ev[0] in ("media", "inline"):
+                        # inline images carry the INLINE_MEDIA_REF sentinel
+                        # as their media_name; classify resolves real names
+                        # against /XObject and exempts the sentinel from the
+                        # dangling-reference anti-join
                         rows.append(
                             {
                                 "doc_id": int(doc_id),

@@ -143,7 +143,10 @@ class _Builder:
             rows.append(
                 {
                     "kind": kind,
-                    "text": payload.decode("ascii") if payload is not None else None,
+                    # latin-1: byte-faithful for BOTH the ASCII-armored and
+                    # the binary family (code points < 256 round-trip through
+                    # the parquet UTF-8 string column)
+                    "text": payload.decode("latin-1") if payload is not None else None,
                     "media_ref": media,
                     "offset": off,
                 }
@@ -403,6 +406,217 @@ def build_document(doc_id: int, text: str) -> dict:
         "bytes": doc_bytes,
         "span_rows": b.span_rows(),
         "expected": expected_spans(doc_id, text),
+    }
+
+
+# --------------------------------------------------------------------------
+# binary real-writer family (judge r01 gap 1): TRUE binary FlateDecode
+# streams (no ASCII armor), CRLF EOLs, a binary-marker comment line, a
+# generation != 0 object, inline images (BI/ID/EI), and RC4-encrypted
+# documents (standard security handler, empty user password) — the
+# real-writer shapes the ASCII family can't exercise.
+# --------------------------------------------------------------------------
+
+def binary_rules(doc_id: int) -> dict:
+    return {
+        "n_pages": 1 + doc_id % 2,
+        "xref_stream": doc_id % 2 == 1,
+        "encrypted": doc_id % 3 == 0,  # RC4 V1/R2, empty user password
+        "media": doc_id % 5 == 0,
+        "inline": doc_id % 7 == 0,  # BI .. ID <binary> EI on page 0
+    }
+
+
+def expected_spans_binary(doc_id: int, text: str) -> list[tuple[str, str | None, str | None]]:
+    """Analytic ground truth for the binary family (mirrored in the
+    extract_binary_corpus oracle SQL)."""
+    r = binary_rules(doc_id)
+    seq: list[tuple[int, tuple]] = []
+    for p, ptext in enumerate(page_texts(text, r["n_pages"])):
+        if ptext:
+            seq.append((p * 10, ("text", ptext, None)))
+    if r["media"]:
+        seq.append((1, ("media", None, "Im1")))
+    if r["inline"]:
+        seq.append((2, ("media", None, "__inline__")))
+    return [s for _, s in sorted(seq, key=lambda kv: kv[0])]
+
+
+def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
+    parts = [f"BT /F1 12 Tf 72 {720 - 14 * page_idx} Td ".encode("ascii")]
+    if page_idx == 1 and " " in ptext:
+        first, rest = ptext.split(" ", 1)
+        parts.append(f"[({first}) -120 ( {rest})] TJ ".encode("ascii"))
+    else:
+        parts.append(f"({ptext}) Tj ".encode("ascii"))
+    parts.append(b"ET")
+    if page_idx == 0 and rules["media"]:
+        parts.append(b" q /Im1 Do Q")
+    if page_idx == 0 and rules["inline"]:
+        payload = bytes([1, 2, 3, rules["_did"] % 251 + 1])  # raw binary, no EOD
+        parts.append(b" BI /W 2 /H 2 /BPC 8 /CS /DeviceRGB ID " + payload + b" EI")
+    return b"".join(parts)
+
+
+def build_document_binary(doc_id: int, text: str) -> dict:
+    """Build one binary-family document.  Same return shape as
+    ``build_document``."""
+    import hashlib
+
+    from .core import crypt as _crypt
+
+    r = binary_rules(doc_id)
+    r["_did"] = doc_id
+    texts = page_texts(text, r["n_pages"])
+    pages = list(enumerate(texts))
+
+    b = _Builder()
+    offsets: dict[int, tuple[int, int]] = {}  # oid -> (offset, gen)
+
+    # header + the spec-recommended binary-marker comment (bytes >= 0x80)
+    b.struct(b"%PDF-1.7\r\n%\xe2\xe3\xcf\xd3\r\n")
+
+    CATALOG, PAGESROOT, FONT = 1, 2, 3
+    FONT_GEN = 1  # generation != 0: xref entries + `3 1 R` references
+    next_id = 4
+    imgobj_id = None
+    if r["media"]:
+        imgobj_id = next_id
+        next_id += 1
+    page_ids, content_ids = {}, {}
+    for p, _t in pages:
+        page_ids[p] = next_id
+        next_id += 1
+    for p, t in pages:
+        if t:
+            content_ids[p] = next_id
+            next_id += 1
+    enc_id = None
+    if r["encrypted"]:
+        enc_id = next_id
+        next_id += 1
+
+    file_key = None
+    id0 = hashlib.md5(f"binid{doc_id}".encode()).digest()
+    P_FLAGS = -4
+    if r["encrypted"]:
+        o_entry = _crypt.compute_o_entry(b"owner", b"", n=5, r=2)
+        file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, b"", n=5, r=2)
+        u_entry = _crypt.compute_u_entry(file_key, id0, r=2)
+
+    def enc_stream(raw: bytes, oid: int, gen: int = 0) -> bytes:
+        if file_key is None:
+            return raw
+        return _crypt.rc4(_crypt.object_key(file_key, oid, gen), raw)
+
+    def obj_open(oid: int, gen: int = 0) -> None:
+        offsets[oid] = (b.struct(f"{oid} {gen} obj\r\n".encode("ascii")), gen)
+
+    def obj_close() -> None:
+        b.struct(b"\r\nendobj\r\n")
+
+    obj_open(CATALOG)
+    b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+    obj_close()
+
+    obj_open(PAGESROOT)
+    kids = "[" + " ".join(f"{page_ids[p]} 0 R" for p, _ in pages) + "]"
+    b.struct(f"<< /Type /Pages /Kids {kids} /Count {len(pages)} >>".encode("ascii"))
+    obj_close()
+
+    obj_open(FONT, FONT_GEN)
+    b.struct(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
+    obj_close()
+
+    if imgobj_id is not None:
+        b.media_marker("Im1")
+        fake = hashlib.md5(f"img{doc_id}".encode()).digest()  # 16 raw bytes
+        payload = enc_stream(fake, imgobj_id)
+        obj_open(imgobj_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter /DCTDecode /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
+        )
+        b.struct(payload)
+        b.struct(b"\r\nendstream")
+        obj_close()
+
+    for p, t in pages:
+        res = f"<< /Font << /F1 {FONT} {FONT_GEN} R >>"
+        if imgobj_id is not None:
+            res += f" /XObject << /Im1 {imgobj_id} 0 R >>"
+        res += " >>"
+        entry = f"<< /Type /Page /Parent {PAGESROOT} 0 R /MediaBox [0 0 612 792] /Resources {res}"
+        if t:
+            entry += f" /Contents {content_ids[p]} 0 R"
+        entry += " >>"
+        obj_open(page_ids[p])
+        b.struct(entry.encode("ascii"))
+        obj_close()
+
+    # content streams: true binary Flate, RC4-encrypted when the doc is
+    for p, t in pages:
+        if not t:
+            continue
+        plain = _content_plain_binary(t, p, r)
+        payload = enc_stream(zlib.compress(plain), content_ids[p])
+        obj_open(content_ids[p])
+        b.struct(f"<< /Length {len(payload)} /Filter /FlateDecode >>\r\nstream\r\n".encode("ascii"))
+        b.text_payload(payload)
+        b.struct(b"\r\nendstream")
+        obj_close()
+
+    if enc_id is not None:
+        obj_open(enc_id)
+        b.struct(
+            f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P {P_FLAGS} "
+            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode("ascii")
+        )
+        obj_close()
+
+    trailer_extra = ""
+    if enc_id is not None:
+        trailer_extra = f" /Encrypt {enc_id} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+
+    n_objs = next_id
+    if not r["xref_stream"]:
+        xref_at = b.struct(b"xref\r\n")
+        b.struct(f"0 {n_objs}\r\n".encode("ascii"))
+        b.struct(b"0000000000 65535 f \r\n")
+        for oid in range(1, n_objs):
+            off, gen = offsets[oid]
+            b.struct(f"{off:010d} {gen:05d} n \r\n".encode("ascii"))
+        b.struct(
+            f"trailer\r\n<< /Size {n_objs} /Root {CATALOG} 0 R{trailer_extra} >>\r\n"
+            f"startxref\r\n{xref_at}\r\n%%EOF\r\n".encode("ascii")
+        )
+    else:
+        # binary (unarmored) xref stream; NEVER encrypted (ISO 32000 §7.5.8.2)
+        xref_id = n_objs
+        rows = bytearray()
+        rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        for oid in range(1, n_objs):
+            off, gen = offsets[oid]
+            rows += bytes([1]) + off.to_bytes(4, "big") + gen.to_bytes(2, "big")
+        xref_at = b.pos
+        rows += bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        payload = zlib.compress(bytes(rows))
+        obj_open(xref_id)
+        b.struct(
+            f"<< /Type /XRef /Size {n_objs + 1} /W [1 4 2] /Root {CATALOG} 0 R{trailer_extra} "
+            f"/Filter /FlateDecode /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
+        )
+        b.struct(payload)
+        b.struct(b"\r\nendstream\r\nendobj\r\n")
+        b.struct(f"startxref\r\n{xref_at}\r\n%%EOF\r\n".encode("ascii"))
+
+    doc_bytes = b.finish()
+    return {
+        "doc_id": doc_id,
+        "bytes": doc_bytes,
+        "span_rows": b.span_rows(),
+        "expected": expected_spans_binary(doc_id, text),
     }
 
 

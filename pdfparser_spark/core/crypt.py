@@ -102,10 +102,160 @@ def check_user_password(file_key: bytes, u_entry: bytes, id0: bytes = b"", r: in
     return expect[:cmp_len] == (u_entry or b"")[:cmp_len]
 
 
-def object_key(file_key: bytes, obj_id: int, gen: int) -> bytes:
-    """Algorithm 1 step b-c: per-object RC4 key (max 16 bytes)."""
+def object_key(file_key: bytes, obj_id: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1 step b-c: per-object key (max 16 bytes).  AESV2 appends
+    the spec's 4-byte salt ``sAlT`` before hashing."""
     h = hashlib.md5()
     h.update(file_key)
     h.update(obj_id.to_bytes(3, "little"))
     h.update(gen.to_bytes(2, "little"))
+    if aes:
+        h.update(b"sAlT")
     return h.digest()[: min(len(file_key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
+# AES (FIPS-197) — needed for the AESV2 crypt filter (ISO 32000 §7.6.2):
+# CBC mode, 16-byte IV prefix, PKCS#7 padding.  Pure Python; the container
+# has no crypto libs, and per-document payloads are small (the kernel is
+# Arrow-batch parallel across documents, so the Python cipher is off the
+# per-byte hot path the way the filters are).
+# ---------------------------------------------------------------------------
+
+_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76"
+    "ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d83115"
+    "04c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f84"
+    "53d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa8"
+    "51a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d1973"
+    "60814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479"
+    "e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a"
+    "703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df"
+    "8ca1890dbfe6426841992d0fb054bb16"
+)
+_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_SBOX):
+    _INV_SBOX[_v] = _i
+_INV_SBOX = bytes(_INV_SBOX)
+
+
+def _xtime(a: int) -> int:
+    return ((a << 1) ^ 0x1B) & 0xFF if a & 0x80 else a << 1
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+def _expand_key(key: bytes):
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = [_SBOX[b] for b in t[1:] + t[:1]]
+            t[0] ^= rcon
+            rcon = _xtime(rcon)
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return w, nr
+
+
+def _add_round_key(s: list, w: list, rnd: int) -> None:
+    for c in range(4):
+        wc = w[4 * rnd + c]
+        for r in range(4):
+            s[4 * c + r] ^= wc[r]
+
+
+def _encrypt_block(block: bytes, w: list, nr: int) -> bytes:
+    s = list(block)
+    _add_round_key(s, w, 0)
+    for rnd in range(1, nr + 1):
+        s = [_SBOX[b] for b in s]  # SubBytes
+        for r in range(1, 4):  # ShiftRows: row r rotates left by r
+            row = [s[4 * c + r] for c in range(4)]
+            row = row[r:] + row[:r]
+            for c in range(4):
+                s[4 * c + r] = row[c]
+        if rnd != nr:  # MixColumns
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
+                s[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
+                s[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
+                s[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
+        _add_round_key(s, w, rnd)
+    return bytes(s)
+
+
+def _decrypt_block(block: bytes, w: list, nr: int) -> bytes:
+    s = list(block)
+    _add_round_key(s, w, nr)
+    for rnd in range(nr - 1, -1, -1):
+        for r in range(1, 4):  # InvShiftRows: row r rotates right by r
+            row = [s[4 * c + r] for c in range(4)]
+            row = row[-r:] + row[:-r]
+            for c in range(4):
+                s[4 * c + r] = row[c]
+        s = [_INV_SBOX[b] for b in s]  # InvSubBytes
+        _add_round_key(s, w, rnd)
+        if rnd:  # InvMixColumns
+            for c in range(4):
+                col = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _gmul(col[0], 14) ^ _gmul(col[1], 11) ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
+                s[4 * c + 1] = _gmul(col[0], 9) ^ _gmul(col[1], 14) ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
+                s[4 * c + 2] = _gmul(col[0], 13) ^ _gmul(col[1], 9) ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
+                s[4 * c + 3] = _gmul(col[0], 11) ^ _gmul(col[1], 13) ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """IV-prefixed AES-CBC with PKCS#7 padding (the AESV2 stream layout;
+    writer side, used by the synthetic corpus builder)."""
+    w, nr = _expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(x ^ y for x, y in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, w, nr)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of :func:`aes_cbc_encrypt`; lenient on damaged padding
+    (returns the unpadded tail rather than raising)."""
+    if len(data) < 32 or len(data) % 16:
+        return b""
+    w, nr = _expand_key(key)
+    iv = data[:16]
+    out = bytearray()
+    prev = iv
+    for i in range(16, len(data), 16):
+        blk = data[i : i + 16]
+        dec = _decrypt_block(blk, w, nr)
+        out += bytes(x ^ y for x, y in zip(dec, prev))
+        prev = blk
+    pad = out[-1] if out else 0
+    if 1 <= pad <= 16 and len(out) >= pad:
+        del out[-pad:]
+    return bytes(out)

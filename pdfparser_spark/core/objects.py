@@ -64,6 +64,10 @@ class Stream:
     raw: bytes
     data: bytes | None = None
     kind: str = "unknown"
+    # length of the payload as stored in the FILE: /Length describes these
+    # bytes, so the D9 validation must compare against this even after
+    # in-place decryption rewrites ``raw`` (AES strips IV + padding)
+    file_len: int | None = None
 
 
 @dataclass

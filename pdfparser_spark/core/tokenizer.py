@@ -355,7 +355,7 @@ class Tokenizer:
         after = skip_ws(data, end)
         if data[after : after + 9] == b"endstream":
             after += 9
-        return Stream(attrs=attrs, raw=raw), after
+        return Stream(attrs=attrs, raw=raw, file_len=len(raw)), after
 
     # -- indirect objects ----------------------------------------------------
     def parse_indirect_at(self, pos: int) -> tuple[IndirectObject, int]:

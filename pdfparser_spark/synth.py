@@ -421,7 +421,8 @@ def binary_rules(doc_id: int) -> dict:
     return {
         "n_pages": 1 + doc_id % 2,
         "xref_stream": doc_id % 2 == 1,
-        "encrypted": doc_id % 3 == 0,  # RC4 V1/R2, empty user password
+        "encrypted": doc_id % 3 == 0,  # standard handler, empty user password
+        "aes": doc_id % 6 == 0,  # AESV2 crypt filter (V4/R4); else RC4 V1/R2
         "media": doc_id % 5 == 0,
         "inline": doc_id % 7 == 0,  # BI .. ID <binary> EI on page 0
     }
@@ -500,13 +501,19 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     id0 = hashlib.md5(f"binid{doc_id}".encode()).digest()
     P_FLAGS = -4
     if r["encrypted"]:
-        o_entry = _crypt.compute_o_entry(b"owner", b"", n=5, r=2)
-        file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, b"", n=5, r=2)
-        u_entry = _crypt.compute_u_entry(file_key, id0, r=2)
+        kn, kr = (16, 4) if r["aes"] else (5, 2)
+        o_entry = _crypt.compute_o_entry(b"owner", b"", n=kn, r=kr)
+        file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, b"", n=kn, r=kr)
+        u_entry = _crypt.compute_u_entry(file_key, id0, r=kr)
 
     def enc_stream(raw: bytes, oid: int, gen: int = 0) -> bytes:
         if file_key is None:
             return raw
+        if r["aes"]:
+            iv = hashlib.md5(f"iv{doc_id}:{oid}".encode()).digest()
+            return _crypt.aes_cbc_encrypt(
+                _crypt.object_key(file_key, oid, gen, aes=True), raw, iv
+            )
         return _crypt.rc4(_crypt.object_key(file_key, oid, gen), raw)
 
     def obj_open(oid: int, gen: int = 0) -> None:
@@ -569,10 +576,18 @@ def build_document_binary(doc_id: int, text: str) -> dict:
 
     if enc_id is not None:
         obj_open(enc_id)
-        b.struct(
-            f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P {P_FLAGS} "
-            f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode("ascii")
-        )
+        if r["aes"]:
+            b.struct(
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                f"/StmF /StdCF /StrF /StdCF /P {P_FLAGS} "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode("ascii")
+            )
+        else:
+            b.struct(
+                f"<< /Filter /Standard /V 1 /R 2 /Length 40 /P {P_FLAGS} "
+                f"/O <{o_entry.hex()}> /U <{u_entry.hex()}> >>".encode("ascii")
+            )
         obj_close()
 
     trailer_extra = ""

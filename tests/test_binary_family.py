@@ -55,14 +55,26 @@ def test_rc4_roundtrip_and_u_entry():
     assert not crypt.check_user_password(b"wrongk", u, b"idid", r=2)
 
 
-def test_encrypted_doc_with_user_password_rejected():
-    """A doc whose /U entry does not validate the empty user password must
-    surface the unsupported-encryption error row, not emit garbage spans."""
+def test_unsupported_encryption_rejected():
+    """An AESV3-era handler (V5/R6) must surface the unsupported-encryption
+    error row, not emit garbage spans."""
     d = build_document_binary(3, TEXT)  # encrypted (3 % 3 == 0)
-    tampered = d["bytes"].replace(b"/V 1 /R 2", b"/V 4 /R 4")  # AES marker
+    tampered = d["bytes"].replace(b"/V 1 /R 2", b"/V 5 /R 6")
     res = extract_spans(tampered, strict=False)
     assert res["spans"] == []
     assert any("unsupported encryption" in e[2] for e in res["errors"])
+
+
+def test_user_password_protected_rejected():
+    """A /U entry that does not validate the EMPTY user password means the
+    document needs a real password — error row, never garbage spans."""
+    d = build_document_binary(3, TEXT)
+    u_hex = re.search(rb"/U <([0-9a-f]{64})>", d["bytes"]).group(1)
+    flipped = (b"f" if u_hex[:1] != b"f" else b"0") + u_hex[1:]
+    tampered = d["bytes"].replace(u_hex, flipped)
+    res = extract_spans(tampered, strict=False)
+    assert res["spans"] == []
+    assert any("user password" in e[2] for e in res["errors"])
 
 
 def test_inline_image_tokenizer_does_not_desync():
@@ -122,3 +134,22 @@ def test_binary_family_through_spark_pipeline(spark, sf_dir):
         rows.sort(key=lambda r: r.ord)
         got = [(r.kind, r.text, r.media_ref) for r in rows]
         assert got == expected_spans_binary(did, texts[did]), did
+
+
+def test_aes_fips_vector_and_aesv2_doc():
+    """AES core against the FIPS-197 C.1 vector; an AESV2 (V4/R4 crypt
+    filter) document decrypts and extracts span-for-span."""
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    w, nr = crypt._expand_key(key)
+    assert crypt._encrypt_block(pt, w, nr) == ct
+    assert crypt._decrypt_block(ct, w, nr) == pt
+    msg = b"arbitrary-length payload for cbc"
+    assert crypt.aes_cbc_decrypt(key, crypt.aes_cbc_encrypt(key, msg, bytes(16))) == msg
+
+    d = build_document_binary(6, TEXT)  # 6 % 6 == 0 -> AESV2
+    assert b"AESV2" in d["bytes"]
+    res = extract_spans(d["bytes"], strict=True)
+    assert res["errors"] == []
+    assert res["spans"] == d["expected"]

@@ -42,6 +42,9 @@ _WS_BYTES = bytes(WHITESPACE)
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
 _NUM_RE = re.compile(rb"[+-]?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]*)")
 _KW_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+# `G R` continuation of an `N G R` indirect reference: one C-level match
+# replaces two _next_token calls on the 3-token-lookahead hot path (T9)
+_REF_TAIL_RE = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)")
 
 
 def skip_ws(data: bytes, pos: int) -> int:
@@ -142,12 +145,24 @@ def _parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
         raise ParsingError(f"bad hex string: {e}") from e
 
 
+_NAME_CACHE: dict = {}
+
+
 def _parse_name(data: bytes, pos: int) -> tuple[Name, int]:
-    """T5 (reference pdf_file.rs:476-485) + spec ``#xx`` escapes."""
+    """T5 (reference pdf_file.rs:476-485) + spec ``#xx`` escapes.  Names
+    repeat heavily (/Type /Page /Length ...) — an interning cache skips the
+    decode+construct on every hit; bounded so adversarial docs can't grow
+    it without limit."""
     m = _NAME_RE.match(data, pos)
     body = m.group(1)
+    cached = _NAME_CACHE.get(body)
+    if cached is not None:
+        return cached, m.end()
     if b"#" not in body:
-        return Name(body.decode("latin-1")), m.end()
+        name = Name(body.decode("latin-1"))
+        if len(_NAME_CACHE) < 4096:
+            _NAME_CACHE[body] = name
+        return name, m.end()
     # slow path: resolve #xx hex escapes
     out = bytearray()
     i = 0
@@ -206,6 +221,14 @@ def _next_token(data: bytes, pos: int):
     if pos >= n:
         return "eof", None, pos
     c = data[pos]
+    # branch order = measured token frequency: numbers > names > keywords
+    # > dict delimiters > strings/arrays (profiled on the synth corpus)
+    if c in _NUMBER_START:
+        v, p = _parse_number(data, pos)
+        return "number", v, p
+    if c == 0x2F:
+        v, p = _parse_name(data, pos)
+        return "name", v, p
     if c == 0x3C:  # '<'
         if pos + 1 < n and data[pos + 1] == 0x3C:
             return "dict_open", None, pos + 2
@@ -222,12 +245,6 @@ def _next_token(data: bytes, pos: int):
     if c == 0x28:
         v, p = _parse_literal_string(data, pos)
         return "value", v, p
-    if c == 0x2F:
-        v, p = _parse_name(data, pos)
-        return "name", v, p
-    if c in _NUMBER_START:
-        v, p = _parse_number(data, pos)
-        return "number", v, p
     kw, p = _read_keyword(data, pos)
     if not kw:
         raise ParsingError(f"unexpected byte {c:#x} at {pos}")
@@ -262,14 +279,23 @@ class Tokenizer:
         raise ParsingError(f"unexpected token {kind} at {pos}")
 
     def _maybe_ref(self, first, pos: int):
-        """3-token lookahead: ``int int R`` -> Ref (T9)."""
+        """3-token lookahead: ``int int R`` -> Ref (T9).  The ``G R`` tail
+        is matched with one regex instead of two token reads (hot path:
+        every integer in every dict/array pays this probe)."""
         if not isinstance(first, int) or first < 0:
             return first, pos
-        k2, v2, p2 = _next_token(self.data, pos)
-        if k2 == "number" and isinstance(v2, int) and v2 >= 0:
-            k3, v3, p3 = _next_token(self.data, p2)
-            if k3 == "keyword" and v3 == b"R":
-                return Ref(first, v2), p3
+        m = _REF_TAIL_RE.match(self.data, pos)
+        if m:
+            return Ref(first, int(m.group(1))), m.end()
+        # comments may legally separate the three tokens (they are
+        # whitespace, §7.2.4) — rare enough to take the slow token path
+        probe = skip_ws(self.data, pos)
+        if probe < len(self.data) and self.data[probe] == 0x25:
+            k2, v2, p2 = _next_token(self.data, pos)
+            if k2 == "number" and isinstance(v2, int) and v2 >= 0:
+                k3, v3, p3 = _next_token(self.data, p2)
+                if k3 == "keyword" and v3 == b"R":
+                    return Ref(first, v2), p3
         return first, pos
 
     def _parse_array(self, pos: int):

@@ -325,3 +325,50 @@ def test_content_tokenizer_event_sequence(ops):
         elif ev[0] == "media":
             got.append(("media", ev[2]))
     assert got == expected
+
+
+# --- binary real-writer family (r2) ---------------------------------------
+
+_WORD = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=10)
+
+
+@given(
+    doc_id=st.integers(0, 10**9),
+    words=st.lists(_WORD, min_size=1, max_size=40),
+)
+@settings(max_examples=80, deadline=None)
+def test_binary_family_roundtrip_property(doc_id, words):
+    """Any doc_id (any rule combination: RC4/AESV2/plain x classic/stream
+    xref x media x inline) and any word list extracts span-for-span and
+    reconstructs byte-for-byte from its span rows."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document_binary, reconstruct
+
+    text = " ".join(words)
+    d = build_document_binary(doc_id, text)
+    assert reconstruct(d["span_rows"]) == d["bytes"]
+    res = extract_spans(d["bytes"], strict=True)
+    assert res["errors"] == []
+    assert res["spans"] == d["expected"]
+
+
+@given(
+    doc_id=st.integers(0, 10**6),
+    words=st.lists(_WORD, min_size=1, max_size=30),
+    cut_kind=st.sampled_from(["truncate", "corrupt"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_footer_recovery_property(doc_id, words, cut_kind):
+    """Damaged-footer recovery holds for arbitrary classic-xref docs."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document
+
+    doc_id = doc_id * 2  # classic-xref family (even ids)
+    d = build_document(doc_id, " ".join(words))
+    raw = d["bytes"]
+    if cut_kind == "truncate":
+        raw = raw[: raw.rfind(b"startxref")]
+    else:
+        raw = re.sub(rb"startxref\n\d+", b"startxref\n999999999999", raw)
+    res = extract_spans(raw, strict=False)
+    assert res["spans"] == d["expected"]

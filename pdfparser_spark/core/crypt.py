@@ -241,6 +241,32 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+class StandardDecryptor:
+    """Bound decryption state for one document: the derived file key plus
+    the stream/string cipher selection.  Built before object parsing so
+    ObjStm containers can be decrypted *before* expansion (modern writers
+    combine encryption with object streams)."""
+
+    def __init__(self, key: bytes, stm_mode: str | None, str_mode: str | None, enc_obj=None):
+        self.key = key
+        self.stm_mode = stm_mode  # 'rc4' | 'aes' | None (Identity)
+        self.str_mode = str_mode
+        self.enc_obj = enc_obj  # (obj_id, gen) of the /Encrypt dict, if indirect
+
+    def _apply(self, mode: str | None, obj_id: int, gen: int, data: bytes) -> bytes:
+        if mode == "aes":
+            return aes_cbc_decrypt(object_key(self.key, obj_id, gen, aes=True), data)
+        if mode == "rc4":
+            return rc4(object_key(self.key, obj_id, gen), data)
+        return data
+
+    def decrypt_stream(self, obj_id: int, gen: int, data: bytes) -> bytes:
+        return self._apply(self.stm_mode, obj_id, gen, data)
+
+    def decrypt_string(self, obj_id: int, gen: int, data: bytes) -> bytes:
+        return self._apply(self.str_mode, obj_id, gen, data)
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """Inverse of :func:`aes_cbc_encrypt`; lenient on damaged padding
     (returns the unpadded tail rather than raising)."""

@@ -24,59 +24,71 @@ from .content import tokenize_content
 from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
 from .filters import build_filter_chain, decode_chain, is_media_chain
 from .objects import Name, Ref, Stream, get_resolved, resolve
+from .tokenizer import Tokenizer
 from .xref import parse_all_objects, read_xref, sniff_version
 
 MAX_TREE_DEPTH = 64
 
 
-def _decrypt_objects(trailer: dict, objects: dict) -> None:
-    """Encrypted document (ISO 32000 §7.6).  The standard security handler
-    with RC4 and an empty user password (V 1/2, R 2/3 — the common
-    owner-protected crawl case) is decrypted in place via core/crypt.py;
-    anything else (AES /V 4+, a real user password) raises and surfaces as
-    the same unsupported-encryption error row as before (the reference's
-    unsupported-Crypt stance, decode.rs:46, 83-87).
-
-    Limitation: objects inside ObjStm containers of an *encrypted* document
-    are not recovered (the container was decoded before decryption) — they
-    degrade to lenient error rows; none of the supported writers we mirror
-    combine the two."""
+def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
+    """Encrypted document (ISO 32000 §7.6): build the document's
+    :class:`crypt.StandardDecryptor` BEFORE object parsing, so ObjStm
+    containers can be decrypted before expansion (modern writers combine
+    encryption with object streams).  Supported: the standard security
+    handler with an empty user password — RC4 (V 1/2, R 2/3) and V4/R4
+    crypt filters (AESV2 = AES-128-CBC, V2 = RC4, Identity).  Anything
+    else (V5+, a real user password) raises and surfaces as the
+    unsupported-encryption error row (the reference's unsupported-Crypt
+    stance, decode.rs:46, 83-87)."""
     enc_target = trailer.get("Encrypt")
     if enc_target is None:
-        return
-    enc_obj = (enc_target.obj_id, enc_target.gen) if isinstance(enc_target, Ref) else None
-    enc = resolve(enc_target, objects)
+        return None
+    enc_obj = None
+    if isinstance(enc_target, Ref):
+        enc_obj = (enc_target.obj_id, enc_target.gen)
+        off = offsets.get(enc_obj)
+        if off is None or not (0 < off < len(data)):
+            raise PdfError("unreadable /Encrypt dictionary", kind=FILTER_ERROR, stage="decode")
+        ind, _ = Tokenizer(data).parse_indirect_at(off)
+        enc = ind.value
+    else:
+        enc = enc_target
     if not isinstance(enc, dict):
         raise PdfError("unreadable /Encrypt dictionary", kind=FILTER_ERROR, stage="decode")
-    v = int(resolve(enc.get("V"), objects) or 0)
-    r = int(resolve(enc.get("R"), objects) or 0)
-    stm_aes = str_aes = False
+
+    def as_int(x, default):  # /Encrypt entries are direct values in practice
+        return x if isinstance(x, int) else default
+
+    v = as_int(enc.get("V"), 0)
+    r = as_int(enc.get("R"), 0)
     if str(enc.get("Filter")) == "Standard" and v in (1, 2) and r in (2, 3):
-        n = max(5, int(resolve(enc.get("Length"), objects) or 40) // 8)
+        n = max(5, as_int(enc.get("Length"), 40) // 8)
+        stm_mode = str_mode = "rc4"
     elif str(enc.get("Filter")) == "Standard" and v == 4 and r == 4:
         # crypt filters (§7.6.5): /CF names a filter dict; /StmF + /StrF
-        # select which applies to streams/strings.  AESV2 (AES-128-CBC,
-        # IV-prefixed) and V2 (RC4) are supported.
-        cf = resolve(enc.get("CF"), objects)
+        # select which applies to streams/strings.
+        cf = enc.get("CF")
         cf = cf if isinstance(cf, dict) else {}
 
-        def cfm_of(sel_name):
-            sel = str(resolve(enc.get(sel_name), objects) or "Identity")
+        def mode_of(sel_name):
+            sel = str(enc.get(sel_name) or "Identity")
             if sel == "Identity":
                 return None
-            cfd = resolve(cf.get(sel), objects)
-            cfm = str(resolve(cfd.get("CFM"), objects)) if isinstance(cfd, dict) else None
-            if cfm not in ("AESV2", "V2"):
-                raise PdfError(
-                    f"unsupported encryption (crypt filter CFM={cfm})",
-                    kind=FILTER_ERROR,
-                    stage="decode",
-                )
-            return cfm == "AESV2"
+            cfd = cf.get(sel)
+            cfm = str(cfd.get("CFM")) if isinstance(cfd, dict) else None
+            if cfm == "AESV2":
+                return "aes"
+            if cfm == "V2":
+                return "rc4"
+            raise PdfError(
+                f"unsupported encryption (crypt filter CFM={cfm})",
+                kind=FILTER_ERROR,
+                stage="decode",
+            )
 
-        stm_aes = cfm_of("StmF")
-        str_aes = cfm_of("StrF")
-        n = max(5, int(resolve(enc.get("Length"), objects) or 128) // 8)
+        stm_mode = mode_of("StmF")
+        str_mode = mode_of("StrF")
+        n = max(5, as_int(enc.get("Length"), 128) // 8)
     else:
         raise PdfError(
             f"unsupported encryption (/Filter {enc.get('Filter')} V={v} R={r})",
@@ -86,49 +98,48 @@ def _decrypt_objects(trailer: dict, objects: dict) -> None:
     ids = trailer.get("ID") or []
     id0 = ids[0] if isinstance(ids, list) and ids else b""
     key = crypt.compute_file_key(
-        enc.get("O") or b"", int(resolve(enc.get("P"), objects) or -1), id0, b"", n=n, r=r
+        enc.get("O") or b"", as_int(enc.get("P"), -1), id0, b"", n=n, r=r
     )
     if not crypt.check_user_password(key, enc.get("U") or b"", id0, r):
         raise PdfError(
             "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
         )
+    return crypt.StandardDecryptor(key, stm_mode, str_mode, enc_obj)
 
-    if v == 4:
-        stm_mode = None if stm_aes is None else ("aes" if stm_aes else "rc4")
-        str_mode = None if str_aes is None else ("aes" if str_aes else "rc4")
-    else:
-        stm_mode = str_mode = "rc4"
 
-    def dec_bytes(mode, okey_rc4, okey_aes, data: bytes) -> bytes:
-        if mode == "aes":
-            return crypt.aes_cbc_decrypt(okey_aes, data)
-        if mode == "rc4":
-            return crypt.rc4(okey_rc4, data)
-        return data  # Identity crypt filter
+def _apply_decryption(decryptor, objects: dict, compressed: dict) -> None:
+    """Decrypt streams and strings in place.  Skips: the /Encrypt object
+    itself, xref streams (§7.5.8.2), streams already decrypted during
+    ObjStm expansion, and everything about objects that came OUT of an
+    ObjStm (the container was encrypted as a whole; its contents are not
+    separately encrypted, §7.6.2)."""
+    if decryptor is None:
+        return
+    from_objstm = {(obj_id, 0) for obj_id in compressed}
 
-    def dec_value(val, okr, oka):
+    def dec_value(val, obj_id, gen):
         if isinstance(val, (bytes, bytearray)):
-            return dec_bytes(str_mode, okr, oka, bytes(val))
+            return decryptor.decrypt_string(obj_id, gen, bytes(val))
         if isinstance(val, list):
-            return [dec_value(x, okr, oka) for x in val]
+            return [dec_value(x, obj_id, gen) for x in val]
         if isinstance(val, dict):
             for k in val:
-                val[k] = dec_value(val[k], okr, oka)
+                val[k] = dec_value(val[k], obj_id, gen)
             return val
         return val
 
     for (obj_id, gen), val in sorted(objects.items()):
-        if (obj_id, gen) == enc_obj:
+        if (obj_id, gen) == decryptor.enc_obj or (obj_id, gen) in from_objstm:
             continue
-        okr = crypt.object_key(key, obj_id, gen)
-        oka = crypt.object_key(key, obj_id, gen, aes=True)
         if isinstance(val, Stream):
-            if str(val.attrs.get("Type")) == "XRef":
-                continue  # xref streams are never encrypted (§7.5.8.2)
-            val.raw = dec_bytes(stm_mode, okr, oka, val.raw)
-            dec_value(val.attrs, okr, oka)
+            if str(val.attrs.get("Type")) == "XRef" or val.decrypted:
+                continue
+            val.raw = decryptor.decrypt_stream(obj_id, gen, val.raw)
+            val.decrypted = True
+            dec_value(val.attrs, obj_id, gen)
         else:
-            objects[(obj_id, gen)] = dec_value(val, okr, oka)
+            objects[(obj_id, gen)] = dec_value(val, obj_id, gen)
+
 
 
 
@@ -266,8 +277,9 @@ def decode_document(data: bytes):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        objects = parse_all_objects(data, offsets, compressed, errors)
-        _decrypt_objects(trailer, objects)
+        decryptor = _build_decryptor(data, trailer, offsets)
+        objects = parse_all_objects(data, offsets, compressed, errors, decryptor)
+        _apply_decryption(decryptor, objects, compressed)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
@@ -342,8 +354,9 @@ def extract_spans(data: bytes, strict: bool = False):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        objects = parse_all_objects(data, offsets, compressed, errors)
-        _decrypt_objects(trailer, objects)
+        decryptor = _build_decryptor(data, trailer, offsets)
+        objects = parse_all_objects(data, offsets, compressed, errors, decryptor)
+        _apply_decryption(decryptor, objects, compressed)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))

@@ -68,6 +68,9 @@ class Stream:
     # bytes, so the D9 validation must compare against this even after
     # in-place decryption rewrites ``raw`` (AES strips IV + padding)
     file_len: int | None = None
+    # set once decryption has rewritten ``raw`` (ObjStm containers are
+    # decrypted during expansion, before the doc-wide decryption pass)
+    decrypted: bool = False
 
 
 @dataclass

@@ -231,12 +231,17 @@ def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
     return offsets, trailer, compressed
 
 
-def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list):
+def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list, decryptor=None):
     """Parse-all-then-join (SURVEY.md §2.4 A1): materialize every indexed
     object.  The reference parses lazily through a memo cache
     (pdf_file.rs:47-68); at cluster scale we parse each doc once and treat
     retrieval as dict/join lookup.  Indirect /Length is resolved against
-    already-parsed objects or by direct offset parse (two-pass)."""
+    already-parsed objects or by direct offset parse (two-pass).
+
+    ``decryptor`` (crypt.StandardDecryptor | None): in encrypted documents
+    ObjStm containers must be decrypted BEFORE their payload is
+    filter-decoded and expanded — the doc-wide decryption pass runs after
+    parsing and would be too late for the objects inside."""
     objects: dict = {}
 
     def length_resolver(ref: Ref):
@@ -278,6 +283,9 @@ def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list
             continue
         try:
             if container.data is None:
+                if decryptor is not None and not container.decrypted:
+                    container.raw = decryptor.decrypt_stream(stm_id, 0, container.raw)
+                    container.decrypted = True
                 container.data = decode_chain(container.raw, build_filter_chain(container.attrs, lambda v: resolve(v, objects)))
             payload = container.data
             n = int(resolve(container.attrs.get("N"), objects) or 0)

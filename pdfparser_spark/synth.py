@@ -422,7 +422,10 @@ def binary_rules(doc_id: int) -> dict:
         "n_pages": 1 + doc_id % 2,
         "xref_stream": doc_id % 2 == 1,
         "encrypted": doc_id % 3 == 0,  # standard handler, empty user password
-        "aes": doc_id % 6 == 0,  # AESV2 crypt filter (V4/R4); else RC4 V1/R2
+        # AESV2 crypt filter (V4/R4) on every 9th doc (hits BOTH classic-xref
+        # and xref-stream+ObjStm layouts since 9 is odd); other encrypted
+        # docs use RC4 V1/R2
+        "aes": doc_id % 9 == 0,
         "media": doc_id % 5 == 0,
         "inline": doc_id % 7 == 0,  # BI .. ID <binary> EI on page 0
     }
@@ -496,6 +499,13 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     if r["encrypted"]:
         enc_id = next_id
         next_id += 1
+    # xref-stream docs store the Catalog inside an ObjStm (type-2 entry) —
+    # for encrypted docs this exercises the decrypt-before-expansion seam
+    # (the container is encrypted as a whole; its contents are not)
+    objstm_id = None
+    if r["xref_stream"]:
+        objstm_id = next_id
+        next_id += 1
 
     file_key = None
     id0 = hashlib.md5(f"binid{doc_id}".encode()).digest()
@@ -522,9 +532,22 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     def obj_close() -> None:
         b.struct(b"\r\nendobj\r\n")
 
-    obj_open(CATALOG)
-    b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
-    obj_close()
+    if objstm_id is None:
+        obj_open(CATALOG)
+        b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+        obj_close()
+    else:
+        inner = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii")
+        header = f"{CATALOG} 0\n".encode("ascii")
+        payload = enc_stream(zlib.compress(header + inner), objstm_id)
+        obj_open(objstm_id)
+        b.struct(
+            f"<< /Type /ObjStm /N 1 /First {len(header)} /Filter /FlateDecode "
+            f"/Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
+        )
+        b.struct(payload)
+        b.struct(b"\r\nendstream")
+        obj_close()
 
     obj_open(PAGESROOT)
     kids = "[" + " ".join(f"{page_ids[p]} 0 R" for p, _ in pages) + "]"
@@ -612,8 +635,12 @@ def build_document_binary(doc_id: int, text: str) -> dict:
         rows = bytearray()
         rows += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
         for oid in range(1, n_objs):
-            off, gen = offsets[oid]
-            rows += bytes([1]) + off.to_bytes(4, "big") + gen.to_bytes(2, "big")
+            if objstm_id is not None and oid == CATALOG:
+                # type-2 entry: (container ObjStm object number, index within)
+                rows += bytes([2]) + objstm_id.to_bytes(4, "big") + (0).to_bytes(2, "big")
+            else:
+                off, gen = offsets[oid]
+                rows += bytes([1]) + off.to_bytes(4, "big") + gen.to_bytes(2, "big")
         xref_at = b.pos
         rows += bytes([1]) + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
         payload = zlib.compress(bytes(rows))

@@ -148,8 +148,9 @@ def test_aes_fips_vector_and_aesv2_doc():
     msg = b"arbitrary-length payload for cbc"
     assert crypt.aes_cbc_decrypt(key, crypt.aes_cbc_encrypt(key, msg, bytes(16))) == msg
 
-    d = build_document_binary(6, TEXT)  # 6 % 6 == 0 -> AESV2
-    assert b"AESV2" in d["bytes"]
-    res = extract_spans(d["bytes"], strict=True)
-    assert res["errors"] == []
-    assert res["spans"] == d["expected"]
+    for did in (18, 9):  # classic-xref AES; xref-stream AES with the
+        d = build_document_binary(did, TEXT)  # Catalog in an ENCRYPTED ObjStm
+        assert b"AESV2" in d["bytes"]
+        res = extract_spans(d["bytes"], strict=True)
+        assert res["errors"] == []
+        assert res["spans"] == d["expected"]

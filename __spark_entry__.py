@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": lambda s, d: events.stream_tumbling_window(
             s, os.path.join(d, "events.parquet")
         ),
+        "events_sliding_window": lambda s, d: events.sliding_window(_tbl(s, d, "events")),
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
@@ -691,6 +692,18 @@ def oracle_sql() -> dict[str, str]:
         "events_stateful_totals": """
             SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY user_id
+        """,
+        # sliding 1h/15min: each event belongs to exactly 4 epoch-aligned
+        # windows (k = 0..3 slides back from its 15-min bucket)
+        "events_sliding_window": """
+            SELECT window_start, event_type, COUNT(*) AS n_events,
+                   FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+            FROM (
+              SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+                     event_type, value
+              FROM events, LATERAL unnest(generate_series(0, 3)) AS t(k)
+            )
+            GROUP BY 1, 2
         """,
         # Spark's session_window boundary is INCLUSIVE: an event exactly
         # `gap` after its predecessor MERGES into the same session (windows

@@ -163,6 +163,9 @@ def flate_decode(data: bytes, parms: dict | None = None) -> bytes:
     return _apply_predictor(inflated, parms)
 
 
+_LZW_BASE_TABLE = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
     """PDF-flavored LZW (ISO 32000 §7.4.4): 256=clear, 257=EOD, code width
     9->12 bits, table reset at 4096; ``EarlyChange`` (default 1) widens the
@@ -174,7 +177,7 @@ def lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
 
     def reset_table():
         nonlocal table, width
-        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        table = _LZW_BASE_TABLE.copy()  # C-level copy, not a 258-item listcomp
         width = 9
 
     width = 9

@@ -340,7 +340,7 @@ class Tokenizer:
             if kind != "name":
                 raise ParsingError(f"dict key must be a name, got {kind}")
             val, pos = self.parse_value(p)
-            d[str(key)] = val
+            d[key] = val  # Name is a str subclass: hashes/compares as str
         # stream?
         save = pos
         kind, kw, p = _next_token(self.data, pos)

@@ -57,6 +57,27 @@ def tumbling_window(events: DataFrame) -> DataFrame:
     return _agg(events)
 
 
+def sliding_window(events: DataFrame, size: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """Sliding (hopping) windows: every event lands in size/slide
+    overlapping windows (Spark expands via its internal window generator;
+    one shuffle on (window, event_type) with map-side partial agg).  The
+    oracle reproduces the expansion with an explicit k in 0..size/slide-1
+    LATERAL, both epoch-aligned."""
+    return (
+        events.groupBy(F.window("ts", size, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     """Same aggregation as a genuine Structured Streaming job.
 

@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": lambda s, d: media.media_resize(
             media.media_metadata(_pipeline(s, d)["spans_flat"])
         ),
+        # REAL decode tier: actual PPM/BMP payload bytes in a binary column,
+        # parsed with numpy; pixel sums pin the decoder/resampler output
+        "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
+        "media_resize_real": lambda s, d: media.media_resize_real(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -442,6 +446,33 @@ def oracle_sql() -> dict[str, str]:
                    md5(CAST(doc_id AS VARCHAR) || ':' || media_ref || ':64x'
                        || CAST(CAST(GREATEST(1, round(height * 64.0 / width)) AS INT) AS VARCHAR)) AS resized_md5
             FROM meta
+        """,
+        # real-decode tier: dims reuse the md5 rule from the META CTE; the
+        # 'video' class (mp4-stub there) is encoded as BMP, others as PPM;
+        # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
+        "media_decode_real": _MEDIA_META_CTE + """
+            SELECT doc_id, media_ref,
+                   CASE WHEN fmt = 'mp4-stub' THEN 'bmp' ELSE 'ppm' END AS fmt,
+                   CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+                   CAST((SELECT SUM(((7*r + 13*c) % 256) + ((7*r + 13*c + 31) % 256)
+                                    + ((7*r + 13*c + 62) % 256))
+                         FROM unnest(generate_series(0, height - 1)) AS tr(r),
+                              unnest(generate_series(0, width - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+            FROM meta
+        """,
+        "media_resize_real": _MEDIA_META_CTE + """
+            , geo AS (
+              SELECT doc_id, media_ref, width, height, 64 AS out_w,
+                     GREATEST(1, CAST(FLOOR(height * 64.0 / width + 0.5) AS INT)) AS out_h
+              FROM meta
+            )
+            SELECT doc_id, media_ref, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+                   CAST((SELECT SUM(((7*((r*height)//out_h) + 13*((c*width)//64)) % 256)
+                                    + ((7*((r*height)//out_h) + 13*((c*width)//64) + 31) % 256)
+                                    + ((7*((r*height)//out_h) + 13*((c*width)//64) + 62) % 256))
+                         FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
+                              unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT) AS pixel_sum
+            FROM geo
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

@@ -1,20 +1,29 @@
 """Multimodal column plumbing: media payloads as opaque binary + typed
 metadata.
 
-The real pipeline treats image/audio/video as ``binary`` columns with a
+The pipeline treats image/audio/video as ``binary`` columns with a
 metadata struct; decode / feature-extract runs as an Arrow-batched
-``mapInPandas`` kernel.  The actual codecs (PIL/ffmpeg) are not available in
-this container, so the decode step is STUBBED with a deterministic fake
-(md5-derived dimensions) behind ``decode_image_real`` raising
-NotImplementedError — the Spark-side plumbing (schema, batch shape, UDF
-signature, partitioning) is real and tested.
+``mapInPandas`` kernel.  Two decode tiers:
+
+  * REAL decode for uncompressed formats — binary PPM (P6) and 24-bit BMP
+    are parsed from actual payload bytes with numpy (no codec libraries
+    needed); `media_decode_real` / `media_resize_real` run genuine pixel
+    work (nearest-neighbor resample) on genuine binary columns, verified
+    against an analytic DuckDB oracle.
+  * STUB for compressed codecs (JPEG/H.264 need PIL/ffmpeg, absent from
+    this container): deterministic md5-derived metadata behind
+    ``decode_image_real`` raising NotImplementedError — the Spark-side
+    plumbing (schema, batch shape, UDF signature, partitioning) is real
+    and tested either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -69,6 +78,184 @@ def media_metadata(spans_flat: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(run, schema=MEDIA_META)
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-image codecs (numpy, no external libraries)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6): ASCII header + raw interleaved RGB rows."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """-> (width, height, HxWx3 uint8).  Raises ValueError on malformed."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and payload[end] not in b" \t\r\n":
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BMP (BITMAPINFOHEADER): BGR, bottom-up rows,
+    4-byte row padding."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up
+        body += img[r, :, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        body += b"\x00" * pad
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + bytes(body)
+    )
+
+
+def decode_bmp(payload: bytes):
+    """-> (width, height, HxWx3 uint8 RGB, top-down).  24-bit uncompressed
+    only; raises ValueError otherwise."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows[::-1] if flip else rows  # bottom-up -> top-down
+    return w, h, img[:, :, ::-1]  # BGR -> RGB
+
+
+def sniff_decode(payload: bytes):
+    """Dispatch on magic bytes: -> (fmt, width, height, img) for supported
+    uncompressed formats, None for compressed codecs (stub tier)."""
+    if payload[:2] == b"P6":
+        w, h, img = decode_ppm(payload)
+        return "ppm", w, h, img
+    if payload[:2] == b"BM":
+        w, h, img = decode_bmp(payload)
+        return "bmp", w, h, img
+    return None
+
+
+def _gradient(w: int, h: int) -> np.ndarray:
+    """Deterministic test pattern: pixel(r,c,k) = (7r + 13c + 31k) % 256 —
+    closed-form enough for the DuckDB oracle to sum analytically."""
+    r = np.arange(h, dtype=np.int64).reshape(-1, 1, 1) * 7
+    c = np.arange(w, dtype=np.int64).reshape(1, -1, 1) * 13
+    k = np.arange(3, dtype=np.int64).reshape(1, 1, -1) * 31
+    return ((r + c + k) % 256).astype(np.uint8)
+
+
+def media_payloads(spans_flat: DataFrame) -> DataFrame:
+    """Media spans -> an actual ``binary`` payload column: each span gets a
+    real encoded image (PPM, or BMP for the md5-designated 'video' class)
+    with md5-derived dimensions and the gradient test pattern.  This is the
+    synthesis half of the real-decode round trip — at production the bytes
+    come from the source table instead."""
+    media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d, m in zip(pdf["doc_id"], pdf["media_ref"]):
+                hh = hashlib.md5(f"{int(d)}:{m}".encode()).hexdigest()
+                w = 16 * (1 + ord(hh[0]) % 8)
+                h = 16 * (1 + ord(hh[1]) % 8)
+                img = _gradient(w, h)
+                payloads.append(encode_bmp(img) if ord(hh[2]) % 4 == 0 else encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_ref": pdf["media_ref"],
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, media_ref string, payload binary")
+
+
+def media_decode_real(spans_flat: DataFrame) -> DataFrame:
+    """REAL decode over the binary payload column: parse the actual PPM/BMP
+    bytes with numpy, emit (fmt, width, height, pixel_sum).  ``pixel_sum``
+    (sum of every decoded channel value) pins the decoder output exactly —
+    the oracle recomputes it analytically from the gradient rule."""
+    payloads = media_payloads(spans_flat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, sums = [], [], [], []
+            for raw in pdf["payload"]:
+                fmt, w, h, img = sniff_decode(bytes(raw))
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(img.sum(dtype=np.int64)))
+            out = pdf[["doc_id", "media_ref"]].copy()
+            out["fmt"] = fmts
+            out["width"] = ws
+            out["height"] = hs
+            out["pixel_sum"] = sums
+            yield out
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, media_ref string, fmt string, width int, height int, pixel_sum long"
+    )
+
+
+def media_resize_real(spans_flat: DataFrame, target_w: int = 64) -> DataFrame:
+    """REAL aspect-preserving nearest-neighbor resample on decoded pixels:
+    out pixel (r,c) = src pixel ((r*h)//out_h, (c*w)//target_w).  Emits the
+    resized image's pixel_sum so the oracle can verify the actual resample
+    arithmetic, not just the geometry."""
+    payloads = media_payloads(spans_flat)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ws, out_hs, sums = [], [], []
+            for raw in pdf["payload"]:
+                _fmt, w, h, img = sniff_decode(bytes(raw))
+                out_h = max(1, int(h * target_w / w + 0.5))
+                rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cc = (np.arange(target_w, dtype=np.int64) * w) // target_w
+                resized = img[rr][:, cc]
+                out_ws.append(target_w)
+                out_hs.append(out_h)
+                sums.append(int(resized.sum(dtype=np.int64)))
+            out = pdf[["doc_id", "media_ref"]].copy()
+            out["out_w"] = out_ws
+            out["out_h"] = out_hs
+            out["pixel_sum"] = sums
+            yield out
+
+    return payloads.mapInPandas(
+        run, schema="doc_id long, media_ref string, out_w int, out_h int, pixel_sum long"
+    )
 
 
 def media_frame_sample(media_meta: DataFrame, every: int = 10) -> DataFrame:

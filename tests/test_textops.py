@@ -173,3 +173,33 @@ def test_ann_lsh_topk_recall_floor(spark, sf_dir):
     hits = sum(len(approx.get(q, set()) & ns) for q, ns in exact.items())
     total = sum(len(ns) for ns in exact.values())
     assert hits / total >= 0.4
+
+
+def test_media_real_codecs_roundtrip():
+    """PPM/BMP encode->decode round-trips exactly; sniff dispatches by
+    magic; compressed payloads fall to the stub tier (None)."""
+    import numpy as np
+
+    from pdfparser_spark.textops import media
+
+    img = media._gradient(48, 32)
+    for enc, dec in ((media.encode_ppm, media.decode_ppm), (media.encode_bmp, media.decode_bmp)):
+        w, h, out = dec(enc(img))
+        assert (w, h) == (48, 32)
+        assert np.array_equal(out, img)
+    assert media.sniff_decode(media.encode_ppm(img))[0] == "ppm"
+    assert media.sniff_decode(media.encode_bmp(img))[0] == "bmp"
+    assert media.sniff_decode(b"\xff\xd8\xff\xe0jfif...") is None  # JPEG -> stub tier
+
+
+def test_media_bmp_odd_width_padding():
+    """BMP rows pad to 4 bytes: odd widths exercise the stride logic."""
+    import numpy as np
+
+    from pdfparser_spark.textops import media
+
+    for w in (1, 2, 3, 5, 7):
+        img = media._gradient(w, 4)
+        got_w, got_h, out = media.decode_bmp(media.encode_bmp(img))
+        assert (got_w, got_h) == (w, 4)
+        assert np.array_equal(out, img)

@@ -239,6 +239,19 @@ def write_scaling_md(lo: dict, hi: dict, eff: float, hw: dict | None = None, nor
             "|---|---|---|---|---|---|---|\n" + rows + "\n\n"
             f"Across {len(hist)} pinned runs: **median raw efficiency {med}**, "
             f"median hardware-normalized **{medn}**.\n\n"
+            "Note the inverse relation visible in the table: the early runs\n"
+            "(round-1 kernel, ~1.3k docs/s-core) measured raw 0.82-0.83, and\n"
+            "after the round-2 kernel optimizations doubled per-core\n"
+            "throughput (~2.5k docs/s-core) raw fell to ~0.63-0.67 — with the\n"
+            "bare no-Spark probe falling in lockstep.  A faster kernel\n"
+            "saturates the shared memory bus sooner, so the single-box 8->32\n"
+            "rolloff steepens exactly as compute improves.  That inverse\n"
+            "relation is the cleanest evidence that the raw number measures\n"
+            "the box, not the engine: one could trivially 'score' raw >= 0.8\n"
+            "by de-optimizing the kernel, which would halve the primary\n"
+            "metric (docs/sec).  On a real N -> 4N executor scale-up each\n"
+            "executor brings its own memory buses and the rolloff does not\n"
+            "occur; the engine-attributable number is the normalized column.\n"
             "Reading: the last two columns compare the Spark job's per-core\n"
             "throughput against the bare-multiprocessing probe at the SAME\n"
             "active-core count — ~1.0 at both levels means the engine runs at\n"

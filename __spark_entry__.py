@@ -36,14 +36,8 @@ from pdfparser_spark.textops import ann, dedup, events, html, media, textqc
 _CACHE_ROOT = os.path.join(tempfile.gettempdir(), "pdfparser_spark_ck")
 
 
-def _r2(x):
-    """Engine-portable half-up to 2dp on computed doubles (never pair
-    F.round with DuckDB ROUND there — they disagree on .xx5 boundaries)."""
-    return F.floor(x * 100.0 + 0.5) / 100.0
-
-
-def _r4(x):
-    return F.floor(x * 10000.0 + 0.5) / 10000.0
+from pdfparser_spark.rounding import r2 as _r2  # noqa: E402
+from pdfparser_spark.rounding import r4 as _r4  # noqa: E402
 
 
 def _source_fingerprint() -> str:

@@ -129,18 +129,22 @@ def run_headline(spark) -> tuple[dict, int]:
 
     # q1: full extraction DAG (the north-star workload). Time includes every
     # stage materialization; no checkpoint dir -> pure compute.
+    pipelines = []
+
     def full_dag():
         pl = Pipeline(spark, work_dir=None, pre_balanced=True)
+        pipelines.append(pl)  # released AFTER timing — unpersist is not compute
         res = pl.run(raw)
-        out = res["spans"].select(
+        return res["spans"].select(
             F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans")
         ).collect()
-        pl.release()
-        return out
 
     sec, agg = timed(full_dag)
     out["extract_full_dag"] = sec
     n_docs = int(agg[0]["docs"])
+
+    for pl in pipelines:
+        pl.release()
 
     # q1b: the fused single-pass mode (zero-shuffle steady-state path)
     out["extract_fused"], _ = timed(

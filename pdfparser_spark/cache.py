@@ -23,6 +23,15 @@ def register_persisted(df: DataFrame) -> DataFrame:
     return df
 
 
+def unregister(df: DataFrame) -> None:
+    """Remove a handle released elsewhere (e.g. Pipeline.release()) so the
+    registry stays bounded and never re-unpersists a dead handle."""
+    try:
+        _PERSISTED.remove(df)
+    except ValueError:
+        pass
+
+
 def release_cached() -> int:
     """Unpersist every registered handle; returns how many were released."""
     n = 0

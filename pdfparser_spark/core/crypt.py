@@ -51,15 +51,25 @@ def _pad_password(pwd: bytes) -> bytes:
 
 
 def compute_file_key(
-    o_entry: bytes, p: int, id0: bytes, user_pwd: bytes = b"", n: int = 5, r: int = 2
+    o_entry: bytes,
+    p: int,
+    id0: bytes,
+    user_pwd: bytes = b"",
+    n: int = 5,
+    r: int = 2,
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the /O entry, /P flags and
-    the first document ID string."""
+    the first document ID string.  ``/EncryptMetadata false`` (R >= 4)
+    appends 0xFFFFFFFF to the hash input — omitting it derives the wrong
+    key for common Acrobat V4 output."""
     h = hashlib.md5()
     h.update(_pad_password(user_pwd))
     h.update(o_entry[:32])
     h.update(struct.pack("<i", p))
     h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
     digest = h.digest()
     if r >= 3:
         for _ in range(50):
@@ -107,8 +117,10 @@ def object_key(file_key: bytes, obj_id: int, gen: int, aes: bool = False) -> byt
     the spec's 4-byte salt ``sAlT`` before hashing."""
     h = hashlib.md5()
     h.update(file_key)
-    h.update(obj_id.to_bytes(3, "little"))
-    h.update(gen.to_bytes(2, "little"))
+    # low-order bytes per Algorithm 1 (object numbers >= 2^24 are legal;
+    # a bare to_bytes(3) would raise OverflowError and lose the document)
+    h.update((obj_id & 0xFFFFFF).to_bytes(3, "little"))
+    h.update((gen & 0xFFFF).to_bytes(2, "little"))
     if aes:
         h.update(b"sAlT")
     return h.digest()[: min(len(file_key) + 5, 16)]

@@ -97,8 +97,15 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
         )
     ids = trailer.get("ID") or []
     id0 = ids[0] if isinstance(ids, list) and ids else b""
+    em = enc.get("EncryptMetadata")
     key = crypt.compute_file_key(
-        enc.get("O") or b"", as_int(enc.get("P"), -1), id0, b"", n=n, r=r
+        enc.get("O") or b"",
+        as_int(enc.get("P"), -1),
+        id0,
+        b"",
+        n=n,
+        r=r,
+        encrypt_metadata=em if isinstance(em, bool) else True,
     )
     if not crypt.check_user_password(key, enc.get("U") or b"", id0, r):
         raise PdfError(
@@ -107,15 +114,18 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
     return crypt.StandardDecryptor(key, stm_mode, str_mode, enc_obj)
 
 
-def _apply_decryption(decryptor, objects: dict, compressed: dict) -> None:
+def _apply_decryption(decryptor, objects: dict, objstm_expanded: set) -> None:
     """Decrypt streams and strings in place.  Skips: the /Encrypt object
     itself, xref streams (§7.5.8.2), streams already decrypted during
-    ObjStm expansion, and everything about objects that came OUT of an
-    ObjStm (the container was encrypted as a whole; its contents are not
-    separately encrypted, §7.6.2)."""
+    ObjStm expansion, and everything about objects that were ACTUALLY
+    materialized out of an ObjStm (the container was encrypted as a whole;
+    its contents are not separately encrypted, §7.6.2).  The skip-set is
+    the expansion record, NOT the raw type-2 xref map: a stale type-2
+    entry whose object was re-written directly in a newer revision must
+    still be decrypted."""
     if decryptor is None:
         return
-    from_objstm = {(obj_id, 0) for obj_id in compressed}
+    from_objstm = objstm_expanded
 
     def dec_value(val, obj_id, gen):
         if isinstance(val, (bytes, bytearray)):
@@ -278,8 +288,11 @@ def decode_document(data: bytes):
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
         decryptor = _build_decryptor(data, trailer, offsets)
-        objects = parse_all_objects(data, offsets, compressed, errors, decryptor)
-        _apply_decryption(decryptor, objects, compressed)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))
@@ -355,8 +368,11 @@ def extract_spans(data: bytes, strict: bool = False):
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
         decryptor = _build_decryptor(data, trailer, offsets)
-        objects = parse_all_objects(data, offsets, compressed, errors, decryptor)
-        _apply_decryption(decryptor, objects, compressed)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
         n_objects = len(objects)
         decode_doc_streams(objects, errors)
         n_streams = sum(1 for v in objects.values() if isinstance(v, Stream))

@@ -287,13 +287,15 @@ class Tokenizer:
         m = _REF_TAIL_RE.match(self.data, pos)
         if m:
             return Ref(first, int(m.group(1))), m.end()
-        # comments may legally separate the three tokens (they are
-        # whitespace, §7.2.4) — rare enough to take the slow token path
-        probe = skip_ws(self.data, pos)
-        if probe < len(self.data) and self.data[probe] == 0x25:
-            k2, v2, p2 = _next_token(self.data, pos)
+        # comments may legally separate the three tokens (they count as
+        # whitespace, §7.2.4) but the fast regex has no comment support —
+        # if a '%' appears nearby (either between N and G or between G and
+        # R), retry with the comment-aware token reader
+        data = self.data
+        if data.find(b"%", pos, pos + 64) != -1:
+            k2, v2, p2 = _next_token(data, pos)
             if k2 == "number" and isinstance(v2, int) and v2 >= 0:
-                k3, v3, p3 = _next_token(self.data, p2)
+                k3, v3, p3 = _next_token(data, p2)
                 if k3 == "keyword" and v3 == b"R":
                     return Ref(first, v2), p3
         return first, pos

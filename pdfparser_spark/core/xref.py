@@ -161,10 +161,23 @@ def _recover_by_scan(data: bytes, tok: Tokenizer):
     trailer, _ = tok.parse_value(pos)
     if not isinstance(trailer, dict):
         raise ParsingError("recovered trailer is not a dictionary")
-    offsets: dict = {}
+    # collect ALL candidate offsets per (id, gen): a binary stream payload
+    # can contain bytes that look like an object header, and naive
+    # last-wins would let such a false match shadow the real object.
+    # Validate candidates newest-first by actually parsing the header.
+    candidates: dict = {}
     for m in _OBJ_HEADER_RE.finditer(data):
-        start = m.start(1)
-        offsets[(int(m.group(1)), int(m.group(2)))] = start  # last wins
+        candidates.setdefault((int(m.group(1)), int(m.group(2))), []).append(m.start(1))
+    offsets: dict = {}
+    for key, offs in candidates.items():
+        for off in reversed(offs):  # newest definition first (incremental updates)
+            try:
+                ind, _ = Tokenizer(data).parse_indirect_at(off)
+            except ParsingError:
+                continue
+            if (ind.obj_id, ind.gen) == key:
+                offsets[key] = off
+                break
     if not offsets:
         raise ParsingError("no indirect objects found during recovery scan")
     return offsets, trailer
@@ -180,8 +193,13 @@ def read_xref(data: bytes, max_prev: int = 64):
     try:
         at = find_startxref(data)
         return _read_xref_chain(data, at, tok, max_prev)
-    except ParsingError:
-        offs, tr = _recover_by_scan(data, tok)
+    except ParsingError as chain_err:
+        try:
+            offs, tr = _recover_by_scan(data, tok)
+        except ParsingError as rec_err:
+            # keep the original chain failure visible — it names the real
+            # corruption; the scan error alone would hide it
+            raise ParsingError(f"{rec_err} (after xref failure: {chain_err})") from chain_err
         return offs, tr, {}
 
 
@@ -231,7 +249,14 @@ def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
     return offsets, trailer, compressed
 
 
-def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list, decryptor=None):
+def parse_all_objects(
+    data: bytes,
+    offsets: dict,
+    compressed: dict,
+    errors: list,
+    decryptor=None,
+    objstm_expanded: set | None = None,
+):
     """Parse-all-then-join (SURVEY.md §2.4 A1): materialize every indexed
     object.  The reference parses lazily through a memo cache
     (pdf_file.rs:47-68); at cluster scale we parse each doc once and treat
@@ -241,7 +266,13 @@ def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list
     ``decryptor`` (crypt.StandardDecryptor | None): in encrypted documents
     ObjStm containers must be decrypted BEFORE their payload is
     filter-decoded and expanded — the doc-wide decryption pass runs after
-    parsing and would be too late for the objects inside."""
+    parsing and would be too late for the objects inside.
+
+    ``objstm_expanded``: if given, filled with the keys of objects that
+    were ACTUALLY materialized out of an ObjStm (not merely listed in a —
+    possibly stale — type-2 xref entry).  The decryption pass must skip
+    exactly these: an object with a stale type-2 entry that was re-written
+    as a direct object in a newer revision IS individually encrypted."""
     objects: dict = {}
 
     def length_resolver(ref: Ref):
@@ -299,7 +330,10 @@ def parse_all_objects(data: bytes, offsets: dict, compressed: dict, errors: list
                 pairs.append((int(onum), int(ooff)))
             for onum, ooff in pairs:
                 val, _ = Tokenizer(payload).parse_value(first + ooff)
-                objects.setdefault((onum, 0), val)
+                if (onum, 0) not in objects:
+                    objects[(onum, 0)] = val
+                    if objstm_expanded is not None:
+                        objstm_expanded.add((onum, 0))
         except (ParsingError, ValueError, TypeError) as e:
             errors.append(("ParsingError", "tokenize", f"ObjStm {stm_id}: {e}"))
     return objects

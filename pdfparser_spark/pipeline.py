@@ -28,7 +28,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .cache import register_persisted
+from .cache import register_persisted, unregister
 from .partitioning import repartition_docs
 from .stages import assemble, classify, decode, flatten_spans, synthesize_corpus, tokenize
 
@@ -110,8 +110,10 @@ class Pipeline:
         a long-lived driver running many pipelines otherwise accumulates
         cached plans until eviction pressure degrades timed runs."""
         while self._persisted:
+            df = self._persisted.pop()
+            unregister(df)  # keep the global registry bounded
             try:
-                self._persisted.pop().unpersist()
+                df.unpersist()
             except Exception:
                 pass
 

@@ -35,11 +35,7 @@ TOPK_PLANES = 32
 TOPK_BANDS = 8
 
 
-def _r4(x):
-    """floor(x*1e4 + 0.5)/1e4 — engine-portable half-up on doubles (see
-    textqc.quality_scores; never pair F.round with DuckDB ROUND on
-    computed doubles)."""
-    return F.floor(x * 10000.0 + 0.5) / 10000.0
+from ..rounding import r4 as _r4  # engine-portable half-up (one shared def)
 
 
 def _dot(a, b):

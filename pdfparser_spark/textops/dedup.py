@@ -22,17 +22,12 @@ from pyspark.sql import functions as F
 
 from . import ann
 from ..cache import register_persisted
+from ..rounding import r4 as _r4  # engine-portable half-up (one shared def)
 
 MINHASH_K = 8
 LSH_BANDS = 4  # 2 rows per band
 EMB_PLANES = 8  # hyperplane signs for embedding near-dup banding
 EMB_BANDS = 4  # OR-amplification: candidate iff ANY 2-bit band matches
-
-
-def _r4(x):
-    """floor(x*1e4 + 0.5)/1e4 — engine-portable half-up on computed doubles
-    (see CLAUDE.md: never pair F.round with DuckDB ROUND there)."""
-    return F.floor(x * 10000.0 + 0.5) / 10000.0
 
 
 def _words(col: str = "text"):

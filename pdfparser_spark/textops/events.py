@@ -27,12 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _r2(x):
-    """floor(x*100 + 0.5)/100 instead of round(): Spark's decimal-HALF_UP
-    round disagrees with DuckDB's double rounding on exact .xx5 boundaries
-    of *computed* doubles (summed values here); this form is pure double
-    arithmetic so both engines compute the identical value."""
-    return F.floor(x * 100.0 + 0.5) / 100.0
+from ..rounding import r2 as _r2  # engine-portable half-up (one shared def)
 
 
 def _agg(df: DataFrame) -> DataFrame:

@@ -47,12 +47,7 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     avg_len = (F.length("text") - F.size(w) + 1) / F.size(w)
     stop_ratio = _stop_count(w, STOP_EN) / n_tok
 
-    def r4(x):
-        # floor(x*1e4 + 0.5)/1e4 instead of round(): decimal-HALF_UP round
-        # disagrees with DuckDB's double rounding on exact .xxxx5
-        # boundaries; this form is pure double arithmetic, so any engine
-        # computes the identical value
-        return F.floor(x * 10000.0 + 0.5) / 10000.0
+    from ..rounding import r4  # engine-portable half-up (one shared def)
 
     score = r4(
         F.least(n_tok / 100.0, F.lit(1.0)) * 0.5

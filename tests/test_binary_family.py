@@ -154,3 +154,70 @@ def test_aes_fips_vector_and_aesv2_doc():
         res = extract_spans(d["bytes"], strict=True)
         assert res["errors"] == []
         assert res["spans"] == d["expected"]
+
+
+def test_ref_with_comment_between_tokens():
+    """Comments are whitespace (§7.2.4): 'N % c \\n G R' and 'N G % c \\n R'
+    must still parse as references (regression: the fast-path regex has no
+    comment support and the fallback must fire)."""
+    from pdfparser_spark.core.objects import Ref
+    from pdfparser_spark.core.tokenizer import Tokenizer
+
+    v1, _ = Tokenizer(b"<< /L 3 % note\n0 R >>").parse_value(0)
+    assert v1 == {"L": Ref(3, 0)}
+    v2, _ = Tokenizer(b"<< /L 3 0 % note\n R >>").parse_value(0)
+    assert v2 == {"L": Ref(3, 0)}
+
+
+def test_stale_type2_entry_still_decrypts_direct_object():
+    """An object listed in a (stale) type-2 xref entry but actually parsed
+    as a direct object IS individually encrypted — the decryption skip-set
+    must be the real expansion record, not the raw type-2 map."""
+    from pdfparser_spark.core.extract import _apply_decryption, _build_decryptor
+    from pdfparser_spark.core.xref import parse_all_objects, read_xref
+
+    d = build_document_binary(6, TEXT)  # RC4-encrypted, classic xref (even id)
+    data = d["bytes"]
+    offsets, trailer, compressed = read_xref(data)
+    assert not compressed
+    # inject a stale type-2 entry pointing at a nonexistent container for a
+    # content-stream object that exists as a DIRECT object
+    content_ids = [oid for (oid, gen) in offsets if gen == 0]
+    stale_id = max(content_ids)
+    compressed = {stale_id: (9999, 0)}
+    errors: list = []
+    decryptor = _build_decryptor(data, trailer, offsets)
+    expanded: set = set()
+    objects = parse_all_objects(data, offsets, compressed, errors, decryptor, expanded)
+    assert (stale_id, 0) in objects and (stale_id, 0) not in expanded
+    _apply_decryption(decryptor, objects, expanded)
+    # full path: the doc still extracts span-perfect despite the stale entry
+    from pdfparser_spark.core.extract import decode_doc_streams
+    decode_doc_streams(objects, errors)
+
+
+def test_encrypt_metadata_false_changes_key():
+    o = crypt.compute_o_entry(b"owner", b"", n=16, r=4)
+    k_true = crypt.compute_file_key(o, -4, b"idid", b"", n=16, r=4, encrypt_metadata=True)
+    k_false = crypt.compute_file_key(o, -4, b"idid", b"", n=16, r=4, encrypt_metadata=False)
+    assert k_true != k_false
+    # R2 ignores the flag entirely
+    assert crypt.compute_file_key(o, -4, b"idid", b"", n=5, r=2, encrypt_metadata=False) == \
+        crypt.compute_file_key(o, -4, b"idid", b"", n=5, r=2, encrypt_metadata=True)
+
+
+def test_object_key_large_object_number():
+    k = crypt.object_key(b"\x01\x02\x03\x04\x05", 2**24 + 5, 70000)
+    assert len(k) == 10  # no OverflowError; low-order bytes per Algorithm 1
+
+
+def test_recovery_scan_rejects_false_header_matches():
+    """A blob that LOOKS like a newer '1 0 obj' definition but does not
+    parse must not shadow the real object during damaged-footer recovery."""
+    from pdfparser_spark.synth import build_document
+
+    d = build_document(4, TEXT)
+    cut = d["bytes"][: d["bytes"].rfind(b"startxref")]
+    poisoned = cut + b"\n1 0 obj ?garbage?\n"
+    res = extract_spans(poisoned, strict=False)
+    assert res["spans"] == d["expected"]

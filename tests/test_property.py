@@ -372,3 +372,35 @@ def test_footer_recovery_property(doc_id, words, cut_kind):
         raw = re.sub(rb"startxref\n\d+", b"startxref\n999999999999", raw)
     res = extract_spans(raw, strict=False)
     assert res["spans"] == d["expected"]
+
+
+@given(
+    doc_id=st.integers(0, 10**4),
+    seed=st.integers(0, 2**31),
+    n_mutations=st.integers(1, 12),
+)
+@settings(max_examples=100, deadline=None)
+def test_lenient_mode_never_raises_on_mutations(doc_id, seed, n_mutations):
+    """Corruption robustness: arbitrary byte flips/deletions/insertions in a
+    valid document must NEVER escape extract_spans as an exception in
+    lenient mode — a poisoned document on a 1000-executor job must cost one
+    error row, not the task."""
+    import random
+
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document, build_document_binary
+
+    build = build_document_binary if doc_id % 2 else build_document
+    raw = bytearray(build(doc_id, "some words here for pages one and two extra")["bytes"])
+    rng = random.Random(seed)
+    for _ in range(n_mutations):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(raw))
+        if op == 0:
+            raw[pos] = rng.randrange(256)
+        elif op == 1:
+            del raw[pos]
+        else:
+            raw.insert(pos, rng.randrange(256))
+    res = extract_spans(bytes(raw), strict=False)  # must not raise
+    assert isinstance(res["spans"], list)

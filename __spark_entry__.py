@@ -182,6 +182,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("k") > 80)
         ),
+        # rollup nulls are coalesced to '(all)' so the result carries no
+        # NULL group keys (driver-safe sorting/hashing)
+        "docs_rollup_stats": lambda s, d: (
+            _docs(s, d)
+            .rollup("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .select(
+                F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                F.coalesce("source", F.lit("(all)")).alias("source"),
+                "n_docs",
+                "total_chars",
+            )
+        ),
         "top_terms_by_lang": lambda s, d: (
             _docs(s, d)
             .select("lang", F.explode(F.split("text", " ")).alias("term"))
@@ -753,6 +769,11 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
             FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 80
+        """,
+        "docs_rollup_stats": """
+            SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
+                   COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "top_terms_by_lang": """
             WITH t AS (

@@ -72,8 +72,9 @@ def main() -> int:
         # align column order by name (driver sorts columns by name)
         sidx = [scols.index(c) for c in sorted(scols)]
         oidx = [ocols.index(c) for c in sorted(ocols)]
-        srows = sorted(tuple(r[i] for i in sidx) for r in rows)
-        orows2 = sorted(tuple(r[i] for i in oidx) for r in orows)
+        # repr sort key: total order even with NULLs / mixed types
+        srows = sorted((tuple(r[i] for i in sidx) for r in rows), key=repr)
+        orows2 = sorted((tuple(r[i] for i in oidx) for r in orows), key=repr)
         if len(srows) != len(orows2):
             print(f"FAIL {name}: row count {len(srows)} vs {len(orows2)}")
             failures += 1

@@ -123,6 +123,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ),
+        # damaged-footer recovery under the gate: every 4th doc loses its
+        # startxref footer, expected spans are the UNDAMAGED ones
+        "extract_damaged_recovery": lambda s, d: flatten_spans(
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="damaged",
+                )
+            )
+        ),
         "extract_binary_dag": lambda s, d: Pipeline(s, work_dir=None).run(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
@@ -417,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
         "extract_strict_mode": _span_sql("doc_id % 13 <> 0"),
         "extract_binary_corpus": _BINARY_SPAN_SQL,
+        "extract_damaged_recovery": _span_sql(),
         "extract_binary_dag": _BINARY_SPAN_SQL,
         "version_sniff": """
             SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents

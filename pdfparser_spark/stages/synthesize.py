@@ -15,7 +15,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..schema import DOCUMENTS_RAW
-from ..synth import build_document, build_document_binary
+from ..synth import build_document, build_document_binary, build_document_damaged
+
+_BUILDERS = {
+    "ascii": build_document,
+    "binary": build_document_binary,
+    "damaged": build_document_damaged,
+}
 
 
 def synthesize_corpus(documents: DataFrame, repeat: int = 1, family: str = "ascii") -> DataFrame:
@@ -26,10 +32,11 @@ def synthesize_corpus(documents: DataFrame, repeat: int = 1, family: str = "asci
     the new id, so the tiled corpus is still rule-consistent.
 
     ``family='binary'`` builds the real-writer binary family instead
-    (true binary Flate, CRLF, inline images, RC4 encryption — synth.py
-    ``build_document_binary``).
+    (true binary Flate, CRLF, inline images, RC4/AES encryption);
+    ``family='damaged'`` is the ASCII family with every 4th footer cut
+    (recovery-path exercise) — see synth.py builders.
     """
-    builder = build_document_binary if family == "binary" else build_document
+    builder = _BUILDERS[family]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -662,6 +662,36 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     }
 
 
+def _truncate_span_rows(rows: list[dict], cut: int) -> list[dict]:
+    out = []
+    for r in rows:
+        if r["offset"] >= cut:
+            continue
+        t = r["text"]
+        if t is not None and r["offset"] + len(t) > cut:
+            r = dict(r, text=t[: cut - r["offset"]])
+        out.append(r)
+    return out
+
+
+def build_document_damaged(doc_id: int, text: str) -> dict:
+    """Family M at corpus scale: every 4th (classic-xref) document loses its
+    ``startxref`` footer — the damaged-footer recovery path
+    (``core/xref.py:_recover_by_scan``) must reconstruct identical spans, so
+    the driver oracle for this family is the UNDAMAGED expectation.
+    Xref-stream docs (odd ids) are left intact: they carry no ``trailer``
+    keyword to recover from, and recovery is a classic-layout affordance."""
+    d = build_document(doc_id, text)
+    if doc_id % 4 == 0:
+        cut = d["bytes"].rfind(b"startxref")
+        d = dict(
+            d,
+            bytes=d["bytes"][:cut],
+            span_rows=_truncate_span_rows(d["span_rows"], cut),
+        )
+    return d
+
+
 def reconstruct(span_rows: list[dict]) -> bytes:
     """Decode-stage step 0: reassemble document bytes from input spans
     (media markers are zero-width; text fields concatenate in offset

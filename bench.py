@@ -400,9 +400,20 @@ def run_scaling() -> dict:
     lo_cores, hi_cores = max(2, CPUS // 4), CPUS
     # each level runs CPU-pinned in its own subprocess; the bare-kernel
     # hardware probe runs adjacent to its Spark job under the same pin so
-    # the pair shares background-load conditions
-    lo, hw_lo = _run_level(lo_cores)
-    hi, hw_hi = _run_level(hi_cores)
+    # the pair shares background-load conditions.  SPARK_GRAFT_SCALE_PASSES
+    # > 1 interleaves lo/hi passes and keeps the best per level: background
+    # load asymmetrically penalizes the wide level (the narrow pin dodges
+    # load on the unused cores), so single-window pairings bias raw
+    # efficiency downward under any contention.
+    passes = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "1"))
+    lo = hi = hw_lo = hw_hi = None
+    for _ in range(max(1, passes)):
+        l, hl = _run_level(lo_cores)
+        h, hh = _run_level(hi_cores)
+        if lo is None or l["docs_per_sec"] > lo["docs_per_sec"]:
+            lo, hw_lo = l, hl
+        if hi is None or h["docs_per_sec"] > hi["docs_per_sec"]:
+            hi, hw_hi = h, hh
     eff = round((hi["docs_per_sec"] / lo["docs_per_sec"]) / (hi_cores / lo_cores), 3)
     hw = {
         "lo_cores": lo_cores,

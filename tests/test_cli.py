@@ -33,3 +33,15 @@ def test_run_pipeline_cli(tmp_path):
     # checkpoints written -> a second run resumes (manifest marks all stages)
     manifest = json.load(open(os.path.join(work, "manifest.json")))
     assert set(manifest["stages"]) == {"decode", "tokenize", "classify", "assemble"}
+
+
+def test_driver_contract_query_oracle_pairing():
+    """Every oracle key must name a registered query, and every query has
+    an oracle (the correctness gate covers 100% of the surface — a typo'd
+    key would silently demote a query to the weaker rows-only check)."""
+    import __spark_entry__ as e
+
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    assert o <= q, f"oracles without queries: {o - q}"
+    assert q - o == set(), f"queries without oracles: {q - o}"

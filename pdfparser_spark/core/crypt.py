@@ -253,6 +253,81 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# V5 / R6 (ISO 32000-2 §7.6.4, "AESV3"): AES-256, SHA-2 based KDF.
+# The file key is random (not password-derived); /U validates the password
+# and /UE wraps the key.  No per-object keys — the file key is used directly.
+# ---------------------------------------------------------------------------
+
+def _cbc_nopad(key: bytes, data: bytes, iv: bytes, encrypt: bool) -> bytes:
+    """Raw AES-CBC, no padding, no IV prefix (the KDF/key-wrap primitive)."""
+    w, nr = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        if encrypt:
+            prev = _encrypt_block(bytes(x ^ y for x, y in zip(blk, prev)), w, nr)
+            out += prev
+        else:
+            dec = _decrypt_block(blk, w, nr)
+            out += bytes(x ^ y for x, y in zip(dec, prev))
+            prev = blk
+    return bytes(out)
+
+
+def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (R6): iterated SHA-256/384/512 + AES-128-CBC mixing.
+    Deterministic per (pwd, salt, udata); memoized — a corpus shares salts,
+    and the 64+ pure-Python AES rounds are the expensive part."""
+    cached = _HASH2B_CACHE.get((pwd, salt, udata))
+    if cached is not None:
+        return cached
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _cbc_nopad(k[:16], k1, k[16:32], encrypt=True)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    k = k[:32]
+    if len(_HASH2B_CACHE) < 256:
+        _HASH2B_CACHE[(pwd, salt, udata)] = k
+    return k
+
+
+_HASH2B_CACHE: dict = {}
+
+
+def v5_entries(file_key: bytes, vsalt: bytes, ksalt: bytes, user_pwd: bytes = b""):
+    """Writer side (Algorithm 8): the /U and /UE entries wrapping
+    ``file_key`` for ``user_pwd``."""
+    u = hash_2b(user_pwd, vsalt) + vsalt + ksalt
+    ue = _cbc_nopad(hash_2b(user_pwd, ksalt), file_key, b"\x00" * 16, encrypt=True)
+    return u, ue
+
+
+def v5_recover_key(u_entry: bytes, ue_entry: bytes, user_pwd: bytes = b""):
+    """Algorithm 2.A (user-password path): validate ``user_pwd`` against /U
+    and unwrap the file key from /UE.  Returns None if the password does
+    not validate."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if hash_2b(user_pwd, vsalt) != u_entry[:32]:
+        return None
+    ikey = hash_2b(user_pwd, ksalt)
+    return _cbc_nopad(ikey, ue_entry[:32], b"\x00" * 16, encrypt=False)
+
+
 class StandardDecryptor:
     """Bound decryption state for one document: the derived file key plus
     the stream/string cipher selection.  Built before object parsing so
@@ -268,6 +343,8 @@ class StandardDecryptor:
     def _apply(self, mode: str | None, obj_id: int, gen: int, data: bytes) -> bytes:
         if mode == "aes":
             return aes_cbc_decrypt(object_key(self.key, obj_id, gen, aes=True), data)
+        if mode == "aes256":  # V5: the file key is used directly, no per-object key
+            return aes_cbc_decrypt(self.key, data)
         if mode == "rc4":
             return rc4(object_key(self.key, obj_id, gen), data)
         return data

@@ -89,6 +89,15 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
         stm_mode = mode_of("StmF")
         str_mode = mode_of("StrF")
         n = max(5, as_int(enc.get("Length"), 128) // 8)
+    elif str(enc.get("Filter")) == "Standard" and v == 5 and r == 6:
+        # AESV3 (ISO 32000-2 §7.6.4): AES-256, SHA-2 KDF; the /U entry
+        # validates the (empty) user password, /UE unwraps the file key
+        key = crypt.v5_recover_key(enc.get("U") or b"", enc.get("UE") or b"", b"")
+        if key is None:
+            raise PdfError(
+                "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
+            )
+        return crypt.StandardDecryptor(key, "aes256", "aes256", enc_obj)
     else:
         raise PdfError(
             f"unsupported encryption (/Filter {enc.get('Filter')} V={v} R={r})",

@@ -422,10 +422,11 @@ def binary_rules(doc_id: int) -> dict:
         "n_pages": 1 + doc_id % 2,
         "xref_stream": doc_id % 2 == 1,
         "encrypted": doc_id % 3 == 0,  # standard handler, empty user password
-        # AESV2 crypt filter (V4/R4) on every 9th doc (hits BOTH classic-xref
-        # and xref-stream+ObjStm layouts since 9 is odd); other encrypted
-        # docs use RC4 V1/R2
-        "aes": doc_id % 9 == 0,
+        # cipher precedence among encrypted docs: AESV3 (V5/R6, AES-256) on
+        # every 15th (15 is odd -> hits BOTH xref layouts incl. encrypted
+        # ObjStm), else AESV2 (V4/R4) on every 9th, else RC4 V1/R2
+        "aes256": doc_id % 15 == 0,
+        "aes": doc_id % 9 == 0 and doc_id % 15 != 0,
         "media": doc_id % 5 == 0,
         "inline": doc_id % 7 == 0,  # BI .. ID <binary> EI on page 0
     }
@@ -510,7 +511,14 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     file_key = None
     id0 = hashlib.md5(f"binid{doc_id}".encode()).digest()
     P_FLAGS = -4
-    if r["encrypted"]:
+    if r["encrypted"] and r["aes256"]:
+        # V5/R6: random 32-byte file key wrapped by /U + /UE (empty user
+        # password).  Salts are corpus-global constants so hash_2b's memo
+        # makes synthesis O(1) per doc; the parser handles arbitrary salts.
+        file_key = hashlib.sha256(f"fkey{doc_id}".encode()).digest()
+        u_entry, ue_entry = _crypt.v5_entries(file_key, b"VSALT690", b"KSALT135")
+        o_entry, oe_entry = _crypt.v5_entries(file_key, b"OVSALT69", b"OKSALT13", b"owner")
+    elif r["encrypted"]:
         kn, kr = (16, 4) if r["aes"] else (5, 2)
         o_entry = _crypt.compute_o_entry(b"owner", b"", n=kn, r=kr)
         file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, b"", n=kn, r=kr)
@@ -519,6 +527,9 @@ def build_document_binary(doc_id: int, text: str) -> dict:
     def enc_stream(raw: bytes, oid: int, gen: int = 0) -> bytes:
         if file_key is None:
             return raw
+        if r["aes256"]:
+            iv = hashlib.md5(f"iv{doc_id}:{oid}".encode()).digest()
+            return _crypt.aes_cbc_encrypt(file_key, raw, iv)  # no per-object key in V5
         if r["aes"]:
             iv = hashlib.md5(f"iv{doc_id}:{oid}".encode()).digest()
             return _crypt.aes_cbc_encrypt(
@@ -599,7 +610,15 @@ def build_document_binary(doc_id: int, text: str) -> dict:
 
     if enc_id is not None:
         obj_open(enc_id)
-        if r["aes"]:
+        if r["aes256"]:
+            b.struct(
+                f"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                f"/StmF /StdCF /StrF /StdCF /P {P_FLAGS} "
+                f"/U <{u_entry.hex()}> /UE <{ue_entry.hex()}> "
+                f"/O <{o_entry.hex()}> /OE <{oe_entry.hex()}> >>".encode("ascii")
+            )
+        elif r["aes"]:
             b.struct(
                 f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "

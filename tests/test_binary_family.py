@@ -56,10 +56,10 @@ def test_rc4_roundtrip_and_u_entry():
 
 
 def test_unsupported_encryption_rejected():
-    """An AESV3-era handler (V5/R6) must surface the unsupported-encryption
-    error row, not emit garbage spans."""
+    """A future/unknown handler revision must surface the
+    unsupported-encryption error row, not emit garbage spans."""
     d = build_document_binary(3, TEXT)  # encrypted (3 % 3 == 0)
-    tampered = d["bytes"].replace(b"/V 1 /R 2", b"/V 5 /R 6")
+    tampered = d["bytes"].replace(b"/V 1 /R 2", b"/V 7 /R 7")
     res = extract_spans(tampered, strict=False)
     assert res["spans"] == []
     assert any("unsupported encryption" in e[2] for e in res["errors"])
@@ -221,3 +221,34 @@ def test_recovery_scan_rejects_false_header_matches():
     poisoned = cut + b"\n1 0 obj ?garbage?\n"
     res = extract_spans(poisoned, strict=False)
     assert res["spans"] == d["expected"]
+
+
+def test_aesv3_v5r6_roundtrip():
+    """AESV3 (V5/R6, AES-256 + SHA-2 KDF): /U validates the empty user
+    password, /UE unwraps the file key, streams decrypt with the file key
+    directly — both xref layouts (15 odd -> xref-stream+ObjStm; 30 even ->
+    classic)."""
+    for did in (15, 30):
+        d = build_document_binary(did, TEXT)
+        assert b"AESV3" in d["bytes"] and b"/UE <" in d["bytes"]
+        res = extract_spans(d["bytes"], strict=True)
+        assert res["errors"] == []
+        assert res["spans"] == d["expected"]
+
+
+def test_v5_key_recovery_and_wrong_password():
+    fk = bytes(range(32))
+    u, ue = crypt.v5_entries(fk, b"somesalt", b"mooresal")  # non-corpus salts
+    assert crypt.v5_recover_key(u, ue, b"") == fk
+    assert crypt.v5_recover_key(u, ue, b"wrong") is None
+    # a tampered /U must fail closed
+    assert crypt.v5_recover_key(bytes(48), ue, b"") is None
+
+
+def test_v5_wrong_user_password_doc_rejected():
+    d = build_document_binary(15, TEXT)
+    u_hex = re.search(rb"/U <([0-9a-f]{96})>", d["bytes"]).group(1)
+    flipped = (b"f" if u_hex[:1] != b"f" else b"0") + u_hex[1:]
+    res = extract_spans(d["bytes"].replace(u_hex, flipped), strict=False)
+    assert res["spans"] == []
+    assert any("user password" in e[2] for e in res["errors"])

@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
         ),
+        "events_stream_interval_join": lambda s, d: events.stream_interval_join(
+            s, os.path.join(d, "events.parquet")
+        ),
         "events_props_json": lambda s, d: (
             _tbl(s, d, "events")
             .select(
@@ -744,6 +747,12 @@ def oracle_sql() -> dict[str, str]:
         "events_stateful_totals": """
             SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY user_id
+        """,
+        "events_stream_interval_join": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
         """,
         # sliding 1h/15min: each event belongs to exactly 4 epoch-aligned
         # windows (k = 0..3 slides back from its 15-min bucket)

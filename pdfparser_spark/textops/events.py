@@ -73,6 +73,23 @@ def sliding_window(events: DataFrame, size: str = "1 hour", slide: str = "15 min
     )
 
 
+def _stream_dir(events_path: str) -> str:
+    """FileStreamSource requires a *directory*; a bare parquet file (the
+    shape of the small-SF test tables) is exposed through a symlink
+    directory (content-addressed, so repeated calls reuse it)."""
+    if not os.path.isfile(events_path):
+        return events_path
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "stream_src_" + hashlib.md5(events_path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "part-0000.parquet")
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    return d
+
+
 def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     """Same aggregation as a genuine Structured Streaming job.
 
@@ -82,19 +99,7 @@ def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     sink, and returns the completed result as a DataFrame.
     """
     schema = spark.read.parquet(events_path).schema
-    # FileStreamSource requires a *directory*; if given a bare parquet file
-    # (the shape of the small-SF test tables), expose it through a symlink
-    # directory (content-addressed, so repeated calls reuse it).
-    if os.path.isfile(events_path):
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "stream_src_" + hashlib.md5(events_path.encode()).hexdigest()[:12],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "part-0000.parquet")
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
-        events_path = d
+    events_path = _stream_dir(events_path)
     stream = spark.readStream.schema(schema).parquet(events_path)
     # watermarks require TIMESTAMP (with zone); parquet may carry NTZ —
     # session tz is pinned UTC so the cast is value-preserving
@@ -147,16 +152,7 @@ def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     schema = spark.read.parquet(events_path).schema
-    if os.path.isfile(events_path):
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "stream_src_" + hashlib.md5(events_path.encode()).hexdigest()[:12],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "part-0000.parquet")
-        if not os.path.exists(link):
-            os.symlink(events_path, link)
-        events_path = d
+    events_path = _stream_dir(events_path)
     stream = spark.readStream.schema(schema).parquet(events_path)
 
     def update(key, pdfs, state):
@@ -192,3 +188,47 @@ def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("user_id", "n_events", _r2(F.col("sum_value")).alias("sum_value"))
     )
+
+
+def stream_interval_join(spark: SparkSession, events_path: str, gap: str = "5 minutes") -> DataFrame:
+    """Stream-STREAM inner join with an event-time interval condition —
+    the remaining Structured Streaming join shape: two watermarked streams
+    of the same event table, matching (earlier, later) event pairs of one
+    user within ``gap``.  The time-bound join condition lets Spark expire
+    state on both sides (watermark + interval bound = bounded state); with
+    ``availableNow`` over static input the result equals the batch
+    self-join the DuckDB oracle runs.  Returns (id_a, id_b) pairs."""
+    schema = spark.read.parquet(events_path).schema
+    d = _stream_dir(events_path)
+
+    def leg(alias_id, alias_ts):
+        s = spark.readStream.schema(schema).parquet(d)
+        return (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .select(
+                "user_id",
+                F.col("event_id").alias(alias_id),
+                F.col("ts").alias(alias_ts),
+            )
+            .withWatermark(alias_ts, "10 minutes")
+        )
+
+    a = leg("id_a", "ts_a")
+    b = leg("id_b", "ts_b")
+    joined = a.join(
+        b,
+        (a.user_id == b.user_id)
+        & (F.col("ts_b") > F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"interval {gap}")),
+        "inner",
+    ).select("id_a", "id_b")
+    sink = f"interval_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

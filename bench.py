@@ -133,21 +133,28 @@ def run_headline(spark) -> tuple[dict, int]:
 
     def full_dag():
         pl = Pipeline(spark, work_dir=None, pre_balanced=True)
-        pipelines.append(pl)  # released AFTER timing — unpersist is not compute
+        pipelines.append(pl)  # released AFTER each timed attempt
         res = pl.run(raw)
         return res["spans"].select(
             F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans")
         ).collect()
 
-    sec, agg = timed(full_dag)
+    def _release_pipelines():
+        # release only the pipelines' own stage caches — a blanket
+        # clearCache() would also evict the persisted input corpus and the
+        # next attempt would re-synthesize it inside the timed region
+        while pipelines:
+            pipelines.pop().release()
+
+    # best-of-2 like everything else: single-shot walls swing 2-3x with
+    # background load, and the driver benches once per round
+    sec, agg = timed_best2(full_dag, between=_release_pipelines)
     out["extract_full_dag"] = sec
     n_docs = int(agg[0]["docs"])
-
-    for pl in pipelines:
-        pl.release()
+    _release_pipelines()
 
     # q1b: the fused single-pass mode (zero-shuffle steady-state path)
-    out["extract_fused"], _ = timed(
+    out["extract_fused"], _ = timed_best2(
         lambda: extract_fused(raw).select(F.count(F.lit(1)), F.sum(F.size("spans"))).collect()
     )
 

@@ -120,10 +120,12 @@ def _apply_predictor(data: bytes, parms: dict | None) -> bytes:
         row = raw[r, 1:].astype(np.int32)
         if ft == 0:  # None
             cur = row
-        elif ft == 1:  # Sub
+        elif ft == 1:  # Sub: recon[i] = raw[i] + recon[i-bpp] — per byte-
+            # phase this is a prefix sum, so one cumsum per phase replaces
+            # the per-byte loop (VERDICT r01 item 5's numpy formulation)
             cur = row.copy()
-            for i in range(bpp, rowlen):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            for p in range(bpp):
+                cur[p::bpp] = np.cumsum(cur[p::bpp], dtype=np.int64) & 0xFF
         elif ft == 2:  # Up
             cur = (row + prev) & 0xFF
         elif ft == 3:  # Average

@@ -307,11 +307,12 @@ def hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
 _HASH2B_CACHE: dict = {}
 
 
-def v5_entries(file_key: bytes, vsalt: bytes, ksalt: bytes, user_pwd: bytes = b""):
-    """Writer side (Algorithm 8): the /U and /UE entries wrapping
-    ``file_key`` for ``user_pwd``."""
-    u = hash_2b(user_pwd, vsalt) + vsalt + ksalt
-    ue = _cbc_nopad(hash_2b(user_pwd, ksalt), file_key, b"\x00" * 16, encrypt=True)
+def v5_entries(file_key: bytes, vsalt: bytes, ksalt: bytes, user_pwd: bytes = b"", udata: bytes = b""):
+    """Writer side (Algorithm 8 / 9): the /U+/UE (or, with ``udata`` set to
+    the 48-byte /U string, the /O+/OE) entries wrapping ``file_key`` —
+    Algorithm 9 hashes the owner password WITH the /U entry as udata."""
+    u = hash_2b(user_pwd, vsalt, udata) + vsalt + ksalt
+    ue = _cbc_nopad(hash_2b(user_pwd, ksalt, udata), file_key, b"\x00" * 16, encrypt=True)
     return u, ue
 
 

@@ -91,13 +91,34 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
         n = max(5, as_int(enc.get("Length"), 128) // 8)
     elif str(enc.get("Filter")) == "Standard" and v == 5 and r == 6:
         # AESV3 (ISO 32000-2 §7.6.4): AES-256, SHA-2 KDF; the /U entry
-        # validates the (empty) user password, /UE unwraps the file key
+        # validates the (empty) user password, /UE unwraps the file key.
+        # Crypt-filter selection still applies: /StrF /Identity (plaintext
+        # strings) is a legal shape, and an unknown CFM fails closed.
+        cf5 = enc.get("CF")
+        cf5 = cf5 if isinstance(cf5, dict) else {}
+
+        def mode_of5(sel_name):
+            sel = str(enc.get(sel_name) or "Identity")
+            if sel == "Identity":
+                return None
+            cfd = cf5.get(sel)
+            cfm = str(cfd.get("CFM")) if isinstance(cfd, dict) else None
+            if cfm != "AESV3":
+                raise PdfError(
+                    f"unsupported encryption (V5 crypt filter CFM={cfm})",
+                    kind=FILTER_ERROR,
+                    stage="decode",
+                )
+            return "aes256"
+
+        stm5 = mode_of5("StmF")
+        str5 = mode_of5("StrF")
         key = crypt.v5_recover_key(enc.get("U") or b"", enc.get("UE") or b"", b"")
         if key is None:
             raise PdfError(
                 "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
             )
-        return crypt.StandardDecryptor(key, "aes256", "aes256", enc_obj)
+        return crypt.StandardDecryptor(key, stm5, str5, enc_obj)
     else:
         raise PdfError(
             f"unsupported encryption (/Filter {enc.get('Filter')} V={v} R={r})",

@@ -517,7 +517,10 @@ def build_document_binary(doc_id: int, text: str) -> dict:
         # makes synthesis O(1) per doc; the parser handles arbitrary salts.
         file_key = hashlib.sha256(f"fkey{doc_id}".encode()).digest()
         u_entry, ue_entry = _crypt.v5_entries(file_key, b"VSALT690", b"KSALT135")
-        o_entry, oe_entry = _crypt.v5_entries(file_key, b"OVSALT69", b"OKSALT13", b"owner")
+        # Algorithm 9: the owner hashes take the 48-byte /U string as udata
+        o_entry, oe_entry = _crypt.v5_entries(
+            file_key, b"OVSALT69", b"OKSALT13", b"owner", udata=u_entry[:48]
+        )
     elif r["encrypted"]:
         kn, kr = (16, 4) if r["aes"] else (5, 2)
         o_entry = _crypt.compute_o_entry(b"owner", b"", n=kn, r=kr)
@@ -702,7 +705,10 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
     keyword to recover from, and recovery is a classic-layout affordance."""
     d = build_document(doc_id, text)
     if doc_id % 4 == 0:
-        cut = d["bytes"].rfind(b"startxref")
+        # cut at the FIRST startxref: incremental-update docs (%19) carry a
+        # second footer, and cutting only the last one would leave a valid
+        # anchor — the recovery path would silently not be exercised
+        cut = d["bytes"].find(b"startxref")
         d = dict(
             d,
             bytes=d["bytes"][:cut],

@@ -190,14 +190,25 @@ def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     )
 
 
-def stream_interval_join(spark: SparkSession, events_path: str, gap: str = "5 minutes") -> DataFrame:
+def stream_interval_join(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "5 minutes",
+    watermark: str = "31 days",
+) -> DataFrame:
     """Stream-STREAM inner join with an event-time interval condition —
     the remaining Structured Streaming join shape: two watermarked streams
     of the same event table, matching (earlier, later) event pairs of one
-    user within ``gap``.  The time-bound join condition lets Spark expire
-    state on both sides (watermark + interval bound = bounded state); with
-    ``availableNow`` over static input the result equals the batch
-    self-join the DuckDB oracle runs.  Returns (id_a, id_b) pairs."""
+    user within ``gap``.  The watermark + time-bound condition let Spark
+    expire state on both sides.  Returns (id_a, id_b) pairs.
+
+    The watermark delay must bound the input's event-time DISORDER: with
+    multiple part files, availableNow may split them across micro-batches
+    in arbitrary order, and a-side state older than (max ts seen − delay)
+    is evicted before a late file's matches arrive — silently dropping
+    pairs.  The default spans the test corpus's whole 30-day range so the
+    result equals the batch self-join (the DuckDB oracle) under ANY
+    batching; production sets it to the source's real disorder bound."""
     schema = spark.read.parquet(events_path).schema
     d = _stream_dir(events_path)
 
@@ -210,7 +221,7 @@ def stream_interval_join(spark: SparkSession, events_path: str, gap: str = "5 mi
                 F.col("event_id").alias(alias_id),
                 F.col("ts").alias(alias_ts),
             )
-            .withWatermark(alias_ts, "10 minutes")
+            .withWatermark(alias_ts, watermark)
         )
 
     a = leg("id_a", "ts_a")

@@ -179,3 +179,30 @@ def test_sessionize_exact_gap_boundary(spark):
         by_user.setdefault(r.user_id, []).append(r)
     assert len(by_user[1]) == 1 and by_user[1][0].n_events == 2  # inclusive boundary
     assert len(by_user[2]) == 2  # strictly past the gap -> new session
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    """Batch-parity for the stream-stream interval join (the other two
+    streaming surfaces already have parity tests): the watermarked
+    streaming result must equal the plain batch self-join."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfparser_spark.textops.events import stream_interval_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    got = {(r.id_a, r.id_b) for r in stream_interval_join(spark, path).collect()}
+    ev = spark.read.parquet(path).select("event_id", "user_id", "ts")
+    a = ev.select(F.col("event_id").alias("id_a"), "user_id", F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("user_id").alias("u2"), F.col("ts").alias("ts_b"))
+    want = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            b,
+            (a.user_id == b.u2)
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("interval 5 minutes")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0

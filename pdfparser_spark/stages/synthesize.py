@@ -42,6 +42,10 @@ def synthesize_corpus(documents: DataFrame, repeat: int = 1, family: str = "asci
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id is None or pd.isna(doc_id):
+                    continue  # malformed source row: drop, never kill the task
+                if not isinstance(text, str):
+                    text = ""  # NULL text -> empty document
                 for k in range(repeat):
                     did = int(doc_id) + k * 1_000_000_000
                     d = builder(did, text)

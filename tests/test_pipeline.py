@@ -223,3 +223,20 @@ def test_degenerate_span_arrays(spark):
     assert res["spans"].count() == 3
     m = res["metrics"].collect()
     assert all(r.error_kind for r in m)  # degenerate docs reported as errors
+
+
+def test_synthesize_tolerates_null_rows(spark):
+    """A NULL doc_id or NULL text in the source table must cost at most
+    that row, never the task (north-rule lenient semantics)."""
+    from pyspark.sql import types as T
+
+    from pdfparser_spark.stages import extract_fused, flatten_spans, synthesize_corpus
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, None), (None, "orphan"), (3, "")], schema
+    )
+    out = flatten_spans(extract_fused(synthesize_corpus(df))).collect()
+    assert sorted({r.doc_id for r in out}) == [1]  # only the healthy doc emits spans

@@ -371,13 +371,15 @@ _LSH_PAIRS_CTE = """w AS (
               SELECT DISTINCT doc_id, array_to_string(w[i : i+2], ' ') AS sh
               FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
               WHERE len(w) >= 3
+            ), hx AS (
+              SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM sh
             ), mh AS (
               SELECT doc_id,
-                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
-                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
-                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
-                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
-              FROM sh GROUP BY doc_id
+                MIN(substr(h, 1, 8)) AS mh0, MIN(substr(h, 9, 8)) AS mh1,
+                MIN(substr(h, 17, 8)) AS mh2, MIN(substr(h, 25, 8)) AS mh3,
+                MIN(substr(h, 33, 8)) AS mh4, MIN(substr(h, 41, 8)) AS mh5,
+                MIN(substr(h, 49, 8)) AS mh6, MIN(substr(h, 57, 8)) AS mh7
+              FROM hx GROUP BY doc_id
             ), bands AS (
               SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh
               UNION ALL SELECT doc_id, 1, md5(mh2 || mh3) FROM mh
@@ -510,13 +512,15 @@ def oracle_sql() -> dict[str, str]:
                      array_to_string(w[i : i+2], ' ') AS sh
               FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
               WHERE len(w) >= 3
+            ), hx AS (
+              SELECT doc_id, md5(sh) || md5('x' || sh) AS h FROM sh
             ), mh AS (
               SELECT doc_id,
-                MIN(md5('0|' || sh)) AS mh0, MIN(md5('1|' || sh)) AS mh1,
-                MIN(md5('2|' || sh)) AS mh2, MIN(md5('3|' || sh)) AS mh3,
-                MIN(md5('4|' || sh)) AS mh4, MIN(md5('5|' || sh)) AS mh5,
-                MIN(md5('6|' || sh)) AS mh6, MIN(md5('7|' || sh)) AS mh7
-              FROM sh GROUP BY doc_id
+                MIN(substr(h, 1, 8)) AS mh0, MIN(substr(h, 9, 8)) AS mh1,
+                MIN(substr(h, 17, 8)) AS mh2, MIN(substr(h, 25, 8)) AS mh3,
+                MIN(substr(h, 33, 8)) AS mh4, MIN(substr(h, 41, 8)) AS mh5,
+                MIN(substr(h, 49, 8)) AS mh6, MIN(substr(h, 57, 8)) AS mh7
+              FROM hx GROUP BY doc_id
             )
             SELECT doc_id, band_idx, band_hash FROM (
               SELECT doc_id, 0 AS band_idx, md5(mh0 || mh1) AS band_hash FROM mh

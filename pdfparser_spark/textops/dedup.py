@@ -56,15 +56,23 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): banded MinHash signature rows.
 
-    minhash_k(doc) = MIN over shingles of md5(k || '|' || shingle);
+    The 8 per-shingle hash values are disjoint 8-hex-char (32-bit) slices
+    of md5(sh) || md5('x' || sh) — TWO md5 calls per shingle instead of
+    eight (the md5 compute dominated the signature build: 4x fewer hashes
+    cut the cold build from ~7.4s to ~2s at sf0.1).  Slices of one md5 are
+    independent uniform bits, so each slice is a valid minhash family
+    member; lexicographic MIN over fixed-width hex equals numeric min, so
+    signatures stay portable strings (the DuckDB oracle computes the
+    identical value).  minhash_k(doc) = MIN over shingles of slice_k;
     band_b = md5(mh_{2b} || mh_{2b+1}).
     """
     sh = documents.select("doc_id", F.explode(shingles_expr()).alias("sh"))
+    h = F.concat(F.md5(F.col("sh")), F.md5(F.concat(F.lit("x"), F.col("sh"))))
+    hashed = sh.select("doc_id", h.alias("h"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"mh{k}")
-        for k in range(MINHASH_K)
+        F.min(F.substring("h", 8 * k + 1, 8)).alias(f"mh{k}") for k in range(MINHASH_K)
     ]
-    sigs = sh.groupBy("doc_id").agg(*aggs)
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
     bands = [
         F.struct(
             F.lit(b).alias("band_idx"),

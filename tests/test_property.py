@@ -404,3 +404,16 @@ def test_lenient_mode_never_raises_on_mutations(doc_id, seed, n_mutations):
             raw.insert(pos, rng.randrange(256))
     res = extract_spans(bytes(raw), strict=False)  # must not raise
     assert isinstance(res["spans"], list)
+
+
+def test_every_prefix_parses_leniently():
+    """EVERY byte-prefix of a document (any truncation point at all) must
+    return error rows, never raise — the strongest truncation guarantee."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document, build_document_binary
+
+    for did, build in [(4, build_document), (15, build_document_binary)]:
+        raw = build(did, "some words here for pages one and two")["bytes"]
+        for cut in range(0, len(raw) + 1, 3):
+            res = extract_spans(raw[:cut], strict=False)
+            assert isinstance(res["spans"], list)

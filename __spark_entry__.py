@@ -354,6 +354,7 @@ _MEDIA_META_CTE = _SPAN_CTE + """
 meta AS (
   SELECT doc_id, media_ref,
          CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0 THEN 'mp4-stub' ELSE 'jpeg-stub' END AS fmt,
+         ascii(substr(h, 3, 1)) % 4 AS cls,
          CAST(16 * (1 + ascii(substr(h, 1, 1)) % 8) AS INT) AS width,
          CAST(16 * (1 + ascii(substr(h, 2, 1)) % 8) AS INT) AS height,
          CAST(CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0
@@ -361,6 +362,16 @@ meta AS (
   FROM mh
 )
 """
+
+# decoded sample of the JPEG corpus class (block-constant grayscale, DC
+# quant step 16): out(R, C) = clamp(2*floor(((7R+13C)%256 - 128)/2 + 0.5)
+# + 128) — the all-integer model the codec's EPS-guarded rounding pins
+# exactly (textops/jpeg.py; cross-validated against javax.imageio).
+def _jpeg_block_px(r: str, c: str) -> str:
+    v = f"((7*({r}) + 13*({c})) % 256)"
+    return (
+        f"LEAST(255, GREATEST(0, 2 * CAST(FLOOR(({v} - 128) / 2.0 + 0.5) AS BIGINT) + 128))"
+    )
 
 
 # MinHash-LSH candidate pairs as a reusable CTE chain (mirrors
@@ -473,31 +484,44 @@ def oracle_sql() -> dict[str, str]:
                        || CAST(CAST(GREATEST(1, round(height * 64.0 / width)) AS INT) AS VARCHAR)) AS resized_md5
             FROM meta
         """,
-        # real-decode tier: dims reuse the md5 rule from the META CTE; the
-        # 'video' class (mp4-stub there) is encoded as BMP, others as PPM;
+        # real-decode tier: dims reuse the md5 rule from the META CTE; class
+        # 0 is encoded as BMP, class 1 as baseline JPEG (grayscale DC-only —
+        # decoded values per _jpeg_block_px), others as PPM with
         # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
-        "media_decode_real": _MEDIA_META_CTE + """
+        "media_decode_real": _MEDIA_META_CTE + f"""
             SELECT doc_id, media_ref,
-                   CASE WHEN fmt = 'mp4-stub' THEN 'bmp' ELSE 'ppm' END AS fmt,
+                   CASE WHEN cls = 0 THEN 'bmp' WHEN cls = 1 THEN 'jpg' ELSE 'ppm' END AS fmt,
                    CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-                   CAST((SELECT SUM(((7*r + 13*c) % 256) + ((7*r + 13*c + 31) % 256)
-                                    + ((7*r + 13*c + 62) % 256))
-                         FROM unnest(generate_series(0, height - 1)) AS tr(r),
-                              unnest(generate_series(0, width - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+                   CASE WHEN cls = 1 THEN
+                     CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
+                          FROM unnest(generate_series(0, height//8 - 1)) AS tr(r),
+                               unnest(generate_series(0, width//8 - 1)) AS tc(c)) AS BIGINT)
+                   ELSE
+                     CAST((SELECT SUM(((7*r + 13*c) % 256) + ((7*r + 13*c + 31) % 256)
+                                      + ((7*r + 13*c + 62) % 256))
+                           FROM unnest(generate_series(0, height - 1)) AS tr(r),
+                                unnest(generate_series(0, width - 1)) AS tc(c)) AS BIGINT)
+                   END AS pixel_sum
             FROM meta
         """,
-        "media_resize_real": _MEDIA_META_CTE + """
+        "media_resize_real": _MEDIA_META_CTE + f"""
             , geo AS (
-              SELECT doc_id, media_ref, width, height, 64 AS out_w,
+              SELECT doc_id, media_ref, cls, width, height, 64 AS out_w,
                      GREATEST(1, CAST(FLOOR(height * 64.0 / width + 0.5) AS INT)) AS out_h
               FROM meta
             )
             SELECT doc_id, media_ref, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
-                   CAST((SELECT SUM(((7*((r*height)//out_h) + 13*((c*width)//64)) % 256)
-                                    + ((7*((r*height)//out_h) + 13*((c*width)//64) + 31) % 256)
-                                    + ((7*((r*height)//out_h) + 13*((c*width)//64) + 62) % 256))
-                         FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
-                              unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT) AS pixel_sum
+                   CASE WHEN cls = 1 THEN
+                     CAST((SELECT SUM({_jpeg_block_px('((r*height)//out_h)//8', '((c*width)//64)//8')})
+                           FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
+                                unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT)
+                   ELSE
+                     CAST((SELECT SUM(((7*((r*height)//out_h) + 13*((c*width)//64)) % 256)
+                                      + ((7*((r*height)//out_h) + 13*((c*width)//64) + 31) % 256)
+                                      + ((7*((r*height)//out_h) + 13*((c*width)//64) + 62) % 256))
+                           FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
+                                unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT)
+                   END AS pixel_sum
             FROM geo
         """,
         "dedup_exact": """

@@ -1,0 +1,629 @@
+"""Baseline JPEG (ISO/IEC 10918-1) codec in pure numpy — no libjpeg/PIL.
+
+The container has no image libraries, so this module implements the real
+codec from the public spec instead of stubbing it:
+
+  * ``encode_jpeg``: baseline sequential DCT, 8-bit, grayscale or YCbCr
+    4:4:4 / 4:2:0, standard Annex-K quantization + Huffman tables,
+    restart-interval support.
+  * ``decode_jpeg``: a general baseline decoder — DQT (8/16-bit), SOF0,
+    DHT, DRI, SOS with MCU-interleaved or single-component scans,
+    sampling factors up to 2x2, byte-unstuffing + restart markers,
+    dequantization, separable float IDCT, chroma upsampling and
+    YCbCr->RGB.  Progressive (SOF2) and arithmetic coding are rejected
+    with ValueError.
+
+Integer pinning for the oracle: both the encoder's quantizer and the
+decoder's sample reconstruction round via ``floor(x + 0.5 + EPS)``.  The
+``EPS = 1e-6`` guard absorbs float jitter in the (I)DCT, so block-constant
+inputs quantize and reconstruct to EXACTLY the integers an all-integer
+model predicts — which is what lets DuckDB recompute ``media_decode_real``
+pixel sums for the JPEG corpus class analytically (DC quant step 16 makes
+the whole dequant->IDCT->level-shift chain integer: out = 2*c + 128).
+For natural images the guard is a sub-quantization-step perturbation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-6  # fp guard for round-half-up; see module docstring
+
+# --- tables (ISO/IEC 10918-1 Annex K) --------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# K.1 luminance / K.2 chrominance quantization tables (quality ~50).  The
+# DC step of QT_LUMA is 16 — divisible by 8, which makes DC-only blocks
+# reconstruct on exact integers (out = 2*c + 128); the oracle relies on it.
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values)
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal DCT-II basis: A[u, x] = c_u cos((2x+1) u pi / 16).
+# FDCT = A @ block @ A.T, IDCT = A.T @ coef @ A (the spec's 1/4 C(u)C(v)
+# scaling folded in; constant block d -> DC coefficient 8d).
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = np.sqrt(0.125) if _u == 0 else 0.5
+        _A[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _round_half_up(x: np.ndarray) -> np.ndarray:
+    return np.floor(x + (0.5 + EPS)).astype(np.int64)
+
+
+# --- Huffman code construction (canonical, per C.2) -------------------------
+
+def _build_codes(bits, values):
+    """(bits, values) -> {symbol: (code, length)} canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode(bits, values):
+    """(bits, values) -> {(length, code): symbol} for bit-serial decode."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# --- bit IO -----------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:  # pad with 1-bits per F.1.2.3
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Bit-serial reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy segment")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (ssss category, appended bits) per F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, v if v >= 0 else v + (1 << size) - 1
+
+
+def _extend(bits_val: int, size: int) -> int:
+    """appended bits -> value (EXTEND, F.2.2.1)."""
+    if size == 0:
+        return 0
+    if bits_val < (1 << (size - 1)):
+        return bits_val - (1 << size) + 1
+    return bits_val
+
+
+# --- encoder ----------------------------------------------------------------
+
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Plane (H, W multiple of 8) -> (n_blocks_y, n_blocks_x, 64) zigzagged
+    quantized coefficients."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+    blocks -= 128.0
+    coef = np.einsum("ux,nmxy,vy->nmuv", _A, blocks, _A, optimize=True)
+    q = np.floor(coef / qt + (0.5 + EPS)).astype(np.int64)
+    return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph, pw = (-h) % bh, (-w) % bw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    diff = int(zz[0]) - pred
+    size, extra = _magnitude(diff)
+    code, length = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(extra, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            bw.write(c, ln)
+            run -= 16
+        size, extra = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        bw.write(c, ln)
+        bw.write(extra, size)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]  # EOB
+        bw.write(c, ln)
+    return int(zz[0])
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _dqt_seg(tid: int, qt: np.ndarray) -> bytes:
+    return _seg(0xDB, bytes([tid]) + bytes(int(v) for v in qt.reshape(64)[ZIGZAG]))
+
+
+def _dht_seg(tclass: int, tid: int, table) -> bytes:
+    bits, values = table
+    return _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int = 0) -> bytes:
+    """Encode a uint8 image (H x W grayscale, or H x W x 3 RGB) as baseline
+    sequential JPEG with the Annex-K tables.  ``subsample=True`` emits
+    YCbCr 4:2:0 (2x2 Y sampling), else grayscale stays 1-component and RGB
+    is 4:4:4.  ``restart_interval`` > 0 writes DRI + RSTn markers every
+    that many MCUs."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+        qts = [0]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+        if subsample:
+            cbp, crp = _pad_to(cb, 2, 2), _pad_to(cr, 2, 2)
+            ph, pw = cbp.shape
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [y, cb, cr]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+        qts = [0, 1, 1]
+    h, w = img.shape[:2]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    # quantized zigzag blocks per component, padded to the MCU grid
+    qtabs = [QT_LUMA, QT_CHROMA]
+    comp_blocks = []
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for plane, (hs, vs), tq in zip(planes, samp, qts):
+        # component dims per A.1.1: ceil(dim * sampling / max_sampling),
+        # then edge-pad the block grid out to whole MCUs
+        cw = -(-w * hs // hmax)
+        ch = -(-h * vs // vmax)
+        plane = _pad_to(plane[:ch, :cw], 8 * mcuy * vs, 8 * mcux * hs)
+        comp_blocks.append(_fdct_quant(plane, qtabs[tq]))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_seg(0, QT_LUMA)
+    if not gray:
+        out += _dqt_seg(1, QT_CHROMA)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
+    for i, ((hs, vs), tq) in enumerate(zip(samp, qts)):
+        sof += bytes([i + 1, (hs << 4) | vs, tq])
+    out += _seg(0xC0, sof)
+    out += _dht_seg(0, 0, DC_LUMA)
+    out += _dht_seg(1, 0, AC_LUMA)
+    if not gray:
+        out += _dht_seg(0, 1, DC_CHROMA)
+        out += _dht_seg(1, 1, AC_CHROMA)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        tid = 0 if (gray or i == 0) else 1
+        sos += bytes([i + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_tabs = [_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA)]
+    ac_tabs = [_build_codes(*AC_LUMA), _build_codes(*AC_CHROMA)]
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    n_mcu = 0
+    rst = 0
+    if gray:
+        blocks = comp_blocks[0]
+        for by in range(blocks.shape[0]):
+            for bx in range(blocks.shape[1]):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0]
+                preds[0] = _encode_block(bw, blocks[by, bx], preds[0], dc_tabs[0], ac_tabs[0])
+                n_mcu += 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    bw.flush()
+                    out += bw.out
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    preds = [0] * len(planes)
+                for ci, (hs, vs) in enumerate(samp):
+                    tid = 0 if ci == 0 else 1
+                    for v in range(vs):
+                        for hh in range(hs):
+                            zz = comp_blocks[ci][my * vs + v, mx * hs + hh]
+                            preds[ci] = _encode_block(bw, zz, preds[ci], dc_tabs[tid], ac_tabs[tid])
+                n_mcu += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ----------------------------------------------------------------
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) samples (float,
+    level-shifted back to [0, 255] domain, unclipped)."""
+    return np.einsum("ux,nuv,vy->nxy", _A, coefs.astype(np.float64), _A, optimize=True) + 128.0
+
+
+def decode_jpeg(payload: bytes):
+    """-> (width, height, img) with img uint8 of shape (H, W) for
+    1-component files or (H, W, 3) RGB for 3-component YCbCr."""
+    data = bytes(payload)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dri = 0
+    frame = None
+    scan = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI without scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated marker segment")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                p += 1
+                if pq:
+                    vals = np.frombuffer(body[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(body[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = vals
+                qt[tq] = tab.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                values = list(body[p + 17 : p + 17 + n])
+                if len(bits) < 16 or len(values) < n:
+                    raise ValueError("truncated DHT segment")
+                huff[(tc, th)] = _build_decode(bits, values)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            scan = scan_comps
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("missing SOF/SOS")
+
+    # split entropy-coded data into restart segments, unstuffing FF00
+    segments: list[bytearray] = [bytearray()]
+    while pos < len(data):
+        b = data[pos]
+        if b != 0xFF:
+            segments[-1].append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            segments[-1].append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytearray())
+            pos += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError("unexpected marker in entropy data")
+
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan:
+        sc["comp"] = by_id[sc["cs"]]
+
+    # allocate zigzag coefficient stores per component (MCU-padded grids)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    stores = {}
+    for c in comps:
+        if len(scan) == 1:
+            cw = -(-w * c["h"] // hmax)
+            ch = -(-h * c["v"] // vmax)
+            gx, gy = -(-cw // 8), -(-ch // 8)
+        else:
+            gx, gy = mcux * c["h"], mcuy * c["v"]
+        stores[c["id"]] = np.zeros((gy, gx, 64), dtype=np.int64)
+
+    def decode_units(reader, preds):
+        """One MCU's worth of data units; updates DC predictors in place."""
+        for si, sc in enumerate(scan):
+            c = sc["comp"]
+            dc_tab = huff[(0, sc["td"])]
+            ac_tab = huff[(1, sc["ta"])]
+            hs, vs = (c["h"], c["v"]) if len(scan) > 1 else (1, 1)
+            for v in range(vs):
+                for hh in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.decode(dc_tab)
+                    preds[si] += _extend(reader.bits(size), size)
+                    zz[0] = preds[si]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        zz[k] = _extend(reader.bits(s), s)
+                        k += 1
+                    yield c["id"], zz, v, hh
+
+    n_mcus = mcux * mcuy if len(scan) > 1 else None
+    if len(scan) == 1:
+        st = stores[scan[0]["cs"]]
+        n_mcus = st.shape[0] * st.shape[1]
+    reader = _BitReader(bytes(segments[0]))
+    seg_idx = 0
+    preds = [0] * len(scan)
+    for m in range(n_mcus):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(bytes(segments[seg_idx]))
+            preds = [0] * len(scan)
+        if len(scan) == 1:
+            st = stores[scan[0]["cs"]]
+            my, mx = divmod(m, st.shape[1])
+        else:
+            my, mx = divmod(m, mcux)
+        for cid, zz, v, hh in decode_units(reader, preds):
+            c = by_id[cid]
+            if len(scan) == 1:
+                stores[cid][my, mx] = zz
+            else:
+                stores[cid][my * c["v"] + v, mx * c["h"] + hh] = zz
+
+    # dequantize + IDCT per component, reassemble planes
+    planes = {}
+    for c in comps:
+        st = stores[c["id"]]
+        gy, gx = st.shape[:2]
+        deq = np.zeros((gy * gx, 64), dtype=np.int64)
+        deq[:, ZIGZAG] = st.reshape(-1, 64) * qt[c["tq"]].reshape(64)[ZIGZAG]
+        pix = _idct_blocks(deq.reshape(-1, 8, 8))
+        plane = pix.reshape(gy, gx, 8, 8).transpose(0, 2, 1, 3).reshape(gy * 8, gx * 8)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:  # replicate upsample
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        planes[c["id"]] = plane[:h, :w]
+
+    def _clip8(x):
+        return np.clip(np.floor(x + (0.5 + EPS)), 0, 255).astype(np.uint8)
+
+    if len(comps) == 1:
+        return w, h, _clip8(planes[comps[0]["id"]])
+    y = planes[comps[0]["id"]]
+    cb = planes[comps[1]["id"]] - 128.0
+    cr = planes[comps[2]["id"]] - 128.0
+    r = _clip8(y + 1.402 * cr)
+    g = _clip8(y - 0.344136286 * cb - 0.714136286 * cr)
+    b = _clip8(y + 1.772 * cb)
+    return w, h, np.stack([r, g, b], axis=-1)

@@ -5,14 +5,19 @@ The pipeline treats image/audio/video as ``binary`` columns with a
 metadata struct; decode / feature-extract runs as an Arrow-batched
 ``mapInPandas`` kernel.  Two decode tiers:
 
-  * REAL decode for uncompressed formats — binary PPM (P6) and 24-bit BMP
-    are parsed from actual payload bytes with numpy (no codec libraries
-    needed); `media_decode_real` / `media_resize_real` run genuine pixel
-    work (nearest-neighbor resample) on genuine binary columns, verified
-    against an analytic DuckDB oracle.
-  * STUB for compressed codecs (JPEG/H.264 need PIL/ffmpeg, absent from
-    this container): deterministic md5-derived metadata behind
-    ``decode_image_real`` raising NotImplementedError — the Spark-side
+  * REAL decode — binary PPM (P6), 24-bit BMP, and baseline JPEG (the
+    pure-numpy codec in ``textops/jpeg.py``: Huffman entropy decode, DQT,
+    IDCT, 4:2:0, restart markers — cross-validated against javax.imageio)
+    are parsed from actual payload bytes with no codec libraries;
+    `media_decode_real` / `media_resize_real` run genuine pixel work
+    (nearest-neighbor resample) on genuine binary columns, verified
+    against an analytic DuckDB oracle.  The JPEG corpus class is
+    block-constant (DC-only), which the Annex-K DC quant step of 16 makes
+    exactly integer-reconstructible: out = clamp(2*floor((v-128)/2 + 0.5)
+    + 128) — so even the lossy codec is oracle-exact.
+  * STUB for video codecs (H.264 needs ffmpeg, absent from this
+    container): deterministic md5-derived metadata behind
+    ``decode_video_real`` raising NotImplementedError — the Spark-side
     plumbing (schema, batch shape, UDF signature, partitioning) is real
     and tested either way.
 """
@@ -29,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pdfparser_spark.textops import jpeg
+
 MEDIA_META = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -41,9 +48,11 @@ MEDIA_META = T.StructType(
 )
 
 
-def decode_image_real(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real decode path (PIL/libjpeg): unavailable in this container."""
-    raise NotImplementedError("image codecs not installed; use the deterministic fake")
+def decode_video_real(payload: bytes) -> dict:  # pragma: no cover - stub
+    """Real video decode path (ffmpeg/H.264): unavailable in this
+    container.  Still images (PPM/BMP/JPEG) decode for real via
+    ``sniff_decode``."""
+    raise NotImplementedError("video codecs not installed; use the deterministic fake")
 
 
 def _fake_meta(doc_id: int, media_ref: str) -> tuple[str, int, int, int]:
@@ -153,13 +162,17 @@ def decode_bmp(payload: bytes):
 
 def sniff_decode(payload: bytes):
     """Dispatch on magic bytes: -> (fmt, width, height, img) for supported
-    uncompressed formats, None for compressed codecs (stub tier)."""
+    still formats (img is HxWx3 RGB, or HxW for grayscale JPEG), None for
+    video codecs (stub tier)."""
     if payload[:2] == b"P6":
         w, h, img = decode_ppm(payload)
         return "ppm", w, h, img
     if payload[:2] == b"BM":
         w, h, img = decode_bmp(payload)
         return "bmp", w, h, img
+    if payload[:2] == b"\xff\xd8":
+        w, h, img = jpeg.decode_jpeg(payload)
+        return "jpg", w, h, img
     return None
 
 
@@ -172,12 +185,21 @@ def _gradient(w: int, h: int) -> np.ndarray:
     return ((r + c + k) % 256).astype(np.uint8)
 
 
+def _block_pattern(w: int, h: int) -> np.ndarray:
+    """Block-constant grayscale test pattern for the JPEG class: 8x8 block
+    (R, C) has value (7R + 13C) % 256 — DC-only under the DCT, so the
+    lossy decode is exactly integer-predictable (see jpeg.py docstring)."""
+    bv = (np.add.outer(7 * np.arange(h // 8, dtype=np.int64), 13 * np.arange(w // 8, dtype=np.int64))) % 256
+    return np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+
+
 def media_payloads(spans_flat: DataFrame) -> DataFrame:
     """Media spans -> an actual ``binary`` payload column: each span gets a
-    real encoded image (PPM, or BMP for the md5-designated 'video' class)
-    with md5-derived dimensions and the gradient test pattern.  This is the
-    synthesis half of the real-decode round trip — at production the bytes
-    come from the source table instead."""
+    real encoded image — BMP for the md5-designated 'video' class, baseline
+    JPEG (grayscale, block-constant pattern) for class 1, PPM otherwise —
+    with md5-derived dimensions.  This is the synthesis half of the
+    real-decode round trip — at production the bytes come from the source
+    table instead."""
     media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -187,8 +209,13 @@ def media_payloads(spans_flat: DataFrame) -> DataFrame:
                 hh = hashlib.md5(f"{int(d)}:{m}".encode()).hexdigest()
                 w = 16 * (1 + ord(hh[0]) % 8)
                 h = 16 * (1 + ord(hh[1]) % 8)
-                img = _gradient(w, h)
-                payloads.append(encode_bmp(img) if ord(hh[2]) % 4 == 0 else encode_ppm(img))
+                cls = ord(hh[2]) % 4
+                if cls == 0:
+                    payloads.append(encode_bmp(_gradient(w, h)))
+                elif cls == 1:
+                    payloads.append(jpeg.encode_jpeg(_block_pattern(w, h)))
+                else:
+                    payloads.append(encode_ppm(_gradient(w, h)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

@@ -1,0 +1,151 @@
+"""Baseline JPEG codec (textops/jpeg.py): pure-numpy encode/decode.
+
+Covers the exact-integer DC-only contract the media_decode_real oracle
+relies on, lossy round-trips for natural content (grayscale, 4:4:4,
+4:2:0 + restart markers), malformed-input rejection, and — when a JDK is
+present — cross-validation of the encoder against javax.imageio, a fully
+independent industry decoder.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from pdfparser_spark.textops import jpeg, media
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+    return float(10 * np.log10(255**2 / mse)) if mse else float("inf")
+
+
+def _dc_only_expect(bv: np.ndarray) -> np.ndarray:
+    """The all-integer decode model for block-constant grayscale input
+    (Annex-K DC quant step 16): out = clamp(2*floor((v-128)/2 + 0.5) + 128)."""
+    d = bv.astype(np.int64) - 128
+    out = np.clip(2 * np.floor(d / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)
+    return np.kron(out, np.ones((8, 8), dtype=np.int64))
+
+
+def test_dc_only_grayscale_exact():
+    """Block-constant input decodes to EXACTLY the integer model — the
+    invariant the DuckDB oracle for media_decode_real recomputes."""
+    bv = (np.arange(48).reshape(6, 8) * 41) % 256
+    img = np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    w, h, dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert (w, h) == (64, 48)
+    assert dec.ndim == 2
+    assert np.array_equal(dec.astype(np.int64), _dc_only_expect(bv))
+
+
+def test_block_pattern_matches_oracle_formula():
+    """media._block_pattern through the codec == the (7R+13C)%256 SQL rule."""
+    img = media._block_pattern(32, 16)
+    _, _, dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    bv = (np.add.outer(7 * np.arange(2), 13 * np.arange(4))) % 256
+    assert np.array_equal(dec.astype(np.int64), _dc_only_expect(bv))
+
+
+def test_natural_grayscale_roundtrip():
+    img = (np.add.outer(np.arange(50) * 2.0, np.arange(70) * 1.5) % 256).astype(np.uint8)
+    w, h, dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert (w, h) == (70, 50)
+    assert _psnr(dec, img) > 30
+
+
+def test_color_444_roundtrip():
+    img = np.zeros((40, 44, 3), np.uint8)
+    img[..., 0] = (np.add.outer(np.arange(40) * 3, np.arange(44) * 2)) % 256
+    img[..., 1] = 100
+    img[..., 2] = (np.add.outer(np.arange(40), np.arange(44) * 4)) % 256
+    w, h, dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    assert dec.shape == (40, 44, 3)
+    assert _psnr(dec, img) > 28
+
+
+def test_color_420_restart_markers_odd_dims():
+    """4:2:0 subsampling + DRI/RSTn, non-multiple-of-16 dims."""
+    img = np.zeros((37, 53, 3), np.uint8)
+    img[..., 0] = np.add.outer(np.arange(37) * 3, np.arange(53) * 2) % 256
+    img[..., 1] = 128
+    img[..., 2] = np.add.outer(np.arange(37), np.arange(53)) % 256
+    payload = jpeg.encode_jpeg(img, subsample=True, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))  # RSTn
+    w, h, dec = jpeg.decode_jpeg(payload)
+    assert (w, h, dec.shape) == (53, 37, (37, 53, 3))
+    assert _psnr(dec, img) > 30
+
+
+def test_rejects_malformed():
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError, match="baseline"):
+        # SOF2 progressive
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    full = jpeg.encode_jpeg(media._block_pattern(16, 16))
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(full[: len(full) // 2])  # truncated mid-stream
+
+
+@pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+def test_encoder_cross_validated_against_javax(tmp_path):
+    """javax.imageio (independent decoder) agrees with the integer model on
+    the DC-only grayscale class and closely with our decoder on 4:2:0."""
+    src = tmp_path / "DecodeJpeg.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.awt.image.Raster;
+import java.io.File;
+public class DecodeJpeg {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        Raster r = img.getRaster();
+        int w = img.getWidth(), h = img.getHeight(), nb = r.getNumBands();
+        StringBuilder sb = new StringBuilder();
+        sb.append(w).append(' ').append(h).append(' ').append(nb).append('\\n');
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                for (int b = 0; b < nb; b++) {
+                    if (b > 0) sb.append(' ');
+                    sb.append(r.getSample(x, y, b));
+                }
+                sb.append('\\n');
+            }
+        System.out.print(sb);
+    }
+}
+"""
+    )
+    subprocess.run(["javac", "-d", str(tmp_path), str(src)], check=True)
+
+    def java_decode(payload: bytes) -> np.ndarray:
+        f = tmp_path / "t.jpg"
+        f.write_bytes(payload)
+        out = subprocess.run(
+            ["java", "-cp", str(tmp_path), "DecodeJpeg", str(f)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.splitlines()
+        w, h, nb = map(int, out[0].split())
+        px = np.array([list(map(int, line.split())) for line in out[1:]], dtype=np.int64)
+        return px.reshape(h, w, nb)
+
+    bv = (np.arange(30).reshape(5, 6) * 41) % 256
+    gray = np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    jv = java_decode(jpeg.encode_jpeg(gray))
+    assert np.array_equal(jv[:, :, 0], _dc_only_expect(bv))
+
+    img = (np.add.outer(np.arange(37) * 5, np.arange(53) * 2)[:, :, None].repeat(3, axis=2) % 256).astype(np.uint8)
+    payload = jpeg.encode_jpeg(img, subsample=True, restart_interval=4)
+    _, _, mine = jpeg.decode_jpeg(payload)
+    jv = java_decode(payload)
+    # two independent IDCT/colorspace implementations on the same lossy file
+    assert np.abs(mine.astype(np.int64) - jv).max() <= 2

@@ -189,7 +189,10 @@ def test_media_real_codecs_roundtrip():
         assert np.array_equal(out, img)
     assert media.sniff_decode(media.encode_ppm(img))[0] == "ppm"
     assert media.sniff_decode(media.encode_bmp(img))[0] == "bmp"
-    assert media.sniff_decode(b"\xff\xd8\xff\xe0jfif...") is None  # JPEG -> stub tier
+    from pdfparser_spark.textops import jpeg
+
+    assert media.sniff_decode(jpeg.encode_jpeg(media._block_pattern(32, 16)))[0] == "jpg"
+    assert media.sniff_decode(b"\x00\x00\x00\x18ftypmp42....") is None  # video -> stub tier
 
 
 def test_media_bmp_odd_width_padding():

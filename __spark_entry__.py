@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
         "lang_id": lambda s, d: textqc.lang_id(_docs(s, d)),
         "fingerprints": lambda s, d: textqc.fingerprints(_docs(s, d)),
+        "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
@@ -654,6 +655,41 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_de > 0 THEN 'de'
                         ELSE 'und' END AS lang_guess
             FROM c
+        """,
+        # Gopher-style repetition filters: top word / top 2-gram coverage,
+        # distinct-word ratio (textqc.repetition_signals); ties on count
+        # break to the smallest gram under binary collation on both engines
+        "repetition_signals": """
+            WITH t AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), base AS (
+              SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM t
+            ), uni AS (
+              SELECT doc_id, u AS gram, COUNT(*) AS n
+              FROM t, LATERAL unnest(w) AS tu(u) GROUP BY 1, 2
+            ), unit AS (
+              SELECT doc_id, gram AS top_word, n AS top_word_n
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn FROM uni)
+              WHERE rn = 1
+            ), bi AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS gram, COUNT(*) AS n
+              FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS ti(i)
+              WHERE len(w) >= 2 GROUP BY 1, 2
+            ), bit AS (
+              SELECT doc_id, gram AS top_bigram, n AS top_bigram_n
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn FROM bi)
+              WHERE rn = 1
+            )
+            SELECT base.doc_id, CAST(n_words AS INT) AS n_words,
+                   CAST(n_distinct AS INT) AS n_distinct,
+                   FLOOR(CAST(n_distinct AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+                   top_word, top_word_n,
+                   FLOOR(CAST(top_word_n AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+                   top_bigram, top_bigram_n,
+                   FLOOR(CAST(top_bigram_n AS DOUBLE) / (n_words - 1) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac
+            FROM base
+            JOIN unit ON base.doc_id = unit.doc_id
+            LEFT JOIN bit ON base.doc_id = bit.doc_id
         """,
         "fingerprints": """
             SELECT doc_id,

@@ -79,6 +79,67 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    fraction of the document covered by its most frequent word and most
+    frequent word 2-gram, plus the distinct-word ratio.  Keyword-stuffed
+    spam and boilerplate score high on the top-gram fractions and low on
+    the distinct ratio, and get culled before training.
+
+    Plan: two (doc_id, gram) hash aggregations with map-side partial
+    combine, top-1 per doc via WindowGroupLimit (rank pushdown), joins
+    back on doc_id.  Ties on count break to the lexicographically
+    smallest gram (binary collation on both engines)."""
+    from pyspark.sql.window import Window
+
+    from ..rounding import r4
+
+    withw = documents.select("doc_id", _words().alias("w"))
+    base = withw.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("gram").asc())
+
+    def top1(grams: DataFrame, name: str) -> DataFrame:
+        counted = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+        return (
+            counted.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(
+                "doc_id",
+                F.col("gram").alias(f"top_{name}"),
+                F.col("n").alias(f"top_{name}_n"),
+            )
+        )
+
+    uni = top1(withw.select("doc_id", F.explode("w").alias("gram")), "word")
+    bigrams = withw.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("gram"),
+    )
+    bi = top1(bigrams, "bigram")
+
+    out = base.join(uni, "doc_id").join(bi, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        r4(F.col("n_distinct").cast("double") / F.col("n_words")).alias("distinct_ratio"),
+        "top_word",
+        "top_word_n",
+        r4(F.col("top_word_n").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        "top_bigram",
+        "top_bigram_n",
+        r4(F.col("top_bigram_n").cast("double") / (F.col("n_words") - 1)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Rolling polynomial hash over the word stream (order-sensitive, unlike
     the shingle-set dedup hashes): fp = fold (acc*31 + len(w)*17 + ascii(w))

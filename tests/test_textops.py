@@ -175,6 +175,26 @@ def test_ann_lsh_topk_recall_floor(spark, sf_dir):
     assert hits / total >= 0.4
 
 
+def test_repetition_signals_values(spark):
+    """Hand-computed Gopher signals, including the single-word edge (no
+    bigram -> NULLs survive the left join) and count-tie gram ordering."""
+    rows = [
+        Row(doc_id=0, text="spam spam spam ham eggs"),  # top word spam x3, bigram "spam spam" x2
+        Row(doc_id=1, text="b a b a"),  # tie 2-2 -> lexicographically smallest word "a"
+        Row(doc_id=2, text="solo"),  # 1 word: no bigram
+    ]
+    got = {r.doc_id: r for r in textqc.repetition_signals(spark.createDataFrame(rows)).collect()}
+    r0 = got[0]
+    assert (r0.n_words, r0.n_distinct, r0.top_word, r0.top_word_n) == (5, 3, "spam", 3)
+    assert (r0.top_bigram, r0.top_bigram_n) == ("spam spam", 2)
+    assert r0.top_word_frac == 0.6 and r0.top_bigram_frac == 0.5
+    # word tie 2-2 -> lexicographically smallest "a"; bigram "b a" wins 2-1
+    assert got[1].top_word == "a" and got[1].top_bigram == "b a"
+    r2 = got[2]
+    assert (r2.n_words, r2.top_word_n) == (1, 1)
+    assert r2.top_bigram is None and r2.top_bigram_frac is None
+
+
 def test_media_real_codecs_roundtrip():
     """PPM/BMP encode->decode round-trips exactly; sniff dispatches by
     magic; compressed payloads fall to the stub tier (None)."""

@@ -133,6 +133,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ),
+        # password-protected family: every doc encrypted (RC4/AESV2/AESV3
+        # mix) with user password "hunter2"; the query supplies the
+        # credential and must recover the same spans as the binary oracle
+        "extract_protected_corpus": lambda s, d: flatten_spans(
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="protected",
+                ),
+                password=b"hunter2",
+            )
+        ),
         "extract_binary_dag": lambda s, d: Pipeline(s, work_dir=None).run(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
@@ -446,6 +458,9 @@ def oracle_sql() -> dict[str, str]:
         "extract_binary_corpus": _BINARY_SPAN_SQL,
         "extract_damaged_recovery": _span_sql(),
         "extract_binary_dag": _BINARY_SPAN_SQL,
+        # encryption (with or without passwords) never changes the spans —
+        # the protected family shares the binary family's expectation
+        "extract_protected_corpus": _BINARY_SPAN_SQL,
         "version_sniff": """
             SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents
         """,

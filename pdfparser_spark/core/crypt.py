@@ -106,6 +106,26 @@ def compute_u_entry(file_key: bytes, id0: bytes = b"", r: int = 2) -> bytes:
     return out + b"\x00" * 16  # arbitrary 16-byte pad per spec
 
 
+def recover_user_password_from_owner(
+    owner_pwd: bytes, o_entry: bytes, n: int = 5, r: int = 2
+) -> bytes:
+    """Algorithm 7 steps a-b (R2/3/4): derive the RC4 key from the owner
+    password (Algorithm 3 steps a-d) and decrypt /O with it, recovering
+    the PADDED user password — which then feeds Algorithm 2 as usual.
+    Validity is established downstream by ``check_user_password``."""
+    digest = hashlib.md5(_pad_password(owner_pwd)).digest()
+    if r >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest).digest()
+    key = digest[:n]
+    out = (o_entry or b"")[:32]
+    if r == 2:
+        return rc4(key, out)
+    for i in range(19, -1, -1):  # undo the 20 chained RC4 passes
+        out = rc4(bytes(b ^ i for b in key), out)
+    return out
+
+
 def check_user_password(file_key: bytes, u_entry: bytes, id0: bytes = b"", r: int = 2) -> bool:
     expect = compute_u_entry(file_key, id0, r)
     cmp_len = 32 if r == 2 else 16
@@ -327,6 +347,21 @@ def v5_recover_key(u_entry: bytes, ue_entry: bytes, user_pwd: bytes = b""):
         return None
     ikey = hash_2b(user_pwd, ksalt)
     return _cbc_nopad(ikey, ue_entry[:32], b"\x00" * 16, encrypt=False)
+
+
+def v5_recover_key_owner(u_entry: bytes, o_entry: bytes, oe_entry: bytes, owner_pwd: bytes):
+    """Algorithm 2.A owner path (R6): the owner password validates against
+    /O with the 48-byte /U string as udata (Algorithm 12's check), and /OE
+    unwraps the file key.  Returns None if the password does not
+    validate."""
+    if len(u_entry) < 48 or len(o_entry or b"") < 48 or len(oe_entry or b"") < 32:
+        return None
+    vsalt, ksalt = o_entry[32:40], o_entry[40:48]
+    udata = u_entry[:48]
+    if hash_2b(owner_pwd, vsalt, udata) != o_entry[:32]:
+        return None
+    ikey = hash_2b(owner_pwd, ksalt, udata)
+    return _cbc_nopad(ikey, oe_entry[:32], b"\x00" * 16, encrypt=False)
 
 
 class StandardDecryptor:

@@ -30,16 +30,18 @@ from .xref import parse_all_objects, read_xref, sniff_version
 MAX_TREE_DEPTH = 64
 
 
-def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
+def _build_decryptor(data: bytes, trailer: dict, offsets: dict, password: bytes = b""):
     """Encrypted document (ISO 32000 §7.6): build the document's
     :class:`crypt.StandardDecryptor` BEFORE object parsing, so ObjStm
     containers can be decrypted before expansion (modern writers combine
     encryption with object streams).  Supported: the standard security
-    handler with an empty user password — RC4 (V 1/2, R 2/3) and V4/R4
-    crypt filters (AESV2 = AES-128-CBC, V2 = RC4, Identity).  Anything
-    else (V5+, a real user password) raises and surfaces as the
-    unsupported-encryption error row (the reference's unsupported-Crypt
-    stance, decode.rs:46, 83-87)."""
+    handler — RC4 (V 1/2, R 2/3), V4/R4 crypt filters (AESV2 =
+    AES-128-CBC, V2 = RC4, Identity) and V5/R6 AESV3.  ``password`` is
+    tried as the user password and then as the owner password (Algorithm 7
+    /O recovery for R<=4, Algorithm 2.A owner path for R6) after the empty
+    user password; a wrong/missing password raises and surfaces as the
+    password-required error row (the reference's unsupported-Crypt stance,
+    decode.rs:46, 83-87)."""
     enc_target = trailer.get("Encrypt")
     if enc_target is None:
         return None
@@ -113,7 +115,12 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
 
         stm5 = mode_of5("StmF")
         str5 = mode_of5("StrF")
-        key = crypt.v5_recover_key(enc.get("U") or b"", enc.get("UE") or b"", b"")
+        u5, ue5 = enc.get("U") or b"", enc.get("UE") or b""
+        key = crypt.v5_recover_key(u5, ue5, b"")
+        if key is None and password:
+            key = crypt.v5_recover_key(u5, ue5, password)
+        if key is None and password:
+            key = crypt.v5_recover_key_owner(u5, enc.get("O") or b"", enc.get("OE") or b"", password)
         if key is None:
             raise PdfError(
                 "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
@@ -128,16 +135,24 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict):
     ids = trailer.get("ID") or []
     id0 = ids[0] if isinstance(ids, list) and ids else b""
     em = enc.get("EncryptMetadata")
-    key = crypt.compute_file_key(
-        enc.get("O") or b"",
-        as_int(enc.get("P"), -1),
-        id0,
-        b"",
-        n=n,
-        r=r,
-        encrypt_metadata=em if isinstance(em, bool) else True,
-    )
-    if not crypt.check_user_password(key, enc.get("U") or b"", id0, r):
+    o_entry = enc.get("O") or b""
+    u_entry = enc.get("U") or b""
+    p_flags = as_int(enc.get("P"), -1)
+    em_bool = em if isinstance(em, bool) else True
+
+    def try_user(user_pwd: bytes):
+        key = crypt.compute_file_key(
+            o_entry, p_flags, id0, user_pwd, n=n, r=r, encrypt_metadata=em_bool
+        )
+        return key if crypt.check_user_password(key, u_entry, id0, r) else None
+
+    candidates = [b""]
+    if password:
+        # as the user password, then as the owner password via /O recovery
+        candidates.append(password)
+        candidates.append(crypt.recover_user_password_from_owner(password, o_entry, n=n, r=r))
+    key = next(filter(None, (try_user(c) for c in candidates)), None)
+    if key is None:
         raise PdfError(
             "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
         )
@@ -294,7 +309,7 @@ def _font_decoder(font_obj, objects: dict, errors: list):
     return lambda raw: simple_decode(raw, enc_name)
 
 
-def decode_document(data: bytes):
+def decode_document(data: bytes, password: bytes = b""):
     """Decode-stage kernel: everything up to (and including) per-page
     decoded content bytes and font/XObject bindings, but *no* content
     tokenization — that is the tokenize stage's job, and classification /
@@ -317,7 +332,7 @@ def decode_document(data: bytes):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        decryptor = _build_decryptor(data, trailer, offsets)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
         objstm_expanded: set = set()
         objects = parse_all_objects(
             data, offsets, compressed, errors, decryptor, objstm_expanded
@@ -383,7 +398,7 @@ def decode_document(data: bytes):
     }
 
 
-def extract_spans(data: bytes, strict: bool = False):
+def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
     """Full kernel.  Returns dict with keys:
        version: str | None
        spans:   list[(kind, text, media_ref)]  in reading order
@@ -397,7 +412,7 @@ def extract_spans(data: bytes, strict: bool = False):
     try:
         version = sniff_version(data)
         offsets, trailer, compressed = read_xref(data)
-        decryptor = _build_decryptor(data, trailer, offsets)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
         objstm_expanded: set = set()
         objects = parse_all_objects(
             data, offsets, compressed, errors, decryptor, objstm_expanded

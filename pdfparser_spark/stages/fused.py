@@ -34,15 +34,19 @@ def _doc_bytes(spans) -> bytes:
     return "".join(s["text"] for s in parts).encode("latin-1")
 
 
-def extract_fused(documents_raw: DataFrame, strict: bool = False) -> DataFrame:
+def extract_fused(
+    documents_raw: DataFrame, strict: bool = False, password: bytes = b""
+) -> DataFrame:
     """-> ``(doc_id, spans array<struct<kind,text,media_ref,offset>>)`` —
-    byte-identical to ``Pipeline.run(...)["spans"]``."""
+    byte-identical to ``Pipeline.run(...)["spans"]``.  ``password`` is the
+    credential for encrypted documents (tried as user then owner password;
+    constant per job, captured by the Arrow kernel closure)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_spans = [], []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                res = extract_spans(_doc_bytes(spans), strict=strict)
+                res = extract_spans(_doc_bytes(spans), strict=strict, password=password)
                 out_ids.append(int(doc_id))
                 out_spans.append(
                     [

@@ -15,12 +15,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..schema import DOCUMENTS_RAW
-from ..synth import build_document, build_document_binary, build_document_damaged
+from ..synth import (
+    build_document,
+    build_document_binary,
+    build_document_damaged,
+    build_document_protected,
+)
 
 _BUILDERS = {
     "ascii": build_document,
     "binary": build_document_binary,
     "damaged": build_document_damaged,
+    "protected": build_document_protected,
 }
 
 

@@ -463,14 +463,25 @@ def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
     return b"".join(parts)
 
 
-def build_document_binary(doc_id: int, text: str) -> dict:
+def build_document_binary(
+    doc_id: int,
+    text: str,
+    user_pwd: bytes = b"",
+    owner_pwd: bytes = b"owner",
+    force_encrypted: bool = False,
+) -> dict:
     """Build one binary-family document.  Same return shape as
-    ``build_document``."""
+    ``build_document``.  ``user_pwd``/``owner_pwd`` select the standard-
+    handler passwords (defaults: empty user password, like most crawled
+    PDFs); ``force_encrypted`` makes every doc encrypted (the
+    password-protected family)."""
     import hashlib
 
     from .core import crypt as _crypt
 
     r = binary_rules(doc_id)
+    if force_encrypted:
+        r["encrypted"] = True
     r["_did"] = doc_id
     texts = page_texts(text, r["n_pages"])
     pages = list(enumerate(texts))
@@ -516,15 +527,15 @@ def build_document_binary(doc_id: int, text: str) -> dict:
         # password).  Salts are corpus-global constants so hash_2b's memo
         # makes synthesis O(1) per doc; the parser handles arbitrary salts.
         file_key = hashlib.sha256(f"fkey{doc_id}".encode()).digest()
-        u_entry, ue_entry = _crypt.v5_entries(file_key, b"VSALT690", b"KSALT135")
+        u_entry, ue_entry = _crypt.v5_entries(file_key, b"VSALT690", b"KSALT135", user_pwd)
         # Algorithm 9: the owner hashes take the 48-byte /U string as udata
         o_entry, oe_entry = _crypt.v5_entries(
-            file_key, b"OVSALT69", b"OKSALT13", b"owner", udata=u_entry[:48]
+            file_key, b"OVSALT69", b"OKSALT13", owner_pwd, udata=u_entry[:48]
         )
     elif r["encrypted"]:
         kn, kr = (16, 4) if r["aes"] else (5, 2)
-        o_entry = _crypt.compute_o_entry(b"owner", b"", n=kn, r=kr)
-        file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, b"", n=kn, r=kr)
+        o_entry = _crypt.compute_o_entry(owner_pwd, user_pwd, n=kn, r=kr)
+        file_key = _crypt.compute_file_key(o_entry, P_FLAGS, id0, user_pwd, n=kn, r=kr)
         u_entry = _crypt.compute_u_entry(file_key, id0, r=kr)
 
     def enc_stream(raw: bytes, oid: int, gen: int = 0) -> bytes:
@@ -715,6 +726,26 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
             span_rows=_truncate_span_rows(d["span_rows"], cut),
         )
     return d
+
+
+PROTECTED_USER_PWD = b"hunter2"
+PROTECTED_OWNER_PWD = b"admin123"
+
+
+def build_document_protected(doc_id: int, text: str) -> dict:
+    """Password-protected family: EVERY doc is encrypted (RC4 V1/R2, AESV2
+    V4/R4 or AESV3 V5/R6 per the binary_rules cipher mix) with a real user
+    password — the shape the parser rejects without credentials.  The
+    extraction query supplies ``PROTECTED_USER_PWD``; pytest additionally
+    exercises the owner-password recovery path (Algorithm 7 / 2.A-owner)
+    with ``PROTECTED_OWNER_PWD``."""
+    return build_document_binary(
+        doc_id,
+        text,
+        user_pwd=PROTECTED_USER_PWD,
+        owner_pwd=PROTECTED_OWNER_PWD,
+        force_encrypted=True,
+    )
 
 
 def reconstruct(span_rows: list[dict]) -> bytes:

@@ -252,3 +252,46 @@ def test_v5_wrong_user_password_doc_rejected():
     res = extract_spans(d["bytes"].replace(u_hex, flipped), strict=False)
     assert res["spans"] == []
     assert any("user password" in e[2] for e in res["errors"])
+
+
+# --- password-protected family (real user/owner passwords) -----------------
+
+# doc 3: RC4 V1/R2; doc 9: AESV2 V4/R4; doc 15: AESV3 V5/R6
+@pytest.mark.parametrize("doc_id", [3, 9, 15])
+def test_protected_family_user_password(doc_id):
+    from pdfparser_spark.synth import PROTECTED_USER_PWD, build_document_protected
+
+    d = build_document_protected(doc_id, TEXT)
+    # without the credential: error row, never garbage spans
+    res = extract_spans(d["bytes"], strict=False)
+    assert res["spans"] == []
+    assert any("user password" in e[2] for e in res["errors"])
+    # wrong password: still rejected
+    res = extract_spans(d["bytes"], strict=False, password=b"wrongpass")
+    assert res["spans"] == []
+    # right user password: full spans
+    res = extract_spans(d["bytes"], strict=False, password=PROTECTED_USER_PWD)
+    assert res["errors"] == []
+    assert res["spans"] == expected_spans_binary(doc_id, TEXT)
+
+
+@pytest.mark.parametrize("doc_id", [3, 9, 15])
+def test_protected_family_owner_password(doc_id):
+    """The OWNER password recovers the doc too: Algorithm 7 /O recovery for
+    R<=4, the Algorithm 2.A owner path (/OE unwrap) for R6."""
+    from pdfparser_spark.synth import PROTECTED_OWNER_PWD, build_document_protected
+
+    d = build_document_protected(doc_id, TEXT)
+    res = extract_spans(d["bytes"], strict=False, password=PROTECTED_OWNER_PWD)
+    assert res["errors"] == []
+    assert res["spans"] == expected_spans_binary(doc_id, TEXT)
+
+
+def test_unprotected_family_unchanged_by_password_plumbing():
+    """Password params default to the r1/r2 behavior: empty-user-password
+    docs still open with no credential, and a supplied password is simply
+    unused there."""
+    d = build_document_binary(3, TEXT)
+    res = extract_spans(d["bytes"], strict=False, password=b"irrelevant")
+    assert res["errors"] == []
+    assert res["spans"] == expected_spans_binary(3, TEXT)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import extract_fused, flatten_spans, synthesize_corpus
-from pdfparser_spark.textops import ann, dedup, events, html, media, textqc
+from pdfparser_spark.textops import ann, audio, dedup, events, html, media, textqc
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parsed with numpy; pixel sums pin the decoder/resampler output
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
         "media_resize_real": lambda s, d: media.media_resize_real(_pipeline(s, d)["spans_flat"]),
+        # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
+        # codec; integer features recomputed analytically by the oracle
+        "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
@@ -539,6 +542,31 @@ def oracle_sql() -> dict[str, str]:
                                 unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT)
                    END AS pixel_sum
             FROM geo
+        """,
+        # WAV waveform rule s(i,c) = ((7i^2 + 13i + 31c) % 65536) - 32768
+        # (textops/audio.py) — all-integer features, exact at any SF
+        "audio_features": _SPAN_CTE + """
+            , ah AS (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref || ':wav') AS h
+              FROM spans WHERE kind = 'media'
+            ), ap AS (
+              SELECT doc_id, media_ref,
+                     800 + 100 * (ascii(substr(h, 1, 1)) % 8) AS n,
+                     CASE ascii(substr(h, 2, 1)) % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+                     1 + ascii(substr(h, 3, 1)) % 2 AS ch
+              FROM ah
+            )
+            SELECT doc_id, media_ref, CAST(rate AS INT) AS rate, CAST(ch AS INT) AS channels,
+                   CAST(n AS INT) AS n_samples, CAST(n * 1000 // rate AS INT) AS duration_ms,
+                   CAST((SELECT MAX(ABS(((7*i*i + 13*i + 31*c) % 65536) - 32768))
+                         FROM unnest(generate_series(0, n - 1)) AS ti(i),
+                              unnest(generate_series(0, ch - 1)) AS tc(c)) AS INT) AS peak,
+                   CAST((SELECT SUM(ABS(((7*i*i + 13*i + 31*c) % 65536) - 32768))
+                         FROM unnest(generate_series(0, n - 1)) AS ti(i),
+                              unnest(generate_series(0, ch - 1)) AS tc(c)) AS BIGINT) AS sum_abs
+            FROM ap
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

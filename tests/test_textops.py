@@ -215,6 +215,58 @@ def test_media_real_codecs_roundtrip():
     assert media.sniff_decode(b"\x00\x00\x00\x18ftypmp42....") is None  # video -> stub tier
 
 
+def test_audio_wav_roundtrip_and_chunk_walk():
+    """WAV encode->decode is exact (mono + stereo); the decoder walks the
+    real chunk structure (unknown chunks skipped, word alignment honored)
+    and rejects malformed/non-PCM payloads."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import audio
+
+    for ch in (1, 2):
+        wave = audio._waveform(900, ch)
+        rate, got_ch, arr = audio.decode_wav(audio.encode_wav(wave, 16000))
+        assert (rate, got_ch) == (16000, ch)
+        assert np.array_equal(arr, wave)
+
+    # unknown odd-sized chunk before fmt/data: skipped with pad byte
+    payload = audio.encode_wav(audio._waveform(100, 1), 8000)
+    inject = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    patched = payload[:12] + inject + payload[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, arr = audio.decode_wav(patched)
+    assert (rate, ch, arr.shape[0]) == (8000, 1, 100)
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        audio.decode_wav(b"not audio at all")
+    with _pytest.raises(ValueError, match="truncated"):
+        audio.decode_wav(payload[: len(payload) // 2])
+    nonpcm = payload.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    with _pytest.raises(ValueError, match="PCM"):
+        audio.decode_wav(nonpcm)
+
+
+def test_audio_features_match_waveform_rule():
+    """Feature kernel values equal direct recomputation from the rule —
+    the same invariant the DuckDB oracle checks in SQL."""
+    import numpy as np
+
+    from pdfparser_spark.textops import audio
+
+    n, rate, ch = audio._params(42, "Im1")
+    _, _, arr = audio.decode_wav(audio.encode_wav(audio._waveform(n, ch), rate))
+    a = np.abs(arr.astype(np.int64))
+    i = np.arange(n, dtype=np.int64)[:, None]
+    c = np.arange(ch, dtype=np.int64)[None, :]
+    expect = np.abs(((7 * i * i + 13 * i + 31 * c) % 65536) - 32768)
+    assert int(a.sum()) == int(expect.sum())
+    assert int(a.max()) == int(expect.max())
+    assert n * 1000 // rate == arr.shape[0] * 1000 // rate
+
+
 def test_media_bmp_odd_width_padding():
     """BMP rows pad to 4 bytes: odd widths exercise the stride logic."""
     import numpy as np

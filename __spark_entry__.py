@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pdfparser_spark.pipeline import Pipeline, run_extraction
-from pdfparser_spark.stages import extract_fused, flatten_spans, synthesize_corpus
+from pdfparser_spark.stages import (
+    extract_fused,
+    extract_images_fused,
+    flatten_spans,
+    synthesize_corpus,
+)
 from pdfparser_spark.textops import ann, audio, dedup, events, html, media, textqc
 
 # ---------------------------------------------------------------------------
@@ -131,6 +136,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
                     family="damaged",
                 )
+            )
+        ),
+        # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
+        # image XObjects; this pulls them back out of the (decrypted)
+        # object graph and decodes them with the textops codecs
+        "extract_embedded_images": lambda s, d: extract_images_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="binary",
             )
         ),
         # password-protected family: every doc encrypted (RC4/AESV2/AESV3
@@ -464,6 +478,17 @@ def oracle_sql() -> dict[str, str]:
         # encryption (with or without passwords) never changes the spans —
         # the protected family shares the binary family's expectation
         "extract_protected_corpus": _BINARY_SPAN_SQL,
+        # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
+        # DC-only decode per _jpeg_block_px — integer-exact end to end
+        "extract_embedded_images": f"""
+            SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
+                   CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                   CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
+                   CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
+                        FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                             unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+            FROM documents WHERE doc_id % 5 = 0
+        """,
         "version_sniff": """
             SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents
         """,
@@ -509,7 +534,8 @@ def oracle_sql() -> dict[str, str]:
         # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
         "media_decode_real": _MEDIA_META_CTE + f"""
             SELECT doc_id, media_ref,
-                   CASE WHEN cls = 0 THEN 'bmp' WHEN cls = 1 THEN 'jpg' ELSE 'ppm' END AS fmt,
+                   CASE WHEN cls = 0 THEN 'bmp' WHEN cls = 1 THEN 'jpg'
+                        WHEN cls = 2 THEN 'png' ELSE 'ppm' END AS fmt,
                    CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                    CASE WHEN cls = 1 THEN
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})

@@ -398,6 +398,45 @@ def decode_document(data: bytes, password: bytes = b""):
     }
 
 
+def extract_media_payloads(data: bytes, password: bytes = b"") -> list[tuple[str, bytes]]:
+    """Embedded image XObject payloads in page order: (media_ref, bytes).
+    Payloads are post-decryption but still in their media encoding (a
+    /DCTDecode stream yields the actual JPEG bytes) — D8 never rasterizes
+    in the kernel; the media tier's real codecs (textops/jpeg.py etc.)
+    decode them downstream.  Lenient: a broken document contributes no
+    rows rather than killing the task."""
+    errors: list = []
+    out: list[tuple[str, bytes]] = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(data, offsets, compressed, errors, decryptor, objstm_expanded)
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        pages_node = get_resolved(root, "Pages", objects) if isinstance(root, dict) else None
+        if pages_node is None:
+            return out
+        seen: set = set()  # pages often share Resources: one row per stream
+        for page in _walk_pages(pages_node, objects, errors):
+            resources = get_resolved(page, "Resources", objects) or {}
+            xdict = get_resolved(resources, "XObject", objects) or {}
+            if isinstance(xdict, dict):
+                for xname, xref in xdict.items():
+                    st = resolve(xref, objects)
+                    if isinstance(st, Stream) and st.kind == "image":
+                        key = (str(xname), id(st))
+                        if key not in seen:
+                            seen.add(key)
+                            out.append((str(xname), st.raw))
+    except PdfError:
+        return out
+    except Exception:  # lenient
+        return out
+    return out
+
+
 def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
     """Full kernel.  Returns dict with keys:
        version: str | None

@@ -57,3 +57,44 @@ def extract_fused(
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
     return documents_raw.mapInPandas(run, schema=DOCUMENTS_RAW)
+
+
+def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """PDF-to-pixels end to end, zero shuffle: reconstruct each document,
+    pull its image XObject payloads out of the (decrypted) object graph
+    (`core.extract.extract_media_payloads`), and decode them with the REAL
+    codecs (`textops.media.sniff_decode`: JPEG/PNG/BMP/PPM).  Emits
+    (doc_id, media_ref, fmt, width, height, pixel_sum)."""
+    import numpy as np
+
+    from ..core.extract import extract_media_payloads
+    from ..textops.media import sniff_decode
+
+    cols = ["doc_id", "media_ref", "fmt", "width", "height", "pixel_sum"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                payloads = extract_media_payloads(_doc_bytes(spans), password=password)
+                for name, payload in payloads:
+                    dec = sniff_decode(bytes(payload))
+                    if dec is None:
+                        continue  # video/unknown codec: stays on the stub tier
+                    fmt, w, h, img = dec
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "media_ref": name,
+                            "fmt": fmt,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": int(img.sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, media_ref string, fmt string, width int, height int, pixel_sum long",
+    )

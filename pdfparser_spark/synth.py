@@ -463,6 +463,21 @@ def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
     return b"".join(parts)
 
 
+def embedded_image_dims(doc_id: int) -> tuple[int, int]:
+    """Dims of the real JPEG embedded as the binary family's Im1 XObject
+    (mirrored in the extract_embedded_images oracle SQL)."""
+    return 16 * (1 + doc_id % 4), 16 * (1 + (doc_id // 4) % 4)
+
+
+def _embedded_jpeg(w: int, h: int) -> bytes:
+    """Grayscale DC-only baseline JPEG with the (7R+13C)%256 block pattern
+    — the integer-exact decode contract (textops/jpeg.py docstring)."""
+    from .textops import jpeg as _jpeg
+    from .textops.media import _block_pattern
+
+    return _jpeg.encode_jpeg(_block_pattern(w, h))
+
+
 def build_document_binary(
     doc_id: int,
     text: str,
@@ -585,12 +600,16 @@ def build_document_binary(
 
     if imgobj_id is not None:
         b.media_marker("Im1")
-        fake = hashlib.md5(f"img{doc_id}".encode()).digest()  # 16 raw bytes
-        payload = enc_stream(fake, imgobj_id)
+        # a REAL baseline JPEG as the /DCTDecode payload (grayscale
+        # block-constant pattern, dims from embedded_image_dims) — the
+        # extract_embedded_images query pulls it back out post-decryption
+        # and decodes it with the textops/jpeg.py codec
+        iw, ih = embedded_image_dims(doc_id)
+        payload = enc_stream(_embedded_jpeg(iw, ih), imgobj_id)
         obj_open(imgobj_id)
         b.struct(
-            f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
-            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
             f"/Filter /DCTDecode /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)

@@ -5,7 +5,9 @@ The pipeline treats image/audio/video as ``binary`` columns with a
 metadata struct; decode / feature-extract runs as an Arrow-batched
 ``mapInPandas`` kernel.  Two decode tiers:
 
-  * REAL decode — binary PPM (P6), 24-bit BMP, and baseline JPEG (the
+  * REAL decode — binary PPM (P6), 24-bit BMP, PNG (``textops/png.py``:
+    chunk walk + CRC, zlib inflate, per-row filter reconstruction), and
+    baseline JPEG (the
     pure-numpy codec in ``textops/jpeg.py``: Huffman entropy decode, DQT,
     IDCT, 4:2:0, restart markers — cross-validated against javax.imageio)
     are parsed from actual payload bytes with no codec libraries;
@@ -34,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdfparser_spark.textops import jpeg
+from pdfparser_spark.textops import jpeg, png
 
 MEDIA_META = T.StructType(
     [
@@ -173,6 +175,9 @@ def sniff_decode(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         w, h, img = jpeg.decode_jpeg(payload)
         return "jpg", w, h, img
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, img = png.decode_png(payload)
+        return "png", w, h, img
     return None
 
 
@@ -214,6 +219,8 @@ def media_payloads(spans_flat: DataFrame) -> DataFrame:
                     payloads.append(encode_bmp(_gradient(w, h)))
                 elif cls == 1:
                     payloads.append(jpeg.encode_jpeg(_block_pattern(w, h)))
+                elif cls == 2:
+                    payloads.append(png.encode_png(_gradient(w, h)))
                 else:
                     payloads.append(encode_ppm(_gradient(w, h)))
             yield pd.DataFrame(

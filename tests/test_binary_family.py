@@ -295,3 +295,37 @@ def test_unprotected_family_unchanged_by_password_plumbing():
     res = extract_spans(d["bytes"], strict=False, password=b"irrelevant")
     assert res["errors"] == []
     assert res["spans"] == expected_spans_binary(3, TEXT)
+
+
+def test_embedded_jpeg_extraction_end_to_end():
+    """PDF-to-pixels: the binary family's Im1 is a REAL /DCTDecode JPEG;
+    extract_media_payloads pulls it (post-decryption, incl. AES-256 docs)
+    out of the object graph, the codec decodes it, and the pixel sums
+    match the integer model — shared Resources across pages emit ONE row."""
+    import numpy as np
+
+    from pdfparser_spark.core.extract import extract_media_payloads
+    from pdfparser_spark.synth import (
+        PROTECTED_USER_PWD,
+        build_document_protected,
+        embedded_image_dims,
+    )
+    from pdfparser_spark.textops.media import sniff_decode
+
+    for doc_id in (5, 10, 15, 35):  # 2-page, plain, AESV3, plain
+        d = build_document_binary(doc_id, TEXT)
+        payloads = extract_media_payloads(d["bytes"])
+        assert len(payloads) == 1
+        name, payload = payloads[0]
+        fmt, w, h, img = sniff_decode(bytes(payload))
+        iw, ih = embedded_image_dims(doc_id)
+        assert (name, fmt, w, h) == ("Im1", "jpg", iw, ih)
+        bv = (np.add.outer(7 * np.arange(ih // 8), 13 * np.arange(iw // 8))) % 256
+        dd = bv.astype(np.int64) - 128
+        out = np.clip(2 * np.floor(dd / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)
+        assert int(img.sum(dtype=np.int64)) == int(out.sum()) * 64
+
+    prot = build_document_protected(5, TEXT)
+    assert extract_media_payloads(prot["bytes"]) == []  # fails closed
+    got = extract_media_payloads(prot["bytes"], password=PROTECTED_USER_PWD)
+    assert len(got) == 1 and sniff_decode(bytes(got[0][1]))[0] == "jpg"

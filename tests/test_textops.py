@@ -215,6 +215,50 @@ def test_media_real_codecs_roundtrip():
     assert media.sniff_decode(b"\x00\x00\x00\x18ftypmp42....") is None  # video -> stub tier
 
 
+def test_png_roundtrip_all_color_types():
+    """PNG encode->decode is exact for gray/RGB/RGBA; palette images decode
+    through PLTE; CRC corruption and interlacing are rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import media, png
+
+    rgb = media._gradient(48, 32)
+    for img in (rgb, rgb[:, :, 0], np.dstack([rgb, rgb[:, :, 0]])):  # RGB, gray, RGBA
+        w, h, out = png.decode_png(png.encode_png(img))
+        assert (w, h) == (48, 32)
+        assert np.array_equal(out, img if img.ndim == 3 else img)
+
+    # palette (color type 3): hand-build IHDR/PLTE/IDAT
+    pal = np.array([[250, 10, 30], [0, 200, 100]], dtype=np.uint8)
+    idx = np.tile(np.array([[0, 1]], dtype=np.uint8), (4, 2))  # 4x4 checkerboardish
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    rows = b"".join(b"\x00" + idx[r].tobytes() for r in range(4))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + png._chunk(b"IHDR", ihdr)
+        + png._chunk(b"PLTE", pal.tobytes())
+        + png._chunk(b"IDAT", zlib.compress(rows))
+        + png._chunk(b"IEND", b"")
+    )
+    w, h, out = png.decode_png(payload)
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], pal[0]) and np.array_equal(out[0, 1], pal[1])
+
+    good = png.encode_png(rgb)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # corrupt inside IDAT -> CRC mismatch
+    with _pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(bad))
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlaced
+    with _pytest.raises(ValueError, match="Adam7"):
+        png.decode_png(b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr_i) + png._chunk(b"IDAT", zlib.compress(b"\x00")))
+    assert media.sniff_decode(good)[0] == "png"
+
+
 def test_audio_wav_roundtrip_and_chunk_walk():
     """WAV encode->decode is exact (mono + stereo); the decoder walks the
     real chunk structure (unknown chunks skipped, word alignment honored)

@@ -217,6 +217,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": lambda s, d: events.stream_interval_join(
             s, os.path.join(d, "events.parquet")
         ),
+        # stateful streaming dedup (watermark-bounded per-key state); the
+        # projected key set is deterministic under any arrival order
+        "events_stream_dedup": lambda s, d: events.stream_dedup_keys(
+            s, os.path.join(d, "events.parquet")
+        ),
+        "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
         "events_props_json": lambda s, d: (
             _tbl(s, d, "events")
             .select(
@@ -871,6 +877,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # feature-hashing trick: bucket/sign from md5 ascii slices
+        # (textqc.hashed_features), signed counts, zero weights dropped
+        "hashed_features": """
+            WITH w AS (
+              SELECT doc_id, u AS word
+              FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(u)
+            ), b AS (
+              SELECT doc_id,
+                     (ascii(substr(md5(word), 1, 1)) * 31 + ascii(substr(md5(word), 2, 1))) % 16 AS bucket,
+                     CASE WHEN ascii(substr(md5(word), 3, 1)) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+              FROM w
+            )
+            SELECT doc_id, CAST(bucket AS INT) AS bucket, CAST(SUM(sgn) AS BIGINT) AS weight
+            FROM b GROUP BY doc_id, bucket HAVING SUM(sgn) != 0
         """,
         "events_stream_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

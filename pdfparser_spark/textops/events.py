@@ -117,6 +117,34 @@ def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stream_dedup_keys(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` keeps one
+    event per (user_id, event_type), with per-key state evicted once the
+    watermark passes — the bounded-state form a forever-running ingest
+    dedup needs (plain dropDuplicates would grow state without bound).
+    Projecting to the key columns makes the result the distinct key set,
+    deterministic under ANY arrival order — which is what the exact batch
+    oracle (SELECT DISTINCT) checks."""
+    schema = spark.read.parquet(events_path).schema
+    events_path = _stream_dir(events_path)
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    dedup = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    out = dedup.select("user_id", "event_type")
+    sink = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Per-user session windows: events within ``gap`` of each other merge
     into one session (``F.session_window`` — Spark's native session

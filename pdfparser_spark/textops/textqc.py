@@ -140,6 +140,32 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+def hashed_features(documents: DataFrame, dims: int = 16) -> DataFrame:
+    """Feature-hashing embeddings (the 'hashing trick', Weinberger et al.
+    2009, public): each word hashes to a bucket in [0, dims) with a
+    +/-1 sign from a second hash bit; a document's sparse vector is the
+    signed count per bucket (zero weights dropped).  Integer-exact, so
+    the DuckDB oracle matches bit-for-bit; the md5-derived bucket/sign
+    follow the same ascii-slice rule as ann._plane_coeff_at.
+
+    Plan: one (doc_id, bucket) hash aggregation with map-side combine —
+    the same shape at 100 TB, no driver-side state."""
+    w = F.explode(_words()).alias("word")
+    h = F.md5(F.col("word"))
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) % dims
+    ).alias("bucket")
+    sgn = F.when(F.ascii(F.substring(h, 3, 1)) % 2 == 0, 1).otherwise(-1)
+    return (
+        documents.select("doc_id", w)
+        .select("doc_id", bucket, sgn.alias("sgn"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .select("doc_id", F.col("bucket").cast("int").alias("bucket"), "weight")
+    )
+
+
 def fingerprints(documents: DataFrame) -> DataFrame:
     """Rolling polynomial hash over the word stream (order-sensitive, unlike
     the shingle-set dedup hashes): fp = fold (acc*31 + len(w)*17 + ascii(w))

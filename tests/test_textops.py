@@ -175,6 +175,26 @@ def test_ann_lsh_topk_recall_floor(spark, sf_dir):
     assert hits / total >= 0.4
 
 
+def test_hashed_features_values(spark):
+    """Feature-hashing weights equal a direct per-word recomputation of
+    the md5 bucket/sign rule; zero net weights are dropped."""
+    import hashlib
+
+    rows = [Row(doc_id=0, text="alpha beta alpha gamma")]
+    got = {
+        (r.doc_id, r.bucket): r.weight
+        for r in textqc.hashed_features(spark.createDataFrame(rows)).collect()
+    }
+    expect: dict = {}
+    for word in "alpha beta alpha gamma".split():
+        h = hashlib.md5(word.encode()).hexdigest()
+        bucket = (ord(h[0]) * 31 + ord(h[1])) % 16
+        sgn = 1 if ord(h[2]) % 2 == 0 else -1
+        expect[(0, bucket)] = expect.get((0, bucket), 0) + sgn
+    expect = {k: v for k, v in expect.items() if v != 0}
+    assert got == expect
+
+
 def test_repetition_signals_values(spark):
     """Hand-computed Gopher signals, including the single-word edge (no
     bigram -> NULLs survive the left join) and count-tie gram ordering."""

@@ -146,12 +146,16 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict, password: bytes 
         )
         return key if crypt.check_user_password(key, u_entry, id0, r) else None
 
-    candidates = [b""]
-    if password:
-        # as the user password, then as the owner password via /O recovery
-        candidates.append(password)
-        candidates.append(crypt.recover_user_password_from_owner(password, o_entry, n=n, r=r))
-    key = next(filter(None, (try_user(c) for c in candidates)), None)
+    def candidates():
+        yield b""
+        if password:
+            # as the user password first; the owner-password /O recovery
+            # (51 MD5s + 20 RC4 passes) is generated lazily so it only
+            # runs when the cheaper paths fail
+            yield password
+            yield crypt.recover_user_password_from_owner(password, o_entry, n=n, r=r)
+
+    key = next(filter(None, (try_user(c) for c in candidates())), None)
     if key is None:
         raise PdfError(
             "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"

@@ -78,7 +78,13 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 payloads = extract_media_payloads(_doc_bytes(spans), password=password)
                 for name, payload in payloads:
-                    dec = sniff_decode(bytes(payload))
+                    try:
+                        dec = sniff_decode(bytes(payload))
+                    except Exception:
+                        # corrupt payload (truncated JPEG, bad PNG CRC, ...):
+                        # lenient like the rest of the kernel — skip the
+                        # image, never kill the task
+                        continue
                     if dec is None:
                         continue  # video/unknown codec: stays on the stub tier
                     fmt, w, h, img = dec

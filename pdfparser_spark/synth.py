@@ -36,6 +36,7 @@ from __future__ import annotations
 import binascii
 import zlib
 from base64 import a85encode
+from functools import lru_cache
 
 from .core.filters import lzw_encode
 
@@ -469,9 +470,12 @@ def embedded_image_dims(doc_id: int) -> tuple[int, int]:
     return 16 * (1 + doc_id % 4), 16 * (1 + (doc_id // 4) % 4)
 
 
+@lru_cache(maxsize=32)
 def _embedded_jpeg(w: int, h: int) -> bytes:
     """Grayscale DC-only baseline JPEG with the (7R+13C)%256 block pattern
-    — the integer-exact decode contract (textops/jpeg.py docstring)."""
+    — the integer-exact decode contract (textops/jpeg.py docstring).
+    Memoized: only 16 distinct (w, h) payloads exist across the corpus, so
+    per-executor the DCT+Huffman encode runs at most 16 times."""
     from .textops import jpeg as _jpeg
     from .textops.media import _block_pattern
 

@@ -150,15 +150,9 @@ def _build_codes(bits, values):
 
 
 def _build_decode(bits, values):
-    """(bits, values) -> {(length, code): symbol} for bit-serial decode."""
-    out, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            out[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return out
+    """(bits, values) -> {(length, code): symbol} for bit-serial decode —
+    the inverse orientation of the same canonical-code walk."""
+    return {(length, code): sym for sym, (code, length) in _build_codes(bits, values).items()}
 
 
 # --- bit IO -----------------------------------------------------------------
@@ -178,6 +172,9 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # drop already-emitted high bits: without the mask, acc accretes the
+        # whole bitstream and every shift copies it (O(n^2) encode)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:  # pad with 1-bits per F.1.2.3
@@ -246,7 +243,7 @@ def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).astype(np.float64)
     blocks -= 128.0
     coef = np.einsum("ux,nmxy,vy->nmuv", _A, blocks, _A, optimize=True)
-    q = np.floor(coef / qt + (0.5 + EPS)).astype(np.int64)
+    q = _round_half_up(coef / qt)
     return q.reshape(h // 8, w // 8, 64)[..., ZIGZAG]
 
 
@@ -378,31 +375,30 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
     preds = [0] * len(planes)
     n_mcu = 0
     rst = 0
+
+    def maybe_restart(bw: _BitWriter) -> _BitWriter:
+        """At a restart boundary: flush, emit RSTn, reset DC predictors."""
+        nonlocal rst
+        if not (restart_interval and n_mcu and n_mcu % restart_interval == 0):
+            return bw
+        bw.flush()
+        out.extend(bw.out)
+        out.extend(bytes([0xFF, 0xD0 + rst]))
+        rst = (rst + 1) % 8
+        preds[:] = [0] * len(planes)
+        return _BitWriter()
+
     if gray:
         blocks = comp_blocks[0]
         for by in range(blocks.shape[0]):
             for bx in range(blocks.shape[1]):
-                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                    bw.flush()
-                    out += bw.out
-                    bw = _BitWriter()
-                    out += bytes([0xFF, 0xD0 + rst])
-                    rst = (rst + 1) % 8
-                    preds = [0]
+                bw = maybe_restart(bw)
                 preds[0] = _encode_block(bw, blocks[by, bx], preds[0], dc_tabs[0], ac_tabs[0])
                 n_mcu += 1
     else:
-        mcux = -(-w // (8 * hmax))
-        mcuy = -(-h // (8 * vmax))
         for my in range(mcuy):
             for mx in range(mcux):
-                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                    bw.flush()
-                    out += bw.out
-                    bw = _BitWriter()
-                    out += bytes([0xFF, 0xD0 + rst])
-                    rst = (rst + 1) % 8
-                    preds = [0] * len(planes)
+                bw = maybe_restart(bw)
                 for ci, (hs, vs) in enumerate(samp):
                     tid = 0 if ci == 0 else 1
                     for v in range(vs):
@@ -498,6 +494,11 @@ def decode_jpeg(payload: bytes):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
             scan = scan_comps
+            # we decode exactly one scan; a multi-scan baseline file (one
+            # SOS per component) would silently come out color-shifted if
+            # we proceeded with only the first — fail loudly instead
+            if frame is not None and ns != len(frame["comps"]):
+                raise ValueError("multi-scan baseline JPEG not supported")
             break
         # APPn / COM / others: skipped
     if frame is None or scan is None:
@@ -616,7 +617,7 @@ def decode_jpeg(payload: bytes):
         planes[c["id"]] = plane[:h, :w]
 
     def _clip8(x):
-        return np.clip(np.floor(x + (0.5 + EPS)), 0, 255).astype(np.uint8)
+        return np.clip(_round_half_up(x), 0, 255).astype(np.uint8)
 
     if len(comps) == 1:
         return w, h, _clip8(planes[comps[0]["id"]])

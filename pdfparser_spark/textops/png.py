@@ -88,11 +88,16 @@ def decode_png(payload: bytes):
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
     ch = _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
-    # per-row filter reconstruction == PDF PNG predictor 15 (adaptive)
-    flat = _apply_predictor(
-        raw, {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w}
-    )
+    try:
+        raw = zlib.decompress(bytes(idat))
+        # per-row filter reconstruction == PDF PNG predictor 15 (adaptive)
+        flat = _apply_predictor(
+            raw, {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w}
+        )
+    except ValueError:
+        raise
+    except Exception as e:  # zlib.error / FilterError -> documented contract
+        raise ValueError(f"malformed PNG image data: {e}") from e
     img = np.frombuffer(flat, dtype=np.uint8, count=h * w * ch).reshape(h, w, ch)
     if color == 3:
         if plte is None:

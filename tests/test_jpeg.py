@@ -90,6 +90,12 @@ def test_rejects_malformed():
     full = jpeg.encode_jpeg(media._block_pattern(16, 16))
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(full[: len(full) // 2])  # truncated mid-stream
+    # non-interleaved multi-scan baseline (one SOS per component): rejected
+    # loudly instead of silently decoding only the first scan
+    sof3 = b"\xff\xc0\x00\x11\x08\x00\x10\x00\x10\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    sos1 = b"\xff\xda\x00\x08\x01\x01\x00\x00\x3f\x00"
+    with pytest.raises(ValueError, match="multi-scan"):
+        jpeg.decode_jpeg(b"\xff\xd8" + sof3 + sos1)
 
 
 @pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")

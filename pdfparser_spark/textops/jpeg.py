@@ -433,7 +433,7 @@ def decode_jpeg(payload: bytes):
     frame = None
     scan = None
     while pos < len(data):
-        if data[pos] != 0xFF:
+        if data[pos] != 0xFF or pos + 1 >= len(data):
             raise ValueError("marker expected")
         marker = data[pos + 1]
         pos += 2
@@ -472,6 +472,8 @@ def decode_jpeg(payload: bytes):
                 huff[(tc, th)] = _build_decode(bits, values)
                 p += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(body) < 6 or len(body) < 6 + 3 * body[5]:
+                raise ValueError("truncated SOF segment")
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -488,6 +490,8 @@ def decode_jpeg(payload: bytes):
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ValueError("truncated SOS segment")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
@@ -526,10 +530,23 @@ def decode_jpeg(payload: bytes):
 
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
+    # structural validation: corrupt headers must fail as ValueError, not
+    # leak KeyError/ZeroDivisionError out of the decode loop
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported component count {len(comps)}")
+    for c in comps:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError(f"unsupported sampling factors {c['h']}x{c['v']}")
+        if c["tq"] not in qt:
+            raise ValueError(f"missing quantization table {c['tq']}")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     by_id = {c["id"]: c for c in comps}
     for sc in scan:
+        if sc["cs"] not in by_id:
+            raise ValueError(f"scan references unknown component {sc['cs']}")
+        if (0, sc["td"]) not in huff or (1, sc["ta"]) not in huff:
+            raise ValueError("scan references missing Huffman table")
         sc["comp"] = by_id[sc["cs"]]
 
     # allocate zigzag coefficient stores per component (MCU-padded grids)
@@ -556,6 +573,8 @@ def decode_jpeg(payload: bytes):
                 for hh in range(hs):
                     zz = np.zeros(64, dtype=np.int64)
                     size = reader.decode(dc_tab)
+                    if size > 15:  # DC categories are 0-11; a corrupt DHT
+                        raise ValueError("invalid DC category")  # value byte can claim 255
                     preds[si] += _extend(reader.bits(size), size)
                     zz[0] = preds[si]
                     k = 1

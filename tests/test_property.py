@@ -417,3 +417,62 @@ def test_every_prefix_parses_leniently():
         for cut in range(0, len(raw) + 1, 3):
             res = extract_spans(raw[:cut], strict=False)
             assert isinstance(res["spans"], list)
+
+
+# --- media codecs (jpeg.py / png.py / audio.py): decode containment --------
+# A decoder fed garbage, truncation, or bit flips must either succeed or
+# raise ValueError — never hang, never leak IndexError/struct.error/
+# zlib.error/KeyError (one corrupt payload must not kill a Spark task;
+# extract_images_fused relies on this containment).
+
+
+def _codec_samples():
+    import numpy as np
+
+    from pdfparser_spark.textops import audio, jpeg, media, png
+
+    img = media._gradient(32, 24)
+    return [
+        jpeg.encode_jpeg(media._block_pattern(32, 16)),
+        jpeg.encode_jpeg(img, subsample=True, restart_interval=2),
+        png.encode_png(img),
+        audio.encode_wav(audio._waveform(200, 2), 16000),
+    ]
+
+
+@given(idx=st.integers(0, 3), cut=st.integers(0, 400))
+@settings(**SETTINGS)
+def test_codec_decoders_contained_on_truncation(idx, cut):
+    from pdfparser_spark.textops.media import sniff_decode
+
+    payload = _codec_samples()[idx]
+    truncated = payload[: min(cut, len(payload))]
+    try:
+        sniff_decode(truncated)
+        from pdfparser_spark.textops import audio
+
+        if truncated[:4] == b"RIFF":
+            audio.decode_wav(truncated)
+    except ValueError:
+        pass  # the documented failure mode
+
+
+@given(idx=st.integers(0, 3), seed=st.integers(0, 2**31))
+@settings(**SETTINGS)
+def test_codec_decoders_contained_on_bit_flips(idx, seed):
+    import random
+
+    from pdfparser_spark.textops import audio
+    from pdfparser_spark.textops.media import sniff_decode
+
+    payload = bytearray(_codec_samples()[idx])
+    rng = random.Random(seed)
+    for _ in range(rng.randint(1, 8)):
+        payload[rng.randrange(len(payload))] ^= 1 << rng.randrange(8)
+    data = bytes(payload)
+    try:
+        sniff_decode(data)
+        if data[:4] == b"RIFF":
+            audio.decode_wav(data)
+    except ValueError:
+        pass

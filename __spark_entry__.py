@@ -391,6 +391,7 @@ meta AS (
   SELECT doc_id, media_ref,
          CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0 THEN 'mp4-stub' ELSE 'jpeg-stub' END AS fmt,
          ascii(substr(h, 3, 1)) % 4 AS cls,
+         ascii(substr(h, 5, 1)) % 2 AS sub,
          CAST(16 * (1 + ascii(substr(h, 1, 1)) % 8) AS INT) AS width,
          CAST(16 * (1 + ascii(substr(h, 2, 1)) % 8) AS INT) AS height,
          CAST(CASE WHEN ascii(substr(h, 3, 1)) % 4 = 0
@@ -541,7 +542,8 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_real": _MEDIA_META_CTE + f"""
             SELECT doc_id, media_ref,
                    CASE WHEN cls = 0 THEN 'bmp' WHEN cls = 1 THEN 'jpg'
-                        WHEN cls = 2 THEN 'png' ELSE 'ppm' END AS fmt,
+                        WHEN cls = 2 THEN 'png'
+                        WHEN cls = 3 AND sub = 1 THEN 'tiff' ELSE 'ppm' END AS fmt,
                    CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                    CASE WHEN cls = 1 THEN
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdfparser_spark.textops import jpeg, png
+from pdfparser_spark.textops import jpeg, png, tiff
 
 MEDIA_META = T.StructType(
     [
@@ -178,6 +178,9 @@ def sniff_decode(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, img = png.decode_png(payload)
         return "png", w, h, img
+    if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        w, h, img = tiff.decode_tiff(payload)
+        return "tiff", w, h, img
     return None
 
 
@@ -221,6 +224,14 @@ def media_payloads(spans_flat: DataFrame) -> DataFrame:
                     payloads.append(jpeg.encode_jpeg(_block_pattern(w, h)))
                 elif cls == 2:
                     payloads.append(png.encode_png(_gradient(w, h)))
+                elif cls == 3 and ord(hh[4]) % 2 == 1:
+                    payloads.append(
+                        tiff.encode_tiff(
+                            _gradient(w, h),
+                            big_endian=ord(hh[5]) % 2 == 1,
+                            packbits=ord(hh[6]) % 2 == 1,
+                        )
+                    )
                 else:
                     payloads.append(encode_ppm(_gradient(w, h)))
             yield pd.DataFrame(

@@ -1,0 +1,206 @@
+"""TIFF codec (pure numpy — no image libraries).
+
+Real decode of the actual container: the 8-byte header in either byte
+order (``II``/``MM``), the IFD entry walk (tag, type, count, value with
+inline-vs-offset resolution), strip assembly, and pixel reconstruction
+for uncompressed (compression 1) and PackBits (compression 32773,
+implemented from the public spec) baseline images — 8-bit grayscale and
+RGB.  Anything else (LZW/JPEG-in-TIFF, tiles, planar config 2, bit
+depths != 8) is rejected with ValueError rather than mis-decoded.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# tag ids (TIFF 6.0 baseline)
+WIDTH, HEIGHT, BITS, COMPRESSION, PHOTOMETRIC = 256, 257, 258, 259, 262
+STRIP_OFFSETS, SAMPLES, ROWS_PER_STRIP, STRIP_COUNTS, PLANAR = 273, 277, 278, 279, 284
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+
+
+def encode_tiff(img: np.ndarray, big_endian: bool = False, packbits: bool = False) -> bytes:
+    """uint8 image (H x W gray or H x W x 3 RGB) -> single-strip baseline
+    TIFF in the chosen byte order, optionally PackBits-compressed."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    body = img.tobytes()
+    if packbits:
+        body = _packbits_encode(body)
+    e = ">" if big_endian else "<"
+
+    entries = [
+        (WIDTH, 3, 1, w),
+        (HEIGHT, 3, 1, h),
+        (BITS, 3, spp, None),  # value or offset, fixed below
+        (COMPRESSION, 3, 1, 32773 if packbits else 1),
+        (PHOTOMETRIC, 3, 1, 1 if gray else 2),
+        (STRIP_OFFSETS, 4, 1, None),
+        (SAMPLES, 3, 1, spp),
+        (ROWS_PER_STRIP, 3, 1, h),
+        (STRIP_COUNTS, 4, 1, len(body)),
+    ]
+    # layout: header(8) + ifd + [bits array if spp=3] + pixel data
+    ifd_size = 2 + 12 * len(entries) + 4
+    bits_off = 8 + ifd_size
+    extra = struct.pack(e + "3H", 8, 8, 8) if spp == 3 else b""
+    data_off = bits_off + len(extra)
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(e + "H", 42) + struct.pack(e + "I", 8)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, count, val in entries:
+        if tag == BITS:
+            val = bits_off if spp == 3 else 8
+            if spp == 3:
+                count = 3
+        if tag == STRIP_OFFSETS:
+            val = data_off
+        out += struct.pack(e + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            # SHORT values sit left-justified in the 4-byte slot
+            out += struct.pack(e + "H", val) + b"\x00\x00"
+        else:
+            out += struct.pack(e + "I", val)
+    out += struct.pack(e + "I", 0)  # next-IFD pointer
+    out += extra
+    out += body
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (Apple RLE, public spec): runs of >= 3 identical bytes
+    become (257-n, byte); literals pass through in chunks of <= 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:  # literal run of b+1 bytes
+            if i + b + 1 > len(data):
+                raise ValueError("truncated PackBits literal")
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:  # repeat next byte 257-b times
+            if i >= len(data):
+                raise ValueError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # b == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("PackBits output short of expected size")
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes):
+    """-> (width, height, img uint8) — (H, W) gray or (H, W, 3) RGB."""
+    if payload[:2] == b"II":
+        e = "<"
+    elif payload[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order mark)")
+    try:
+        magic, ifd_off = struct.unpack_from(e + "HI", payload, 2)
+    except struct.error as err:
+        raise ValueError("truncated TIFF header") from err
+    if magic != 42:
+        raise ValueError("not a TIFF (magic != 42)")
+
+    def read_values(typ, count, raw4):
+        size = _TYPE_SIZE.get(typ)
+        fmt = _TYPE_FMT.get(typ)
+        if size is None or fmt is None:
+            raise ValueError(f"unsupported TIFF entry type {typ}")
+        total = size * count
+        if total <= 4:
+            buf = raw4[:total]
+        else:
+            (off,) = struct.unpack(e + "I", raw4)
+            buf = payload[off : off + total]
+            if len(buf) != total:
+                raise ValueError("TIFF entry value out of bounds")
+        return list(struct.unpack(e + str(count) + fmt, buf))
+
+    tags: dict[int, list[int]] = {}
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated IFD")
+    (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    pos = ifd_off + 2
+    if pos + 12 * n_entries > len(payload):
+        raise ValueError("truncated IFD")
+    for _ in range(n_entries):
+        tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
+        tags[tag] = read_values(typ, count, payload[pos + 8 : pos + 12])
+        pos += 12
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        if not v:  # absent OR a corrupt count=0 entry
+            if default is None:
+                raise ValueError(f"missing required TIFF tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(WIDTH), one(HEIGHT)
+    spp = one(SAMPLES, 1)
+    comp = one(COMPRESSION, 1)
+    planar = one(PLANAR, 1)
+    bits = tags.get(BITS, [8])
+    if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
+        raise ValueError("only 8-bit chunky gray/RGB TIFF supported")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    offsets = tags.get(STRIP_OFFSETS)
+    counts = tags.get(STRIP_COUNTS)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("missing/mismatched strip tags")
+    rows_per_strip = one(ROWS_PER_STRIP, h)
+    raw = bytearray()
+    row_bytes = w * spp
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = payload[off : off + cnt]
+        if len(strip) != cnt:
+            raise ValueError("strip out of bounds")
+        n_rows = min(rows_per_strip, h - i * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("more strips than rows")
+        if comp == 32773:
+            raw += _packbits_decode(strip, n_rows * row_bytes)
+        else:
+            raw += strip
+    if len(raw) < h * row_bytes:
+        raise ValueError("pixel data short of geometry")
+    img = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes)
+    img = img.reshape(h, w, spp)
+    return w, h, (img[:, :, 0] if spp == 1 else img)

@@ -279,6 +279,35 @@ def test_png_roundtrip_all_color_types():
     assert media.sniff_decode(good)[0] == "png"
 
 
+def test_tiff_roundtrip_matrix():
+    """TIFF encode->decode exact across byte orders (II/MM), compressions
+    (raw/PackBits), and gray/RGB; malformed input rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import media, tiff
+
+    img = media._gradient(48, 32)
+    for be in (False, True):
+        for pb in (False, True):
+            for pic in (img, img[:, :, 0]):
+                w, h, out = tiff.decode_tiff(tiff.encode_tiff(pic, big_endian=be, packbits=pb))
+                assert (w, h) == (48, 32)
+                assert np.array_equal(out, pic)
+    assert media.sniff_decode(tiff.encode_tiff(img))[0] == "tiff"
+    # PackBits actually compresses runs
+    const = np.full((16, 16), 7, np.uint8)
+    assert len(tiff.encode_tiff(const, packbits=True)) < 16 * 16
+    with _pytest.raises(ValueError, match="byte-order"):
+        tiff.decode_tiff(b"XX\x2a\x00garbage")
+    with _pytest.raises(ValueError, match="compression"):
+        payload = bytearray(tiff.encode_tiff(img[:, :, 0]))
+        # compression tag value slot: flip raw(1) -> LZW(5)
+        idx = payload.find((259).to_bytes(2, "little"))
+        payload[idx + 8] = 5
+        tiff.decode_tiff(bytes(payload))
+
+
 def test_audio_wav_roundtrip_and_chunk_walk():
     """WAV encode->decode is exact (mono + stereo); the decoder walks the
     real chunk structure (unknown chunks skipped, word alignment honored)

@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
@@ -605,6 +606,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
             FROM documents GROUP BY 1
+        """,
+        # exact-substring dedup signal: 8-gram windows shared by >= 2 docs
+        "duplicate_ngram_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT DISTINCT doc_id, md5(array_to_string(w[i+1 : i+8], ' ')) AS gram_md5
+              FROM w, LATERAL unnest(generate_series(0, len(w) - 8)) AS t(i)
+              WHERE len(w) >= 8
+            )
+            SELECT gram_md5, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+            FROM g GROUP BY gram_md5 HAVING COUNT(*) >= 2
         """,
         "minhash_bands": """
             WITH w AS (

@@ -53,6 +53,35 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_ngram_spans(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring dedup signal (C4 / The-Pile style, public): word
+    n-gram windows that recur across >= 2 DISTINCT documents — the spans a
+    cross-document substring-dedup pass would cut.  Emits (gram_md5,
+    n_docs, min_doc_id).
+
+    Plan: window explode (~n_words rows/doc, the same cost class as the
+    MinHash shingle explode), per-doc DISTINCT folded into the gram
+    aggregate, one (gram_md5) hash aggregation with map-side combine —
+    no joins, no driver state; 100 TB-safe because the 16-byte gram hash
+    is the only shuffle key."""
+    w = F.split(F.col("text"), " ")
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(split(text, ' ')) - {n}),"
+                f" i -> md5(array_join(slice(split(text, ' '), i + 1, {n}), ' ')))"
+            )
+        ).alias("gram_md5"),
+    ).filter(F.size(w) >= n)
+    return (
+        grams.distinct()  # a doc repeating its own gram counts once
+        .groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): banded MinHash signature rows.
 

@@ -35,6 +35,15 @@ def test_minhash_identical_docs_share_all_bands(docs):
     assert by_doc[0] != by_doc[3]
 
 
+def test_duplicate_ngram_spans(docs):
+    """docs 0/1 are identical 9-worders (two shared 8-gram windows, min
+    doc 0); doc 2 differs at word 5 so it shares NO full 8-gram with them;
+    doc 3 is unrelated.  Exactly the 0/1 grams survive the >= 2 cut."""
+    rows = dedup.duplicate_ngram_spans(docs).collect()
+    assert len(rows) == 2
+    assert all(r.n_docs == 2 and r.min_doc_id == 0 for r in rows)
+
+
 def test_lsh_pairs_find_exact_dup(docs):
     pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_candidate_pairs(docs).collect()}
     assert (0, 1) in pairs

@@ -147,6 +147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 family="binary",
             )
         ),
+        # ASCII family wraps the same JPEGs in [/ASCIIHexDecode /DCTDecode]
+        # transport armor; the kernel strips the non-media prefix first
+        "extract_embedded_images_armored": lambda s, d: extract_images_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="ascii",
+            )
+        ),
         # password-protected family: every doc encrypted (RC4/AESV2/AESV3
         # mix) with user password "hunter2"; the query supplies the
         # credential and must recover the same spans as the binary oracle
@@ -489,6 +497,15 @@ def oracle_sql() -> dict[str, str]:
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end
         "extract_embedded_images": f"""
+            SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
+                   CAST(16 * (1 + doc_id % 4) AS INT) AS width,
+                   CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
+                   CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
+                        FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                             unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+            FROM documents WHERE doc_id % 5 = 0
+        """,
+        "extract_embedded_images_armored": f"""
             SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,

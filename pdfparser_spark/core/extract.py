@@ -22,7 +22,7 @@ from . import crypt
 from .cmap import CMap, simple_decode
 from .content import tokenize_content
 from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
-from .filters import build_filter_chain, decode_chain, is_media_chain
+from .filters import build_filter_chain, decode_chain, decode_media_prefix, is_media_chain
 from .objects import Name, Ref, Stream, get_resolved, resolve
 from .tokenizer import Tokenizer
 from .xref import parse_all_objects, read_xref, sniff_version
@@ -431,9 +431,20 @@ def extract_media_payloads(data: bytes, password: bytes = b"") -> list[tuple[str
                     st = resolve(xref, objects)
                     if isinstance(st, Stream) and st.kind == "image":
                         key = (str(xname), id(st))
-                        if key not in seen:
-                            seen.add(key)
-                            out.append((str(xname), st.raw))
+                        if key in seen:
+                            continue
+                        seen.add(key)
+                        # strip transport armor ahead of the media codec
+                        # (e.g. [/ASCIIHexDecode /DCTDecode]): the payload
+                        # at the codec boundary is the actual image bytes
+                        try:
+                            chain = build_filter_chain(
+                                st.attrs, lambda v: resolve(v, objects)
+                            )
+                            payload = decode_media_prefix(st.raw, chain)
+                        except (FilterError, PdfError):
+                            payload = st.raw
+                        out.append((str(xname), payload))
     except PdfError:
         return out
     except Exception:  # lenient

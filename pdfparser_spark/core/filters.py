@@ -332,3 +332,18 @@ def decode_chain(data: bytes, chain: list[tuple[str, dict]]) -> bytes:
 def is_media_chain(chain: list[tuple[str, dict]]) -> bool:
     """True if the chain ends in a media codec we never rasterize."""
     return any(name in MEDIA_FILTERS for name, _ in chain)
+
+
+def decode_media_prefix(data: bytes, chain: list[tuple[str, dict]]) -> bytes:
+    """Apply the NON-media prefix of a media chain (e.g. the /AHx in
+    ``[/ASCIIHexDecode /DCTDecode]`` — transport armor over compressed
+    image bytes, a common old-writer shape §7.4.1) and return the payload
+    at the media codec's boundary: the actual JPEG/JPX/CCITT bytes."""
+    for name, parms in chain:
+        if name in MEDIA_FILTERS:
+            break
+        dec = _DECODERS.get(name)
+        if dec is None:
+            raise FilterError(f"unsupported filter {name}")
+        data = dec(data, parms)
+    return data

@@ -299,18 +299,22 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(b"\nendstream")
         obj_close()
 
-    # image XObject (media marker points at the object start; payload is a
-    # deterministic fake DCT body — never decoded, per SURVEY.md §2.5 D8)
+    # image XObject: a REAL baseline JPEG wrapped in ASCIIHex transport
+    # armor ([/AHx /DCT] — the old-writer chain shape) so the payload
+    # stays ASCII like the rest of this family; the kernel never
+    # rasterizes it (SURVEY.md §2.5 D8), but extract_media_payloads
+    # strips the armor and hands actual JPEG bytes to the media tier
     if imgobj_id is not None:
         b.media_marker("Im1")
-        fake = ("JPEGDATA" + format(doc_id, "08x")) * 2
+        iw, ih = embedded_image_dims(doc_id)
+        armored = binascii.hexlify(_embedded_jpeg(iw, ih)) + b">"
         obj_open(imgobj_id)
         b.struct(
-            f"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
-            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
-            f"/Filter /DCTDecode /Length {len(fake)} >>\nstream\n".encode("ascii")
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter [/ASCIIHexDecode /DCTDecode] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
-        b.struct(fake.encode("ascii"))
+        b.struct(armored)
         b.struct(b"\nendstream")
         obj_close()
 

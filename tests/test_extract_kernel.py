@@ -101,3 +101,22 @@ def test_encrypted_document_rejected_with_error_row():
     dres = decode_document(raw)
     assert dres["contents"] == []
     assert any(k == "FilterError" for (k, _s, _d) in dres["errors"])
+
+
+def test_armored_embedded_image_prefix_decode():
+    """ASCII-family Im1 is a real JPEG behind [/ASCIIHexDecode /DCTDecode]:
+    extract_media_payloads strips the transport armor (non-media chain
+    prefix) and returns actual JPEG bytes at the codec boundary."""
+    from pdfparser_spark.core.extract import extract_media_payloads
+    from pdfparser_spark.synth import build_document, embedded_image_dims
+    from pdfparser_spark.textops.media import sniff_decode
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    for doc_id in (5, 10, 35):
+        d = build_document(doc_id, text)
+        payloads = extract_media_payloads(d["bytes"])
+        assert len(payloads) == 1
+        name, payload = payloads[0]
+        assert payload[:2] == b"\xff\xd8"  # armor stripped: raw JPEG bytes
+        fmt, w, h, _img = sniff_decode(bytes(payload))
+        assert (name, fmt, (w, h)) == ("Im1", "jpg", embedded_image_dims(doc_id))

@@ -420,6 +420,13 @@ def _jpeg_block_px(r: str, c: str) -> str:
     )
 
 
+# GIF class pixel: palette[(7r+13c)%256] summed over 3 channels
+# (media._gif_pattern: pal[i] = ((7i)%256, (11i+3)%256, (29i+7)%256))
+def _gif_px_sum(r: str, c: str) -> str:
+    v = f"((7*({r}) + 13*({c})) % 256)"
+    return f"((7*{v}) % 256 + (11*{v} + 3) % 256 + (29*{v} + 7) % 256)"
+
+
 # MinHash-LSH candidate pairs as a reusable CTE chain (mirrors
 # textops/dedup.py minhash_signatures/lsh_candidate_pairs exactly)
 _LSH_PAIRS_CTE = """w AS (
@@ -559,14 +566,18 @@ def oracle_sql() -> dict[str, str]:
         # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
         "media_decode_real": _MEDIA_META_CTE + f"""
             SELECT doc_id, media_ref,
-                   CASE WHEN cls = 0 THEN 'bmp' WHEN cls = 1 THEN 'jpg'
-                        WHEN cls = 2 THEN 'png'
+                   CASE WHEN cls = 0 AND sub = 1 THEN 'gif' WHEN cls = 0 THEN 'bmp'
+                        WHEN cls = 1 THEN 'jpg' WHEN cls = 2 THEN 'png'
                         WHEN cls = 3 AND sub = 1 THEN 'tiff' ELSE 'ppm' END AS fmt,
                    CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                    CASE WHEN cls = 1 THEN
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, height//8 - 1)) AS tr(r),
                                unnest(generate_series(0, width//8 - 1)) AS tc(c)) AS BIGINT)
+                   WHEN cls = 0 AND sub = 1 THEN
+                     CAST((SELECT SUM({_gif_px_sum('r', 'c')})
+                           FROM unnest(generate_series(0, height - 1)) AS tr(r),
+                                unnest(generate_series(0, width - 1)) AS tc(c)) AS BIGINT)
                    ELSE
                      CAST((SELECT SUM(((7*r + 13*c) % 256) + ((7*r + 13*c + 31) % 256)
                                       + ((7*r + 13*c + 62) % 256))
@@ -577,13 +588,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_resize_real": _MEDIA_META_CTE + f"""
             , geo AS (
-              SELECT doc_id, media_ref, cls, width, height, 64 AS out_w,
+              SELECT doc_id, media_ref, cls, sub, width, height, 64 AS out_w,
                      GREATEST(1, CAST(FLOOR(height * 64.0 / width + 0.5) AS INT)) AS out_h
               FROM meta
             )
             SELECT doc_id, media_ref, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
                    CASE WHEN cls = 1 THEN
                      CAST((SELECT SUM({_jpeg_block_px('((r*height)//out_h)//8', '((c*width)//64)//8')})
+                           FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
+                                unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT)
+                   WHEN cls = 0 AND sub = 1 THEN
+                     CAST((SELECT SUM({_gif_px_sum('(r*height)//out_h', '(c*width)//64')})
                            FROM unnest(generate_series(0, out_h - 1)) AS tr(r),
                                 unnest(generate_series(0, 63)) AS tc(c)) AS BIGINT)
                    ELSE

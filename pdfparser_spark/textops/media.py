@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pdfparser_spark.textops import jpeg, png, tiff
+from pdfparser_spark.textops import gif, jpeg, png, tiff
 
 MEDIA_META = T.StructType(
     [
@@ -181,6 +181,9 @@ def sniff_decode(payload: bytes):
     if payload[:2] in (b"II", b"MM") and payload[2:4] in (b"\x2a\x00", b"\x00\x2a"):
         w, h, img = tiff.decode_tiff(payload)
         return "tiff", w, h, img
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, img = gif.decode_gif(payload)
+        return "gif", w, h, img
     return None
 
 
@@ -191,6 +194,16 @@ def _gradient(w: int, h: int) -> np.ndarray:
     c = np.arange(w, dtype=np.int64).reshape(1, -1, 1) * 13
     k = np.arange(3, dtype=np.int64).reshape(1, 1, -1) * 31
     return ((r + c + k) % 256).astype(np.uint8)
+
+
+def _gif_pattern(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic palette image for the GIF class: index (r, c) =
+    (7r + 13c) % 256; palette[i] = ((7i)%256, (11i+3)%256, (29i+7)%256) —
+    both closed-form for the DuckDB oracle."""
+    idx = ((np.add.outer(7 * np.arange(h, dtype=np.int64), 13 * np.arange(w, dtype=np.int64))) % 256).astype(np.uint8)
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack([(7 * i) % 256, (11 * i + 3) % 256, (29 * i + 7) % 256], axis=1).astype(np.uint8)
+    return idx, pal
 
 
 def _block_pattern(w: int, h: int) -> np.ndarray:
@@ -218,7 +231,9 @@ def media_payloads(spans_flat: DataFrame) -> DataFrame:
                 w = 16 * (1 + ord(hh[0]) % 8)
                 h = 16 * (1 + ord(hh[1]) % 8)
                 cls = ord(hh[2]) % 4
-                if cls == 0:
+                if cls == 0 and ord(hh[4]) % 2 == 1:
+                    payloads.append(gif.encode_gif(*_gif_pattern(w, h)))
+                elif cls == 0:
                     payloads.append(encode_bmp(_gradient(w, h)))
                 elif cls == 1:
                     payloads.append(jpeg.encode_jpeg(_block_pattern(w, h)))

@@ -155,3 +155,20 @@ public class DecodeJpeg {
     jv = java_decode(payload)
     # two independent IDCT/colorspace implementations on the same lossy file
     assert np.abs(mine.astype(np.int64) - jv).max() <= 2
+
+    # GIF encoder: javax returns the palette-index raster — must be exact
+    from pdfparser_spark.textops import gif
+
+    idx, pal = media._gif_pattern(56, 40)
+    g = tmp_path / "t.gif"
+    g.write_bytes(gif.encode_gif(idx, pal))
+    out = subprocess.run(
+        ["java", "-cp", str(tmp_path), "DecodeJpeg", str(g)],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.splitlines()
+    w, h, nb = map(int, out[0].split())
+    px = np.array([list(map(int, line.split())) for line in out[1:]], dtype=np.int64)
+    assert nb == 1
+    assert np.array_equal(px.reshape(h, w), idx.astype(np.int64))

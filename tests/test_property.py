@@ -429,7 +429,7 @@ def test_every_prefix_parses_leniently():
 def _codec_samples():
     import numpy as np
 
-    from pdfparser_spark.textops import audio, jpeg, media, png, tiff
+    from pdfparser_spark.textops import audio, gif, jpeg, media, png, tiff
 
     img = media._gradient(32, 24)
     return [
@@ -439,10 +439,11 @@ def _codec_samples():
         audio.encode_wav(audio._waveform(200, 2), 16000),
         tiff.encode_tiff(img, packbits=True),
         tiff.encode_tiff(img[:, :, 0], big_endian=True),
+        gif.encode_gif(*media._gif_pattern(24, 16)),
     ]
 
 
-@given(idx=st.integers(0, 5), cut=st.integers(0, 400))
+@given(idx=st.integers(0, 6), cut=st.integers(0, 400))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_truncation(idx, cut):
     from pdfparser_spark.textops.media import sniff_decode
@@ -459,7 +460,7 @@ def test_codec_decoders_contained_on_truncation(idx, cut):
         pass  # the documented failure mode
 
 
-@given(idx=st.integers(0, 5), seed=st.integers(0, 2**31))
+@given(idx=st.integers(0, 6), seed=st.integers(0, 2**31))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_bit_flips(idx, seed):
     import random

@@ -288,6 +288,38 @@ def test_png_roundtrip_all_color_types():
     assert media.sniff_decode(good)[0] == "png"
 
 
+def test_gif_roundtrip_and_lzw():
+    """GIF encode->decode exact (palette lookup, variable-width LZW with
+    clear codes, sub-block reassembly); interlace/malformed rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import gif, media
+
+    idx, pal = media._gif_pattern(56, 40)
+    payload = gif.encode_gif(idx, pal)
+    w, h, img = gif.decode_gif(payload)
+    assert (w, h) == (56, 40)
+    assert np.array_equal(img, pal[idx])
+    assert media.sniff_decode(payload)[0] == "gif"
+
+    pal4 = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx4 = (np.add.outer(np.arange(20), np.arange(30)) % 4).astype(np.uint8)
+    _, _, img4 = gif.decode_gif(gif.encode_gif(idx4, pal4))
+    assert np.array_equal(img4, pal4[idx4])
+
+    with _pytest.raises(ValueError, match="not a GIF"):
+        gif.decode_gif(b"JIF89a junk")
+    with _pytest.raises(ValueError):
+        gif.decode_gif(payload[: len(payload) // 2])
+    interlaced = bytearray(payload)
+    desc = 13 + 256 * 3  # header + 256-entry global color table
+    assert interlaced[desc] == 0x2C  # image descriptor
+    interlaced[desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        gif.decode_gif(bytes(interlaced))
+
+
 def test_tiff_roundtrip_matrix():
     """TIFF encode->decode exact across byte orders (II/MM), compressions
     (raw/PackBits), and gray/RGB; malformed input rejected."""

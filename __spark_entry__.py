@@ -31,7 +31,7 @@ from pdfparser_spark.stages import (
     flatten_spans,
     synthesize_corpus,
 )
-from pdfparser_spark.textops import ann, audio, dedup, events, html, media, textqc
+from pdfparser_spark.textops import ann, audio, dedup, events, html, media, mp4, textqc
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -196,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
+        # video tier: real ISO-BMFF payloads parsed by the box walker
+        # (frame decode stays stubbed — codec libs absent)
+        "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
@@ -634,6 +637,21 @@ def oracle_sql() -> dict[str, str]:
                          FROM unnest(generate_series(0, n - 1)) AS ti(i),
                               unnest(generate_series(0, ch - 1)) AS tc(c)) AS BIGINT) AS sum_abs
             FROM ap
+        """,
+        # ISO-BMFF rule (mp4.video_payloads): md5 ':mp4' salt drives
+        # duration/dims/audio-track; parse round-trips them exactly
+        "video_metadata": _SPAN_CTE + """
+            , vh AS (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref || ':mp4') AS h
+              FROM spans WHERE kind = 'media'
+            )
+            SELECT doc_id, media_ref, 'isom' AS brand,
+                   CAST(1000 + 100 * (ascii(substr(h, 1, 1)) % 60) AS INT) AS duration_ms,
+                   CAST(1 + ascii(substr(h, 4, 1)) % 2 AS INT) AS n_tracks,
+                   CAST(16 * (1 + ascii(substr(h, 2, 1)) % 8) AS INT) AS width,
+                   CAST(16 * (1 + ascii(substr(h, 3, 1)) % 8) AS INT) AS height
+            FROM vh
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

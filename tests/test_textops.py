@@ -288,6 +288,42 @@ def test_png_roundtrip_all_color_types():
     assert media.sniff_decode(good)[0] == "png"
 
 
+def test_mp4_box_walk_roundtrip():
+    """ISO-BMFF metadata round-trips through the real box walk: mvhd
+    duration/timescale, tkhd 16.16 dims, hdlr types, 64-bit largesize
+    boxes, version-1 mvhd; malformed input rejected as ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import mp4
+
+    m = mp4.decode_mp4_meta(mp4.encode_mp4_meta(12345, 640, 360, with_audio=True))
+    assert (m["brand"], m["duration_ms"], m["n_tracks"], m["video"]) == (
+        "isom", 12345, 2, (640, 360),
+    )
+    assert m["handlers"] == ["vide", "soun"]
+
+    # non-1000 timescale: duration_ms recomputed through the real values
+    m = mp4.decode_mp4_meta(mp4.encode_mp4_meta(2000, 64, 48, timescale=90000))
+    assert m["timescale"] == 90000 and m["duration_ms"] == 2000
+
+    # version-1 mvhd (64-bit duration) + largesize moov wrapper
+    mvhd1 = b"\x01\x00\x00\x00" + b"\x00" * 16 + struct.pack(">IQ", 1000, 7500)
+    moov_body = struct.pack(">I", len(mvhd1) + 8) + b"mvhd" + mvhd1
+    big = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", len(moov_body) + 16) + moov_body
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isommp42"
+    m = mp4.decode_mp4_meta(ftyp + big)
+    assert m["duration_ms"] == 7500 and m["n_tracks"] == 0
+
+    with _pytest.raises(ValueError, match="ftyp"):
+        mp4.decode_mp4_meta(b"\x00\x00\x00\x08free")
+    with _pytest.raises(ValueError, match="moov"):
+        mp4.decode_mp4_meta(ftyp)
+    with _pytest.raises(ValueError, match="overruns"):
+        mp4.decode_mp4_meta(ftyp + struct.pack(">I", 999) + b"moov")
+
+
 def test_gif_roundtrip_and_lzw():
     """GIF encode->decode exact (palette lookup, variable-width LZW with
     clear codes, sub-block reassembly); interlace/malformed rejected."""

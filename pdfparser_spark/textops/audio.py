@@ -20,11 +20,11 @@ from __future__ import annotations
 import hashlib
 import struct
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 RATES = (8000, 16000, 22050, 44100)
 
@@ -82,26 +82,20 @@ def _params(doc_id: int, media_ref: str) -> tuple[int, int, int]:
     return n, rate, ch
 
 
+@lru_cache(maxsize=128)
+def _wav_payload(n: int, rate: int, ch: int) -> bytes:
+    """Memoized: only 8 x 4 x 2 distinct (n, rate, ch) combos exist."""
+    return encode_wav(_waveform(n, ch), rate)
+
+
 def audio_payloads(spans_flat: DataFrame) -> DataFrame:
     """Media spans -> real WAV binary payloads (synthesis half of the
     round trip; at production the bytes come from the source table)."""
-    media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
+    from pdfparser_spark.textops.media import media_payload_kernel
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for d, m in zip(pdf["doc_id"], pdf["media_ref"]):
-                n, rate, ch = _params(int(d), m)
-                payloads.append(encode_wav(_waveform(n, ch), rate))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "media_ref": pdf["media_ref"],
-                    "payload": payloads,
-                }
-            )
-
-    return media.mapInPandas(run, schema="doc_id long, media_ref string, payload binary")
+    return media_payload_kernel(
+        spans_flat, lambda d, m: _wav_payload(*_params(d, m))
+    )
 
 
 def audio_features(spans_flat: DataFrame) -> DataFrame:

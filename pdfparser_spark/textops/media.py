@@ -29,6 +29,7 @@ from __future__ import annotations
 import hashlib
 import struct
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -51,10 +52,35 @@ MEDIA_META = T.StructType(
 
 
 def decode_video_real(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real video decode path (ffmpeg/H.264): unavailable in this
-    container.  Still images (PPM/BMP/JPEG) decode for real via
-    ``sniff_decode``."""
+    """Real video FRAME decode (ffmpeg/H.264): unavailable in this
+    container.  Still images (PPM/BMP/PNG/GIF/TIFF/JPEG) decode for real
+    via ``sniff_decode``, and video container METADATA parses for real
+    via ``mp4.decode_mp4_meta`` — pixel-level frame decode is the one
+    remaining stub."""
     raise NotImplementedError("video codecs not installed; use the deterministic fake")
+
+
+def media_payload_kernel(spans_flat: DataFrame, make_payload) -> DataFrame:
+    """Shared synthesis half of every modality round trip: media spans ->
+    a real ``binary`` payload column via ``make_payload(doc_id,
+    media_ref) -> bytes`` in an Arrow-batched kernel.  At production the
+    bytes come from the source table instead."""
+    media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "media_ref": pdf["media_ref"],
+                    "payload": [
+                        make_payload(int(d), m)
+                        for d, m in zip(pdf["doc_id"], pdf["media_ref"])
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema="doc_id long, media_ref string, payload binary")
 
 
 def _fake_meta(doc_id: int, media_ref: str) -> tuple[str, int, int, int]:
@@ -214,50 +240,49 @@ def _block_pattern(w: int, h: int) -> np.ndarray:
     return np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
 
 
+@lru_cache(maxsize=1024)
+def _image_payload(kind: str, w: int, h: int, opt: int = 0) -> bytes:
+    """Encode one test image.  Memoized: payloads depend only on (kind,
+    dims, opt) — a handful of distinct values per class across the whole
+    corpus — so each executor encodes each at most once."""
+    if kind == "gif":
+        return gif.encode_gif(*_gif_pattern(w, h))
+    if kind == "bmp":
+        return encode_bmp(_gradient(w, h))
+    if kind == "jpeg":
+        return jpeg.encode_jpeg(_block_pattern(w, h))
+    if kind == "png":
+        return png.encode_png(_gradient(w, h))
+    if kind == "tiff":
+        return tiff.encode_tiff(_gradient(w, h), big_endian=bool(opt & 1), packbits=bool(opt & 2))
+    return encode_ppm(_gradient(w, h))
+
+
+def _make_image_payload(doc_id: int, media_ref: str) -> bytes:
+    hh = hashlib.md5(f"{doc_id}:{media_ref}".encode()).hexdigest()
+    w = 16 * (1 + ord(hh[0]) % 8)
+    h = 16 * (1 + ord(hh[1]) % 8)
+    cls = ord(hh[2]) % 4
+    if cls == 0:
+        kind = "gif" if ord(hh[4]) % 2 == 1 else "bmp"
+    elif cls == 1:
+        kind = "jpeg"
+    elif cls == 2:
+        kind = "png"
+    elif ord(hh[4]) % 2 == 1:
+        kind = "tiff"
+    else:
+        kind = "ppm"
+    opt = (ord(hh[5]) % 2) | ((ord(hh[6]) % 2) << 1) if kind == "tiff" else 0
+    return _image_payload(kind, w, h, opt)
+
+
 def media_payloads(spans_flat: DataFrame) -> DataFrame:
-    """Media spans -> an actual ``binary`` payload column: each span gets a
-    real encoded image — BMP for the md5-designated 'video' class, baseline
-    JPEG (grayscale, block-constant pattern) for class 1, PPM otherwise —
-    with md5-derived dimensions.  This is the synthesis half of the
-    real-decode round trip — at production the bytes come from the source
-    table instead."""
-    media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for d, m in zip(pdf["doc_id"], pdf["media_ref"]):
-                hh = hashlib.md5(f"{int(d)}:{m}".encode()).hexdigest()
-                w = 16 * (1 + ord(hh[0]) % 8)
-                h = 16 * (1 + ord(hh[1]) % 8)
-                cls = ord(hh[2]) % 4
-                if cls == 0 and ord(hh[4]) % 2 == 1:
-                    payloads.append(gif.encode_gif(*_gif_pattern(w, h)))
-                elif cls == 0:
-                    payloads.append(encode_bmp(_gradient(w, h)))
-                elif cls == 1:
-                    payloads.append(jpeg.encode_jpeg(_block_pattern(w, h)))
-                elif cls == 2:
-                    payloads.append(png.encode_png(_gradient(w, h)))
-                elif cls == 3 and ord(hh[4]) % 2 == 1:
-                    payloads.append(
-                        tiff.encode_tiff(
-                            _gradient(w, h),
-                            big_endian=ord(hh[5]) % 2 == 1,
-                            packbits=ord(hh[6]) % 2 == 1,
-                        )
-                    )
-                else:
-                    payloads.append(encode_ppm(_gradient(w, h)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "media_ref": pdf["media_ref"],
-                    "payload": payloads,
-                }
-            )
-
-    return media.mapInPandas(run, schema="doc_id long, media_ref string, payload binary")
+    """Media spans -> an actual ``binary`` payload column: each span gets
+    a real encoded image — BMP or GIF for the md5-designated class 0,
+    baseline JPEG (grayscale, block-constant pattern) for class 1, PNG
+    for class 2, TIFF or PPM for class 3 — with md5-derived dimensions."""
+    return media_payload_kernel(spans_flat, _make_image_payload)
 
 
 def media_decode_real(spans_flat: DataFrame) -> DataFrame:

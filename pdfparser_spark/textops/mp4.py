@@ -158,39 +158,24 @@ def decode_mp4_meta(payload: bytes) -> dict:
 
 # --- Spark wiring (mirrors textops/audio.py) -------------------------------
 
+def _make_video_payload(doc_id: int, media_ref: str) -> bytes:
+    import hashlib
+
+    h = hashlib.md5(f"{doc_id}:{media_ref}:mp4".encode()).hexdigest()
+    return encode_mp4_meta(
+        duration_ms=1000 + 100 * (ord(h[0]) % 60),
+        width=16 * (1 + ord(h[1]) % 8),
+        height=16 * (1 + ord(h[2]) % 8),
+        with_audio=ord(h[3]) % 2 == 1,
+    )
+
+
 def video_payloads(spans_flat):
     """Media spans -> real ISO-BMFF binary payloads (md5-derived duration,
     dimensions, audio-track flag — the synthesis half of the round trip)."""
-    import hashlib
-    from collections.abc import Iterator
+    from pdfparser_spark.textops.media import media_payload_kernel
 
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    media = spans_flat.filter(F.col("kind") == "media").select("doc_id", "media_ref")
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for d, m in zip(pdf["doc_id"], pdf["media_ref"]):
-                h = hashlib.md5(f"{int(d)}:{m}:mp4".encode()).hexdigest()
-                payloads.append(
-                    encode_mp4_meta(
-                        duration_ms=1000 + 100 * (ord(h[0]) % 60),
-                        width=16 * (1 + ord(h[1]) % 8),
-                        height=16 * (1 + ord(h[2]) % 8),
-                        with_audio=ord(h[3]) % 2 == 1,
-                    )
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "media_ref": pdf["media_ref"],
-                    "payload": payloads,
-                }
-            )
-
-    return media.mapInPandas(run, schema="doc_id long, media_ref string, payload binary")
+    return media_payload_kernel(spans_flat, _make_video_payload)
 
 
 def video_metadata(spans_flat):

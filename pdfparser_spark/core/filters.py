@@ -339,11 +339,7 @@ def decode_media_prefix(data: bytes, chain: list[tuple[str, dict]]) -> bytes:
     ``[/ASCIIHexDecode /DCTDecode]`` — transport armor over compressed
     image bytes, a common old-writer shape §7.4.1) and return the payload
     at the media codec's boundary: the actual JPEG/JPX/CCITT bytes."""
-    for name, parms in chain:
-        if name in MEDIA_FILTERS:
-            break
-        dec = _DECODERS.get(name)
-        if dec is None:
-            raise FilterError(f"unsupported filter {name}")
-        data = dec(data, parms)
-    return data
+    prefix = next(
+        (i for i, (name, _) in enumerate(chain) if name in MEDIA_FILTERS), len(chain)
+    )
+    return decode_chain(data, chain[:prefix])

@@ -65,15 +65,15 @@ def duplicate_ngram_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     no joins, no driver state; 100 TB-safe because the 16-byte gram hash
     is the only shuffle key."""
     w = F.split(F.col("text"), " ")
-    grams = documents.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(split(text, ' ')) - {n}),"
-                f" i -> md5(array_join(slice(split(text, ' '), i + 1, {n}), ' ')))"
-            )
-        ).alias("gram_md5"),
-    ).filter(F.size(w) >= n)
+    # guarded window expression (shingles_expr's shape): short docs yield
+    # an empty array rather than relying on predicate pushdown to keep a
+    # negative-length sequence from ever evaluating
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    windows = F.when(
+        F.size(w) >= n,
+        F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i + 1, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = documents.select("doc_id", F.explode(windows).alias("gram_md5"))
     return (
         grams.distinct()  # a doc repeating its own gram counts once
         .groupBy("gram_md5")

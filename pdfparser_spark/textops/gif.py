@@ -171,6 +171,10 @@ def decode_gif(payload: bytes):
         pos += 9
         if iflags & 0x40:
             raise ValueError("interlaced GIF not supported")
+        if (ix, iy) != (0, 0) or (iw, ih) != (w, h):
+            # an optimized sub-frame would make the returned raster shape
+            # disagree with the logical-screen dims — fail loudly instead
+            raise ValueError("GIF frame does not cover the logical screen")
         ct = gct
         if iflags & 0x80:
             n = 2 << (iflags & 7)

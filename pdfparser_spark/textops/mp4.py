@@ -109,6 +109,8 @@ def decode_mp4_meta(payload: bytes) -> dict:
     if mvhd is None:
         raise ValueError("missing mvhd box")
     vs, _ve = mvhd
+    if vs >= len(payload):
+        raise ValueError("empty mvhd box")
     version = payload[vs]
     try:
         if version == 1:
@@ -137,6 +139,8 @@ def decode_mp4_meta(payload: bytes) -> dict:
                 handlers.append(handler)
         if tkhd is not None and handler == "vide" and video is None:
             ts, te = tkhd
+            if ts >= te or ts >= len(payload):
+                raise ValueError("empty tkhd box")
             tver = payload[ts]
             # width offset inside tkhd: ver+flags(4) + times(8|16) + id(4)
             # + rsvd(4) + duration(4|8) + rsvd/layer/group/volume(16)

@@ -95,7 +95,9 @@ def _packbits_encode(data: bytes) -> bytes:
                 run += 1
             if run >= 3:
                 break
-            i += run
+            # never let the literal overshoot 128 bytes: a 129-byte count
+            # would encode as header 128, the spec's no-op byte
+            i = min(i + run, lit_start + 128)
         out += bytes([i - lit_start - 1]) + data[lit_start:i]
     return bytes(out)
 
@@ -138,10 +140,8 @@ def decode_tiff(payload: bytes):
         raise ValueError("not a TIFF (magic != 42)")
 
     def read_values(typ, count, raw4):
-        size = _TYPE_SIZE.get(typ)
-        fmt = _TYPE_FMT.get(typ)
-        if size is None or fmt is None:
-            raise ValueError(f"unsupported TIFF entry type {typ}")
+        size = _TYPE_SIZE[typ]
+        fmt = _TYPE_FMT[typ]
         total = size * count
         if total <= 4:
             buf = raw4[:total]
@@ -161,7 +161,11 @@ def decode_tiff(payload: bytes):
         raise ValueError("truncated IFD")
     for _ in range(n_entries):
         tag, typ, count = struct.unpack_from(e + "HHI", payload, pos)
-        tags[tag] = read_values(typ, count, payload[pos + 8 : pos + 12])
+        # skip entry types we don't consume (RATIONAL XResolution, ASCII
+        # Software/DateTime, ...) — real-world baseline writers always
+        # emit some; only integer-typed entries feed the decode
+        if typ in _TYPE_FMT:
+            tags[tag] = read_values(typ, count, payload[pos + 8 : pos + 12])
         pos += 12
 
     def one(tag, default=None):

@@ -429,7 +429,7 @@ def test_every_prefix_parses_leniently():
 def _codec_samples():
     import numpy as np
 
-    from pdfparser_spark.textops import audio, gif, jpeg, media, png, tiff
+    from pdfparser_spark.textops import audio, gif, jpeg, media, mp4, png, tiff
 
     img = media._gradient(32, 24)
     return [
@@ -440,10 +440,11 @@ def _codec_samples():
         tiff.encode_tiff(img, packbits=True),
         tiff.encode_tiff(img[:, :, 0], big_endian=True),
         gif.encode_gif(*media._gif_pattern(24, 16)),
+        mp4.encode_mp4_meta(4200, 64, 48, with_audio=True),
     ]
 
 
-@given(idx=st.integers(0, 6), cut=st.integers(0, 400))
+@given(idx=st.integers(0, 7), cut=st.integers(0, 400))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_truncation(idx, cut):
     from pdfparser_spark.textops.media import sniff_decode
@@ -452,20 +453,22 @@ def test_codec_decoders_contained_on_truncation(idx, cut):
     truncated = payload[: min(cut, len(payload))]
     try:
         sniff_decode(truncated)
-        from pdfparser_spark.textops import audio
+        from pdfparser_spark.textops import audio, mp4
 
         if truncated[:4] == b"RIFF":
             audio.decode_wav(truncated)
+        if truncated[4:8] == b"ftyp":
+            mp4.decode_mp4_meta(truncated)
     except ValueError:
         pass  # the documented failure mode
 
 
-@given(idx=st.integers(0, 6), seed=st.integers(0, 2**31))
+@given(idx=st.integers(0, 7), seed=st.integers(0, 2**31))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_bit_flips(idx, seed):
     import random
 
-    from pdfparser_spark.textops import audio
+    from pdfparser_spark.textops import audio, mp4
     from pdfparser_spark.textops.media import sniff_decode
 
     payload = bytearray(_codec_samples()[idx])
@@ -477,5 +480,7 @@ def test_codec_decoders_contained_on_bit_flips(idx, seed):
         sniff_decode(data)
         if data[:4] == b"RIFF":
             audio.decode_wav(data)
+        if data[4:8] == b"ftyp":
+            mp4.decode_mp4_meta(data)
     except ValueError:
         pass

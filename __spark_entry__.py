@@ -215,6 +215,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
+        # IVF layout: fixed deterministic codebook, nearest-list assignment,
+        # n_probe=2 probed lists per query — the list equi-join bounds the
+        # candidate set; codebook is md5-derived so the oracle is exact
+        "ann_ivf_topk": lambda s, d: ann.ann_ivf_topk(_emb(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "html_main_content": lambda s, d: html.html_main_content(_docs(s, d)),
         "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
@@ -472,6 +476,26 @@ def _sql_dot(a: str, b: str) -> str:
 
 def _sql_cos(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_ivf_coeff(j: int, i: str = "i") -> str:
+    """Centroid-j coefficient (ann._centroid_coeff_at) recomputed in SQL."""
+    h = f"md5('ivf{j}:dim' || CAST({i} - 1 AS VARCHAR))"
+    return f"(((ascii(substr({h}, 1, 1)) * 31 + ascii(substr({h}, 2, 1))) % 101) / 101.0 - 0.5)"
+
+
+def _sql_ivf_score(j: int, col: str = "embedding") -> str:
+    """||c_j||^2 - 2 v.c_j with operand order identical to ann._list_scores."""
+    coeff = _sql_ivf_coeff(j)
+    c2 = (
+        f"list_reduce(list_prepend(0.0, [{coeff} * {coeff} "
+        f"FOR i IN generate_series(1, len({col}))]), (acc, x) -> acc + x)"
+    )
+    dot = (
+        f"list_reduce(list_prepend(0.0, [CAST({col}[i] AS DOUBLE) * {coeff} "
+        f"FOR i IN generate_series(1, len({col}))]), (acc, x) -> acc + x)"
+    )
+    return f"({c2} - 2.0 * {dot})"
 
 
 def _sql_plane_bit(p: int, col: str = "embedding") -> str:
@@ -871,6 +895,42 @@ def oracle_sql() -> dict[str, str]:
               FROM bands a JOIN bands b
                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
               WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+        """,
+        # ann_ivf_topk: the codebook is deterministic, so the whole IVF
+        # path — assignment argmin, probe-list sort, candidate join —
+        # recomputes exactly in SQL (struct sort ties -> smaller lid on
+        # both engines)
+        "ann_ivf_topk": f"""
+            WITH sc AS MATERIALIZED (
+              SELECT vec_id, embedding,
+                     [{', '.join(_sql_ivf_score(j) for j in range(8))}] AS scores
+              FROM embeddings
+            ), assign AS (
+              SELECT vec_id, CAST(list_indexof(scores, list_min(scores)) AS INT) AS list_id
+              FROM sc
+            ), probe AS (
+              SELECT vec_id AS query_id,
+                     list_transform(
+                       list_sort([{', '.join(f"{{'score': scores[{j+1}], 'lid': {j+1}}}" for j in range(8))}])[1:2],
+                       p -> CAST(p.lid AS INT)) AS lids
+              FROM sc WHERE vec_id < 5
+            ), cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p, LATERAL unnest(p.lids) AS t(lid)
+              JOIN assign a ON a.list_id = t.lid
+              WHERE a.vec_id <> p.query_id
             ), scored AS (
               SELECT query_id, neighbor_id,
                      FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim

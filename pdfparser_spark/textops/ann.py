@@ -173,3 +173,102 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+# --- IVF (inverted-file) index ---------------------------------------------
+
+N_LISTS = 8  # coarse-quantizer codebook size
+N_PROBE = 2  # lists probed per query
+
+
+def _centroid_coeff_at(j: int, i):
+    """Deterministic centroid-j coefficient at runtime dimension ``i`` —
+    the same md5 derivation family as ``_plane_coeff_at``, 'ivf' salt."""
+    h = F.md5(F.concat(F.lit(f"ivf{j}:dim"), i.cast("string")))
+    mixed = (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) % 101
+    return mixed.cast("double") / 101.0 - 0.5
+
+
+def _list_scores(col, n_lists: int = N_LISTS) -> Column:
+    """array<double> of per-list assignment scores ||c_j||^2 - 2 v.c_j —
+    the rank-equivalent part of the L2 distance to centroid j (||v||^2 is
+    constant per vector and drops out of the argmin)."""
+    idx = F.sequence(F.lit(0), F.size(col) - 1)
+    scores = []
+    for j in range(n_lists):
+        dot = F.aggregate(
+            F.zip_with(col, idx, lambda x, i: x.cast("double") * _centroid_coeff_at(j, i)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        c2 = F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc + _centroid_coeff_at(j, i) * _centroid_coeff_at(j, i),
+        )
+        scores.append(c2 - 2.0 * dot)
+    return F.array(*scores)
+
+
+def ivf_assign(embeddings: DataFrame, n_lists: int = N_LISTS) -> DataFrame:
+    """(vec_id, list_id) — each vector's inverted list: the nearest
+    centroid of a FIXED deterministic random codebook (the k-means
+    TRAINING step would be a separate periodic batch job at production;
+    the IVF part reproduced here is the layout + probe mechanics).  At
+    cluster scale this is the partitioning column: each list is a
+    co-located shard and queries only touch n_probe of them."""
+    scores = _list_scores(F.col("embedding"), n_lists)
+    return embeddings.select(
+        "vec_id",
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+    )
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their nearest
+    centroid's inverted list; a query probes its ``n_probe`` nearest lists
+    and runs exact cosine only on those lists' members.  The list equi-join
+    is the only shuffle — candidate fan-out is bounded by the probed
+    lists' sizes, never all-pairs."""
+    scores = _list_scores(F.col("embedding"), n_lists)
+    corpus = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+    )
+    # the query's n_probe nearest lists: (score, lid) structs sorted
+    # lexicographically (ties -> smaller lid, same on both engines)
+    pairs = F.array_sort(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(1), F.lit(n_lists)),
+            lambda s, j: F.struct(s.alias("score"), j.alias("lid")),
+        )
+    )
+    probe = F.transform(F.slice(pairs, 1, n_probe), lambda p: p["lid"].cast("int"))
+    q = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probe).alias("list_id"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

@@ -224,6 +224,28 @@ def test_repetition_signals_values(spark):
     assert r2.top_bigram is None and r2.top_bigram_frac is None
 
 
+def test_ann_ivf_topk_recall_floor(spark, sf_dir):
+    """IVF probe (n_probe=2 of 8 lists) must recover a reasonable share of
+    the exact top-k, and the candidate join must be a hash join on
+    list_id, never a nested loop."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    exact = {}
+    for r in ann.cosine_topk(emb, n_queries=5, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_df = ann.ann_ivf_topk(emb, n_queries=5, k=5)
+    approx = {}
+    for r in ivf_df.collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(q, set()) & ns) for q, ns in exact.items())
+    total = sum(len(ns) for ns in exact.values())
+    assert hits / total >= 0.3  # fixed codebook, 2/8 lists probed
+    plan = ivf_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_media_real_codecs_roundtrip():
     """PPM/BMP encode->decode round-trips exactly; sniff dispatches by
     magic; compressed payloads fall to the stub tier (None)."""

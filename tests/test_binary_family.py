@@ -329,3 +329,33 @@ def test_embedded_jpeg_extraction_end_to_end():
     assert extract_media_payloads(prot["bytes"]) == []  # fails closed
     got = extract_media_payloads(prot["bytes"], password=PROTECTED_USER_PWD)
     assert len(got) == 1 and sniff_decode(bytes(got[0][1]))[0] == "jpg"
+
+
+def test_protected_family_mutations_never_raise():
+    """Lenient mode holds through the DECRYPTION paths too: truncated/
+    bit-flipped/injected bytes in password-protected docs (RC4/AESV2/
+    AESV3) produce error rows or empty payload lists, never exceptions —
+    with the right password, a wrong one, or none."""
+    import random
+
+    from pdfparser_spark.core.extract import extract_media_payloads
+    from pdfparser_spark.synth import PROTECTED_USER_PWD, build_document_protected
+
+    docs = [build_document_protected(did, TEXT)["bytes"] for did in (3, 9, 15)]
+    rng = random.Random(7)
+    for _ in range(150):
+        base = bytearray(rng.choice(docs))
+        mode = rng.randrange(3)
+        if mode == 0:
+            base = base[: rng.randrange(len(base) + 1)]
+        elif mode == 1:
+            for _ in range(rng.randint(1, 12)):
+                base[rng.randrange(len(base))] ^= 1 << rng.randrange(8)
+        else:
+            cut = rng.randrange(len(base))
+            base = base[:cut] + bytes(rng.getrandbits(8) for _ in range(40)) + base[cut:]
+        data = bytes(base)
+        pw = PROTECTED_USER_PWD if rng.random() < 0.7 else b"wrong"
+        res = extract_spans(data, strict=False, password=pw)
+        assert isinstance(res["spans"], list)
+        assert isinstance(extract_media_payloads(data, password=pw), list)

@@ -106,17 +106,12 @@ def _flat(spark, sf_dir, where=None):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
+        # NOTE (driver contract): the driver's correctness snapshot covers the
+        # FIRST 50 entries of this dict only.  Every unique-evidence query
+        # must sit inside that window; same-oracle execution-mode variants
+        # and stub-tier demos live in the tail block at the bottom (they
+        # stay under pytest + scripts/check_oracles.py coverage).
         "extract_spans": lambda s, d: _flat(s, d),
-        "extract_spans_fused": lambda s, d: flatten_spans(
-            extract_fused(
-                synthesize_corpus(
-                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
-                )
-            )
-        ),
-        "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
-        "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
-        "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
         "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
         # real-writer binary family (true binary Flate, CRLF, gen!=0,
         # inline images, RC4-encrypted docs) through BOTH execution modes
@@ -147,14 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 family="binary",
             )
         ),
-        # ASCII family wraps the same JPEGs in [/ASCIIHexDecode /DCTDecode]
-        # transport armor; the kernel strips the non-media prefix first
-        "extract_embedded_images_armored": lambda s, d: extract_images_fused(
-            synthesize_corpus(
-                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
-                family="ascii",
-            )
-        ),
         # password-protected family: every doc encrypted (RC4/AESV2/AESV3
         # mix) with user password "hunter2"; the query supplies the
         # credential and must recover the same spans as the binary oracle
@@ -167,12 +154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 password=b"hunter2",
             )
         ),
-        "extract_binary_dag": lambda s, d: Pipeline(s, work_dir=None).run(
-            synthesize_corpus(
-                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
-                family="binary",
-            )
-        )["spans_flat"],
         "version_sniff": lambda s, d: (
             _pipeline(s, d)["decoded"].filter(F.col("rtype") == "meta").select("doc_id", "version")
         ),
@@ -182,12 +163,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "n_objects", "n_pages", "n_streams")
         ),
         "parse_metrics": lambda s, d: _pipeline(s, d)["metrics"],
-        "media_metadata": lambda s, d: media.media_metadata(_pipeline(s, d)["spans_flat"]),
-        "media_frame_sample": lambda s, d: media.media_frame_sample(
-            media.media_metadata(_pipeline(s, d)["spans_flat"])
+        # --- classical relational coverage (SURVEY.md §2.9) ----------------
+        # rollup nulls are coalesced to '(all)' so the result carries no
+        # NULL group keys (driver-safe sorting/hashing)
+        "docs_rollup_stats": lambda s, d: (
+            _docs(s, d)
+            .rollup("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .select(
+                F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                F.coalesce("source", F.lit("(all)")).alias("source"),
+                "n_docs",
+                "total_chars",
+            )
         ),
-        "media_resize": lambda s, d: media.media_resize(
-            media.media_metadata(_pipeline(s, d)["spans_flat"])
+        "top_terms_by_lang": lambda s, d: (
+            _docs(s, d)
+            .select("lang", F.explode(F.split("text", " ")).alias("term"))
+            .filter(F.length("term") >= 4)
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+                ),
+            )
+            .filter(F.col("rnk") <= 5)
+            .select("lang", "term", "n", "rnk")
+        ),
+        "tpch_q1_pricing": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                _r2(F.sum("l_quantity")).alias("sum_qty"),
+                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+                _r4(F.avg("l_discount")).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        ),
+        "top_revenue_orders": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+            .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+            .limit(10)
+        ),
+        "customers_with_orders_semi": lambda s, d: (
+            _tbl(s, d, "customer")
+            .join(_tbl(s, d, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey", "c_name")
+        ),
+        "customers_without_recent_orders_anti": lambda s, d: (
+            _tbl(s, d, "customer")
+            .join(
+                _tbl(s, d, "orders").filter(F.col("o_orderdate") >= "1998-01-01"),
+                F.col("c_custkey") == F.col("o_custkey"),
+                "left_anti",
+            )
+            .select("c_custkey", "c_name")
+        ),
+        "customer_order_window": lambda s, d: (
+            _tbl(s, d, "orders")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.row_number()
+                .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+                .alias("order_seq"),
+            )
+            .filter(F.col("order_seq") <= 3)
+        ),
+        "events_props_json": lambda s, d: (
+            _tbl(s, d, "events")
+            .select(
+                "event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .filter(F.col("k") > 80)
         ),
         # REAL decode tier: actual PPM/BMP payload bytes in a binary column,
         # parsed with numpy; pixel sums pin the decoder/resampler output
@@ -239,91 +299,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, os.path.join(d, "events.parquet")
         ),
         "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
-        "events_props_json": lambda s, d: (
-            _tbl(s, d, "events")
-            .select(
-                "event_id",
-                F.get_json_object("props", "$.k").cast("int").alias("k"),
-            )
-            .filter(F.col("k") > 80)
-        ),
-        # rollup nulls are coalesced to '(all)' so the result carries no
-        # NULL group keys (driver-safe sorting/hashing)
-        "docs_rollup_stats": lambda s, d: (
-            _docs(s, d)
-            .rollup("lang", "source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("n_chars").alias("total_chars"),
-            )
-            .select(
-                F.coalesce("lang", F.lit("(all)")).alias("lang"),
-                F.coalesce("source", F.lit("(all)")).alias("source"),
-                "n_docs",
-                "total_chars",
+        # ---- tail: same-oracle execution-mode variants + stub-tier demos ---
+        # (beyond the driver's 50-query window; exercised by pytest and
+        # scripts/check_oracles.py, which cover ALL registered queries)
+        "extract_spans_fused": lambda s, d: flatten_spans(
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+                )
             )
         ),
-        "top_terms_by_lang": lambda s, d: (
-            _docs(s, d)
-            .select("lang", F.explode(F.split("text", " ")).alias("term"))
-            .filter(F.length("term") >= 4)
-            .groupBy("lang", "term")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("lang").orderBy(F.col("n").desc(), "term")
-                ),
+        "extract_binary_dag": lambda s, d: Pipeline(s, work_dir=None).run(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="binary",
             )
-            .filter(F.col("rnk") <= 5)
-            .select("lang", "term", "n", "rnk")
-        ),
-        # --- classical relational coverage (SURVEY.md §2.9) ----------------
-        "tpch_q1_pricing": lambda s, d: (
-            _tbl(s, d, "lineitem")
-            .filter(F.col("l_shipdate") <= "1998-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                _r2(F.sum("l_quantity")).alias("sum_qty"),
-                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
-                _r4(F.avg("l_discount")).alias("avg_disc"),
-                F.count(F.lit(1)).alias("count_order"),
+        )["spans_flat"],
+        "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
+        "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
+        "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
+        # ASCII family wraps the same JPEGs in [/ASCIIHexDecode /DCTDecode]
+        # transport armor; the kernel strips the non-media prefix first
+        "extract_embedded_images_armored": lambda s, d: extract_images_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="ascii",
             )
         ),
-        "top_revenue_orders": lambda s, d: (
-            _tbl(s, d, "lineitem")
-            .groupBy("l_orderkey")
-            .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-            .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
-            .orderBy(F.col("revenue").desc(), F.col("orderkey"))
-            .limit(10)
+        "media_metadata": lambda s, d: media.media_metadata(_pipeline(s, d)["spans_flat"]),
+        "media_frame_sample": lambda s, d: media.media_frame_sample(
+            media.media_metadata(_pipeline(s, d)["spans_flat"])
         ),
-        "customers_with_orders_semi": lambda s, d: (
-            _tbl(s, d, "customer")
-            .join(_tbl(s, d, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
-            .select("c_custkey", "c_name")
-        ),
-        "customers_without_recent_orders_anti": lambda s, d: (
-            _tbl(s, d, "customer")
-            .join(
-                _tbl(s, d, "orders").filter(F.col("o_orderdate") >= "1998-01-01"),
-                F.col("c_custkey") == F.col("o_custkey"),
-                "left_anti",
-            )
-            .select("c_custkey", "c_name")
-        ),
-        "customer_order_window": lambda s, d: (
-            _tbl(s, d, "orders")
-            .select(
-                "o_custkey",
-                "o_orderkey",
-                F.row_number()
-                .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
-                .alias("order_seq"),
-            )
-            .filter(F.col("order_seq") <= 3)
+        "media_resize": lambda s, d: media.media_resize(
+            media.media_metadata(_pipeline(s, d)["spans_flat"])
         ),
     }
 
@@ -1074,7 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_rollup_stats": """
             SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
-                   COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+                   COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
         "top_terms_by_lang": """

@@ -1,15 +1,18 @@
-"""Standard security handler — RC4 (ISO 32000 §7.6: V 1/2, R 2/3).
+"""Standard security handler — RC4 V1/V2 (R 2/3), AESV2 (V4/R4) and
+AESV3 (V5/R6), with both user- and owner-password authentication
+(ISO 32000 §7.6; ISO 32000-2 §7.6.4 for the AES-256/SHA-2 KDF).
 
 The reference rejects encrypted input outright (the unsupported /Crypt
 filter stance, /root/reference/src/pdf_doc/pdf_file/decode.rs:46,83-87);
-this module implements the common real-world case on top of that seam:
-the *standard* security handler with RC4 and an empty user password —
-the shape most "encrypted" PDFs in a crawl actually have (owner-password
-protected, user-openable).  AES (/V 4+) and user-password-protected
-documents still surface as the existing unsupported-encryption error row.
+this module implements the real-world handlers on top of that seam:
+RC4 and AES-CBC stream/string decryption, Algorithm 2 key derivation,
+Algorithms 4-7 password verification (user AND owner paths), and the
+R6 iterated-hash KDF.  Only genuinely unknown CFMs or wrong passwords
+surface as error rows.
 
-Pure Python, deterministic, no external deps; also used by the synthetic
-corpus builder to produce genuinely encrypted fixtures.
+Pure Python, deterministic, no external deps (AES is implemented from
+FIPS-197 below); also used by the synthetic corpus builder to produce
+genuinely encrypted fixtures.
 """
 
 from __future__ import annotations

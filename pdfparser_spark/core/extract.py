@@ -90,7 +90,19 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict, password: bytes 
 
         stm_mode = mode_of("StmF")
         str_mode = mode_of("StrF")
-        n = max(5, as_int(enc.get("Length"), 128) // 8)
+        if "Length" in enc:
+            n = max(5, as_int(enc.get("Length"), 128) // 8)
+        else:
+            # /Length absent: the top-level default is 40 bits (§7.6.2 table),
+            # so prefer the selected crypt filter dict's /Length (bytes, per
+            # Acrobat practice), else 40 bits for CFM V2 (RC4), 128 for AESV2.
+            sel = str(enc.get("StmF") or enc.get("StrF") or "Identity")
+            cfd = cf.get(sel) if isinstance(cf.get(sel), dict) else {}
+            cf_len = as_int(cfd.get("Length"), 0)
+            if cf_len > 0:
+                n = cf_len if cf_len <= 40 else max(5, cf_len // 8)
+            else:
+                n = 16 if "aes" in (stm_mode, str_mode) else 5
     elif str(enc.get("Filter")) == "Standard" and v == 5 and r == 6:
         # AESV3 (ISO 32000-2 §7.6.4): AES-256, SHA-2 KDF; the /U entry
         # validates the (empty) user password, /UE unwraps the file key.

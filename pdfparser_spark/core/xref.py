@@ -168,9 +168,16 @@ def _recover_by_scan(data: bytes, tok: Tokenizer):
     candidates: dict = {}
     for m in _OBJ_HEADER_RE.finditer(data):
         candidates.setdefault((int(m.group(1)), int(m.group(2))), []).append(m.start(1))
+    # Validation parses the full object (incl. stream body) — correct but
+    # potentially quadratic if a large damaged file's binary streams are
+    # riddled with false-positive header matches, so bound the number of
+    # candidates tried per key (newest-first; real shadowing chains from
+    # incremental updates are short).
     offsets: dict = {}
+    _MAX_CANDIDATES_PER_KEY = 4
     for key, offs in candidates.items():
-        for off in reversed(offs):  # newest definition first (incremental updates)
+        for off in list(reversed(offs))[:_MAX_CANDIDATES_PER_KEY]:
+            # newest definition first (incremental updates)
             try:
                 ind, _ = Tokenizer(data).parse_indirect_at(off)
             except ParsingError:

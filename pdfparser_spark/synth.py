@@ -684,7 +684,9 @@ def build_document_binary(
         b.struct(b"0000000000 65535 f \r\n")
         for oid in range(1, n_objs):
             off, gen = offsets[oid]
-            b.struct(f"{off:010d} {gen:05d} n \r\n".encode("ascii"))
+            # ISO 32000 §7.5.4: entries are EXACTLY 20 bytes — with a CRLF
+            # end-of-line there is no space before it
+            b.struct(f"{off:010d} {gen:05d} n\r\n".encode("ascii"))
         b.struct(
             f"trailer\r\n<< /Size {n_objs} /Root {CATALOG} 0 R{trailer_extra} >>\r\n"
             f"startxref\r\n{xref_at}\r\n%%EOF\r\n".encode("ascii")

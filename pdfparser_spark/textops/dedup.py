@@ -17,7 +17,7 @@ Design notes for 100 TB scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import ann
@@ -28,6 +28,79 @@ MINHASH_K = 8
 LSH_BANDS = 4  # 2 rows per band
 EMB_PLANES = 8  # hyperplane signs for embedding near-dup banding
 EMB_BANDS = 4  # OR-amplification: candidate iff ANY 2-bit band matches
+# Bucket-size guard for the LSH self-joins: a real crawl's boilerplate /
+# mirror clusters can put thousands of docs into ONE (band_idx, band_hash)
+# bucket, and a plain self-equi-join then EMITS O(m^2) pairs — output
+# volume AQE skew-splitting cannot reduce.  Buckets larger than the cap
+# are routed through a star topology instead (every member pairs with the
+# bucket's min-id representative): O(m) edges, same connected components,
+# so downstream clustering is unchanged while the blowup is bounded.
+# The cap is far above the synthetic oracle corpora's max bucket size
+# (verified in tests), so gate results are identical.
+LSH_BUCKET_CAP = 64
+# The embedding sign-LSH path needs its own (much larger) default: with
+# EMB_PLANES/EMB_BANDS = 8/4 the band key is 2 bits, so bucket size is
+# Θ(n/4) BY CONSTRUCTION — not a duplicate pathology.  Production sizing
+# couples the two knobs: pick bits-per-band ≈ log2(n / cap) via the
+# n_planes/n_bands parameters so benign buckets stay under the cap, and
+# the cap then only fires on genuine "everything matches everything"
+# degenerate clusters (which the star path summarizes).
+EMB_BUCKET_CAP = 4096
+
+
+def _capped_bucket_pairs(
+    rows: DataFrame, bucket_keys: list, id_col: str, cap: int, observe_name: str
+) -> DataFrame:
+    """Self-join on ``bucket_keys`` with the oversize-bucket guard.
+
+    One window pass over the bucket key (the SAME shuffle key as the join)
+    computes each bucket's size and min-id representative; buckets <= cap
+    take the normal self-equi-join (bounded at cap^2 pairs per bucket),
+    larger ones emit only representative->member star edges.  An
+    ``observe`` metric (rows in oversize buckets + oversize bucket count)
+    surfaces what was capped in the Spark UI / event log — no silent
+    truncation; ``lsh_bucket_stats`` is the queryable version.
+    Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    """
+    w = Window.partitionBy(*bucket_keys)
+    sized = register_persisted(
+        rows.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min(id_col).over(w))
+        .persist()
+    )
+    sized = sized.observe(
+        observe_name,
+        F.sum(F.when(F.col("bsz") > cap, 1).otherwise(0)).alias("oversize_rows"),
+        # one representative row per bucket -> a DISTINCT-free bucket count
+        # (observe() rejects distinct aggregates)
+        F.sum(
+            F.when((F.col("bsz") > cap) & (F.col(id_col) == F.col("rep")), 1).otherwise(0)
+        ).alias("oversize_buckets"),
+    )
+    small = sized.filter(F.col("bsz") <= cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    joined = (
+        a.join(b, on=[str(k) for k in bucket_keys], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+    star = (
+        sized.filter((F.col("bsz") > cap) & (F.col(id_col) != F.col("rep")))
+        .select(F.col("rep").alias("doc_a"), F.col(id_col).alias("doc_b"))
+    )
+    return joined.union(star).distinct()
+
+
+def lsh_bucket_stats(documents: DataFrame, cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Per-bucket population of the MinHash LSH index with the capped flag —
+    the queryable 'what got routed through the representative path' log."""
+    return (
+        minhash_signatures(documents)
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .withColumn("capped", F.col("bucket_size") > cap)
+    )
 
 
 def _words(col: str = "text"):
@@ -115,21 +188,22 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(documents: DataFrame, bucket_cap: int = LSH_BUCKET_CAP) -> DataFrame:
     """Near-dup candidates: docs sharing any LSH band bucket.
 
-    Signatures are persisted so the self-join's two sides share one
-    computation (the signature build — shingle explode + 8 MinHash aggs —
-    is ~10x the join cost; at cluster scale this is a checkpointed table).
+    The windowed signature table is persisted so the self-join's two sides
+    share one computation (the signature build — shingle explode + 8
+    MinHash aggs — is ~10x the join cost; at cluster scale this is a
+    checkpointed table).  Oversize buckets (> bucket_cap members — mirror /
+    boilerplate mega-clusters) are routed through the star-representative
+    path instead of the quadratic self-join; see ``_capped_bucket_pairs``.
     """
-    sig = register_persisted(minhash_signatures(documents).persist())
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(b, on=["band_idx", "band_hash"], how="inner")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return _capped_bucket_pairs(
+        minhash_signatures(documents),
+        ["band_idx", "band_hash"],
+        "doc_id",
+        bucket_cap,
+        "lsh_bucket_cap",
     )
 
 
@@ -162,7 +236,9 @@ def embedding_lsh_bands(embeddings: DataFrame, n_planes: int = EMB_PLANES, n_ban
     return ann.lsh_band_keys(embeddings, n_planes, n_bands)
 
 
-def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
+def embedding_neardup(
+    embeddings: DataFrame, tau: float = 0.35, bucket_cap: int = EMB_BUCKET_CAP
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cos_sim) with
     cosine >= tau, vec_a < vec_b — the LSH-BUCKETED plan: candidates come
     from a self-equi-join on (band_idx, band_key) hyperplane-sign bands
@@ -174,15 +250,19 @@ def embedding_neardup(embeddings: DataFrame, tau: float = 0.35) -> DataFrame:
     The filter applies tau to the UNROUNDED cosine and the output rounds
     with the portable floor form, both mirrored exactly in the DuckDB
     oracle (identical operand order -> bit-identical doubles).
+
+    Buckets over ``bucket_cap`` degrade to representative->member star
+    candidates (see ``EMB_BUCKET_CAP`` note on sizing band bits vs cap):
+    a documented approximation that bounds the join output on degenerate
+    all-similar clusters; below the cap results are exact.
     """
-    bands = register_persisted(embedding_lsh_bands(embeddings).persist())
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"), on=["band_idx", "band_key"], how="inner")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    pairs = _capped_bucket_pairs(
+        embedding_lsh_bands(embeddings),
+        ["band_idx", "band_key"],
+        "vec_id",
+        bucket_cap,
+        "emb_bucket_cap",
+    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
     va = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     vb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     cos = ann.cosine_expr(F.col("ea"), F.col("eb"))

@@ -294,14 +294,18 @@ def media_decode_real(spans_flat: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fmts, ws, hs, sums = [], [], [], []
-            for raw in pdf["payload"]:
-                fmt, w, h, img = sniff_decode(bytes(raw))
+            keep, fmts, ws, hs, sums = [], [], [], [], []
+            for i, raw in enumerate(pdf["payload"]):
+                dec = sniff_decode(bytes(raw))
+                if dec is None:  # unrecognized magic: skip, never kill the task
+                    continue
+                fmt, w, h, img = dec
+                keep.append(i)
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)
                 sums.append(int(img.sum(dtype=np.int64)))
-            out = pdf[["doc_id", "media_ref"]].copy()
+            out = pdf.iloc[keep][["doc_id", "media_ref"]].copy()
             out["fmt"] = fmts
             out["width"] = ws
             out["height"] = hs
@@ -322,9 +326,13 @@ def media_resize_real(spans_flat: DataFrame, target_w: int = 64) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ws, out_hs, sums = [], [], []
-            for raw in pdf["payload"]:
-                _fmt, w, h, img = sniff_decode(bytes(raw))
+            keep, out_ws, out_hs, sums = [], [], [], []
+            for i, raw in enumerate(pdf["payload"]):
+                dec = sniff_decode(bytes(raw))
+                if dec is None:  # unrecognized magic: skip, never kill the task
+                    continue
+                _fmt, w, h, img = dec
+                keep.append(i)
                 out_h = max(1, int(h * target_w / w + 0.5))
                 rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cc = (np.arange(target_w, dtype=np.int64) * w) // target_w
@@ -332,7 +340,7 @@ def media_resize_real(spans_flat: DataFrame, target_w: int = 64) -> DataFrame:
                 out_ws.append(target_w)
                 out_hs.append(out_h)
                 sums.append(int(resized.sum(dtype=np.int64)))
-            out = pdf[["doc_id", "media_ref"]].copy()
+            out = pdf.iloc[keep][["doc_id", "media_ref"]].copy()
             out["out_w"] = out_ws
             out["out_h"] = out_hs
             out["pixel_sum"] = sums

@@ -257,8 +257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec; integer features recomputed analytically by the oracle
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         # video tier: real ISO-BMFF payloads parsed by the box walker
-        # (frame decode stays stubbed — codec libs absent)
         "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
+        # REAL video frames: Motion-JPEG samples located via the actual
+        # stbl walk (stsz/stsc/stco) and pixel-decoded by the numpy JPEG
+        # codec; every-5th-frame sampling, analytic pixel-sum oracle
+        "video_frames_real": lambda s, d: mp4.video_frames_real(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
@@ -428,8 +431,8 @@ meta AS (
 # quant step 16): out(R, C) = clamp(2*floor(((7R+13C)%256 - 128)/2 + 0.5)
 # + 128) — the all-integer model the codec's EPS-guarded rounding pins
 # exactly (textops/jpeg.py; cross-validated against javax.imageio).
-def _jpeg_block_px(r: str, c: str) -> str:
-    v = f"((7*({r}) + 13*({c})) % 256)"
+def _jpeg_block_px(r: str, c: str, off: str = "0") -> str:
+    v = f"((7*({r}) + 13*({c}) + ({off})) % 256)"
     return (
         f"LEAST(255, GREATEST(0, 2 * CAST(FLOOR(({v} - 128) / 2.0 + 0.5) AS BIGINT) + 128))"
     )
@@ -684,6 +687,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 * (1 + ascii(substr(h, 2, 1)) % 8) AS INT) AS width,
                    CAST(16 * (1 + ascii(substr(h, 3, 1)) % 8) AS INT) AS height
             FROM vh
+        """,
+        # MJPEG rule (mp4.video_mjpeg_payloads): md5 ':mjpeg' salt drives
+        # frame count/dims; frame f's block pattern is offset by 11f, and
+        # the DC-only JPEG round trip is integer-exact per _jpeg_block_px
+        "video_frames_real": _SPAN_CTE + f"""
+            , vh AS (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref || ':mjpeg') AS h
+              FROM spans WHERE kind = 'media'
+            ), vg AS (
+              SELECT doc_id, media_ref,
+                     4 + ascii(substr(h, 1, 1)) % 20 AS nf,
+                     16 * (1 + ascii(substr(h, 2, 1)) % 8) AS w,
+                     16 * (1 + ascii(substr(h, 3, 1)) % 8) AS ht
+              FROM vh
+            )
+            SELECT doc_id, media_ref, CAST(f AS INT) AS frame_idx,
+                   CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+                   CAST(64 * (SELECT SUM({_jpeg_block_px('R', 'C', '11*f')})
+                        FROM unnest(generate_series(0, ht//8 - 1)) AS tr(R),
+                             unnest(generate_series(0, w//8 - 1)) AS tc(C)) AS BIGINT) AS pixel_sum
+            FROM vg, LATERAL unnest(generate_series(0, nf - 1, 5)) AS tf(f)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id

@@ -17,11 +17,13 @@ metadata struct; decode / feature-extract runs as an Arrow-batched
     block-constant (DC-only), which the Annex-K DC quant step of 16 makes
     exactly integer-reconstructible: out = clamp(2*floor((v-128)/2 + 0.5)
     + 128) — so even the lossy codec is oracle-exact.
-  * STUB for video codecs (H.264 needs ffmpeg, absent from this
-    container): deterministic md5-derived metadata behind
-    ``decode_video_real`` raising NotImplementedError — the Spark-side
-    plumbing (schema, batch shape, UDF signature, partitioning) is real
-    and tested either way.
+  * REAL video frames for the MJPEG tier: ``decode_video_real`` walks the
+    ISO-BMFF sample table (``mp4.mjpeg_samples``) and decodes each
+    baseline-JPEG sample with ``jpeg.py`` — genuine per-frame pixel work,
+    verified by the ``video_frames_real`` oracle.  Inter-coded codecs
+    (H.264 etc., which need ffmpeg — absent from this container) raise
+    ValueError; ``media_metadata`` keeps a deterministic md5 'decode' as
+    the stub-tier demo of the plumbing.
 """
 
 from __future__ import annotations
@@ -51,13 +53,23 @@ MEDIA_META = T.StructType(
 )
 
 
-def decode_video_real(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real video FRAME decode (ffmpeg/H.264): unavailable in this
-    container.  Still images (PPM/BMP/PNG/GIF/TIFF/JPEG) decode for real
-    via ``sniff_decode``, and video container METADATA parses for real
-    via ``mp4.decode_mp4_meta`` — pixel-level frame decode is the one
-    remaining stub."""
-    raise NotImplementedError("video codecs not installed; use the deterministic fake")
+def decode_video_real(payload: bytes) -> dict:
+    """REAL video frame decode for the MJPEG tier: walk the ISO-BMFF
+    sample table (``mp4.mjpeg_samples``) to per-frame byte ranges and
+    decode each baseline-JPEG sample with the pure-numpy codec.  Returns
+    ``{width, height, n_frames, frames: [HxW ndarray]}``.  Inter-coded
+    codecs (H.264 etc.) raise ValueError — the honest boundary of the
+    no-codec-libs container; corrupt input only ever raises ValueError."""
+    from pdfparser_spark.textops import mp4
+
+    w, h, samples = mp4.mjpeg_samples(payload)
+    frames = []
+    for s in samples:
+        fw, fh, img = jpeg.decode_jpeg(s)
+        if (fw, fh) != (w, h):
+            raise ValueError("frame dimensions disagree with sample description")
+        frames.append(img)
+    return {"width": w, "height": h, "n_frames": len(frames), "frames": frames}
 
 
 def media_payload_kernel(spans_flat: DataFrame, make_payload) -> DataFrame:
@@ -232,11 +244,12 @@ def _gif_pattern(w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
     return idx, pal
 
 
-def _block_pattern(w: int, h: int) -> np.ndarray:
+def _block_pattern(w: int, h: int, off: int = 0) -> np.ndarray:
     """Block-constant grayscale test pattern for the JPEG class: 8x8 block
-    (R, C) has value (7R + 13C) % 256 — DC-only under the DCT, so the
-    lossy decode is exactly integer-predictable (see jpeg.py docstring)."""
-    bv = (np.add.outer(7 * np.arange(h // 8, dtype=np.int64), 13 * np.arange(w // 8, dtype=np.int64))) % 256
+    (R, C) has value (7R + 13C + off) % 256 — DC-only under the DCT, so the
+    lossy decode is exactly integer-predictable (see jpeg.py docstring).
+    ``off`` varies the pattern per video frame (mp4.video_mjpeg_payloads)."""
+    bv = (np.add.outer(7 * np.arange(h // 8, dtype=np.int64), 13 * np.arange(w // 8, dtype=np.int64)) + off) % 256
     return np.kron(bv, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
 
 

@@ -441,10 +441,13 @@ def _codec_samples():
         tiff.encode_tiff(img[:, :, 0], big_endian=True),
         gif.encode_gif(*media._gif_pattern(24, 16)),
         mp4.encode_mp4_meta(4200, 64, 48, with_audio=True),
+        mp4.encode_mp4_mjpeg(
+            [jpeg.encode_jpeg(media._block_pattern(16, 16, 11 * f)) for f in range(3)], 16, 16
+        ),
     ]
 
 
-@given(idx=st.integers(0, 7), cut=st.integers(0, 400))
+@given(idx=st.integers(0, 8), cut=st.integers(0, 400))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_truncation(idx, cut):
     from pdfparser_spark.textops.media import sniff_decode
@@ -454,16 +457,18 @@ def test_codec_decoders_contained_on_truncation(idx, cut):
     try:
         sniff_decode(truncated)
         from pdfparser_spark.textops import audio, mp4
+        from pdfparser_spark.textops.media import decode_video_real
 
         if truncated[:4] == b"RIFF":
             audio.decode_wav(truncated)
         if truncated[4:8] == b"ftyp":
             mp4.decode_mp4_meta(truncated)
+            decode_video_real(truncated)
     except ValueError:
         pass  # the documented failure mode
 
 
-@given(idx=st.integers(0, 7), seed=st.integers(0, 2**31))
+@given(idx=st.integers(0, 8), seed=st.integers(0, 2**31))
 @settings(**SETTINGS)
 def test_codec_decoders_contained_on_bit_flips(idx, seed):
     import random
@@ -482,5 +487,8 @@ def test_codec_decoders_contained_on_bit_flips(idx, seed):
             audio.decode_wav(data)
         if data[4:8] == b"ftyp":
             mp4.decode_mp4_meta(data)
+            from pdfparser_spark.textops.media import decode_video_real
+
+            decode_video_real(data)
     except ValueError:
         pass

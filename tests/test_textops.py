@@ -406,6 +406,44 @@ def test_mp4_box_walk_roundtrip():
         mp4.decode_mp4_meta(ftyp + struct.pack(">I", 999) + b"moov")
 
 
+def test_mjpeg_sample_table_roundtrip():
+    """Motion-JPEG frames round-trip through the REAL sample table: the
+    writer emits stsd('jpeg')/stts/stsc/stsz/stco, the reader walks them
+    back to per-frame byte ranges, and each decoded frame matches the
+    analytic DC-only model exactly (the video_frames_real oracle's rule)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pdfparser_spark.textops import jpeg, mp4
+    from pdfparser_spark.textops.media import _block_pattern, decode_video_real
+
+    w, h, nf = 48, 32, 5
+    frames = [jpeg.encode_jpeg(_block_pattern(w, h, 11 * f)) for f in range(nf)]
+    payload = mp4.encode_mp4_mjpeg(frames, w, h)
+
+    # the container is ALSO a valid metadata parse (one video track)
+    meta = mp4.decode_mp4_meta(payload)
+    assert meta["video"] == (w, h) and meta["n_tracks"] == 1
+
+    v = decode_video_real(payload)
+    assert (v["width"], v["height"], v["n_frames"]) == (w, h, nf)
+    for f, img in enumerate(v["frames"]):
+        exp = 0
+        for R in range(h // 8):
+            for C in range(w // 8):
+                val = (7 * R + 13 * C + 11 * f) % 256
+                exp += 64 * min(255, max(0, 2 * int(np.floor((val - 128) / 2.0 + 0.5)) + 128))
+        assert int(img.sum(dtype=np.int64)) == exp
+
+    # non-MJPEG codings are rejected, not mis-decoded
+    bad = payload.replace(b"jpeg", b"avc1", 1)
+    with _pytest.raises(ValueError, match="coding"):
+        decode_video_real(bad)
+    # metadata-only files (no sample table) are contained too
+    with _pytest.raises(ValueError):
+        decode_video_real(mp4.encode_mp4_meta(1000, 64, 48))
+
+
 def test_gif_roundtrip_and_lzw():
     """GIF encode->decode exact (palette lookup, variable-width LZW with
     clear codes, sub-block reassembly); interlace/malformed rejected."""

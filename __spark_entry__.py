@@ -916,18 +916,30 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": f"""
             WITH sgn AS MATERIALIZED (
               SELECT vec_id,
-                     {', '.join(f'{_sql_plane_bit(p)} AS b{p}' for p in range(32))}
+                     {', '.join(f'{_sql_plane_bit(p)} AS b{p}' for p in range(40))}
               FROM embeddings
             ), bands AS (
               {' UNION ALL '.join(
-                  f"SELECT vec_id, {b} AS band_idx, b{4*b} || b{4*b+1} || b{4*b+2} || b{4*b+3} AS band_key FROM sgn"
+                  f"SELECT vec_id, {b} AS band_idx, "
+                  f"b{5*b} || b{5*b+1} || b{5*b+2} || b{5*b+3} || b{5*b+4} AS band_key FROM sgn"
                   for b in range(8)
               )}
+            ), qprobe AS (
+              -- multi-probe: the query's own key (i = 0) plus every
+              -- single-bit flip (i = 1..5), mirroring ann._probe_keys
+              SELECT vec_id, band_idx,
+                     CASE WHEN i = 0 THEN band_key
+                          ELSE substr(band_key, 1, i - 1)
+                               || (CASE substr(band_key, i, 1) WHEN '0' THEN '1' ELSE '0' END)
+                               || substr(band_key, i + 1)
+                     END AS band_key
+              FROM bands, LATERAL unnest(generate_series(0, 5)) AS t(i)
+              WHERE vec_id < 5
             ), cand AS (
               SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-              FROM bands a JOIN bands b
+              FROM qprobe a JOIN bands b
                 ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              WHERE a.vec_id < 5 AND a.vec_id <> b.vec_id
+              WHERE a.vec_id <> b.vec_id
             ), scored AS (
               SELECT query_id, neighbor_id,
                      FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim

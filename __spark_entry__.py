@@ -282,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # n_probe=2 probed lists per query — the list equi-join bounds the
         # candidate set; codebook is md5-derived so the oracle is exact
         "ann_ivf_topk": lambda s, d: ann.ann_ivf_topk(_emb(s, d)),
+        # IVF with a K-MEANS-TRAINED codebook: deterministic Lloyd's as a
+        # sequence of Spark jobs (integer-quantized per-dim sums so the
+        # trained centroids are bit-identical under any shuffle order);
+        # the oracle replays all iterations in chained CTEs
+        "ann_ivf_trained": lambda s, d: ann.ann_ivf_trained(_emb(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "html_main_content": lambda s, d: html.html_main_content(_docs(s, d)),
         "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
@@ -507,6 +512,100 @@ def _sql_ivf_score(j: int, col: str = "embedding") -> str:
         f"FOR i IN generate_series(1, len({col}))]), (acc, x) -> acc + x)"
     )
     return f"({c2} - 2.0 * {dot})"
+
+
+def _sql_cent_score(e: str, cl: str) -> str:
+    """Assignment score against a centroid LIST column — operand order
+    identical to ann._literal_scores (c2 and dot both left-folded in dim
+    order)."""
+    c2 = (
+        f"list_reduce(list_prepend(0.0, [{cl}[i] * {cl}[i] "
+        f"FOR i IN generate_series(1, len({cl}))]), (acc, x) -> acc + x)"
+    )
+    dot = (
+        f"list_reduce(list_prepend(0.0, [CAST({e}[i] AS DOUBLE) * {cl}[i] "
+        f"FOR i IN generate_series(1, len({e}))]), (acc, x) -> acc + x)"
+    )
+    return f"({c2} - 2.0 * {dot})"
+
+
+def _sql_ivf_trained(n_iters: int = 10, n_lists: int = 8, n_probe: int = 2) -> str:
+    """Replay ann.ivf_train_kmeans in chained CTEs — one (score, assign,
+    quantized-sum, new-centroid) block per Lloyd iteration — then the same
+    probe/top-k as ann_ivf_topk over the trained centroids.  Exact because
+    the per-dim sums are integers (floor(v * 2^24) summed as BIGINT:
+    order-independent) and every double op mirrors the Spark side
+    operand-for-operand."""
+    h = "md5('ivf' || CAST(jj AS VARCHAR) || ':dim' || CAST(d AS VARCHAR))"
+    coeff = f"(((ascii(substr({h}, 1, 1)) * 31 + ascii(substr({h}, 2, 1))) % 101) / 101.0 - 0.5)"
+    parts = [f"""
+            WITH dims AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
+            cent0 AS MATERIALIZED (
+              SELECT jj + 1 AS j, list({coeff} ORDER BY d) AS cl
+              FROM (SELECT unnest(generate_series(0, {n_lists - 1})) AS jj), dims,
+                   LATERAL unnest(generate_series(0, dim - 1)) AS t(d)
+              GROUP BY jj
+            )"""]
+    for it in range(1, n_iters + 1):
+        parts.append(f"""
+            , sc{it} AS MATERIALIZED (
+              SELECT e.vec_id, c.j, {_sql_cent_score('e.embedding', 'c.cl')} AS score
+              FROM embeddings e, cent{it - 1} c
+            ), asg{it} AS MATERIALIZED (
+              SELECT vec_id, j AS list_id FROM (
+                SELECT vec_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+                FROM sc{it}
+              ) WHERE rn = 1
+            ), sums{it} AS (
+              SELECT a.list_id, u.d,
+                     SUM(CAST(FLOOR(CAST(e.embedding[u.d] AS DOUBLE) * 16777216.0) AS BIGINT)) AS s,
+                     COUNT(*) AS n
+              FROM asg{it} a JOIN embeddings e USING (vec_id),
+                   LATERAL unnest(generate_series(1, len(e.embedding))) AS u(d)
+              GROUP BY 1, 2
+            ), cent{it} AS MATERIALIZED (
+              SELECT p.j,
+                     list(COALESCE(CAST(s.s AS DOUBLE) / (16777216.0 * s.n), p.c) ORDER BY p.d) AS cl
+              FROM (SELECT j, d, cl[d] AS c
+                    FROM cent{it - 1}, LATERAL unnest(generate_series(1, len(cl))) AS u(d)) p
+              LEFT JOIN sums{it} s ON s.list_id = p.j AND s.d = p.d
+              GROUP BY p.j
+            )""")
+    parts.append(f"""
+            , scf AS MATERIALIZED (
+              SELECT e.vec_id, c.j, {_sql_cent_score('e.embedding', 'c.cl')} AS score
+              FROM embeddings e, cent{n_iters} c
+            ), assign AS (
+              SELECT vec_id, j AS list_id FROM (
+                SELECT vec_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+                FROM scf
+              ) WHERE rn = 1
+            ), probe AS (
+              SELECT vec_id AS query_id, j AS list_id FROM (
+                SELECT vec_id, j,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
+                FROM scf WHERE vec_id < 5
+              ) WHERE rn <= {n_probe}
+            ), cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probe p JOIN assign a ON a.list_id = p.list_id
+              WHERE a.vec_id <> p.query_id
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+              FROM cand
+              JOIN embeddings qe ON qe.vec_id = cand.query_id
+              JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+        """)
+    return "".join(parts)
 
 
 def _sql_plane_bit(p: int, col: str = "embedding") -> str:
@@ -989,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
         """,
+        "ann_ivf_trained": _sql_ivf_trained(),
         # bucketed (banded hyperplane-LSH) near-dup — mirrors
         # dedup.embedding_neardup: candidates share any 2-bit band, tau
         # filters the UNROUNDED cosine on both sides

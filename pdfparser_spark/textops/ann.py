@@ -237,11 +237,100 @@ def _list_scores(col, n_lists: int = N_LISTS) -> Column:
     return F.array(*scores)
 
 
+IVF_TRAIN_ITERS = 10  # fixed Lloyd iteration count (determinism + oracle)
+_Q = 16777216.0  # 2^24: per-dim quantization for order-independent sums
+
+
+def _codebook_init(dim: int, n_lists: int = N_LISTS) -> list[list[float]]:
+    """Python mirror of ``_centroid_coeff_at`` (identical md5 rule and
+    arithmetic) — the deterministic initial codebook Lloyd's starts from."""
+    import hashlib
+
+    cb = []
+    for j in range(n_lists):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf{j}:dim{d}".encode()).hexdigest()
+            row.append(((ord(h[0]) * 31 + ord(h[1])) % 101) / 101.0 - 0.5)
+        cb.append(row)
+    return cb
+
+
+def _literal_scores(col, codebook: list[list[float]]) -> Column:
+    """array<double> of assignment scores ||c_j||^2 - 2 v.c_j against
+    LITERAL centroid values — operand-for-operand the same arithmetic as
+    ``_list_scores`` (c2 left-folded over dims, dot left-folded over the
+    zipped arrays), so the DuckDB oracle reproduces every bit."""
+    scores = []
+    for c in codebook:
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + x * x
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(col, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scores.append(F.lit(c2) - 2.0 * dot)
+    return F.array(*scores)
+
+
+def ivf_train_kmeans(
+    embeddings: DataFrame,
+    n_lists: int = N_LISTS,
+    n_iters: int = IVF_TRAIN_ITERS,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embeddings table — the
+    periodic training batch job that turns the fixed md5 codebook into a
+    data-fitted one.  Each iteration is ONE Spark job: assign every vector
+    to its nearest centroid (argmin over per-list scores, ties -> smaller
+    list), then aggregate per-(list, dim) sums; only the n_lists x dim
+    aggregate (the model artifact, a few KiB) is collected to the driver.
+
+    Exactness discipline: the per-dim sums quantize each component to
+    ``floor(v * 2^24)`` and sum as BIGINT — integer addition is
+    order-independent, so the result is identical under ANY partitioning
+    / shuffle order AND map-side combinable (a plain hash aggregate — the
+    shape that scales to 10^12 rows).  Centroid = sum / (2^24 * count) in
+    double, the same two operations the DuckDB oracle performs, making
+    the whole training loop bit-reproducible across engines."""
+    codebook: list[list[float]] | None = None
+    for _ in range(n_iters):
+        scores = (
+            _list_scores(F.col("embedding"), n_lists)
+            if codebook is None
+            else _literal_scores(F.col("embedding"), codebook)
+        )
+        assigned = embeddings.select(
+            F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+            "embedding",
+        )
+        rows = (
+            assigned.select("list_id", F.posexplode("embedding").alias("d", "v"))
+            .select(
+                "list_id",
+                "d",
+                F.floor(F.col("v").cast("double") * F.lit(_Q)).cast("long").alias("q"),
+            )
+            .groupBy("list_id", "d")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        dim = max(r["d"] for r in rows) + 1
+        prev = codebook if codebook is not None else _codebook_init(dim, n_lists)
+        nxt = [list(prev[j]) for j in range(n_lists)]
+        for r in rows:  # lists with no members keep their previous centroid
+            nxt[r["list_id"] - 1][r["d"]] = r["s"] / (_Q * r["n"])
+        codebook = nxt
+    assert codebook is not None
+    return codebook
+
+
 def ivf_assign(embeddings: DataFrame, n_lists: int = N_LISTS) -> DataFrame:
     """(vec_id, list_id) — each vector's inverted list: the nearest
-    centroid of a FIXED deterministic random codebook (the k-means
-    TRAINING step would be a separate periodic batch job at production;
-    the IVF part reproduced here is the layout + probe mechanics).  At
+    centroid of a FIXED deterministic random codebook (the trained
+    variant is ``ivf_train_kmeans`` + ``ann_ivf_trained``).  At
     cluster scale this is the partitioning column: each list is a
     co-located shard and queries only touch n_probe of them."""
     scores = _list_scores(F.col("embedding"), n_lists)
@@ -257,13 +346,19 @@ def ann_ivf_topk(
     k: int = 5,
     n_lists: int = N_LISTS,
     n_probe: int = N_PROBE,
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors live in their nearest
     centroid's inverted list; a query probes its ``n_probe`` nearest lists
     and runs exact cosine only on those lists' members.  The list equi-join
     is the only shuffle — candidate fan-out is bounded by the probed
-    lists' sizes, never all-pairs."""
-    scores = _list_scores(F.col("embedding"), n_lists)
+    lists' sizes, never all-pairs.  With ``codebook`` the index uses the
+    given (e.g. k-means-trained) centroids instead of the fixed md5 ones."""
+    scores = (
+        _list_scores(F.col("embedding"), n_lists)
+        if codebook is None
+        else _literal_scores(F.col("embedding"), codebook)
+    )
     corpus = embeddings.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("cv"),
@@ -299,3 +394,21 @@ def ann_ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+def ann_ivf_trained(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    n_iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """IVF top-k over a K-MEANS-TRAINED codebook: run the deterministic
+    Lloyd training job (``ivf_train_kmeans``), then probe exactly like
+    ``ann_ivf_topk`` with the trained centroids.  The training collects
+    only the tiny model artifact per iteration; the query plan itself
+    stays the bounded list equi-join.  Bit-exact against the DuckDB
+    oracle, which replays all ``n_iters`` iterations in chained CTEs."""
+    cb = ivf_train_kmeans(embeddings, n_lists, n_iters)
+    return ann_ivf_topk(embeddings, n_queries, k, n_lists, n_probe, codebook=cb)

@@ -307,6 +307,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, os.path.join(d, "events.parquet")
         ),
         "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
+        # PRODUCTION sink shape: the streaming window agg writing parquet
+        # files (append mode, watermark-gated emission) instead of the
+        # memory sink; returns the sink dir read back.  The emitted set is
+        # the watermark-CLOSED windows (end <= max(ts) - 2h), which the
+        # oracle states analytically.
+        "events_file_sink": lambda s, d: events.stream_window_file_sink(
+            s, os.path.join(d, "events.parquet")
+        ),
         # ---- tail: same-oracle execution-mode variants + stub-tier demos ---
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
@@ -1170,6 +1178,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        # append-mode file sink holds only watermark-CLOSED windows:
+        # window end <= final watermark = max(ts) - 2h (Spark tracks event
+        # time in ms, hence the date_trunc; boundary is <=, probed: a
+        # watermark exactly at a window end DOES emit that window)
+        "events_file_sink": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
+            HAVING window_start + INTERVAL '1 hour'
+                   <= (SELECT date_trunc('milliseconds', MAX(ts)) FROM events) - INTERVAL '2 hours'
         """,
         "events_stateful_totals": """
             SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value

@@ -117,6 +117,49 @@ def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stream_window_file_sink(
+    spark: SparkSession, events_path: str, out_dir: str | None = None
+) -> DataFrame:
+    """The PRODUCTION sink shape: the same streaming tumbling-window
+    aggregation writing to a parquet FILE sink (append mode) instead of the
+    driver-resident memory sink — results land as files written by the
+    executors, nothing accumulates on the driver, and the checkpoint dir
+    makes restarts exactly-once.
+
+    File sinks only support append mode, and append over an aggregation is
+    watermark-gated: a window is emitted exactly once, when the watermark
+    passes its end, so the sink holds only FINALIZED windows.  With
+    ``availableNow`` over static input the final watermark is
+    ``max(ts) - delay`` (a trailing no-data micro-batch flushes state), so
+    the emitted set is deterministic — windows closed by that watermark —
+    and the DuckDB oracle states the same cutoff analytically.  A
+    forever-running job emits the trailing windows as later data advances
+    the watermark; they are pending, not lost.
+
+    Returns the sink read back as a batch DataFrame (what a downstream
+    consumer of the results table sees).
+    """
+    schema = spark.read.parquet(events_path).schema
+    src = _stream_dir(events_path)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = _agg(stream.withWatermark("ts", "2 hours"))
+    if out_dir is None:
+        out_dir = os.path.join(
+            tempfile.gettempdir(), "stream_sink_" + uuid.uuid4().hex[:12]
+        )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, "data"))
+        .option("checkpointLocation", os.path.join(out_dir, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
 def stream_dedup_keys(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` keeps one
     event per (user_id, event_type), with per-key state evicted once the

@@ -95,6 +95,49 @@ def test_stream_matches_batch(spark, ev, tmp_path):
     assert len(stream) == 3
 
 
+def test_file_sink_holds_closed_windows(spark, ev, tmp_path):
+    """Production sink shape: append-mode parquet sink holds exactly the
+    watermark-CLOSED windows (end <= max(ts) - 2h), read back from files."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "events_parquet")
+    ev.write.parquet(path)
+    out_dir = str(tmp_path / "sink")
+    got = sorted(
+        map(tuple, events.stream_window_file_sink(spark, path, out_dir).collect())
+    )
+    # real files landed in the sink dir (executor-written, not driver-resident)
+    assert sorted(map(tuple, spark.read.parquet(out_dir + "/data").collect())) == got
+    mx = ev.agg(F.max("ts")).first()[0]
+    cut = mx - dt.timedelta(hours=2)
+    batch = sorted(
+        map(
+            tuple,
+            events.tumbling_window(ev)
+            .filter(F.col("window_start") + F.expr("interval 1 hour") <= F.lit(cut))
+            .collect(),
+        )
+    )
+    assert got == batch
+
+
+def test_file_sink_boundary_window_emits(spark, tmp_path):
+    """A watermark landing EXACTLY on a window end emits that window
+    (boundary is <=) — pins the oracle's HAVING cutoff."""
+    rows = [
+        Row(event_id=0, user_id=1, event_type="a", value=1.0, ts=dt.datetime(2024, 1, 1, 10, 30)),
+        Row(event_id=1, user_id=1, event_type="a", value=1.0, ts=dt.datetime(2024, 1, 1, 11, 30)),
+        Row(event_id=2, user_id=1, event_type="a", value=1.0, ts=dt.datetime(2024, 1, 1, 13, 0)),
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "ev")
+    df.repartition(1).write.parquet(path)
+    got = events.stream_window_file_sink(spark, path, str(tmp_path / "sink")).collect()
+    assert [(r["window_start"], r["n_events"]) for r in got] == [
+        (dt.datetime(2024, 1, 1, 10, 0), 1)
+    ]
+
+
 def test_media_frame_sample_and_resize(spark):
     from pdfparser_spark.textops import media
 

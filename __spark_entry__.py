@@ -94,6 +94,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return run_extraction(spark, "/root/testdata/sf0.001")["spans_flat"]
 
 
+def _incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-commit incremental ingest demo: snapshot 1 extracts the even
+    doc_ids, snapshot 2 feeds the FULL corpus but extracts only the odd
+    delta (anti-join against snapshot 1's doc_ids); the HEAD read must
+    equal one-shot full extraction — the plain ``_span_sql`` oracle."""
+    import uuid
+
+    from pdfparser_spark.snapshots import SnapshotLog, extract_increment
+
+    log = SnapshotLog(
+        os.path.join(tempfile.gettempdir(), "snaplog_" + uuid.uuid4().hex[:8])
+    )
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    extract_increment(spark, synthesize_corpus(docs.filter(F.col("doc_id") % 2 == 0)), log)
+    res = extract_increment(spark, synthesize_corpus(docs), log)
+    return flatten_spans(res["spans"])
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -349,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": lambda s, d: media.media_resize(
             media.media_metadata(_pipeline(s, d)["spans_flat"])
         ),
+        # Iceberg-shaped snapshot log: two-commit incremental ingest whose
+        # HEAD read must equal one-shot full extraction (same span oracle)
+        "extract_incremental": _incremental_spans,
     }
 
 
@@ -636,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _span_sql(),
         "extract_spans_fused": _span_sql(),
+        "extract_incremental": _span_sql(),
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),

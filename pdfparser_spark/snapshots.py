@@ -1,0 +1,212 @@
+"""Iceberg-shaped snapshot log over the parquet checkpoint seam:
+append-only table commits, atomic HEAD swap, time travel, incremental
+(only-new-documents) extraction.
+
+north_rule asks for stages "checkpointed to Iceberg"; the container has
+no Iceberg jars (documented in pipeline.py), so this module reproduces
+the table-format *semantics* the pipeline needs from the format's public
+design (the Iceberg spec's metadata/manifest/snapshot model), on plain
+parquet + JSON:
+
+  * every commit writes its data files into a fresh immutable directory
+    ``data/<table>/snap-<id>/`` and appends a snapshot entry — id, parent
+    id, operation, per-table file manifest, row counts, schema JSON — to
+    the log;
+  * readers plan from METADATA, never from directory listing: a read at
+    snapshot S unions exactly the manifests of S and its ancestors
+    (append semantics), so concurrent/failed writers leaving stray files
+    cannot corrupt a read;
+  * HEAD advances by writing ``head.json.tmp`` then ``os.replace`` — the
+    same single-atomic-pointer-swap commit protocol as Iceberg's metadata
+    pointer (crash before the swap = clean rollback, the orphan snapshot
+    dir is unreferenced);
+  * schema is recorded per snapshot and append commits must match the
+    current schema exactly (evolution would bump a schema id; rejected
+    here rather than silently widened).
+
+``extract_increment`` is the production ingest shape on top: anti-join
+the incoming corpus against the doc_ids already extracted (one shuffle
+join keyed on doc_id; the DELTA side is usually the small one and the
+join output is only the delta), run the extraction DAG on the delta
+only, append the result as a new snapshot.  Reading HEAD then serves the
+full corpus without ever re-extracting old documents — at 10^12 rows,
+re-extraction is the cost that matters and this makes steady-state cost
+O(new data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SnapshotLog:
+    """Append-only snapshot chain with an atomically-swapped HEAD pointer.
+
+    Layout under ``root``:
+      head.json                 -> {"snapshot_id": N}
+      snapshots/<id>.json       -> one immutable snapshot entry each
+      data/<table>/snap-<id>/   -> that commit's parquet files
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- reading the log -----------------------------------------------------
+    def head_id(self) -> int | None:
+        p = os.path.join(self.root, "head.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)["snapshot_id"]
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.root, "snapshots", f"{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def chain(self, snapshot_id: int | None = None) -> list[dict]:
+        """The snapshot and its ancestors, oldest first (empty log -> [])."""
+        sid = self.head_id() if snapshot_id is None else snapshot_id
+        out: list[dict] = []
+        while sid is not None:
+            s = self.snapshot(sid)
+            out.append(s)
+            sid = s["parent_id"]
+        return list(reversed(out))
+
+    def as_of(self, ts: float) -> int | None:
+        """Latest snapshot committed at or before ``ts`` (time travel)."""
+        best = None
+        for s in self.chain():
+            if s["ts"] <= ts:
+                best = s["snapshot_id"]
+        return best
+
+    def files_for(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        """The manifest-planned file list: every ancestor commit's dirs."""
+        return [
+            d for s in self.chain(snapshot_id) for d in s["tables"].get(table, [])
+        ]
+
+    # -- writing -------------------------------------------------------------
+    def new_data_dir(self, table: str) -> str:
+        """A fresh immutable directory for one commit's files.  Unreferenced
+        until the snapshot entry + HEAD swap land, so a crashed writer
+        leaves only orphans (safe to garbage-collect), never a bad read."""
+        d = os.path.join(self.root, "data", table, f"snap-{uuid.uuid4().hex[:12]}")
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        return d
+
+    def commit(
+        self,
+        tables: dict[str, list[str]],
+        operation: str = "append",
+        summary: dict | None = None,
+        schemas: dict[str, str] | None = None,
+    ) -> int:
+        """Append a snapshot referencing ``tables`` (name -> new dirs) and
+        atomically advance HEAD.  Append commits must match the current
+        schema exactly (no silent evolution)."""
+        parent = self.head_id()
+        if parent is not None and schemas:
+            cur = self.snapshot(parent).get("schemas", {})
+            for t, sch in schemas.items():
+                if t in cur and cur[t] != sch:
+                    raise ValueError(
+                        f"schema change on append for table {t!r}; "
+                        "commit an explicit schema evolution instead"
+                    )
+        sid = (parent or 0) + 1
+        entry = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "ts": time.time(),
+            "operation": operation,
+            "tables": tables,
+            "summary": summary or {},
+            "schemas": {
+                **(self.snapshot(parent).get("schemas", {}) if parent else {}),
+                **(schemas or {}),
+            },
+        }
+        spath = os.path.join(self.root, "snapshots", f"{sid}.json")
+        with open(spath + ".tmp", "w") as f:
+            json.dump(entry, f)
+        os.replace(spath + ".tmp", spath)
+        hpath = os.path.join(self.root, "head.json")
+        with open(hpath + ".tmp", "w") as f:
+            json.dump({"snapshot_id": sid}, f)
+        os.replace(hpath + ".tmp", hpath)  # THE commit point
+        return sid
+
+    # -- table reads ---------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: int | None = None,
+        as_of_ts: float | None = None,
+    ) -> DataFrame:
+        """Read a table at HEAD, at a snapshot id, or as of a timestamp —
+        planned strictly from the snapshot manifests."""
+        if as_of_ts is not None:
+            snapshot_id = self.as_of(as_of_ts)
+            if snapshot_id is None:
+                raise ValueError(f"no snapshot at or before ts {as_of_ts}")
+        dirs = self.files_for(table, snapshot_id)
+        if not dirs:
+            raise ValueError(f"table {table!r} has no committed data")
+        return spark.read.parquet(*dirs)
+
+
+def extract_increment(
+    spark: SparkSession,
+    documents_raw: DataFrame,
+    log: SnapshotLog,
+    strict: bool = False,
+) -> dict:
+    """Extract ONLY the documents not yet in the log's ``spans`` table and
+    append them as a new snapshot.  Returns {"snapshot_id", "added_docs",
+    "spans"(HEAD read), "delta"(this commit's rows)}.
+
+    The new/old split is a left_anti join on doc_id: one shuffle keyed on
+    the extraction's natural partitioning column.  The seen side is a
+    column-pruned scan of the spans table (doc_id only — parquet reads one
+    column), the delta side is the only data that flows into the DAG, so
+    steady-state cost is O(new documents) + the anti-join.  First commit
+    short-circuits the join entirely.
+    """
+    from .pipeline import Pipeline
+
+    head = log.head_id()
+    if head is None:
+        delta_raw = documents_raw
+    else:
+        seen = log.read(spark, "spans").select("doc_id")
+        delta_raw = documents_raw.join(seen, "doc_id", "left_anti")
+
+    pipe = Pipeline(spark, work_dir=None, strict=strict)
+    res = pipe.run(delta_raw)
+    out_dir = log.new_data_dir("spans")
+    res["spans"].write.parquet(out_dir)
+    pipe.release()
+    spans_delta = spark.read.parquet(out_dir)
+    added = spans_delta.count()
+    sid = log.commit(
+        {"spans": [out_dir]},
+        operation="append",
+        summary={"added_docs": added},
+        schemas={"spans": spans_delta.schema.json()},
+    )
+    return {
+        "snapshot_id": sid,
+        "added_docs": added,
+        "spans": log.read(spark, "spans"),
+        "delta": spans_delta,
+    }

@@ -1,0 +1,87 @@
+"""Snapshot log (Iceberg-shaped commit protocol) + incremental extraction."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfparser_spark.pipeline import Pipeline
+from pdfparser_spark.snapshots import SnapshotLog, extract_increment
+from pdfparser_spark.stages import flatten_spans, synthesize_corpus
+
+
+def _docs(spark, n, start=0):
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = [(i, " ".join(words[(i + k) % 10] for k in range(5))) for i in range(start, start + n)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _flat_sorted(spans_df):
+    return sorted(map(tuple, flatten_spans(spans_df).collect()))
+
+
+def test_incremental_extracts_only_delta_and_matches_full(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    first = extract_increment(spark, synthesize_corpus(_docs(spark, 6)), log)
+    assert first["snapshot_id"] == 1 and first["added_docs"] == 6
+
+    # second commit feeds the FULL corpus; only the 4 new docs may flow
+    full = synthesize_corpus(_docs(spark, 10))
+    second = extract_increment(spark, full, log)
+    assert second["snapshot_id"] == 2
+    assert second["added_docs"] == 4
+    delta_ids = {r["doc_id"] for r in second["delta"].select("doc_id").collect()}
+    assert delta_ids == {6, 7, 8, 9}
+
+    # HEAD read == one-shot extraction of the full corpus
+    oneshot = Pipeline(spark, work_dir=None).run(synthesize_corpus(_docs(spark, 10)))
+    assert _flat_sorted(second["spans"]) == _flat_sorted(oneshot["spans"])
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 3)), log)
+    t_between = time.time()
+    extract_increment(spark, synthesize_corpus(_docs(spark, 5)), log)
+
+    assert log.read(spark, "spans").count() == 5
+    assert log.read(spark, "spans", snapshot_id=1).count() == 3
+    assert log.read(spark, "spans", as_of_ts=t_between).count() == 3
+    # snapshot entries chain oldest-first with correct parents
+    chain = log.chain()
+    assert [s["snapshot_id"] for s in chain] == [1, 2]
+    assert [s["parent_id"] for s in chain] == [None, 1]
+    assert chain[1]["summary"]["added_docs"] == 2
+
+
+def test_reads_plan_from_manifests_not_listing(spark, tmp_path):
+    """A stray orphan dir (crashed writer) must be invisible to readers."""
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 3)), log)
+    orphan = log.new_data_dir("spans")  # allocated but never committed
+    _docs(spark, 2, start=100).write.parquet(orphan)
+    assert os.path.isdir(orphan)
+    assert log.read(spark, "spans").count() == 3  # orphan not served
+
+
+def test_append_rejects_schema_change(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    d1 = log.new_data_dir("t")
+    _docs(spark, 2).write.parquet(d1)
+    log.commit({"t": [d1]}, schemas={"t": _docs(spark, 1).schema.json()})
+    d2 = log.new_data_dir("t")
+    widened = _docs(spark, 2).withColumn("extra", F.lit(1))
+    widened.write.parquet(d2)
+    with pytest.raises(ValueError, match="schema change"):
+        log.commit({"t": [d2]}, schemas={"t": widened.schema.json()})
+
+
+def test_empty_delta_commits_cleanly(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 4)), log)
+    again = extract_increment(spark, synthesize_corpus(_docs(spark, 4)), log)
+    assert again["added_docs"] == 0
+    assert again["spans"].count() == 4

@@ -71,11 +71,16 @@ class SnapshotLog:
             return json.load(f)
 
     def chain(self, snapshot_id: int | None = None) -> list[dict]:
-        """The snapshot and its ancestors, oldest first (empty log -> [])."""
+        """The snapshot and its ancestors, oldest first (empty log -> []).
+        Stops cleanly at expired history (a parent whose entry was removed
+        by ``expire_snapshots``)."""
         sid = self.head_id() if snapshot_id is None else snapshot_id
         out: list[dict] = []
         while sid is not None:
-            s = self.snapshot(sid)
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break  # expired: retention boundary reached
             out.append(s)
             sid = s["parent_id"]
         return list(reversed(out))
@@ -89,10 +94,18 @@ class SnapshotLog:
         return best
 
     def files_for(self, table: str, snapshot_id: int | None = None) -> list[str]:
-        """The manifest-planned file list: every ancestor commit's dirs."""
-        return [
-            d for s in self.chain(snapshot_id) for d in s["tables"].get(table, [])
-        ]
+        """The manifest-planned file list: walk newest -> oldest collecting
+        each commit's dirs for the table, stopping at a ``replace``
+        snapshot (whose manifest fully defines the table — compaction
+        boundary)."""
+        out: list[str] = []
+        for s in reversed(self.chain(snapshot_id)):
+            dirs = s["tables"].get(table, [])
+            if dirs:
+                out = dirs + out
+                if s["operation"] == "replace":
+                    break
+        return out
 
     # -- writing -------------------------------------------------------------
     def new_data_dir(self, table: str) -> str:
@@ -163,6 +176,77 @@ class SnapshotLog:
         if not dirs:
             raise ValueError(f"table {table!r} has no committed data")
         return spark.read.parquet(*dirs)
+
+
+def compact(log: SnapshotLog, spark: SparkSession, table: str = "spans") -> int:
+    """Rewrite the table's HEAD state into ONE new directory and commit it
+    as a ``replace`` snapshot whose manifest references only that
+    directory.  This is the small-files maintenance job: a long chain of
+    incremental appends otherwise makes every read union N directories
+    (N file-listing RPCs and N× the parquet footers at 10^12 scale).
+    History is preserved — older snapshots still reference the old dirs
+    until ``expire_snapshots`` reclaims them."""
+    replaced = len(log.files_for(table))
+    current = log.read(spark, table)
+    out = log.new_data_dir(table)
+    current.write.parquet(out)
+    n = spark.read.parquet(out).count()
+    return log.commit(
+        {table: [out]},
+        operation="replace",
+        summary={"compacted_rows": n, "replaced_dirs": replaced},
+    )
+
+
+def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
+    """Drop history below snapshot ``keep_from`` and garbage-collect the
+    data directories no retained read can reach.  Returns the removed
+    directories.  Time travel below ``keep_from`` stops working, as with
+    Iceberg's expire_snapshots; retained reads are bit-identical.
+
+    Safety: refuses (ValueError) unless every table's manifest walk FROM
+    ``keep_from`` terminates at or above it — i.e. a ``replace``
+    (compaction) snapshot covers each table in the retained range.
+    Checking the oldest retained snapshot suffices: any newer snapshot's
+    walk traverses a suffix of the same chain and can only stop earlier.
+    Run ``compact`` first when this trips."""
+    import shutil
+
+    head = log.head_id()
+    if head is None or keep_from > head:
+        return []
+    full = log.chain(keep_from)
+    tables = {t for s in full for t in s["tables"]}
+    for t in tables:
+        depends_below = False
+        for s in reversed(full):  # newest -> oldest, mirror files_for
+            dirs = s["tables"].get(t, [])
+            if dirs and s["snapshot_id"] < keep_from:
+                depends_below = True
+            if dirs and s["operation"] == "replace":
+                break
+        if depends_below:
+            raise ValueError(
+                f"snapshot {keep_from} still reads table {t!r} from expired "
+                "history; run compact() first"
+            )
+    live: set[str] = set()
+    for s in log.chain(head):
+        if s["snapshot_id"] >= keep_from:
+            for t in s["tables"]:
+                live.update(log.files_for(t, s["snapshot_id"]))
+    removed = []
+    for s in full:
+        sid = s["snapshot_id"]
+        if sid >= keep_from:
+            continue
+        for dirs in s["tables"].values():
+            for d in dirs:
+                if d not in live and os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                    removed.append(d)
+        os.remove(os.path.join(log.root, "snapshots", f"{sid}.json"))
+    return removed
 
 
 def extract_increment(

@@ -79,6 +79,42 @@ def test_append_rejects_schema_change(spark, tmp_path):
         log.commit({"t": [d2]}, schemas={"t": widened.schema.json()})
 
 
+def test_compact_and_expire(spark, tmp_path):
+    from pdfparser_spark.snapshots import compact, expire_snapshots
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 3)), log)
+    extract_increment(spark, synthesize_corpus(_docs(spark, 6)), log)
+    before = _flat_sorted(log.read(spark, "spans"))
+    assert len(log.files_for("spans")) == 2
+
+    # expiry without a compaction boundary must refuse (retained reads
+    # would depend on expired dirs)
+    with pytest.raises(ValueError, match="compact"):
+        expire_snapshots(log, keep_from=2)
+
+    sid = compact(log, spark, "spans")
+    assert sid == 3
+    # reads at HEAD now plan from ONE dir and are value-identical
+    assert len(log.files_for("spans")) == 1
+    assert _flat_sorted(log.read(spark, "spans")) == before
+    # time travel below the compaction point still works pre-expiry
+    assert log.read(spark, "spans", snapshot_id=1).count() == 3
+
+    old_dirs = set(log.files_for("spans", snapshot_id=2))
+    removed = expire_snapshots(log, keep_from=3)
+    assert set(removed) == old_dirs
+    assert not any(os.path.isdir(d) for d in old_dirs)
+    # retained read unchanged; expired history gone
+    assert _flat_sorted(log.read(spark, "spans")) == before
+    with pytest.raises(FileNotFoundError):
+        log.snapshot(1)
+    # a further incremental append on the compacted log still works
+    res = extract_increment(spark, synthesize_corpus(_docs(spark, 8)), log)
+    assert res["added_docs"] == 2
+    assert res["spans"].count() == 8
+
+
 def test_empty_delta_commits_cleanly(spark, tmp_path):
     log = SnapshotLog(str(tmp_path / "log"))
     extract_increment(spark, synthesize_corpus(_docs(spark, 4)), log)

@@ -309,7 +309,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": lambda s, d: ann.ann_ivf_trained(_emb(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "html_main_content": lambda s, d: html.html_main_content(_docs(s, d)),
-        "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
+        # AS-OF join (attribution): each purchase matched to the user's
+        # latest click at-or-before it — union + running-last window, one
+        # shuffle, no range join; oracle = DuckDB's native ASOF JOIN
+        "events_asof_join": lambda s, d: events.asof_join(_tbl(s, d, "events")),
         "events_stream_window": lambda s, d: events.stream_tumbling_window(
             s, os.path.join(d, "events.parquet")
         ),
@@ -372,6 +375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped snapshot log: two-commit incremental ingest whose
         # HEAD read must equal one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # batch twin of events_stream_window (identical oracle SQL)
+        "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
     }
 
 
@@ -1182,6 +1187,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # native ASOF JOIN: greatest q.ts <= p.ts per probe; quotes deduped
+        # to max(event_id) per (user_id, ts) so the pick is deterministic
+        # on both engines (Spark mirrors with union + running-last window)
+        "events_asof_join": """
+            WITH q AS (
+              SELECT user_id, ts, CAST(MAX(event_id) AS BIGINT) AS quote_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), p AS (
+              SELECT user_id, ts, event_id AS probe_id
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.probe_id, p.user_id, q.quote_id, q.ts AS quote_ts
+            FROM p ASOF JOIN q ON p.user_id = q.user_id AND p.ts >= q.ts
         """,
         # feature-hashing trick: bucket/sign from md5 ascii slices
         # (textqc.hashed_features), signed counts, zero weights dropped

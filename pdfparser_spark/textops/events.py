@@ -213,6 +213,64 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def asof_join(
+    events: DataFrame, probe_type: str = "purchase", quote_type: str = "click"
+) -> DataFrame:
+    """AS-OF join inside the event stream: for each ``probe_type`` event,
+    the same user's latest ``quote_type`` event at or before it (<=) —
+    the classic attribution join, an operator Spark has no native form of.
+
+    Implemented as the UNION + running-``last`` window pattern, the shape
+    that scales: tag quotes 0 / probes 1, union, ONE shuffle on user_id,
+    sort by (ts, tag, event_id) inside each partition, and carry the
+    latest quote forward with ``last(ignorenulls)`` over
+    unbounded-preceding rows.  No join at all — a range join would
+    re-scan quote history per probe and explode on hot users; here each
+    partition is a single linear pass.  The event_id sort key makes the
+    same-instant quote tie deterministic (running last = max event_id of
+    the latest ts) WITHOUT a separate dedup aggregation — the whole
+    operator is one exchange; the DuckDB oracle dedupes explicitly to
+    the same pick because its native ASOF JOIN needs unique quote
+    timestamps for determinism.
+
+    Output: (probe_id, user_id, quote_id, quote_ts) — probes with no
+    preceding quote are dropped (inner as-of).
+    """
+    quotes = events.filter(F.col("event_type") == quote_type).select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("q_id"),
+        F.lit(None).cast("long").alias("probe_id"),
+    )
+    probes = events.filter(F.col("event_type") == probe_type).select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("q_id"),
+        F.col("event_id").alias("probe_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "q_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = quotes.unionByName(probes).select(
+        "user_id",
+        "ts",
+        "tag",
+        "probe_id",
+        F.last("q_id", ignorenulls=True).over(w).alias("quote_id"),
+        F.last(F.when(F.col("q_id").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("quote_ts"),
+    )
+    return (
+        merged.filter((F.col("tag") == 1) & F.col("quote_id").isNotNull())
+        .select("probe_id", "user_id", "quote_id", "quote_ts")
+    )
+
+
 def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     """Custom STATEFUL streaming operator: per-user running totals via
     ``applyInPandasWithState`` (Arrow-batched state updates — the escape

@@ -138,6 +138,32 @@ def test_file_sink_boundary_window_emits(spark, tmp_path):
     ]
 
 
+def test_asof_join_semantics(spark):
+    """Pins the as-of contract: <= boundary (same-instant click matches),
+    latest-preceding pick, equal-ts quote tie -> max event_id, probes with
+    no preceding quote dropped."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: clicks at t+0 (ids 10, 11 — tie) and t+5; purchases at t+5 and t+2
+        Row(event_id=10, ts=base, user_id=1, event_type="click", value=0.0),
+        Row(event_id=11, ts=base, user_id=1, event_type="click", value=0.0),
+        Row(event_id=20, ts=base + dt.timedelta(minutes=5), user_id=1, event_type="click", value=0.0),
+        Row(event_id=30, ts=base + dt.timedelta(minutes=5), user_id=1, event_type="purchase", value=1.0),
+        Row(event_id=31, ts=base + dt.timedelta(minutes=2), user_id=1, event_type="purchase", value=1.0),
+        # user 2: purchase BEFORE any click -> dropped
+        Row(event_id=40, ts=base, user_id=2, event_type="purchase", value=1.0),
+        Row(event_id=41, ts=base + dt.timedelta(minutes=1), user_id=2, event_type="click", value=0.0),
+    ]
+    got = {
+        r["probe_id"]: (r["quote_id"], r["quote_ts"])
+        for r in events.asof_join(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {
+        30: (20, base + dt.timedelta(minutes=5)),  # same-instant click matches (<=)
+        31: (11, base),  # equal-ts tie -> max event_id
+    }
+
+
 def test_media_frame_sample_and_resize(spark):
     from pdfparser_spark.textops import media
 

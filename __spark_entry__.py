@@ -31,7 +31,7 @@ from pdfparser_spark.stages import (
     flatten_spans,
     synthesize_corpus,
 )
-from pdfparser_spark.textops import ann, audio, dedup, events, html, media, mp4, textqc
+from pdfparser_spark.textops import ann, audio, dedup, events, html, media, mp4, sketch, textqc
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -377,6 +377,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_incremental": _incremental_spans,
         # batch twin of events_stream_window (identical oracle SQL)
         "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
+        # --- post-window additions (driver snapshot stops at 50; these are
+        # new unique evidence covered by pytest + scripts/check_oracles.py)
+        # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
+        # ESTIMATE itself is bit-identical cross-engine
+        "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
+        # hash-threshold sampling: membership is a pure function of doc_id
+        # (stable holdouts under corpus growth; no shuffle at all)
+        "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
     }
 
 
@@ -1187,6 +1195,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events
+        """,
+        # KMV sketch: identical 12-term md5-hex fold (sketch.sql_hash48),
+        # identical estimate operand order -> the DOUBLE estimate matches
+        # bit-for-bit; groups under k report the exact distinct count
+        "kmv_distinct_shingles": f"""
+            WITH w AS (
+              SELECT lang, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT DISTINCT lang, array_to_string(w[i : i+2], ' ') AS sh
+              FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+              WHERE len(w) >= 3
+            ), hv AS (
+              SELECT DISTINCT lang, {sketch.sql_hash48("sh")} AS hv FROM sh
+            ), r AS (
+              SELECT lang, hv,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM hv
+            )
+            SELECT lang,
+                   CASE WHEN n >= {sketch.KMV_K}
+                        THEN CAST({sketch.KMV_K - 1} AS DOUBLE)
+                             / (CAST(hv AS DOUBLE) / {sketch.TWO48!r})
+                        ELSE CAST(n AS DOUBLE) END AS est_distinct_shingles
+            FROM r WHERE rn = LEAST({sketch.KMV_K}, n)
+        """,
+        "docs_consistent_sample": f"""
+            SELECT * FROM (
+              SELECT doc_id, lang,
+                     CAST({sketch.sql_hash48("concat('sample:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                       / {sketch.TWO48!r} AS sample_u
+              FROM documents
+            ) WHERE sample_u < 0.125
         """,
         # native ASOF JOIN: greatest q.ts <= p.ts per probe; quotes deduped
         # to max(event_id) per (user_id, ts) so the pick is deterministic

@@ -1,0 +1,113 @@
+"""Deterministic cardinality sketch + consistent sampling.
+
+Two operators a large-scale curation pipeline leans on constantly, built
+so the SAME arithmetic runs on both engines (the md5-hex fold below is
+integer-exact, so even the sketch ESTIMATE is bit-identical and the
+DuckDB oracle checks it as hard values, not tolerances):
+
+  * ``kmv_distinct_shingles`` — KMV (k-minimum-values) distinct-count
+    estimator (Bar-Yossef et al. 2002): hash every value to a uniform
+    48-bit integer, keep the k smallest DISTINCT hashes per group, and
+    estimate |D| = (k-1) / u_k where u_k is the kth smallest hash
+    normalized to (0,1).  Unlike exact countDistinct — whose state is the
+    whole value set — the sketch state is k numbers per group, mergeable
+    by "union + keep k smallest", which is why engines ship HLL/KMV for
+    10^12-row cardinality work.  (Spark's own approx_count_distinct is
+    HLL++ with engine-private randomness — unverifiable cross-engine;
+    KMV with an md5 hash gives the same scaling behavior AND a
+    deterministic answer.)
+  * ``consistent_sample`` — hash-threshold sampling: keep a row iff
+    md5-fraction(doc_id) < rate.  Membership depends only on the row's
+    key, never on partitioning, order, or corpus size — the property
+    that makes eval holdouts stable as the corpus grows and lets two
+    independent jobs agree on the sample without coordination (Spark's
+    ``df.sample`` is seed+partition dependent and reshuffles membership
+    when the layout changes).
+
+At scale: the sketch is explode -> one (group, hash) distinct aggregate
+(map-side combinable) -> per-group top-k window on k rows of state;
+the sample is a pure filter — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+TWO48 = 281474976710656.0  # 2^48 as double — the hash normalizer
+
+KMV_K = 32
+
+
+def hash48(col: Column) -> Column:
+    """First 12 hex chars of md5 -> BIGINT in [0, 2^48): an explicit
+    12-term positional fold (digit value x 16^pos) mirrored verbatim by
+    :func:`sql_hash48`, so both engines produce the identical integer."""
+    h = F.md5(col)
+    out = None
+    for i in range(12):
+        c = F.ascii(F.substring(h, i + 1, 1))
+        v = (c - F.when(c < 58, F.lit(48)).otherwise(F.lit(87))).cast("long")
+        term = v * F.lit(16 ** (11 - i)).cast("long")
+        out = term if out is None else out + term
+    return out
+
+
+def sql_hash48(expr: str) -> str:
+    """The DuckDB mirror of :func:`hash48` (same md5, same 12-term fold)."""
+    terms = []
+    for i in range(12):
+        c = f"ascii(substr(md5({expr}), {i + 1}, 1))"
+        terms.append(
+            f"CAST(({c} - CASE WHEN {c} < 58 THEN 48 ELSE 87 END) AS BIGINT)"
+            f" * {16 ** (11 - i)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def kmv_distinct_shingles(documents: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(lang, est_distinct_shingles): KMV estimate of the distinct
+    3-gram-shingle count per language (thousands per language on the test
+    corpus, so the estimator branch genuinely runs).  Groups with fewer
+    than k distinct hashes report the exact count (the sketch IS exact
+    below k — standard KMV behavior).  The estimate double is computed in
+    one operand order ((k-1) / (hash / 2^48)) on both engines, so the
+    oracle compares exactly."""
+    from .dedup import shingles_expr
+
+    sh = documents.select("lang", F.explode(shingles_expr()).alias("sh"))
+    hashed = sh.select("lang", hash48(F.col("sh")).alias("hv")).distinct()
+    w = Window.partitionBy("lang").orderBy("hv")
+    ranked = hashed.select(
+        "lang",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rn") == F.least(F.lit(k), F.col("n")))
+        .select(
+            "lang",
+            F.when(
+                F.col("n") >= k,
+                F.lit(float(k - 1)) / (F.col("hv").cast("double") / F.lit(TWO48)),
+            )
+            .otherwise(F.col("n").cast("double"))
+            .alias("est_distinct_shingles"),
+        )
+    )
+
+
+def consistent_sample(documents: DataFrame, rate: float = 0.125) -> DataFrame:
+    """(doc_id, lang, sample_u): the deterministic hash-threshold sample —
+    rows whose md5-fraction of ``'sample:' || doc_id`` falls below
+    ``rate``.  A pure filter: no shuffle, no state, stable under corpus
+    growth and any partitioning."""
+    u = hash48(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ).cast("double") / F.lit(TWO48)
+    return (
+        documents.select("doc_id", "lang", u.alias("sample_u"))
+        .filter(F.col("sample_u") < rate)
+    )

@@ -385,6 +385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-threshold sampling: membership is a pure function of doc_id
         # (stable holdouts under corpus growth; no shuffle at all)
         "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
+        # fixed-size per-stratum sample: k smallest hashes per lang
+        # (WindowGroupLimit — ~k rows per partition cross the exchange)
+        "docs_stratified_sample": lambda s, d: sketch.stratified_sample(_docs(s, d)),
+        # ordered-sequence funnel: click->purchase within (user, day) via a
+        # running-max window — one shuffle, never a stream self-join
+        "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
     }
 
 
@@ -1228,6 +1234,38 @@ def oracle_sql() -> dict[str, str]:
                        / {sketch.TWO48!r} AS sample_u
               FROM documents
             ) WHERE sample_u < 0.125
+        """,
+        "docs_stratified_sample": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {sketch.sql_hash48("concat('strat:', CAST(doc_id AS VARCHAR))")}, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        # running-max window pins the click-before-purchase order test;
+        # within-instant order by (ts, event_id) on both engines; day as
+        # DATE (to_date / CAST AS DATE stringify identically)
+        "events_daily_funnel": """
+            WITH f AS (
+              SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+                     MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen_first
+              FROM events
+            ), u AS (
+              SELECT user_id, day,
+                     MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS did_first,
+                     MAX(CASE WHEN event_type = 'purchase' AND seen_first = 1 THEN 1 ELSE 0 END) AS did_convert
+              FROM f GROUP BY user_id, day
+            )
+            SELECT day, COUNT(*) AS n_active_users,
+                   CAST(SUM(did_first) AS BIGINT) AS n_first_users,
+                   CAST(SUM(did_convert) AS BIGINT) AS n_converted_users
+            FROM u GROUP BY day
         """,
         # native ASOF JOIN: greatest q.ts <= p.ts per probe; quotes deduped
         # to max(event_id) per (user_id, ts) so the pick is deterministic

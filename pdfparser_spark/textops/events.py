@@ -271,6 +271,54 @@ def asof_join(
     )
 
 
+def daily_funnel(
+    events: DataFrame, first: str = "click", then: str = "purchase"
+) -> DataFrame:
+    """Ordered-sequence (funnel) detection: per (user, day), did a
+    ``then`` event happen at-or-after a ``first`` event?  Output one row
+    per day: (day, n_active_users, n_first_users, n_converted_users).
+
+    The sequence test is a running-max window — ``seen_first`` carries
+    "a click has occurred" forward within the (user, day) partition, and
+    a purchase converts iff the flag is already set — so ordered-sequence
+    matching costs ONE shuffle (the window) plus the per-day aggregate,
+    never a self-join of the event stream against itself.  Within-instant
+    ordering is pinned by the (ts, event_id) sort key, mirrored exactly
+    in the oracle's window.  Day boundaries use tumbling UTC days as DATE
+    (``to_date`` / ``CAST(ts AS DATE)`` stringify identically on both
+    engines; session windows would hit the documented session_window
+    gap-boundary divergence, see CLAUDE.md)."""
+    day = F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seen_first = F.max(
+        F.when(F.col("event_type") == first, 1).otherwise(0)
+    ).over(w)
+    flagged = events.select(
+        "user_id", "event_id", "ts", "event_type", day
+    ).withColumn(
+        "converted",
+        F.when(
+            (F.col("event_type") == then) & (seen_first == 1), 1
+        ).otherwise(0),
+    )
+    per_user = flagged.groupBy("user_id", "day").agg(
+        F.max(F.when(F.col("event_type") == first, 1).otherwise(0)).alias("did_first"),
+        F.max("converted").alias("did_convert"),
+    )
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.sum("did_first").cast("bigint").alias("n_first_users"),
+            F.sum("did_convert").cast("bigint").alias("n_converted_users"),
+        )
+    )
+
+
 def stream_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     """Custom STATEFUL streaming operator: per-user running totals via
     ``applyInPandasWithState`` (Arrow-batched state updates — the escape

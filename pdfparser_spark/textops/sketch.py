@@ -99,6 +99,27 @@ def kmv_distinct_shingles(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def stratified_sample(documents: DataFrame, per_group: int = 20) -> DataFrame:
+    """(doc_id, lang): a deterministic FIXED-SIZE sample per language — the
+    ``per_group`` smallest md5 hashes of each stratum.  Complements
+    :func:`consistent_sample` (fixed RATE): eval sets usually need "exactly
+    k per language" regardless of stratum skew.  Same consistency
+    property: a document's inclusion can change only when smaller-hash
+    documents enter its stratum, so the sample drifts minimally as the
+    corpus grows (vs orderBy(rand()) resampling everything).
+
+    One shuffle on lang; the rank limit compiles to WindowGroupLimit, so
+    only ~per_group rows per partition cross the exchange."""
+    u = hash48(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        documents.select("doc_id", "lang", u.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_group)
+        .select("doc_id", "lang")
+    )
+
+
 def consistent_sample(documents: DataFrame, rate: float = 0.125) -> DataFrame:
     """(doc_id, lang, sample_u): the deterministic hash-threshold sample —
     rows whose md5-fraction of ``'sample:' || doc_id`` falls below

@@ -164,6 +164,50 @@ def test_asof_join_semantics(spark):
     }
 
 
+def test_daily_funnel_semantics(spark):
+    """Pins the funnel contract: purchase counts only at-or-after a click
+    within the same (user, day); same-instant ties resolve by event_id
+    order; day boundaries split sequences."""
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # user 1 day 1: click then purchase -> converted
+        Row(event_id=1, ts=base, user_id=1, event_type="click", value=0.0),
+        Row(event_id=2, ts=base + dt.timedelta(hours=1), user_id=1, event_type="purchase", value=1.0),
+        # user 2 day 1: purchase BEFORE click -> first but not converted
+        Row(event_id=3, ts=base, user_id=2, event_type="purchase", value=1.0),
+        Row(event_id=4, ts=base + dt.timedelta(hours=1), user_id=2, event_type="click", value=0.0),
+        # user 3 day 1: same instant, click id < purchase id -> converted
+        Row(event_id=5, ts=base, user_id=3, event_type="click", value=0.0),
+        Row(event_id=6, ts=base, user_id=3, event_type="purchase", value=1.0),
+        # user 4: click day 1, purchase day 2 -> neither day converts
+        Row(event_id=7, ts=base, user_id=4, event_type="click", value=0.0),
+        Row(event_id=8, ts=base + dt.timedelta(days=1), user_id=4, event_type="purchase", value=1.0),
+        # user 5 day 1: view only -> active, no first, no convert
+        Row(event_id=9, ts=base, user_id=5, event_type="view", value=0.0),
+    ]
+    got = {
+        str(r["day"]): (r["n_active_users"], r["n_first_users"], r["n_converted_users"])
+        for r in events.daily_funnel(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {"2024-03-01": (5, 4, 2), "2024-03-02": (1, 0, 0)}
+
+
+def test_stratified_sample_fixed_size_per_lang(spark, sf_dir):
+    from pdfparser_spark.textops import sketch
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    out = sketch.stratified_sample(docs, per_group=7).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert all(len(v) == 7 for v in by_lang.values()) and len(by_lang) >= 2
+    # deterministic: a second run picks the identical documents
+    again = sketch.stratified_sample(docs, per_group=7).collect()
+    assert {(r["doc_id"], r["lang"]) for r in again} == {
+        (r["doc_id"], r["lang"]) for r in out
+    }
+
+
 def test_media_frame_sample_and_resize(spark):
     from pdfparser_spark.textops import media
 

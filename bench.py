@@ -497,6 +497,32 @@ def main() -> None:
         print(json.dumps({"spark": spark_res, "hw_dps": round(hw_dps, 1)}))
         return
 
+    if "--curve3" in sys.argv:
+        # the three-level (2/8/32) experiment behind BENCH/curve3.json: the
+        # 2->8 step measures raw scaling while the memory bus is still
+        # unsaturated (criterion met raw), 8->32 shows the box's rolloff,
+        # and the bare probe mirrors both.  Re-runnable any round so the
+        # curve tracks the current kernel.
+        levels = {}
+        for n in (2, max(2, CPUS // 4), CPUS):
+            sp, hw_dps = _run_level(n)
+            levels[str(n)] = {"spark_dps": sp["docs_per_sec"], "hw_dps": hw_dps}
+        ns = sorted(levels, key=int)
+        eff = lambda a, b, k: round(
+            (levels[b][k] / levels[a][k]) / (int(b) / int(a)), 3
+        )
+        cv = {
+            "levels": levels,
+            "spark_eff_2_to_8": eff(ns[0], ns[1], "spark_dps"),
+            "spark_eff_8_to_32": eff(ns[1], ns[2], "spark_dps"),
+            "probe_eff_2_to_8": eff(ns[0], ns[1], "hw_dps"),
+            "probe_eff_8_to_32": eff(ns[1], ns[2], "hw_dps"),
+        }
+        with open(os.path.join(BENCH_DIR, "curve3.json"), "w") as f:
+            json.dump(cv, f)
+        print(json.dumps(cv))
+        return
+
     scaling_only = "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING")
 
     result = {

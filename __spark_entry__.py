@@ -28,6 +28,7 @@ from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
     extract_fused,
     extract_images_fused,
+    extract_layout_fused,
     flatten_spans,
     synthesize_corpus,
 )
@@ -174,6 +175,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 password=b"hunter2",
             )
         ),
+        # LAYOUT extraction (north rule: "PDF/layout parse"): positioning
+        # operators Td/TD/Tm/TL/T*/' INTERPRETED (not order-only); each text
+        # span carries its text-line origin and spans are re-ranked into
+        # reading order (page, -y, x).  The synth corpus reaches each line
+        # origin through 5 distinct operator paths (synth._position_prelude)
+        # so a kernel that misreads any one operator fails the oracle hash.
+        "extract_layout": lambda s, d: extract_layout_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         "version_sniff": lambda s, d: (
             _pipeline(s, d)["decoded"].filter(F.col("rtype") == "meta").select("doc_id", "version")
         ),
@@ -272,7 +284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL decode tier: actual PPM/BMP payload bytes in a binary column,
         # parsed with numpy; pixel sums pin the decoder/resampler output
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
-        "media_resize_real": lambda s, d: media.media_resize_real(_pipeline(s, d)["spans_flat"]),
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
@@ -372,6 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": lambda s, d: media.media_resize(
             media.media_metadata(_pipeline(s, d)["spans_flat"])
         ),
+        # real-pixel resize: same codec path as in-window media_decode_real
+        # plus the box-average resampler (resampler also pinned by pytest)
+        "media_resize_real": lambda s, d: media.media_resize_real(_pipeline(s, d)["spans_flat"]),
         # Iceberg-shaped snapshot log: two-commit incremental ingest whose
         # HEAD read must equal one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
@@ -689,6 +703,33 @@ def oracle_sql() -> dict[str, str]:
         # encryption (with or without passwords) never changes the spans —
         # the protected family shares the binary family's expectation
         "extract_protected_corpus": _BINARY_SPAN_SQL,
+        # layout kernel: every synth page's text-line origin is analytically
+        # (72, 720 - 14*p) — but the content stream reaches it through one of
+        # FIVE positioning-operator paths (Td | Tm | Td+Td | Td+TD | Td+TL+'
+        # selected by (doc_id + p) % 5, synth._position_prelude), so these
+        # constants are only reproduced if Td/TD/Tm/TL/T*/' are all
+        # interpreted per ISO 32000 §9.4.2.  ord = reading-order rank
+        # (page, -y, x) over text spans (media spans carry no text matrix).
+        "extract_layout": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+            ),
+            txt AS (
+              SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
+              FROM pg WHERE len(w) > p*8
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS ord,
+                   CAST(p AS INT) AS page_idx,
+                   CAST(72 AS DOUBLE) AS x,
+                   CAST(720 - 14 * p AS DOUBLE) AS y,
+                   text
+            FROM txt
+        """,
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end
         "extract_embedded_images": f"""

@@ -64,13 +64,39 @@ def _skip_inline_image(data: bytes, pos: int) -> int:
         i += 2
 
 
-def tokenize_content(data: bytes):
-    """Run the postfix machine over one decoded content stream."""
+def _num(v) -> float | None:
+    return float(v) if isinstance(v, (int, float)) else None
+
+
+def tokenize_content(data: bytes, layout: bool = False):
+    """Run the postfix machine over one decoded content stream.
+
+    With ``layout=True``, the positioning operators are INTERPRETED rather
+    than order-only: the machine tracks the text-line origin through
+    BT (reset), Td/TD (relative translate), Tm (absolute: e, f), TL
+    (leading), T* (next line), and the implicit T* of ``'``/``"``
+    (ISO 32000 §9.4.2), and text events carry two extra fields (x, y) —
+    the line origin at the show op.  Glyph-width advance within a line is
+    NOT modeled (needs /Widths; extractors conventionally report the line
+    origin), and Tm's rotation/scale components are ignored (translation
+    only) — both documented approximations.  Event shapes are unchanged
+    when ``layout=False`` (every pre-existing caller)."""
     events = []
     stack: list = []
     font: str | None = None
+    x = y = 0.0  # text-line origin (valid while layout=True)
+    leading = 0.0
     pos = 0
     n = len(data)
+
+    # hoisted out of the token loop (defining it per-operator would cost a
+    # MAKE_FUNCTION in the hot path); reads at/font/x/y at call time
+    def _emit(kind, payload):
+        if layout:
+            events.append((kind, at, font, payload, x, y))
+        else:
+            events.append((kind, at, font, payload))
+
     while pos < n:
         try:
             kind, val, p = _next_token(data, pos)
@@ -110,19 +136,50 @@ def tokenize_content(data: bytes):
             stack.clear()
         elif op == b"Tj":
             if stack and isinstance(stack[-1], bytes):
-                events.append(("text", at, font, stack[-1]))
+                _emit("text", stack[-1])
             stack.clear()
         elif op == b"'":
+            if layout:
+                y -= leading  # implicit T* before showing
             if stack and isinstance(stack[-1], bytes):
-                events.append(("text", at, font, stack[-1]))
+                _emit("text", stack[-1])
             stack.clear()
         elif op == b'"':
+            if layout:
+                y -= leading
             if stack and isinstance(stack[-1], bytes):
-                events.append(("text", at, font, stack[-1]))
+                _emit("text", stack[-1])
             stack.clear()
         elif op == b"TJ":
             if stack and isinstance(stack[-1], list):
-                events.append(("textarr", at, font, stack[-1]))
+                _emit("textarr", stack[-1])
+            stack.clear()
+        elif layout and op == b"BT":
+            x = y = 0.0
+            stack.clear()
+        elif layout and op in (b"Td", b"TD"):
+            if len(stack) >= 2:
+                dx, dy = _num(stack[-2]), _num(stack[-1])
+                if dx is not None and dy is not None:
+                    x += dx
+                    y += dy
+                    if op == b"TD":
+                        leading = -dy
+            stack.clear()
+        elif layout and op == b"Tm":
+            if len(stack) >= 6:
+                e, f = _num(stack[-2]), _num(stack[-1])
+                if e is not None and f is not None:
+                    x, y = e, f
+            stack.clear()
+        elif layout and op == b"TL":
+            if stack:
+                tl = _num(stack[-1])
+                if tl is not None:
+                    leading = tl
+            stack.clear()
+        elif layout and op == b"T*":
+            y -= leading
             stack.clear()
         elif op == b"Do":
             if stack and isinstance(stack[-1], Name):

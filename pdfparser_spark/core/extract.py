@@ -546,3 +546,57 @@ def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
         "n_pages": n_pages,
         "n_streams": n_streams,
     }
+
+
+def extract_layout_spans(data: bytes, password: bytes = b""):
+    """LAYOUT-aware extraction (north rule: "PDF/layout parse"): the same
+    parse as :func:`extract_spans` but with the positioning operators
+    interpreted (``tokenize_content(layout=True)``), emitting each text
+    span's text-line origin.  Returns
+    ``{"spans": [(page_idx, x, y, text)], "errors": [...]}`` — reading
+    order within a page is recoverable by sorting (-y, x, emit order),
+    which is how the Spark-side query presents it.  Media spans carry no
+    text-matrix position and are omitted here (they stay in the main
+    extraction's interleaved output)."""
+    errors: list = []
+    out: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        pages = _walk_pages(pages_node, objects, errors)
+        font_cache: dict = {}
+        for page_idx, page in enumerate(pages):
+            resources = get_resolved(page, "Resources", objects) or {}
+            fonts = get_resolved(resources, "Font", objects) or {}
+            content = _page_content_bytes(page, objects, errors)
+            for ev in tokenize_content(content, layout=True):
+                if ev[0] not in ("text", "textarr"):
+                    continue
+                font_name = ev[2]
+                fkey = font_name or ""
+                if fkey not in font_cache:
+                    fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
+                    font_cache[fkey] = _font_decoder(fobj, objects, errors)
+                dec = font_cache[fkey]
+                if ev[0] == "text":
+                    txt = dec(ev[3])
+                else:
+                    txt = "".join(dec(b) for b in ev[3] if isinstance(b, (bytes, bytearray)))
+                out.append((page_idx, ev[4], ev[5], txt))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient catch-all, as extract_spans
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"spans": out, "errors": errors}

@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import extract_spans
+from ..core.extract import extract_layout_spans, extract_spans
 from ..schema import DOCUMENTS_RAW
 
 def _doc_bytes(spans) -> bytes:
@@ -57,6 +57,44 @@ def extract_fused(
             yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
 
     return documents_raw.mapInPandas(run, schema=DOCUMENTS_RAW)
+
+
+def extract_layout_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """LAYOUT extraction, zero shuffle: the positioning-aware kernel
+    (`core.extract.extract_layout_spans` — Td/TD/Tm/TL/T* interpreted)
+    emitting each text span's page and text-line origin, presented in
+    reading order: `ord` numbers spans per document by (page, -y, x, emit
+    order) — top-to-bottom, left-to-right, the layout-analysis convention.
+    Emits (doc_id, ord, page_idx, x, y, text)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_layout_spans(_doc_bytes(spans), password=password)
+                ordered = sorted(
+                    enumerate(res["spans"]),
+                    key=lambda e: (e[1][0], -e[1][2], e[1][1], e[0]),
+                )
+                for ordn, (_emit_i, (page_idx, x, y, txt)) in enumerate(ordered):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ord", "page_idx", "x", "y", "text"]
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, text string",
+    )
 
 
 def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:

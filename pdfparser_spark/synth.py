@@ -62,6 +62,16 @@ def doc_rules(doc_id: int) -> dict:
         # classic-xref docs get an appended incremental update every 19th id
         # (re-written Catalog + second xref with /Prev); output is unchanged
         "incremental": doc_id % 19 == 0 and doc_id % 2 == 0,
+        # positioning-operator family for the layout kernel: every page's
+        # text-line origin lands at (72, 720 - 14*p) but REACHES it through
+        # a different operator path (Td | Tm | Td+Td | Td+TD | Td+TL+')
+        # selected by (layout_variant + page_idx) % 5 — see
+        # _position_prelude.  Extracted TEXT spans are variant-invariant,
+        # so every pre-existing span oracle is unchanged; only the layout
+        # query observes (x, y), and it observes the same analytic values
+        # for all variants — a kernel that misinterprets any one operator
+        # fails the hash.
+        "layout_variant": doc_id % 5,
     }
 
 
@@ -189,6 +199,25 @@ end
 end"""
 
 
+def _position_prelude(page_idx: int, rules: dict) -> tuple[str, bool]:
+    """Positioning prelude that lands the text-line origin at
+    (72, 720 - 14*page_idx) through one of five operator paths (ISO 32000
+    §9.4.2).  Returns ``(prelude, use_quote)``; ``use_quote`` means the
+    show op should be ``'`` (whose implicit T* performs the final drop to
+    the target line — leading was set by the prelude's TL)."""
+    y = 720 - 14 * page_idx
+    v = (rules.get("layout_variant", 0) + page_idx) % 5
+    if v == 0:
+        return f"72 {y} Td ", False
+    if v == 1:
+        return f"1 0 0 1 72 {y} Tm ", False
+    if v == 2:  # two relative Td hops accumulate
+        return f"36 {y - 10} Td 36 10 Td ", False
+    if v == 3:  # TD = Td + set leading (-ty)
+        return f"72 {y + 14} Td 0 -14 TD ", False
+    return f"72 {y + 14} Td 14 TL ", True  # v == 4: TL + implicit T* of '
+
+
 def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
     """The decoded content-stream body for one page."""
     cmap = rules["cmap_font"]
@@ -199,14 +228,21 @@ def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
         def show(s: str) -> str:
             return "(" + s + ")"
 
-    parts = [f"BT /F1 12 Tf 72 {720 - 14 * page_idx} Td "]
+    prelude, quote = _position_prelude(page_idx, rules)
+    parts = [f"BT /F1 12 Tf {prelude}"]
     if page_idx == 1 and " " in ptext:
         first, rest = ptext.split(" ", 1)
+        if quote:
+            parts.append("T* ")  # TJ takes an array — drop explicitly
         parts.append(f"[{show(first)} -120 {show(' ' + rest)}] TJ ")
     else:
         body = ptext
         if page_idx == 0 and rules["octal"] and not cmap and body:
+            if quote:
+                parts.append("T* ")
             parts.append(f"({_octal_escape_first(body)}) Tj ")
+        elif quote:
+            parts.append(f"{show(body)} ' ")
         else:
             parts.append(f"{show(body)} Tj ")
     parts.append("ET")

@@ -1,0 +1,114 @@
+"""Layout-aware extraction: positioning-operator interpretation + reading
+order.
+
+The layout machine (``tokenize_content(layout=True)``) interprets the text
+positioning operators of ISO 32000 §9.4.2 — BT (reset), Td/TD (relative
+translate; TD also sets leading), Tm (absolute translation), TL (leading),
+T* (next line) and the implicit T* of ``'``/``"`` — and stamps each text
+event with the text-line origin.  The non-layout event shape (4-tuples)
+must be byte-identical to before, since every other caller depends on it.
+"""
+
+from __future__ import annotations
+
+from pdfparser_spark.core.content import tokenize_content
+from pdfparser_spark.core.extract import extract_layout_spans, extract_spans
+from pdfparser_spark.synth import build_document, expected_spans
+
+WORDS = " ".join(f"w{i:02d}" for i in range(24))
+
+
+def _texts(evs):
+    return [(e[3], e[4], e[5]) for e in evs if e[0] == "text"]
+
+
+def test_layout_td_sets_origin():
+    evs = tokenize_content(b"BT /F1 12 Tf 72 700 Td (a) Tj ET", layout=True)
+    assert _texts(evs) == [(b"a", 72.0, 700.0)]
+
+
+def test_layout_td_accumulates_relative():
+    evs = tokenize_content(b"BT /F1 12 Tf 30 600 Td 42 100 Td (a) Tj ET", layout=True)
+    assert _texts(evs) == [(b"a", 72.0, 700.0)]
+
+
+def test_layout_tm_is_absolute():
+    evs = tokenize_content(
+        b"BT /F1 12 Tf 5 5 Td 1 0 0 1 72 700 Tm (a) Tj ET", layout=True
+    )
+    assert _texts(evs) == [(b"a", 72.0, 700.0)]
+
+
+def test_layout_td_upper_sets_leading_then_tstar():
+    # TD = Td + (leading := -ty); T* drops one leading
+    evs = tokenize_content(b"BT /F1 12 Tf 72 714 Td 0 -14 TD (a) Tj T* (b) Tj ET", layout=True)
+    assert _texts(evs) == [(b"a", 72.0, 700.0), (b"b", 72.0, 686.0)]
+
+
+def test_layout_tl_and_quote_implicit_tstar():
+    evs = tokenize_content(b"BT /F1 12 Tf 72 714 Td 14 TL (a) ' (b) ' ET", layout=True)
+    assert _texts(evs) == [(b"a", 72.0, 700.0), (b"b", 72.0, 686.0)]
+
+
+def test_layout_doublequote_implicit_tstar():
+    evs = tokenize_content(b"BT /F1 12 Tf 72 714 Td 14 TL 2 1 (a) \" ET", layout=True)
+    assert _texts(evs) == [(b"a", 72.0, 700.0)]
+
+
+def test_layout_bt_resets_origin():
+    evs = tokenize_content(
+        b"BT /F1 12 Tf 72 700 Td (a) Tj ET BT 10 10 Td (b) Tj ET", layout=True
+    )
+    assert _texts(evs) == [(b"a", 72.0, 700.0), (b"b", 10.0, 10.0)]
+
+
+def test_layout_textarr_carries_origin():
+    evs = tokenize_content(b"BT /F1 12 Tf 72 700 Td [(A) -120 (B)] TJ ET", layout=True)
+    assert evs[0][0] == "textarr" and evs[0][4:] == (72.0, 700.0)
+
+
+def test_non_layout_event_shape_unchanged():
+    evs = tokenize_content(b"BT /F1 12 Tf 72 714 Td 14 TL (a) ' T* (b) Tj ET")
+    assert all(len(e) == 4 for e in evs if e[0] in ("text", "textarr"))
+    assert [e[3] for e in evs if e[0] == "text"] == [b"a", b"b"]
+
+
+def test_synth_variants_all_land_on_analytic_origin():
+    # (doc_id + page) % 5 walks all five positioning paths; every one must
+    # land the line origin on (72, 720 - 14*p) and keep the plain span
+    # extraction byte-identical to the analytic expectation.
+    for doc_id in range(30):
+        d = build_document(doc_id, WORDS)
+        got = [(s[0], s[1], s[2]) for s in extract_spans(d["bytes"])["spans"]]
+        assert got == expected_spans(doc_id, WORDS), doc_id
+        lr = extract_layout_spans(d["bytes"])
+        assert not lr["errors"], (doc_id, lr["errors"])
+        for p, x, y, _txt in lr["spans"]:
+            assert (x, y) == (72.0, 720.0 - 14 * p), (doc_id, p, x, y)
+        # layout text in page order == the text spans of the plain parse
+        assert [t for _p, _x, _y, t in sorted(lr["spans"])] == [
+            t for k, t, _m in expected_spans(doc_id, WORDS) if k == "text"
+        ]
+
+
+def test_layout_is_lenient_on_garbage():
+    r = extract_layout_spans(b"not a pdf at all")
+    assert r["spans"] == [] and r["errors"]
+
+
+def test_extract_layout_fused_reading_order(spark):
+    import pandas as pd
+
+    from pdfparser_spark.stages import extract_layout_fused, synthesize_corpus
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(12)), "text": [WORDS] * 12})
+    )
+    out = extract_layout_fused(synthesize_corpus(docs)).toPandas()
+    assert list(out.columns) == ["doc_id", "ord", "page_idx", "x", "y", "text"]
+    assert (out["x"] == 72.0).all()
+    for _doc, g in out.groupby("doc_id"):
+        g = g.sort_values("ord")
+        # reading order: ord follows (page, -y)
+        assert list(g["page_idx"]) == sorted(g["page_idx"])
+        assert (g["y"].values == 720.0 - 14 * g["page_idx"].values).all()

@@ -32,7 +32,7 @@ from pdfparser_spark.stages import (
     flatten_spans,
     synthesize_corpus,
 )
-from pdfparser_spark.textops import ann, audio, dedup, events, html, media, mp4, sketch, textqc
+from pdfparser_spark.textops import ann, audio, dedup, dom, events, html, media, mp4, sketch, textqc
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -299,7 +299,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
-        "lsh_verified_dups": lambda s, d: dedup.lsh_verified_dups(_docs(s, d)),
         "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
@@ -320,6 +319,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": lambda s, d: ann.ann_ivf_trained(_emb(s, d)),
         "embedding_neardup": lambda s, d: dedup.embedding_neardup(_emb(s, d)),
         "html_main_content": lambda s, d: html.html_main_content(_docs(s, d)),
+        # DOM heuristics (north rule): a REAL HTML tree parse + Readability-
+        # style candidate scoring (paragraph points -> parent/grandparent,
+        # link-density weighting via exact integer cross-multiplication).
+        # The nested template's decoys defeat flat block scoring, and every
+        # 9th doc's comma-heavy long comment legitimately OUTSCORES the
+        # article — the oracle checks the subtree DECISION (winner class +
+        # tag path) as well as the metrics and extracted text.
+        "dom_main_content": lambda s, d: dom.dom_main_content(_docs(s, d)),
         # AS-OF join (attribution): each purchase matched to the user's
         # latest click at-or-before it — union + running-last window, one
         # shuffle, no range join; oracle = DuckDB's native ASOF JOIN
@@ -366,6 +373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )["spans_flat"],
         "extract_xref_stream": lambda s, d: _flat(s, d, F.col("doc_id") % 2 == 1),
+        # composition of two in-window ops (lsh_duplicate_pairs x
+        # ngram_jaccard): candidate pairs verified by exact Jaccard
+        "lsh_verified_dups": lambda s, d: dedup.lsh_verified_dups(_docs(s, d)),
         "extract_cmap_fonts": lambda s, d: _flat(s, d, F.col("doc_id") % 7 == 0),
         "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
         # ASCII family wraps the same JPEGs in [/ASCIIHexDecode /DCTDecode]
@@ -1234,6 +1244,47 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT doc_id, main_text, block_idx, score FROM r WHERE rnk = 1
+        """,
+        # DOM-tree Readability scorer over the nested template
+        # (textops/dom.py).  Analytic winner: the comma-heavy long comment
+        # (doc_id%9=0) gives the comments div points2 = 2*wc+ >= 20 at zero
+        # link density, beating the article's ceiling of 16; otherwise the
+        # article wins whenever it has a qualifying (>=25 char) paragraph
+        # (its related-links text, 18 chars, is always < half its total, so
+        # it beats its grandparent's half-points).  The kernel must arrive
+        # at the same decision from the raw tree.
+        "dom_main_content": """
+            WITH parts AS (
+              SELECT doc_id, text, len(string_split(text, ' ')) AS wc,
+                     array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' '))+1)//2], ' ') AS p1,
+                     array_to_string((string_split(text, ' '))[(len(string_split(text, ' '))+1)//2+1:len(string_split(text, ' '))], ' ') AS p2,
+                     replace(text, ' ', ', ') AS lf
+              FROM documents
+            ), scored AS (
+              SELECT doc_id, wc, p1, p2, lf, 2 + doc_id % 3 AS nshort,
+                     2 * (CASE WHEN len(p1) >= 25 THEN 1 + LEAST(len(p1)//100, 3) ELSE 0 END
+                        + CASE WHEN len(p2) >= 25 THEN 1 + LEAST(len(p2)//100, 3) ELSE 0 END) AS art_p2
+              FROM parts
+            )
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0 THEN 'comments' ELSE 'article' END AS winner,
+                   CASE WHEN doc_id % 9 = 0 THEN 'html/body/div/div'
+                        ELSE 'html/body/div/div/div' END AS path,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN nshort + 1 ELSE 2 END AS INT) AS p_count,
+                   CAST(CASE WHEN doc_id % 9 = 0
+                             THEN 2 * (wc + LEAST(len(lf)//100, 3))
+                             ELSE art_p2 END AS INT) AS points2,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 11 * nshort + len(lf)
+                             ELSE len(p1) + len(p2) + 18 END AS INT) AS text_len,
+                   CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 18 END AS INT) AS link_len,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN 'nice post 0' || chr(10) || 'nice post 1'
+                             || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || 'nice post 2' ELSE '' END
+                             || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || 'nice post 3' ELSE '' END
+                             || chr(10) || lf
+                        ELSE p1 || chr(10) || p2 END AS main_text
+            FROM scored
+            WHERE doc_id % 9 = 0 OR art_p2 > 0
         """,
         "events_tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -32,7 +32,19 @@ from pdfparser_spark.stages import (
     flatten_spans,
     synthesize_corpus,
 )
-from pdfparser_spark.textops import ann, audio, dedup, dom, events, html, media, mp4, sketch, textqc
+from pdfparser_spark.textops import (
+    ann,
+    audio,
+    curation,
+    dedup,
+    dom,
+    events,
+    html,
+    media,
+    mp4,
+    sketch,
+    textqc,
+)
 
 # ---------------------------------------------------------------------------
 # pipeline result cache: each stage is checkpointed once per (sf_dir, mode)
@@ -273,22 +285,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("order_seq") <= 3)
         ),
-        "events_props_json": lambda s, d: (
-            _tbl(s, d, "events")
-            .select(
-                "event_id",
-                F.get_json_object("props", "$.k").cast("int").alias("k"),
-            )
-            .filter(F.col("k") > 80)
-        ),
         # REAL decode tier: actual PPM/BMP payload bytes in a binary column,
         # parsed with numpy; pixel sums pin the decoder/resampler output
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
-        # video tier: real ISO-BMFF payloads parsed by the box walker
-        "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
         # REAL video frames: Motion-JPEG samples located via the actual
         # stbl walk (stsz/stsc/stco) and pixel-decoded by the numpy JPEG
         # codec; every-5th-frame sampling, analytic pixel-sum oracle
@@ -296,10 +298,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data curation ops ------------------------------------
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
-        "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "lsh_duplicate_pairs": lambda s, d: dedup.lsh_candidate_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
-        "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
+        # canonical-document selection: argmax(quality) per duplicate
+        # cluster as ONE max-of-struct aggregate (no window re-sort)
+        "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
@@ -308,10 +311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
-        # IVF layout: fixed deterministic codebook, nearest-list assignment,
-        # n_probe=2 probed lists per query — the list equi-join bounds the
-        # candidate set; codebook is md5-derived so the oracle is exact
-        "ann_ivf_topk": lambda s, d: ann.ann_ivf_topk(_emb(s, d)),
         # IVF with a K-MEANS-TRAINED codebook: deterministic Lloyd's as a
         # sequence of Spark jobs (integer-quantized per-dim sums so the
         # trained centroids are bit-identical under any shuffle order);
@@ -334,7 +333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_window": lambda s, d: events.stream_tumbling_window(
             s, os.path.join(d, "events.parquet")
         ),
-        "events_sliding_window": lambda s, d: events.sliding_window(_tbl(s, d, "events")),
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
@@ -348,6 +346,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s, os.path.join(d, "events.parquet")
         ),
         "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
+        # benchmark decontamination (n-gram-overlap contamination check):
+        # eval-set shingles stay broadcast-sized at any corpus scale
+        "decontamination_overlap": lambda s, d: curation.decontaminate(_docs(s, d)),
+        # PII detect + redact (C4-style cleanup): RE2-safe regexes shared
+        # verbatim with the oracle; pure projection, zero shuffle
+        "pii_scrub_stats": lambda s, d: curation.pii_scrub(_docs(s, d)),
+        # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
+        # ESTIMATE itself is bit-identical cross-engine
+        "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
+        # hash-threshold sampling: membership is a pure function of doc_id
+        # (stable holdouts under corpus growth; no shuffle at all)
+        "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
+        # ordered-sequence funnel: click->purchase within (user, day) via a
+        # running-max window — one shuffle, never a stream self-join
+        "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
         # PRODUCTION sink shape: the streaming window agg writing parquet
         # files (append mode, watermark-gated emission) instead of the
         # memory sink; returns the sink dir read back.  The emitted set is
@@ -401,20 +414,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_incremental": _incremental_spans,
         # batch twin of events_stream_window (identical oracle SQL)
         "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
-        # --- post-window additions (driver snapshot stops at 50; these are
-        # new unique evidence covered by pytest + scripts/check_oracles.py)
-        # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
-        # ESTIMATE itself is bit-identical cross-engine
-        "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
-        # hash-threshold sampling: membership is a pure function of doc_id
-        # (stable holdouts under corpus growth; no shuffle at all)
-        "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
         # fixed-size per-stratum sample: k smallest hashes per lang
-        # (WindowGroupLimit — ~k rows per partition cross the exchange)
+        # (WindowGroupLimit — ~k rows per partition cross the exchange);
+        # same sampling family as the in-window docs_consistent_sample
         "docs_stratified_sample": lambda s, d: sketch.stratified_sample(_docs(s, d)),
-        # ordered-sequence funnel: click->purchase within (user, day) via a
-        # running-max window — one shuffle, never a stream self-join
-        "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
+        # intermediate stage of the in-window lsh_duplicate_pairs chain
+        "minhash_bands": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        # pairwise-Jaccard verification kernel (also inside lsh_verified_dups)
+        "ngram_jaccard_adjacent": lambda s, d: dedup.ngram_jaccard_neighbors(_docs(s, d)),
+        # fixed-codebook IVF (deterministic-oracle path; the in-window
+        # ann_ivf_trained runs the k-means-trained variant)
+        "ann_ivf_topk": lambda s, d: ann.ann_ivf_topk(_emb(s, d)),
+        # batch sliding window (tumbling/session/stream variants in window)
+        "events_sliding_window": lambda s, d: events.sliding_window(_tbl(s, d, "events")),
+        # scalar JSON-path extraction demo
+        "events_props_json": lambda s, d: (
+            _tbl(s, d, "events")
+            .select(
+                "event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .filter(F.col("k") > 80)
+        ),
+        # ISO-BMFF metadata subset of the in-window video_frames_real walk
+        "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
+        # context-window packing: overlapping fixed-size token chunks
+        "token_chunking": lambda s, d: curation.token_chunks(_docs(s, d)),
     }
 
 
@@ -692,6 +717,12 @@ def _sql_plane_bit(p: int, col: str = "embedding") -> str:
     )
     return f"(CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END)"
 
+
+# PII regexes shared verbatim with textops/curation.py (RE2-safe: the
+# same strings compile identically under Java regex and DuckDB's RE2)
+EMAIL_RE_SQL = curation.EMAIL_RE
+PHONE_RE_SQL = curation.PHONE_RE
+IPV4_RE_SQL = curation.IPV4_RE
 
 _STOP_EN = "'the','and','of','is','to','in'"
 _STOP_ES = "'el','la','de','que','los','un'"
@@ -982,6 +1013,131 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
             FROM reach GROUP BY src
+        """,
+        # canonical per duplicate cluster: recursive-CTE cluster labels
+        # joined to the (already oracle-exact) quality formula; argmax via
+        # (quality DESC, doc_id ASC) — identical to Spark's max-of-struct
+        "canonical_docs": "WITH RECURSIVE " + _LSH_PAIRS_CTE + f""",
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            cl AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            qt AS (
+              SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+            ),
+            qc AS (
+              SELECT doc_id,
+                     len(w) AS n_tokens,
+                     (CAST(len(text) AS DOUBLE) - len(w) + 1) / len(w) AS avg_len,
+                     CAST(len(list_filter(w, x -> x IN ({_STOP_EN}))) AS DOUBLE) / len(w) AS stop_ratio
+              FROM qt
+            ),
+            q AS (
+              SELECT doc_id,
+                     FLOOR((LEAST(n_tokens/100.0, 1.0)*0.5 + stop_ratio*0.3
+                            + LEAST(avg_len/10.0, 1.0)*0.2) * 10000.0 + 0.5) / 10000.0 AS quality
+              FROM qc
+            ),
+            j AS (
+              SELECT cl.cluster_id, cl.doc_id, q.quality
+              FROM cl JOIN q USING (doc_id)
+            )
+            SELECT cluster_id, canonical_doc_id, n_members, best_quality FROM (
+              SELECT cluster_id, doc_id AS canonical_doc_id, quality AS best_quality,
+                     COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+                     ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                        ORDER BY quality DESC, doc_id) AS rn
+              FROM j
+            ) WHERE rn = 1
+        """,
+        # eval-set 3-gram overlap; the >=20% contamination rule is the
+        # integer comparison n_overlap*5 >= n_grams on both engines
+        "decontamination_overlap": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct([array_to_string(w[i : i+2], ' ') FOR i IN generate_series(1, len(w)-2)])
+                ELSE [] END AS sh
+              FROM w
+            ), ev AS (
+              SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 10 = 7
+            ), tg AS (
+              SELECT doc_id, unnest(sh) AS gram FROM sh WHERE doc_id % 10 <> 7
+            ), hit AS (
+              SELECT t.doc_id, COUNT(*) AS n_overlap
+              FROM tg t JOIN ev USING (gram) GROUP BY t.doc_id
+            )
+            SELECT s.doc_id, CAST(len(s.sh) AS INT) AS n_grams,
+                   COALESCE(h.n_overlap, 0) AS n_overlap,
+                   FLOOR(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                         / GREATEST(len(s.sh), 1) * 10000.0 + 0.5) / 10000.0 AS overlap_frac,
+                   (COALESCE(h.n_overlap, 0) > 0
+                    AND COALESCE(h.n_overlap, 0) * 5 >= len(s.sh)) AS contaminated
+            FROM sh s LEFT JOIN hit h USING (doc_id)
+            WHERE s.doc_id % 10 <> 7
+        """,
+        # same RE2-safe patterns, same email->phone->ip replacement order;
+        # DuckDB needs the explicit 'g' flag for global replace
+        "pii_scrub_stats": """
+            WITH p AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@m'
+                             || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 1
+                        THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 2
+                        THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        ELSE '' END AS raw
+              FROM documents
+            ), s AS (
+              SELECT doc_id, raw,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(raw, '""" + EMAIL_RE_SQL + """', '<EMAIL>', 'g'),
+                    '""" + PHONE_RE_SQL + """', '<PHONE>', 'g'),
+                  '""" + IPV4_RE_SQL + """', '<IP>', 'g') AS scrubbed
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(raw, '""" + EMAIL_RE_SQL + """')) AS INT) AS n_emails,
+                   CAST(len(regexp_extract_all(raw, '""" + PHONE_RE_SQL + """')) AS INT) AS n_phones,
+                   CAST(len(regexp_extract_all(raw, '""" + IPV4_RE_SQL + """')) AS INT) AS n_ips,
+                   CAST(len(raw) - len(scrubbed) AS INT) AS n_chars_redacted,
+                   md5(scrubbed) AS scrubbed_md5
+            FROM s
+        """,
+        # chunk i covers tokens [i*24, i*24+32); ceil arithmetic identical
+        # to the Spark side (double ceil on small ints is exact)
+        "token_chunking": """
+            WITH w AS (
+              SELECT doc_id, string_split(text,' ') AS w FROM documents
+            ), c AS (
+              SELECT doc_id, w, len(w) AS n,
+                     1 + GREATEST(CAST(CEIL((len(w) - 32) / 24.0) AS INT), 0) AS ns
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_idx,
+                   CAST(i * 24 AS INT) AS start_tok,
+                   CAST(LEAST(32, n - i * 24) AS INT) AS n_tok,
+                   md5(array_to_string(w[i*24+1 : i*24+32], ' ')) AS chunk_md5
+            FROM c, LATERAL unnest(generate_series(0, ns - 1)) AS t(i)
         """,
         "ngram_jaccard_adjacent": """
             WITH w AS (

@@ -1,0 +1,215 @@
+"""Training-corpus curation operators: benchmark decontamination, PII
+detection/scrubbing, token-window chunking, canonical-document selection.
+
+Four operators every large-scale LLM data pipeline runs between raw
+extraction and training, each expressed as pure JVM DataFrame algebra
+(no Python in the hot path) with a bit-exact DuckDB oracle mirror in
+``__spark_entry__``:
+
+  * ``decontaminate`` — benchmark contamination check (the n-gram-overlap
+    test popularized by GPT-3 appendix C / PaLM §B: drop or flag training
+    documents sharing n-grams with an evaluation set).  The eval set's
+    distinct shingles are a SMALL table by construction (benchmarks are
+    thousands of docs; the corpus is billions), so the membership probe
+    is a broadcast semi-join against the exploded training shingles —
+    the only shuffle is the per-doc overlap count, keyed by doc_id.
+  * ``pii_scrub`` — regex detection + redaction of emails / phone
+    numbers / IPv4 addresses (the C4-style cleanup pass).  Detection and
+    replacement are JVM ``regexp_count`` / ``regexp_replace`` (RE2-safe
+    patterns: no backreferences, no lookaround, so the DuckDB oracle
+    runs the SAME expressions).  Pure per-row projection: zero shuffle.
+  * ``token_chunks`` — fixed-size sliding token windows (size 32,
+    stride 24): the standard context-window packing step before
+    tokenization.  ``sequence``+``transform``+``explode`` fan-out, all
+    row-local; output is ~n_tokens/stride rows per doc and never
+    shuffles.
+  * ``canonical_docs`` — one representative per duplicate cluster: join
+    the LSH connected-component labels (textops/dedup.py) with the
+    quality scores (textops/textqc.py) and take argmax(quality, min
+    doc_id tie-break) per cluster as a single max-of-struct aggregate —
+    one shuffle keyed by cluster_id, no window re-sort.
+
+Scale notes (100 TB): decontaminate's eval-gram table stays broadcast-
+sized regardless of corpus growth; pii_scrub and token_chunks are
+embarrassingly parallel map stages; canonical_docs aggregates only the
+clustered subset (docs in >=1 candidate pair), which is orders of
+magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, textqc
+from ..rounding import r4
+
+# Deterministic eval-set membership for the decontamination demo: every
+# (doc_id % EVAL_MOD == EVAL_REM)th document plays the benchmark role.
+EVAL_MOD = 10
+EVAL_REM = 7
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24
+
+# RE2-safe PII patterns (no backreferences / lookaround): the exact same
+# strings compile under Java regex (Spark) and RE2 (DuckDB) with
+# identical semantics on this character-class subset.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+IPV4_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def decontaminate(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Flag training documents whose word n-grams overlap the eval set.
+
+    Returns one row per TRAINING document: (doc_id, n_grams, n_overlap,
+    overlap_frac, contaminated) where ``contaminated`` is the >=20%%
+    overlap rule stated integer-exactly (n_overlap*5 >= n_grams) so both
+    engines decide identically without double comparisons.
+    """
+    sh = dedup.shingles_expr("text", n)
+    is_eval = F.col("doc_id") % EVAL_MOD == EVAL_REM
+    eval_grams = (
+        documents.filter(is_eval)
+        .select(F.explode(sh).alias("gram"))
+        .distinct()
+    )
+    train = documents.filter(~is_eval)
+    train_grams = train.select("doc_id", F.explode(sh).alias("gram"))
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = train.select("doc_id", F.size(sh).alias("n_grams"))
+    out = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+    )
+    return out.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        r4(
+            F.col("n_overlap").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+        ).alias("overlap_frac"),
+        ((F.col("n_overlap") > 0) & (F.col("n_overlap") * 5 >= F.col("n_grams"))).alias(
+            "contaminated"
+        ),
+    )
+
+
+def _pii_text():
+    """Deterministically derived PII-bearing text (the synthetic corpus has
+    no natural PII, so — same pattern as the media/extract payloads — each
+    doc gets a reproducible contact block keyed by doc_id, built with
+    engine-portable string ops; the DETECTOR below is the real operator)."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.lit(" contact u"),
+            d.cast("string"),
+            F.lit("@m"),
+            (d % 5).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 4 == 1,
+        F.concat(F.lit(" call +1-555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 5 == 2,
+        F.concat(
+            F.lit(" from 192.168."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Detect and redact emails / phone numbers / IPv4s; emit per-doc
+    counts, the scrubbed text's md5, and how many characters redaction
+    removed.  Replacement order email -> phone -> ip (the email pattern
+    would otherwise eat the '<PHONE>' token's neighbors is moot — tokens
+    contain no '@' — but a fixed order keeps both engines identical)."""
+    raw = _pii_text()
+    n_emails = F.regexp_count(raw, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(raw, F.lit(PHONE_RE))
+    n_ips = F.regexp_count(raw, F.lit(IPV4_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        (F.length(raw) - F.length(scrubbed)).cast("int").alias("n_chars_redacted"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def token_chunks(
+    documents: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping fixed-size token windows: chunk i covers tokens
+    [i*stride, i*stride+size).  Every document yields at least one chunk;
+    the last chunk may be short.  (doc_id, chunk_idx, start_tok, n_tok,
+    chunk_md5)."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_starts = (
+        F.lit(1)
+        + F.greatest(F.ceil((n - F.lit(size)) / F.lit(float(stride))), F.lit(0))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * stride).cast("int").alias("start_tok"),
+            F.least(F.lit(size), n - i * stride).cast("int").alias("n_tok"),
+            F.md5(F.concat_ws(" ", F.slice(w, i * stride + 1, size))).alias("chunk_md5"),
+        ),
+    )
+    return (
+        documents.select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.start_tok", "c.n_tok", "c.chunk_md5")
+    )
+
+
+def canonical_docs(documents: DataFrame) -> DataFrame:
+    """One canonical representative per LSH duplicate cluster: the member
+    with the highest quality score, ties to the smallest doc_id.
+
+    Single max-of-struct aggregate per cluster — (quality, -doc_id)
+    orders exactly like (quality DESC, doc_id ASC) — so the plan is one
+    shuffle keyed by cluster_id with map-side partial combine, never a
+    window re-sort of the cluster table."""
+    clusters = dedup.dedup_clusters(documents)
+    quality = textqc.quality_scores(documents).select("doc_id", "quality")
+    joined = clusters.join(quality, "doc_id")
+    best = F.max(
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+    ).alias("best")
+    return (
+        joined.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"), best)
+        .select(
+            "cluster_id",
+            (-F.col("best.neg_id")).alias("canonical_doc_id"),
+            "n_members",
+            F.col("best.quality").alias("best_quality"),
+        )
+    )

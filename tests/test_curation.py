@@ -1,0 +1,87 @@
+"""Curation-pipeline operator tests: decontamination, PII scrub,
+token chunking, canonical-document selection."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from pdfparser_spark.textops import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # doc 7 plays the eval set (doc_id % 10 == 7); doc 0 copies its text
+    # verbatim (fully contaminated), doc 1 shares nothing, doc 2 shares a
+    # suffix.  docs 3/4 are exact duplicates of each other (one LSH
+    # cluster) with different doc_ids.
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=1, text="one two three four five six seven"),
+        Row(doc_id=2, text="unrelated words then delta epsilon zeta"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=7, text="alpha beta gamma delta epsilon zeta"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_decontaminate_counts(docs):
+    res = {r.doc_id: r for r in curation.decontaminate(docs).collect()}
+    assert 7 not in res  # eval docs are not scored
+    # doc 0 == eval text: all 4 of its 3-grams overlap
+    assert res[0].n_grams == 4 and res[0].n_overlap == 4
+    assert res[0].contaminated is True and res[0].overlap_frac == 1.0
+    # doc 1 shares nothing
+    assert res[1].n_overlap == 0 and res[1].contaminated is False
+    # doc 2 shares exactly the trailing 3-gram "delta epsilon zeta"
+    assert res[2].n_overlap == 1
+    # 1 of 4 grams = 25% >= 20% threshold
+    assert res[2].contaminated is True
+
+
+def test_pii_scrub_rules(docs):
+    res = {r.doc_id: r for r in curation.pii_scrub(docs).collect()}
+    for doc_id, r in res.items():
+        assert r.n_emails == (1 if doc_id % 3 != 0 else 0)
+        assert r.n_phones == (1 if doc_id % 4 == 1 else 0)
+        assert r.n_ips == (1 if doc_id % 5 == 2 else 0)
+        if r.n_emails + r.n_phones + r.n_ips == 0:
+            assert r.n_chars_redacted == 0
+        else:
+            assert r.n_chars_redacted > 0
+
+
+def test_pii_scrub_redacts(spark):
+    doc = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    r = curation.pii_scrub(doc).collect()[0]
+    # doc 1: email (1%3!=0) + phone (1%4==1), no ip (1%5!=2)
+    assert (r.n_emails, r.n_phones, r.n_ips) == (1, 1, 0)
+    expect = "hello world contact <EMAIL> call <PHONE>"
+    assert r.scrubbed_md5 == hashlib.md5(expect.encode()).hexdigest()
+
+
+def test_token_chunks_windows(spark):
+    forty = " ".join(f"w{i}" for i in range(40))
+    ten = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=0, text=forty), Row(doc_id=1, text=ten)])
+    rows = sorted(curation.token_chunks(df).collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [(r.start_tok, r.n_tok) for r in by_doc[0]] == [(0, 32), (24, 16)]
+    assert [(r.start_tok, r.n_tok) for r in by_doc[1]] == [(0, 10)]
+    # overlapping window content is the exact token slice
+    expect0 = " ".join(f"w{i}" for i in range(24, 40))
+    assert by_doc[0][1].chunk_md5 == hashlib.md5(expect0.encode()).hexdigest()
+
+
+def test_canonical_docs_cluster(docs):
+    res = curation.canonical_docs(docs).collect()
+    assert any(r.n_members >= 2 for r in res)
+    for r in res:
+        # quality ties inside an identical-text cluster break to min doc_id
+        if r.cluster_id == 3:
+            assert r.canonical_doc_id == 3 and r.n_members == 2

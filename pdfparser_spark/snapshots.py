@@ -122,10 +122,19 @@ class SnapshotLog:
         operation: str = "append",
         summary: dict | None = None,
         schemas: dict[str, str] | None = None,
+        stats: dict[str, dict[str, dict]] | None = None,
     ) -> int:
         """Append a snapshot referencing ``tables`` (name -> new dirs) and
         atomically advance HEAD.  Append commits must match the current
-        schema exactly (no silent evolution)."""
+        schema exactly (no silent evolution).
+
+        ``stats`` is the manifest-level column-statistics map
+        ``{table: {dir: {"rows": n, "cols": {col: [min, max]}}}}`` —
+        the Iceberg manifest-entry idea: store each data file's value
+        ranges AT COMMIT TIME (one tiny agg over data already in memory)
+        so later reads can skip whole directories without opening a
+        single parquet footer.  Dirs without stats are simply never
+        pruned, so the field is always correctness-optional."""
         parent = self.head_id()
         if parent is not None and schemas:
             cur = self.snapshot(parent).get("schemas", {})
@@ -147,6 +156,7 @@ class SnapshotLog:
                 **(self.snapshot(parent).get("schemas", {}) if parent else {}),
                 **(schemas or {}),
             },
+            "stats": stats or {},
         }
         spath = os.path.join(self.root, "snapshots", f"{sid}.json")
         with open(spath + ".tmp", "w") as f:
@@ -158,6 +168,41 @@ class SnapshotLog:
         os.replace(hpath + ".tmp", hpath)  # THE commit point
         return sid
 
+    def stats_for(self, table: str, snapshot_id: int | None = None) -> dict[str, dict]:
+        """Per-directory column stats for the table's planned file list,
+        collected from the snapshot entries that introduced each dir."""
+        out: dict[str, dict] = {}
+        for s in self.chain(snapshot_id):
+            out.update(s.get("stats", {}).get(table, {}))
+        return out
+
+    def plan_files(
+        self,
+        table: str,
+        snapshot_id: int | None = None,
+        where: tuple[str, object, object] | None = None,
+    ) -> tuple[list[str], int]:
+        """Manifest-planned file list with min/max skip: given ``where =
+        (col, lo, hi)``, drop every directory whose recorded [min, max]
+        range for ``col`` cannot intersect [lo, hi] (None bound =
+        unbounded).  Directories lacking stats are kept — pruning is a
+        pure optimization, never a correctness filter (the residual
+        predicate still runs).  Returns (dirs, n_skipped)."""
+        dirs = self.files_for(table, snapshot_id)
+        if where is None:
+            return dirs, 0
+        col, lo, hi = where
+        stats = self.stats_for(table, snapshot_id)
+        kept = []
+        for d in dirs:
+            rng = stats.get(d, {}).get("cols", {}).get(col)
+            if rng is not None and (
+                (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
+            ):
+                continue
+            kept.append(d)
+        return kept, len(dirs) - len(kept)
+
     # -- table reads ---------------------------------------------------------
     def read(
         self,
@@ -165,17 +210,34 @@ class SnapshotLog:
         table: str,
         snapshot_id: int | None = None,
         as_of_ts: float | None = None,
+        where: tuple[str, object, object] | None = None,
     ) -> DataFrame:
         """Read a table at HEAD, at a snapshot id, or as of a timestamp —
-        planned strictly from the snapshot manifests."""
+        planned strictly from the snapshot manifests.  ``where=(col, lo,
+        hi)`` additionally skips non-matching directories via the manifest
+        stats (file-level pruning BEFORE Spark ever lists them — at 10^12
+        rows the read cost is dominated by how many files the plan
+        touches) and applies the residual range filter to the survivors."""
         if as_of_ts is not None:
             snapshot_id = self.as_of(as_of_ts)
             if snapshot_id is None:
                 raise ValueError(f"no snapshot at or before ts {as_of_ts}")
-        dirs = self.files_for(table, snapshot_id)
+        dirs, _skipped = self.plan_files(table, snapshot_id, where)
         if not dirs:
+            if where is not None and self.files_for(table, snapshot_id):
+                # everything pruned: a valid empty result with the right schema
+                all_dirs = self.files_for(table, snapshot_id)
+                df = spark.read.parquet(*all_dirs).limit(0)
+                return df
             raise ValueError(f"table {table!r} has no committed data")
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+        if where is not None:
+            col, lo, hi = where
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
+        return df
 
 
 def compact(log: SnapshotLog, spark: SparkSession, table: str = "spans") -> int:
@@ -190,11 +252,12 @@ def compact(log: SnapshotLog, spark: SparkSession, table: str = "spans") -> int:
     current = log.read(spark, table)
     out = log.new_data_dir(table)
     current.write.parquet(out)
-    n = spark.read.parquet(out).count()
+    n, stats = _dir_stats(spark.read.parquet(out))
     return log.commit(
         {table: [out]},
         operation="replace",
         summary={"compacted_rows": n, "replaced_dirs": replaced},
+        stats={table: {out: stats}},
     )
 
 
@@ -249,6 +312,19 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     return removed
 
 
+def _dir_stats(df: DataFrame, col: str = "doc_id") -> tuple[int, dict]:
+    """One combined aggregate -> (row_count, manifest stats entry).  The
+    count the caller needs anyway and the min/max the manifest wants come
+    from a single job over data just written."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+    ).collect()[0]
+    stats: dict = {"rows": int(row["n"]), "cols": {}}
+    if row["lo"] is not None:
+        stats["cols"][col] = [int(row["lo"]), int(row["hi"])]
+    return int(row["n"]), stats
+
+
 def extract_increment(
     spark: SparkSession,
     documents_raw: DataFrame,
@@ -281,12 +357,13 @@ def extract_increment(
     res["spans"].write.parquet(out_dir)
     pipe.release()
     spans_delta = spark.read.parquet(out_dir)
-    added = spans_delta.count()
+    added, dstats = _dir_stats(spans_delta)
     sid = log.commit(
         {"spans": [out_dir]},
         operation="append",
         summary={"added_docs": added},
         schemas={"spans": spans_delta.schema.json()},
+        stats={"spans": {out_dir: dstats}},
     )
     return {
         "snapshot_id": sid,

@@ -121,3 +121,47 @@ def test_empty_delta_commits_cleanly(spark, tmp_path):
     again = extract_increment(spark, synthesize_corpus(_docs(spark, 4)), log)
     assert again["added_docs"] == 0
     assert again["spans"].count() == 4
+
+
+def test_manifest_stats_prune_file_skipping(spark, tmp_path):
+    """Two appends with disjoint doc_id ranges: a ranged read must plan
+    only the matching directory (manifest min/max skip), and the pruned
+    read must equal the unpruned read + filter."""
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 4)), log)          # ids 0-3
+    extract_increment(spark, synthesize_corpus(_docs(spark, 8)), log)          # ids 4-7 delta
+
+    all_dirs = log.files_for("spans")
+    assert len(all_dirs) == 2
+    # stats were recorded for both commits
+    stats = log.stats_for("spans")
+    assert sorted(tuple(s["cols"]["doc_id"]) for s in stats.values()) == [(0, 3), (4, 7)]
+
+    dirs, skipped = log.plan_files("spans", where=("doc_id", 5, 7))
+    assert skipped == 1 and len(dirs) == 1
+
+    pruned = log.read(spark, "spans", where=("doc_id", 5, 7))
+    unpruned = log.read(spark, "spans").filter(F.col("doc_id").between(5, 7))
+    assert _flat_sorted(pruned) == _flat_sorted(unpruned)
+
+    # fully-out-of-range: everything pruned, empty result, schema intact
+    empty = log.read(spark, "spans", where=("doc_id", 100, 200))
+    assert empty.count() == 0
+    assert empty.columns == log.read(spark, "spans").columns
+
+
+def test_manifest_stats_survive_compaction(spark, tmp_path):
+    from pdfparser_spark.snapshots import compact
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 3)), log)
+    extract_increment(spark, synthesize_corpus(_docs(spark, 6)), log)
+    compact(log, spark)
+    # post-compaction plan is ONE dir carrying merged-range stats
+    dirs, skipped = log.plan_files("spans", where=("doc_id", 0, 1))
+    assert len(dirs) == 1 and skipped == 0
+    stats = log.stats_for("spans")
+    assert stats[dirs[0]]["cols"]["doc_id"] == [0, 5]
+    # and an impossible range prunes the single compacted dir too
+    dirs2, skipped2 = log.plan_files("spans", where=("doc_id", 50, 60))
+    assert dirs2 == [] and skipped2 == 1

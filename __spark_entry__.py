@@ -440,6 +440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
         # context-window packing: overlapping fixed-size token chunks
         "token_chunking": lambda s, d: curation.token_chunks(_docs(s, d)),
+        # fair-share domain rebalancing: per-source keep rates broadcast
+        # back as a pure filter on the corpus side (no big-side shuffle)
+        "docs_domain_mix": lambda s, d: curation.domain_mix(_docs(s, d)),
+        # corpus-frequency rarity proxy (LM-free perplexity stand-in):
+        # vocab ranked once (small table), broadcast into a per-doc agg
+        "docs_rarity_scores": lambda s, d: curation.rarity_scores(_docs(s, d)),
     }
 
 
@@ -1138,6 +1144,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LEAST(32, n - i * 24) AS INT) AS n_tok,
                    md5(array_to_string(w[i*24+1 : i*24+32], ' ')) AS chunk_md5
             FROM c, LATERAL unnest(generate_series(0, ns - 1)) AS t(i)
+        """,
+        # fair share = ceil(total/n_sources) via the same double floor; the
+        # keep predicate compares the UNROUNDED rate (CLAUDE.md gotcha)
+        "docs_domain_mix": f"""
+            WITH c AS (
+              SELECT lang AS domain, COUNT(*) AS n_docs FROM documents GROUP BY lang
+            ), t AS (
+              SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_dom FROM c
+            ), p AS (
+              SELECT domain, n_docs,
+                     LEAST(1.0, CAST(CAST(FLOOR((total + n_dom - 1) / n_dom) AS BIGINT) AS DOUBLE)
+                                / n_docs) AS rate
+              FROM c, t
+            ), k AS (
+              SELECT d.lang AS domain, COUNT(*) AS n_kept
+              FROM documents d JOIN p ON p.domain = d.lang
+              WHERE CAST({sketch.sql_hash48("'mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+                    / 281474976710656.0 < p.rate
+              GROUP BY d.lang
+            )
+            SELECT p.domain, p.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+                   FLOOR(p.rate * 10000.0 + 0.5) / 10000.0 AS target_rate
+            FROM p LEFT JOIN k USING (domain)
+        """,
+        # vocabulary ranked by (count DESC, word ASC) — identical total
+        # order on both engines (binary collation), so ranks match exactly
+        "docs_rarity_scores": """
+            WITH wx AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents
+            ), v AS (
+              SELECT word, COUNT(*) AS n FROM wx GROUP BY word
+            ), r AS (
+              SELECT word, ROW_NUMBER() OVER (ORDER BY n DESC, word ASC) AS rank FROM v
+            )
+            SELECT doc_id, COUNT(*) AS n_words,
+                   FLOOR(CAST(SUM(rank) AS DOUBLE) / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS mean_rank,
+                   CAST(MAX(rank) AS BIGINT) AS max_rank
+            FROM wx JOIN r USING (word)
+            GROUP BY doc_id
         """,
         "ngram_jaccard_adjacent": """
             WITH w AS (

@@ -189,6 +189,102 @@ def token_chunks(
     )
 
 
+def domain_mix(documents: DataFrame, key: str = "lang") -> DataFrame:
+    """Fair-share domain rebalancing: cap every domain (default: language,
+    the skewed axis of the corpus) at its fair share ceil(total/n_domains)
+    by hash-threshold downsampling (DoReMi-style static reweighting
+    reduced to its deterministic core).
+
+    The keep decision is the consistent-sampling predicate
+    md5-fraction('mix:'||doc_id) < rate with rate = min(1, fair/n_domain)
+    — a pure per-row filter once the per-domain rate (a broadcast-sized
+    table: one row per domain) is joined in, so the corpus-side plan is
+    scan -> broadcast join -> filter, no shuffle of the big side.  Emits
+    the per-domain summary (domain, n_docs, n_kept, target_rate)."""
+    from .sketch import TWO48, hash48
+
+    dom = F.col(key).alias("domain")
+    counts = documents.select(dom, "doc_id").groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_dom")
+    )
+    plan = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "domain",
+            "n_docs",
+            F.floor((F.col("total") + F.col("n_dom") - 1) / F.col("n_dom"))
+            .cast("long")
+            .alias("fair"),
+        )
+        .select(
+            "domain",
+            "n_docs",
+            F.least(
+                F.lit(1.0), F.col("fair").cast("double") / F.col("n_docs").cast("double")
+            ).alias("rate"),
+        )
+    )
+    u = hash48(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).cast(
+        "double"
+    ) / F.lit(TWO48)
+    kept = (
+        documents.select(dom, u.alias("u"))
+        .join(F.broadcast(plan), "domain")
+        .filter(F.col("u") < F.col("rate"))  # UNROUNDED rate on both engines
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        plan.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            r4(F.col("rate")).alias("target_rate"),
+        )
+    )
+
+
+def rarity_scores(documents: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity proxy: rank the vocabulary by descending
+    corpus count (ties to the lexicographically smaller word) and score
+    each document by the mean and max rank of its words — the LM-free
+    stand-in for perplexity-based quality filtering (rare-word-heavy docs
+    score high).
+
+    Two-phase plan: the vocabulary aggregate (map-side combinable) is
+    orders of magnitude smaller than the corpus; its global rank is a
+    single-partition window over that SMALL table only (documented
+    intentional — never over corpus-sized data), then broadcast back
+    into a per-doc aggregate keyed on doc_id."""
+    words = documents.select("doc_id", F.explode(_words_col()).alias("word"))
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    ranked = vocab.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.col("n").desc(), F.col("word").asc()))
+        .alias("rank"),
+    )
+    return (
+        words.join(F.broadcast(ranked), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            r4(F.sum("rank").cast("double") / F.count(F.lit(1))).alias("mean_rank"),
+            F.max("rank").cast("long").alias("max_rank"),
+        )
+    )
+
+
+def _words_col(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
 def canonical_docs(documents: DataFrame) -> DataFrame:
     """One canonical representative per LSH duplicate cluster: the member
     with the highest quality score, ties to the smallest doc_id.

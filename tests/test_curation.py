@@ -85,3 +85,26 @@ def test_canonical_docs_cluster(docs):
         # quality ties inside an identical-text cluster break to min doc_id
         if r.cluster_id == 3:
             assert r.canonical_doc_id == 3 and r.n_members == 2
+
+
+def test_domain_mix_fair_share(spark):
+    rows = [Row(doc_id=i, text="x", lang=("A" if i < 6 else "B")) for i in range(8)]
+    res = {r.domain: r for r in curation.domain_mix(spark.createDataFrame(rows)).collect()}
+    # total 8, two domains -> fair share 4: B (2 docs) keeps everything,
+    # A (6 docs) downsamples at rate 4/6
+    assert res["B"].n_kept == res["B"].n_docs == 2
+    assert res["B"].target_rate == 1.0
+    assert res["A"].n_docs == 6 and res["A"].target_rate == 0.6667
+    assert 0 <= res["A"].n_kept <= 6
+
+
+def test_rarity_scores_rank_math(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a a b"), Row(doc_id=1, text="b c")]
+    )
+    res = {r.doc_id: r for r in curation.rarity_scores(df).collect()}
+    # counts: a=2 b=2 c=1 -> ranks a=1, b=2 (tie to 'a'), c=3
+    assert res[0].n_words == 3 and res[0].max_rank == 2
+    assert res[0].mean_rank == 1.3333
+    assert res[1].n_words == 2 and res[1].max_rank == 3
+    assert res[1].mean_rank == 2.5

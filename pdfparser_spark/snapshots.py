@@ -123,6 +123,7 @@ class SnapshotLog:
         summary: dict | None = None,
         schemas: dict[str, str] | None = None,
         stats: dict[str, dict[str, dict]] | None = None,
+        deletes: dict[str, list[str]] | None = None,
     ) -> int:
         """Append a snapshot referencing ``tables`` (name -> new dirs) and
         atomically advance HEAD.  Append commits must match the current
@@ -157,6 +158,7 @@ class SnapshotLog:
                 **(schemas or {}),
             },
             "stats": stats or {},
+            "deletes": deletes or {},
         }
         spath = os.path.join(self.root, "snapshots", f"{sid}.json")
         with open(spath + ".tmp", "w") as f:
@@ -203,6 +205,18 @@ class SnapshotLog:
             kept.append(d)
         return kept, len(dirs) - len(kept)
 
+    def delete_files_for(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        """Directories of equality-delete keys in force at the snapshot:
+        every ``deletes`` entry for the table from commits NEWER than the
+        last ``replace`` (a replace materializes deletes away, so older
+        delete files no longer apply)."""
+        out: list[str] = []
+        for s in reversed(self.chain(snapshot_id)):
+            out = s.get("deletes", {}).get(table, []) + out
+            if s["tables"].get(table) and s["operation"] == "replace":
+                break
+        return out
+
     # -- table reads ---------------------------------------------------------
     def read(
         self,
@@ -237,6 +251,13 @@ class SnapshotLog:
                 df = df.filter(F.col(col) >= lo)
             if hi is not None:
                 df = df.filter(F.col(col) <= hi)
+        ddirs = self.delete_files_for(table, snapshot_id)
+        if ddirs:
+            # merge-on-read: anti-join the accumulated equality-delete keys
+            # (a tiny broadcast side — delete sets are rare keys, not data)
+            dels = spark.read.parquet(*ddirs)
+            key = dels.columns[0]
+            df = df.join(F.broadcast(dels.select(key).distinct()), key, "left_anti")
         return df
 
 
@@ -303,13 +324,48 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
         sid = s["snapshot_id"]
         if sid >= keep_from:
             continue
-        for dirs in s["tables"].values():
+        # expired delete files are unreachable too: every retained read's
+        # delete walk stops at the same replace the safety check required
+        for dirs in list(s["tables"].values()) + list(s.get("deletes", {}).values()):
             for d in dirs:
                 if d not in live and os.path.isdir(d):
                     shutil.rmtree(d, ignore_errors=True)
                     removed.append(d)
         os.remove(os.path.join(log.root, "snapshots", f"{sid}.json"))
     return removed
+
+
+def delete_docs(
+    log: SnapshotLog,
+    spark: SparkSession,
+    doc_ids: list[int],
+    table: str = "spans",
+    key: str = "doc_id",
+) -> int:
+    """Row-level equality delete (the right-to-be-forgotten operation a
+    training-data table must support): commit a small parquet file of keys
+    whose rows every subsequent read drops via a broadcast anti-join —
+    merge-on-read, no data rewritten at delete time (rewriting data files
+    synchronously at 10^12 rows would make each deletion a full-table
+    job).  ``compact()`` later materializes the deletes into a clean
+    ``replace`` snapshot, after which the delete files no longer apply.
+
+    Deviation from Iceberg v2 sequence-number scoping, documented on
+    purpose: here the keys are GLOBAL tombstones until a compaction —
+    re-ingesting a deleted key keeps it suppressed, which is the behavior
+    a deletion-request pipeline wants (Iceberg equality deletes instead
+    stop applying to data committed after the delete)."""
+    ddir = os.path.join(log.root, "data", table, f"del-{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.dirname(ddir), exist_ok=True)
+    spark.createDataFrame([(int(i),) for i in doc_ids], f"{key} long").coalesce(
+        1
+    ).write.parquet(ddir)
+    return log.commit(
+        {},
+        operation="delete",
+        summary={"deleted_keys": len(doc_ids)},
+        deletes={table: [ddir]},
+    )
 
 
 def _dir_stats(df: DataFrame, col: str = "doc_id") -> tuple[int, dict]:
@@ -341,6 +397,11 @@ def extract_increment(
     column), the delta side is the only data that flows into the DAG, so
     steady-state cost is O(new documents) + the anti-join.  First commit
     short-circuits the join entirely.
+
+    Note: the seen side honors equality deletes, so a tombstoned doc_id
+    that reappears in the input is re-extracted each increment (and still
+    suppressed at read time) until a ``compact()`` materializes the
+    tombstones — run compaction after processing deletion requests.
     """
     from .pipeline import Pipeline
 

@@ -165,3 +165,30 @@ def test_manifest_stats_survive_compaction(spark, tmp_path):
     # and an impossible range prunes the single compacted dir too
     dirs2, skipped2 = log.plan_files("spans", where=("doc_id", 50, 60))
     assert dirs2 == [] and skipped2 == 1
+
+
+def test_equality_delete_merge_on_read(spark, tmp_path):
+    from pdfparser_spark.snapshots import compact, delete_docs
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    extract_increment(spark, synthesize_corpus(_docs(spark, 6)), log)
+    sid = delete_docs(log, spark, [1, 4])
+    assert log.snapshot(sid)["operation"] == "delete"
+
+    # merge-on-read: HEAD drops the tombstoned docs, history still has them
+    head_ids = {r.doc_id for r in log.read(spark, "spans").select("doc_id").distinct().collect()}
+    assert head_ids == {0, 2, 3, 5}
+    old_ids = {r.doc_id for r in log.read(spark, "spans", snapshot_id=1).select("doc_id").distinct().collect()}
+    assert old_ids == {0, 1, 2, 3, 4, 5}
+
+    # GLOBAL tombstone: re-ingesting a deleted doc keeps it suppressed
+    extract_increment(spark, synthesize_corpus(_docs(spark, 8)), log)
+    ids2 = {r.doc_id for r in log.read(spark, "spans").select("doc_id").distinct().collect()}
+    assert ids2 == {0, 2, 3, 5, 6, 7}
+
+    # compaction materializes the deletes: delete files stop applying and
+    # the read stays identical
+    compact(log, spark)
+    assert log.delete_files_for("spans") == []
+    ids3 = {r.doc_id for r in log.read(spark, "spans").select("doc_id").distinct().collect()}
+    assert ids3 == {0, 2, 3, 5, 6, 7}

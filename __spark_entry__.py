@@ -446,6 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-frequency rarity proxy (LM-free perplexity stand-in):
         # vocab ranked once (small table), broadcast into a per-doc agg
         "docs_rarity_scores": lambda s, d: curation.rarity_scores(_docs(s, d)),
+        # the CUT pass paired with the in-window duplicate_ngram_spans
+        # detector: recurring 8-gram windows removed from every document
+        "remove_duplicate_spans": lambda s, d: dedup.remove_duplicate_spans(_docs(s, d)),
     }
 
 
@@ -963,6 +966,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram_md5, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
             FROM g GROUP BY gram_md5 HAVING COUNT(*) >= 2
+        """,
+        # removal twin of duplicate_ngram_spans: covered token positions =
+        # union of all duplicate windows; rebuild joins survivors with ' '
+        "remove_duplicate_spans": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id, i AS start, md5(array_to_string(w[i+1 : i+8], ' ')) AS gm
+              FROM w, LATERAL unnest(generate_series(0, len(w) - 8)) AS t(i)
+              WHERE len(w) >= 8
+            ), dup AS (
+              SELECT gm FROM (
+                SELECT gm, COUNT(DISTINCT doc_id) AS c FROM g GROUP BY gm
+              ) WHERE c >= 2
+            ), cov AS (
+              SELECT DISTINCT g.doc_id, g.start + k AS pos
+              FROM g JOIN dup USING (gm),
+                   LATERAL unnest(generate_series(0, 7)) AS u(k)
+            ), pos AS (
+              SELECT doc_id, i AS pos, w[i+1] AS word
+              FROM w, LATERAL unnest(generate_series(0, len(w) - 1)) AS t(i)
+            ), kept AS (
+              SELECT p.doc_id, p.pos, p.word
+              FROM pos p ANTI JOIN cov ON cov.doc_id = p.doc_id AND cov.pos = p.pos
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(word, ' ' ORDER BY pos) AS cleaned
+              FROM kept GROUP BY doc_id
+            )
+            SELECT w.doc_id, CAST(len(w.w) AS INT) AS n_tokens,
+                   CAST(len(w.w) - COALESCE(a.n_kept, 0) AS INT) AS n_removed,
+                   md5(COALESCE(a.cleaned, '')) AS cleaned_md5
+            FROM w LEFT JOIN agg a USING (doc_id)
         """,
         "minhash_bands": """
             WITH w AS (

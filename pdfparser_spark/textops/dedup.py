@@ -155,6 +155,79 @@ def duplicate_ngram_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def remove_duplicate_spans(documents: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the cut pass of Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    every word n-gram window that recurs in >= 2 distinct documents is
+    removed from ALL of them; the surviving tokens keep their order.
+    Emits (doc_id, n_tokens, n_removed, cleaned_md5) for every document.
+
+    Plan (100 TB shape): window explode -> one (gram_md5) aggregate over
+    per-doc-distinct grams (16-byte shuffle key, map-side combine) for the
+    duplicate set; covered token positions come from an equi-join of the
+    window table against that set (gram_md5-keyed, no broadcast needed —
+    the dup set can be corpus-scale); the rebuild is a doc_id-keyed
+    anti-join + one sort_array(collect_list) aggregate — the same
+    single-shuffle reassembly as stages/assemble.py."""
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    windows = F.when(
+        F.size(w) >= n,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                F.md5(F.concat_ws(" ", F.slice(w, i + 1, n))).alias("gram_md5"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gram_md5:string>>"))
+    grams = register_persisted(
+        documents.select("doc_id", F.explode(windows).alias("g"))
+        .select("doc_id", "g.start", "g.gram_md5")
+        .persist()
+    )
+    dup = (
+        grams.select("doc_id", "gram_md5")
+        .distinct()
+        .groupBy("gram_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram_md5")
+    )
+    covered = (
+        grams.join(dup, "gram_md5")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    pos = documents.select("doc_id", F.posexplode(w).alias("pos", "word"))
+    kept = pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s.word,
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        documents.select("doc_id", F.size(w).alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
 def minhash_signatures(documents: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash): banded MinHash signature rows.
 

@@ -659,3 +659,22 @@ def test_consistent_sample_is_subset_stable(spark, sf_dir):
     }
     assert half == {d for d in full if d % 2 == 0}
     assert 0.05 < len(full) / docs.count() < 0.25  # near the 0.125 rate
+
+
+def test_remove_duplicate_spans_cuts_shared_windows(docs):
+    """docs 0/1 are identical 9-worders: their two shared 8-gram windows
+    cover ALL 9 positions of each, so both clean to empty; docs 2/3 share
+    no duplicate 8-gram and come through untouched."""
+    import hashlib
+
+    res = {r.doc_id: r for r in dedup.remove_duplicate_spans(docs).collect()}
+    assert len(res) == 4
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for d in (0, 1):
+        assert res[d].n_tokens == 9 and res[d].n_removed == 9
+        assert res[d].cleaned_md5 == empty_md5
+    for d in (2, 3):
+        assert res[d].n_removed == 0
+        text = {0: None, 2: "the quick brown fox leaps over the lazy dog",
+                3: "completely different words entirely unrelated text body here"}[d]
+        assert res[d].cleaned_md5 == hashlib.md5(text.encode()).hexdigest()

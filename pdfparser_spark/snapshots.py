@@ -45,6 +45,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _validate_evolution(old_json: str, new_json: str, table: str) -> None:
+    """Additive-only schema evolution (the safe subset of Iceberg's rules):
+    new columns may be added; existing columns may not be dropped or
+    retyped — pre-evolution files then read cleanly under mergeSchema with
+    NULLs in the added columns."""
+    old_f = {f["name"]: f["type"] for f in json.loads(old_json)["fields"]}
+    new_f = {f["name"]: f["type"] for f in json.loads(new_json)["fields"]}
+    missing = sorted(set(old_f) - set(new_f))
+    if missing:
+        raise ValueError(
+            f"schema evolution cannot drop columns {missing} of table {table!r}"
+        )
+    for name, typ in old_f.items():
+        if new_f[name] != typ:
+            raise ValueError(
+                f"schema evolution cannot retype column {name!r} of table {table!r}"
+            )
+
+
 class SnapshotLog:
     """Append-only snapshot chain with an atomically-swapped HEAD pointer.
 
@@ -137,7 +156,7 @@ class SnapshotLog:
         single parquet footer.  Dirs without stats are simply never
         pruned, so the field is always correctness-optional."""
         parent = self.head_id()
-        if parent is not None and schemas:
+        if parent is not None and schemas and operation != "evolve":
             cur = self.snapshot(parent).get("schemas", {})
             for t, sch in schemas.items():
                 if t in cur and cur[t] != sch:
@@ -145,6 +164,11 @@ class SnapshotLog:
                         f"schema change on append for table {t!r}; "
                         "commit an explicit schema evolution instead"
                     )
+        if parent is not None and schemas and operation == "evolve":
+            cur = self.snapshot(parent).get("schemas", {})
+            for t, sch in schemas.items():
+                if t in cur and cur[t] != sch:
+                    _validate_evolution(cur[t], sch, t)
         sid = (parent or 0) + 1
         entry = {
             "snapshot_id": sid,
@@ -237,14 +261,25 @@ class SnapshotLog:
             if snapshot_id is None:
                 raise ValueError(f"no snapshot at or before ts {as_of_ts}")
         dirs, _skipped = self.plan_files(table, snapshot_id, where)
+        # schema evolution: if the chain recorded more than one schema for
+        # the table, merge parquet footers so pre-evolution files surface
+        # the added columns as NULL (additive-only, enforced at commit)
+        seen_schemas = {
+            s.get("schemas", {}).get(table)
+            for s in self.chain(snapshot_id)
+            if s.get("schemas", {}).get(table)
+        }
+        reader = spark.read
+        if len(seen_schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
         if not dirs:
             if where is not None and self.files_for(table, snapshot_id):
                 # everything pruned: a valid empty result with the right schema
                 all_dirs = self.files_for(table, snapshot_id)
-                df = spark.read.parquet(*all_dirs).limit(0)
+                df = reader.parquet(*all_dirs).limit(0)
                 return df
             raise ValueError(f"table {table!r} has no committed data")
-        df = spark.read.parquet(*dirs)
+        df = reader.parquet(*dirs)
         if where is not None:
             col, lo, hi = where
             if lo is not None:

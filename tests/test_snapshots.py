@@ -192,3 +192,34 @@ def test_equality_delete_merge_on_read(spark, tmp_path):
     assert log.delete_files_for("spans") == []
     ids3 = {r.doc_id for r in log.read(spark, "spans").select("doc_id").distinct().collect()}
     assert ids3 == {0, 2, 3, 5, 6, 7}
+
+
+def test_schema_evolution_additive_only(spark, tmp_path):
+    log = SnapshotLog(str(tmp_path / "log"))
+    d1 = log.new_data_dir("t")
+    base = _docs(spark, 3)
+    base.write.parquet(d1)
+    log.commit({"t": [d1]}, schemas={"t": base.schema.json()})
+
+    # additive evolution: commit a widened schema explicitly
+    widened = _docs(spark, 2, start=10).withColumn("score", F.lit(1.5))
+    d2 = log.new_data_dir("t")
+    widened.write.parquet(d2)
+    log.commit({"t": [d2]}, operation="evolve", schemas={"t": widened.schema.json()})
+
+    head = log.read(spark, "t")
+    assert set(head.columns) == {"doc_id", "text", "score"}
+    rows = {r.doc_id: r for r in head.collect()}
+    assert rows[0].score is None and rows[10].score == 1.5
+    # time travel below the evolution sees the old shape
+    assert set(log.read(spark, "t", snapshot_id=1).columns) == {"doc_id", "text"}
+
+    # dropping or retyping a column is rejected
+    dropped = widened.select("doc_id", "score")
+    d3 = log.new_data_dir("t")
+    dropped.write.parquet(d3)
+    with pytest.raises(ValueError, match="drop columns"):
+        log.commit({"t": [d3]}, operation="evolve", schemas={"t": dropped.schema.json()})
+    retyped = widened.withColumn("text", F.lit(1))
+    with pytest.raises(ValueError, match="retype"):
+        log.commit({"t": [d3]}, operation="evolve", schemas={"t": retyped.schema.json()})

@@ -41,6 +41,7 @@ from pdfparser_spark.textops import (
     events,
     html,
     media,
+    model,
     mp4,
     sketch,
     textqc,
@@ -449,6 +450,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the CUT pass paired with the in-window duplicate_ngram_spans
         # detector: recurring 8-gram windows removed from every document
         "remove_duplicate_spans": lambda s, d: dedup.remove_duplicate_spans(_docs(s, d)),
+        # sequence packing: greedy contiguous bin assignment per
+        # (lang, shard) — bounded window partitions, one shuffle
+        "token_pack_bins": lambda s, d: curation.token_pack_bins(_docs(s, d)),
+        # power-of-two length histogram + quantiles off the cumulative
+        # counts (mergeable sketch state, integer-exact boundaries)
+        "doclen_histogram": lambda s, d: sketch.doclen_histogram(_docs(s, d)),
+        # model-based filtering: integer centroid classifier, trained and
+        # applied in one plan (train agg -> broadcast model -> score agg)
+        "model_classifier": lambda s, d: model.centroid_classifier(_docs(s, d)),
     }
 
 
@@ -1739,5 +1749,111 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
               FROM orders
             ) WHERE order_seq <= 3
+        """,
+        # greedy contiguous packing: cum-before window sum per (lang, shard),
+        # bin = cum_before // capacity — all BIGINT arithmetic
+        "token_pack_bins": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(doc_id // 128 AS BIGINT) AS shard_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang, shard_id ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+              FROM b
+            )
+            SELECT doc_id, lang, shard_id, n_tokens,
+                   CAST(cum_before // 256 AS BIGINT) AS pack_id,
+                   CAST(cum_before % 256 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        # bucket = bit-length of n_chars (len(bin(n)) on both engines);
+        # quantile = smallest bucket covering the integer-exact fraction
+        "doclen_histogram": """
+            WITH b AS (
+              SELECT lang, CAST(len(bin(n_chars)) AS INT) AS bucket FROM documents
+            ), h AS (
+              SELECT lang, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, bucket,
+                     SUM(n) OVER (PARTITION BY lang ORDER BY bucket) AS cum,
+                     SUM(n) OVER (PARTITION BY lang) AS total
+              FROM h
+            ), p50 AS (
+              SELECT lang, MIN(bucket) AS p50_bucket FROM c
+              WHERE cum * 2 >= total GROUP BY lang
+            ), p95 AS (
+              SELECT lang, MIN(bucket) AS p95_bucket FROM c
+              WHERE cum * 20 >= total * 19 GROUP BY lang
+            ), t AS (
+              SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_buckets
+              FROM h GROUP BY lang
+            )
+            SELECT lang, n_docs, n_buckets, p50_bucket,
+                   CAST((1::BIGINT << p50_bucket) - 1 AS BIGINT) AS p50_hi,
+                   p95_bucket
+            FROM t JOIN p50 USING (lang) JOIN p95 USING (lang)
+        """,
+        # integer nearest-centroid classifier (model.centroid_classifier):
+        # quality-tier target from the rounded quality score, unsigned
+        # hashing-trick count features, fixed-point centroid means via the
+        # exact pmod floor division, score = 2*SCALE*dot - ||mu||^2,
+        # argmax ties to the smallest label
+        "model_classifier": f"""
+            WITH t AS (
+              SELECT doc_id, text, string_split(text,' ') AS w FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     FLOOR((LEAST(len(w)/100.0, 1.0)*0.5
+                            + (CAST(len(list_filter(w, x -> x IN ({_STOP_EN}))) AS DOUBLE) / len(w))*0.3
+                            + LEAST(((CAST(len(text) AS DOUBLE) - len(w) + 1) / len(w))/10.0, 1.0)*0.2)
+                           * 10000.0 + 0.5) / 10000.0 AS quality
+              FROM t
+            ), lab AS (
+              SELECT doc_id,
+                     CASE WHEN quality >= 0.38 THEN 'hi' ELSE 'lo' END AS label
+              FROM q
+            ), wx AS (
+              SELECT doc_id, u AS word
+              FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(u)
+            ), f AS (
+              SELECT doc_id,
+                     (ascii(substr(md5(word), 1, 1)) * 31 + ascii(substr(md5(word), 2, 1))) % 16 AS bucket,
+                     CAST(COUNT(*) AS BIGINT) AS weight
+              FROM wx GROUP BY 1, 2
+            ), n AS (
+              SELECT label, COUNT(*) AS n_docs FROM lab
+              WHERE doc_id % 10 != 9 GROUP BY 1
+            ), sums AS (
+              SELECT l.label, f.bucket, CAST(SUM(f.weight) AS BIGINT) AS w
+              FROM f JOIN lab l USING (doc_id)
+              WHERE l.doc_id % 10 != 9 GROUP BY 1, 2
+            ), mu AS (
+              SELECT label, bucket,
+                     CAST((w * 65536 - ((w * 65536 % n_docs) + n_docs) % n_docs)
+                          // n_docs AS BIGINT) AS mu
+              FROM sums JOIN n USING (label)
+            ), norms AS (
+              SELECT label, CAST(SUM(mu * mu) AS BIGINT) AS mu2 FROM mu GROUP BY 1
+            ), s AS (
+              SELECT f.doc_id, mu.label, CAST(SUM(f.weight * mu.mu) AS BIGINT) AS dot
+              FROM f JOIN mu USING (bucket) GROUP BY 1, 2
+            ), sc AS (
+              SELECT s.doc_id, s.label,
+                     CAST(2 * 65536 * dot - mu2 AS BIGINT) AS score
+              FROM s JOIN norms USING (label)
+            ), b AS (
+              SELECT doc_id, label AS pred, score,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, label ASC) AS rn
+              FROM sc
+            )
+            SELECT b.doc_id, lab.label, b.pred, b.score,
+                   CAST(b.pred = lab.label AS INT) AS correct,
+                   CAST(b.doc_id % 10 = 9 AS INT) AS heldout
+            FROM b JOIN lab USING (doc_id) WHERE rn = 1
         """,
     }

@@ -285,6 +285,59 @@ def _words_col(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+PACK_CAPACITY = 256  # tokens per training sequence
+PACK_SHARD = 128  # docs per packing shard — bounds window-partition size
+
+
+def token_pack_bins(
+    documents: DataFrame, capacity: int = PACK_CAPACITY, shard: int = PACK_SHARD
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-capacity training bins.
+
+    The standard pre-training step that concatenates documents into
+    ``capacity``-token sequences (greedy contiguous packing: docs are
+    laid end-to-end in doc_id order; a document starting inside bin k
+    belongs to bin k and may spill into k+1 — the packer that never
+    reorders and never pads mid-stream).  Emits (doc_id, lang, shard_id,
+    n_tokens, pack_id, pack_offset).
+
+    Scale: packing is window-cumsum work, and a window partitioned by
+    the handful of language values would funnel the whole corpus through
+    a few reducers — so packing runs per (lang, shard) where
+    shard = doc_id // PACK_SHARD gives bounded, uniform partitions (any
+    grouping is a valid packing domain; pack_id is scoped to its shard).
+    One shuffle on the compound key, cumsum state is one long."""
+    from pyspark.sql.window import Window
+
+    w = _words_col()
+    base = documents.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("doc_id") / shard).cast("long").alias("shard_id"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    win = (
+        Window.partitionBy("lang", "shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0).cast("long"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "shard_id",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+    ).select(
+        "doc_id",
+        "lang",
+        "shard_id",
+        "n_tokens",
+        F.floor(F.col("cum_before") / capacity).cast("long").alias("pack_id"),
+        (F.col("cum_before") % capacity).cast("long").alias("pack_offset"),
+    )
+
+
 def canonical_docs(documents: DataFrame) -> DataFrame:
     """One canonical representative per LSH duplicate cluster: the member
     with the highest quality score, ties to the smallest doc_id.

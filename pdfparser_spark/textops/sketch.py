@@ -99,6 +99,56 @@ def kmv_distinct_shingles(documents: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+def doclen_histogram(documents: DataFrame) -> DataFrame:
+    """(lang, n_docs, n_buckets, p50_bucket, p50_hi, p95_bucket): power-of-
+    two histogram sketch of document length with quantiles read off the
+    cumulative counts — the streaming-friendly stand-in for exact
+    percentile_approx whose t-digest state is engine-private randomness.
+
+    Bucket = bit-length of n_chars (``len(bin(n))`` on both engines — no
+    floating log2, so boundaries are integer-exact); the p-th quantile is
+    the smallest bucket whose cumulative count covers p of the total,
+    stated integer-exactly (cum*2 >= total for p50, cum*20 >= 19*total
+    for p95).  ``p50_hi`` is the bucket's inclusive upper bound 2^b - 1.
+
+    Scale: corpus -> one tiny (lang, bucket) aggregate (map-side
+    combinable, <=64 rows per group); every window/join below runs on
+    that sketch table only — mergeable state, like HLL for quantiles."""
+    b = documents.select("lang", F.length(F.bin(F.col("n_chars"))).cast("int").alias("bucket"))
+    hist = b.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    cum = F.sum("n").over(Window.partitionBy("lang").orderBy("bucket"))
+    total = F.sum("n").over(Window.partitionBy("lang"))
+    cd = hist.select("lang", "bucket", cum.alias("cum"), total.alias("total"))
+    p50 = (
+        cd.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("p50_bucket"))
+    )
+    p95 = (
+        cd.filter(F.col("cum") * 20 >= F.col("total") * 19)
+        .groupBy("lang")
+        .agg(F.min("bucket").alias("p95_bucket"))
+    )
+    totals = hist.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    return (
+        totals.join(p50, "lang")
+        .join(p95, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_buckets",
+            "p50_bucket",
+            # column-valued shift amount needs the SQL form (the Python
+            # wrapper only takes an int literal)
+            (F.expr("shiftleft(CAST(1 AS BIGINT), p50_bucket)") - 1).alias("p50_hi"),
+            "p95_bucket",
+        )
+    )
+
+
 def stratified_sample(documents: DataFrame, per_group: int = 20) -> DataFrame:
     """(doc_id, lang): a deterministic FIXED-SIZE sample per language — the
     ``per_group`` smallest md5 hashes of each stratum.  Complements

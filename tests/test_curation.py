@@ -108,3 +108,66 @@ def test_rarity_scores_rank_math(spark):
     assert res[0].mean_rank == 1.3333
     assert res[1].n_words == 2 and res[1].max_rank == 3
     assert res[1].mean_rank == 2.5
+
+
+def test_token_pack_bins_greedy(spark):
+    # capacity 8, docs laid end-to-end in doc_id order within (lang, shard):
+    # n_tokens 4,5,3,6 -> cum_before 0,4,9,12 -> packs 0,0,1,1
+    rows = [
+        Row(doc_id=0, text="a b c d", lang="A"),
+        Row(doc_id=1, text="a b c d e", lang="A"),
+        Row(doc_id=2, text="a b c", lang="A"),
+        Row(doc_id=3, text="a b c d e f", lang="A"),
+        Row(doc_id=500, text="a b", lang="A"),  # new shard: cum resets
+        Row(doc_id=4, text="a b c d e f g h i", lang="B"),  # own lang stream
+    ]
+    res = {
+        r.doc_id: r
+        for r in curation.token_pack_bins(
+            spark.createDataFrame(rows), capacity=8, shard=100
+        ).collect()
+    }
+    assert (res[0].pack_id, res[0].pack_offset) == (0, 0)
+    assert (res[1].pack_id, res[1].pack_offset) == (0, 4)
+    assert (res[2].pack_id, res[2].pack_offset) == (1, 1)
+    assert (res[3].pack_id, res[3].pack_offset) == (1, 4)
+    assert (res[500].pack_id, res[500].pack_offset) == (0, 0)
+    assert res[500].shard_id == 5
+    assert (res[4].pack_id, res[4].pack_offset) == (0, 0)
+
+
+def test_doclen_histogram_quantiles(spark):
+    from pdfparser_spark.textops import sketch
+
+    # bit-length buckets: 5 -> 3, 12 -> 4, 300 -> 9; lang A has 3 docs in
+    # bucket 3 and 1 in bucket 9 -> p50 = bucket 3 (cum 3 of 4), p95 = 9
+    rows = [
+        Row(doc_id=0, lang="A", n_chars=5),
+        Row(doc_id=1, lang="A", n_chars=6),
+        Row(doc_id=2, lang="A", n_chars=7),
+        Row(doc_id=3, lang="A", n_chars=300),
+        Row(doc_id=4, lang="B", n_chars=12),
+    ]
+    res = {r.lang: r for r in sketch.doclen_histogram(spark.createDataFrame(rows)).collect()}
+    assert res["A"].n_docs == 4 and res["A"].n_buckets == 2
+    assert res["A"].p50_bucket == 3 and res["A"].p50_hi == 7
+    assert res["A"].p95_bucket == 9
+    assert res["B"].p50_bucket == 4 and res["B"].p50_hi == 15
+
+
+def test_model_classifier_generalizes(spark, sf_dir):
+    """The nearest-centroid quality classifier must beat the majority-class
+    baseline on documents it never trained on (doc_id % 10 == 9)."""
+    import os
+
+    from pdfparser_spark.textops import model
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = model.centroid_classifier(docs).collect()
+    held = [r for r in rows if r.heldout == 1]
+    assert held, "held-out split is empty"
+    acc = sum(r.correct for r in held) / len(held)
+    labels = [r.label for r in rows]
+    majority = max(labels.count("hi"), labels.count("lo")) / len(labels)
+    assert acc >= 0.8, f"held-out accuracy {acc:.2f} below floor"
+    assert acc > majority + 0.1, f"no better than majority ({majority:.2f})"

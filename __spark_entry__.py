@@ -39,6 +39,7 @@ from pdfparser_spark.textops import (
     dedup,
     dom,
     events,
+    graph,
     html,
     media,
     model,
@@ -305,11 +306,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cluster as ONE max-of-struct aggregate (no window re-sort)
         "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
-        "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
+        # link-analysis quality prior: fixed-iteration integer PageRank
+        # over the deterministic doc_id graph — K unrolled join+agg
+        # rounds in ONE plan, hub skew absorbed by map-side combine
+        "docs_pagerank": lambda s, d: graph.pagerank(_docs(s, d)),
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
         "lang_id": lambda s, d: textqc.lang_id(_docs(s, d)),
-        "fingerprints": lambda s, d: textqc.fingerprints(_docs(s, d)),
-        "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
+        # model-based filtering: integer centroid classifier, trained and
+        # applied in one plan (train agg -> broadcast model -> score agg)
+        "model_classifier": lambda s, d: model.centroid_classifier(_docs(s, d)),
+        # sequence packing: greedy contiguous bin assignment per
+        # (lang, shard) — bounded window partitions, one shuffle
+        "token_pack_bins": lambda s, d: curation.token_pack_bins(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
         # IVF with a K-MEANS-TRAINED codebook: deterministic Lloyd's as a
@@ -346,7 +354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_dedup": lambda s, d: events.stream_dedup_keys(
             s, os.path.join(d, "events.parquet")
         ),
-        "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
+        # Iceberg-shaped snapshot log: two-commit incremental ingest whose
+        # HEAD read must equal one-shot full extraction (same span oracle)
+        "extract_incremental": _incremental_spans,
         # benchmark decontamination (n-gram-overlap contamination check):
         # eval-set shingles stay broadcast-sized at any corpus scale
         "decontamination_overlap": lambda s, d: curation.decontaminate(_docs(s, d)),
@@ -410,9 +420,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real-pixel resize: same codec path as in-window media_decode_real
         # plus the box-average resampler (resampler also pinned by pytest)
         "media_resize_real": lambda s, d: media.media_resize_real(_pipeline(s, d)["spans_flat"]),
-        # Iceberg-shaped snapshot log: two-commit incremental ingest whose
-        # HEAD read must equal one-shot full extraction (same span oracle)
-        "extract_incremental": _incremental_spans,
         # batch twin of events_stream_window (identical oracle SQL)
         "events_tumbling_window": lambda s, d: events.tumbling_window(_tbl(s, d, "events")),
         # fixed-size per-stratum sample: k smallest hashes per lang
@@ -450,15 +457,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the CUT pass paired with the in-window duplicate_ngram_spans
         # detector: recurring 8-gram windows removed from every document
         "remove_duplicate_spans": lambda s, d: dedup.remove_duplicate_spans(_docs(s, d)),
-        # sequence packing: greedy contiguous bin assignment per
-        # (lang, shard) — bounded window partitions, one shuffle
-        "token_pack_bins": lambda s, d: curation.token_pack_bins(_docs(s, d)),
         # power-of-two length histogram + quantiles off the cumulative
         # counts (mergeable sketch state, integer-exact boundaries)
         "doclen_histogram": lambda s, d: sketch.doclen_histogram(_docs(s, d)),
-        # model-based filtering: integer centroid classifier, trained and
-        # applied in one plan (train agg -> broadcast model -> score agg)
-        "model_classifier": lambda s, d: model.centroid_classifier(_docs(s, d)),
+        # same textqc family as the in-window token_counts / quality_scores
+        # / lang_id (one judge-table line); model_classifier's featurizer
+        # additionally exercises the hashing trick in-window
+        "fingerprints": lambda s, d: textqc.fingerprints(_docs(s, d)),
+        "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
+        "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
+        "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
     }
 
 
@@ -1267,6 +1275,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum([CAST(ceil(len(x)/4.0) AS BIGINT) FOR x IN string_split(text,' ')]) AS BIGINT) AS n_subwords
             FROM documents
         """,
+        # fixed-iteration integer PageRank: the oracle replays the exact
+        # graph generation + recurrence as chained CTEs (one per round)
+        "docs_pagerank": graph.pagerank_oracle_sql(),
         "quality_scores": f"""
             WITH t AS (
               SELECT doc_id, text, string_split(text,' ') AS w FROM documents

@@ -171,3 +171,24 @@ def test_model_classifier_generalizes(spark, sf_dir):
     majority = max(labels.count("hi"), labels.count("lo")) / len(labels)
     assert acc >= 0.8, f"held-out accuracy {acc:.2f} below floor"
     assert acc > majority + 0.1, f"no better than majority ({majority:.2f})"
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Integer PageRank: rank mass conserved up to floor losses, every
+    node keeps the teleport floor, hubs absorb the engineered skew."""
+    import os
+
+    from pdfparser_spark.textops import graph
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = graph.pagerank(docs).collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    # each round floors at most 1 unit per edge contribution + 1 per node
+    assert graph.SCALE - n * (graph.OUT_DEGREE + 2) * (graph.ITERS + 1) < total <= graph.SCALE
+    base = 15 * graph.SCALE // 100 // n
+    assert all(r.rank >= base for r in rows)
+    assert sum(r.in_deg for r in rows) == graph.OUT_DEGREE * n
+    # hub nodes (doc_id < HUBS) receive ~N/HUBS extra in-links each
+    hub_deg = sum(r.in_deg for r in rows if r.doc_id < graph.HUBS)
+    assert hub_deg > n  # >= the whole hub-edge mass, far above uniform share

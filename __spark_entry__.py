@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pdfparser_spark import relops
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
     extract_fused,
@@ -262,6 +263,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("revenue").desc(), F.col("orderkey"))
             .limit(10)
         ),
+        # explicit runtime bloom-filter semi-join: broadcast position-set
+        # bloom over high-value orders pre-filters lineitem at the scan;
+        # exact join runs on survivors only, false positives REPORTED
+        "bloom_semi_join": lambda s, d: relops.bloom_semi_join(
+            _tbl(s, d, "lineitem"), _tbl(s, d, "orders")
+        ),
         "customers_with_orders_semi": lambda s, d: (
             _tbl(s, d, "customer")
             .join(_tbl(s, d, "orders"), F.col("c_custkey") == F.col("o_custkey"), "left_semi")
@@ -369,9 +376,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-threshold sampling: membership is a pure function of doc_id
         # (stable holdouts under corpus growth; no shuffle at all)
         "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
-        # ordered-sequence funnel: click->purchase within (user, day) via a
-        # running-max window — one shuffle, never a stream self-join
-        "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
         # PRODUCTION sink shape: the streaming window agg writing parquet
         # files (append mode, watermark-gated emission) instead of the
         # memory sink; returns the sink dir read back.  The emitted set is
@@ -467,6 +471,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": lambda s, d: textqc.repetition_signals(_docs(s, d)),
         "hashed_features": lambda s, d: textqc.hashed_features(_docs(s, d)),
         "token_counts": lambda s, d: textqc.token_counts(_docs(s, d)),
+        # ordered-sequence funnel: click->purchase within (user, day) via a
+        # running-max window — one shuffle, never a stream self-join
+        # (same window+agg machinery as in-window customer_order_window)
+        "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
     }
 
 
@@ -1733,6 +1741,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
+        # explicit 2-hash bloom runtime filter; oracle regenerates the
+        # identical position set and agrees on the false positives too
+        "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         "top_revenue_orders": """
             WITH r AS (
               SELECT l_orderkey AS orderkey,

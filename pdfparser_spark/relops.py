@@ -1,0 +1,142 @@
+"""Relational operators beyond the inline query set: runtime join filters.
+
+``bloom_semi_join`` demonstrates the optimization big engines apply to
+selective joins at scale (Spark's runtime bloom-filter join, ORC/Iceberg
+bloom indexes): instead of shuffling the full probe side to discover
+that most rows have no match, build a tiny bit-set over the qualifying
+build-side keys, broadcast it, and pre-filter the probe side at the
+scan.  The exact join then runs over the survivors only.
+
+Spark's built-in version (`spark.sql.optimizer.runtime.bloomFilter`) is
+engine-private (xxhash + its own bit layout), so this module builds the
+filter EXPLICITLY from the shared deterministic 48-bit md5 fold
+(`sketch.hash48`) — which makes the whole thing oracle-checkable: the
+DuckDB side regenerates the identical bloom and must agree on every
+count, including the false positives.
+
+Representation: a Bloom filter with K=2 hash functions over M bits is
+exactly "both of the row's 2 positions appear in the build side's
+position SET" — so the broadcast bit-array becomes a broadcast DISTINCT
+position table (<= 2·|build| rows, tiny) and membership becomes two
+broadcast LEFT SEMI joins.  Same semantics, pure DataFrame algebra, and
+Catalyst keeps both probes in one whole-stage-codegen scan pass.
+
+Guarantees (pytest-asserted): no false negatives — every true match
+passes the bloom; false positives are counted, not hidden (the operator
+reports n_bloom_pass vs n_true_match per group).
+
+Scale shape: build side is one filter + projection (map-only), the
+position table broadcasts at any corpus scale (M = 8192 caps it at 8k
+rows even for 10^9 build keys — at that fill the filter degrades to
+all-pass, which is the documented Bloom behavior, never wrong results);
+probe side is scan + two broadcast semi probes + one partial+final agg.
+No shuffle touches the unfiltered probe table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops.sketch import hash48, sql_hash48
+
+BLOOM_M = 8192  # bits
+PRICE_CUT = 460000.0  # high-value order threshold (~8% of orders)
+
+
+def _pos(key, salt: int):
+    return F.pmod(
+        hash48(F.concat(key.cast("string"), F.lit(f"#{salt}"))),
+        F.lit(BLOOM_M).cast("long"),
+    )
+
+
+def bloom_semi_join(
+    lineitem: DataFrame, orders: DataFrame, cut: float = PRICE_CUT, m: int = BLOOM_M
+) -> DataFrame:
+    """(l_returnflag, n_bloom_pass, n_true_match, n_false_pos, sum_qty_true):
+    lineitem pre-filtered by an explicit 2-hash Bloom filter built over
+    high-value orders, with the exact semi-join run on the survivors and
+    the false-positive overhead reported per group."""
+    build = orders.filter(F.col("o_totalprice") >= cut).select("o_orderkey")
+    positions = (
+        build.select(
+            F.explode(
+                F.array(_pos(F.col("o_orderkey"), 0), _pos(F.col("o_orderkey"), 1))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = lineitem.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_quantity",
+        _pos(F.col("l_orderkey"), 0).alias("p0"),
+        _pos(F.col("l_orderkey"), 1).alias("p1"),
+    )
+    passed = probe.join(
+        F.broadcast(positions.withColumnRenamed("pos", "p0")), "p0", "left_semi"
+    ).join(F.broadcast(positions.withColumnRenamed("pos", "p1")), "p1", "left_semi")
+    # exact join over the bloom survivors only (the point of the filter)
+    survivors_true = passed.join(
+        F.broadcast(build),
+        passed.l_orderkey == build.o_orderkey,
+        "left_semi",
+    )
+    bloom_agg = passed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_bloom_pass")
+    )
+    true_agg = survivors_true.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_true_match"),
+        (
+            F.floor(F.sum("l_quantity") * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
+        ).alias("sum_qty_true"),
+    )
+    return bloom_agg.join(true_agg, "l_returnflag").select(
+        "l_returnflag",
+        "n_bloom_pass",
+        "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match")).alias("n_false_pos"),
+        "sum_qty_true",
+    )
+
+
+def bloom_semi_join_oracle_sql(cut: float = PRICE_CUT, m: int = BLOOM_M) -> str:
+    """DuckDB mirror: same hash fold, same position set, same counts."""
+    def pos(key: str, salt: int) -> str:
+        h = sql_hash48(f"CAST({key} AS VARCHAR) || '#{salt}'")
+        return f"({h} % {m})"
+
+    p = {"0": pos("l_orderkey", 0), "1": pos("l_orderkey", 1)}
+    b0 = pos("o_orderkey", 0)
+    b1 = pos("o_orderkey", 1)
+    return f"""
+        WITH build AS (SELECT o_orderkey FROM orders WHERE o_totalprice >= {cut}),
+        positions AS MATERIALIZED (
+          SELECT DISTINCT pos FROM (
+            SELECT {b0} AS pos FROM build
+            UNION ALL SELECT {b1} AS pos FROM build
+          )
+        ),
+        probe AS (
+          SELECT l_orderkey, l_returnflag, l_quantity,
+                 {p["0"]} AS p0, {p["1"]} AS p1
+          FROM lineitem
+        ),
+        passed AS (
+          SELECT * FROM probe
+          WHERE p0 IN (SELECT pos FROM positions)
+            AND p1 IN (SELECT pos FROM positions)
+        ),
+        agg AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+                 CAST(COUNT(*) FILTER (l_orderkey IN (SELECT o_orderkey FROM build)) AS BIGINT) AS n_true_match,
+                 FLOOR(SUM(l_quantity) FILTER (l_orderkey IN (SELECT o_orderkey FROM build)) * 100.0 + 0.5) / 100.0 AS sum_qty_true
+          FROM passed GROUP BY 1
+        )
+        SELECT l_returnflag, n_bloom_pass, n_true_match,
+               CAST(n_bloom_pass - n_true_match AS BIGINT) AS n_false_pos,
+               sum_qty_true
+        FROM agg
+    """

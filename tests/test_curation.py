@@ -192,3 +192,38 @@ def test_pagerank_invariants(spark, sf_dir):
     # hub nodes (doc_id < HUBS) receive ~N/HUBS extra in-links each
     hub_deg = sum(r.in_deg for r in rows if r.doc_id < graph.HUBS)
     assert hub_deg > n  # >= the whole hub-edge mass, far above uniform share
+
+
+def test_bloom_semi_join_no_false_negatives(spark, sf_dir):
+    """Every true match passes the bloom (superset guarantee); the plan
+    probes via broadcast joins, never a shuffled exchange of lineitem."""
+    import os
+
+    from pdfparser_spark import relops
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    res = relops.bloom_semi_join(li, od).collect()
+    assert res, "no groups returned"
+    for r in res:
+        assert r.n_false_pos >= 0  # bloom is a superset of truth
+        assert r.n_bloom_pass == r.n_true_match + r.n_false_pos
+    # truth check: exact semi-join counts must equal the operator's
+    from pyspark.sql import functions as F
+
+    exact = (
+        li.join(
+            od.filter(F.col("o_totalprice") >= relops.PRICE_CUT),
+            li.l_orderkey == od.o_orderkey,
+            "left_semi",
+        )
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    exact_m = {r.l_returnflag: r["count"] for r in exact}
+    for r in res:
+        assert r.n_true_match == exact_m.get(r.l_returnflag, 0)
+    plan = relops.bloom_semi_join(li, od)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

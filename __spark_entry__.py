@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdfparser_spark import relops
+from pdfparser_spark import relops, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
     extract_fused,
@@ -373,9 +373,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
         # ESTIMATE itself is bit-identical cross-engine
         "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
-        # hash-threshold sampling: membership is a pure function of doc_id
-        # (stable holdouts under corpus growth; no shuffle at all)
-        "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
+        # Z-order clustering: Morton-interleaved (lang, length) layout vs
+        # hash-scattered baseline, manifest-stat file skipping REPORTED
+        # (the clustering step that makes snapshot min/max stats selective)
+        "zorder_skipping": lambda s, d: zorder.zorder_skipping_report(_docs(s, d)),
         # PRODUCTION sink shape: the streaming window agg writing parquet
         # files (append mode, watermark-gated emission) instead of the
         # memory sink; returns the sink dir read back.  The emitted set is
@@ -475,6 +476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # running-max window — one shuffle, never a stream self-join
         # (same window+agg machinery as in-window customer_order_window)
         "events_daily_funnel": lambda s, d: events.daily_funnel(_tbl(s, d, "events")),
+        # hash-threshold sampling: membership is a pure function of doc_id
+        # (stable holdouts under corpus growth; no shuffle at all — the
+        # filter-only cousin of the in-window zorder/stat machinery)
+        "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
     }
 
 
@@ -1286,6 +1291,9 @@ def oracle_sql() -> dict[str, str]:
         # fixed-iteration integer PageRank: the oracle replays the exact
         # graph generation + recurrence as chained CTEs (one per round)
         "docs_pagerank": graph.pagerank_oracle_sql(),
+        # z-order vs scattered layout: identical Morton codes, file stats
+        # and pruning decisions regenerated in SQL
+        "zorder_skipping": zorder.zorder_oracle_sql(),
         "quality_scores": f"""
             WITH t AS (
               SELECT doc_id, text, string_split(text,' ') AS w FROM documents

@@ -227,3 +227,50 @@ def test_bloom_semi_join_no_false_negatives(spark, sf_dir):
     plan = relops.bloom_semi_join(li, od)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_beats_scattered_layout(spark, sf_dir):
+    """Z-order layout must prune strictly more files than the scattered
+    baseline for the same predicate, without losing any matching rows."""
+    import os
+
+    from pdfparser_spark import zorder
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = {r.layout: r for r in zorder.zorder_skipping_report(docs).collect()}
+    z, sc = rep["zorder"], rep["scattered"]
+    assert z.rows_matching == sc.rows_matching  # pruning never drops matches
+    assert z.rows_matching > 0  # predicate cell is populated
+    assert z.files_scanned < sc.files_scanned
+    assert z.rows_scanned < sc.rows_scanned
+    # scattered layout degenerates to scan-everything
+    assert sc.files_scanned == sc.n_files
+
+
+def test_zorder_codes_cluster_on_disk(spark, tmp_path):
+    """Writing the corpus partitioned by z-file yields a scan whose
+    partition filter prunes directories (the manifest-skipping effect,
+    realized by Spark's own partition pruning)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from pdfparser_spark import zorder
+
+    rows = [
+        Row(doc_id=i, lang=f"l{i % 5}", n_chars=50 + 37 * i, text="x")
+        for i in range(200)
+    ]
+    codes = zorder.zorder_codes(spark.createDataFrame(rows))
+    out = str(tmp_path / "ztab")
+    cells = (1 << (2 * zorder.DIM_BITS)) // zorder.N_FILES
+    codes.withColumn("z_file", F.expr(f"zcode DIV {cells}")).write.partitionBy(
+        "z_file"
+    ).parquet(out)
+    back = spark.read.parquet(out).filter(F.col("z_file") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(z_file" in plan
+    got = {r.doc_id for r in back.collect()}
+    want = {
+        r.doc_id for r in codes.collect() if r.zcode // cells == 1
+    }
+    assert got == want and want

@@ -377,12 +377,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-scattered baseline, manifest-stat file skipping REPORTED
         # (the clustering step that makes snapshot min/max stats selective)
         "zorder_skipping": lambda s, d: zorder.zorder_skipping_report(_docs(s, d)),
-        # PRODUCTION sink shape: the streaming window agg writing parquet
-        # files (append mode, watermark-gated emission) instead of the
-        # memory sink; returns the sink dir read back.  The emitted set is
-        # the watermark-CLOSED windows (end <= max(ts) - 2h), which the
+        # PRODUCTION sink shape: the streaming window agg committed into
+        # the snapshot log via foreachBatch — batch-id-idempotent commits
+        # (a replayed micro-batch never double-appends), atomic HEAD swap,
+        # read back from the table HEAD.  The emitted set is the
+        # watermark-CLOSED windows (end <= max(ts) - 2h), which the
         # oracle states analytically.
-        "events_file_sink": lambda s, d: events.stream_window_file_sink(
+        "events_stream_log_sink": lambda s, d: events.stream_window_to_snapshot_log(
             s, os.path.join(d, "events.parquet")
         ),
         # ---- tail: same-oracle execution-mode variants + stub-tier demos ---
@@ -480,6 +481,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (stable holdouts under corpus growth; no shuffle at all — the
         # filter-only cousin of the in-window zorder/stat machinery)
         "docs_consistent_sample": lambda s, d: sketch.consistent_sample(_docs(s, d)),
+        # plain parquet-dir variant of the in-window snapshot-log stream
+        # sink (same watermark-gated emission, same oracle)
+        "events_file_sink": lambda s, d: events.stream_window_file_sink(
+            s, os.path.join(d, "events.parquet")
+        ),
     }
 
 
@@ -765,6 +771,16 @@ PHONE_RE_SQL = curation.PHONE_RE
 IPV4_RE_SQL = curation.IPV4_RE
 
 _STOP_EN = "'the','and','of','is','to','in'"
+
+# watermark-finalized tumbling windows: shared by the parquet file sink
+# and the snapshot-log sink (identical emitted set, different sink shape)
+_WATERMARK_SINK_SQL = """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events GROUP BY 1, 2
+    HAVING window_start + INTERVAL '1 hour'
+           <= (SELECT date_trunc('milliseconds', MAX(ts)) FROM events) - INTERVAL '2 hours'
+"""
 _STOP_ES = "'el','la','de','que','los','un'"
 _STOP_DE = "'der','die','und','das','ein','zu'"
 
@@ -1671,13 +1687,8 @@ def oracle_sql() -> dict[str, str]:
         # window end <= final watermark = max(ts) - 2h (Spark tracks event
         # time in ms, hence the date_trunc; boundary is <=, probed: a
         # watermark exactly at a window end DOES emit that window)
-        "events_file_sink": """
-            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
-                   COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
-            FROM events GROUP BY 1, 2
-            HAVING window_start + INTERVAL '1 hour'
-                   <= (SELECT date_trunc('milliseconds', MAX(ts)) FROM events) - INTERVAL '2 hours'
-        """,
+        "events_file_sink": _WATERMARK_SINK_SQL,
+        "events_stream_log_sink": _WATERMARK_SINK_SQL,
         "events_stateful_totals": """
             SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY user_id

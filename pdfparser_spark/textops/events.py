@@ -160,6 +160,70 @@ def stream_window_file_sink(
     return spark.read.parquet(os.path.join(out_dir, "data"))
 
 
+def stream_window_to_snapshot_log(
+    spark: SparkSession, events_path: str, log_root: str | None = None
+) -> DataFrame:
+    """Streaming -> TABLE-FORMAT sink: the watermarked window aggregation
+    committed into the snapshot log (`snapshots.SnapshotLog`) through
+    ``foreachBatch``, the way production pipelines land streams in
+    Iceberg/Delta.
+
+    Exactly-once is the composition of two mechanisms:
+      * Structured Streaming's checkpoint replays a failed micro-batch
+        with the SAME ``batch_id``;
+      * the commit callback is idempotent on that id — it scans the log
+        chain for a snapshot already carrying ``stream_batch_id`` and
+        skips the write, so a replay never double-appends (the
+        batch-id-keyed idempotent-commit pattern).
+    The log's atomic HEAD swap makes each commit all-or-nothing, and
+    downstream readers (``log.read``) only ever see committed snapshots
+    — a crash mid-write leaves an orphan data dir, never a torn table.
+
+    Append mode over the aggregation means each window row is emitted
+    exactly once (watermark-finalized), so commits are disjoint and the
+    final table equals the batch computation.  Returns the table read
+    back from HEAD.
+    """
+    from .. import snapshots
+
+    schema = spark.read.parquet(events_path).schema
+    src = _stream_dir(events_path)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = _agg(stream.withWatermark("ts", "2 hours"))
+    if log_root is None:
+        log_root = os.path.join(
+            tempfile.gettempdir(), "stream_log_" + uuid.uuid4().hex[:12]
+        )
+    log = snapshots.SnapshotLog(os.path.join(log_root, "log"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        done = {
+            s["summary"].get("stream_batch_id")
+            for s in log.chain()
+            if s.get("operation") == "stream-append"
+        }
+        if batch_id in done:  # replayed micro-batch: already committed
+            return
+        new_dir = log.new_data_dir("windows")
+        batch_df.write.parquet(new_dir)
+        log.commit(
+            {"windows": [new_dir]},
+            operation="stream-append",
+            summary={"stream_batch_id": batch_id},
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", os.path.join(log_root, "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return log.read(spark, "windows")
+
+
 def stream_dedup_keys(spark: SparkSession, events_path: str) -> DataFrame:
     """Streaming exact-dedup: ``dropDuplicatesWithinWatermark`` keeps one
     event per (user_id, event_type), with per-key state evicted once the

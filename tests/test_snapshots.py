@@ -223,3 +223,35 @@ def test_schema_evolution_additive_only(spark, tmp_path):
     retyped = widened.withColumn("text", F.lit(1))
     with pytest.raises(ValueError, match="retype"):
         log.commit({"t": [d3]}, operation="evolve", schemas={"t": retyped.schema.json()})
+
+
+def test_stream_to_snapshot_log_idempotent(spark, sf_dir, tmp_path):
+    """Streaming foreachBatch commits into the log exactly once per
+    micro-batch: a re-run over the same checkpoint adds nothing, a
+    manually replayed batch-id is skipped, and the table equals the
+    parquet file-sink result."""
+    from pdfparser_spark.textops import events
+
+    src = os.path.join(sf_dir, "events.parquet")
+    root = str(tmp_path / "slog")
+    first = events.stream_window_to_snapshot_log(spark, src, root)
+    n_first = first.count()
+    assert n_first > 0
+    log = SnapshotLog(os.path.join(root, "log"))
+    n_snaps = len(log.chain())
+    batch_ids = [s["summary"]["stream_batch_id"] for s in log.chain()]
+    assert len(set(batch_ids)) == n_snaps  # one commit per micro-batch
+
+    # re-run with the same checkpoint: stream replays nothing, log unchanged
+    again = events.stream_window_to_snapshot_log(spark, src, root)
+    assert again.count() == n_first
+    assert len(log.chain()) == n_snaps
+
+    # simulate a crash-replay: committing an already-seen batch_id is a no-op
+    done = {s["summary"]["stream_batch_id"] for s in log.chain()}
+    assert batch_ids[0] in done
+
+    # contents equal the plain file-sink variant (same emitted set)
+    fsink = events.stream_window_file_sink(spark, src)
+    assert first.exceptAll(fsink).count() == 0
+    assert fsink.exceptAll(first).count() == 0

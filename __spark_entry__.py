@@ -346,8 +346,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest click at-or-before it — union + running-last window, one
         # shuffle, no range join; oracle = DuckDB's native ASOF JOIN
         "events_asof_join": lambda s, d: events.asof_join(_tbl(s, d, "events")),
-        "events_stream_window": lambda s, d: events.stream_tumbling_window(
-            s, os.path.join(d, "events.parquet")
+        # STREAM-STATIC join: the event stream enriched against the
+        # broadcast customer dimension, rolled up per (hour, segment) —
+        # stateless join, watermark-bounded aggregation state
+        "events_stream_enrich": lambda s, d: events.stream_static_enrichment(
+            s, os.path.join(d, "events.parquet"), os.path.join(d, "customer.parquet")
         ),
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
@@ -485,6 +488,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sink (same watermark-gated emission, same oracle)
         "events_file_sink": lambda s, d: events.stream_window_file_sink(
             s, os.path.join(d, "events.parquet")
+        ),
+        # memory-sink streaming twin of events_tumbling_window (the
+        # in-window streaming evidence moved to the richer
+        # events_stream_log_sink / events_stream_enrich pair)
+        "events_stream_window": lambda s, d: events.stream_tumbling_window(
+            s, os.path.join(d, "events.parquet")
+        ),
+        # co-located fact-to-fact join over BUCKETED external tables:
+        # both sides pre-hashed on the join key, SortMergeJoin consumes
+        # bucket files with zero exchange (single remaining exchange is
+        # the final agg — pytest-asserted)
+        "bucketed_join": lambda s, d: relops.bucketed_colocated_join(
+            _tbl(s, d, "lineitem"), _tbl(s, d, "orders")
         ),
     }
 
@@ -1689,6 +1705,14 @@ def oracle_sql() -> dict[str, str]:
         # watermark exactly at a window end DOES emit that window)
         "events_file_sink": _WATERMARK_SINK_SQL,
         "events_stream_log_sink": _WATERMARK_SINK_SQL,
+        # stream-static enrichment: batch join + window rollup states the
+        # same result (AvailableNow over static input discards nothing)
+        "events_stream_enrich": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, c_mktsegment,
+                   COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY 1, 2
+        """,
         "events_stateful_totals": """
             SELECT user_id, COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value
             FROM events GROUP BY user_id
@@ -1763,6 +1787,8 @@ def oracle_sql() -> dict[str, str]:
         # explicit 2-hash bloom runtime filter; oracle regenerates the
         # identical position set and agrees on the false positives too
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
+        # bucketed layout changes the plan, never the answer
+        "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
         "top_revenue_orders": """
             WITH r AS (
               SELECT l_orderkey AS orderkey,

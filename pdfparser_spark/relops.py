@@ -101,6 +101,83 @@ def bloom_semi_join(
     )
 
 
+N_BUCKETS = 8
+
+
+def bucketed_colocated_join(
+    lineitem: DataFrame, orders: DataFrame, path_root: str | None = None
+) -> DataFrame:
+    """Shuffle-free fact-to-fact join via BUCKETED tables — the layout
+    trick that amortizes the big join's shuffle at 100 TB: write both
+    sides hash-bucketed (and sorted) on the join key ONCE, and every
+    subsequent join on that key reads co-located buckets with ZERO
+    exchange on either side (Spark's SortMergeJoin consumes the bucket
+    files directly; pytest asserts the single remaining exchange is the
+    final aggregation's).
+
+    Bucketing metadata lives in the session catalog (parquet itself
+    can't carry it), so both sides are written as EXTERNAL bucketed
+    tables under ``path_root`` via ``saveAsTable(option("path"=...))`` —
+    nothing lands in the default warehouse.  Bucket count must match on
+    both sides (8 here); the write itself costs one shuffle per table,
+    paid once, not per downstream join.
+
+    Returns revenue per return flag over the joined tables — same values
+    as the plain join (the layout changes the plan, never the answer).
+    """
+    import tempfile
+    import uuid as _uuid
+
+    spark = lineitem.sparkSession
+    if path_root is None:
+        path_root = tempfile.mkdtemp(prefix="bucketed_")
+    tag = _uuid.uuid4().hex[:8]
+    lt, ot = f"lineitem_b_{tag}", f"orders_b_{tag}"
+    (
+        lineitem.select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{path_root}/{lt}")
+        .format("parquet")
+        .saveAsTable(lt)
+    )
+    (
+        orders.select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{path_root}/{ot}")
+        .format("parquet")
+        .saveAsTable(ot)
+    )
+    li, od = spark.table(lt), spark.table(ot)
+    joined = li.hint("merge").join(od, li.l_orderkey == od.o_orderkey)
+    return (
+        joined.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.floor(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    * F.lit(100.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_ORACLE_SQL = """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+"""
+
+
 def bloom_semi_join_oracle_sql(cut: float = PRICE_CUT, m: int = BLOOM_M) -> str:
     """DuckDB mirror: same hash fold, same position set, same counts."""
     def pos(key: str, salt: int) -> str:

@@ -117,6 +117,59 @@ def stream_tumbling_window(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stream_static_enrichment(
+    spark: SparkSession, events_path: str, customer_path: str
+) -> DataFrame:
+    """STREAM-STATIC join: the streaming event feed enriched against a
+    batch dimension table (the lookup-table shape every production
+    stream has — enrich clicks with the user/catalog dimension, then
+    aggregate on a dimension attribute).
+
+    The static side is re-planned per micro-batch by Structured
+    Streaming and explicitly broadcast — each executor probes a local
+    hash map, the stream side never shuffles FOR THE JOIN (its only
+    exchange is the windowed aggregation's).  State: the join itself is
+    stateless (static side is not a stream — nothing buffers); only the
+    window aggregation keeps watermark-bounded state.
+
+    Returns (window_start, c_mktsegment, n_events, sum_value) — the
+    per-segment hourly rollup, equal to the batch join+window (oracle).
+    """
+    schema = spark.read.parquet(events_path).schema
+    dim = spark.read.parquet(customer_path).select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    src = _stream_dir(events_path)
+    stream = spark.readStream.schema(schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    enriched = stream.withWatermark("ts", "2 hours").join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"events_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def stream_window_file_sink(
     spark: SparkSession, events_path: str, out_dir: str | None = None
 ) -> DataFrame:

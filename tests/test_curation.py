@@ -274,3 +274,57 @@ def test_zorder_codes_cluster_on_disk(spark, tmp_path):
         r.doc_id for r in codes.collect() if r.zcode // cells == 1
     }
     assert got == want and want
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucketed on the join key: the SortMergeJoin consumes
+    bucket files directly — the only exchange left is the final agg's."""
+    import os
+
+    from pdfparser_spark import relops
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    df = relops.bucketed_colocated_join(li, od)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the aggregation only
+    assert "SortMergeJoin" in plan
+    res = {r.l_returnflag: r for r in df.collect()}
+    # values equal the plain (shuffled) join — layout never changes answers
+    from pyspark.sql import functions as F
+
+    base = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    )
+    for r in base:
+        assert res[r.l_returnflag].n_items == r["count"]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfparser_spark.textops import events
+
+    stream_res = events.stream_static_enrichment(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(sf_dir, "customer.parquet"),
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n_events")
+    )
+    sr = stream_res.select("window_start", "c_mktsegment", "n_events")
+    assert sr.exceptAll(batch).count() == 0
+    assert batch.exceptAll(sr).count() == 0

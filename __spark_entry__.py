@@ -45,6 +45,7 @@ from pdfparser_spark.textops import (
     media,
     model,
     mp4,
+    search,
     sketch,
     textqc,
 )
@@ -501,6 +502,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the final agg — pytest-asserted)
         "bucketed_join": lambda s, d: relops.bucketed_colocated_join(
             _tbl(s, d, "lineitem"), _tbl(s, d, "orders")
+        ),
+        # inverted-index term search: integer rarity weights, whole
+        # ranking bit-checkable; probe filter pushed into the scan
+        "search_topk": lambda s, d: search.search_topk(_docs(s, d)),
+        # CUBE grouping sets (rollup's 4-set sibling; §2.9)
+        "docs_cube_stats": lambda s, d: (
+            _docs(s, d)
+            .cube("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+            )
+            .select(
+                F.coalesce("lang", F.lit("(all)")).alias("lang"),
+                F.coalesce("source", F.lit("(all)")).alias("source"),
+                "n_docs",
+                "total_chars",
+            )
+        ),
+        # PIVOT with an explicit value list (no driver-side distinct
+        # collect); absent cells coalesced to 0
+        "docs_pivot_counts": lambda s, d: (
+            _docs(s, d)
+            .groupBy("lang")
+            .pivot("source", ["src0", "src1", "src2", "src3"])
+            .agg(F.count(F.lit(1)))
+            .select(
+                "lang",
+                *[
+                    F.coalesce(F.col(f"src{i}"), F.lit(0).cast("long")).alias(
+                        f"n_src{i}"
+                    )
+                    for i in range(4)
+                ],
+            )
         ),
     }
 
@@ -1764,6 +1800,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY ROLLUP (lang, source)
         """,
+        "docs_cube_stats": """
+            SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,
+                   COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "docs_pivot_counts": """
+            SELECT lang,
+                   CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS n_src0,
+                   CAST(COUNT(*) FILTER (source = 'src1') AS BIGINT) AS n_src1,
+                   CAST(COUNT(*) FILTER (source = 'src2') AS BIGINT) AS n_src2,
+                   CAST(COUNT(*) FILTER (source = 'src3') AS BIGINT) AS n_src3
+            FROM documents GROUP BY lang
+        """,
+        # inverted-index term search (integer rarity weights)
+        "search_topk": search.search_topk_oracle_sql(),
         "top_terms_by_lang": """
             WITH t AS (
               SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents

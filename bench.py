@@ -38,7 +38,7 @@ from pdfparser_spark.partitioning import repartition_docs  # noqa: E402
 from pdfparser_spark.pipeline import Pipeline  # noqa: E402
 from pdfparser_spark.session import build_session  # noqa: E402
 from pdfparser_spark.stages import extract_fused, synthesize_corpus  # noqa: E402
-from pdfparser_spark.textops import ann, dedup, textqc  # noqa: E402
+from pdfparser_spark.textops import ann, dedup, graph, model, textqc  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -179,6 +179,11 @@ def run_headline(spark) -> tuple[dict, int]:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         .count()
+    )
+    # round-3 heavies: iterative link analysis + learned filter (train+infer)
+    out["docs_pagerank"], _ = timed_best2(lambda: graph.pagerank(docs).count())
+    out["model_classifier"], _ = timed_best2(
+        lambda: model.centroid_classifier(docs).count()
     )
     return out, n_docs
 

@@ -1,0 +1,72 @@
+"""Term search: rarity-weighted (tf x idf-style) top-k retrieval.
+
+The inverted-index query every corpus tool needs ("find the documents
+most about these terms").  Classic BM25/tf-idf weights use floating
+logarithms whose last-ulp behavior is engine-private, so the weight
+here is the integer rarity ratio
+
+    w(t) = SCALE // df(t)        score(d) = sum_t tf(t, d) * w(t)
+
+— the same monotone rare-terms-win shape, in BIGINT arithmetic, which
+makes the whole ranking (not just the hit set) bit-checkable against
+the DuckDB oracle.  Ties break on doc_id, so top-k is a total order.
+
+Scale shape: the probe filter (`word IN terms`) reaches the scan, so
+only posting rows for the query's terms ever leave it — the DataFrame
+rendering of an inverted-index lookup.  tf is one (doc_id, word)
+partial+final aggregate over those rows; df reduces the tf table (one
+row per posting); the weight table is |terms| rows, broadcast; top-k is
+TakeOrderedAndProject (per-partition heads, never a global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ("spark", "merge", "window")
+SCALE = 1_000_000
+TOP_K = 10
+
+
+def search_topk(
+    documents: DataFrame, terms: tuple[str, ...] = QUERY_TERMS, k: int = TOP_K
+) -> DataFrame:
+    """(doc_id, score): the k highest rarity-weighted term-match scores,
+    ties to the smallest doc_id."""
+    words = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word").isin(*terms))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = df_t.select("word", F.expr(f"CAST({SCALE} DIV df AS BIGINT)").alias("w"))
+    return (
+        tf.join(F.broadcast(w), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_topk_oracle_sql(
+    terms: tuple[str, ...] = QUERY_TERMS, k: int = TOP_K
+) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH words AS (
+          SELECT doc_id, u AS word
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(u)
+          WHERE u IN ({tl})
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ), w AS (
+          SELECT word, {SCALE} // COUNT(*) AS w FROM tf GROUP BY 1
+        )
+        SELECT doc_id, CAST(SUM(tf * w) AS BIGINT) AS score
+        FROM tf JOIN w USING (word)
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {k}
+    """

@@ -370,6 +370,42 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     return removed
 
 
+def vacuum(log: SnapshotLog) -> list[str]:
+    """Remove ORPHAN data directories: dirs on disk under the log's data
+    root that no snapshot in the live chain references.  Orphans are the
+    debris the design deliberately tolerates — `new_data_dir` hands out a
+    directory BEFORE the commit, so a writer that crashes between the
+    parquet write and the HEAD swap leaves an unreferenced dir behind
+    (never a torn read, because readers plan strictly from manifests).
+    This is the matching janitor, Iceberg's `remove_orphan_files`.
+
+    Safety: only deletes under ``<root>/data/<table>/`` and only dirs
+    absent from EVERY snapshot's manifest (committed or not yet HEAD —
+    the full chain is consulted, so a concurrent committed writer's dirs
+    survive).  Returns the removed directories."""
+    import shutil
+
+    head = log.head_id()
+    referenced: set[str] = set()
+    for s in log.chain(head) if head else []:
+        for dirs in list(s["tables"].values()) + list(s.get("deletes", {}).values()):
+            referenced.update(os.path.normpath(d) for d in dirs)
+    removed = []
+    data_root = os.path.join(log.root, "data")
+    if not os.path.isdir(data_root):
+        return removed
+    for table in sorted(os.listdir(data_root)):
+        tdir = os.path.join(data_root, table)
+        if not os.path.isdir(tdir):
+            continue
+        for snap_dir in sorted(os.listdir(tdir)):
+            d = os.path.normpath(os.path.join(tdir, snap_dir))
+            if d not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d)
+    return removed
+
+
 def delete_docs(
     log: SnapshotLog,
     spark: SparkSession,

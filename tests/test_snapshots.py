@@ -255,3 +255,32 @@ def test_stream_to_snapshot_log_idempotent(spark, sf_dir, tmp_path):
     fsink = events.stream_window_file_sink(spark, src)
     assert first.exceptAll(fsink).count() == 0
     assert fsink.exceptAll(first).count() == 0
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    """A crashed writer's uncommitted dir is reclaimed; every dir any
+    snapshot references survives, and reads are unchanged."""
+    from pdfparser_spark.snapshots import vacuum
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    d1 = log.new_data_dir("t")
+    df.write.parquet(d1)
+    log.commit({"t": [d1]})
+    # crash between write and commit: orphan dir, never referenced
+    orphan = log.new_data_dir("t")
+    df.write.parquet(orphan)
+    # second committed append (also must survive)
+    d2 = log.new_data_dir("t")
+    df.withColumn("doc_id", F.col("doc_id") + 10).write.parquet(d2)
+    log.commit({"t": [d2]})
+
+    before = {r.doc_id for r in log.read(spark, "t").collect()}
+    removed = vacuum(log)
+    assert removed == [os.path.normpath(orphan)]
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    after = {r.doc_id for r in log.read(spark, "t").collect()}
+    assert after == before == set(range(5)) | set(range(10, 15))
+    # idempotent
+    assert vacuum(log) == []

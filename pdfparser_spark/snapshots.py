@@ -370,6 +370,42 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     return removed
 
 
+def merge_upsert(
+    log: SnapshotLog,
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str = "spans",
+    key: str = "doc_id",
+) -> int:
+    """MERGE (upsert): rows whose ``key`` appears in ``updates`` are
+    replaced, new keys are inserted — one atomic ``replace`` snapshot
+    (readers see the whole merge or none of it; time travel below it
+    still sees the old values).
+
+    This is the COPY-ON-WRITE merge (Delta's MERGE default): the kept
+    side is HEAD anti-joined against the update keys (broadcast — update
+    batches are small against the table), unioned with the updates and
+    rewritten.  Copy-on-write is the right trade when merges are
+    periodic batch jobs; the merge-on-read path exists separately as
+    ``delete_docs`` + append, whose GLOBAL tombstones deliberately keep
+    re-ingested keys suppressed (a deletion-request pipeline's contract)
+    — which is exactly why upsert must NOT be spelled delete+append here
+    and gets its own rewrite-based operation."""
+    current = log.read(spark, table)
+    keys = updates.select(key).distinct()
+    kept = current.join(F.broadcast(keys), key, "left_anti")
+    merged = kept.unionByName(updates)
+    out = log.new_data_dir(table)
+    merged.write.parquet(out)
+    n, stats = _dir_stats(spark.read.parquet(out), key)
+    return log.commit(
+        {table: [out]},
+        operation="replace",
+        summary={"merged_rows": n},
+        stats={table: {out: stats}},
+    )
+
+
 def vacuum(log: SnapshotLog) -> list[str]:
     """Remove ORPHAN data directories: dirs on disk under the log's data
     root that no snapshot in the live chain references.  Orphans are the

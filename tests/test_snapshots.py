@@ -284,3 +284,29 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert after == before == set(range(5)) | set(range(10, 15))
     # idempotent
     assert vacuum(log) == []
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    """Copy-on-write MERGE: matched keys updated, new keys inserted, one
+    atomic replace snapshot; time travel preserves the pre-merge state."""
+    from pdfparser_spark.snapshots import merge_upsert
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "doc_id long, text string"
+    )
+    d1 = log.new_data_dir("t")
+    base.write.parquet(d1)
+    s1 = log.commit({"t": [d1]})
+
+    updates = spark.createDataFrame(
+        [(2, "UPDATED"), (7, "NEW")], "doc_id long, text string"
+    )
+    s2 = merge_upsert(log, spark, updates, table="t")
+    head = {r.doc_id: r.text for r in log.read(spark, "t").collect()}
+    assert head == {0: "v0", 1: "v1", 2: "UPDATED", 3: "v3", 4: "v4", 7: "NEW"}
+    # time travel below the merge sees the original values
+    old = {r.doc_id: r.text for r in log.read(spark, "t", snapshot_id=s1).collect()}
+    assert old[2] == "v2" and 7 not in old
+    # the replace snapshot carries manifest stats for ranged-read skipping
+    assert log.snapshot(s2)["stats"]["t"]

@@ -75,20 +75,25 @@ def timed(fn):
 
 
 def timed_best2(fn, between=None):
-    """Best-of-2 wall time: single-box timings carry multi-second noise
-    (GC pauses, page cache, first-plan codegen) that can dominate a 3s
-    query; the faster warm run is the truer steady-state capability
-    (CLAUDE.md measurement policy).  ``between`` runs after each attempt
-    (cache release) so the second run re-executes the full plan."""
-    best, n = None, None
-    for _ in range(2):
+    """Best-of-2 wall time (best-of-3 when the two attempts disagree by
+    more than 50%): single-box timings carry multi-second noise (GC
+    pauses, page cache, first-plan codegen, co-tenant load) that can
+    dominate a 3s query; the faster warm run is the truer steady-state
+    capability (CLAUDE.md measurement policy).  The adaptive third
+    attempt costs nothing when the box is quiet and halves the damage a
+    noisy patch does to the one recorded per-round number.  ``between``
+    runs after each attempt (cache release) so every run re-executes the
+    full plan."""
+    times, n = [], None
+    for attempt in range(3):
         t0 = time.perf_counter()
         n = fn()
-        dt = time.perf_counter() - t0
-        best = dt if best is None or dt < best else best
+        times.append(time.perf_counter() - t0)
         if between:
             between()
-    return round(best, 3), n
+        if attempt == 1 and abs(times[0] - times[1]) / min(times) <= 0.5:
+            break
+    return round(min(times), 3), n
 
 
 def materialized_corpus(spark, sf_dir: str, repeat: int = 1):
@@ -594,11 +599,43 @@ def main() -> None:
         result["value"] = result["scaling"]["high"]["sec"]
         result["queries"] = {"extract_scaling_high": result["scaling"]["high"]["sec"]}
     else:
+        # machine-health probe FIRST (bare kernel, no Spark): single-box
+        # wall timings swing >2x with co-tenant load (load-avg spikes with
+        # zero local CPU use observed); recording the box's bare capability
+        # next to the numbers lets any reader normalize a noisy patch.
+        hw_now = round(hardware_probe(min(8, CPUS), samples=2), 1)
         spark = build_session(master=f"local[{CPUS}]")
         queries, n_docs = run_headline(spark)
         spark.stop()
         result["value"] = round(sum(queries.values()), 3)
         result["queries"] = queries
+        result["hw_probe_docs_per_sec"] = hw_now
+        # append to the local headline-run history: single-box walls swing
+        # >2x with co-tenant load, so the distribution (not one sample) is
+        # the honest record — BENCH/headline_history.jsonl is committed
+        try:
+            with open(os.path.join(BENCH_DIR, "headline_history.jsonl"), "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "queries": queries,
+                            "value": result["value"],
+                            "hw_probe_docs_per_sec": hw_now,
+                        }
+                    )
+                    + "\n"
+                )
+        except OSError:
+            pass
+        hist = _history()
+        lo = sorted(
+            h["hardware_ceiling"]["lo_docs_per_sec"]
+            for h in hist
+            if h.get("hardware_ceiling", {}).get("lo_docs_per_sec")
+        )
+        if lo:
+            med = lo[len(lo) // 2]
+            result["hw_probe_vs_history"] = round(hw_now / med, 3)
         # primary metric = steady-state throughput mode (fused, zero-shuffle);
         # the checkpointed staged DAG's figure is reported alongside
         result["docs_per_sec"] = round(n_docs / queries["extract_fused"], 2)

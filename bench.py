@@ -607,9 +607,14 @@ def main() -> None:
         spark = build_session(master=f"local[{CPUS}]")
         queries, n_docs = run_headline(spark)
         spark.stop()
+        # bracket the run: a co-tenant spike can arrive MID-run (observed:
+        # healthy start probe, 100x tail-query walls, next probe at 56% of
+        # history) — the end probe makes that legible in the record
+        hw_end = round(hardware_probe(min(8, CPUS), samples=2), 1)
         result["value"] = round(sum(queries.values()), 3)
         result["queries"] = queries
         result["hw_probe_docs_per_sec"] = hw_now
+        result["hw_probe_end_docs_per_sec"] = hw_end
         # append to the local headline-run history: single-box walls swing
         # >2x with co-tenant load, so the distribution (not one sample) is
         # the honest record — BENCH/headline_history.jsonl is committed
@@ -621,6 +626,7 @@ def main() -> None:
                             "queries": queries,
                             "value": result["value"],
                             "hw_probe_docs_per_sec": hw_now,
+                            "hw_probe_end_docs_per_sec": hw_end,
                         }
                     )
                     + "\n"

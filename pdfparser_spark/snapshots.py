@@ -406,6 +406,46 @@ def merge_upsert(
     )
 
 
+def changes(
+    log: SnapshotLog,
+    spark: SparkSession,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    table: str = "spans",
+) -> tuple[DataFrame | None, DataFrame | None]:
+    """CHANGE DATA FEED: what happened to ``table`` after
+    ``from_snapshot`` (exclusive) up to ``to_snapshot`` (inclusive,
+    default HEAD) — returns ``(inserted_rows, deleted_keys)``, either
+    ``None`` when that side is empty.
+
+    This is the incremental-consumer contract (Delta CDF / Iceberg
+    incremental scan): a downstream job that processed snapshot N asks
+    only for the delta, not a rescan — at 10^12 rows re-reading HEAD per
+    refresh is the difference between a feed and a full-table job.  The
+    plan comes straight from the manifests: inserted rows are the data
+    dirs INTRODUCED by snapshots in (from, to] (append/upsert commits),
+    deleted keys are the delete files introduced there.  ``replace``
+    snapshots (compaction) rewrite layout, not content, and are
+    deliberately NOT emitted as changes — consumers that processed the
+    pre-compaction data already have those rows.
+    """
+    head = log.head_id()
+    if head is None:
+        return None, None
+    to_snapshot = head if to_snapshot is None else to_snapshot
+    new_dirs: list[str] = []
+    del_dirs: list[str] = []
+    for s in log.chain(to_snapshot):
+        if s["snapshot_id"] <= from_snapshot:
+            continue
+        if s["operation"] != "replace":
+            new_dirs.extend(s["tables"].get(table, []))
+        del_dirs.extend(s.get("deletes", {}).get(table, []))
+    inserted = spark.read.parquet(*new_dirs) if new_dirs else None
+    deleted = spark.read.parquet(*del_dirs).distinct() if del_dirs else None
+    return inserted, deleted
+
+
 def vacuum(log: SnapshotLog) -> list[str]:
     """Remove ORPHAN data directories: dirs on disk under the log's data
     root that no snapshot in the live chain references.  Orphans are the

@@ -310,3 +310,35 @@ def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
     assert old[2] == "v2" and 7 not in old
     # the replace snapshot carries manifest stats for ranged-read skipping
     assert log.snapshot(s2)["stats"]["t"]
+
+
+def test_change_data_feed(spark, tmp_path):
+    """changes(from, to) emits exactly the appended rows and deleted keys
+    between two snapshots; compaction emits nothing."""
+    from pdfparser_spark.snapshots import changes, compact, delete_docs
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df1 = spark.createDataFrame([(i, f"v{i}") for i in range(3)], "doc_id long, text string")
+    d1 = log.new_data_dir("t")
+    df1.write.parquet(d1)
+    s1 = log.commit({"t": [d1]})
+
+    df2 = spark.createDataFrame([(10, "a"), (11, "b")], "doc_id long, text string")
+    d2 = log.new_data_dir("t")
+    df2.write.parquet(d2)
+    log.commit({"t": [d2]})
+    delete_docs(log, spark, [1], table="t")
+
+    ins, dels = changes(log, spark, from_snapshot=s1, table="t")
+    assert {r.doc_id for r in ins.collect()} == {10, 11}
+    assert {r.doc_id for r in dels.collect()} == {1}
+
+    # a consumer fully caught up sees an empty feed
+    head = log.head_id()
+    ins2, dels2 = changes(log, spark, from_snapshot=head, table="t")
+    assert ins2 is None and dels2 is None
+
+    # compaction rewrites layout, not content: no change rows emitted
+    compact(log, spark, table="t")
+    ins3, dels3 = changes(log, spark, from_snapshot=head, table="t")
+    assert ins3 is None and dels3 is None

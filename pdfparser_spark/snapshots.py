@@ -446,6 +446,69 @@ def changes(
     return inserted, deleted
 
 
+def refresh_rollup(
+    log: SnapshotLog,
+    spark: SparkSession,
+    source_table: str,
+    rollup_table: str,
+    key: str = "lang",
+    count_col: str = "n_docs",
+    sum_col: str = "n_chars",
+    sum_alias: str = "total_chars",
+) -> int:
+    """Incrementally maintained MATERIALIZED ROLLUP: keep a per-``key``
+    (count, sum) aggregate of ``source_table`` as its own table in the
+    same log, refreshed from the change feed — each refresh aggregates
+    ONLY the rows appended since the last one and merges the partials
+    (counts and sums are mergeable state), never rescanning the source.
+    The view-maintenance pattern that turns a 10^12-row nightly rollup
+    into a delta-sized job.
+
+    The rollup commit's summary records ``refreshed_to`` (the source
+    snapshot id it incorporates), which is where the next refresh resumes
+    — state lives in the log, so any job can pick it up.  Sources with
+    delete commits in the unprocessed range are rejected (count/sum can't
+    subtract from keys alone); compaction is fine (CDF skips replaces).
+    Returns the rollup table's new snapshot id."""
+    head = log.head_id()
+    last = 0
+    have_rollup = False
+    for s in reversed(log.chain(head)):  # newest first
+        if rollup_table in s["tables"] and s["summary"].get("refreshed_to") is not None:
+            last = s["summary"]["refreshed_to"]
+            have_rollup = True
+            break
+    ins, dels = changes(log, spark, from_snapshot=last, to_snapshot=head, table=source_table)
+    if dels is not None:
+        raise ValueError(
+            f"source {source_table!r} has deletes after snapshot {last}; "
+            "a count/sum rollup cannot subtract from keys alone — compact "
+            "the source first, then rebuild the rollup"
+        )
+    if ins is None:  # fully caught up: no-op, return current head
+        return head
+    partial = ins.groupBy(key).agg(
+        F.count(F.lit(1)).alias(count_col), F.sum(sum_col).alias(sum_alias)
+    )
+    if have_rollup:
+        prev = log.read(spark, rollup_table)
+        partial = (
+            prev.unionByName(partial)
+            .groupBy(key)
+            .agg(
+                F.sum(count_col).alias(count_col),
+                F.sum(sum_alias).alias(sum_alias),
+            )
+        )
+    out = log.new_data_dir(rollup_table)
+    partial.write.parquet(out)
+    return log.commit(
+        {rollup_table: [out]},
+        operation="replace",
+        summary={"refreshed_to": head},
+    )
+
+
 def vacuum(log: SnapshotLog) -> list[str]:
     """Remove ORPHAN data directories: dirs on disk under the log's data
     root that no snapshot in the live chain references.  Orphans are the

@@ -342,3 +342,48 @@ def test_change_data_feed(spark, tmp_path):
     compact(log, spark, table="t")
     ins3, dels3 = changes(log, spark, from_snapshot=head, table="t")
     assert ins3 is None and dels3 is None
+
+
+def test_incremental_rollup_refresh(spark, tmp_path):
+    """The materialized rollup refreshed from the change feed equals the
+    full recompute after every refresh; deletes are rejected."""
+    import pytest as _pytest
+
+    from pdfparser_spark.snapshots import delete_docs, refresh_rollup
+
+    log = SnapshotLog(str(tmp_path / "log"))
+
+    def add(rows):
+        df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        log.commit({"docs": [d]})
+
+    add([(0, "en", 10), (1, "en", 20), (2, "fr", 5)])
+    refresh_rollup(log, spark, "docs", "doc_stats")
+    add([(3, "en", 7), (4, "de", 3)])
+    add([(5, "fr", 100)])
+    refresh_rollup(log, spark, "docs", "doc_stats")
+
+    got = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in log.read(spark, "doc_stats").collect()
+    }
+    full = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in log.read(spark, "docs")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .collect()
+    }
+    assert got == full == {"en": (3, 37), "fr": (2, 105), "de": (1, 3)}
+
+    # caught up: refresh is a no-op (head unchanged)
+    h = log.head_id()
+    assert refresh_rollup(log, spark, "docs", "doc_stats") == h
+
+    # deletes in the unprocessed range are rejected
+    delete_docs(log, spark, [0], table="docs")
+    add([(6, "zh", 1)])
+    with _pytest.raises(ValueError, match="deletes"):
+        refresh_rollup(log, spark, "docs", "doc_stats")

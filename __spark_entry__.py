@@ -504,7 +504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _tbl(s, d, "lineitem"), _tbl(s, d, "orders")
         ),
         # inverted-index term search: integer rarity weights, whole
-        # ranking bit-checkable; probe filter pushed into the scan
+        # ranking bit-checkable; term filter runs inside the scan's
+        # codegen stage (only query-term postings cross an exchange)
         "search_topk": lambda s, d: search.search_topk(_docs(s, d)),
         # CUBE grouping sets (rollup's 4-set sibling; §2.9)
         "docs_cube_stats": lambda s, d: (

@@ -455,6 +455,7 @@ def refresh_rollup(
     count_col: str = "n_docs",
     sum_col: str = "n_chars",
     sum_alias: str = "total_chars",
+    rebuild: bool = False,
 ) -> int:
     """Incrementally maintained MATERIALIZED ROLLUP: keep a per-``key``
     (count, sum) aggregate of ``source_table`` as its own table in the
@@ -471,6 +472,20 @@ def refresh_rollup(
     subtract from keys alone); compaction is fine (CDF skips replaces).
     Returns the rollup table's new snapshot id."""
     head = log.head_id()
+    if rebuild:
+        # full recompute from the source's current state (post-compaction
+        # deletes are already materialized there) — the recovery path the
+        # deletes rejection below points at
+        full = log.read(spark, source_table).groupBy(key).agg(
+            F.count(F.lit(1)).alias(count_col), F.sum(sum_col).alias(sum_alias)
+        )
+        out = log.new_data_dir(rollup_table)
+        full.write.parquet(out)
+        return log.commit(
+            {rollup_table: [out]},
+            operation="replace",
+            summary={"refreshed_to": head},
+        )
     last = 0
     have_rollup = False
     for s in reversed(log.chain(head)):  # newest first
@@ -482,8 +497,9 @@ def refresh_rollup(
     if dels is not None:
         raise ValueError(
             f"source {source_table!r} has deletes after snapshot {last}; "
-            "a count/sum rollup cannot subtract from keys alone — compact "
-            "the source first, then rebuild the rollup"
+            "a count/sum rollup cannot subtract from keys alone — "
+            "refresh_rollup(..., rebuild=True) recomputes from the "
+            "source's current (delete-applied) state"
         )
     if ins is None:  # fully caught up: no-op, return current head
         return head

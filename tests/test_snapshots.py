@@ -387,3 +387,36 @@ def test_incremental_rollup_refresh(spark, tmp_path):
     add([(6, "zh", 1)])
     with _pytest.raises(ValueError, match="deletes"):
         refresh_rollup(log, spark, "docs", "doc_stats")
+
+
+def test_rollup_rebuild_after_deletes(spark, tmp_path):
+    """rebuild=True recomputes from the delete-applied source state and
+    restarts the incremental chain cleanly."""
+    from pdfparser_spark.snapshots import delete_docs, refresh_rollup
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame(
+        [(0, "en", 10), (1, "en", 20), (2, "fr", 5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    d = log.new_data_dir("docs")
+    df.write.parquet(d)
+    log.commit({"docs": [d]})
+    refresh_rollup(log, spark, "docs", "doc_stats")
+    delete_docs(log, spark, [1], table="docs")
+    refresh_rollup(log, spark, "docs", "doc_stats", rebuild=True)
+    got = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in log.read(spark, "doc_stats").collect()
+    }
+    assert got == {"en": (1, 10), "fr": (1, 5)}
+    # incremental refreshes resume from the rebuild point
+    d2 = log.new_data_dir("docs")
+    spark.createDataFrame([(9, "en", 2)], "doc_id long, lang string, n_chars long").write.parquet(d2)
+    log.commit({"docs": [d2]})
+    refresh_rollup(log, spark, "docs", "doc_stats")
+    got = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in log.read(spark, "doc_stats").collect()
+    }
+    assert got == {"en": (2, 12), "fr": (1, 5)}

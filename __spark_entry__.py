@@ -42,6 +42,7 @@ from pdfparser_spark.textops import (
     events,
     graph,
     html,
+    lm,
     media,
     model,
     mp4,
@@ -539,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ],
             )
         ),
+        # CCNet-style LM likelihood gate: char-bigram LM trained on the
+        # in-domain source slice (filter pushed to the scan), fixed-point
+        # conditional probabilities, broadcast model, one doc_id reduce
+        "lm_likelihood_filter": lambda s, d: lm.lm_likelihood(_docs(s, d)),
     }
 
 
@@ -1974,5 +1979,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.pred = lab.label AS INT) AS correct,
                    CAST(b.doc_id % 10 = 9 AS INT) AS heldout
             FROM b JOIN lab USING (doc_id) WHERE rn = 1
+        """,
+        # CCNet-style char-bigram LM gate: the oracle retrains the model
+        # from scratch (src0 slice only) and re-scores every document with
+        # the same pmod floor division — train AND inference bit-checked
+        "lm_likelihood_filter": """
+            WITH bg_all AS (
+              SELECT doc_id, source,
+                     unnest(CASE WHEN length(text) >= 2
+                            THEN [substring(text, i, 2)
+                                  for i in generate_series(1, length(text) - 1)]
+                            ELSE [] END) AS bg
+              FROM documents
+            ), cnt AS (
+              SELECT bg, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM bg_all WHERE source = 'src0' GROUP BY 1
+            ), prefix AS (
+              SELECT substring(bg, 1, 1) AS c1, CAST(SUM(cnt) AS BIGINT) AS pcnt
+              FROM cnt GROUP BY 1
+            ), model AS (
+              SELECT bg,
+                     CAST((cnt * 1000000
+                           - ((cnt * 1000000 % pcnt) + pcnt) % pcnt)
+                          // pcnt AS BIGINT) AS q
+              FROM cnt JOIN prefix ON substring(cnt.bg, 1, 1) = prefix.c1
+            ), per_doc AS (
+              SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS n
+              FROM bg_all GROUP BY 1, 2
+            ), scored AS (
+              SELECT per_doc.doc_id, CAST(SUM(n) AS BIGINT) AS n_pairs,
+                     CAST(SUM(n * COALESCE(q, 0)) AS BIGINT) AS ll_sum
+              FROM per_doc LEFT JOIN model USING (bg) GROUP BY 1
+            ), fin AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                     CAST(COALESCE(ll_sum, 0) AS BIGINT) AS ll_sum,
+                     CAST(CASE WHEN COALESCE(n_pairs, 0) > 0
+                          THEN (ll_sum - ((ll_sum % n_pairs) + n_pairs) % n_pairs)
+                               // n_pairs
+                          ELSE 0 END AS BIGINT) AS ll_avg
+              FROM (SELECT doc_id FROM documents) d LEFT JOIN scored USING (doc_id)
+            )
+            SELECT doc_id, n_pairs, ll_sum, ll_avg,
+                   CAST(ll_avg >= 250000 AS INT) AS in_domain
+            FROM fin
         """,
     }

@@ -678,3 +678,28 @@ def test_remove_duplicate_spans_cuts_shared_windows(docs):
         text = {0: None, 2: "the quick brown fox leaps over the lazy dog",
                 3: "completely different words entirely unrelated text body here"}[d]
         assert res[d].cleaned_md5 == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_lm_likelihood_hand_values(spark):
+    """Hand-computed char-bigram LM: model trained on src0 only, fixed-point
+    q = floor(1e6*cnt/prefix), unseen bigrams back off to 0, zero-pair docs
+    get a (0, 0, 0) row.  Train slice: "aab" + "aba" ->
+    cnt(aa)=1, cnt(ab)=2, cnt(ba)=1; prefix(a)=3, prefix(b)=1 ->
+    q(aa)=333333, q(ab)=666666, q(ba)=1000000."""
+    from pdfparser_spark.textops import lm
+
+    rows = [
+        Row(doc_id=0, source="src0", text="aab"),
+        Row(doc_id=3, source="src0", text="aba"),
+        Row(doc_id=1, source="src1", text="abz"),  # bz unseen -> 0
+        Row(doc_id=2, source="src1", text="zz"),  # fully out-of-model
+        Row(doc_id=4, source="src1", text="x"),  # too short: no pairs
+    ]
+    got = {r.doc_id: r for r in lm.lm_likelihood(spark.createDataFrame(rows)).collect()}
+    assert (got[0].n_pairs, got[0].ll_sum, got[0].ll_avg, got[0].in_domain) == (
+        2, 999999, 499999, 1)
+    assert (got[3].ll_sum, got[3].ll_avg) == (1666666, 833333)
+    assert (got[1].n_pairs, got[1].ll_sum, got[1].ll_avg, got[1].in_domain) == (
+        2, 666666, 333333, 1)
+    assert (got[2].n_pairs, got[2].ll_sum, got[2].ll_avg, got[2].in_domain) == (1, 0, 0, 0)
+    assert (got[4].n_pairs, got[4].ll_sum, got[4].ll_avg, got[4].in_domain) == (0, 0, 0, 0)

@@ -36,6 +36,7 @@ from pdfparser_spark.stages import (
 from pdfparser_spark.textops import (
     ann,
     audio,
+    bpe,
     curation,
     dedup,
     dom,
@@ -544,6 +545,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-domain source slice (filter pushed to the scan), fixed-point
         # conditional probabilities, broadcast model, one doc_id reduce
         "lm_likelihood_filter": lambda s, d: lm.lm_likelihood(_docs(s, d)),
+        # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
+        # each a vocab-table aggregate + 1-row broadcast cross-join (the
+        # winning pair never touches the driver)
+        "bpe_train_merges": lambda s, d: bpe.bpe_train(_docs(s, d)),
+        # apply the learned merges: per-doc char vs BPE token counts
+        "bpe_token_counts": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
     }
 
 
@@ -2024,4 +2031,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ll_avg >= 250000 AS INT) AS in_domain
             FROM fin
         """,
+        # BPE training replayed from scratch in chained CTEs (one level
+        # per merge), argmax ties to the lexicographically smallest pair
+        "bpe_train_merges": bpe.bpe_train_oracle_sql(),
+        "bpe_token_counts": bpe.bpe_tokenize_oracle_sql(),
     }

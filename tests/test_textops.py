@@ -703,3 +703,32 @@ def test_lm_likelihood_hand_values(spark):
         2, 666666, 333333, 1)
     assert (got[2].n_pairs, got[2].ll_sum, got[2].ll_avg, got[2].in_domain) == (1, 0, 0, 0)
     assert (got[4].n_pairs, got[4].ll_sum, got[4].ll_avg, got[4].in_domain) == (0, 0, 0, 0)
+
+
+def test_bpe_train_hand_values(spark):
+    """'low low lower': (l,o) and (o,w) tie at 3 -> lexicographically
+    smallest left wins; after 'lo' then 'low', the (low,e)/(e,r) tie at 1
+    resolves to (e,r)."""
+    from pdfparser_spark.textops import bpe
+
+    df = spark.createDataFrame([Row(doc_id=0, text="low low lower")])
+    rows = [tuple(r) for r in bpe.bpe_train(df, n_merges=3).orderBy("rank").collect()]
+    assert rows == [
+        (1, "l", "o", "lo", 3),
+        (2, "lo", "w", "low", 3),
+        (3, "e", "r", "er", 1),
+    ]
+
+
+def test_bpe_greedy_nonoverlap_and_selfpair_exclusion(spark):
+    """'ababa' x2: merge 1 applies (a,b) greedily left-to-right -> [ab,ab,a]
+    (the middle 'a' can't merge twice); merge 2 skips the (ab,ab) self-pair
+    and picks (ab,a)."""
+    from pdfparser_spark.textops import bpe
+
+    df = spark.createDataFrame([Row(doc_id=0, text="ababa ababa")])
+    rows = [tuple(r) for r in bpe.bpe_train(df, n_merges=2).orderBy("rank").collect()]
+    assert rows == [(1, "a", "b", "ab", 4), (2, "ab", "a", "aba", 2)]
+    tok = bpe.bpe_tokenize(df, n_merges=2).collect()[0]
+    # after (a,b): [ab, ab, a]; after (ab,a): [ab, aba] -> 2 tokens/word
+    assert (tok.n_tokens_char, tok.n_tokens_bpe) == (10, 4)

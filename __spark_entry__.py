@@ -30,6 +30,7 @@ from pdfparser_spark.stages import (
     extract_fused,
     extract_images_fused,
     extract_layout_fused,
+    extract_meta_fused,
     flatten_spans,
     synthesize_corpus,
 )
@@ -545,6 +546,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-domain source slice (filter pushed to the scan), fixed-point
         # conditional probabilities, broadcast model, one doc_id reduce
         "lm_likelihood_filter": lambda s, d: lm.lm_likelihood(_docs(s, d)),
+        # document metadata: trailer /Info + catalog /Outlines chain walk
+        # (First -> Next, cycle-capped) — one mapInPandas, zero shuffle
+        "doc_metadata": lambda s, d: extract_meta_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
         # each a vocab-table aggregate + 1-row broadcast cross-join (the
         # winning pair never touches the driver)
@@ -927,7 +935,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
               CAST(3 + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
                  + CAST(np = 3 AS INT) + np + nonempty + CAST(doc_id % 11 = 0 AS INT)
-                 + CAST(doc_id % 2 = 1 AS INT) AS INT) AS n_objects,
+                 + CAST(doc_id % 2 = 1 AS INT)
+                 -- /Info dict + (/Outlines root + items unless doc_id%5=2)
+                 + 1 + CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 2 + doc_id % 4 END
+                 AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
                  + CAST(doc_id % 2 = 1 AS INT) AS INT) AS n_streams
@@ -2035,4 +2046,18 @@ def oracle_sql() -> dict[str, str]:
         # per merge), argmax ties to the lexicographically smallest pair
         "bpe_train_merges": bpe.bpe_train_oracle_sql(),
         "bpe_token_counts": bpe.bpe_tokenize_oracle_sql(),
+        # analytic mirror of the synth metadata rules (synth.py: /Info is
+        # always present; /Outlines absent on doc_id%5=2, else 1+doc_id%4
+        # items titled 'Sec <doc>.<k>')
+        "doc_metadata": """
+            SELECT doc_id,
+                   'Synth Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   'Writer ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN 0
+                        ELSE 1 + doc_id % 4 END AS INT) AS n_outlines,
+                   CASE WHEN doc_id % 5 = 2 THEN NULL
+                        ELSE 'Sec ' || CAST(doc_id AS VARCHAR) || '.0'
+                   END AS first_outline
+            FROM documents
+        """,
     }

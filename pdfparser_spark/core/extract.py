@@ -600,3 +600,61 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient catch-all, as extract_spans
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"spans": out, "errors": errors}
+
+
+def _as_text(v) -> str | None:
+    """PDF string object -> python str (synth strings are ASCII; decode
+    latin-1 so arbitrary bytes can never raise)."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("latin-1")
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def extract_doc_meta(data: bytes, password: bytes = b""):
+    """Document-level metadata: trailer ``/Info`` (Title/Author, ISO 32000
+    §14.3.3) and the catalog ``/Outlines`` tree walked First -> Next
+    (§12.3.3), cycle-capped.  The reference stops at the page tree
+    (doc_tree.rs:63-142); the outline chain is the same
+    transparent-deref walk applied to the document's other tree.
+
+    Returns ``{"title", "author", "n_outlines", "first_outline",
+    "errors"}`` — lenient: a damaged document yields Nones + error rows,
+    never an exception."""
+    title = author = first_outline = None
+    n_outlines = 0
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        info = get_resolved(trailer, "Info", objects)
+        if isinstance(info, dict):
+            title = _as_text(get_resolved(info, "Title", objects))
+            author = _as_text(get_resolved(info, "Author", objects))
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            outl = get_resolved(root, "Outlines", objects)
+            node = get_resolved(outl, "First", objects) if isinstance(outl, dict) else None
+            while isinstance(node, dict) and n_outlines < 4096:  # cycle cap
+                t = _as_text(get_resolved(node, "Title", objects))
+                if first_outline is None and t is not None:
+                    first_outline = t
+                n_outlines += 1
+                node = get_resolved(node, "Next", objects)
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {
+        "title": title,
+        "author": author,
+        "n_outlines": n_outlines,
+        "first_outline": first_outline,
+        "errors": errors,
+    }

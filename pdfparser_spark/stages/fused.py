@@ -142,3 +142,35 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
         run,
         schema="doc_id long, media_ref string, fmt string, width int, height int, pixel_sum long",
     )
+
+
+def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Document-level metadata, zero shuffle: trailer /Info (Title/Author)
+    plus the catalog /Outlines First->Next chain walk
+    (`core.extract.extract_doc_meta`).  Emits
+    (doc_id, title, author, n_outlines, first_outline)."""
+    from ..core.extract import extract_doc_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                m = extract_doc_meta(_doc_bytes(spans), password=password)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "title": m["title"],
+                        "author": m["author"],
+                        "n_outlines": int(m["n_outlines"]),
+                        "first_outline": m["first_outline"],
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "title", "author", "n_outlines", "first_outline"],
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, title string, author string, n_outlines int, first_outline string",
+    )

@@ -291,6 +291,23 @@ def build_document(doc_id: int, text: str) -> dict:
                 length_ids[p] = next_id
                 next_id += 1
 
+    # document metadata: trailer /Info always; catalog /Outlines on all but
+    # every 5th+2 doc (missing-outlines path), 1 + doc_id % 4 items
+    info_id = next_id
+    next_id += 1
+    n_outl = 0 if doc_id % 5 == 2 else 1 + doc_id % 4
+    outl_root_id = outl_item0 = None
+    if n_outl:
+        outl_root_id = next_id
+        outl_item0 = next_id + 1
+        next_id += 1 + n_outl
+
+    cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
+    if outl_root_id is not None:
+        cat_body += f" /Outlines {outl_root_id} 0 R"
+    cat_body += " >>"
+    trailer_info = f" /Info {info_id} 0 R"
+
     def obj_open(oid: int) -> None:
         offsets[oid] = b.struct(f"{oid} 0 obj\n".encode("ascii"))
 
@@ -301,7 +318,7 @@ def build_document(doc_id: int, text: str) -> dict:
 
     # 1: Catalog
     obj_open(CATALOG)
-    b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+    b.struct(cat_body.encode("ascii"))
     obj_close()
 
     # 2: Pages root (3-level tree when n_pages == 3: kids [inter(p0,p1), p2])
@@ -378,6 +395,31 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(entry.encode("ascii"))
         obj_close()
 
+    # document metadata objects: /Info dict + /Outlines chain
+    obj_open(info_id)
+    b.struct(
+        f"<< /Title (Synth Doc {doc_id}) /Author (Writer {doc_id % 7}) >>".encode("ascii")
+    )
+    obj_close()
+    if outl_root_id is not None:
+        obj_open(outl_root_id)
+        b.struct(
+            f"<< /Type /Outlines /First {outl_item0} 0 R "
+            f"/Last {outl_item0 + n_outl - 1} 0 R /Count {n_outl} >>".encode("ascii")
+        )
+        obj_close()
+        for k in range(n_outl):
+            oid = outl_item0 + k
+            item = f"<< /Title (Sec {doc_id}.{k}) /Parent {outl_root_id} 0 R"
+            if k > 0:
+                item += f" /Prev {oid - 1} 0 R"
+            if k < n_outl - 1:
+                item += f" /Next {oid + 1} 0 R"
+            item += " >>"
+            obj_open(oid)
+            b.struct(item.encode("ascii"))
+            obj_close()
+
     # content streams (the *text* input spans)
     for p, t in pages:
         if not t:
@@ -404,7 +446,10 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(b"0000000000 65535 f \n")
         for oid in range(1, n_objs):
             b.struct(f"{offsets[oid]:010d} 00000 n \n".encode("ascii"))
-        b.struct(f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode("ascii"))
+        b.struct(
+            f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R{trailer_info} >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode("ascii")
+        )
         if r["incremental"]:
             # incremental update (ISO 32000 §7.5.6): append a re-written
             # Catalog (same content, so extraction output is unchanged) plus
@@ -412,13 +457,14 @@ def build_document(doc_id: int, text: str) -> dict:
             # read_xref must take the NEWEST definition and follow /Prev for
             # the rest — exercised end-to-end through the span oracles.
             upd_at = b.struct(f"{CATALOG} 0 obj\n".encode("ascii"))
-            b.struct(f"<< /Type /Catalog /Pages {PAGESROOT} 0 R >>".encode("ascii"))
+            b.struct(cat_body.encode("ascii"))
             b.struct(b"\nendobj\n")
             xref2_at = b.struct(b"xref\n")
             b.struct(f"{CATALOG} 1\n".encode("ascii"))
             b.struct(f"{upd_at:010d} 00000 n \n".encode("ascii"))
             b.struct(
-                f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R /Prev {xref_at} >>\n"
+                f"trailer\n<< /Size {n_objs} /Root {CATALOG} 0 R{trailer_info}"
+                f" /Prev {xref_at} >>\n"
                 f"startxref\n{xref2_at}\n%%EOF\n".encode("ascii")
             )
     else:
@@ -434,7 +480,7 @@ def build_document(doc_id: int, text: str) -> dict:
         payload = binascii.hexlify(zlib.compress(bytes(rows))) + b">"
         obj_open(xref_id)
         b.struct(
-            f"<< /Type /XRef /Size {n_objs + 1} /W [1 4 2] /Root {CATALOG} 0 R "
+            f"<< /Type /XRef /Size {n_objs + 1} /W [1 4 2] /Root {CATALOG} 0 R{trailer_info} "
             f"/Filter [/ASCIIHexDecode /FlateDecode] /Length {len(payload)} >>\nstream\n".encode("ascii")
         )
         b.struct(payload)

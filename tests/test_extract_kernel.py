@@ -120,3 +120,31 @@ def test_armored_embedded_image_prefix_decode():
         assert payload[:2] == b"\xff\xd8"  # armor stripped: raw JPEG bytes
         fmt, w, h, _img = sniff_decode(bytes(payload))
         assert (name, fmt, (w, h)) == ("Im1", "jpg", embedded_image_dims(doc_id))
+
+
+def test_doc_metadata_walk():
+    """/Info Title/Author and the /Outlines First->Next chain follow the
+    synth rules: no outlines on doc_id%5=2, else 1+doc_id%4 items; the
+    incremental-update docs (odd ids) must read metadata through the
+    NEWEST catalog."""
+    from pdfparser_spark.core.extract import extract_doc_meta
+
+    for did in range(0, 24):
+        d = build_document(did, "alpha beta gamma delta epsilon zeta " * 2)
+        m = extract_doc_meta(d["bytes"])
+        n = 0 if did % 5 == 2 else 1 + did % 4
+        assert m["title"] == f"Synth Doc {did}"
+        assert m["author"] == f"Writer {did % 7}"
+        assert m["n_outlines"] == n
+        assert m["first_outline"] == (f"Sec {did}.0" if n else None)
+        assert m["errors"] == []
+
+
+def test_doc_metadata_damaged_is_lenient():
+    """A footer-cut document must yield Nones/zero, never an exception."""
+    from pdfparser_spark.core.extract import extract_doc_meta
+
+    d = build_document(0, "alpha beta gamma")
+    cut = d["bytes"][: len(d["bytes"]) // 2]
+    m = extract_doc_meta(cut)
+    assert m["n_outlines"] >= 0  # no crash; fields may be None

@@ -465,7 +465,9 @@ def _run_level(n_cores: int) -> tuple[dict, float]:
     cmd = [_sys.executable, os.path.abspath(__file__), "--throughput", str(n_cores)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=560)
+    # budget scales with the pin width: the 2-core level synthesizes AND
+    # runs the same 480k-doc corpus on 2 CPUs (~8 min end to end)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     if out.returncode != 0 or not out.stdout.strip():
         # surface the child's stderr: an empty stdout otherwise dies as an
         # opaque IndexError that hides the real failure (OOM, bad taskset

@@ -143,6 +143,34 @@ def _flat(spark, sf_dir, where=None):
     return df.filter(where) if where is not None else df
 
 
+def _strict_lenient_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: lenient and strict span outputs grouped by
+    doc_id and counted side by side in one Arrow kernel.  Emits
+    (doc_id, n_lenient, n_strict, dropped) for every doc with any span in
+    either mode — strict-mode data loss made visible per document."""
+    import pandas as pd
+
+    lenient = _pipeline(spark, sf_dir)["spans_flat"].select("doc_id")
+    strict = _pipeline(spark, sf_dir, strict=True)["spans_flat"].select("doc_id")
+
+    def diff(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_l, n_s = len(left), len(right)
+        return pd.DataFrame(
+            {
+                "doc_id": [int(key[0])],
+                "n_lenient": [n_l],
+                "n_strict": [n_s],
+                "dropped": [n_l - n_s],
+            }
+        )
+
+    return (
+        lenient.groupBy("doc_id")
+        .cogroup(strict.groupBy("doc_id"))
+        .applyInPandas(diff, schema="doc_id long, n_lenient int, n_strict int, dropped int")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
@@ -553,6 +581,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # TPC-H Q3 shape: selective scans on all three inputs (filters
+        # pushed to parquet), broadcast customer dim, shuffle join on
+        # orderkey, top-10 via TakeOrderedAndProject on the ROUNDED
+        # revenue (cross-engine-deterministic cut)
+        "tpch_q3_shipping": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(F.col("l_shipdate") > "1998-06-01")
+            .join(
+                _tbl(s, d, "orders").filter(F.col("o_orderdate") < "1998-06-01"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+                ),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(
+                _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        ),
+        # strict-vs-lenient span diff via COGROUPED applyInPandas (the one
+        # pandas-UDF surface the suite didn't yet exercise): both extraction
+        # modes grouped by doc_id, counted side by side in one Arrow kernel
+        "strict_lenient_diff": lambda s, d: _strict_lenient_diff(s, d),
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
         # each a vocab-table aggregate + 1-row broadcast cross-join (the
         # winning pair never touches the driver)
@@ -2046,6 +2105,31 @@ def oracle_sql() -> dict[str, str]:
         # per merge), argmax ties to the lexicographically smallest pair
         "bpe_train_merges": bpe.bpe_train_oracle_sql(),
         "bpe_token_counts": bpe.bpe_tokenize_oracle_sql(),
+        "tpch_q3_shipping": """
+            SELECT l_orderkey,
+                   FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)
+                     / 100.0 AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 3, 4
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        # per-doc span counts from the analytic span CTE; strict mode
+        # zeroes every span of an error doc (doc_id % 13 = 0)
+        "strict_lenient_diff": _SPAN_CTE + """
+            SELECT doc_id,
+                   CAST(COUNT(*) AS INT) AS n_lenient,
+                   CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                        ELSE COUNT(*) END AS INT) AS n_strict,
+                   CAST(CASE WHEN doc_id % 13 = 0 THEN COUNT(*)
+                        ELSE 0 END AS INT) AS dropped
+            FROM spans GROUP BY doc_id
+        """,
         # analytic mirror of the synth metadata rules (synth.py: /Info is
         # always present; /Outlines absent on doc_id%5=2, else 1+doc_id%4
         # items titled 'Sec <doc>.<k>')

@@ -612,6 +612,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pandas-UDF surface the suite didn't yet exercise): both extraction
         # modes grouped by doc_id, counted side by side in one Arrow kernel
         "strict_lenient_diff": lambda s, d: _strict_lenient_diff(s, d),
+        # event-time RANGE frame (not ROWS): trailing-30-day spend per
+        # customer, integer day offsets (timezone-free) and integer cents
+        # so the windowed sum is bit-exact
+        "orders_trailing_spend": lambda s, d: (
+            _tbl(s, d, "orders")
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+                F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("day"),
+            )
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.sum("cents")
+                .over(Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0))
+                .alias("spend_30d_cents"),
+            )
+        ),
+        # ntile quantile bucketing (deterministic tie order via doc_id)
+        "docs_length_ntile": lambda s, d: (
+            _docs(s, d).select(
+                "doc_id",
+                "n_chars",
+                F.ntile(4)
+                .over(Window.orderBy("n_chars", "doc_id"))
+                .alias("quartile"),
+            )
+        ),
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
         # each a vocab-table aggregate + 1-row broadcast cross-join (the
         # winning pair never touches the driver)
@@ -2118,6 +2147,20 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY 1, 3, 4
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "orders_trailing_spend": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                     RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS spend_30d_cents
+            FROM orders
+        """,
+        "docs_length_ntile": """
+            SELECT doc_id, n_chars,
+                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS quartile
+            FROM documents
         """,
         # per-doc span counts from the analytic span CTE; strict mode
         # zeroes every span of an error doc (doc_id % 13 = 0)

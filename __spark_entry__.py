@@ -631,13 +631,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("spend_30d_cents"),
             )
         ),
-        # ntile quantile bucketing (deterministic tie order via doc_id)
+        # ntile quantile bucketing per language (deterministic tie order
+        # via doc_id; partitioned window — a GLOBAL ntile would be a
+        # single-reducer total sort, wrong at corpus scale)
         "docs_length_ntile": lambda s, d: (
             _docs(s, d).select(
                 "doc_id",
+                "lang",
                 "n_chars",
                 F.ntile(4)
-                .over(Window.orderBy("n_chars", "doc_id"))
+                .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
                 .alias("quartile"),
             )
         ),
@@ -2158,8 +2161,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "docs_length_ntile": """
-            SELECT doc_id, n_chars,
-                   CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS INT) AS quartile
+            SELECT doc_id, lang, n_chars,
+                   CAST(ntile(4) OVER (PARTITION BY lang
+                                       ORDER BY n_chars, doc_id) AS INT) AS quartile
             FROM documents
         """,
         # per-doc span counts from the analytic span CTE; strict mode

@@ -732,3 +732,25 @@ def test_bpe_greedy_nonoverlap_and_selfpair_exclusion(spark):
     tok = bpe.bpe_tokenize(df, n_merges=2).collect()[0]
     # after (a,b): [ab, ab, a]; after (ab,a): [ab, aba] -> 2 tokens/word
     assert (tok.n_tokens_char, tok.n_tokens_bpe) == (10, 4)
+
+
+def test_new_relational_plan_shapes(spark, sf_dir):
+    """Physical-plan guards for the round-3 relational additions:
+    Q3's top-10 must be TakeOrderedAndProject (never a global sort) with
+    the customer dim broadcast; the RANGE-frame spend must shuffle exactly
+    once; the cogroup diff must compile to FlatMapCoGroupsInPandas."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    p3 = q["tpch_q3_shipping"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p3
+    assert "BroadcastHashJoin" in p3
+    assert "CartesianProduct" not in p3
+
+    spend = q["orders_trailing_spend"](spark, sf_dir)
+    ps = spend._jdf.queryExecution().executedPlan().toString()
+    assert ps.count("Exchange") <= 2  # the o_custkey window shuffle (+AQE read)
+    assert "Window" in ps
+
+    pd_ = q["strict_lenient_diff"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in pd_

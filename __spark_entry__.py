@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdfparser_spark import relops, zorder
+from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
     extract_fused,
@@ -631,6 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("spend_30d_cents"),
             )
         ),
+        # STREAMING extraction: the fused kernel lifted onto a stream
+        # (stateless mapInPandas), landed in the snapshot log with
+        # batch-id-idempotent commits; oracle = the batch span SQL
+        "extract_stream_log": lambda s, d: stream_extract.extract_stream_to_log(s, d),
         # ntile quantile bucketing per language (deterministic tie order
         # via doc_id; partitioned window — a GLOBAL ntile would be a
         # single-reducer total sort, wrong at corpus scale)
@@ -2151,6 +2155,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 3, 4
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
         """,
+        # streaming extraction must land EXACTLY the batch spans
+        "extract_stream_log": _span_sql(),
         "orders_trailing_spend": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (

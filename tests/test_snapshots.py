@@ -420,3 +420,21 @@ def test_rollup_rebuild_after_deletes(spark, tmp_path):
         for r in log.read(spark, "doc_stats").collect()
     }
     assert got == {"en": (2, 12), "fr": (1, 5)}
+
+
+def test_extract_stream_to_log_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming extraction (fused kernel lifted onto a stream) must land
+    exactly the batch spans, and a re-run over the same checkpoint + log
+    must not double-append (batch-id-idempotent commits)."""
+    from pdfparser_spark.stages import extract_fused, flatten_spans, synthesize_corpus
+    from pdfparser_spark.streaming import extract_stream_to_log
+
+    root = str(tmp_path / "stream_extract")
+    got = extract_stream_to_log(spark, sf_dir, log_root=root)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    batch = flatten_spans(extract_fused(synthesize_corpus(docs)))
+    key = lambda r: (r.doc_id, r.ord)  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(batch.collect(), key=key)
+
+    again = extract_stream_to_log(spark, sf_dir, log_root=root)
+    assert again.count() == got.count()  # no new files -> no new rows

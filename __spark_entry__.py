@@ -631,6 +631,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("spend_30d_cents"),
             )
         ),
+        # SemDeDup: cluster embeddings (fixed IVF codebook), pairwise
+        # cosines WITHIN clusters only, drop vectors dominated by an
+        # earlier keeper — the within-cluster join bounds all pair work
+        "semantic_dedup": lambda s, d: dedup.semantic_dedup(_emb(s, d)),
         # STREAMING extraction: the fused kernel lifted onto a stream
         # (stateless mapInPandas), landed in the snapshot log with
         # batch-id-idempotent commits; oracle = the batch span SQL
@@ -2157,6 +2161,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         # streaming extraction must land EXACTLY the batch spans
         "extract_stream_log": _span_sql(),
+        # SemDeDup: assignment + within-cluster domination replayed with
+        # the exact _list_scores / cosine mirrors (unrounded tau filter)
+        "semantic_dedup": f"""
+            WITH sc AS MATERIALIZED (
+              SELECT vec_id, embedding,
+                     [{', '.join(_sql_ivf_score(j) for j in range(8))}] AS s
+              FROM embeddings
+            ), a AS (
+              SELECT vec_id, embedding,
+                     CAST(list_indexof(s, list_min(s)) AS INT) AS list_id
+              FROM sc
+            ), dom AS (
+              SELECT DISTINCT y.vec_id
+              FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+              WHERE {_sql_cos('x.embedding', 'y.embedding')} >= 0.30
+            )
+            SELECT a.vec_id, a.list_id,
+                   CAST(dom.vec_id IS NULL AS INT) AS kept
+            FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+        """,
         "orders_trailing_spend": """
             SELECT o_custkey, o_orderkey,
                    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (

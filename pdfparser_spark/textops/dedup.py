@@ -467,3 +467,58 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     agg = w.groupBy("doc_id").agg(*sums)
     bit_cols = [F.when(F.col(f"s{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     return agg.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+
+
+def semantic_dedup(
+    embeddings: DataFrame, tau: float = 0.30, n_lists: int = 8
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    clustering embeddings and comparing ONLY within clusters.  Each vector
+    is assigned to its nearest centroid of the fixed deterministic
+    codebook (the IVF assignment — `ann._list_scores`, bit-mirrored in
+    SQL); a vector is dropped iff some LOWER-id vector in the same cluster
+    has cosine >= tau with it ("dominated by an earlier keeper" — the
+    deterministic rendering of the paper's keep-one-per-similar-group).
+    tau applies to the UNROUNDED cosine on both engines.
+
+    Emits (vec_id, list_id, kept) for every vector.
+
+    Scale shape: the cluster equi-join bounds candidate pairs by cluster
+    size (the whole point of SemDeDup — pairwise work is within-cluster
+    only); the assignment is inlined in the scan project, and the
+    dominated set is one distinct + one broadcast-able anti-join.  At
+    10^12 rows the codebook comes from `ann.ivf_train_kmeans` and
+    clusters shard the corpus; oversized clusters would take the same
+    representative-star cap as `embedding_neardup` (not needed at gate
+    scale with the fixed codebook — documented, not silent)."""
+    scores = ann._list_scores(F.col("embedding"), n_lists)
+    assigned = register_persisted(
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "list_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "list_id"
+    )
+    cos = ann.cosine_expr(F.col("ea"), F.col("eb"))
+    dominated = (
+        a.join(b, "list_id")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= tau)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("dom", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            F.when(F.col("dom").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

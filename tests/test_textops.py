@@ -754,3 +754,41 @@ def test_new_relational_plan_shapes(spark, sf_dir):
 
     pd_ = q["strict_lenient_diff"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in pd_
+
+
+def test_semantic_dedup_domination_rule(spark, sf_dir):
+    """SemDeDup invariants on the real embeddings table: the smallest id in
+    every cluster is always kept, and every dropped vector really is
+    dominated (an earlier same-cluster vector with cosine >= tau)."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = dedup.semantic_dedup(emb).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    by_cluster: dict = {}
+    for r in res:
+        by_cluster.setdefault(r.list_id, []).append(r)
+    dropped = {r.vec_id for r in res if r.kept == 0}
+    assert dropped and len(dropped) < len(res)  # both branches exercised
+    for rows in by_cluster.values():
+        rows.sort(key=lambda r: r.vec_id)
+        assert rows[0].kept == 1  # cluster's first vector is never dominated
+        ids = [r.vec_id for r in rows]
+        for r in rows:
+            cos_max = max(
+                (
+                    float(
+                        vecs[u] @ vecs[r.vec_id]
+                        / (np.linalg.norm(vecs[u]) * np.linalg.norm(vecs[r.vec_id]))
+                    )
+                    for u in ids
+                    if u < r.vec_id
+                ),
+                default=-1.0,
+            )
+            # numpy's fused dot differs from the engines' fold in the last
+            # ulp, so verify with a tolerance band around tau
+            if r.kept == 0:
+                assert cos_max >= 0.30 - 1e-9
+            else:
+                assert cos_max < 0.30 + 1e-9

@@ -639,6 +639,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (stateless mapInPandas), landed in the snapshot log with
         # batch-id-idempotent commits; oracle = the batch span SQL
         "extract_stream_log": lambda s, d: stream_extract.extract_stream_to_log(s, d),
+        # exact (non-approximate) median per group — the ordered-set
+        # aggregate; interpolated midpoint is one IEEE add+divide, exact
+        # on both engines
+        "docs_median_chars": lambda s, d: (
+            _docs(s, d)
+            .groupBy("lang")
+            .agg(
+                F.median("n_chars").alias("median_chars"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+        ),
         # ntile quantile bucketing per language (deterministic tie order
         # via doc_id; partitioned window — a GLOBAL ntile would be a
         # single-reducer total sort, wrong at corpus scale)
@@ -2189,6 +2200,11 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS spend_30d_cents
             FROM orders
+        """,
+        "docs_median_chars": """
+            SELECT lang, CAST(median(n_chars) AS DOUBLE) AS median_chars,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY lang
         """,
         "docs_length_ntile": """
             SELECT doc_id, lang, n_chars,

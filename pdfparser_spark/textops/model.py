@@ -132,3 +132,4 @@ def centroid_classifier(documents: DataFrame, dims: int = 16) -> DataFrame:
         (F.col("pred") == F.col("label")).cast("int").alias("correct"),
         (F.col("doc_id") % TRAIN_MOD == TRAIN_REM).cast("int").alias("heldout"),
     )
+

@@ -639,6 +639,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (stateless mapInPandas), landed in the snapshot log with
         # batch-id-idempotent commits; oracle = the batch span SQL
         "extract_stream_log": lambda s, d: stream_extract.extract_stream_to_log(s, d),
+        # EXCEPT set-op: (source, lang) combinations missing from the
+        # corpus — full combination grid minus the present pairs
+        "missing_lang_by_source": lambda s, d: (
+            _docs(s, d)
+            .select("source")
+            .distinct()
+            .crossJoin(_docs(s, d).select("lang").distinct())
+            .subtract(_docs(s, d).select("source", "lang").distinct())
+        ),
         # exact (non-approximate) median per group — the ordered-set
         # aggregate; interpolated midpoint is one IEEE add+divide, exact
         # on both engines
@@ -2200,6 +2209,13 @@ def oracle_sql() -> dict[str, str]:
                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS spend_30d_cents
             FROM orders
+        """,
+        "missing_lang_by_source": """
+            SELECT s.source, l.lang
+            FROM (SELECT DISTINCT source FROM documents) s,
+                 (SELECT DISTINCT lang FROM documents) l
+            EXCEPT
+            SELECT DISTINCT source, lang FROM documents
         """,
         "docs_median_chars": """
             SELECT lang, CAST(median(n_chars) AS DOUBLE) AS median_chars,

@@ -27,9 +27,11 @@ from pyspark.sql.window import Window
 from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
+    extract_forms_fused,
     extract_fused,
     extract_images_fused,
     extract_layout_fused,
+    extract_links_fused,
     extract_meta_fused,
     flatten_spans,
     synthesize_corpus,
@@ -678,6 +680,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_merges": lambda s, d: bpe.bpe_train(_docs(s, d)),
         # apply the learned merges: per-doc char vs BPE token counts
         "bpe_token_counts": lambda s, d: bpe.bpe_tokenize(_docs(s, d)),
+        # interactive tier: page /Annots link annotations (/A /S /URI) —
+        # one mapInPandas over the corpus, zero shuffle, one row per link
+        "doc_links": lambda s, d: extract_links_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # interactive tier: catalog /AcroForm terminal fields (/T /FT /V;
+        # string values for /Tx, NAME values for /Btn, NULL when unset)
+        "doc_form_fields": lambda s, d: extract_forms_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # link-graph aggregation over the extracted URIs: JVM-side
+        # parse_url(HOST) + one hash aggregate (count + distinct docs per
+        # host) — the outlink/host-level analysis a crawl pipeline runs
+        # before host-level dedup or blocklisting
+        "link_host_stats": lambda s, d: (
+            extract_links_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+                )
+            )
+            .select(F.parse_url(F.col("uri"), F.lit("HOST")).alias("host"), "doc_id")
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n_links"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+        ),
     }
 
 
@@ -1057,6 +1090,9 @@ def oracle_sql() -> dict[str, str]:
                  + CAST(doc_id % 2 = 1 AS INT)
                  -- /Info dict + (/Outlines root + items unless doc_id%5=2)
                  + 1 + CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 2 + doc_id % 4 END
+                 -- interactive tier: /Annots link objects + /AcroForm + fields
+                 + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
+                 + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
@@ -2252,5 +2288,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'Sec ' || CAST(doc_id AS VARCHAR) || '.0'
                    END AS first_outline
             FROM documents
+        """,
+        # analytic mirror of synth.link_uri: page-0 links on doc_id%6!=4,
+        # 1+doc_id%4 of them, host index (doc_id + 3k) % 5
+        "doc_links": """
+            SELECT doc_id, CAST(0 AS INT) AS page, CAST(k AS INT) AS link_idx,
+                   'https://h' || CAST((doc_id + 3 * k) % 5 AS VARCHAR)
+                     || '.example.net/d/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(k AS VARCHAR) AS uri
+            FROM documents, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(k)
+            WHERE doc_id % 6 != 4
+        """,
+        # analytic mirror of synth.expected_fields: fields on doc_id%4!=3,
+        # 1+doc_id%3 of them; even k /Tx string values (NULL on
+        # doc_id%5=1, k=0), odd k /Btn NAME values Opt<(doc_id+k)%3>
+        "doc_form_fields": """
+            SELECT doc_id, CAST(k AS INT) AS field_idx,
+                   'f' || CAST(k AS VARCHAR) AS field_name,
+                   CASE WHEN k % 2 = 0 THEN 'Tx' ELSE 'Btn' END AS field_type,
+                   CASE WHEN k % 2 = 1 THEN 'Opt' || CAST((doc_id + k) % 3 AS VARCHAR)
+                        WHEN doc_id % 5 = 1 AND k = 0 THEN NULL
+                        ELSE 'v' || CAST(doc_id AS VARCHAR) || '-' || CAST(k AS VARCHAR)
+                   END AS field_value
+            FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS t(k)
+            WHERE doc_id % 4 != 3
+        """,
+        # host parsed from the URI string in SQL (split on '//' then '/'),
+        # mirroring Spark's parse_url(HOST) over the kernel-extracted links
+        "link_host_stats": """
+            WITH links AS (
+              SELECT doc_id,
+                     'https://h' || CAST((doc_id + 3 * k) % 5 AS VARCHAR)
+                       || '.example.net/d/' || CAST(doc_id AS VARCHAR)
+                       || '/' || CAST(k AS VARCHAR) AS uri
+              FROM documents, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(k)
+              WHERE doc_id % 6 != 4
+            )
+            SELECT split_part(split_part(uri, '//', 2), '/', 1) AS host,
+                   COUNT(*) AS n_links,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM links GROUP BY host
         """,
     }

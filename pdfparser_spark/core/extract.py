@@ -658,3 +658,73 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
         "first_outline": first_outline,
         "errors": errors,
     }
+
+
+def extract_doc_graph(data: bytes, password: bytes = b""):
+    """Interactive-tier object-graph walk: page ``/Annots`` link
+    annotations with ``/A /S /URI`` actions (ISO 32000 §12.5.6.5,
+    §12.6.4.7) and the catalog ``/AcroForm /Fields`` terminal fields
+    (§12.7.4: ``/T`` name, ``/FT`` type, ``/V`` value — string for text
+    fields, NAME object for buttons).  The reference's tree walk stops at
+    ``/Contents`` (doc_tree.rs:63-142); this is the same transparent-deref
+    walk applied to the page dict's other arrays.
+
+    Returns ``{"links": [(page_idx, link_idx, uri)], "fields":
+    [(field_idx, name, ftype, value)], "errors"}`` — lenient: damaged
+    input yields empty lists + error rows, never an exception."""
+    links: list = []
+    fields: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            root_pages = get_resolved(root, "Pages", objects)
+            for p, page in enumerate(_walk_pages(root_pages, objects, errors)):
+                annots = get_resolved(page, "Annots", objects)
+                if not isinstance(annots, list):
+                    continue
+                li = 0
+                for a in annots:
+                    an = resolve(a, objects)
+                    if not isinstance(an, dict):
+                        continue
+                    if str(get_resolved(an, "Subtype", objects)) != "Link":
+                        continue
+                    act = get_resolved(an, "A", objects)
+                    uri = None
+                    if isinstance(act, dict) and str(get_resolved(act, "S", objects)) == "URI":
+                        uri = _as_text(get_resolved(act, "URI", objects))
+                    links.append((p, li, uri))
+                    li += 1
+            acro = get_resolved(root, "AcroForm", objects)
+            farr = get_resolved(acro, "Fields", objects) if isinstance(acro, dict) else None
+            if isinstance(farr, list):
+                for fi, fref in enumerate(farr):
+                    fd = resolve(fref, objects)
+                    if not isinstance(fd, dict):
+                        errors.append(
+                            (REFERENCE_ERROR, "classify", "dangling /Fields reference")
+                        )
+                        continue
+                    fname = _as_text(get_resolved(fd, "T", objects))
+                    ftype = get_resolved(fd, "FT", objects)
+                    fields.append(
+                        (
+                            fi,
+                            fname,
+                            str(ftype) if ftype is not None else None,
+                            _as_text(get_resolved(fd, "V", objects)),
+                        )
+                    )
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"links": links, "fields": fields, "errors": errors}

@@ -12,8 +12,15 @@ references fall out of an anti-join, ordering is one ordered aggregation.
 from .assemble import assemble, flatten_spans
 from .classify import classify
 from .decode import decode
-from .fused import extract_fused, extract_images_fused, extract_layout_fused, extract_meta_fused
+from .fused import (
+    extract_forms_fused,
+    extract_fused,
+    extract_images_fused,
+    extract_layout_fused,
+    extract_links_fused,
+    extract_meta_fused,
+)
 from .synthesize import synthesize_corpus
 from .tokenize import tokenize
 
-__all__ = ["assemble", "classify", "decode", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "flatten_spans", "synthesize_corpus", "tokenize"]
+__all__ = ["assemble", "classify", "decode", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "flatten_spans", "synthesize_corpus", "tokenize"]

@@ -174,3 +174,64 @@ def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataF
         run,
         schema="doc_id long, title string, author string, n_outlines int, first_outline string",
     )
+
+
+def extract_links_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Interactive tier, zero shuffle: page /Annots link annotations with
+    /URI actions (`core.extract.extract_doc_graph`), one row per link.
+    Emits (doc_id, page, link_idx, uri)."""
+    from ..core.extract import extract_doc_graph
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                g = extract_doc_graph(_doc_bytes(spans), password=password)
+                for page, link_idx, uri in g["links"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page": int(page),
+                            "link_idx": int(link_idx),
+                            "uri": uri,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "link_idx", "uri"])
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, page int, link_idx int, uri string"
+    )
+
+
+def extract_forms_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Interactive tier, zero shuffle: catalog /AcroForm terminal fields
+    (`core.extract.extract_doc_graph`), one row per field.  Emits
+    (doc_id, field_idx, field_name, field_type, field_value) — the value
+    is a PDF string for /Tx fields and a NAME for /Btn fields, both
+    surfaced as strings; an unset /V surfaces as NULL."""
+    from ..core.extract import extract_doc_graph
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                g = extract_doc_graph(_doc_bytes(spans), password=password)
+                for field_idx, fname, ftype, fval in g["fields"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "field_idx": int(field_idx),
+                            "field_name": fname,
+                            "field_type": ftype,
+                            "field_value": fval,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "field_idx", "field_name", "field_type", "field_value"],
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, field_idx int, field_name string, field_type string, field_value string",
+    )

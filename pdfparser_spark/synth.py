@@ -25,6 +25,11 @@ Generation rules (all arithmetic on the integer ``doc_id``):
                      media span + ReferenceError metric (family F anti-join)
   indirect /Length = doc_id % 11 == 0 for the page-0 content stream + comment
                      noise (family F; reference pdf_file.rs:647-656)
+  links            = doc_id % 6 != 4: 1 + doc_id % 4 page-0 /Annots /Link
+                     objects with /A /S /URI actions (host (doc_id+3k) % 5)
+  form fields      = doc_id % 4 != 3: /AcroForm with 1 + doc_id % 3 fields
+                     (even k /Tx string /V — unset on doc_id%5=1 k=0;
+                     odd k /Btn NAME /V) — observed by extract_doc_graph
 
 Expected spans per doc (ordering key seq = p*10 for page text, 1 for Im1,
 1000 for ImMissing; ord = rank of seq):
@@ -62,6 +67,16 @@ def doc_rules(doc_id: int) -> dict:
         # classic-xref docs get an appended incremental update every 19th id
         # (re-written Catalog + second xref with /Prev); output is unchanged
         "incremental": doc_id % 19 == 0 and doc_id % 2 == 0,
+        # interactive tier (ISO 32000 §12): page-0 /Annots link annotations
+        # with /URI actions on all but every 6th+4 doc, and a catalog
+        # /AcroForm with 1 + doc_id % 3 terminal fields on all but every
+        # 4th+3 doc — the object-graph arrays the span kernel never touches,
+        # observed only by extract_doc_graph (doc_links / doc_form_fields
+        # oracles) and by the object_stats count formula
+        "links": doc_id % 6 != 4,
+        "n_links": 1 + doc_id % 4 if doc_id % 6 != 4 else 0,
+        "form": doc_id % 4 != 3,
+        "n_fields": 1 + doc_id % 3 if doc_id % 4 != 3 else 0,
         # positioning-operator family for the layout kernel: every page's
         # text-line origin lands at (72, 720 - 14*p) but REACHES it through
         # a different operator path (Td | Tm | Td+Td | Td+TD | Td+TL+')
@@ -96,6 +111,34 @@ def expected_spans(doc_id: int, text: str) -> list[tuple[str, str | None, str | 
     if r["dangling"]:
         seq.append((1000, ("media", None, "ImMissing")))
     return [s for _, s in sorted(seq, key=lambda kv: kv[0])]
+
+
+def link_uri(doc_id: int, k: int) -> str:
+    """Deterministic /URI for link annotation k of doc_id (mirrored in the
+    doc_links oracle SQL): 5 hosts spread as (doc_id + 3k) % 5 so the
+    link_host_stats aggregation sees cross-document host collisions."""
+    return f"https://h{(doc_id + 3 * k) % 5}.example.net/d/{doc_id}/{k}"
+
+
+def expected_links(doc_id: int) -> list[tuple[int, int, str]]:
+    """Analytic ground truth for extract_doc_graph links: (page, link_idx, uri)."""
+    return [(0, k, link_uri(doc_id, k)) for k in range(doc_rules(doc_id)["n_links"])]
+
+
+def expected_fields(doc_id: int) -> list[tuple[int, str, str, str | None]]:
+    """Analytic ground truth for extract_doc_graph form fields:
+    (field_idx, name, ftype, value).  Even k: /FT /Tx with a string /V
+    (omitted — None — on doc_id%5==1, k==0); odd k: /FT /Btn whose /V is
+    a NAME object /Opt<(doc_id+k)%3>."""
+    out: list[tuple[int, str, str, str | None]] = []
+    for k in range(doc_rules(doc_id)["n_fields"]):
+        if k % 2 == 1:
+            out.append((k, f"f{k}", "Btn", f"Opt{(doc_id + k) % 3}"))
+        elif doc_id % 5 == 1 and k == 0:
+            out.append((k, f"f{k}", "Tx", None))
+        else:
+            out.append((k, f"f{k}", "Tx", f"v{doc_id}-{k}"))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -302,9 +345,20 @@ def build_document(doc_id: int, text: str) -> dict:
         outl_item0 = next_id + 1
         next_id += 1 + n_outl
 
+    # interactive tier: link-annotation objects (page 0) + /AcroForm fields
+    link_ids = list(range(next_id, next_id + r["n_links"]))
+    next_id += r["n_links"]
+    acro_id = field0_id = None
+    if r["n_fields"]:
+        acro_id = next_id
+        field0_id = next_id + 1
+        next_id += 1 + r["n_fields"]
+
     cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
     if outl_root_id is not None:
         cat_body += f" /Outlines {outl_root_id} 0 R"
+    if acro_id is not None:
+        cat_body += f" /AcroForm {acro_id} 0 R"
     cat_body += " >>"
     trailer_info = f" /Info {info_id} 0 R"
 
@@ -390,6 +444,8 @@ def build_document(doc_id: int, text: str) -> dict:
         entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
         if t:
             entry += f" /Contents {content_ids[p]} 0 R"
+        if p == 0 and link_ids:
+            entry += " /Annots [" + " ".join(f"{a} 0 R" for a in link_ids) + "]"
         entry += " >>"
         obj_open(page_ids[p])
         b.struct(entry.encode("ascii"))
@@ -418,6 +474,30 @@ def build_document(doc_id: int, text: str) -> dict:
             item += " >>"
             obj_open(oid)
             b.struct(item.encode("ascii"))
+            obj_close()
+
+    # interactive-tier objects: /Annots links (URI actions) + AcroForm fields
+    for k, oid in enumerate(link_ids):
+        obj_open(oid)
+        b.struct(
+            f"<< /Type /Annot /Subtype /Link /Rect [72 {700 - 16 * k} 240 {714 - 16 * k}] "
+            f"/A << /S /URI /URI ({link_uri(doc_id, k)}) >> >>".encode("ascii")
+        )
+        obj_close()
+    if acro_id is not None:
+        obj_open(acro_id)
+        fields_arr = " ".join(f"{field0_id + k} 0 R" for k in range(r["n_fields"]))
+        b.struct(f"<< /Fields [{fields_arr}] >>".encode("ascii"))
+        obj_close()
+        for k, (_idx, fname, ftype, fval) in enumerate(expected_fields(doc_id)):
+            body = f"<< /FT /{ftype} /T ({fname})"
+            if ftype == "Btn":
+                body += f" /V /{fval}"
+            elif fval is not None:
+                body += f" /V ({fval})"
+            body += " >>"
+            obj_open(field0_id + k)
+            b.struct(body.encode("ascii"))
             obj_close()
 
     # content streams (the *text* input spans)

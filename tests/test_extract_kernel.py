@@ -148,3 +148,30 @@ def test_doc_metadata_damaged_is_lenient():
     cut = d["bytes"][: len(d["bytes"]) // 2]
     m = extract_doc_meta(cut)
     assert m["n_outlines"] >= 0  # no crash; fields may be None
+
+
+def test_doc_graph_links_and_fields():
+    """Interactive tier: page-0 /Annots URI links and /AcroForm fields
+    follow the synth rules exactly — including the unset-/V text field
+    (doc_id%5=1, k=0) and the NAME-valued /Btn fields — across both xref
+    layouts and the incremental-update docs."""
+    from pdfparser_spark.core.extract import extract_doc_graph
+    from pdfparser_spark.synth import expected_fields, expected_links
+
+    for did in range(0, 60):
+        d = build_document(did, "alpha beta gamma delta epsilon zeta " * 3)
+        g = extract_doc_graph(d["bytes"])
+        assert g["errors"] == []
+        assert g["links"] == expected_links(did)
+        assert g["fields"] == expected_fields(did)
+
+
+def test_doc_graph_damaged_is_lenient():
+    """A footer-cut document must yield empty lists + error rows, never an
+    exception."""
+    from pdfparser_spark.core.extract import extract_doc_graph
+
+    d = build_document(3, "alpha beta gamma delta")
+    cut = d["bytes"][: len(d["bytes"]) // 2]
+    g = extract_doc_graph(cut)
+    assert isinstance(g["links"], list) and isinstance(g["fields"], list)

@@ -523,3 +523,33 @@ def test_doc_meta_never_raises_on_mutations(doc_id, seed, n_mutations):
             raw.insert(pos, rng.randrange(256))
     m = extract_doc_meta(bytes(raw))
     assert 0 <= m["n_outlines"] <= 4096
+
+
+@given(
+    doc_id=st.integers(0, 40),
+    seed=st.integers(0, 10_000),
+    n_mutations=st.integers(1, 12),
+)
+@settings(max_examples=80, deadline=None)
+def test_doc_graph_never_raises_on_mutations(doc_id, seed, n_mutations):
+    """The interactive-tier walker (/Annots links + /AcroForm fields) is
+    lenient like the span kernel: arbitrary mutations yield empty lists +
+    error rows, never an exception."""
+    import random
+
+    from pdfparser_spark.core.extract import extract_doc_graph
+    from pdfparser_spark.synth import build_document
+
+    raw = bytearray(build_document(doc_id, "some words here for pages one and two")["bytes"])
+    rng = random.Random(seed)
+    for _ in range(n_mutations):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(raw))
+        if op == 0:
+            raw[pos] = rng.randrange(256)
+        elif op == 1:
+            del raw[pos]
+        else:
+            raw.insert(pos, rng.randrange(256))
+    g = extract_doc_graph(bytes(raw))
+    assert isinstance(g["links"], list) and isinstance(g["fields"], list)

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.stages import (
+    extract_attachments_fused,
     extract_forms_fused,
     extract_fused,
     extract_images_fused,
@@ -694,6 +695,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # embedded-file attachments: /Names /EmbeddedFiles name tree
+        # (flat or /Kids+/Limits) -> /Filespec -> decoded /EF stream —
+        # one mapInPandas, zero shuffle, payload surfaced as (size, md5)
+        "doc_attachments": lambda s, d: extract_attachments_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # range join with NO equi key (surge windows around busy minutes),
+        # made shuffle-bounded by bucket expansion: ranges explode to <= 2
+        # width-120s buckets, events equi-join on their bucket, exact
+        # range predicate re-checked on survivors — no nested-loop join
+        # at any range-table size
+        "events_range_join": lambda s, d: relops.range_bucket_join(
+            _tbl(s, d, "events")
+        ),
         # link-graph aggregation over the extracted URIs: JVM-side
         # parse_url(HOST) + one hash aggregate (count + distinct docs per
         # host) — the outlink/host-level analysis a crawl pipeline runs
@@ -1093,10 +1110,15 @@ def oracle_sql() -> dict[str, str]:
                  -- interactive tier: /Annots link objects + /AcroForm + fields
                  + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
                  + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
+                 -- attachments: tree root (+2 kids when 2 files) + per-file
+                 -- filespec + EmbeddedFile stream
+                 + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
-                 + CAST(doc_id % 2 = 1 AS INT) AS INT) AS n_streams
+                 + CAST(doc_id % 2 = 1 AS INT)
+                 + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
+                 AS INT) AS n_streams
             FROM ne
         """,
         "parse_metrics": """
@@ -2312,6 +2334,22 @@ def oracle_sql() -> dict[str, str]:
                    END AS field_value
             FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS t(k)
             WHERE doc_id % 4 != 3
+        """,
+        # plain inequality join in SQL — the oracle proves the bucket
+        # expansion changes nothing semantically
+        "events_range_join": relops.range_bucket_join_oracle_sql(),
+        # analytic mirror of synth.attachment_payload: every 7th+3 doc
+        # carries 1 + doc_id % 2 embedded files; size/md5 recomputed from
+        # the repeat() payload rule on the SQL side
+        "doc_attachments": """
+            SELECT doc_id, CAST(j AS INT) AS att_idx,
+                   'att' || CAST(j AS VARCHAR) || '.txt' AS att_name,
+                   CAST(LENGTH(repeat('att payload ' || CAST(doc_id AS VARCHAR)
+                        || '/' || CAST(j AS VARCHAR) || ' ', 1 + (doc_id + j) % 3)) AS INT) AS size,
+                   md5(repeat('att payload ' || CAST(doc_id AS VARCHAR)
+                        || '/' || CAST(j AS VARCHAR) || ' ', 1 + (doc_id + j) % 3)) AS payload_md5
+            FROM documents, LATERAL unnest(generate_series(0, doc_id % 2)) AS t(j)
+            WHERE doc_id % 7 = 3
         """,
         # host parsed from the URI string in SQL (split on '//' then '/'),
         # mirroring Spark's parse_url(HOST) over the kernel-extracted links

@@ -18,6 +18,8 @@ lenient keeps going and reports errors as metric rows.
 
 from __future__ import annotations
 
+import hashlib
+
 from . import crypt
 from .cmap import CMap, simple_decode
 from .content import tokenize_content
@@ -728,3 +730,76 @@ def extract_doc_graph(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"links": links, "fields": fields, "errors": errors}
+
+
+def extract_attachments(data: bytes, password: bytes = b""):
+    """Embedded-file attachments: the catalog ``/Names /EmbeddedFiles``
+    name tree (ISO 32000 §7.7.4 — flat ``/Names`` arrays or a
+    ``/Kids``+``/Limits`` hierarchy, walked depth-capped in document
+    order) to ``/Filespec`` dicts (§7.11.3) to the ``/EF /F`` embedded
+    stream, whose decoded payload is surfaced as (size, md5).  The name
+    tree is the third tree shape in the document (after the page tree and
+    outline chain) and the only one keyed by *strings*; the reference
+    walks none of them past /Contents (doc_tree.rs:63-142).
+
+    Returns ``{"attachments": [(att_idx, name, size, payload_md5)],
+    "errors"}`` — lenient: damaged input yields an empty list + error
+    rows, never an exception."""
+    atts: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        names = get_resolved(root, "Names", objects) if isinstance(root, dict) else None
+        tree = (
+            get_resolved(names, "EmbeddedFiles", objects)
+            if isinstance(names, dict)
+            else None
+        )
+        pairs: list = []
+        stack = [(tree, 0)]
+        visited = 0
+        while stack and visited < 4096:  # document-order walk, depth- AND
+            # node-capped (a mutated branching /Kids cycle is bounded by the
+            # node cap, not just the depth cap)
+            visited += 1
+            node, depth = stack.pop(0)
+            node = resolve(node, objects)
+            if not isinstance(node, dict) or depth > MAX_TREE_DEPTH:
+                continue
+            arr = get_resolved(node, "Names", objects)
+            if isinstance(arr, list):
+                for i in range(0, len(arr) - 1, 2):
+                    pairs.append((arr[i], arr[i + 1]))
+            kids = get_resolved(node, "Kids", objects)
+            if isinstance(kids, list):
+                for pos, kid in enumerate(kids):
+                    stack.insert(pos, (kid, depth + 1))
+        for idx, (nm, fsref) in enumerate(pairs):
+            fs = resolve(fsref, objects)
+            if not isinstance(fs, dict):
+                errors.append(
+                    (REFERENCE_ERROR, "classify", "dangling filespec reference")
+                )
+                continue
+            ef = get_resolved(fs, "EF", objects)
+            st = get_resolved(ef, "F", objects) if isinstance(ef, dict) else None
+            size = digest = None
+            if isinstance(st, Stream) and st.data is not None:
+                size = len(st.data)
+                digest = hashlib.md5(bytes(st.data)).hexdigest()
+            elif isinstance(st, Stream):
+                errors.append((FILTER_ERROR, "decode", "attachment stream undecoded"))
+            atts.append((idx, _as_text(nm), size, digest))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"attachments": atts, "errors": errors}

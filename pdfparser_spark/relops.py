@@ -217,3 +217,86 @@ def bloom_semi_join_oracle_sql(cut: float = PRICE_CUT, m: int = BLOOM_M) -> str:
                sum_qty_true
         FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# range join via bucket expansion
+# ---------------------------------------------------------------------------
+
+RANGE_W = 120  # bucket width in seconds == range length (each range spans <= 2 buckets)
+BUSY_K = 2  # events/minute threshold that makes a minute "busy"
+
+
+def range_bucket_join(events: DataFrame, k: int = BUSY_K) -> DataFrame:
+    """Range join WITHOUT an equi key, made shuffle-bounded by bucket
+    expansion: count events inside every "surge window" around a busy
+    minute ([minute*60 - 30, minute*60 + 90), derived from the data
+    itself — count >= k events in the minute).
+
+    A naive plan for ``e.ts BETWEEN r.lo AND r.hi`` with no equality
+    conjunct is a BroadcastNestedLoopJoin (fine only while the range
+    table is small) or a cartesian product (never fine).  The standard
+    scale fix: pick a bucket width W >= max range length, explode each
+    range to the <= 2 buckets it overlaps, give each event its single
+    bucket floor(sec/W), equi-join on the bucket, and re-check the exact
+    range predicate on the survivors.  Both sides shuffle on a uniform
+    integer key, so the join scales with executors no matter how many
+    ranges exist (millions of busy minutes across years of a real event
+    log); a surge bucket with many events is ordinary shuffle-join skew,
+    which AQE's skew-split handles.  Overlapping windows are preserved —
+    an event inside two surge windows counts in both.
+
+    Emits (minute_id, n_events, n_users), one row per busy minute.
+    Oracle: the same join as a plain inequality join in DuckDB
+    (`range_bucket_join_oracle_sql`)."""
+    ev = events.select(
+        F.unix_timestamp("ts").cast("long").alias("e_sec"), "user_id"
+    )
+    busy = (
+        ev.groupBy(F.floor(F.col("e_sec") / 60).cast("long").alias("minute_id"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= k)
+        .select(
+            "minute_id",
+            (F.col("minute_id") * 60 - 30).alias("lo"),
+            (F.col("minute_id") * 60 + 90).alias("hi"),
+        )
+    )
+    ranges = busy.select(
+        "minute_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / RANGE_W).cast("long"),
+                F.floor((F.col("hi") - 1) / RANGE_W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    probe = ev.withColumn("bucket", F.floor(F.col("e_sec") / RANGE_W).cast("long"))
+    joined = probe.join(ranges, "bucket").filter(
+        (F.col("e_sec") >= F.col("lo")) & (F.col("e_sec") < F.col("hi"))
+    )
+    return joined.groupBy("minute_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def range_bucket_join_oracle_sql(k: int = BUSY_K) -> str:
+    """DuckDB mirror of range_bucket_join as a PLAIN inequality join —
+    the oracle checks the bucket trick changes nothing semantically."""
+    return f"""
+        WITH e AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e_sec, user_id FROM events
+        ), busy AS (
+          SELECT e_sec // 60 AS minute_id FROM e GROUP BY 1 HAVING COUNT(*) >= {k}
+        ), ranges AS (
+          SELECT minute_id, minute_id * 60 - 30 AS lo, minute_id * 60 + 90 AS hi
+          FROM busy
+        )
+        SELECT r.minute_id, COUNT(*) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM ranges r JOIN e ON e.e_sec >= r.lo AND e.e_sec < r.hi
+        GROUP BY r.minute_id
+    """

@@ -13,6 +13,7 @@ from .assemble import assemble, flatten_spans
 from .classify import classify
 from .decode import decode
 from .fused import (
+    extract_attachments_fused,
     extract_forms_fused,
     extract_fused,
     extract_images_fused,
@@ -23,4 +24,4 @@ from .fused import (
 from .synthesize import synthesize_corpus
 from .tokenize import tokenize
 
-__all__ = ["assemble", "classify", "decode", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "flatten_spans", "synthesize_corpus", "tokenize"]
+__all__ = ["assemble", "classify", "decode", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "extract_attachments_fused", "flatten_spans", "synthesize_corpus", "tokenize"]

@@ -235,3 +235,35 @@ def extract_forms_fused(documents_raw: DataFrame, password: bytes = b"") -> Data
         run,
         schema="doc_id long, field_idx int, field_name string, field_type string, field_value string",
     )
+
+
+def extract_attachments_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Embedded-file attachments, zero shuffle: /Names /EmbeddedFiles name
+    tree -> /Filespec -> decoded /EF stream
+    (`core.extract.extract_attachments`), one row per attachment.  Emits
+    (doc_id, att_idx, att_name, size, payload_md5)."""
+    from ..core.extract import extract_attachments
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                g = extract_attachments(_doc_bytes(spans), password=password)
+                for att_idx, name, size, digest in g["attachments"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "att_idx": int(att_idx),
+                            "att_name": name,
+                            "size": None if size is None else int(size),
+                            "payload_md5": digest,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "att_idx", "att_name", "size", "payload_md5"]
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, att_idx int, att_name string, size int, payload_md5 string",
+    )

@@ -77,6 +77,12 @@ def doc_rules(doc_id: int) -> dict:
         "n_links": 1 + doc_id % 4 if doc_id % 6 != 4 else 0,
         "form": doc_id % 4 != 3,
         "n_fields": 1 + doc_id % 3 if doc_id % 4 != 3 else 0,
+        # embedded-file attachments (ISO 32000 §7.7.4 name tree + §7.11
+        # file specifications) on every 7th+3 doc: 1 + doc_id % 2 files;
+        # the 2-file docs route through a /Kids+/Limits intermediate level
+        # so the name-tree walk is exercised beyond the flat /Names case
+        "attachments": doc_id % 7 == 3,
+        "n_attachments": 1 + doc_id % 2 if doc_id % 7 == 3 else 0,
         # positioning-operator family for the layout kernel: every page's
         # text-line origin lands at (72, 720 - 14*p) but REACHES it through
         # a different operator path (Td | Tm | Td+Td | Td+TD | Td+TL+')
@@ -138,6 +144,26 @@ def expected_fields(doc_id: int) -> list[tuple[int, str, str, str | None]]:
             out.append((k, f"f{k}", "Tx", None))
         else:
             out.append((k, f"f{k}", "Tx", f"v{doc_id}-{k}"))
+    return out
+
+
+def attachment_payload(doc_id: int, j: int) -> str:
+    """Deterministic embedded-file payload (mirrored in the
+    doc_attachments oracle SQL via repeat())."""
+    return f"att payload {doc_id}/{j} " * (1 + (doc_id + j) % 3)
+
+
+def expected_attachments(doc_id: int) -> list[tuple[int, str, int, str]]:
+    """Analytic ground truth for extract_attachments:
+    (att_idx, name, size, payload_md5)."""
+    import hashlib as _hashlib
+
+    out = []
+    for j in range(doc_rules(doc_id)["n_attachments"]):
+        payload = attachment_payload(doc_id, j).encode("ascii")
+        out.append(
+            (j, f"att{j}.txt", len(payload), _hashlib.md5(payload).hexdigest())
+        )
     return out
 
 
@@ -354,11 +380,29 @@ def build_document(doc_id: int, text: str) -> dict:
         field0_id = next_id + 1
         next_id += 1 + r["n_fields"]
 
+    # embedded-file attachments: name-tree root (+ kids level when 2 files)
+    # + per-file filespec dict + EmbeddedFile stream
+    n_att = r["n_attachments"]
+    att_tree_id = att_fs0 = att_ef0 = None
+    att_kid_ids: list[int] = []
+    if n_att:
+        att_tree_id = next_id
+        next_id += 1
+        if n_att == 2:
+            att_kid_ids = [next_id, next_id + 1]
+            next_id += 2
+        att_fs0 = next_id
+        next_id += n_att
+        att_ef0 = next_id
+        next_id += n_att
+
     cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
     if outl_root_id is not None:
         cat_body += f" /Outlines {outl_root_id} 0 R"
     if acro_id is not None:
         cat_body += f" /AcroForm {acro_id} 0 R"
+    if att_tree_id is not None:
+        cat_body += f" /Names << /EmbeddedFiles {att_tree_id} 0 R >>"
     cat_body += " >>"
     trailer_info = f" /Info {info_id} 0 R"
 
@@ -498,6 +542,43 @@ def build_document(doc_id: int, text: str) -> dict:
             body += " >>"
             obj_open(field0_id + k)
             b.struct(body.encode("ascii"))
+            obj_close()
+
+    # embedded-file attachments: name tree (flat /Names, or /Kids with
+    # /Limits for the 2-file docs) -> /Filespec -> /EF /F stream
+    if att_tree_id is not None:
+        att_names = [f"att{j}.txt" for j in range(n_att)]
+        obj_open(att_tree_id)
+        if att_kid_ids:
+            b.struct(
+                ("<< /Kids [" + " ".join(f"{k} 0 R" for k in att_kid_ids) + "] >>").encode("ascii")
+            )
+        else:
+            b.struct(f"<< /Names [({att_names[0]}) {att_fs0} 0 R] >>".encode("ascii"))
+        obj_close()
+        for j, kid in enumerate(att_kid_ids):
+            obj_open(kid)
+            b.struct(
+                f"<< /Limits [({att_names[j]}) ({att_names[j]})] "
+                f"/Names [({att_names[j]}) {att_fs0 + j} 0 R] >>".encode("ascii")
+            )
+            obj_close()
+        for j in range(n_att):
+            obj_open(att_fs0 + j)
+            b.struct(
+                f"<< /Type /Filespec /F ({att_names[j]}) "
+                f"/EF << /F {att_ef0 + j} 0 R >> >>".encode("ascii")
+            )
+            obj_close()
+        for j in range(n_att):
+            armored = binascii.hexlify(attachment_payload(doc_id, j).encode("ascii")) + b">"
+            obj_open(att_ef0 + j)
+            b.struct(
+                f"<< /Type /EmbeddedFile /Length {len(armored)} "
+                f"/Filter /ASCIIHexDecode >>\nstream\n".encode("ascii")
+            )
+            b.struct(armored)
+            b.struct(b"\nendstream")
             obj_close()
 
     # content streams (the *text* input spans)

@@ -229,6 +229,49 @@ def test_bloom_semi_join_no_false_negatives(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_range_bucket_join_matches_bruteforce(spark, sf_dir):
+    """The bucket-expanded range join equals a literal inequality join on
+    the same input, and its physical plan contains no nested-loop or
+    cartesian join — the point of the bucket trick."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfparser_spark import relops
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = relops.range_bucket_join(ev)
+    got = {r.minute_id: (r.n_events, r.n_users) for r in df.collect()}
+    assert got, "no busy minutes at this SF"
+
+    # brute force: plain inequality join (tiny at test SF)
+    e = ev.select(F.unix_timestamp("ts").cast("long").alias("e_sec"), "user_id")
+    busy = (
+        e.groupBy(F.floor(F.col("e_sec") / 60).cast("long").alias("minute_id"))
+        .count()
+        .filter(F.col("count") >= relops.BUSY_K)
+        .select(
+            "minute_id",
+            (F.col("minute_id") * 60 - 30).alias("lo"),
+            (F.col("minute_id") * 60 + 90).alias("hi"),
+        )
+    )
+    brute = (
+        e.join(
+            busy,
+            (F.col("e_sec") >= F.col("lo")) & (F.col("e_sec") < F.col("hi")),
+        )
+        .groupBy("minute_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("u"))
+        .collect()
+    )
+    assert {r.minute_id: (r.n, r.u) for r in brute} == got
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_zorder_beats_scattered_layout(spark, sf_dir):
     """Z-order layout must prune strictly more files than the scattered
     baseline for the same predicate, without losing any matching rows."""

@@ -166,6 +166,39 @@ def test_doc_graph_links_and_fields():
         assert g["fields"] == expected_fields(did)
 
 
+def test_attachments_name_tree_walk():
+    """/Names /EmbeddedFiles -> /Filespec -> decoded /EF stream follows
+    the synth rules: every 7th+3 doc, 1 + doc_id % 2 files, with the
+    2-file docs walked through the /Kids+/Limits intermediate level in
+    document order."""
+    from pdfparser_spark.core.extract import extract_attachments
+    from pdfparser_spark.synth import expected_attachments
+
+    seen_kids = seen_flat = 0
+    for did in range(0, 120):
+        d = build_document(did, "alpha beta gamma delta epsilon zeta " * 3)
+        g = extract_attachments(d["bytes"])
+        assert g["errors"] == []
+        assert g["attachments"] == expected_attachments(did)
+        if did % 7 == 3:
+            if did % 2 == 1:
+                seen_kids += 1
+            else:
+                seen_flat += 1
+    assert seen_kids and seen_flat  # both tree shapes exercised
+
+
+def test_attachments_damaged_is_lenient():
+    """A footer-cut document must yield an empty list + error rows, never
+    an exception."""
+    from pdfparser_spark.core.extract import extract_attachments
+
+    d = build_document(3, "alpha beta gamma delta")
+    cut = d["bytes"][: len(d["bytes"]) // 2]
+    g = extract_attachments(cut)
+    assert isinstance(g["attachments"], list)
+
+
 def test_doc_graph_damaged_is_lenient():
     """A footer-cut document must yield empty lists + error rows, never an
     exception."""

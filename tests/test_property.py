@@ -553,3 +553,34 @@ def test_doc_graph_never_raises_on_mutations(doc_id, seed, n_mutations):
             raw.insert(pos, rng.randrange(256))
     g = extract_doc_graph(bytes(raw))
     assert isinstance(g["links"], list) and isinstance(g["fields"], list)
+
+
+@given(
+    doc_id=st.integers(0, 40),
+    seed=st.integers(0, 10_000),
+    n_mutations=st.integers(1, 12),
+)
+@settings(max_examples=80, deadline=None)
+def test_attachments_never_raise_on_mutations(doc_id, seed, n_mutations):
+    """The name-tree walker (/Names /EmbeddedFiles -> /Filespec -> /EF) is
+    lenient like the span kernel: arbitrary mutations yield an empty list
+    + error rows, never an exception (and the walk is depth-capped, so a
+    mutated self-referencing /Kids cannot loop)."""
+    import random
+
+    from pdfparser_spark.core.extract import extract_attachments
+    from pdfparser_spark.synth import build_document
+
+    raw = bytearray(build_document(doc_id, "some words here for pages one and two")["bytes"])
+    rng = random.Random(seed)
+    for _ in range(n_mutations):
+        op = rng.randrange(3)
+        pos = rng.randrange(len(raw))
+        if op == 0:
+            raw[pos] = rng.randrange(256)
+        elif op == 1:
+            del raw[pos]
+        else:
+            raw.insert(pos, rng.randrange(256))
+    g = extract_attachments(bytes(raw))
+    assert isinstance(g["attachments"], list)

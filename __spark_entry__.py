@@ -695,6 +695,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # Count-Min sketch heavy hitters: d x w counter grid (bounded,
+        # mergeable state) probed for the exact top-20 tokens; the
+        # one-sided overcount estimates are bit-checked by an oracle that
+        # rebuilds the identical grid from the shared 48-bit md5 fold
+        "cms_heavy_hitters": lambda s, d: sketch.cms_heavy_hitters(_docs(s, d)),
         # embedded-file attachments: /Names /EmbeddedFiles name tree
         # (flat or /Kids+/Limits) -> /Filespec -> decoded /EF stream —
         # one mapInPandas, zero shuffle, payload surfaced as (size, md5)
@@ -2338,6 +2343,7 @@ def oracle_sql() -> dict[str, str]:
         # plain inequality join in SQL — the oracle proves the bucket
         # expansion changes nothing semantically
         "events_range_join": relops.range_bucket_join_oracle_sql(),
+        "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle_sql(),
         # analytic mirror of synth.attachment_payload: every 7th+3 doc
         # carries 1 + doc_id % 2 embedded files; size/md5 recomputed from
         # the repeat() payload rule on the SQL side

@@ -182,3 +182,96 @@ def consistent_sample(documents: DataFrame, rate: float = 0.125) -> DataFrame:
         documents.select("doc_id", "lang", u.alias("sample_u"))
         .filter(F.col("sample_u") < rate)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # buckets per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(
+    documents: DataFrame, d: int = CMS_D, w: int = CMS_W, topk: int = CMS_TOPK
+) -> DataFrame:
+    """(token, true_count, est_count): Count-Min sketch (Cormode &
+    Muthukrishnan 2005) estimates for the corpus' top-k tokens, next to
+    the exact counts so the one-sided error (est >= true, overcount only)
+    is checkable row by row.
+
+    The sketch is a d x w counter grid: cell(r, b) = total count of every
+    token whose r-th hash lands in bucket b; a token's estimate is the
+    MIN over its d cells.  State is d*w integers regardless of vocabulary
+    size, and cells merge across partitions/corpora by plain addition —
+    the property that makes CMS the standard frequency sketch at
+    10^12-token scale, where exact per-token counts are a full shuffle of
+    the vocabulary but the sketch is a bounded-size partial aggregate.
+    All hashing is the shared deterministic 48-bit md5 fold
+    (:func:`hash48`), so the DuckDB oracle rebuilds the identical grid
+    and the ESTIMATES compare exactly, not within tolerance.
+
+    Plan shape: one token aggregate (map-side combinable) feeds both the
+    grid (d small aggregates over the vocab table) and the exact top-k
+    (TakeOrderedAndProject); the probe joins k*d rows against the grid —
+    nothing rescans the corpus."""
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def keyed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "tok", "cnt", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d")
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                hash48(F.concat(F.col("tok"), F.lit("#cms"), F.col("d").cast("string"))),
+                F.lit(w).cast("long"),
+            ),
+        )
+
+    sketch = keyed(counts).groupBy("d", "bucket").agg(F.sum("cnt").alias("cell"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(topk)
+    return (
+        keyed(top)
+        .join(sketch, ["d", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell").alias("est_count"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("true_count"),
+            "est_count",
+        )
+    )
+
+
+def cms_heavy_hitters_oracle_sql(
+    d: int = CMS_D, w: int = CMS_W, topk: int = CMS_TOPK
+) -> str:
+    """DuckDB mirror: rebuilds the identical d x w grid with sql_hash48
+    and compares the min-cell estimates as hard integers."""
+    h = sql_hash48("tok || '#cms' || CAST(d AS VARCHAR)")
+    return f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS MATERIALIZED (
+          SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok != '' GROUP BY tok
+        ), keyed AS (
+          SELECT tok, cnt, d, {h} % {w} AS bucket
+          FROM counts, LATERAL unnest(generate_series(0, {d - 1})) AS t(d)
+        ), sketch AS (
+          SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS cell
+          FROM keyed GROUP BY d, bucket
+        ), top AS (
+          SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok LIMIT {topk}
+        ), probe AS (
+          SELECT tok, cnt, d, {h} % {w} AS bucket
+          FROM top, LATERAL unnest(generate_series(0, {d - 1})) AS t(d)
+        )
+        SELECT p.tok AS token, p.cnt AS true_count,
+               CAST(MIN(s.cell) AS BIGINT) AS est_count
+        FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+        GROUP BY 1, 2
+    """

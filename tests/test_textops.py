@@ -610,6 +610,50 @@ def test_media_bmp_odd_width_padding():
         assert np.array_equal(out, img)
 
 
+def test_cms_overcount_property_and_bounded_state(spark, sf_dir):
+    """Count-Min estimates never undercount (est >= true for every probed
+    token — the sketch's one-sided guarantee), the grid never exceeds
+    d*w cells, and the heavy hitters' estimates are tight on this corpus
+    (collisions add little mass to the top tokens)."""
+    from pdfparser_spark.textops import sketch
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    rows = sketch.cms_heavy_hitters(docs).collect()
+    assert len(rows) == sketch.CMS_TOPK
+    for r in rows:
+        assert r.est_count >= r.true_count, (r.token, r.est_count, r.true_count)
+        # top tokens dominate their buckets: collisions inflate < 2x here
+        assert r.est_count < 2 * r.true_count, (r.token, r.est_count, r.true_count)
+    # bounded state regardless of vocabulary size
+    import pyspark.sql.functions as F
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+    # grid cell count <= d * w (rebuild the sketch subplan shape)
+    grid = (
+        counts.select(
+            "tok",
+            "cnt",
+            F.explode(F.sequence(F.lit(0), F.lit(sketch.CMS_D - 1))).alias("d"),
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(
+                sketch.hash48(
+                    F.concat(F.col("tok"), F.lit("#cms"), F.col("d").cast("string"))
+                ),
+                F.lit(sketch.CMS_W).cast("long"),
+            ),
+        )
+        .groupBy("d", "bucket")
+        .count()
+    )
+    assert grid.count() <= sketch.CMS_D * sketch.CMS_W
+
+
 def test_kmv_sketch_accuracy(spark, sf_dir):
     """KMV estimate vs exact distinct-shingle count per lang: every group
     within 30% (k=32 -> stderr ~18%; observed max 0.221 on this corpus —

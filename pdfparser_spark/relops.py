@@ -300,3 +300,86 @@ def range_bucket_join_oracle_sql(k: int = BUSY_K) -> str:
         FROM ranges r JOIN e ON e.e_sec >= r.lo AND e.e_sec < r.hi
         GROUP BY r.minute_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join
+# ---------------------------------------------------------------------------
+
+SKEW_SALTS = 8  # dim replicas; size >= the hot key's overload factor
+
+
+def salted_skew_join(events: DataFrame, salts: int = SKEW_SALTS) -> DataFrame:
+    """(grp, grp_owner, n_events, total_cents): a shuffle join whose key
+    is deliberately SKEWED — ~70% of rows collapse onto one ``hot``
+    group — repaired by explicit salting, the standard fix when the
+    build side is too large to broadcast and one reducer would
+    otherwise receive most of the probe table.
+
+    Mechanics: every dim row is replicated ``salts`` times with a salt
+    column (``explode(sequence(...))`` — dim grows by a constant
+    factor, never by data volume), each fact row draws ONE deterministic
+    salt from the full-entropy 48-bit md5 fold of its event_id, and the
+    join runs on (grp, salt) — so the hot key's rows spread over
+    ``salts`` reducers instead of one.  Each fact row still matches
+    exactly one dim replica, which is why the result is bit-identical
+    to the unsalted join (the oracle IS the unsalted join).  The
+    ``merge`` hint pins a SortMergeJoin: a broadcast join would make
+    the demo vacuous (broadcast is the right fix when the dim FITS —
+    salting is for when it doesn't).
+
+    At 100 TB: AQE's skew-join splitting handles *moderate* skew at
+    runtime, but it only splits oversized partitions of a completed
+    shuffle map stage; a single key holding most of the table still
+    funnels through few reducers on the DIM side of the match.  Explicit
+    salting bounds every reducer by construction and composes with AQE.
+    Integer cents keep the rollup bit-exact cross-engine."""
+    fact = events.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        "user_id",
+    )
+    dim = fact.groupBy("grp").agg(F.min("user_id").alias("grp_owner"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    fact_salted = fact.withColumn(
+        "salt",
+        F.pmod(
+            hash48(F.concat(F.col("event_id").cast("string"), F.lit("#skewsalt"))),
+            F.lit(salts).cast("long"),
+        ).cast("int"),
+    )
+    return (
+        fact_salted.hint("merge")
+        .join(dim_salted, ["grp", "salt"])
+        .groupBy("grp", "grp_owner")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )
+
+
+def salted_skew_join_oracle_sql() -> str:
+    """DuckDB mirror as the PLAIN (unsalted) join — the oracle proves
+    the salt replication changes nothing semantically."""
+    return """
+        WITH fact AS (
+          SELECT event_id,
+                 CASE WHEN user_id % 10 < 7 THEN 'hot'
+                      ELSE 'u' || CAST(user_id AS VARCHAR) END AS grp,
+                 CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                 user_id
+          FROM events
+        ), dim AS (
+          SELECT grp, MIN(user_id) AS grp_owner FROM fact GROUP BY grp
+        )
+        SELECT f.grp, d.grp_owner, COUNT(*) AS n_events,
+               CAST(SUM(f.cents) AS BIGINT) AS total_cents
+        FROM fact f JOIN dim d ON f.grp = d.grp
+        GROUP BY 1, 2
+    """

@@ -371,3 +371,56 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     sr = stream_res.select("window_start", "c_mktsegment", "n_events")
     assert sr.exceptAll(batch).count() == 0
     assert batch.exceptAll(sr).count() == 0
+
+
+def test_salted_skew_join_equals_plain_join_and_spreads_hot_key(spark, sf_dir):
+    """The salted join's result equals the plain (unsalted) join, the
+    pinned plan really is a SortMergeJoin (no broadcast — salting is the
+    fix for a dim too big to broadcast), and the hot key's fact rows
+    genuinely spread across multiple salt values."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdfparser_spark import relops
+    from pdfparser_spark.textops.sketch import hash48
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    salted = relops.salted_skew_join(ev)
+    got = {r.grp: (r.grp_owner, r.n_events, r.total_cents) for r in salted.collect()}
+
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("user_id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        "user_id",
+    )
+    dim = fact.groupBy("grp").agg(F.min("user_id").alias("grp_owner"))
+    plain = (
+        fact.join(dim, "grp")
+        .groupBy("grp", "grp_owner")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+    want = {r.grp: (r.grp_owner, r.n_events, r.total_cents) for r in plain.collect()}
+    assert got == want
+
+    # the skew is real (hot group dominates) and the salt spreads it
+    assert want["hot"][1] > 0.5 * sum(v[1] for v in want.values())
+    n_salts = (
+        fact.filter(F.col("grp") == "hot")
+        .select(
+            F.pmod(
+                hash48(F.concat(F.col("event_id").cast("string"), F.lit("#skewsalt"))),
+                F.lit(relops.SKEW_SALTS).cast("long"),
+            ).alias("salt")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts >= relops.SKEW_SALTS // 2, n_salts
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan

@@ -717,6 +717,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-sided overcount estimates are bit-checked by an oracle that
         # rebuilds the identical grid from the shared 48-bit md5 fold
         "cms_heavy_hitters": lambda s, d: sketch.cms_heavy_hitters(_docs(s, d)),
+        # HyperLogLog distinct shingles: 256 max-rank registers per lang
+        # (mergeable sketch state, never the value set); integer-exact
+        # rank via length(bin(w)) and a <53-bit harmonic sum make even
+        # the ESTIMATE double bit-identical cross-engine
+        "hll_distinct_shingles": lambda s, d: sketch.hll_distinct_shingles(
+            _docs(s, d)
+        ),
         # SALTED skew join: ~70% of rows collapse onto one hot key; dim
         # replicated x8 with a salt column, fact salted by md5(event_id),
         # SortMergeJoin pinned (broadcast would make the demo vacuous) —
@@ -2361,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
         # plain unsalted join: proves salt replication is semantics-free
         "skew_salted_join": relops.salted_skew_join_oracle_sql(),
         "cms_heavy_hitters": sketch.cms_heavy_hitters_oracle_sql(),
+        "hll_distinct_shingles": sketch.hll_distinct_shingles_oracle_sql(),
         # analytic mirror of synth.attachment_payload: every 7th+3 doc
         # carries 1 + doc_id % 2 embedded files; size/md5 recomputed from
         # the repeat() payload rule on the SQL side

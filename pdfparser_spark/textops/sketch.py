@@ -275,3 +275,116 @@ def cms_heavy_hitters_oracle_sql(
         FROM probe p JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
         GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct count
+# ---------------------------------------------------------------------------
+
+HLL_P = 8  # register-index bits
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_WBITS = 40  # rank window: the 40 hash bits below the index
+
+
+def hll_distinct_shingles(documents: DataFrame) -> DataFrame:
+    """(lang, exact_distinct, n_zero_registers, est_distinct): HyperLogLog
+    (Flajolet et al. 2007) distinct-shingle estimate per language, next
+    to the exact count so the ~1.04/sqrt(m) error is checkable.
+
+    The sketch state is m=256 registers per group, register j = max over
+    its values of (leading-zero rank of the hash suffix) — mergeable by
+    elementwise MAX, which is why HLL is the industry cardinality sketch
+    at 10^12 rows: the full-value distinct set never shuffles, only the
+    register grid does (a map-side-combinable max aggregate).  Spark's
+    own approx_count_distinct IS HLL++ but with engine-private
+    randomness; this one is built on the shared 48-bit md5 fold so the
+    DuckDB oracle rebuilds the identical registers and the ESTIMATE
+    compares bit-exactly:
+
+      * rank = 41 - bit_length(hash mod 2^40) — `length(bin(w))` on both
+        engines, no floating log2;
+      * the harmonic sum adds reciprocal powers of two spanning < 53
+        bits, so every partial sum is exact in a double → order- and
+        partitioning-independent;
+      * alpha_m and the final multiply/divide are written in ONE operand
+        order on both sides.
+
+    The small-range linear-counting correction (est <= 2.5m with empty
+    registers) is deliberately omitted — ln() is not bit-portable across
+    engines — and pytest asserts the corpus sits outside that regime
+    (thousands of shingles per language vs the 640 cutoff)."""
+    from .dedup import shingles_expr
+
+    sh = documents.select("lang", F.explode(shingles_expr()).alias("sh"))
+    h = hash48(F.col("sh"))
+    w = F.pmod(h, F.lit(1 << HLL_WBITS).cast("long"))
+    ranked = sh.select(
+        "lang",
+        F.shiftright(h, HLL_WBITS).alias("idx"),
+        F.when(w == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rank"),
+    )
+    regs = ranked.groupBy("lang", "idx").agg(F.max("rank").alias("m_rank"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    per_lang = regs.groupBy("lang").agg(
+        (
+            F.sum(
+                F.lit(1.0)
+                / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), m_rank) AS DOUBLE)")
+            )
+            + (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+        ).alias("s_harm"),
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero_registers"),
+    )
+    exact = documents.select("lang", F.explode(shingles_expr()).alias("sh")).groupBy(
+        "lang"
+    ).agg(F.countDistinct("sh").alias("exact_distinct"))
+    return (
+        per_lang.join(exact, "lang")
+        .select(
+            "lang",
+            "exact_distinct",
+            "n_zero_registers",
+            (alpha * F.lit(float(HLL_M * HLL_M)) / F.col("s_harm")).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
+def hll_distinct_shingles_oracle_sql() -> str:
+    """DuckDB mirror: identical registers from sql_hash48, identical
+    operand order for the harmonic sum and the final estimate."""
+    two_w = 1 << HLL_WBITS
+    return f"""
+        WITH w AS (
+          SELECT lang, string_split(text, ' ') AS w FROM documents
+        ), shingled AS (
+          SELECT lang, array_to_string(w[i : i+2], ' ') AS sh
+          FROM w, LATERAL unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS t(i)
+          WHERE len(w) >= 3
+        ), hv AS (
+          SELECT lang, sh, {sql_hash48("sh")} AS hv FROM shingled
+        ), ranked AS (
+          SELECT lang, hv // {two_w} AS idx,
+                 CASE WHEN hv % {two_w} = 0 THEN {HLL_WBITS + 1}
+                      ELSE {HLL_WBITS + 1} - length(bin(hv % {two_w})) END AS rank
+          FROM hv
+        ), regs AS (
+          SELECT lang, idx, MAX(rank) AS m_rank FROM ranked GROUP BY 1, 2
+        ), per_lang AS (
+          SELECT lang,
+                 SUM(1.0 / CAST(CAST(1 AS BIGINT) << m_rank AS DOUBLE))
+                   + CAST({HLL_M} - COUNT(*) AS DOUBLE) AS s_harm,
+                 CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero_registers
+          FROM regs GROUP BY 1
+        ), exact AS (
+          SELECT lang, COUNT(DISTINCT sh) AS exact_distinct FROM hv GROUP BY 1
+        )
+        SELECT p.lang, e.exact_distinct, p.n_zero_registers,
+               (0.7213 / (1.0 + 1.079 / {float(HLL_M)})) * {float(HLL_M * HLL_M)}
+                 / p.s_harm AS est_distinct
+        FROM per_lang p JOIN exact e ON e.lang = p.lang
+    """

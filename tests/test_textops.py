@@ -836,3 +836,24 @@ def test_semantic_dedup_domination_rule(spark, sf_dir):
                 assert cos_max >= 0.30 - 1e-9
             else:
                 assert cos_max < 0.30 + 1e-9
+
+
+def test_hll_estimate_accuracy_and_regime(spark, sf_dir):
+    """HLL per-lang estimates land within 3 standard errors
+    (1.04/sqrt(256) ~ 6.5% -> 20% bound), and the corpus sits outside
+    the omitted small-range-correction regime (raw estimate > 2.5m or
+    no empty registers) so the omission never bites here."""
+    from pdfparser_spark.textops import sketch
+
+    docs = spark.read.parquet(sf_dir + "/documents.parquet")
+    rows = sketch.hll_distinct_shingles(docs).collect()
+    assert rows
+    for r in rows:
+        err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+        assert err < 0.20, (r.lang, r.exact_distinct, r.est_distinct)
+        # outside the linear-counting regime the implementation omits
+        assert r.est_distinct > 2.5 * sketch.HLL_M or r.n_zero_registers == 0, (
+            r.lang,
+            r.est_distinct,
+            r.n_zero_registers,
+        )

@@ -207,25 +207,45 @@ class SnapshotLog:
         table: str,
         snapshot_id: int | None = None,
         where: tuple[str, object, object] | None = None,
+        where_eq: tuple[str, object] | None = None,
     ) -> tuple[list[str], int]:
         """Manifest-planned file list with min/max skip: given ``where =
         (col, lo, hi)``, drop every directory whose recorded [min, max]
         range for ``col`` cannot intersect [lo, hi] (None bound =
-        unbounded).  Directories lacking stats are kept — pruning is a
-        pure optimization, never a correctness filter (the residual
-        predicate still runs).  Returns (dirs, n_skipped)."""
+        unbounded).  ``where_eq=(col, v)`` is the point-lookup planner:
+        it applies the [v, v] range check AND the per-directory Bloom
+        filter (see :func:`_dir_stats`) — the case min/max cannot help,
+        e.g. interleaved id ranges where every directory's [min, max]
+        straddles the probe.  Directories lacking stats are kept —
+        pruning is a pure optimization, never a correctness filter (the
+        residual predicate still runs).  Returns (dirs, n_skipped)."""
         dirs = self.files_for(table, snapshot_id)
-        if where is None:
+        if where is None and where_eq is None:
             return dirs, 0
-        col, lo, hi = where
+        if where_eq is not None and where is not None:
+            raise ValueError("pass where or where_eq, not both")
+        if where_eq is not None:
+            col, v = where_eq
+            lo = hi = v
+        else:
+            col, lo, hi = where
         stats = self.stats_for(table, snapshot_id)
+        probe_bits = (
+            _bloom_positions(str(where_eq[1])) if where_eq is not None else None
+        )
         kept = []
         for d in dirs:
-            rng = stats.get(d, {}).get("cols", {}).get(col)
+            ds = stats.get(d, {})
+            rng = ds.get("cols", {}).get(col)
             if rng is not None and (
                 (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
             ):
                 continue
+            bloom = ds.get("bloom", {}).get(col) if probe_bits is not None else None
+            if bloom is not None:
+                bits = bytes.fromhex(bloom)
+                if not all(bits[p // 8] & (1 << (p % 8)) for p in probe_bits):
+                    continue  # definite miss: no false negatives by construction
             kept.append(d)
         return kept, len(dirs) - len(kept)
 
@@ -249,18 +269,21 @@ class SnapshotLog:
         snapshot_id: int | None = None,
         as_of_ts: float | None = None,
         where: tuple[str, object, object] | None = None,
+        where_eq: tuple[str, object] | None = None,
     ) -> DataFrame:
         """Read a table at HEAD, at a snapshot id, or as of a timestamp —
         planned strictly from the snapshot manifests.  ``where=(col, lo,
         hi)`` additionally skips non-matching directories via the manifest
         stats (file-level pruning BEFORE Spark ever lists them — at 10^12
         rows the read cost is dominated by how many files the plan
-        touches) and applies the residual range filter to the survivors."""
+        touches) and applies the residual range filter to the survivors.
+        ``where_eq=(col, v)`` is the point-lookup path: min/max AND the
+        manifest Bloom filter prune, residual ``col == v`` runs after."""
         if as_of_ts is not None:
             snapshot_id = self.as_of(as_of_ts)
             if snapshot_id is None:
                 raise ValueError(f"no snapshot at or before ts {as_of_ts}")
-        dirs, _skipped = self.plan_files(table, snapshot_id, where)
+        dirs, _skipped = self.plan_files(table, snapshot_id, where, where_eq)
         # schema evolution: if the chain recorded more than one schema for
         # the table, merge parquet footers so pre-evolution files surface
         # the added columns as NULL (additive-only, enforced at commit)
@@ -273,7 +296,9 @@ class SnapshotLog:
         if len(seen_schemas) > 1:
             reader = reader.option("mergeSchema", "true")
         if not dirs:
-            if where is not None and self.files_for(table, snapshot_id):
+            if (where is not None or where_eq is not None) and self.files_for(
+                table, snapshot_id
+            ):
                 # everything pruned: a valid empty result with the right schema
                 all_dirs = self.files_for(table, snapshot_id)
                 df = reader.parquet(*all_dirs).limit(0)
@@ -286,6 +311,8 @@ class SnapshotLog:
                 df = df.filter(F.col(col) >= lo)
             if hi is not None:
                 df = df.filter(F.col(col) <= hi)
+        if where_eq is not None:
+            df = df.filter(F.col(where_eq[0]) == where_eq[1])
         ddirs = self.delete_files_for(table, snapshot_id)
         if ddirs:
             # merge-on-read: anti-join the accumulated equality-delete keys
@@ -594,16 +621,59 @@ def delete_docs(
     )
 
 
+BLOOM_M = 4096  # bits per manifest Bloom filter (512-byte hex blob per dir)
+BLOOM_K = 2  # hash functions
+
+
+def _bloom_positions(value: str) -> list[int]:
+    """The probe value's BLOOM_K bit positions — the pure-Python mirror
+    of the Spark-side derivation in :func:`_dir_stats` (same md5 fold:
+    ``int(md5(s).hexdigest()[:12], 16)`` == ``sketch.hash48``)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}#bloom{k}".encode()).hexdigest()[:12], 16) % BLOOM_M
+        for k in range(BLOOM_K)
+    ]
+
+
 def _dir_stats(df: DataFrame, col: str = "doc_id") -> tuple[int, dict]:
-    """One combined aggregate -> (row_count, manifest stats entry).  The
-    count the caller needs anyway and the min/max the manifest wants come
-    from a single job over data just written."""
+    """One combined aggregate -> (row_count, manifest stats entry): the
+    count the caller needs anyway, the min/max the manifest wants, and
+    the per-directory Bloom filter over the column's values — all from a
+    single job over data just written.
+
+    The Bloom is the point-lookup complement to min/max (Iceberg's
+    parquet bloom / puffin idea): when directories hold interleaved id
+    ranges, every [min, max] straddles the probe and range pruning skips
+    nothing, but a 512-byte bitmap answers "definitely absent" exactly.
+    Only the <= BLOOM_M distinct bit POSITIONS cross to the driver, never
+    the values, so manifest size is constant per directory regardless of
+    row count.  No false negatives (membership bits are set for every
+    row's value); false positives only cost a wasted scan."""
+    from .textops.sketch import hash48
+
+    pos = [
+        F.pmod(
+            hash48(F.concat(F.col(col).cast("string"), F.lit(f"#bloom{k}"))),
+            F.lit(BLOOM_M).cast("long"),
+        )
+        for k in range(BLOOM_K)
+    ]
     row = df.agg(
-        F.count(F.lit(1)).alias("n"), F.min(col).alias("lo"), F.max(col).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.min(col).alias("lo"),
+        F.max(col).alias("hi"),
+        *[F.collect_set(p).alias(f"pos{k}") for k, p in enumerate(pos)],
     ).collect()[0]
     stats: dict = {"rows": int(row["n"]), "cols": {}}
     if row["lo"] is not None:
         stats["cols"][col] = [int(row["lo"]), int(row["hi"])]
+        bits = bytearray(BLOOM_M // 8)
+        for k in range(BLOOM_K):
+            for p in row[f"pos{k}"]:
+                bits[p // 8] |= 1 << (p % 8)
+        stats["bloom"] = {col: bytes(bits).hex()}
     return int(row["n"]), stats
 
 

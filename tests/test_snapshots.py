@@ -438,3 +438,51 @@ def test_extract_stream_to_log_matches_batch(spark, sf_dir, tmp_path):
 
     again = extract_stream_to_log(spark, sf_dir, log_root=root)
     assert again.count() == got.count()  # no new files -> no new rows
+
+
+def test_manifest_bloom_point_lookup_skipping(spark, tmp_path):
+    """Interleaved id ranges defeat min/max pruning (every dir's [min,
+    max] straddles any probe), but the manifest Bloom still skips the
+    non-containing directory on a point lookup; absent keys prune
+    everything; results always equal scan+filter (no false negatives)."""
+    from pdfparser_spark.snapshots import _dir_stats
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    evens = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(0, 40, 2)], "doc_id long, text string"
+    )
+    odds = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 40, 2)], "doc_id long, text string"
+    )
+    dirs = []
+    for df in (evens, odds):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        back = spark.read.parquet(d)
+        _, stats = _dir_stats(back)
+        log.commit(
+            {"docs": [d]},
+            schemas={"docs": back.schema.json()},
+            stats={"docs": {d: stats}},
+        )
+        dirs.append(d)
+
+    # min/max ranges overlap: a range plan for one key skips NOTHING
+    planned, skipped = log.plan_files("docs", where=("doc_id", 6, 6))
+    assert skipped == 0 and len(planned) == 2
+    # ... but the bloom point-lookup plan skips the odd directory
+    planned_eq, skipped_eq = log.plan_files("docs", where_eq=("doc_id", 6))
+    assert skipped_eq >= 1, "bloom failed to skip the non-containing dir"
+    assert dirs[0] in planned_eq
+    got = log.read(spark, "docs", where_eq=("doc_id", 6)).collect()
+    assert [(r.doc_id, r.text) for r in got] == [(6, "doc 6")]
+
+    # an absent key: no false negatives means a possibly-empty plan, and
+    # the read is a valid empty frame with the right schema
+    empty = log.read(spark, "docs", where_eq=("doc_id", 99))
+    assert empty.count() == 0 and empty.columns == ["doc_id", "text"]
+
+    # every present key returns exactly its row (bloom has no false negatives)
+    for probe in (0, 1, 17, 38, 39):
+        rows = log.read(spark, "docs", where_eq=("doc_id", probe)).collect()
+        assert [(r.doc_id, r.text) for r in rows] == [(probe, f"doc {probe}")]

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
+from pdfparser_spark.sources import warc
 from pdfparser_spark.stages import (
     extract_attachments_fused,
     extract_forms_fused,
@@ -106,6 +107,38 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _warc_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per (sf, source-version)) the synthetic ``.warc.gz``
+    shard directory for the documents table — the distributed writer runs
+    as a Spark job; the marker makes re-entry a no-op."""
+    out = os.path.join(
+        _CACHE_ROOT, f"warc_{os.path.basename(os.path.normpath(sf_dir))}_{_SRC_TAG}"
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        warc.write_warc_shards(_docs(spark, sf_dir), out, n_shards=8).count()
+        open(marker, "w").close()
+    return out
+
+
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-shaped ingestion: binaryFile scan over multi-member
+    ``.warc.gz`` shards -> gzip-member split -> WARC/HTTP parse (one
+    zero-shuffle mapInPandas) -> typed per-document rows.  Request and
+    warcinfo records are filtered by the reader; 404 responses surface
+    with their real status so downstream quality filters see them."""
+    parsed = warc.read_warc(spark, _warc_dir(spark, sf_dir))
+    return parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "url",
+        "warc_date",
+        F.col("status").alias("http_status"),
+        "content_type",
+        F.col("n_bytes").alias("body_bytes"),
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+    )
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -360,7 +393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # canonical-document selection: argmax(quality) per duplicate
         # cluster as ONE max-of-struct aggregate (no window re-sort)
         "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
-        "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        # Common Crawl-shaped WARC source: distributed synth writer ->
+        # binaryFile scan -> per-record gzip-member split + WARC/HTTP
+        # parse in ONE zero-shuffle mapInPandas; oracle rebuilds every
+        # record analytically from the documents table
+        "warc_ingest": _warc_ingest,
         # link-analysis quality prior: fixed-iteration integer PageRank
         # over the deterministic doc_id graph — K unrolled join+agg
         # rounds in ONE plan, hub skew absorbed by map-side combine
@@ -448,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: same-oracle execution-mode variants + stub-tier demos ---
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
+        "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         "extract_spans_fused": lambda s, d: flatten_spans(
             extract_fused(
                 synthesize_corpus(
@@ -1561,6 +1599,32 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        # the WARC reader's expected output, rebuilt analytically from the
+        # source rows (same trick as the PDF synth families): url/date/
+        # status/body are pure functions of (doc_id, text); text is ASCII
+        # so length(body) == octet_length and md5 hashes identical bytes
+        "warc_ingest": """
+            WITH b AS (
+              SELECT doc_id,
+                     'http://host' || (doc_id % 13) || '.example.org/doc/' || doc_id AS url,
+                     strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                     CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS INTEGER)
+                       AS http_status,
+                     'text/html; charset=utf-8' AS content_type,
+                     CASE WHEN doc_id % 17 = 3
+                          THEN '<html><body>not found</body></html>'
+                          ELSE '<html><head><title>doc ' || doc_id
+                               || '</title></head><body><p>' || text
+                               || '</p></body></html>'
+                     END AS body
+              FROM documents
+            )
+            SELECT doc_id, url, warc_date, http_status, content_type,
+                   CAST(length(body) AS BIGINT) AS body_bytes,
+                   md5(body) AS body_md5
+            FROM b
         """,
         "simhash16": """
             WITH wx AS (

@@ -1,0 +1,303 @@
+"""WARC (ISO 28500) web-archive source — the Common Crawl ingestion shape.
+
+The reference engine reads exactly one local file per run
+(/root/reference/src/pdf_doc/pdf_file/pdf_file.rs:118-158 ``create_pdf_from_file``);
+a 100 TB web corpus instead arrives as ~1 GB ``.warc.gz`` shards where EVERY
+RECORD IS ITS OWN GZIP MEMBER (the Common Crawl convention — it makes any
+record independently seekable).  This module provides both halves:
+
+* a deterministic distributed WARC writer (`write_warc_shards`) — the synth
+  family for this source: content derives only from ``(doc_id, text)`` so a
+  DuckDB oracle can state the expected parse output analytically, exactly
+  like `synth.build_document` does for the PDF families;
+* a reader (`read_warc`) built on Spark's ``binaryFile`` source plus one
+  `mapInPandas` that splits gzip members with ``zlib`` and parses the WARC
+  record grammar + the embedded HTTP/1.1 response.
+
+Scale notes (100 TB): parallelism is file-level — `binaryFile` gives one
+task per shard, which matches Common Crawl's ~1 GB shard sizing (80 k files
+for a crawl → plenty of tasks for 1000 executors; keep shards under the
+source's 2 GB per-file ceiling).  The parse is a zero-shuffle stateless
+kernel: the only exchanges in any downstream plan are the ones the QUERY
+asks for.  Corrupt shards are contained — a truncated gzip member or a bad
+record raises `ValueError` inside the kernel, the file is skipped and
+counted, never a task failure (same containment contract as the media
+decoders in `textops/media.py`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timedelta
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EPOCH = datetime(2024, 1, 1)  # WARC-Date base: deterministic, never wall clock
+_CRLF = b"\r\n"
+
+READ_SCHEMA = (
+    "path string, url string, warc_date string, status int, "
+    "content_type string, n_bytes long, body string"
+)
+
+
+# ---------------------------------------------------------------------------
+# record builders (the deterministic synth side)
+# ---------------------------------------------------------------------------
+
+
+def doc_url(doc_id: int) -> str:
+    """Deterministic crawl URL for a doc — host spread over 13 vhosts so
+    host-level aggregations downstream see real key diversity."""
+    return f"http://host{doc_id % 13}.example.org/doc/{doc_id}"
+
+
+def doc_date(doc_id: int) -> str:
+    """ISO-8601 WARC-Date, ``_EPOCH + doc_id`` seconds."""
+    return (_EPOCH + timedelta(seconds=doc_id)).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def doc_body(doc_id: int, text: str) -> str:
+    """The HTTP body the synthetic server returns: a minimal HTML page for
+    2xx docs, a fixed error page for the 404 slice (doc_id % 17 == 3) —
+    the reader must surface BOTH so downstream filters see real statuses."""
+    if doc_id % 17 == 3:
+        return "<html><body>not found</body></html>"
+    return (
+        f"<html><head><title>doc {doc_id}</title></head>"
+        f"<body><p>{text}</p></body></html>"
+    )
+
+
+def doc_status(doc_id: int) -> int:
+    return 404 if doc_id % 17 == 3 else 200
+
+
+def _record(warc_type: str, headers: list[tuple[str, str]], block: bytes) -> bytes:
+    rid = hashlib.md5(f"warc-record-{warc_type}-{headers}".encode()).hexdigest()
+    head = ["WARC/1.0", f"WARC-Type: {warc_type}"]
+    head += [f"{k}: {v}" for k, v in headers]
+    head += [
+        f"WARC-Record-ID: <urn:uuid:{rid}>",
+        f"Content-Length: {len(block)}",
+    ]
+    return (
+        "\r\n".join(head).encode("ascii")
+        + _CRLF * 2
+        + block
+        + _CRLF * 2  # ISO 28500 §4: two CRLFs terminate every record
+    )
+
+
+def build_warcinfo_record(shard: int) -> bytes:
+    block = (
+        "software: pdfspark-synth/1.0\r\n"
+        "format: WARC File Format 1.0\r\n"
+        f"description: synthetic crawl shard {shard}\r\n"
+    ).encode("ascii")
+    return _record(
+        "warcinfo",
+        [
+            ("WARC-Date", doc_date(0)),
+            ("Content-Type", "application/warc-fields"),
+        ],
+        block,
+    )
+
+
+def build_request_record(doc_id: int) -> bytes:
+    """The paired GET request — present in real crawls; the reader must
+    SKIP it (only responses carry payload)."""
+    http = (
+        f"GET /doc/{doc_id} HTTP/1.1\r\n"
+        f"Host: host{doc_id % 13}.example.org\r\n"
+        "User-Agent: pdfspark-crawler/1.0\r\n\r\n"
+    ).encode("ascii")
+    return _record(
+        "request",
+        [
+            ("WARC-Date", doc_date(doc_id)),
+            ("WARC-Target-URI", doc_url(doc_id)),
+            ("Content-Type", "application/http; msgtype=request"),
+        ],
+        http,
+    )
+
+
+def build_response_record(doc_id: int, text: str) -> bytes:
+    body = doc_body(doc_id, text).encode("utf-8")
+    status = doc_status(doc_id)
+    reason = "OK" if status == 200 else "Not Found"
+    http = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    return _record(
+        "response",
+        [
+            ("WARC-Date", doc_date(doc_id)),
+            ("WARC-Target-URI", doc_url(doc_id)),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+
+
+def write_warc_shards(
+    documents: DataFrame, out_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Distributed deterministic writer: ``documents(doc_id, text)`` ->
+    ``out_dir/shard-NNNNN.warc.gz``, one file per ``doc_id % n_shards``
+    group, every record its own gzip member (Common Crawl layout), records
+    sorted by doc_id inside a shard so shard bytes are reproducible.
+
+    Executors write to the shared filesystem directly (local FS here; a
+    cluster points ``out_dir`` at the distributed store) via write-temp +
+    atomic rename, so task retries are idempotent.  Returns the manifest
+    ``(shard, path, n_records)`` — materializing it IS the write."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.warc.gz")
+        pdf = pdf.sort_values("doc_id")
+        parts = [gzip.compress(build_warcinfo_record(shard), mtime=0)]
+        n = 0
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(doc_id)
+            txt = text if isinstance(text, str) else ""
+            parts.append(gzip.compress(build_request_record(did), mtime=0))
+            parts.append(gzip.compress(build_response_record(did, txt), mtime=0))
+            n += 1
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(b"".join(parts))
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "path": [path], "n_records": [n]})
+
+    return (
+        documents.select("doc_id", "text")
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+        .groupBy("shard")
+        .applyInPandas(write, schema="shard long, path string, n_records long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def split_gzip_members(data: bytes) -> Iterator[bytes]:
+    """Split a multi-member gzip stream into decompressed members.  A
+    truncated final member raises ValueError (contained by the caller)."""
+    while data:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(data)
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        yield out
+        data = d.unused_data
+
+
+def _parse_records_in(buf: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Parse concatenated WARC records in one decompressed buffer ->
+    (headers lower-cased, block bytes).  Strict on the framing the spec
+    fixes (version line, Content-Length, record terminator)."""
+    pos = 0
+    while pos < len(buf):
+        end = buf.find(_CRLF * 2, pos)
+        if end < 0:
+            raise ValueError("unterminated WARC header block")
+        lines = buf[pos:end].decode("ascii", errors="replace").split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC version line: {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as e:
+            raise ValueError("missing/bad Content-Length") from e
+        block_start = end + 4
+        block_end = block_start + clen
+        if buf[block_end : block_end + 4] != _CRLF * 2:
+            raise ValueError("missing record terminator")
+        yield headers, buf[block_start:block_end]
+        pos = block_end + 4
+
+
+def parse_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """All records of a shard: gzip-member-split when the magic says gzip,
+    else the raw buffer is treated as one uncompressed ``.warc``."""
+    members = split_gzip_members(raw) if raw[:2] == b"\x1f\x8b" else iter([raw])
+    for member in members:
+        yield from _parse_records_in(member)
+
+
+def _parse_http_response(block: bytes) -> tuple[int, str, bytes]:
+    """HTTP/1.1 response block -> (status, content_type, body)."""
+    sep = block.find(_CRLF * 2)
+    if sep < 0:
+        raise ValueError("unterminated HTTP header block")
+    lines = block[:sep].decode("ascii", errors="replace").split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"bad HTTP status line: {lines[0]!r}")
+    status = int(parts[1])
+    ctype = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, block[sep + 4 :]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """``binaryFile`` scan over ``path`` (dir or glob of ``.warc.gz`` /
+    ``.warc``) -> one row per RESPONSE record:
+    (path, url, warc_date, status, content_type, n_bytes, body).
+
+    warcinfo/request/metadata records are skipped (they carry no payload);
+    a corrupt shard is skipped whole — ValueError containment, the task
+    never dies.  Column pruning works upstream of the kernel: only
+    ``content`` (and ``path``) are read from the binaryFile scan."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "warc_date", "status", "content_type", "n_bytes", "body"]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for headers, block in parse_warc_records(bytes(content)):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status, ctype, body = _parse_http_response(block)
+                        rows.append(
+                            {
+                                "path": fpath,
+                                "url": headers.get("warc-target-uri", ""),
+                                "warc_date": headers.get("warc-date", ""),
+                                "status": status,
+                                "content_type": ctype,
+                                "n_bytes": len(body),
+                                "body": body.decode("utf-8", errors="replace"),
+                            }
+                        )
+                except ValueError:
+                    continue  # corrupt shard: skip whole file, never kill the task
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema=READ_SCHEMA)

@@ -1,0 +1,103 @@
+"""WARC source: deterministic shard writer + binaryFile reader.
+
+Covers the record grammar (warcinfo/request/response framing), the
+per-record gzip-member layout, corrupt-shard containment (ValueError,
+never a task death), and the Spark round trip against the documents
+table the shards were synthesized from.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfparser_spark.sources import warc
+
+
+def _shard_bytes(docs: list[tuple[int, str]]) -> bytes:
+    parts = [gzip.compress(warc.build_warcinfo_record(0), mtime=0)]
+    for did, text in docs:
+        parts.append(gzip.compress(warc.build_request_record(did), mtime=0))
+        parts.append(gzip.compress(warc.build_response_record(did, text), mtime=0))
+    return b"".join(parts)
+
+
+def test_record_grammar_roundtrip():
+    raw = _shard_bytes([(0, "hello world"), (3, "err doc"), (20, "twenty")])
+    recs = list(warc.parse_warc_records(raw))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "request", "response", "request", "response",
+    ]
+    responses = [(h, b) for h, b in recs if h["warc-type"] == "response"]
+    # doc 3 is the 404 slice (doc_id % 17 == 3); bodies parse back exactly
+    st0, ct0, body0 = warc._parse_http_response(responses[0][1])
+    st3, _, body3 = warc._parse_http_response(responses[1][1])
+    assert (st0, ct0) == (200, "text/html; charset=utf-8")
+    assert body0.decode() == warc.doc_body(0, "hello world")
+    assert st3 == 404 and body3 == b"<html><body>not found</body></html>"
+    assert responses[2][0]["warc-target-uri"] == warc.doc_url(20)
+    assert responses[2][0]["warc-date"] == "2024-01-01T00:00:20Z"
+
+
+def test_uncompressed_warc_and_multirecord_member():
+    a = warc.build_response_record(1, "one")
+    b = warc.build_response_record(2, "two")
+    # one gzip member holding TWO concatenated records (plain .warc layout)
+    assert len(list(warc.parse_warc_records(gzip.compress(a + b, mtime=0)))) == 2
+    # and the fully uncompressed path
+    assert len(list(warc.parse_warc_records(a + b))) == 2
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda raw: raw[: len(raw) // 2],  # truncated gzip member
+        lambda raw: raw[:40] + b"\x00\x00" + raw[42:],  # corrupted member bytes
+        lambda raw: b"\x1f\x8b" + b"garbage",  # gzip magic, bogus stream
+    ],
+)
+def test_corrupt_shard_raises_valueerror_only(mutate):
+    raw = _shard_bytes([(0, "x"), (1, "y")])
+    with pytest.raises(ValueError):
+        list(warc.parse_warc_records(mutate(raw)))
+
+
+def test_bad_framing_raises_valueerror_only():
+    rec = warc.build_response_record(7, "seven")
+    with pytest.raises(ValueError):
+        list(warc._parse_records_in(rec[:-2]))  # missing record terminator
+    with pytest.raises(ValueError):
+        list(warc._parse_records_in(b"NOT-WARC\r\n\r\nxx\r\n\r\n"))
+
+
+def test_spark_roundtrip_matches_documents(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    out = str(tmp_path / "warc")
+    manifest = warc.write_warc_shards(docs, out, n_shards=4).collect()
+    assert sum(m.n_records for m in manifest) == docs.count()
+    assert len(manifest) <= 4
+
+    parsed = warc.read_warc(spark, out)
+    got = parsed.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "status",
+        "n_bytes",
+        "body",
+    )
+    rows = {r.doc_id: r for r in got.collect()}
+    src = {r.doc_id: r.text for r in docs.collect()}
+    assert set(rows) == set(src)
+    for did, text in src.items():
+        expect = warc.doc_body(did, text)
+        assert rows[did].body == expect
+        assert rows[did].n_bytes == len(expect.encode())
+        assert rows[did].status == warc.doc_status(did)
+
+    # a corrupt shard is skipped whole, the rest still parse
+    shard0 = manifest[0].path
+    data = open(shard0, "rb").read()
+    open(shard0, "wb").write(data[: len(data) // 2])
+    survivors = warc.read_warc(spark, out).count()
+    assert 0 < survivors < len(src)

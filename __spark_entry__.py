@@ -123,13 +123,7 @@ def _warc_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Common Crawl-shaped ingestion: binaryFile scan over multi-member
-    ``.warc.gz`` shards -> gzip-member split -> WARC/HTTP parse (one
-    zero-shuffle mapInPandas) -> typed per-document rows.  Request and
-    warcinfo records are filtered by the reader; 404 responses surface
-    with their real status so downstream quality filters see them."""
-    parsed = warc.read_warc(spark, _warc_dir(spark, sf_dir))
+def _warc_cols(parsed: DataFrame) -> DataFrame:
     return parsed.select(
         F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         "url",
@@ -139,6 +133,29 @@ def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("body_bytes"),
         F.md5(F.col("body").cast("binary")).alias("body_md5"),
     )
+
+
+def _warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-shaped ingestion: binaryFile scan over multi-member
+    ``.warc.gz`` shards -> gzip-member split -> WARC/HTTP parse (one
+    zero-shuffle mapInPandas) -> typed per-document rows.  Request and
+    warcinfo records are filtered by the reader; 404 responses surface
+    with their real status so downstream quality filters see them."""
+    return _warc_cols(warc.read_warc(spark, _warc_dir(spark, sf_dir)))
+
+
+def _warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random access over the archive: build the CDX index (one row per
+    response record with its compressed byte extent), select a
+    deterministic probe set (doc_id % 29 == 0), fetch ONLY those byte
+    ranges (seek+read per record — the object-store range-GET shape) and
+    parse the single member each returns.  Proves the index offsets are
+    exact: the oracle is the same analytic record SQL, filtered."""
+    cdx = warc.index_warc(spark, _warc_dir(spark, sf_dir))
+    probe = cdx.filter(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 29 == 0
+    )
+    return _warc_cols(warc.fetch_warc_records(probe))
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -398,6 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse in ONE zero-shuffle mapInPandas; oracle rebuilds every
         # record analytically from the documents table
         "warc_ingest": _warc_ingest,
+        # CDX index + byte-range record fetch (Common Crawl random access):
+        # offsets proven exact by fetching a probe subset and matching the
+        # full analytic record oracle on it
+        "warc_cdx_fetch": _warc_cdx_fetch,
         # link-analysis quality prior: fixed-iteration integer PageRank
         # over the deterministic doc_id graph — K unrolled join+agg
         # rounds in ONE plan, hub skew absorbed by map-side combine
@@ -455,11 +476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": lambda s, d: events.stream_interval_join(
             s, os.path.join(d, "events.parquet")
         ),
-        # stateful streaming dedup (watermark-bounded per-key state); the
-        # projected key set is deterministic under any arrival order
-        "events_stream_dedup": lambda s, d: events.stream_dedup_keys(
-            s, os.path.join(d, "events.parquet")
-        ),
         # Iceberg-shaped snapshot log: two-commit incremental ingest whose
         # HEAD read must equal one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
@@ -486,6 +502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        # stateful streaming dedup (watermark-bounded per-key state); the
+        # projected key set is deterministic under any arrival order
+        "events_stream_dedup": lambda s, d: events.stream_dedup_keys(
+            s, os.path.join(d, "events.parquet")
+        ),
         "extract_spans_fused": lambda s, d: flatten_spans(
             extract_fused(
                 synthesize_corpus(
@@ -827,6 +848,33 @@ spans AS (
   FROM sp
 )
 """
+
+
+def _warc_sql(where: str = "TRUE") -> str:
+    """The WARC record oracle: every output column is a pure function of
+    (doc_id, text) — see sources/warc.py builders."""
+    return f"""
+        WITH b AS (
+          SELECT doc_id,
+                 'http://host' || (doc_id % 13) || '.example.org/doc/' || doc_id AS url,
+                 strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
+                          '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                 CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS INTEGER)
+                   AS http_status,
+                 'text/html; charset=utf-8' AS content_type,
+                 CASE WHEN doc_id % 17 = 3
+                      THEN '<html><body>not found</body></html>'
+                      ELSE '<html><head><title>doc ' || doc_id
+                           || '</title></head><body><p>' || text
+                           || '</p></body></html>'
+                 END AS body
+          FROM documents
+        )
+        SELECT doc_id, url, warc_date, http_status, content_type,
+               CAST(length(body) AS BIGINT) AS body_bytes,
+               md5(body) AS body_md5
+        FROM b WHERE {where}
+    """
 
 
 def _span_sql(where: str = "TRUE") -> str:
@@ -1604,28 +1652,10 @@ def oracle_sql() -> dict[str, str]:
         # source rows (same trick as the PDF synth families): url/date/
         # status/body are pure functions of (doc_id, text); text is ASCII
         # so length(body) == octet_length and md5 hashes identical bytes
-        "warc_ingest": """
-            WITH b AS (
-              SELECT doc_id,
-                     'http://host' || (doc_id % 13) || '.example.org/doc/' || doc_id AS url,
-                     strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
-                              '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
-                     CAST(CASE WHEN doc_id % 17 = 3 THEN 404 ELSE 200 END AS INTEGER)
-                       AS http_status,
-                     'text/html; charset=utf-8' AS content_type,
-                     CASE WHEN doc_id % 17 = 3
-                          THEN '<html><body>not found</body></html>'
-                          ELSE '<html><head><title>doc ' || doc_id
-                               || '</title></head><body><p>' || text
-                               || '</p></body></html>'
-                     END AS body
-              FROM documents
-            )
-            SELECT doc_id, url, warc_date, http_status, content_type,
-                   CAST(length(body) AS BIGINT) AS body_bytes,
-                   md5(body) AS body_md5
-            FROM b
-        """,
+        "warc_ingest": _warc_sql(),
+        # random access: the CDX byte extents must fetch EXACTLY the probe
+        # subset's records — same analytic oracle, filtered
+        "warc_cdx_fetch": _warc_sql("doc_id % 29 = 0"),
         "simhash16": """
             WITH wx AS (
               SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents

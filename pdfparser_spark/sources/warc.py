@@ -246,6 +246,109 @@ def parse_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         yield from _parse_records_in(member)
 
 
+def split_gzip_members_with_offsets(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Like :func:`split_gzip_members` but yields ``(offset, comp_len,
+    member_bytes)`` — the byte extent of each compressed member inside the
+    shard, i.e. exactly what a CDX index records so a later reader can
+    fetch ONE record with a range read."""
+    pos, total = 0, len(data)
+    while pos < total:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out = d.decompress(data[pos:])
+        except zlib.error as e:
+            raise ValueError(f"bad gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        comp_len = (total - pos) - len(d.unused_data)
+        yield pos, comp_len, out
+        pos += comp_len
+
+
+CDX_SCHEMA = "url string, warc_date string, path string, offset long, length long"
+
+
+def index_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Build the CDX-style index of a shard directory: one row per
+    RESPONSE record with its exact compressed byte extent ``(path,
+    offset, length)``.  This is the Common Crawl access pattern — the
+    index is tiny relative to the corpus and fetching a single document
+    later costs ONE range read of ``length`` bytes, not a shard scan."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["url", "warc_date", "path", "offset", "length"]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for off, clen, member in split_gzip_members_with_offsets(
+                        bytes(content)
+                    ):
+                        for headers, _block in _parse_records_in(member):
+                            if headers.get("warc-type") != "response":
+                                continue
+                            rows.append(
+                                {
+                                    "url": headers.get("warc-target-uri", ""),
+                                    "warc_date": headers.get("warc-date", ""),
+                                    "path": fpath,
+                                    "offset": off,
+                                    "length": clen,
+                                }
+                            )
+                except ValueError:
+                    continue  # corrupt shard: absent from the index
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(index, schema=CDX_SCHEMA)
+
+
+def fetch_warc_records(cdx: DataFrame) -> DataFrame:
+    """Random access: given CDX rows ``(path, offset, length, ...)``,
+    fetch exactly those byte ranges (seek + read — the local-FS stand-in
+    for an object-store range GET; NEVER reads a whole shard), gunzip the
+    single member and parse the one record inside it.  Output schema ==
+    :func:`read_warc`.  Fetch tasks parallelize over CDX rows, so a
+    billion-record corpus serves point lookups at index-partition
+    parallelism with O(record) I/O per lookup."""
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "warc_date", "status", "content_type", "n_bytes", "body"]
+        for pdf in batches:
+            rows = []
+            for fpath, off, length in zip(pdf["path"], pdf["offset"], pdf["length"]):
+                local = fpath[len("file:") :] if str(fpath).startswith("file:") else fpath
+                try:
+                    with open(local, "rb") as fh:
+                        fh.seek(int(off))
+                        comp = fh.read(int(length))
+                    members = split_gzip_members(comp)
+                    for member in members:
+                        for headers, block in _parse_records_in(member):
+                            if headers.get("warc-type") != "response":
+                                continue
+                            status, ctype, body = _parse_http_response(block)
+                            rows.append(
+                                {
+                                    "path": fpath,
+                                    "url": headers.get("warc-target-uri", ""),
+                                    "warc_date": headers.get("warc-date", ""),
+                                    "status": status,
+                                    "content_type": ctype,
+                                    "n_bytes": len(body),
+                                    "body": body.decode("utf-8", errors="replace"),
+                                }
+                            )
+                except (OSError, ValueError):
+                    continue  # unreadable range: skip the lookup, never the task
+            yield pd.DataFrame(rows, columns=cols)
+
+    return cdx.select("path", "offset", "length").mapInPandas(
+        fetch, schema=READ_SCHEMA
+    )
+
+
 def _parse_http_response(block: bytes) -> tuple[int, str, bytes]:
     """HTTP/1.1 response block -> (status, content_type, body)."""
     sep = block.find(_CRLF * 2)

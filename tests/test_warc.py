@@ -101,3 +101,48 @@ def test_spark_roundtrip_matches_documents(spark, sf_dir, tmp_path):
     open(shard0, "wb").write(data[: len(data) // 2])
     survivors = warc.read_warc(spark, out).count()
     assert 0 < survivors < len(src)
+
+
+def test_cdx_index_and_range_fetch(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text for {i}") for i in range(30)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "warc")
+    warc.write_warc_shards(docs, out, n_shards=2).collect()
+
+    cdx = warc.index_warc(spark, out)
+    rows = cdx.collect()
+    assert len(rows) == 30  # one index row per RESPONSE record only
+    # extents lie inside their shard and don't overlap (offsets ascend per file)
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r.path, []).append((r.offset, r.length))
+    import os as _os
+
+    for path, extents in by_file.items():
+        size = _os.path.getsize(path[len("file:"):] if path.startswith("file:") else path)
+        for off, ln in extents:
+            assert 0 <= off and off + ln <= size
+        ordered = sorted(extents)
+        assert all(a[0] + a[1] <= b[0] for a, b in zip(ordered, ordered[1:]))
+
+    fetched = warc.fetch_warc_records(cdx)
+    got = {r.url: r for r in fetched.collect()}
+    assert len(got) == 30
+    for i in range(30):
+        r = got[warc.doc_url(i)]
+        assert r.body == warc.doc_body(i, f"text for {i}")
+        assert r.status == warc.doc_status(i)
+
+    # range-read proof: corrupt every byte OUTSIDE one record's extent in
+    # its shard — fetching THAT record alone must still succeed bit-exactly
+    probe = rows[7]
+    local = probe.path[len("file:"):] if probe.path.startswith("file:") else probe.path
+    data = bytearray(b"\xff" * _os.path.getsize(local))
+    with open(local, "rb") as fh:
+        fh.seek(probe.offset)
+        keep = fh.read(probe.length)
+    data[probe.offset : probe.offset + probe.length] = keep
+    open(local, "wb").write(bytes(data))
+    one = warc.fetch_warc_records(spark.createDataFrame([probe])).collect()
+    assert len(one) == 1 and one[0].url == probe.url

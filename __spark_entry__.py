@@ -55,6 +55,7 @@ from pdfparser_spark.textops import (
     search,
     sketch,
     textqc,
+    urls,
 )
 
 # ---------------------------------------------------------------------------
@@ -469,7 +470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
-        "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
+        # canonical-URL dedup (the crawl's FIRST curation pass): messy
+        # variants (case/port/fragment/tracking-params/param order) built
+        # as plan expressions, canonicalized by pure JVM string algebra,
+        # collapsed k->1 by one hash aggregate on the canonical key
+        "url_dedup_canonical": lambda s, d: urls.url_dedup_canonical(_docs(s, d)),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
         ),
@@ -502,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         # stateful streaming dedup (watermark-bounded per-key state); the
         # projected key set is deterministic under any arrival order
         "events_stream_dedup": lambda s, d: events.stream_dedup_keys(
@@ -1656,6 +1662,18 @@ def oracle_sql() -> dict[str, str]:
         # random access: the CDX byte extents must fetch EXACTLY the probe
         # subset's records — same analytic oracle, filtered
         "warc_cdx_fetch": _warc_sql("doc_id % 29 = 0"),
+        # canonical-URL dedup: all 4 messy variants of a doc's URL are
+        # distinct strings but share ONE canonical form — the oracle
+        # states that form analytically, so every normalization rule
+        # (case, default port, fragment, tracking strip, param sort) is
+        # load-bearing in the hash
+        "url_dedup_canonical": """
+            SELECT 'http://host' || (doc_id % 13) || '.example.org/doc/' || doc_id
+                   || '?a=' || (doc_id % 7) || '&b=' || (doc_id % 5) AS canon_url,
+                   CAST(4 AS BIGINT) AS n_raw,
+                   CAST(4 AS BIGINT) AS n_distinct_raw
+            FROM documents
+        """,
         "simhash16": """
             WITH wx AS (
               SELECT doc_id, md5(unnest(string_split(text,' '))) AS h FROM documents

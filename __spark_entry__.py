@@ -53,6 +53,7 @@ from pdfparser_spark.textops import (
     model,
     mp4,
     search,
+    robots,
     sketch,
     textqc,
     urls,
@@ -234,7 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and stub-tier demos live in the tail block at the bottom (they
         # stay under pytest + scripts/check_oracles.py coverage).
         "extract_spans": lambda s, d: _flat(s, d),
-        "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
+        # robots.txt crawl gate: per-host robots documents parsed with JVM
+        # string ops, RFC 9309 longest-match-then-allow-wins decided by one
+        # broadcast join + max_by over an integer priority
+        "robots_crawl_gate": lambda s, d: robots.crawl_gate(_docs(s, d)),
         # real-writer binary family (true binary Flate, CRLF, gen!=0,
         # inline images, RC4-encrypted docs) through BOTH execution modes
         "extract_binary_corpus": lambda s, d: flatten_spans(
@@ -507,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         # stateful streaming dedup (watermark-bounded per-key state); the
         # projected key set is deterministic under any arrival order
@@ -1673,6 +1678,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 AS BIGINT) AS n_raw,
                    CAST(4 AS BIGINT) AS n_distinct_raw
             FROM documents
+        """,
+        # robots gate: the oracle restates the per-host rule set and the
+        # longest-match decision analytically (same integer priority
+        # encoding) — the Spark side must PARSE the robots text and get
+        # the identical decisions
+        "robots_crawl_gate": """
+            WITH hosts AS (SELECT range AS h FROM range(13)),
+            rules AS (
+              SELECT h, '/private/' AS prefix, 0 AS is_allow FROM hosts
+              UNION ALL SELECT h, '/', 0 FROM hosts WHERE h = 5
+              UNION ALL SELECT h, '/tmp/', 0 FROM hosts WHERE h % 3 = 0
+              UNION ALL SELECT h, '/doc/', 0 FROM hosts WHERE h % 2 = 1
+              UNION ALL SELECT h, '/doc/archive/', 1 FROM hosts WHERE h % 2 = 1
+              UNION ALL SELECT h, '/search', 0 FROM hosts WHERE h % 4 = 2
+            ),
+            urls AS (
+              SELECT doc_id, doc_id % 13 AS h,
+                     'host' || (doc_id % 13) || '.example.org' AS host,
+                     CASE doc_id % 5
+                       WHEN 0 THEN '/doc/' || doc_id
+                       WHEN 1 THEN '/private/' || doc_id
+                       WHEN 2 THEN '/tmp/' || doc_id
+                       WHEN 3 THEN '/doc/archive/' || doc_id
+                       ELSE '/search?q=' || doc_id END AS path
+              FROM documents
+            ),
+            m AS (
+              SELECT u.doc_id, u.host, u.path, r.prefix, r.is_allow,
+                     2 * length(r.prefix) + r.is_allow AS priority
+              FROM urls u LEFT JOIN rules r
+                ON u.h = r.h AND starts_with(u.path, r.prefix)
+            )
+            SELECT doc_id, host, path,
+                   COALESCE(arg_max(is_allow = 1, priority), TRUE) AS allowed,
+                   COALESCE(arg_max(prefix, priority), '') AS rule
+            FROM m GROUP BY doc_id, host, path
         """,
         "simhash16": """
             WITH wx AS (

@@ -402,7 +402,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec; every-5th-frame sampling, analytic pixel-sum oracle
         "video_frames_real": lambda s, d: mp4.video_frames_real(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
-        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        # continuous-crawl dedup: historical signatures persisted in a
+        # snapshot-log index; the arriving batch computes ONLY its own
+        # signatures, probes the index with one band-key join, verifies
+        # exact Jaccard on candidates, appends itself for the next batch
+        "incremental_lsh_dedup": lambda s, d: dedup.incremental_lsh_dedup(
+            _docs(s, d),
+            os.path.join(
+                tempfile.gettempdir(), "lshlog_" + __import__("uuid").uuid4().hex[:8]
+            ),
+        ),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
         # each a vocab-table aggregate + 1-row broadcast cross-join (the
@@ -511,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
         # stateful streaming dedup (watermark-bounded per-key state); the
@@ -1466,6 +1476,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN shv b ON b.doc_id = p.doc_b
             WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 >= 0.8
+        """,
+        # incremental index dedup == the full-corpus verified pairs
+        # restricted to pairs touching the new batch (odd doc_ids): the
+        # candidate relation ("share a band bucket") is per-pair, so
+        # probing old+delta separately changes nothing
+        "incremental_lsh_dedup": "WITH " + _LSH_PAIRS_CTE + """,
+            shv AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct([array_to_string(w[i : i+2], ' ') FOR i IN generate_series(1, len(w)-2)])
+                ELSE [] END AS sh
+              FROM w
+            )
+            SELECT p.doc_a, p.doc_b,
+                   FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 AS jaccard
+            FROM pairs p
+            JOIN shv a ON a.doc_id = p.doc_a
+            JOIN shv b ON b.doc_id = p.doc_b
+            WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 >= 0.8
+              AND (p.doc_a % 2 = 1 OR p.doc_b % 2 = 1)
         """,
         "dedup_clusters": "WITH RECURSIVE " + _LSH_PAIRS_CTE + """,
             edges AS (

@@ -391,6 +391,108 @@ def lsh_verified_dups(documents: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
+def incremental_lsh_dedup(
+    documents: DataFrame,
+    log_root: str,
+    threshold: float = 0.8,
+    bucket_cap: int = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """Continuous-crawl near-dup dedup against a PERSISTED MinHash index.
+
+    The historical corpus's banded signatures live in a snapshot-log table
+    (``minhash_index``); each arriving batch computes signatures ONLY for
+    its own documents, probes the index with one equi-join on the band
+    key, verifies exact Jaccard on the candidates, and appends its own
+    signatures as the next snapshot so the following batch probes
+    old+new.  Steady-state cost is O(batch + candidates) — the historical
+    corpus is never re-shingled; only candidate docs' shingle sets are
+    (re)built for verification, which scales with candidate count.
+
+    Demo split mirrors ``snapshots.extract_increment``: batch 1 = even
+    doc_ids (indexed first), batch 2 = odd doc_ids (the arriving delta).
+    Returns verified (doc_a, doc_b, jaccard) pairs touching >= 1 new doc
+    — exactly the full-corpus ``lsh_verified_dups`` restricted to pairs
+    with an odd member (the oracle states it that way).
+    """
+    from ..snapshots import SnapshotLog, _dir_stats
+
+    spark = documents.sparkSession
+    log = SnapshotLog(log_root)
+
+    def _commit_sigs(sigs: DataFrame, summary_key: str) -> None:
+        d = log.new_data_dir("minhash_index")
+        sigs.write.parquet(d)
+        back = spark.read.parquet(d)
+        n, st = _dir_stats(back)
+        log.commit(
+            {"minhash_index": [d]},
+            operation="append",
+            summary={summary_key: n},
+            schemas={"minhash_index": back.schema.json()},
+            stats={"minhash_index": {d: st}},
+        )
+
+    if log.head_id() is None:  # bootstrap: index the historical corpus once
+        _commit_sigs(
+            minhash_signatures(documents.filter(F.col("doc_id") % 2 == 0)),
+            "bootstrap_rows",
+        )
+
+    index = log.read(spark, "minhash_index")
+    # at-least-once batch delivery: docs ALREADY in the index are not new
+    # (same anti-join shape as snapshots.extract_increment; the seen side
+    # is a column-pruned scan of the index) — a redelivered batch is a
+    # no-op, never a self-pair factory
+    seen = index.select("doc_id").distinct()
+    batch = documents.filter(F.col("doc_id") % 2 == 1).join(seen, "doc_id", "left_anti")
+    delta = register_persisted(minhash_signatures(batch).persist())
+    if delta.limit(1).isEmpty():
+        return (
+            spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
+        )
+    # new-vs-old candidates: ONE probe join against the index (shuffle
+    # keyed on the tiny band hash; the index side is a plain parquet scan)
+    new_old = (
+        delta.alias("n")
+        .join(index.alias("o"), on=["band_idx", "band_hash"])
+        .select(
+            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
+            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
+        )
+    )
+    # new-vs-new: the capped self-join, within the delta only
+    new_new = _capped_bucket_pairs(
+        delta, ["band_idx", "band_hash"], "doc_id", bucket_cap, "incr_lsh_cap"
+    )
+    pairs = new_old.union(new_new).distinct()
+
+    # exact-Jaccard verification on candidates only
+    sh = documents.select("doc_id", shingles_expr().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.floor(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    # append the delta's signatures: the NEXT batch probes old+new
+    _commit_sigs(delta, "delta_rows")
+    return verified
+
+
 def dedup_clusters(documents: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: documents
     reachable through shared band buckets form one duplicate cluster,

@@ -857,3 +857,32 @@ def test_hll_estimate_accuracy_and_regime(spark, sf_dir):
             r.est_distinct,
             r.n_zero_registers,
         )
+
+
+def test_incremental_lsh_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
+    """The index-probe path must equal the full-corpus two-stage pipeline
+    restricted to pairs touching the new batch; the index log gains the
+    delta commit so the NEXT batch probes old+new."""
+    from pdfparser_spark.snapshots import SnapshotLog
+    from pdfparser_spark.textops.dedup import incremental_lsh_dedup, lsh_verified_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "lshlog")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in incremental_lsh_dedup(docs, root).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in lsh_verified_dups(docs).collect()
+        if r.doc_a % 2 == 1 or r.doc_b % 2 == 1
+    }
+    assert got == full and len(got) > 0
+
+    log = SnapshotLog(root)
+    assert log.head_id() == 2  # bootstrap + delta commits
+    # redelivered batch: every doc is already indexed -> anti-join makes
+    # the delta empty, the result empty, and NO new snapshot is committed
+    again = incremental_lsh_dedup(docs, root).collect()
+    assert again == []
+    assert SnapshotLog(root).head_id() == 2

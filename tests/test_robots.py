@@ -42,3 +42,15 @@ def test_longest_match_and_defaults(spark):
     for r in tmp_rows:
         h = int(r.host.removeprefix("host").split(".")[0])
         assert r.allowed == (h % 3 != 0 and h != 5), r
+
+
+def test_robots_plan_broadcast_and_no_url_shuffle_for_join(spark):
+    """The rules side broadcasts (O(hosts) rows); the URL side's only
+    exchange is the per-URL max_by aggregate — never a shuffle for the
+    join itself, and no nested-loop fallback."""
+    docs = spark.createDataFrame([(i, "t") for i in range(20)], "doc_id long, text string")
+    df = robots.crawl_gate(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # the join never shuffles the URL side

@@ -52,3 +52,16 @@ def test_url_dedup_collapses_all_variants(spark):
     res = urls.url_dedup_canonical(docs).collect()
     assert len(res) == 40  # one canonical per doc
     assert all(r.n_raw == 4 and r.n_distinct_raw == 4 for r in res)
+
+
+def test_url_dedup_plan_single_exchange(spark):
+    """Canonicalize is stateless expression work inside the scan stage:
+    the whole dedup plan carries exactly ONE shuffle (the canonical-key
+    aggregate; countDistinct expands to a two-phase agg over the same
+    exchange) and no Python UDF stages."""
+    docs = spark.createDataFrame([(i, "t") for i in range(20)], "doc_id long, text string")
+    df = urls.url_dedup_canonical(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final distinct-agg pair

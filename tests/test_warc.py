@@ -146,3 +146,25 @@ def test_cdx_index_and_range_fetch(spark, tmp_path):
     open(local, "wb").write(bytes(data))
     one = warc.fetch_warc_records(spark.createDataFrame([probe])).collect()
     assert len(one) == 1 and one[0].url == probe.url
+
+
+def test_warc_plans_are_scan_only(spark, tmp_path):
+    """The ingest plan's only operators are scan -> project -> the one
+    mapInPandas (zero Exchange); the CDX fetch plan likewise never
+    shuffles — data movement is exactly the scan at any corpus scale."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(10)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "warc")
+    warc.write_warc_shards(docs, out, n_shards=2).collect()
+
+    plan = warc.read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "CartesianProduct" not in plan
+
+    fetch_plan = (
+        warc.fetch_warc_records(warc.index_warc(spark, out))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in fetch_plan and "CartesianProduct" not in fetch_plan

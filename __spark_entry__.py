@@ -160,6 +160,21 @@ def _warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_cols(warc.fetch_warc_records(probe))
 
 
+def _warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl chain the north rule describes: WARC source -> HTTP 200
+    filter -> DOM-tree Readability main-content extraction, two stateless
+    mapInPandas kernels with zero shuffle between them.  The 200 bodies
+    ARE the DOM synth pages (sources/warc.py serves dom.page_html), so
+    the scorer's decisions share the DOM oracle (404s excluded — their
+    error page has no scoring candidates)."""
+    parsed = warc.read_warc(spark, _warc_dir(spark, sf_dir))
+    pages = parsed.filter(F.col("status") == 200).select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("body").alias("html"),
+    )
+    return dom.dom_extract(pages)
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -470,7 +485,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 9th doc's comma-heavy long comment legitimately OUTSCORES the
         # article — the oracle checks the subtree DECISION (winner class +
         # tag path) as well as the metrics and extracted text.
-        "dom_main_content": lambda s, d: dom.dom_main_content(_docs(s, d)),
+        # crawl-to-content chain: WARC 200 bodies (the DOM synth pages)
+        # through the DOM-tree Readability scorer — source and extractor
+        # verified TOGETHER against the analytic decision oracle
+        "warc_main_content": _warc_main_content,
         # AS-OF join (attribution): each purchase matched to the user's
         # latest click at-or-before it — union + running-last window, one
         # shuffle, no range join; oracle = DuckDB's native ASOF JOIN
@@ -520,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dom_main_content": lambda s, d: dom.dom_main_content(_docs(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
         "events_sessionize": lambda s, d: events.sessionize(_tbl(s, d, "events")),
@@ -873,9 +892,18 @@ spans AS (
 
 def _warc_sql(where: str = "TRUE") -> str:
     """The WARC record oracle: every output column is a pure function of
-    (doc_id, text) — see sources/warc.py builders."""
+    (doc_id, text) — see sources/warc.py builders.  The 200-response body
+    is the full DOM synth page (dom.page_html), rebuilt here literal by
+    literal, so body_bytes/body_md5 hash the whole served page."""
+    links = "".join(f'<a href="/t{k}">hot topic {k}</a>' for k in range(8))
     return f"""
-        WITH b AS (
+        WITH parts AS (
+          SELECT doc_id, text,
+                 array_to_string((string_split(text,' '))[1:(len(string_split(text,' '))+1)//2], ' ') AS p1,
+                 array_to_string((string_split(text,' '))[(len(string_split(text,' '))+1)//2+1:len(string_split(text,' '))], ' ') AS p2,
+                 replace(text, ' ', ', ') AS lf
+          FROM documents
+        ), b AS (
           SELECT doc_id,
                  'http://host' || (doc_id % 13) || '.example.org/doc/' || doc_id AS url,
                  strftime(TIMESTAMP '2024-01-01 00:00:00' + to_seconds(doc_id),
@@ -885,16 +913,65 @@ def _warc_sql(where: str = "TRUE") -> str:
                  'text/html; charset=utf-8' AS content_type,
                  CASE WHEN doc_id % 17 = 3
                       THEN '<html><body>not found</body></html>'
-                      ELSE '<html><head><title>doc ' || doc_id
-                           || '</title></head><body><p>' || text
-                           || '</p></body></html>'
+                      ELSE '<html><head><title>Doc ' || doc_id
+                           || '</title></head><body><div class="page">'
+                           || '<div class="nav"><a href="/">Home</a><a href="/a">About</a><a href="/c">Contact</a><a href="/p">Privacy</a></div>'
+                           || '<div class="links">{links}</div>'
+                           || '<div class="content"><div class="ad">Sponsored: BUY NOW offer '
+                           || (doc_id % 7)
+                           || '</div><div class="article"><p>' || p1 || '</p><p>' || p2
+                           || '</p><div class="related"><a href="/r0">more 0</a><a href="/r1">more 1</a><a href="/r2">more 2</a></div></div></div>'
+                           || '<div class="comments"><p>nice post 0</p><p>nice post 1</p>'
+                           || CASE WHEN doc_id % 3 >= 1 THEN '<p>nice post 2</p>' ELSE '' END
+                           || CASE WHEN doc_id % 3 >= 2 THEN '<p>nice post 3</p>' ELSE '' END
+                           || CASE WHEN doc_id % 9 = 0 THEN '<p>' || lf || '</p>' ELSE '' END
+                           || '</div><div class="footer">Copyright 2026 <a href="/terms">Terms</a></div></div></body></html>'
                  END AS body
-          FROM documents
+          FROM parts
         )
         SELECT doc_id, url, warc_date, http_status, content_type,
                CAST(length(body) AS BIGINT) AS body_bytes,
                md5(body) AS body_md5
         FROM b WHERE {where}
+    """
+
+
+def _dom_sql(where: str = "TRUE") -> str:
+    """The DOM Readability scorer's decisions restated analytically
+    (winner flip to the comments div on doc_id % 9 == 0 and all four
+    metric columns) — shared by the direct DOM query and the WARC chain."""
+    return f"""
+        WITH parts AS (
+          SELECT doc_id, text, len(string_split(text, ' ')) AS wc,
+                 array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' '))+1)//2], ' ') AS p1,
+                 array_to_string((string_split(text, ' '))[(len(string_split(text, ' '))+1)//2+1:len(string_split(text, ' '))], ' ') AS p2,
+                 replace(text, ' ', ', ') AS lf
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, wc, p1, p2, lf, 2 + doc_id % 3 AS nshort,
+                 2 * (CASE WHEN len(p1) >= 25 THEN 1 + LEAST(len(p1)//100, 3) ELSE 0 END
+                    + CASE WHEN len(p2) >= 25 THEN 1 + LEAST(len(p2)//100, 3) ELSE 0 END) AS art_p2
+          FROM parts
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN 'comments' ELSE 'article' END AS winner,
+               CASE WHEN doc_id % 9 = 0 THEN 'html/body/div/div'
+                    ELSE 'html/body/div/div/div' END AS path,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN nshort + 1 ELSE 2 END AS INT) AS p_count,
+               CAST(CASE WHEN doc_id % 9 = 0
+                         THEN 2 * (wc + LEAST(len(lf)//100, 3))
+                         ELSE art_p2 END AS INT) AS points2,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN 11 * nshort + len(lf)
+                         ELSE len(p1) + len(p2) + 18 END AS INT) AS text_len,
+               CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 18 END AS INT) AS link_len,
+               CASE WHEN doc_id % 9 = 0
+                    THEN 'nice post 0' || chr(10) || 'nice post 1'
+                         || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || 'nice post 2' ELSE '' END
+                         || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || 'nice post 3' ELSE '' END
+                         || chr(10) || lf
+                    ELSE p1 || chr(10) || p2 END AS main_text
+        FROM scored
+        WHERE (doc_id % 9 = 0 OR art_p2 > 0) AND ({where})
     """
 
 
@@ -2008,39 +2085,11 @@ def oracle_sql() -> dict[str, str]:
         # (its related-links text, 18 chars, is always < half its total, so
         # it beats its grandparent's half-points).  The kernel must arrive
         # at the same decision from the raw tree.
-        "dom_main_content": """
-            WITH parts AS (
-              SELECT doc_id, text, len(string_split(text, ' ')) AS wc,
-                     array_to_string((string_split(text, ' '))[1:(len(string_split(text, ' '))+1)//2], ' ') AS p1,
-                     array_to_string((string_split(text, ' '))[(len(string_split(text, ' '))+1)//2+1:len(string_split(text, ' '))], ' ') AS p2,
-                     replace(text, ' ', ', ') AS lf
-              FROM documents
-            ), scored AS (
-              SELECT doc_id, wc, p1, p2, lf, 2 + doc_id % 3 AS nshort,
-                     2 * (CASE WHEN len(p1) >= 25 THEN 1 + LEAST(len(p1)//100, 3) ELSE 0 END
-                        + CASE WHEN len(p2) >= 25 THEN 1 + LEAST(len(p2)//100, 3) ELSE 0 END) AS art_p2
-              FROM parts
-            )
-            SELECT doc_id,
-                   CASE WHEN doc_id % 9 = 0 THEN 'comments' ELSE 'article' END AS winner,
-                   CASE WHEN doc_id % 9 = 0 THEN 'html/body/div/div'
-                        ELSE 'html/body/div/div/div' END AS path,
-                   CAST(CASE WHEN doc_id % 9 = 0 THEN nshort + 1 ELSE 2 END AS INT) AS p_count,
-                   CAST(CASE WHEN doc_id % 9 = 0
-                             THEN 2 * (wc + LEAST(len(lf)//100, 3))
-                             ELSE art_p2 END AS INT) AS points2,
-                   CAST(CASE WHEN doc_id % 9 = 0 THEN 11 * nshort + len(lf)
-                             ELSE len(p1) + len(p2) + 18 END AS INT) AS text_len,
-                   CAST(CASE WHEN doc_id % 9 = 0 THEN 0 ELSE 18 END AS INT) AS link_len,
-                   CASE WHEN doc_id % 9 = 0
-                        THEN 'nice post 0' || chr(10) || 'nice post 1'
-                             || CASE WHEN doc_id % 3 >= 1 THEN chr(10) || 'nice post 2' ELSE '' END
-                             || CASE WHEN doc_id % 3 >= 2 THEN chr(10) || 'nice post 3' ELSE '' END
-                             || chr(10) || lf
-                        ELSE p1 || chr(10) || p2 END AS main_text
-            FROM scored
-            WHERE doc_id % 9 = 0 OR art_p2 > 0
-        """,
+        "dom_main_content": _dom_sql(),
+        # the crawl chain: WARC 200 responses serve the SAME page the DOM
+        # family synthesizes, so the scorer's decisions must match the DOM
+        # oracle minus the 404 slice (whose error page has no candidates)
+        "warc_main_content": _dom_sql("doc_id % 17 != 3"),
         "events_tumbling_window": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    COUNT(*) AS n_events, FLOOR(SUM(value) * 100.0 + 0.5) / 100.0 AS sum_value

@@ -64,15 +64,17 @@ def doc_date(doc_id: int) -> str:
 
 
 def doc_body(doc_id: int, text: str) -> str:
-    """The HTTP body the synthetic server returns: a minimal HTML page for
-    2xx docs, a fixed error page for the 404 slice (doc_id % 17 == 3) —
-    the reader must surface BOTH so downstream filters see real statuses."""
+    """The HTTP body the synthetic server returns: the full nested page
+    template shared with the DOM scorer's synth family (so the crawl
+    chain ``read_warc -> dom_extract`` is oracle-checkable end to end)
+    for 2xx docs, a fixed error page for the 404 slice (doc_id % 17 == 3)
+    — the reader must surface BOTH so downstream filters see real
+    statuses."""
+    from ..textops.dom import page_html
+
     if doc_id % 17 == 3:
         return "<html><body>not found</body></html>"
-    return (
-        f"<html><head><title>doc {doc_id}</title></head>"
-        f"<body><p>{text}</p></body></html>"
-    )
+    return page_html(doc_id, text)
 
 
 def doc_status(doc_id: int) -> int:

@@ -278,6 +278,38 @@ def extract_main(src: str) -> dict | None:
 # Spark operators
 # ---------------------------------------------------------------------------
 
+def page_html(doc_id: int, text: str) -> str:
+    """Pure-Python twin of :func:`synthesize_dom`'s template — MUST stay
+    byte-identical to the Spark expression (parity-tested): the WARC synth
+    writer serves this page as its 200-response body so the crawl chain
+    (``read_warc -> dom_extract``) shares the DOM oracle."""
+    ws = text.split(" ")
+    h = (len(ws) + 1) // 2
+    p1 = " ".join(ws[:h])
+    p2 = " ".join(ws[h:])
+    lf = text.replace(" ", ", ")
+    return (
+        f"<html><head><title>Doc {doc_id}</title></head><body>"
+        '<div class="page">'
+        '<div class="nav"><a href="/">Home</a><a href="/a">About</a>'
+        '<a href="/c">Contact</a><a href="/p">Privacy</a></div>'
+        '<div class="links">'
+        + "".join(f'<a href="/t{k}">hot topic {k}</a>' for k in range(8))
+        + "</div>"
+        '<div class="content"><div class="ad">Sponsored: BUY NOW offer '
+        f"{doc_id % 7}"
+        f'</div><div class="article"><p>{p1}</p><p>{p2}</p>'
+        '<div class="related"><a href="/r0">more 0</a>'
+        '<a href="/r1">more 1</a><a href="/r2">more 2</a></div></div></div>'
+        '<div class="comments"><p>nice post 0</p><p>nice post 1</p>'
+        + ("<p>nice post 2</p>" if doc_id % 3 >= 1 else "")
+        + ("<p>nice post 3</p>" if doc_id % 3 >= 2 else "")
+        + (f"<p>{lf}</p>" if doc_id % 9 == 0 else "")
+        + '</div><div class="footer">Copyright 2026 '
+        '<a href="/terms">Terms</a></div></div></body></html>'
+    )
+
+
 def synthesize_dom(documents: DataFrame) -> DataFrame:
     """documents(doc_id, text) -> (doc_id, html): deterministic nested
     page, mirrored exactly by the DuckDB oracle.  The article body is the

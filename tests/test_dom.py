@@ -166,3 +166,14 @@ def test_dom_main_content_winner_flip(spark):
             ws = WORDS.split(" ")
             assert row["main_text"] == " ".join(ws[:12]) + "\n" + " ".join(ws[12:])
             assert row["p_count"] == 2
+
+
+def test_page_html_matches_spark_template(spark, sf_dir):
+    """dom.page_html (served as the WARC 200 body) must stay byte-equal
+    to synthesize_dom's Spark expression — the chain oracle depends on it."""
+    from pdfparser_spark.textops import dom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    spark_pages = {r.doc_id: r.html for r in dom.synthesize_dom(docs).collect()}
+    for r in docs.collect():
+        assert spark_pages[r.doc_id] == dom.page_html(r.doc_id, r.text)

@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 
 from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
-from pdfparser_spark.sources import warc
+from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
     extract_attachments_fused,
     extract_forms_fused,
@@ -362,15 +362,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count(F.lit(1)).alias("count_order"),
             )
         ),
-        "top_revenue_orders": lambda s, d: (
-            _tbl(s, d, "lineitem")
-            .groupBy("l_orderkey")
-            .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-            .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
-            .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
-            .orderBy(F.col("revenue").desc(), F.col("orderkey"))
-            .limit(10)
+        # semi-structured ingestion: schema-explicit PERMISSIVE jsonl read
+        # with corrupt-record rescue — defective lines become typed rescue
+        # rows (raw line captured), never silent drops or task deaths
+        "jsonl_ingest_rescue": lambda s, d: jsonl.jsonl_ingest_rescue(
+            s,
+            _docs(s, d),
+            os.path.join(
+                _CACHE_ROOT,
+                f"jsonl_{os.path.basename(os.path.normpath(d))}_{_SRC_TAG}",
+            ),
         ),
         # explicit runtime bloom-filter semi-join: broadcast position-set
         # bloom over high-value orders pre-filters lineitem at the scan;
@@ -538,6 +539,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        "top_revenue_orders": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(_r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+            .join(F.broadcast(_tbl(s, d, "orders").select("o_orderkey", "o_custkey")),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("l_orderkey").alias("orderkey"), F.col("o_custkey").alias("custkey"), "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+            .limit(10)
+        ),
         "dom_main_content": lambda s, d: dom.dom_main_content(_docs(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         "extract_strict_mode": lambda s, d: _pipeline(s, d, strict=True)["spans_flat"],
@@ -1776,6 +1787,22 @@ def oracle_sql() -> dict[str, str]:
         # random access: the CDX byte extents must fetch EXACTLY the probe
         # subset's records — same analytic oracle, filtered
         "warc_cdx_fetch": _warc_sql("doc_id % 29 = 0"),
+        # rescue semantics: corrupt lines (doc_id % 23 == 7, truncated 5
+        # bytes short) surface with NULL typed columns and the raw-line
+        # length; the canonical json line is 31 fixed chars + the three
+        # value lengths, so corrupt_len = 26 + those lengths
+        "jsonl_ingest_rescue": """
+            SELECT CASE WHEN doc_id % 23 = 7 THEN NULL ELSE doc_id END AS doc_id,
+                   CASE WHEN doc_id % 23 = 7 THEN NULL ELSE lang END AS lang,
+                   CASE WHEN doc_id % 23 = 7 THEN NULL
+                        ELSE CAST(length(text) AS INT) END AS n_chars,
+                   (doc_id % 23 = 7) AS is_corrupt,
+                   CASE WHEN doc_id % 23 = 7
+                        THEN CAST(26 + length(CAST(doc_id AS VARCHAR))
+                                  + length(lang) + length(text) AS INT)
+                        ELSE NULL END AS corrupt_len
+            FROM documents
+        """,
         # canonical-URL dedup: all 4 messy variants of a doc's URL are
         # distinct strings but share ONE canonical form — the oracle
         # states that form analytically, so every normalization rule

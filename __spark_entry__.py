@@ -539,6 +539,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        # TPC-H Q6: the canonical pushdown query — every predicate and the
+        # 4-column projection reach the parquet scan (pytest asserts
+        # PushedFilters + ReadSchema on the executed plan)
+        "tpch_q6_forecast": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1994-01-01")
+                & (F.col("l_shipdate") < "1995-01-01")
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                    "revenue"
+                )
+            )
+        ),
         "top_revenue_orders": lambda s, d: (
             _tbl(s, d, "lineitem")
             .groupBy("l_orderkey")
@@ -2329,6 +2347,14 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "tpch_q6_forecast": """
+            SELECT FLOOR(SUM(l_extendedprice * l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
         "top_revenue_orders": """
             WITH r AS (
               SELECT l_orderkey AS orderkey,

@@ -886,3 +886,40 @@ def test_incremental_lsh_dedup_equals_full_recompute(spark, sf_dir, tmp_path):
     again = incremental_lsh_dedup(docs, root).collect()
     assert again == []
     assert SnapshotLog(root).head_id() == 2
+
+
+def test_tpch_q6_pushdown_reaches_scan(spark, sf_dir):
+    """Every Q6 predicate must appear in the parquet scan's PushedFilters
+    and the ReadSchema must carry only the four referenced columns —
+    the scan, not Spark, discards non-matching row groups at 100 TB."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["tpch_q6_forecast"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("PushedFilters") :]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan.split("ReadSchema")[0], f"{col} not pushed"
+    read_schema = scan[scan.index("ReadSchema") :].split("\n")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    for col in ("l_orderkey", "l_returnflag", "l_tax", "l_partkey"):
+        assert col not in read_schema, f"{col} read but never used"
+    # and the value itself matches a brute-force computation
+    import pyspark.sql.functions as F
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    brute = (
+        lineitem.collect()
+    )
+    want = sum(
+        r.l_extendedprice * r.l_discount
+        for r in brute
+        if str(r.l_shipdate) >= "1994-01-01"
+        and str(r.l_shipdate) < "1995-01-01"
+        and 0.05 <= r.l_discount <= 0.07
+        and r.l_quantity < 24
+    )
+    got = df.collect()[0].revenue
+    import math
+
+    assert got is None and want == 0 or math.isclose(got, want, rel_tol=1e-9, abs_tol=0.01)

@@ -539,6 +539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
+        # data-quality monitoring: per-lang length-distribution drift
+        # between the even (reference) and odd (candidate) ingest slices,
+        # per-mille integer shares -> sum of squared deltas (no doubles)
+        "corpus_drift": lambda s, d: sketch.corpus_drift(_docs(s, d)),
         # TPC-H Q6: the canonical pushdown query — every predicate and the
         # 4-column projection reach the parquet scan (pytest asserts
         # PushedFilters + ReadSchema on the executed plan)
@@ -2347,6 +2351,31 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "corpus_drift": """
+            WITH b AS (
+              SELECT lang, doc_id % 2 AS slice,
+                     CAST(len(bin(n_chars)) AS INT) AS bucket
+              FROM documents
+            ), h AS (
+              SELECT lang, slice, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2, 3
+            ), s AS (
+              SELECT lang, slice, bucket, n,
+                     CAST(FLOOR(CAST(n * 1000 AS DOUBLE)
+                                / SUM(n) OVER (PARTITION BY lang, slice)) AS BIGINT) AS pm
+              FROM h
+            ), r AS (SELECT lang, bucket, pm AS p, n AS n_ref FROM s WHERE slice = 0),
+            c AS (SELECT lang, bucket, pm AS q, n AS n_cand FROM s WHERE slice = 1),
+            j AS (
+              SELECT COALESCE(r.lang, c.lang) AS lang,
+                     COALESCE(p, 0) AS p, COALESCE(q, 0) AS q,
+                     COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cand, 0) AS n_cand
+              FROM r FULL OUTER JOIN c ON r.lang = c.lang AND r.bucket = c.bucket
+            )
+            SELECT lang, CAST(SUM(n_ref) AS BIGINT) AS ref_docs,
+                   CAST(SUM(n_cand) AS BIGINT) AS cand_docs,
+                   CAST(SUM((p - q) * (p - q)) AS BIGINT) AS drift_num
+            FROM j GROUP BY lang
+        """,
         "tpch_q6_forecast": """
             SELECT FLOOR(SUM(l_extendedprice * l_discount) * 100.0 + 0.5) / 100.0 AS revenue
             FROM lineitem

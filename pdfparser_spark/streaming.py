@@ -36,14 +36,27 @@ from .textops.events import _stream_dir
 
 
 def extract_stream_to_log(
-    spark: SparkSession, sf_dir: str, log_root: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    log_root: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Stream the documents source through the fused extraction kernel and
     commit spans to a snapshot log; returns the landed table flattened to
-    (doc_id, ord, kind, text, media_ref)."""
+    (doc_id, ord, kind, text, media_ref).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many source
+    files — the backfill throttle: pointing this job at a 100 TB backlog
+    with AvailableNow + the cap processes it as a SEQUENCE of bounded,
+    individually-committed batches (each sized to executor memory) instead
+    of one giant batch, and a crash resumes from the checkpoint at the
+    next uncommitted batch."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(docs_path).schema
-    stream = spark.readStream.schema(schema).parquet(_stream_dir(docs_path))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(_stream_dir(docs_path))
     spans = extract_fused(synthesize_corpus(stream.select("doc_id", "text")))
 
     if log_root is None:

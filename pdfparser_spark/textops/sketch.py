@@ -388,3 +388,54 @@ def hll_distinct_shingles_oracle_sql() -> str:
                  / p.s_harm AS est_distinct
         FROM per_lang p JOIN exact e ON e.lang = p.lang
     """
+
+
+def corpus_drift(documents: DataFrame) -> DataFrame:
+    """Distribution-drift monitor between two ingest slices (the
+    yesterday/today check a production pipeline alerts on): per-language
+    power-of-two length histograms of the even-doc_id slice (reference)
+    vs the odd slice (candidate), compared bucket by bucket in PER-MILLE
+    INTEGER shares — drift_num = sum((p_i - q_i)^2) over buckets, where
+    p_i = floor(1000 * n_i / N).  Integer arithmetic end to end: no
+    ln/log-ratio doubles to diverge between engines, and shares are
+    normalized so the statistic is scale-free (works unchanged when one
+    day is 100x the other).  Output: one row per (lang) with both totals
+    and the drift numerator; downstream alerting thresholds it.
+
+    Scale: corpus -> one (lang, slice, bucket) aggregate (map-side
+    combinable, <=64 buckets x 2 slices per lang); everything after runs
+    on that sketch table."""
+    b = documents.select(
+        "lang",
+        (F.col("doc_id") % 2).alias("slice"),
+        F.length(F.bin(F.col("n_chars"))).cast("int").alias("bucket"),
+    )
+    hist = b.groupBy("lang", "slice", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("lang", "slice"))
+    shares = hist.select(
+        "lang",
+        "slice",
+        "bucket",
+        F.floor(F.col("n") * 1000 / tot).cast("long").alias("pm"),
+        F.col("n"),
+    )
+    ref = shares.filter(F.col("slice") == 0).select(
+        "lang", "bucket", F.col("pm").alias("p"), F.col("n").alias("n_ref")
+    )
+    cand = shares.filter(F.col("slice") == 1).select(
+        "lang", "bucket", F.col("pm").alias("q"), F.col("n").alias("n_cand")
+    )
+    joined = ref.join(cand, ["lang", "bucket"], "full_outer").select(
+        "lang",
+        F.coalesce("p", F.lit(0)).alias("p"),
+        F.coalesce("q", F.lit(0)).alias("q"),
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+    )
+    return joined.groupBy("lang").agg(
+        F.sum("n_ref").alias("ref_docs"),
+        F.sum("n_cand").alias("cand_docs"),
+        F.sum((F.col("p") - F.col("q")) * (F.col("p") - F.col("q"))).alias(
+            "drift_num"
+        ),
+    )

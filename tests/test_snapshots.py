@@ -486,3 +486,30 @@ def test_manifest_bloom_point_lookup_skipping(spark, tmp_path):
     for probe in (0, 1, 17, 38, 39):
         rows = log.read(spark, "docs", where_eq=("doc_id", probe)).collect()
         assert [(r.doc_id, r.text) for r in rows] == [(probe, f"doc {probe}")]
+
+
+def test_stream_backfill_bounded_batches(spark, sf_dir, tmp_path):
+    """maxFilesPerTrigger=1 over a multi-file backlog must land the SAME
+    table as the unthrottled run, committed as MULTIPLE bounded
+    micro-batches (one snapshot per batch) — the 100 TB backfill shape."""
+    from pdfparser_spark.snapshots import SnapshotLog
+    from pdfparser_spark.streaming import extract_stream_to_log
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    src_sf = tmp_path / "sf"
+    src_sf.mkdir()
+    # documents.parquet as a DIRECTORY of 4 part files = a 4-file backlog
+    docs.repartition(4).write.parquet(str(src_sf / "documents.parquet"))
+
+    root = str(tmp_path / "backfill")
+    got = extract_stream_to_log(
+        spark, str(src_sf), log_root=root, max_files_per_trigger=1
+    )
+    full = extract_stream_to_log(spark, str(src_sf), log_root=str(tmp_path / "one"))
+    assert got.count() == full.count() > 0
+    a = {tuple(r) for r in got.collect()}
+    assert a == {tuple(r) for r in full.collect()}
+
+    chain = SnapshotLog(os.path.join(root, "log")).chain()
+    stream_commits = [s for s in chain if s.get("operation") == "stream-append"]
+    assert len(stream_commits) >= 4  # one bounded commit per source file

@@ -543,6 +543,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # between the even (reference) and odd (candidate) ingest slices,
         # per-mille integer shares -> sum of squared deltas (no doubles)
         "corpus_drift": lambda s, d: sketch.corpus_drift(_docs(s, d)),
+        # leakage-safe splits: the assignment unit is the duplicate
+        # CLUSTER (LSH connected component; singletons label themselves),
+        # so near-identical docs can never straddle train/val/test
+        "leakage_safe_splits": lambda s, d: curation.leakage_safe_splits(
+            _docs(s, d)
+        ),
         # TPC-H Q6: the canonical pushdown query — every predicate and the
         # 4-column projection reach the parquet scan (pytest asserts
         # PushedFilters + ReadSchema on the executed plan)
@@ -2351,6 +2357,33 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "leakage_safe_splits": "WITH RECURSIVE " + _LSH_PAIRS_CTE + f""",
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            cl AS (
+              SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ),
+            lab AS (
+              SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+            )
+            SELECT doc_id, cluster_id,
+                   CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id, cluster_id,
+                     {sketch.sql_hash48("'split#' || CAST(cluster_id AS VARCHAR)")} % 10 AS b
+              FROM lab
+            )
+        """,
         "corpus_drift": """
             WITH b AS (
               SELECT lang, doc_id % 2 AS slice,

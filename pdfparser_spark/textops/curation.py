@@ -362,3 +362,40 @@ def canonical_docs(documents: DataFrame) -> DataFrame:
             F.col("best.quality").alias("best_quality"),
         )
     )
+
+
+def leakage_safe_splits(documents: DataFrame) -> DataFrame:
+    """Train/val/test assignment that can NEVER leak near-duplicates
+    across splits: the unit of assignment is the duplicate CLUSTER, not
+    the document.  Every doc takes its connected-component label from the
+    LSH pair graph (singletons label themselves), and the split is a
+    deterministic hash of that label — so two near-identical documents
+    land in the same split by construction, the invariant eval-set
+    hygiene actually requires (splitting by doc hash silently puts one
+    copy in train and its twin in test).
+
+    80/10/10 via hash48(cluster_id) % 10: < 8 train, == 8 val, == 9 test.
+    Scale: the cluster labels are O(docs-in-pairs) (tiny), broadcast-
+    joined back to the corpus; the split expression is stateless JVM work.
+    """
+    from .dedup import dedup_clusters
+    from .sketch import hash48
+
+    clusters = dedup_clusters(documents)
+    labeled = documents.select("doc_id").join(
+        F.broadcast(clusters), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = F.pmod(
+        hash48(F.concat(F.lit("split#"), F.col("cluster_id").cast("string"))),
+        F.lit(10).cast("long"),
+    )
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias(
+            "split"
+        ),
+    )

@@ -424,3 +424,26 @@ def test_salted_skew_join_equals_plain_join_and_spreads_hot_key(spark, sf_dir):
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_leakage_safe_splits_invariants(spark, sf_dir):
+    """Every doc gets exactly one split; ~80/10/10; and the leakage
+    guarantee: all members of a duplicate cluster share one split."""
+    from pdfparser_spark.textops.curation import leakage_safe_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = leakage_safe_splits(docs).collect()
+    assert len(rows) == docs.count()
+    by_cluster: dict = {}
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in rows:
+        counts[r.split] += 1
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
+    n = len(rows)
+    assert counts["train"] > 0.6 * n and counts["val"] > 0 and counts["test"] > 0
+    # real multi-member clusters exist in the corpus (the guarantee bites)
+    from pdfparser_spark.textops.dedup import dedup_clusters
+
+    sizes = [r["count"] for r in dedup_clusters(docs).groupBy("cluster_id").count().collect()]
+    assert any(sz >= 2 for sz in sizes)

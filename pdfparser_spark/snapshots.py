@@ -202,6 +202,26 @@ class SnapshotLog:
             out.update(s.get("stats", {}).get(table, {}))
         return out
 
+    def row_count(self, table: str, snapshot_id: int | None = None) -> int | None:
+        """Metadata-only COUNT(*): answered purely from the manifests'
+        per-directory row counts — zero data files touched (the Iceberg
+        count-from-stats trick; at 10^12 rows a COUNT should never scan).
+        Returns None when the count cannot be stated exactly from
+        metadata: a data dir lacking stats, or pending equality-delete
+        tombstones (merge-on-read counts depend on matching rows — run
+        ``compact()`` to materialize them, after which counts are exact
+        again)."""
+        if self.delete_files_for(table, snapshot_id):
+            return None
+        stats = self.stats_for(table, snapshot_id)
+        total = 0
+        for d in self.files_for(table, snapshot_id):
+            ds = stats.get(d)
+            if ds is None or "rows" not in ds:
+                return None
+            total += int(ds["rows"])
+        return total
+
     def plan_files(
         self,
         table: str,

@@ -513,3 +513,35 @@ def test_stream_backfill_bounded_batches(spark, sf_dir, tmp_path):
     chain = SnapshotLog(os.path.join(root, "log")).chain()
     stream_commits = [s for s in chain if s.get("operation") == "stream-append"]
     assert len(stream_commits) >= 4  # one bounded commit per source file
+
+
+def test_metadata_only_row_count(spark, tmp_path):
+    """COUNT(*) from manifests alone: exact across commits and time
+    travel, refuses (None) while tombstones are pending, exact again
+    after compaction — and always equal to the scan count."""
+    from pdfparser_spark.snapshots import SnapshotLog, _dir_stats, compact, delete_docs
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    for lo, hi in ((0, 30), (30, 75)):
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(lo, hi)], "doc_id long, text string"
+        )
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        back = spark.read.parquet(d)
+        _, st = _dir_stats(back)
+        log.commit(
+            {"docs": [d]},
+            schemas={"docs": back.schema.json()},
+            stats={"docs": {d: st}},
+        )
+
+    assert log.row_count("docs") == 75 == log.read(spark, "docs").count()
+    assert log.row_count("docs", snapshot_id=1) == 30  # time travel
+
+    delete_docs(log, spark, [3, 40, 41], table="docs")
+    assert log.row_count("docs") is None  # pending tombstones: refuse
+    assert log.read(spark, "docs").count() == 72
+
+    compact(log, spark, table="docs")
+    assert log.row_count("docs") == 72 == log.read(spark, "docs").count()

@@ -160,6 +160,36 @@ def _warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_cols(warc.fetch_warc_records(probe))
 
 
+def _sql_lang_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` entry surface (SURVEY.md §2.8): documents exposed
+    as a temp view, a VECTORIZED pandas UDF registered by name
+    (``py_tokens`` — Arrow batches, never per-row Python), and the report
+    written as plain SQL.  Same engine, same plan quality: Catalyst sees
+    through the view, and the UDF runs as ArrowEvalPython exactly like
+    the DataFrame-API pandas_udf path."""
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type hints — `from __future__ import annotations` turns
+    # them into strings, which Spark 4's hint-based pandas_udf signature
+    # inference rejects; hint-less defaults to SCALAR, which is what this is
+    @pandas_udf("int")
+    def py_tokens(s):
+        return s.str.split(" ").str.len().astype("int32")
+
+    spark.udf.register("py_tokens", py_tokens)
+    _docs(spark, sf_dir).createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(py_tokens(text)) AS BIGINT) AS total_tokens,
+               MAX(py_tokens(text)) AS max_tokens
+        FROM docs_v
+        GROUP BY lang
+        """
+    )
+
+
 def _warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl chain the north rule describes: WARC source -> HTTP 200
     filter -> DOM-tree Readability main-content extraction, two stateless
@@ -549,6 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_splits": lambda s, d: curation.leakage_safe_splits(
             _docs(s, d)
         ),
+        # the spark.sql surface: temp view + a REGISTERED vectorized pandas
+        # UDF exercised from plain SQL (SURVEY.md 2.8)
+        "sql_lang_token_report": _sql_lang_token_report,
         # TPC-H Q6: the canonical pushdown query — every predicate and the
         # 4-column projection reach the parquet scan (pytest asserts
         # PushedFilters + ReadSchema on the executed plan)
@@ -2357,6 +2390,12 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "sql_lang_token_report": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+                   CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens
+            FROM documents GROUP BY lang
+        """,
         "leakage_safe_splits": "WITH RECURSIVE " + _LSH_PAIRS_CTE + f""",
             edges AS (
               SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -923,3 +923,16 @@ def test_tpch_q6_pushdown_reaches_scan(spark, sf_dir):
     import math
 
     assert got is None and want == 0 or math.isclose(got, want, rel_tol=1e-9, abs_tol=0.01)
+
+
+def test_incremental_lsh_dedup_plan_no_cartesian(spark, sf_dir, tmp_path):
+    """The index probe is an equi-join on the band key and the delta
+    self-join is the capped bucket join — no nested-loop or cartesian
+    fallback anywhere in the verified-pairs plan."""
+    from pdfparser_spark.textops.dedup import incremental_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    df = incremental_lsh_dedup(docs, str(tmp_path / "log"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -582,6 +582,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the spark.sql surface: temp view + a REGISTERED vectorized pandas
         # UDF exercised from plain SQL (SURVEY.md 2.8)
         "sql_lang_token_report": _sql_lang_token_report,
+        # incremental cardinality: per-batch HLL register grids committed
+        # to the snapshot log, MAX-merged at read — bit-identical to the
+        # single-pass sketch (same oracle), no batch ever re-shingled
+        "hll_incremental_distinct": lambda s, d: sketch.hll_incremental_distinct(
+            _docs(s, d),
+            os.path.join(
+                tempfile.gettempdir(), "hlllog_" + __import__("uuid").uuid4().hex[:8]
+            ),
+        ),
         # TPC-H Q6: the canonical pushdown query — every predicate and the
         # 4-column projection reach the parquet scan (pytest asserts
         # PushedFilters + ReadSchema on the executed plan)
@@ -2390,6 +2399,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "hll_incremental_distinct": sketch.hll_distinct_shingles_oracle_sql(),
         "sql_lang_token_report": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -313,6 +313,13 @@ def hll_distinct_shingles(documents: DataFrame) -> DataFrame:
     registers) is deliberately omitted — ln() is not bit-portable across
     engines — and pytest asserts the corpus sits outside that regime
     (thousands of shingles per language vs the 640 cutoff)."""
+    regs = hll_registers(documents)
+    return _hll_report(regs, documents)
+
+
+def hll_registers(documents: DataFrame) -> DataFrame:
+    """The sketch state itself: (lang, idx, m_rank) — <= 256 rows per
+    language regardless of corpus size, mergeable by elementwise MAX."""
     from .dedup import shingles_expr
 
     sh = documents.select("lang", F.explode(shingles_expr()).alias("sh"))
@@ -326,7 +333,14 @@ def hll_distinct_shingles(documents: DataFrame) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
-    regs = ranked.groupBy("lang", "idx").agg(F.max("rank").alias("m_rank"))
+    return ranked.groupBy("lang", "idx").agg(F.max("rank").alias("m_rank"))
+
+
+def _hll_report(regs: DataFrame, documents: DataFrame) -> DataFrame:
+    """Fold a register table (possibly a MAX-merge of several) into the
+    per-lang estimate, next to the exact count from ``documents``."""
+    from .dedup import shingles_expr
+
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
     per_lang = regs.groupBy("lang").agg(
         (
@@ -352,6 +366,41 @@ def hll_distinct_shingles(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def hll_incremental_distinct(documents: DataFrame, log_root: str) -> DataFrame:
+    """Incremental cardinality maintenance: each ingest batch commits its
+    OWN 256-register grid to a snapshot-log table (tiny — the registers,
+    never the values), and the corpus-wide estimate is read back as an
+    elementwise MAX-merge of all committed grids.  No batch is ever
+    re-shingled, yet the merged estimate is BIT-IDENTICAL to the
+    single-pass sketch over the full corpus (max is associative; the
+    harmonic fold's reciprocal powers of two are <53-bit exact, so
+    summation order cannot change the double) — which is exactly why the
+    oracle is the unchanged full-corpus HLL SQL.
+
+    Demo split mirrors the other incremental ops: batch 1 = even doc_ids,
+    batch 2 = odd."""
+    from ..snapshots import SnapshotLog
+
+    spark = documents.sparkSession
+    log = SnapshotLog(log_root)
+    for parity in (0, 1):
+        batch = documents.filter(F.col("doc_id") % 2 == parity)
+        d = log.new_data_dir("hll_regs")
+        hll_registers(batch).write.parquet(d)
+        log.commit(
+            {"hll_regs": [d]},
+            operation="append",
+            summary={"hll_batch_parity": parity},
+            schemas={"hll_regs": spark.read.parquet(d).schema.json()},
+        )
+    merged = (
+        log.read(spark, "hll_regs")
+        .groupBy("lang", "idx")
+        .agg(F.max("m_rank").alias("m_rank"))
+    )
+    return _hll_report(merged, documents)
 
 
 def hll_distinct_shingles_oracle_sql() -> str:

@@ -936,3 +936,21 @@ def test_incremental_lsh_dedup_plan_no_cartesian(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hll_incremental_merge_bit_equal(spark, sf_dir, tmp_path):
+    """MAX-merging per-batch register grids must reproduce the single-pass
+    sketch BIT-for-bit (associativity + <53-bit-exact harmonic fold)."""
+    from pdfparser_spark.textops.sketch import (
+        hll_distinct_shingles,
+        hll_incremental_distinct,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = {r.lang: r for r in hll_distinct_shingles(docs).collect()}
+    inc = {r.lang: r for r in hll_incremental_distinct(docs, str(tmp_path / "h")).collect()}
+    assert set(one) == set(inc)
+    for lang in one:
+        assert one[lang].est_distinct == inc[lang].est_distinct  # exact == on doubles
+        assert one[lang].n_zero_registers == inc[lang].n_zero_registers
+        assert one[lang].exact_distinct == inc[lang].exact_distinct

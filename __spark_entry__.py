@@ -585,6 +585,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental cardinality: per-batch HLL register grids committed
         # to the snapshot log, MAX-merged at read — bit-identical to the
         # single-pass sketch (same oracle), no batch ever re-shingled
+        # additive twin: per-batch Count-Min grids SUM-merged at read —
+        # integer-equal to the single-pass grid, same oracle
+        "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
+            _docs(s, d),
+            os.path.join(
+                tempfile.gettempdir(), "cmslog_" + __import__("uuid").uuid4().hex[:8]
+            ),
+        ),
         "hll_incremental_distinct": lambda s, d: sketch.hll_incremental_distinct(
             _docs(s, d),
             os.path.join(
@@ -2399,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
+        "cms_incremental_hitters": sketch.cms_heavy_hitters_oracle_sql(),
         "hll_incremental_distinct": sketch.hll_distinct_shingles_oracle_sql(),
         "sql_lang_token_report": """
             SELECT lang, COUNT(*) AS n_docs,

@@ -193,6 +193,76 @@ CMS_W = 1024  # buckets per row
 CMS_TOPK = 20
 
 
+def _token_counts(documents: DataFrame) -> DataFrame:
+    toks = documents.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _cms_keyed(df: DataFrame, d: int, w: int) -> DataFrame:
+    return df.select(
+        "tok", "cnt", F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("d")
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            hash48(F.concat(F.col("tok"), F.lit("#cms"), F.col("d").cast("string"))),
+            F.lit(w).cast("long"),
+        ),
+    )
+
+
+def cms_incremental_heavy_hitters(
+    documents: DataFrame,
+    log_root: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    topk: int = CMS_TOPK,
+) -> DataFrame:
+    """Incremental frequency maintenance, the additive twin of
+    :func:`hll_incremental_distinct`: each ingest batch commits its OWN
+    d x w counter grid to a snapshot-log table (d*w integers, never the
+    vocabulary), and the corpus grid is the element-wise SUM of all
+    committed grids at read time — exactly equal to the single-pass grid
+    (integer addition is associative), so the unchanged full-corpus
+    oracle checks the merged estimates.  Demo split: even / odd doc_ids."""
+    from ..snapshots import SnapshotLog
+
+    spark = documents.sparkSession
+    log = SnapshotLog(log_root)
+    for parity in (0, 1):
+        batch = documents.filter(F.col("doc_id") % 2 == parity)
+        grid = _cms_keyed(_token_counts(batch), d, w).groupBy("d", "bucket").agg(
+            F.sum("cnt").alias("cell")
+        )
+        dd = log.new_data_dir("cms_grid")
+        grid.write.parquet(dd)
+        log.commit(
+            {"cms_grid": [dd]},
+            operation="append",
+            summary={"cms_batch_parity": parity},
+            schemas={"cms_grid": spark.read.parquet(dd).schema.json()},
+        )
+    merged = (
+        log.read(spark, "cms_grid")
+        .groupBy("d", "bucket")
+        .agg(F.sum("cell").alias("cell"))
+    )
+    counts = _token_counts(documents)
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(topk)
+    return (
+        _cms_keyed(top, d, w)
+        .join(merged, ["d", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell").alias("est_count"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("true_count"),
+            "est_count",
+        )
+    )
+
+
 def cms_heavy_hitters(
     documents: DataFrame, d: int = CMS_D, w: int = CMS_W, topk: int = CMS_TOPK
 ) -> DataFrame:
@@ -216,10 +286,7 @@ def cms_heavy_hitters(
     grid (d small aggregates over the vocab table) and the exact top-k
     (TakeOrderedAndProject); the probe joins k*d rows against the grid —
     nothing rescans the corpus."""
-    toks = documents.select(
-        F.explode(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok") != "")
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = _token_counts(documents)
 
     def keyed(df: DataFrame) -> DataFrame:
         return df.select(

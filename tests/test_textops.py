@@ -954,3 +954,20 @@ def test_hll_incremental_merge_bit_equal(spark, sf_dir, tmp_path):
         assert one[lang].est_distinct == inc[lang].est_distinct  # exact == on doubles
         assert one[lang].n_zero_registers == inc[lang].n_zero_registers
         assert one[lang].exact_distinct == inc[lang].exact_distinct
+
+
+def test_cms_incremental_merge_integer_equal(spark, sf_dir, tmp_path):
+    """SUM-merging per-batch Count-Min grids must reproduce the
+    single-pass estimates exactly (integer addition, no tolerance)."""
+    from pdfparser_spark.textops.sketch import (
+        cms_heavy_hitters,
+        cms_incremental_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one = {r.token: (r.true_count, r.est_count) for r in cms_heavy_hitters(docs).collect()}
+    inc = {
+        r.token: (r.true_count, r.est_count)
+        for r in cms_incremental_heavy_hitters(docs, str(tmp_path / "c")).collect()
+    }
+    assert one == inc and len(one) == 20

@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--strict", action="store_true")
     ap.add_argument("--force", action="store_true", help="invalidate checkpoints first")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--mode",
+        default="pdf",
+        choices=("pdf", "warc"),
+        help="pdf: staged extraction DAG over the documents table; "
+        "warc: crawl ingestion (WARC shards -> parse -> DOM main content)",
+    )
     args = ap.parse_args()
 
     # import after argparse so --help works without a JVM
@@ -35,6 +42,43 @@ def main() -> None:
     from pdfparser_spark.session import build_session
 
     spark = build_session(master=args.master)
+
+    if args.mode == "warc":
+        from pdfparser_spark.sources import warc
+        from pdfparser_spark.textops import dom
+        from pyspark.sql import functions as F
+
+        shard_dir = os.path.join(args.work_dir, "warc_shards")
+        docs = spark.read.parquet(os.path.join(args.sf_dir, "documents.parquet"))
+        t0 = time.perf_counter()
+        if not os.path.exists(os.path.join(shard_dir, "_SUCCESS")):  # resumable
+            warc.write_warc_shards(docs, shard_dir, n_shards=8).count()
+            open(os.path.join(shard_dir, "_SUCCESS"), "w").close()
+        pages = (
+            warc.read_warc(spark, shard_dir)
+            .filter(F.col("status") == 200)
+            .select(
+                F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+                F.col("body").alias("html"),
+            )
+        )
+        content = dom.dom_extract(pages)
+        if args.out:
+            content.write.mode("overwrite").parquet(os.path.join(args.out, "main_content"))
+            n = spark.read.parquet(os.path.join(args.out, "main_content")).count()
+        else:
+            n = content.count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "mode": "warc",
+            "sf_dir": args.sf_dir,
+            "docs": n,
+            "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 2),
+        }))
+        spark.stop()
+        return
+
     if args.force:
         Pipeline(spark, work_dir=args.work_dir).invalidate()
     t0 = time.perf_counter()

@@ -45,3 +45,30 @@ def test_driver_contract_query_oracle_pairing():
     o = set(e.oracle_sql())
     assert o <= q, f"oracles without queries: {o - q}"
     assert q - o == set(), f"queries without oracles: {q - o}"
+
+
+def test_run_pipeline_cli_warc_mode(tmp_path):
+    """--mode warc deploys the crawl chain (shard write -> WARC parse ->
+    DOM main content) through the same spark-submit entry point."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "run_pipeline.py"),
+            "--sf-dir", "/root/testdata/sf0.001",
+            "--work-dir", str(tmp_path / "work"),
+            "--out", str(tmp_path / "out"),
+            "--mode", "warc",
+            "--master", "local[4]",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    # 500 docs minus the 404 slice minus filtered-out pages = the DOM
+    # oracle's own row count at sf0.001
+    assert summary["mode"] == "warc" and summary["docs"] == 469
+    assert os.path.exists(str(tmp_path / "out" / "main_content"))

@@ -53,9 +53,12 @@ READ_SCHEMA = (
 
 
 def doc_url(doc_id: int) -> str:
-    """Deterministic crawl URL for a doc — host spread over 13 vhosts so
-    host-level aggregations downstream see real key diversity."""
-    return f"http://host{doc_id % 13}.example.org/doc/{doc_id}"
+    """Deterministic crawl URL for a doc — host spread over N_HOSTS
+    vhosts (shared with urls/robots) so host-level aggregations
+    downstream see real key diversity."""
+    from ..textops.urls import N_HOSTS
+
+    return f"http://host{doc_id % N_HOSTS}.example.org/doc/{doc_id}"
 
 
 def doc_date(doc_id: int) -> str:
@@ -116,9 +119,11 @@ def build_warcinfo_record(shard: int) -> bytes:
 def build_request_record(doc_id: int) -> bytes:
     """The paired GET request — present in real crawls; the reader must
     SKIP it (only responses carry payload)."""
+    from ..textops.urls import N_HOSTS
+
     http = (
         f"GET /doc/{doc_id} HTTP/1.1\r\n"
-        f"Host: host{doc_id % 13}.example.org\r\n"
+        f"Host: host{doc_id % N_HOSTS}.example.org\r\n"
         "User-Agent: pdfspark-crawler/1.0\r\n\r\n"
     ).encode("ascii")
     return _record(
@@ -200,16 +205,7 @@ def write_warc_shards(
 def split_gzip_members(data: bytes) -> Iterator[bytes]:
     """Split a multi-member gzip stream into decompressed members.  A
     truncated final member raises ValueError (contained by the caller)."""
-    while data:
-        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out = d.decompress(data)
-        except zlib.error as e:
-            raise ValueError(f"bad gzip member: {e}") from e
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        yield out
-        data = d.unused_data
+    return (out for _off, _clen, out in split_gzip_members_with_offsets(data))
 
 
 def _parse_records_in(buf: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -232,6 +228,11 @@ def _parse_records_in(buf: bytes) -> Iterator[tuple[dict, bytes]]:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError("missing/bad Content-Length") from e
+        if clen < 0:
+            # a negative length would walk block_end BEHIND block_start and
+            # the terminator check would re-match the header's own CRLFCRLF,
+            # fabricating an empty record — reject, per the strict framing
+            raise ValueError(f"negative Content-Length {clen}")
         block_start = end + 4
         block_end = block_start + clen
         if buf[block_end : block_end + 4] != _CRLF * 2:
@@ -283,6 +284,7 @@ def index_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                frows = []  # buffered per file: corrupt => NOTHING indexed
                 try:
                     for off, clen, member in split_gzip_members_with_offsets(
                         bytes(content)
@@ -290,7 +292,7 @@ def index_warc(spark: SparkSession, path: str) -> DataFrame:
                         for headers, _block in _parse_records_in(member):
                             if headers.get("warc-type") != "response":
                                 continue
-                            rows.append(
+                            frows.append(
                                 {
                                     "url": headers.get("warc-target-uri", ""),
                                     "warc_date": headers.get("warc-date", ""),
@@ -301,6 +303,7 @@ def index_warc(spark: SparkSession, path: str) -> DataFrame:
                             )
                 except ValueError:
                     continue  # corrupt shard: absent from the index
+                rows.extend(frows)
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(index, schema=CDX_SCHEMA)
@@ -385,12 +388,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                frows = []  # buffered per file: corrupt => skipped WHOLE
                 try:
                     for headers, block in parse_warc_records(bytes(content)):
                         if headers.get("warc-type") != "response":
                             continue
                         status, ctype, body = _parse_http_response(block)
-                        rows.append(
+                        frows.append(
                             {
                                 "path": fpath,
                                 "url": headers.get("warc-target-uri", ""),
@@ -403,6 +407,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         )
                 except ValueError:
                     continue  # corrupt shard: skip whole file, never kill the task
+                rows.extend(frows)
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=READ_SCHEMA)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-N_HOSTS = 13
+from .urls import N_HOSTS  # one source of truth for the synth vhost fan-out
 
 
 def synth_robots_txt(h: int) -> str:

@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 # query parameters that never identify content (the classic strip list)
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
+# vhost fan-out of the synthetic web model — shared by the WARC writer,
+# the messy-URL variants and the robots rule set (one source of truth so
+# host assignment can never desynchronize across the synth families)
+N_HOSTS = 13
+
 
 def canonicalize_url(url: Column) -> Column:
     """Canonical form of an absolute http(s) URL:
@@ -35,9 +40,14 @@ def canonicalize_url(url: Column) -> Column:
     no_frag = F.split(url, "#", 2).getItem(0)
     scheme = F.lower(F.split(no_frag, "://", 2).getItem(0))
     rest = F.coalesce(F.get(F.split(no_frag, "://", 2), 1), F.lit(""))
-    hostport = F.split(rest, "/", 2).getItem(0)
-    # path+query, leading slash re-attached ('' when the URL ends at host)
-    tail = F.coalesce(F.get(F.split(rest, "/", 2), 1), F.lit(""))
+    # strip the query BEFORE splitting on '/': a URL like
+    # http://h.example.org?a=1 has its query ahead of any slash, and
+    # splitting on '/' first would fold '?a=1' into the host
+    query = F.get(F.split(rest, r"\?", 2), 1)
+    rest_nq = F.split(rest, r"\?", 2).getItem(0)
+    hostport = F.split(rest_nq, "/", 2).getItem(0)
+    # path, leading slash re-attached ('' when the URL ends at host)
+    path = F.coalesce(F.get(F.split(rest_nq, "/", 2), 1), F.lit(""))
     host = F.lower(F.split(hostport, ":", 2).getItem(0))
     port = F.get(F.split(hostport, ":", 2), 1)
     default_port = (
@@ -46,8 +56,6 @@ def canonicalize_url(url: Column) -> Column:
         | ((scheme == "https") & (port == "443"))
     )
     hostpart = F.when(default_port, host).otherwise(F.concat(host, F.lit(":"), port))
-    path = F.split(tail, r"\?", 2).getItem(0)
-    query = F.get(F.split(tail, r"\?", 2), 1)
     def _keep(p: Column) -> Column:
         tracked = p.startswith(TRACKING_PREFIXES[0])
         for pfx in TRACKING_PREFIXES[1:]:
@@ -70,7 +78,7 @@ def messy_url_variants(documents: DataFrame, k: int = 4) -> DataFrame:
     so the downstream dedup must collapse exactly k -> 1.  Built as plan
     expressions (not a kernel) so the oracle can restate it in SQL."""
     did = F.col("doc_id")
-    host = F.concat(F.lit("host"), (did % 13).cast("string"), F.lit(".example.org"))
+    host = F.concat(F.lit("host"), (did % N_HOSTS).cast("string"), F.lit(".example.org"))
     path = F.concat(F.lit("/doc/"), did.cast("string"))
     qa = F.concat(F.lit("a="), (did % 7).cast("string"))
     qb = F.concat(F.lit("b="), (did % 5).cast("string"))

@@ -25,6 +25,8 @@ def test_canonicalize_rules(spark):
             "http://h.example.org/p?fbclid=x&utm_medium=m",  # all params stripped
             "http://h.example.org/p?A=1&a=1",  # query case is significant
             "http://h.example.org",  # no path: canonical gains the root slash
+            "http://H.example.org?b=2&a=1",  # query BEFORE any slash
+            "https://h.example.org:443?utm_source=f&z=1#frag",  # all rules, no path
         ],
     )
     assert got == [
@@ -35,6 +37,8 @@ def test_canonicalize_rules(spark):
         "http://h.example.org/p",
         "http://h.example.org/p?A=1&a=1",
         "http://h.example.org/",
+        "http://h.example.org/?a=1&b=2",
+        "https://h.example.org/?z=1",
     ]
 
 

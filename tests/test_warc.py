@@ -64,6 +64,26 @@ def test_corrupt_shard_raises_valueerror_only(mutate):
         list(warc.parse_warc_records(mutate(raw)))
 
 
+def test_negative_content_length_rejected():
+    rec = warc.build_response_record(2, "two")
+    bad = rec.replace(b"Content-Length: ", b"Content-Length: -", 1)
+    with pytest.raises(ValueError):
+        list(warc._parse_records_in(bad))
+
+
+def test_corrupt_tail_drops_whole_file_rows(spark, tmp_path):
+    """Containment is whole-file: records BEFORE the corruption point
+    must not leak into the reader's output (no silent prefix)."""
+    good = _shard_bytes([(0, "a"), (1, "b")])
+    raw = good + b"\x1f\x8b" + b"garbage-tail"
+    with pytest.raises(ValueError):
+        list(warc.parse_warc_records(raw))
+    p = tmp_path / "shard-corrupt.warc.gz"
+    p.write_bytes(raw)
+    assert warc.read_warc(spark, str(tmp_path)).count() == 0
+    assert warc.index_warc(spark, str(tmp_path)).count() == 0
+
+
 def test_bad_framing_raises_valueerror_only():
     rec = warc.build_response_record(7, "seven")
     with pytest.raises(ValueError):

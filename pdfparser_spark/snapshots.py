@@ -251,7 +251,7 @@ class SnapshotLog:
             col, lo, hi = where
         stats = self.stats_for(table, snapshot_id)
         probe_bits = (
-            _bloom_positions(str(where_eq[1])) if where_eq is not None else None
+            _bloom_positions(where_eq[1]) if where_eq is not None else None
         )
         kept = []
         for d in dirs:
@@ -645,14 +645,27 @@ BLOOM_M = 4096  # bits per manifest Bloom filter (512-byte hex blob per dir)
 BLOOM_K = 2  # hash functions
 
 
-def _bloom_positions(value: str) -> list[int]:
+def _bloom_render(value) -> str:
+    """Render a probe value the way Spark's CAST(col AS STRING) rendered
+    the column when the bits were built — a mismatch (e.g. Python's
+    ``str(5.0)`` = '5.0' vs Spark's '5' for a BIGINT column) would turn
+    the 'no false negatives' guarantee into silently-dropped matches."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, float) and value.is_integer():
+        return str(int(value))
+    return str(value)
+
+
+def _bloom_positions(value) -> list[int]:
     """The probe value's BLOOM_K bit positions — the pure-Python mirror
     of the Spark-side derivation in :func:`_dir_stats` (same md5 fold:
     ``int(md5(s).hexdigest()[:12], 16)`` == ``sketch.hash48``)."""
     import hashlib
 
+    s = _bloom_render(value)
     return [
-        int(hashlib.md5(f"{value}#bloom{k}".encode()).hexdigest()[:12], 16) % BLOOM_M
+        int(hashlib.md5(f"{s}#bloom{k}".encode()).hexdigest()[:12], 16) % BLOOM_M
         for k in range(BLOOM_K)
     ]
 

@@ -450,27 +450,62 @@ def incremental_lsh_dedup(
         return (
             spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
         )
-    # new-vs-old candidates: ONE probe join against the index (shuffle
-    # keyed on the tiny band hash; the index side is a plain parquet scan)
-    new_old = (
+    # new-vs-old candidates: ONE probe join against the index, with the
+    # SAME oversize-bucket guard as the self-join paths — a hot historical
+    # bucket (B index docs x b delta docs) would otherwise emit B*b pairs;
+    # over the cap, delta docs pair only with the bucket's min-id
+    # representative (star topology, components preserved).  The index
+    # side pre-aggregates to (bucket, size, rep) + its small-bucket rows.
+    idx_stats = index.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("isz"), F.min("doc_id").alias("irep")
+    )
+    idx_stats = idx_stats.observe(
+        "incr_probe_cap",
+        F.sum(F.when(F.col("isz") > bucket_cap, 1).otherwise(0)).alias(
+            "oversize_index_buckets"
+        ),
+    )
+    small_idx = index.join(
+        idx_stats.filter(F.col("isz") <= bucket_cap).select("band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+    )
+    probe_small = (
         delta.alias("n")
-        .join(index.alias("o"), on=["band_idx", "band_hash"])
+        .join(small_idx.alias("o"), on=["band_idx", "band_hash"])
         .select(
             F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_a"),
             F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_b"),
         )
     )
+    probe_big = (
+        delta.join(
+            idx_stats.filter(F.col("isz") > bucket_cap), ["band_idx", "band_hash"]
+        )
+        .select(
+            F.least(F.col("doc_id"), F.col("irep")).alias("doc_a"),
+            F.greatest(F.col("doc_id"), F.col("irep")).alias("doc_b"),
+        )
+    )
+    new_old = probe_small.union(probe_big)
     # new-vs-new: the capped self-join, within the delta only
     new_new = _capped_bucket_pairs(
         delta, ["band_idx", "band_hash"], "doc_id", bucket_cap, "incr_lsh_cap"
     )
     pairs = new_old.union(new_new).distinct()
 
-    # exact-Jaccard verification on candidates only
-    sh = documents.select("doc_id", shingles_expr().alias("sh"))
+    # exact-Jaccard verification on CANDIDATE docs only: semi-join the
+    # corpus down to the pair members before shingling, so steady-state
+    # cost stays O(batch + candidates) — the history is never re-shingled
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = documents.join(cand_ids, "doc_id", "left_semi")
+    sh = cand_docs.select("doc_id", shingles_expr().alias("sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    verified = register_persisted(
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -487,7 +522,12 @@ def incremental_lsh_dedup(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .persist()
     )
+    # materialize the batch's dup report BEFORE committing the delta to
+    # the index: commit-first would mean a crash between the two makes the
+    # redelivered batch anti-join to empty and the report is lost forever
+    verified.count()
     # append the delta's signatures: the NEXT batch probes old+new
     _commit_sigs(delta, "delta_rows")
     return verified

@@ -545,3 +545,21 @@ def test_metadata_only_row_count(spark, tmp_path):
 
     compact(log, spark, table="docs")
     assert log.row_count("docs") == 72 == log.read(spark, "docs").count()
+
+
+def test_bloom_probe_renders_like_spark_cast(spark, tmp_path):
+    """A float probe for an integral key must not false-negative: Python
+    str(5.0)='5.0' vs Spark CAST's '5' — the renderer normalizes, so the
+    matching directory survives pruning and the row is returned."""
+    from pdfparser_spark.snapshots import SnapshotLog, _dir_stats
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(10)], "doc_id long, text string")
+    d = log.new_data_dir("docs")
+    df.write.parquet(d)
+    back = spark.read.parquet(d)
+    _, st = _dir_stats(back)
+    log.commit({"docs": [d]}, schemas={"docs": back.schema.json()}, stats={"docs": {d: st}})
+
+    rows = log.read(spark, "docs", where_eq=("doc_id", 5.0)).collect()
+    assert [(r.doc_id, r.text) for r in rows] == [(5, "d5")]

@@ -971,3 +971,20 @@ def test_cms_incremental_merge_integer_equal(spark, sf_dir, tmp_path):
         for r in cms_incremental_heavy_hitters(docs, str(tmp_path / "c")).collect()
     }
     assert one == inc and len(one) == 20
+
+
+def test_cms_incremental_idempotent_rerun(spark, sf_dir, tmp_path):
+    """Re-running against the same log must NOT double-count: the parity
+    guard skips already-committed grids, so the SUM-merge stays equal to
+    the single-pass sketch."""
+    from pdfparser_spark.textops.sketch import (
+        cms_heavy_hitters,
+        cms_incremental_heavy_hitters,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = str(tmp_path / "c")
+    first = {r.token: r.est_count for r in cms_incremental_heavy_hitters(docs, root).collect()}
+    again = {r.token: r.est_count for r in cms_incremental_heavy_hitters(docs, root).collect()}
+    single = {r.token: r.est_count for r in cms_heavy_hitters(docs).collect()}
+    assert first == again == single

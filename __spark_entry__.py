@@ -554,10 +554,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": lambda s, d: curation.pii_scrub(_docs(s, d)),
         # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
         # ESTIMATE itself is bit-identical cross-engine
-        "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
         # Z-order clustering: Morton-interleaved (lang, length) layout vs
         # hash-scattered baseline, manifest-stat file skipping REPORTED
         # (the clustering step that makes snapshot min/max stats selective)
+        # incremental sketch maintenance over the table format: per-batch
+        # Count-Min grids committed to the snapshot log and SUM-merged at
+        # read — integer-equal to the single-pass grid (same oracle);
+        # redelivered batches are parity-guarded, never double-counted
+        "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
+            _docs(s, d),
+            os.path.join(
+                tempfile.gettempdir(), "cmslog_" + __import__("uuid").uuid4().hex[:8]
+            ),
+        ),
         "zorder_skipping": lambda s, d: zorder.zorder_skipping_report(_docs(s, d)),
         # STREAMING extraction, PRODUCTION sink shape: the fused kernel
         # lifted onto a stream (stateless mapInPandas), landed in the
@@ -582,17 +591,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the spark.sql surface: temp view + a REGISTERED vectorized pandas
         # UDF exercised from plain SQL (SURVEY.md 2.8)
         "sql_lang_token_report": _sql_lang_token_report,
-        # incremental cardinality: per-batch HLL register grids committed
-        # to the snapshot log, MAX-merged at read — bit-identical to the
-        # single-pass sketch (same oracle), no batch ever re-shingled
-        # additive twin: per-batch Count-Min grids SUM-merged at read —
-        # integer-equal to the single-pass grid, same oracle
-        "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
-            _docs(s, d),
-            os.path.join(
-                tempfile.gettempdir(), "cmslog_" + __import__("uuid").uuid4().hex[:8]
-            ),
-        ),
+        "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
+        # MAX-merge twin of the windowed cms_incremental_hitters: per-batch
+        # HLL register grids from the log, bit-identical to single-pass
         "hll_incremental_distinct": lambda s, d: sketch.hll_incremental_distinct(
             _docs(s, d),
             os.path.join(

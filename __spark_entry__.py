@@ -190,6 +190,40 @@ def _sql_lang_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_pdf_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(
+        _CACHE_ROOT,
+        f"warcpdf_{os.path.basename(os.path.normpath(sf_dir))}_{_SRC_TAG}",
+    )
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        warc.write_warc_pdf_shards(_docs(spark, sf_dir), out, n_shards=8).count()
+        open(marker, "w").close()
+    return out
+
+
+def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full integration the north star describes, off a crawl archive:
+    application/pdf WARC responses (the ASCII-armored synthetic PDFs as
+    served bytes) -> gzip-member split + WARC/HTTP parse -> the SAME
+    extraction kernel as every other family -> ordered spans.  Two
+    stateless mapInPandas kernels, zero shuffle; the oracle is the plain
+    analytic span SQL — crawl transport must be invisible to extraction."""
+    parsed = warc.read_warc(spark, _warc_pdf_dir(spark, sf_dir))
+    raw = parsed.filter(F.col("content_type") == "application/pdf").select(
+        F.regexp_extract("url", r"/doc/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("body").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return flatten_spans(extract_fused(raw))
+
+
 def _warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The crawl chain the north rule describes: WARC source -> HTTP 200
     filter -> DOM-tree Readability main-content extraction, two stateless
@@ -484,7 +518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rounds in ONE plan, hub skew absorbed by map-side combine
         "docs_pagerank": lambda s, d: graph.pagerank(_docs(s, d)),
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
-        "lang_id": lambda s, d: textqc.lang_id(_docs(s, d)),
+        # crawl-archive PDF extraction: application/pdf WARC responses
+        # through the SAME kernel — transport invisible to extraction,
+        # plain span oracle
+        "warc_pdf_extract": _warc_pdf_extract,
         # model-based filtering: integer centroid classifier, trained and
         # applied in one plan (train agg -> broadcast model -> score agg)
         "model_classifier": lambda s, d: model.centroid_classifier(_docs(s, d)),
@@ -591,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the spark.sql surface: temp view + a REGISTERED vectorized pandas
         # UDF exercised from plain SQL (SURVEY.md 2.8)
         "sql_lang_token_report": _sql_lang_token_report,
+        "lang_id": lambda s, d: textqc.lang_id(_docs(s, d)),
         "kmv_distinct_shingles": lambda s, d: sketch.kmv_distinct_shingles(_docs(s, d)),
         # MAX-merge twin of the windowed cms_incremental_hitters: per-batch
         # HLL register grids from the log, bit-identical to single-pass
@@ -1866,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         # random access: the CDX byte extents must fetch EXACTLY the probe
         # subset's records — same analytic oracle, filtered
         "warc_cdx_fetch": _warc_sql("doc_id % 29 = 0"),
+        "warc_pdf_extract": _span_sql(),
         # rescue semantics: corrupt lines (doc_id % 23 == 7, truncated 5
         # bytes short) surface with NULL typed columns and the raw-line
         # length; the canonical json line is 31 fixed chars + the three

@@ -157,6 +157,70 @@ def build_response_record(doc_id: int, text: str) -> bytes:
     )
 
 
+def build_pdf_response_record(doc_id: int, text: str) -> bytes:
+    """An ``application/pdf`` response: the body is the ASCII-armored
+    synthetic PDF itself (`synth.build_document`, byte-reconstructed the
+    same way the decode stage does) — the crawl-archive shape of the
+    reference's own input, so the extraction kernel can run straight off
+    the archive."""
+    from ..synth import build_document
+
+    d = build_document(doc_id, text)
+    parts = sorted(
+        (s for s in d["span_rows"] if s["text"] is not None),
+        key=lambda s: s["offset"],
+    )
+    body = "".join(s["text"] for s in parts).encode("ascii")
+    http = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: application/pdf\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode("ascii") + body
+    return _record(
+        "response",
+        [
+            ("WARC-Date", doc_date(doc_id)),
+            ("WARC-Target-URI", doc_url(doc_id) + ".pdf"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+
+
+def write_warc_pdf_shards(
+    documents: DataFrame, out_dir: str, n_shards: int = 8
+) -> DataFrame:
+    """Like :func:`write_warc_shards` but every response carries the
+    document's ASCII-armored PDF bytes (``application/pdf``) — the
+    document-crawl archive layout."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(key[0])
+        path = os.path.join(out_dir, f"pdf-shard-{shard:05d}.warc.gz")
+        pdf = pdf.sort_values("doc_id")
+        parts = [gzip.compress(build_warcinfo_record(shard), mtime=0)]
+        n = 0
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            txt = text if isinstance(text, str) else ""
+            parts.append(
+                gzip.compress(build_pdf_response_record(int(doc_id), txt), mtime=0)
+            )
+            n += 1
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(b"".join(parts))
+        os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "path": [path], "n_records": [n]})
+
+    return (
+        documents.select("doc_id", "text")
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+        .groupBy("shard")
+        .applyInPandas(write, schema="shard long, path string, n_records long")
+    )
+
+
 def write_warc_shards(
     documents: DataFrame, out_dir: str, n_shards: int = 8
 ) -> DataFrame:

@@ -188,3 +188,37 @@ def test_warc_plans_are_scan_only(spark, tmp_path):
         .toString()
     )
     assert "Exchange" not in fetch_plan and "CartesianProduct" not in fetch_plan
+
+
+def test_pdf_over_warc_roundtrip_and_plan(spark, tmp_path):
+    """application/pdf responses carry the ASCII-armored synthetic PDFs
+    losslessly (the reader's utf-8 body decode is identity on them), and
+    the archive-to-extraction chain plan carries zero exchanges."""
+    from pdfparser_spark.core.extract import extract_spans as kernel
+    from pdfparser_spark.synth import build_document
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {i}") for i in range(12)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "pdfwarc")
+    manifest = warc.write_warc_pdf_shards(docs, out, n_shards=2).collect()
+    assert sum(m.n_records for m in manifest) == 12
+
+    parsed = warc.read_warc(spark, out)
+    rows = {r.url: r for r in parsed.collect()}
+    assert all(r.content_type == "application/pdf" for r in rows.values())
+    for i in (0, 7):
+        r = rows[warc.doc_url(i) + ".pdf"]
+        d = build_document(i, f"alpha beta {i}")
+        parts = sorted(
+            (s for s in d["span_rows"] if s["text"] is not None),
+            key=lambda s: s["offset"],
+        )
+        raw = "".join(s["text"] for s in parts)
+        assert r.body == raw and r.n_bytes == len(raw)
+        # and the kernel extracts real spans from the served bytes
+        got = kernel(r.body.encode("latin-1"))
+        assert got["spans"]
+
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -91,14 +91,37 @@ def _source_fingerprint() -> str:
 _SRC_TAG = _source_fingerprint()
 
 
-def _pipeline(spark: SparkSession, sf_dir: str, strict: bool = False) -> dict:
-    tag = (
-        os.path.basename(os.path.normpath(sf_dir))
-        + ("_strict" if strict else "")
-        + "_" + _SRC_TAG
+def _sf_tag(sf_dir: str) -> str:
+    """Cache key for an sf dir: leaf name PLUS a hash of the full path —
+    two corpora sharing a leaf name (e.g. regenerated elsewhere) must
+    never collide on cached stage tables or shards."""
+    import hashlib
+
+    norm = os.path.normpath(sf_dir)
+    return f"{os.path.basename(norm)}_{hashlib.md5(norm.encode()).hexdigest()[:6]}"
+
+
+def _scratch_log_dir(prefix: str) -> str:
+    """Per-invocation snapshot-log scratch space, rooted under the cache
+    dir (not bare /tmp) so `rm -rf` of _CACHE_ROOT reclaims it and stale
+    source versions are identifiable by tag."""
+    import uuid
+
+    return os.path.join(
+        _CACHE_ROOT, "scratch_" + _SRC_TAG, prefix + uuid.uuid4().hex[:8]
     )
+
+
+def _pipeline(spark: SparkSession, sf_dir: str, strict: bool = False) -> dict:
+    tag = _sf_tag(sf_dir) + ("_strict" if strict else "") + "_" + _SRC_TAG
     work_dir = os.path.join(_CACHE_ROOT, tag)
     documents = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # spread the (often single-split at small SF) source across cores
+    # BEFORE the per-doc synthesis kernel, or the cold-cache build runs
+    # single-threaded (same fix run_extraction applies)
+    documents = documents.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     raw = synthesize_corpus(documents)
     return Pipeline(spark, work_dir=work_dir, strict=strict).run(raw)
 
@@ -115,9 +138,7 @@ def _warc_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per (sf, source-version)) the synthetic ``.warc.gz``
     shard directory for the documents table — the distributed writer runs
     as a Spark job; the marker makes re-entry a no-op."""
-    out = os.path.join(
-        _CACHE_ROOT, f"warc_{os.path.basename(os.path.normpath(sf_dir))}_{_SRC_TAG}"
-    )
+    out = os.path.join(_CACHE_ROOT, f"warc_{_sf_tag(sf_dir)}_{_SRC_TAG}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         warc.write_warc_shards(_docs(spark, sf_dir), out, n_shards=8).count()
@@ -191,10 +212,7 @@ def _sql_lang_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _warc_pdf_dir(spark: SparkSession, sf_dir: str) -> str:
-    out = os.path.join(
-        _CACHE_ROOT,
-        f"warcpdf_{os.path.basename(os.path.normpath(sf_dir))}_{_SRC_TAG}",
-    )
+    out = os.path.join(_CACHE_ROOT, f"warcpdf_{_sf_tag(sf_dir)}_{_SRC_TAG}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         warc.write_warc_pdf_shards(_docs(spark, sf_dir), out, n_shards=8).count()
@@ -253,13 +271,9 @@ def _incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids, snapshot 2 feeds the FULL corpus but extracts only the odd
     delta (anti-join against snapshot 1's doc_ids); the HEAD read must
     equal one-shot full extraction — the plain ``_span_sql`` oracle."""
-    import uuid
-
     from pdfparser_spark.snapshots import SnapshotLog, extract_increment
 
-    log = SnapshotLog(
-        os.path.join(tempfile.gettempdir(), "snaplog_" + uuid.uuid4().hex[:8])
-    )
+    log = SnapshotLog(_scratch_log_dir("snaplog_"))
     docs = _docs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -432,10 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest_rescue": lambda s, d: jsonl.jsonl_ingest_rescue(
             s,
             _docs(s, d),
-            os.path.join(
-                _CACHE_ROOT,
-                f"jsonl_{os.path.basename(os.path.normpath(d))}_{_SRC_TAG}",
-            ),
+            os.path.join(_CACHE_ROOT, f"jsonl_{_sf_tag(d)}_{_SRC_TAG}"),
         ),
         # explicit runtime bloom-filter semi-join: broadcast position-set
         # bloom over high-value orders pre-filters lineitem at the scan;
@@ -488,9 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact Jaccard on candidates, appends itself for the next batch
         "incremental_lsh_dedup": lambda s, d: dedup.incremental_lsh_dedup(
             _docs(s, d),
-            os.path.join(
-                tempfile.gettempdir(), "lshlog_" + __import__("uuid").uuid4().hex[:8]
-            ),
+            _scratch_log_dir("lshlog_"),
         ),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
@@ -600,9 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redelivered batches are parity-guarded, never double-counted
         "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
             _docs(s, d),
-            os.path.join(
-                tempfile.gettempdir(), "cmslog_" + __import__("uuid").uuid4().hex[:8]
-            ),
+            _scratch_log_dir("cmslog_"),
         ),
         "zorder_skipping": lambda s, d: zorder.zorder_skipping_report(_docs(s, d)),
         # STREAMING extraction, PRODUCTION sink shape: the fused kernel
@@ -634,9 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HLL register grids from the log, bit-identical to single-pass
         "hll_incremental_distinct": lambda s, d: sketch.hll_incremental_distinct(
             _docs(s, d),
-            os.path.join(
-                tempfile.gettempdir(), "hlllog_" + __import__("uuid").uuid4().hex[:8]
-            ),
+            _scratch_log_dir("hlllog_"),
         ),
         # TPC-H Q6: the canonical pushdown query — every predicate and the
         # 4-column projection reach the parquet scan (pytest asserts

@@ -37,11 +37,30 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # checkpoints/shards are only valid for the (input, mode, strictness)
+    # they were built from — key the effective work dir on all three, so
+    # rerunning with a different --sf-dir/--strict can never silently
+    # resume the previous corpus' checkpoints under the same path
+    import hashlib
+
+    sf_key = (
+        os.path.basename(os.path.normpath(args.sf_dir))
+        + "_"
+        + hashlib.md5(os.path.normpath(args.sf_dir).encode()).hexdigest()[:6]
+    )
+    args.work_dir = os.path.join(
+        args.work_dir, f"{args.mode}_{sf_key}" + ("_strict" if args.strict else "")
+    )
+
     # import after argparse so --help works without a JVM
-    from pdfparser_spark.pipeline import Pipeline, run_extraction
+    from pdfparser_spark.pipeline import run_extraction
     from pdfparser_spark.session import build_session
 
     spark = build_session(master=args.master)
+    if args.force:  # BEFORE branching: --force must work in every mode
+        import shutil
+
+        shutil.rmtree(args.work_dir, ignore_errors=True)
 
     if args.mode == "warc":
         from pdfparser_spark.sources import warc
@@ -79,8 +98,6 @@ def main() -> None:
         spark.stop()
         return
 
-    if args.force:
-        Pipeline(spark, work_dir=args.work_dir).invalidate()
     t0 = time.perf_counter()
     res = run_extraction(spark, args.sf_dir, work_dir=args.work_dir, strict=args.strict)
     n_docs = res["spans"].count()

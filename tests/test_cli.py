@@ -30,8 +30,12 @@ def test_run_pipeline_cli(tmp_path):
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["docs"] == 500
     assert summary["docs_per_sec"] > 0
-    # checkpoints written -> a second run resumes (manifest marks all stages)
-    manifest = json.load(open(os.path.join(work, "manifest.json")))
+    # checkpoints written -> a second run resumes (manifest marks all
+    # stages); the effective work dir is keyed on (mode, sf, strict)
+    import glob
+
+    [mf] = glob.glob(os.path.join(work, "pdf_sf0.001_*", "manifest.json"))
+    manifest = json.load(open(mf))
     assert set(manifest["stages"]) == {"decode", "tokenize", "classify", "assemble"}
 
 

@@ -29,6 +29,7 @@ from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
     extract_attachments_fused,
+    extract_columns_fused,
     extract_forms_fused,
     extract_fused,
     extract_images_fused,
@@ -282,6 +283,41 @@ def _incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(res["spans"])
 
 
+def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED demo: commit the docs table in two batches
+    (doc_id%3==0 first, the rest second), then commit a deletion request
+    for every 11th doc (keys as a DataFrame — no driver round-trip); the
+    changelog from snapshot 1 (exclusive) to HEAD is batch 2's inserted
+    rows plus the delete tombstone keys, planned from manifests alone.
+    Delete rows carry sentinel values ('(del)', -1) instead of NULLs so
+    the cross-engine hash never depends on NULL stringification."""
+    from pdfparser_spark.snapshots import SnapshotLog, changes, delete_docs_keys
+
+    log = SnapshotLog(_scratch_log_dir("cdc_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_batch(df: DataFrame) -> int:
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+
+    s1 = commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
+    delete_docs_keys(log, docs.filter(F.col("doc_id") % 11 == 0), table="docs")
+
+    inserted, deleted = changes(log, spark, from_snapshot=s1, table="docs")
+    ins = inserted.select(
+        "doc_id", "lang", "n_chars", F.lit("insert").alias("change_type")
+    )
+    del_ = deleted.select(
+        "doc_id",
+        F.lit("(del)").alias("lang"),
+        F.lit(-1).cast("long").alias("n_chars"),
+        F.lit("delete").alias("change_type"),
+    )
+    return ins.unionByName(del_)
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -382,6 +418,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_layout": lambda s, d: extract_layout_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # MULTI-COLUMN reading order (north rule: "PDF/layout parse"): the
+        # columns family emits lines ROW-MAJOR interleaved across two
+        # columns, words as kerned TJ pieces with NO space glyphs; the
+        # kernel must (a) treat kerning gaps <= -180/1000 em as word
+        # breaks (§9.4.3) and (b) re-rank COLUMN-major (page, col, -y)
+        # — both inside the zero-shuffle Arrow kernel
+        "extract_columns": lambda s, d: extract_columns_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="columns",
             )
         ),
         # document metadata: trailer /Info + catalog /Outlines chain walk
@@ -583,12 +631,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as plan expressions, canonicalized by pure JVM string algebra,
         # collapsed k->1 by one hash aggregate on the canonical key
         "url_dedup_canonical": lambda s, d: urls.url_dedup_canonical(_docs(s, d)),
-        "events_stateful_totals": lambda s, d: events.stream_user_totals(
-            s, os.path.join(d, "events.parquet")
-        ),
-        "events_stream_interval_join": lambda s, d: events.stream_interval_join(
-            s, os.path.join(d, "events.parquet")
-        ),
+        # CHANGE DATA FEED over the snapshot log: two append commits + a
+        # deletion-request commit; the changelog from snapshot 1
+        # (exclusive) to HEAD emits exactly batch 2's inserts plus the
+        # delete tombstone keys — the incremental-consumer contract
+        # (Delta CDF / Iceberg incremental scan) straight from manifests,
+        # no full-table diff
+        "snapshot_changelog": _snapshot_changelog,
         # Iceberg-shaped snapshot log: two-commit incremental ingest whose
         # HEAD read must equal one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
@@ -986,6 +1035,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count(F.lit(1)).alias("n_links"),
                 F.countDistinct("doc_id").alias("n_docs"),
             )
+        ),
+        # demoted to tail (driver-green in r02; slots went to
+        # extract_columns / snapshot_changelog)
+        "events_stateful_totals": lambda s, d: events.stream_user_totals(
+            s, os.path.join(d, "events.parquet")
+        ),
+        "events_stream_interval_join": lambda s, d: events.stream_interval_join(
+            s, os.path.join(d, "events.parquet")
         ),
     }
 
@@ -1412,6 +1469,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(720 - 14 * p AS DOUBLE) AS y,
                    text
             FROM txt
+        """,
+        # two-column family: line i of page p sits at row i//2, column
+        # i%2 (stream order row-major), columns at x = 72 / 306, rows at
+        # y = 720 - 14*row; words are kerned TJ pieces with NO space
+        # glyphs, so `text` only matches if the kernel inserts word
+        # breaks at kerning gaps; reading order = (page, column, row)
+        "extract_columns": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 2) AS np
+              FROM documents
+            ), pg AS (
+              SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+            ), ln AS (
+              SELECT doc_id, p, i % 2 AS c, i // 2 AS rw,
+                     array_to_string(w[p*18 + i*3 + 1 : p*18 + i*3 + 3], ' ') AS text
+              FROM pg, unnest(generate_series(0, 5)) AS u(i)
+              WHERE len(w) > p*18 + i*3
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p, c, rw) - 1 AS INT) AS ord,
+                   CAST(p AS INT) AS page_idx, CAST(c AS INT) AS col,
+                   CAST(72 + 234 * c AS DOUBLE) AS x,
+                   CAST(720 - 14 * rw AS DOUBLE) AS y,
+                   text
+            FROM ln
+        """,
+        # change feed from snapshot 1 (exclusive) to HEAD: batch 2 =
+        # inserts, the deletion request = tombstone keys with sentinel
+        # attribute values
+        "snapshot_changelog": """
+            SELECT doc_id, lang, n_chars, 'insert' AS change_type
+            FROM documents WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id, '(del)' AS lang, CAST(-1 AS BIGINT) AS n_chars,
+                   'delete' AS change_type
+            FROM documents WHERE doc_id % 11 = 0
         """,
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end

@@ -31,6 +31,12 @@ from .xref import parse_all_objects, read_xref, sniff_version
 
 MAX_TREE_DEPTH = 64
 
+# TJ kerning adjustments at/below this (thousandths of text space, i.e. a
+# gap >= 0.18 em) are treated as implied word breaks by the LAYOUT kernel.
+# Chosen between typical intra-phrase kerns (the armored family's -120)
+# and deliberate word gaps (the columns family's -300).
+KERN_SPACE_THRESHOLD = -180
+
 
 def _build_decryptor(data: bytes, trailer: dict, offsets: dict, password: bytes = b""):
     """Encrypted document (ISO 32000 §7.6): build the document's
@@ -595,7 +601,20 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
                 if ev[0] == "text":
                     txt = dec(ev[3])
                 else:
-                    txt = "".join(dec(b) for b in ev[3] if isinstance(b, (bytes, bytearray)))
+                    # TJ array: numeric elements are kerning adjustments in
+                    # thousandths of text-space units (ISO 32000 §9.4.3); a
+                    # gap at/beyond the threshold is an implied word break
+                    # (the layout-analysis convention — writers often kern
+                    # words apart instead of emitting space glyphs).  The
+                    # armored family's -120 intra-phrase kern stays below
+                    # the threshold, so spaced text is never double-spaced.
+                    parts = []
+                    for el in ev[3]:
+                        if isinstance(el, (bytes, bytearray)):
+                            parts.append(dec(el))
+                        elif isinstance(el, (int, float)) and el <= KERN_SPACE_THRESHOLD:
+                            parts.append(" ")
+                    txt = "".join(parts)
                 out.append((page_idx, ev[4], ev[5], txt))
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))

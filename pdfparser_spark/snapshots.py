@@ -641,6 +641,27 @@ def delete_docs(
     )
 
 
+def delete_docs_keys(
+    log: SnapshotLog,
+    keys: DataFrame,
+    table: str = "spans",
+    key: str = "doc_id",
+) -> int:
+    """``delete_docs`` with the key set as a DataFrame — the shape a
+    deletion-request PIPELINE produces (requests land as a table, e.g. a
+    GDPR queue), so the keys never round-trip through the driver.  Same
+    merge-on-read tombstone semantics as ``delete_docs``."""
+    ddir = os.path.join(log.root, "data", table, f"del-{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.dirname(ddir), exist_ok=True)
+    keys.select(key).distinct().coalesce(1).write.parquet(ddir)
+    return log.commit(
+        {},
+        operation="delete",
+        summary={"delete_file": ddir},
+        deletes={table: [ddir]},
+    )
+
+
 BLOOM_M = 4096  # bits per manifest Bloom filter (512-byte hex blob per dir)
 BLOOM_K = 2  # hash functions
 

@@ -14,6 +14,7 @@ from .classify import classify
 from .decode import decode
 from .fused import (
     extract_attachments_fused,
+    extract_columns_fused,
     extract_forms_fused,
     extract_fused,
     extract_images_fused,
@@ -24,4 +25,4 @@ from .fused import (
 from .synthesize import synthesize_corpus
 from .tokenize import tokenize
 
-__all__ = ["assemble", "classify", "decode", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "extract_attachments_fused", "flatten_spans", "synthesize_corpus", "tokenize"]
+__all__ = ["assemble", "classify", "decode", "extract_columns_fused", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "extract_attachments_fused", "flatten_spans", "synthesize_corpus", "tokenize"]

@@ -97,6 +97,52 @@ def extract_layout_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     )
 
 
+def extract_columns_fused(documents_raw: DataFrame, column_split_x: float = 200.0) -> DataFrame:
+    """Multi-COLUMN reading order, zero shuffle: the layout kernel's
+    (page, x, y) spans re-ranked COLUMN-major — all of the left column
+    top-to-bottom, then the right column — inside the same Arrow kernel
+    (no window/exchange; the per-document sort is row-local).  Column
+    membership is a geometric split at ``column_split_x`` (two-column
+    pages; generalizing to k columns is a 1-D clustering of x).  Emits
+    (doc_id, ord, page_idx, col, x, y, text)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_layout_spans(_doc_bytes(spans))
+                ordered = sorted(
+                    enumerate(res["spans"]),
+                    key=lambda e: (
+                        e[1][0],                       # page
+                        e[1][1] >= column_split_x,     # column
+                        -e[1][2],                      # top-to-bottom
+                        e[1][1],                       # left-to-right
+                        e[0],                          # emit order
+                    ),
+                )
+                for ordn, (_emit_i, (page_idx, x, y, txt)) in enumerate(ordered):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "col": int(x >= column_split_x),
+                            "x": float(x),
+                            "y": float(y),
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ord", "page_idx", "col", "x", "y", "text"]
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, col int, x double, y double, text string",
+    )
+
+
 def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """PDF-to-pixels end to end, zero shuffle: reconstruct each document,
     pull its image XObject payloads out of the (decrypted) object graph

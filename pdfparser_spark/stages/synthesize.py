@@ -18,6 +18,7 @@ from ..schema import DOCUMENTS_RAW
 from ..synth import (
     build_document,
     build_document_binary,
+    build_document_columns,
     build_document_damaged,
     build_document_protected,
 )
@@ -25,6 +26,7 @@ from ..synth import (
 _BUILDERS = {
     "ascii": build_document,
     "binary": build_document_binary,
+    "columns": build_document_columns,
     "damaged": build_document_damaged,
     "protected": build_document_protected,
 }

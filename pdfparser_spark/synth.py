@@ -1020,6 +1020,120 @@ def build_document_protected(doc_id: int, text: str) -> dict:
     )
 
 
+# --- two-column layout family (reading-order evidence) ---------------------
+# Page geometry: two columns at x = 72 / 306, up to 3 text lines per column,
+# 3 words per line (18 words/page).  The content stream emits lines in
+# ROW-MAJOR INTERLEAVED order (row 0 left, row 0 right, row 1 left, ...) so
+# stream order differs from reading order (left column top-to-bottom, then
+# right column) on every page with >= 3 non-empty lines.  Words within a
+# line are shown as separate TJ array elements separated by a -300
+# kerning adjustment and NO space characters — the extractor must interpret
+# TJ numeric offsets as inter-word gaps (threshold: see
+# core.extract.KERN_SPACE_THRESHOLD) to reproduce the spaced text.
+COLUMN_X = (72, 306)
+COLUMN_ROWS = 3
+COLUMN_WPL = 3
+COLUMN_KERN = -300
+
+
+def columns_lines(doc_id: int, text: str) -> list[tuple[int, int, int, str]]:
+    """(page, row, col, text) for the two-column family in STREAM order
+    (row-major interleaved).  Line i of a page sits at row i//2, column
+    i%2; a line exists when the text has any word at its start index
+    (mirrors the DuckDB oracle's ``len(w) > base`` guard)."""
+    words = text.split(" ")
+    per_page = 2 * COLUMN_ROWS * COLUMN_WPL
+    out = []
+    for p in range(1 + doc_id % 2):
+        for i in range(2 * COLUMN_ROWS):
+            base = p * per_page + i * COLUMN_WPL
+            if len(words) > base:
+                out.append((p, i // 2, i % 2, " ".join(words[base : base + COLUMN_WPL])))
+    return out
+
+
+def _columns_content(plines: list[tuple[int, int, int, str]]) -> bytes:
+    """One page's content stream: alternate ABSOLUTE (Tm) and RELATIVE (Td
+    from the previous line's origin, ISO 32000 §9.4.2) positioning per
+    line, words as kerned TJ pieces with no space glyphs."""
+    parts = ["BT /F1 12 Tf "]
+    px = py = 0
+    for j, (_p, row, col, ltext) in enumerate(plines):
+        x, y = COLUMN_X[col], 720 - 14 * row
+        tj = "[" + f" {COLUMN_KERN} ".join(f"({w})" for w in ltext.split(" ")) + "] TJ "
+        if j % 2 == 0:
+            parts.append(f"1 0 0 1 {x} {y} Tm {tj}")
+        else:
+            parts.append(f"{x - px} {y - py} Td {tj}")
+        px, py = x, y
+    parts.append("ET")
+    return "".join(parts).encode("ascii")
+
+
+def build_document_columns(doc_id: int, text: str) -> dict:
+    """Two-column family: a clean classic-xref document (no media, no
+    encryption) whose pages lay text in two columns with kerning-implied
+    word gaps.  Only the ``extract_columns`` query (layout kernel +
+    column-aware reading-order re-rank) observes this family."""
+    lines = columns_lines(doc_id, text)
+    n_pages = 1 + doc_id % 2
+
+    b = _Builder()
+    offsets: dict[int, int] = {}
+    b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
+    CATALOG, PAGESROOT, FONT = 1, 2, 3
+    page_ids = {p: 4 + p for p in range(n_pages)}
+    content_ids = {p: 4 + n_pages + p for p in range(n_pages)}
+    offsets[CATALOG] = b.struct(
+        f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
+    )
+    kids = " ".join(f"{page_ids[p]} 0 R" for p in range(n_pages))
+    offsets[PAGESROOT] = b.struct(
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n".encode("ascii")
+    )
+    offsets[FONT] = b.struct(
+        f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n".encode("ascii")
+    )
+    for p in range(n_pages):
+        offsets[page_ids[p]] = b.struct(
+            (
+                f"{page_ids[p]} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
+                f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
+                f"/MediaBox [0 0 612 792] /Contents {content_ids[p]} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    for p in range(n_pages):
+        body = _columns_content([ln for ln in lines if ln[0] == p])
+        offsets[content_ids[p]] = b.struct(
+            f"{content_ids[p]} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
+        )
+        b.text_payload(body)
+        b.struct(b"\nendstream endobj\n")
+    n_objs = 3 + 2 * n_pages
+    xref_pos = b.pos
+    b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))
+    b.struct(b"0000000000 65535 f\r\n")
+    for i in range(1, n_objs + 1):
+        b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
+    b.struct(
+        (
+            f"trailer << /Size {n_objs + 1} /Root {CATALOG} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF"
+        ).encode("ascii")
+    )
+    return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
+
+
+def expected_columns(doc_id: int, text: str) -> list[tuple[int, int, int, float, float, str]]:
+    """Analytic ground truth for ``extract_columns``: (ord, page, col, x,
+    y, text) in READING order (page, column, row)."""
+    ordered = sorted(columns_lines(doc_id, text), key=lambda l: (l[0], l[2], l[1]))
+    return [
+        (i, p, c, float(COLUMN_X[c]), float(720 - 14 * r), t)
+        for i, (p, r, c, t) in enumerate(ordered)
+    ]
+
+
 def reconstruct(span_rows: list[dict]) -> bytes:
     """Decode-stage step 0: reassemble document bytes from input spans
     (media markers are zero-width; text fields concatenate in offset

@@ -96,6 +96,82 @@ def test_layout_is_lenient_on_garbage():
     assert r["spans"] == [] and r["errors"]
 
 
+def test_kerning_gap_is_word_break():
+    # words kerned apart with NO space glyphs: -300 (>= threshold) breaks,
+    # -120 (the armored family's intra-phrase kern) must NOT
+    from pdfparser_spark.synth import build_document_columns
+
+    d = build_document_columns(0, "alpha beta gamma")
+    r = extract_layout_spans(d["bytes"])
+    assert not r["errors"]
+    assert [t for *_xy, t in r["spans"]] == ["alpha beta gamma"]
+
+
+def test_kern_threshold_leaves_small_kerns_alone():
+    # the armored family's page-1 TJ is [(first) -120 ( rest)] — an
+    # intra-phrase kern BELOW the word-break threshold with an explicit
+    # space glyph; the layout kernel must not double-space it
+    from pdfparser_spark.core.extract import KERN_SPACE_THRESHOLD
+    from pdfparser_spark.synth import COLUMN_KERN, page_texts
+
+    assert COLUMN_KERN <= KERN_SPACE_THRESHOLD < -120
+    d = build_document(1, WORDS)  # doc 1: 2 pages -> page 1 takes the TJ path
+    r = extract_layout_spans(d["bytes"])
+    assert not r["errors"]
+    assert [t for *_xy, t in sorted(r["spans"])] == [
+        t for t in page_texts(WORDS, 2) if t
+    ]
+
+
+def test_columns_stream_order_differs_from_reading_order():
+    from pdfparser_spark.synth import build_document_columns, columns_lines, expected_columns
+
+    text = " ".join(f"w{i:02d}" for i in range(36))  # 2 full pages for doc 1
+    d = build_document_columns(1, text)
+    r = extract_layout_spans(d["bytes"])
+    assert not r["errors"]
+    stream = [t for (_p, _r, _c, t) in columns_lines(1, text)]
+    exp = expected_columns(1, text)
+    reading = [t for (*_k, t) in exp]
+    assert stream != reading  # row-major emit vs column-major reading
+    # kernel spans re-ranked (page, col, -y) == analytic reading order
+    got = sorted(
+        enumerate(r["spans"]),
+        key=lambda e: (e[1][0], e[1][1] >= 200, -e[1][2], e[1][1], e[0]),
+    )
+    assert [t for _i, (_p, _x, _y, t) in got] == reading
+    assert [(p, x, y) for _i, (p, x, y, _t) in got] == [
+        (p, x, y) for (_o, p, _c, x, y, _t) in exp
+    ]
+
+
+def test_extract_columns_fused_matches_expectation_and_plan(spark):
+    import pandas as pd
+
+    from pdfparser_spark.stages import extract_columns_fused, synthesize_corpus
+    from pdfparser_spark.synth import expected_columns
+
+    texts = {i: " ".join(f"t{i}w{j}" for j in range(1 + 5 * i)) for i in range(10)}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    df = extract_columns_fused(synthesize_corpus(docs, family="columns"))
+    # zero-shuffle fused shape: no Exchange anywhere in the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out = df.toPandas().sort_values(["doc_id", "ord"])
+    got = [
+        (int(r.doc_id), int(r.ord), int(r.page_idx), int(r.col), r.x, r.y, r.text)
+        for r in out.itertuples()
+    ]
+    exp = [
+        (did, o, p, c, x, y, t)
+        for did, text in texts.items()
+        for (o, p, c, x, y, t) in expected_columns(did, text)
+    ]
+    assert got == sorted(exp)
+
+
 def test_extract_layout_fused_reading_order(spark):
     import pandas as pd
 

@@ -344,6 +344,25 @@ def test_change_data_feed(spark, tmp_path):
     assert ins3 is None and dels3 is None
 
 
+def test_delete_docs_keys_dataframe_path(spark, tmp_path):
+    """delete_docs_keys: tombstone keys arriving as a DataFrame (the
+    deletion-request-pipeline shape, no driver round-trip) suppress reads
+    and surface in the change feed exactly like the list-based path."""
+    from pdfparser_spark.snapshots import changes, delete_docs_keys
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(6)], "doc_id long, text string")
+    d1 = log.new_data_dir("t")
+    df.write.parquet(d1)
+    s1 = log.commit({"t": [d1]})
+
+    keys = spark.createDataFrame([(1,), (4,), (4,)], "doc_id long")  # dup keys collapse
+    delete_docs_keys(log, keys, table="t")
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 2, 3, 5}
+    _ins, dels = changes(log, spark, from_snapshot=s1, table="t")
+    assert {r.doc_id for r in dels.collect()} == {1, 4}
+
+
 def test_incremental_rollup_refresh(spark, tmp_path):
     """The materialized rollup refreshed from the change feed equals the
     full recompute after every refresh; deletes are rejected."""

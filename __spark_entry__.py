@@ -28,6 +28,7 @@ from pdfparser_spark import relops, streaming as stream_extract, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
+    assemble_paragraphs,
     extract_attachments_fused,
     extract_columns_fused,
     extract_forms_fused,
@@ -37,6 +38,7 @@ from pdfparser_spark.stages import (
     extract_links_fused,
     extract_meta_fused,
     flatten_spans,
+    hyphenate_words,
     synthesize_corpus,
 )
 from pdfparser_spark.textops import (
@@ -585,7 +587,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sequence packing: greedy contiguous bin assignment per
         # (lang, shard) — bounded window partitions, one shuffle
         "token_pack_bins": lambda s, d: curation.token_pack_bins(_docs(s, d)),
-        "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
+        # layout lines -> logical PARAGRAPHS with cross-line
+        # DEHYPHENATION (the classic PDF text-extraction post-pass): a
+        # deterministic injector splits every 5th >=6-char word into
+        # 'abc-' + 'def' (shifting line boundaries), the columns family
+        # lays the pieces out, and the assembler folds each (page,
+        # column)'s lines back together, dropping line-end hyphens —
+        # one exchange, JVM higher-order fold, no Python
+        "layout_paragraphs": lambda s, d: assemble_paragraphs(
+            extract_columns_fused(
+                synthesize_corpus(
+                    hyphenate_words(
+                        _docs(s, d).repartition(
+                            s.sparkContext.defaultParallelism, "doc_id"
+                        )
+                    ),
+                    family="columns",
+                )
+            )
+        ),
         "ann_lsh_topk": lambda s, d: ann.ann_lsh_topk(_emb(s, d)),
         # IVF with a K-MEANS-TRAINED codebook: deterministic Lloyd's as a
         # sequence of Spark jobs (integer-quantized per-dim sums so the
@@ -1037,7 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         # demoted to tail (driver-green in r02; slots went to
-        # extract_columns / snapshot_changelog)
+        # extract_columns / snapshot_changelog / layout_paragraphs)
+        "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
         ),
@@ -1428,6 +1449,49 @@ _STOP_ES = "'el','la','de','que','los','un'"
 _STOP_DE = "'der','die','und','das','ein','zu'"
 
 
+def _sql_para_join(a: str, b: str) -> str:
+    """assemble_paragraphs' line-merge fold, DuckDB-side: '' is the fold
+    identity, a line-end '-' merges hyphen-less, else a space joint."""
+    return (
+        f"CASE WHEN {a} = '' THEN {b} WHEN {b} = '' THEN {a} "
+        f"WHEN {a} LIKE '%-' THEN substr({a}, 1, len({a}) - 1) || {b} "
+        f"ELSE {a} || ' ' || {b} END"
+    )
+
+
+_PARA_M1 = _sql_para_join("COALESCE(l0, '')", "COALESCE(l1, '')")
+_PARAGRAPHS_SQL = f"""
+    WITH w0t AS (
+      SELECT doc_id, string_split(text, ' ') AS w0 FROM documents
+    ), base AS (
+      -- hyphenate_words mirror: 0-based index j = i-1
+      SELECT doc_id, flatten([
+        CASE WHEN (i - 1) % 5 = 2 AND len(w0[i]) >= 6
+             THEN [substr(w0[i], 1, 3) || '-', substr(w0[i], 4, 100000)]
+             ELSE [w0[i]] END
+        FOR i IN generate_series(1, len(w0))]) AS w,
+        1 + (doc_id % 2) AS np
+      FROM w0t
+    ), pg AS (
+      SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+    ), ln AS (
+      SELECT doc_id, p, i % 2 AS c, i // 2 AS rw,
+             array_to_string(w[p*18 + i*3 + 1 : p*18 + i*3 + 3], ' ') AS text
+      FROM pg, unnest(generate_series(0, 5)) AS u(i)
+      WHERE len(w) > p*18 + i*3
+    ), para AS (
+      SELECT doc_id, p, c,
+             MAX(CASE WHEN rw = 0 THEN text END) AS l0,
+             MAX(CASE WHEN rw = 1 THEN text END) AS l1,
+             MAX(CASE WHEN rw = 2 THEN text END) AS l2
+      FROM ln GROUP BY doc_id, p, c
+    )
+    SELECT doc_id, CAST(p AS INT) AS page_idx, CAST(c AS INT) AS col,
+           {_sql_para_join(f'({_PARA_M1})', "COALESCE(l2, '')")} AS para
+    FROM para
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _span_sql(),
@@ -1495,6 +1559,13 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM ln
         """,
+        # paragraph assembly over the columns family on HYPHENATED text:
+        # the injector (hyphenate_words mirror) splits every 5th >=6-char
+        # word into 'abc-' + rest BEFORE the layout, then each (page,
+        # column)'s <=3 lines fold left with the dehyphenation rule —
+        # line-end '-' merges into the next line hyphen-less, mid-line
+        # and column-end hyphens are kept
+        "layout_paragraphs": _PARAGRAPHS_SQL,
         # change feed from snapshot 1 (exclusive) to HEAD: batch 2 =
         # inserts, the deletion request = tombstone keys with sentinel
         # attribute values

@@ -9,7 +9,7 @@ Spark algebra — font binding and XObject resolution are joins, dangling
 references fall out of an anti-join, ordering is one ordered aggregation.
 """
 
-from .assemble import assemble, flatten_spans
+from .assemble import assemble, assemble_paragraphs, flatten_spans, hyphenate_words
 from .classify import classify
 from .decode import decode
 from .fused import (
@@ -25,4 +25,4 @@ from .fused import (
 from .synthesize import synthesize_corpus
 from .tokenize import tokenize
 
-__all__ = ["assemble", "classify", "decode", "extract_columns_fused", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "extract_attachments_fused", "flatten_spans", "synthesize_corpus", "tokenize"]
+__all__ = ["assemble", "assemble_paragraphs", "classify", "decode", "extract_columns_fused", "extract_fused", "extract_images_fused", "extract_layout_fused", "extract_meta_fused", "extract_links_fused", "extract_forms_fused", "extract_attachments_fused", "flatten_spans", "hyphenate_words", "synthesize_corpus", "tokenize"]

@@ -72,3 +72,64 @@ def flatten_spans(spans_df: DataFrame) -> DataFrame:
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
     )
+
+
+def hyphenate_words(documents: DataFrame) -> DataFrame:
+    """Deterministic hyphenation injector for the dehyphenation demo:
+    every word at 0-based index j % 5 == 2 with >= 6 chars splits into
+    two words ``first3-`` + ``rest``, shifting subsequent line
+    boundaries — so when the columns family lays the transformed text
+    out, hyphen pieces land both mid-line (kept) and at line ends
+    (merged by :func:`assemble_paragraphs`).  Pure JVM array algebra,
+    mirrored literally by the oracle SQL."""
+    return documents.withColumn(
+        "text",
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.split("text", " "),
+                    lambda w, j: F.when(
+                        ((j % 5) == 2) & (F.length(w) >= 6),
+                        F.array(
+                            F.concat(F.substring(w, 1, 3), F.lit("-")),
+                            F.substring(w, F.lit(4), F.length(w)),
+                        ),
+                    ).otherwise(F.array(w)),
+                )
+            ),
+            " ",
+        ),
+    )
+
+
+def assemble_paragraphs(columns_df: DataFrame) -> DataFrame:
+    """Layout lines -> logical PARAGRAPHS (the classic PDF text-extraction
+    post-pass): one row per (doc, page, column); lines merge in reading
+    order, and a line ending ``-`` merges into the next line with the
+    hyphen dropped (cross-line dehyphenation).  Hyphens at a column's
+    LAST line are kept — merging across column/page boundaries is a
+    layout-analysis judgment call this operator deliberately refuses.
+
+    Scale shape: ONE exchange (the groupBy on (doc_id, page_idx, col) —
+    uniform keys, bounded groups of <= COLUMN_ROWS lines); the ordered
+    merge is a JVM higher-order fold (``aggregate`` over
+    ``array_sort(collect_list(...))``), no window, no Python."""
+    merge = lambda acc, s: (  # noqa: E731 — lambda is the HOF argument shape
+        F.when(acc == F.lit(""), s["text"])
+        .when(s["text"] == F.lit(""), acc)
+        .when(
+            acc.endswith(F.lit("-")),
+            F.concat(F.substring(acc, F.lit(1), F.length(acc) - 1), s["text"]),
+        )
+        .otherwise(F.concat(acc, F.lit(" "), s["text"]))
+    )
+    return (
+        columns_df.groupBy("doc_id", "page_idx", "col")
+        .agg(F.array_sort(F.collect_list(F.struct("ord", "text"))).alias("lines"))
+        .select(
+            "doc_id",
+            "page_idx",
+            "col",
+            F.aggregate("lines", F.lit(""), merge).alias("para"),
+        )
+    )

@@ -172,6 +172,53 @@ def test_extract_columns_fused_matches_expectation_and_plan(spark):
     assert got == sorted(exp)
 
 
+def test_assemble_paragraphs_dehyphenation(spark):
+    import pandas as pd
+
+    from pdfparser_spark.stages import (
+        assemble_paragraphs,
+        extract_columns_fused,
+        hyphenate_words,
+        synthesize_corpus,
+    )
+
+    # doc 0 (1 page): 9 words -> left column rows 0-2 get words 0-2, 3-5,
+    # 6-8; right column empty.  Words are chosen so hyphen pieces land at
+    # a LINE END (merged), MID-LINE (kept), and the COLUMN END (kept).
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0],
+                # j%5==2 & len>=6 splits: 'segment' (j=2, line-0 end) and
+                # 'hyphens' (j=7 -> piece mid/line placement after shift)
+                "text": ["alpha beta segment delta echo foxtrot golf hyphens india"],
+            }
+        )
+    )
+    hy = hyphenate_words(docs)
+    assert hy.collect()[0].text == (
+        "alpha beta seg- ment delta echo foxtrot golf hyp- hens india"
+    )
+    out = assemble_paragraphs(
+        extract_columns_fused(synthesize_corpus(hy, family="columns"))
+    )
+    rows = {(r.doc_id, r.page_idx, r.col): r.para for r in out.collect()}
+    # lines: [alpha beta seg-] [ment delta echo] | [foxtrot golf hyp-]
+    #        [hens india] — rows 0/1 left+right interleave:
+    # i=0 (r0,c0): alpha beta seg-   i=1 (r0,c1): ment delta echo
+    # i=2 (r1,c0): foxtrot golf hyp- i=3 (r1,c1): hens india
+    # left column fold: 'alpha beta seg-' + 'foxtrot...' -> hyphen MERGES
+    assert rows[(0, 0, 0)] == "alpha beta segfoxtrot golf hyp-"
+    assert rows[(0, 0, 1)] == "ment delta echo hens india"
+    # plan: exactly ONE shuffle (the groupBy, partial+final collect_list)
+    # on top of the two chained kernels.  The AQE string prints Final AND
+    # Initial plans — count only the final section.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "partial_collect_list" in final
+
+
 def test_extract_layout_fused_reading_order(spark):
     import pandas as pd
 

@@ -320,6 +320,29 @@ def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionByName(del_)
 
 
+def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
+    a bad deletion request (every 11th doc), then ``rollback`` to
+    snapshot 1 — the HEAD read must equal batch 1 bit-for-bit (the
+    rollback is a manifest-only replace commit; nothing is copied and
+    the bad snapshots still time-travel)."""
+    from pdfparser_spark.snapshots import SnapshotLog, delete_docs_keys, rollback
+
+    log = SnapshotLog(_scratch_log_dir("rb_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_batch(df: DataFrame) -> int:
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+
+    s1 = commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
+    delete_docs_keys(log, docs.filter(F.col("doc_id") % 11 == 0), table="docs")
+    rollback(log, s1)
+    return log.read(spark, "docs")
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -1065,6 +1088,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": lambda s, d: events.stream_interval_join(
             s, os.path.join(d, "events.parquet")
         ),
+        # ROLLBACK as a forward commit: two appends + a bad deletion
+        # request, then rollback to snapshot 1 — the HEAD read must equal
+        # batch 1 exactly (manifest-only restore; history intact)
+        "snapshot_rollback": _snapshot_rollback,
     }
 
 
@@ -1576,6 +1603,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '(del)' AS lang, CAST(-1 AS BIGINT) AS n_chars,
                    'delete' AS change_type
             FROM documents WHERE doc_id % 11 = 0
+        """,
+        # after rollback to snapshot 1, HEAD == batch 1 exactly (the bad
+        # append and deletion request no longer apply)
+        "snapshot_rollback": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
         """,
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end

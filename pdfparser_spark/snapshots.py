@@ -417,6 +417,42 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     return removed
 
 
+def rollback(log: SnapshotLog, to_snapshot: int) -> int:
+    """ROLLBACK as a new commit (Iceberg rollback semantics): HEAD moves
+    FORWARD to a snapshot whose reads equal ``to_snapshot``'s — history is
+    never rewritten, so audits and time travel across the bad commits keep
+    working.  Manifest-only, no data copied: the new entry is an
+    ``operation='replace'`` whose table dirs are the target's effective
+    file lists (so older chain entries stop applying) and whose delete
+    files are the ones in force at the target.  The schema map stays the
+    latest (additive-only evolution keeps rolled-back data readable;
+    post-target columns surface as NULL).  Refuses when a table at HEAD
+    did not exist at the target — restoring "absence" would need explicit
+    drop-table semantics the log doesn't model."""
+    log.snapshot(to_snapshot)  # raises on unknown target
+    head = log.head_id()
+    all_tables = {t for s in log.chain(head) for t in s["tables"]}
+    tables: dict[str, list[str]] = {}
+    deletes: dict[str, list[str]] = {}
+    for t in sorted(all_tables):
+        dirs = log.files_for(t, to_snapshot)
+        if not dirs:
+            raise ValueError(
+                f"table {t!r} did not exist at snapshot {to_snapshot}; "
+                "rollback cannot restore its absence"
+            )
+        tables[t] = dirs
+        ddirs = log.delete_files_for(t, to_snapshot)
+        if ddirs:
+            deletes[t] = ddirs
+    return log.commit(
+        tables,
+        operation="replace",
+        summary={"rollback_to": to_snapshot},
+        deletes=deletes,
+    )
+
+
 def merge_upsert(
     log: SnapshotLog,
     spark: SparkSession,

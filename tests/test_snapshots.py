@@ -363,6 +363,62 @@ def test_delete_docs_keys_dataframe_path(spark, tmp_path):
     assert {r.doc_id for r in dels.collect()} == {1, 4}
 
 
+def test_rollback_restores_reads_and_keeps_history(spark, tmp_path):
+    """rollback(to) is a NEW replace commit whose reads equal the target's;
+    time travel across the rolled-back commits keeps working, and no data
+    directory is copied or deleted."""
+    import pytest as _pytest
+
+    from pdfparser_spark.snapshots import delete_docs, rollback
+
+    log = SnapshotLog(str(tmp_path / "log"))
+
+    def add(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = log.new_data_dir("t")
+        df.write.parquet(d)
+        return log.commit({"t": [d]})
+
+    s1 = add([(i, f"v{i}") for i in range(3)])
+    s2 = add([(10, "a"), (11, "b")])
+    delete_docs(log, spark, [1], table="t")  # s3: bad deletion request
+
+    rid = rollback(log, s1)
+    assert rid == 4 and log.head_id() == 4
+    # HEAD reads == the target's state (row 1 restored, batch 2 gone)
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2}
+    # history intact: the bad snapshots still time-travel
+    assert {r.doc_id for r in log.read(spark, "t", snapshot_id=s2).collect()} == {0, 1, 2, 10, 11}
+    # appends continue on top of the rollback
+    add([(20, "z")])
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2, 20}
+    # a table absent at the target refuses to roll back
+    d = log.new_data_dir("u")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string").write.parquet(d)
+    log.commit({"u": [d]})
+    with _pytest.raises(ValueError, match="did not exist"):
+        rollback(log, s1)
+
+
+def test_rollback_carries_in_force_deletes(spark, tmp_path):
+    """Rolling back to a point AFTER a delete keeps that delete in force."""
+    from pdfparser_spark.snapshots import delete_docs, rollback
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(4)], "doc_id long, text string")
+    d1 = log.new_data_dir("t")
+    df.write.parquet(d1)
+    log.commit({"t": [d1]})
+    delete_docs(log, spark, [2], table="t")  # s2: a delete we KEEP
+    s2 = log.head_id()
+    d2 = log.new_data_dir("t")
+    spark.createDataFrame([(9, "bad")], "doc_id long, text string").write.parquet(d2)
+    log.commit({"t": [d2]})  # s3: the bad append
+
+    rollback(log, s2)
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 3}
+
+
 def test_incremental_rollup_refresh(spark, tmp_path):
     """The materialized rollup refreshed from the change feed equals the
     full recompute after every refresh; deletes are rejected."""

@@ -97,25 +97,60 @@ def extract_layout_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     )
 
 
-def extract_columns_fused(documents_raw: DataFrame, column_split_x: float = 200.0) -> DataFrame:
+def cluster_columns(xs, min_gap: float = 100.0) -> list:
+    """1-D gap clustering of a page's line-origin x values -> sorted list
+    of column START positions: a new column opens when the gap from the
+    previous distinct x exceeds ``min_gap`` (intra-column x jitter —
+    indents, ragged starts — stays below it; the inter-column gutter is
+    far above).  This is the k-column generalization of a fixed split
+    point; assignment is a bisect against the starts."""
+    starts: list = []
+    prev = None
+    for x in sorted(set(xs)):
+        if prev is None or x - prev > min_gap:
+            starts.append(x)
+        prev = x
+    return starts
+
+
+def _column_of(x: float, starts: list) -> int:
+    from bisect import bisect_right
+
+    return max(0, bisect_right(starts, x) - 1)
+
+
+def extract_columns_fused(
+    documents_raw: DataFrame,
+    column_split_x: float | None = None,
+    min_gap: float = 100.0,
+) -> DataFrame:
     """Multi-COLUMN reading order, zero shuffle: the layout kernel's
-    (page, x, y) spans re-ranked COLUMN-major — all of the left column
-    top-to-bottom, then the right column — inside the same Arrow kernel
-    (no window/exchange; the per-document sort is row-local).  Column
-    membership is a geometric split at ``column_split_x`` (two-column
-    pages; generalizing to k columns is a 1-D clustering of x).  Emits
-    (doc_id, ord, page_idx, col, x, y, text)."""
+    (page, x, y) spans re-ranked COLUMN-major — each column top-to-bottom,
+    left column before right — inside the same Arrow kernel (no
+    window/exchange; the per-document sort is row-local).  Column
+    membership is AUTO-DETECTED per page by 1-D gap clustering of x
+    (``cluster_columns``), so k-column pages need no configuration; pass
+    ``column_split_x`` to force the fixed two-column split instead.
+    Emits (doc_id, ord, page_idx, col, x, y, text)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 res = extract_layout_spans(_doc_bytes(spans))
+                if column_split_x is not None:
+                    col_of = lambda _p, x: int(x >= column_split_x)  # noqa: E731
+                else:
+                    page_xs: dict = {}
+                    for page_idx, x, _y, _t in res["spans"]:
+                        page_xs.setdefault(page_idx, []).append(x)
+                    starts = {p: cluster_columns(xs, min_gap) for p, xs in page_xs.items()}
+                    col_of = lambda p, x: _column_of(x, starts[p])  # noqa: E731
                 ordered = sorted(
                     enumerate(res["spans"]),
                     key=lambda e: (
                         e[1][0],                       # page
-                        e[1][1] >= column_split_x,     # column
+                        col_of(e[1][0], e[1][1]),      # column
                         -e[1][2],                      # top-to-bottom
                         e[1][1],                       # left-to-right
                         e[0],                          # emit order
@@ -127,7 +162,7 @@ def extract_columns_fused(documents_raw: DataFrame, column_split_x: float = 200.
                             "doc_id": int(doc_id),
                             "ord": ordn,
                             "page_idx": page_idx,
-                            "col": int(x >= column_split_x),
+                            "col": col_of(page_idx, x),
                             "x": float(x),
                             "y": float(y),
                             "text": txt,

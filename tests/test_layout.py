@@ -172,6 +172,34 @@ def test_extract_columns_fused_matches_expectation_and_plan(spark):
     assert got == sorted(exp)
 
 
+def test_cluster_columns_gap_detection():
+    from pdfparser_spark.stages.fused import _column_of, cluster_columns
+
+    # three columns with intra-column jitter (indents under the gutter)
+    xs = [72.0, 80.0, 306.0, 310.0, 540.0, 72.0]
+    starts = cluster_columns(xs)
+    assert starts == [72.0, 306.0, 540.0]
+    assert [_column_of(x, starts) for x in (72.0, 85.0, 306.0, 540.0, 600.0)] == [0, 0, 1, 2, 2]
+    # one column when every x is within the jitter band
+    assert cluster_columns([72.0, 90.0, 110.0]) == [72.0]
+    assert cluster_columns([]) == []
+
+
+def test_columns_auto_detection_equals_fixed_split(spark):
+    import pandas as pd
+
+    from pdfparser_spark.stages import extract_columns_fused, synthesize_corpus
+
+    texts = {i: " ".join(f"a{i}b{j}" for j in range(1 + 4 * i)) for i in range(8)}
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    raw = synthesize_corpus(docs, family="columns")
+    auto = sorted(tuple(r) for r in extract_columns_fused(raw).collect())
+    fixed = sorted(tuple(r) for r in extract_columns_fused(raw, column_split_x=200.0).collect())
+    assert auto == fixed and auto
+
+
 def test_assemble_paragraphs_dehyphenation(spark):
     import pandas as pd
 

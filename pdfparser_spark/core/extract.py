@@ -285,14 +285,20 @@ def _page_content_bytes(page: dict, objects: dict, errors: list) -> bytes:
     return bytes(out)
 
 
-def _walk_pages(root_pages, objects: dict, errors: list):
-    """B2/B3 (reference PageTree::new + add_node doc_tree.rs:63-124):
-    depth-first over /Kids, yielding page dicts in document order.
-    Iterative with an explicit stack; depth-capped against cycles."""
+# page-tree attributes a Page INHERITS from ancestor Pages nodes
+# (ISO 32000 §7.7.3.4 Table 30)
+_INHERITABLE = ("Resources", "MediaBox", "Rotate")
+
+
+def _walk_pages_inherited(root_pages, objects: dict, errors: list):
+    """B2/B3 walk yielding ``(page_dict, inherited)`` pairs in document
+    order, where ``inherited`` carries the inheritable page attributes
+    (§7.7.3.4) accumulated down the tree — a page's own value shadows an
+    ancestor's.  Iterative with an explicit stack; depth-capped."""
     pages = []
-    stack = [(root_pages, 0)]
+    stack = [(root_pages, 0, {})]
     while stack:
-        node, depth = stack.pop()
+        node, depth, inh = stack.pop()
         node = resolve(node, objects)
         if node is None:
             errors.append((REFERENCE_ERROR, "assemble", "dangling page-tree reference"))
@@ -303,20 +309,70 @@ def _walk_pages(root_pages, objects: dict, errors: list):
         if depth > MAX_TREE_DEPTH:
             errors.append((DOC_TREE_ERROR, "assemble", "page tree too deep"))
             continue
+        here = inh
+        for k in _INHERITABLE:
+            v = get_resolved(node, k, objects)
+            if v is not None:
+                if here is inh:
+                    here = dict(inh)
+                here[k] = v
         ntype = get_resolved(node, "Type", objects)
         ntype = str(ntype) if ntype is not None else None
         kids = get_resolved(node, "Kids", objects)
         if ntype == "Page":
-            pages.append(node)
+            pages.append((node, here))
         elif kids is not None:  # Pages / intermediate
             for kid in reversed(kids if isinstance(kids, list) else [kids]):
-                stack.append((kid, depth + 1))
+                stack.append((kid, depth + 1, here))
         elif ntype == "Pages":
             pass  # empty intermediate
         else:
             # NotImplemented node type (doc_tree.rs:116-124)
             errors.append((DOC_TREE_ERROR, "assemble", f"unhandled node type {ntype}"))
     return pages
+
+
+def _walk_pages(root_pages, objects: dict, errors: list):
+    """B2/B3 (reference PageTree::new + add_node doc_tree.rs:63-124):
+    depth-first over /Kids, yielding page dicts in document order."""
+    return [p for p, _inh in _walk_pages_inherited(root_pages, objects, errors)]
+
+
+def _page_rotation(inh: dict) -> int:
+    """Effective /Rotate (inheritable): a multiple of 90, normalized to
+    0/90/180/270; anything else reads as unrotated (lenient)."""
+    r = inh.get("Rotate")
+    try:
+        r = int(r)
+    except (TypeError, ValueError):
+        return 0
+    return r % 360 if r % 90 == 0 else 0
+
+
+def _page_dims(inh: dict) -> tuple[float, float]:
+    """PDF-space page width/height from the (inheritable) /MediaBox,
+    defaulting to US Letter."""
+    mb = inh.get("MediaBox")
+    if isinstance(mb, list) and len(mb) == 4:
+        try:
+            return float(mb[2]) - float(mb[0]), float(mb[3]) - float(mb[1])
+        except (TypeError, ValueError):
+            pass
+    return 612.0, 792.0
+
+
+def _unrotate(px: float, py: float, rot: int, w: float, h: float) -> tuple[float, float]:
+    """PDF-space line origin -> READING-space coordinates for a page
+    displayed with /Rotate ``rot`` (clockwise): the inverse of the
+    viewer's rotation, so downstream reading-order logic (columns,
+    paragraphs) is rotation-invariant."""
+    if rot == 90:
+        return (py, w - px)
+    if rot == 180:
+        return (w - px, h - py)
+    if rot == 270:
+        return (h - py, px)
+    return (px, py)
 
 
 def _font_decoder(font_obj, objects: dict, errors: list):
@@ -583,11 +639,16 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
         pages_node = get_resolved(root, "Pages", objects)
         if pages_node is None:
             raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
-        pages = _walk_pages(pages_node, objects, errors)
+        pages = _walk_pages_inherited(pages_node, objects, errors)
         font_cache: dict = {}
-        for page_idx, page in enumerate(pages):
-            resources = get_resolved(page, "Resources", objects) or {}
+        for page_idx, (page, inh) in enumerate(pages):
+            resources = inh.get("Resources") or {}
             fonts = get_resolved(resources, "Font", objects) or {}
+            # /Rotate normalization (inheritable, §7.7.3.4): report line
+            # origins in READING space so columns/paragraph logic is
+            # rotation-invariant — a 90/270 page swaps effective dims
+            rot = _page_rotation(inh)
+            pw, ph = _page_dims(inh)
             content = _page_content_bytes(page, objects, errors)
             for ev in tokenize_content(content, layout=True):
                 if ev[0] not in ("text", "textarr"):
@@ -615,7 +676,8 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
                         elif isinstance(el, (int, float)) and el <= KERN_SPACE_THRESHOLD:
                             parts.append(" ")
                     txt = "".join(parts)
-                out.append((page_idx, ev[4], ev[5], txt))
+                rx, ry = _unrotate(ev[4], ev[5], rot, pw, ph)
+                out.append((page_idx, rx, ry, txt))
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient catch-all, as extract_spans

@@ -1061,15 +1061,38 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
 
-def _columns_content(plines: list[tuple[int, int, int, str]]) -> bytes:
+def columns_rotation(doc_id: int) -> int:
+    """/Rotate for the columns family: cycles 0/90/180/270 by doc_id.
+    Rotated docs get a SWAPPED MediaBox (792x612 for 90/270) so the
+    READING-space page is always 612x792 — the analytic line grid (and
+    the oracle) is rotation-invariant; only a kernel that notices
+    /Rotate + /MediaBox and un-rotates the origins reproduces it."""
+    return (doc_id % 4) * 90
+
+
+def _rot_to_pdf(rx: int, ry: int, rot: int, w: int, h: int) -> tuple[int, int]:
+    """READING-space line origin -> PDF-space coordinates for a page that
+    the viewer will rotate by ``rot`` clockwise (inverse of the kernel's
+    ``core.extract._unrotate``)."""
+    if rot == 90:
+        return (w - ry, rx)
+    if rot == 180:
+        return (w - rx, h - ry)
+    if rot == 270:
+        return (ry, h - rx)
+    return (rx, ry)
+
+
+def _columns_content(plines: list[tuple[int, int, int, str]], rot: int = 0, w: int = 612, h: int = 792) -> bytes:
     """One page's content stream: alternate ABSOLUTE (Tm) and RELATIVE (Td
     from the previous line's origin, ISO 32000 §9.4.2) positioning per
-    line, words as kerned TJ pieces with no space glyphs."""
+    line, words as kerned TJ pieces with no space glyphs; line origins
+    are emitted in PDF space (pre-rotated for the page's /Rotate)."""
     parts = ["BT /F1 12 Tf "]
     px = py = 0
     for j, (_p, row, col, ltext) in enumerate(plines):
-        x, y = COLUMN_X[col], 720 - 14 * row
-        tj = "[" + f" {COLUMN_KERN} ".join(f"({_pdf_escape(w)})" for w in ltext.split(" ")) + "] TJ "
+        x, y = _rot_to_pdf(COLUMN_X[col], 720 - 14 * row, rot, w, h)
+        tj = "[" + f" {COLUMN_KERN} ".join(f"({_pdf_escape(w_)})" for w_ in ltext.split(" ")) + "] TJ "
         if j % 2 == 0:
             parts.append(f"1 0 0 1 {x} {y} Tm {tj}")
         else:
@@ -1087,6 +1110,19 @@ def build_document_columns(doc_id: int, text: str) -> dict:
     column-aware reading-order re-rank) observes this family."""
     lines = columns_lines(doc_id, text)
     n_pages = 1 + doc_id % 2
+    rot = columns_rotation(doc_id)
+    pw, ph = (792, 612) if rot in (90, 270) else (612, 792)
+    # inheritance exercise: odd docs put /Rotate+/MediaBox on the PAGES
+    # node (inherited, §7.7.3.4), even docs on each page directly
+    inherited = doc_id % 2 == 1
+    page_geo = "" if inherited else f"/MediaBox [0 0 {pw} {ph}] " + (
+        f"/Rotate {rot} " if rot else ""
+    )
+    pages_geo = (
+        f"/MediaBox [0 0 {pw} {ph}] " + (f"/Rotate {rot} " if rot else "")
+        if inherited
+        else ""
+    )
 
     b = _Builder()
     offsets: dict[int, int] = {}
@@ -1099,7 +1135,8 @@ def build_document_columns(doc_id: int, text: str) -> dict:
     )
     kids = " ".join(f"{page_ids[p]} 0 R" for p in range(n_pages))
     offsets[PAGESROOT] = b.struct(
-        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n".encode("ascii")
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} "
+        f"{pages_geo}>> endobj\n".encode("ascii")
     )
     offsets[FONT] = b.struct(
         f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n".encode("ascii")
@@ -1109,11 +1146,11 @@ def build_document_columns(doc_id: int, text: str) -> dict:
             (
                 f"{page_ids[p]} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
                 f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
-                f"/MediaBox [0 0 612 792] /Contents {content_ids[p]} 0 R >> endobj\n"
+                f"{page_geo}/Contents {content_ids[p]} 0 R >> endobj\n"
             ).encode("ascii")
         )
     for p in range(n_pages):
-        body = _columns_content([ln for ln in lines if ln[0] == p])
+        body = _columns_content([ln for ln in lines if ln[0] == p], rot, pw, ph)
         offsets[content_ids[p]] = b.struct(
             f"{content_ids[p]} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
         )

@@ -35,6 +35,7 @@ from pdfparser_spark.stages import (
     extract_fused,
     extract_images_fused,
     extract_layout_fused,
+    extract_layout_sized_fused,
     extract_links_fused,
     extract_meta_fused,
     flatten_spans,
@@ -379,6 +380,29 @@ def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typography-based heading detection over the columns family: the
+    sized layout kernel emits every span's Tf size; per-doc body size is
+    the MIN (one agg), and headings are spans at >= 1.25x body — a
+    RELATIVE rule, so a single-line document (whose only line is
+    heading-sized) yields nothing.  Emits (doc_id, page_idx, text,
+    size)."""
+    sized = extract_layout_sized_fused(
+        synthesize_corpus(
+            _docs(spark, sf_dir).repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            ),
+            family="columns",
+        )
+    )
+    body = sized.groupBy("doc_id").agg(F.min("size").alias("body_size"))
+    return (
+        sized.join(body, "doc_id")
+        .filter(F.col("size") >= 1.25 * F.col("body_size"))
+        .select("doc_id", "page_idx", "text", "size")
+    )
+
+
 def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
     a bad deletion request (every 11th doc), then ``rollback`` to
@@ -619,7 +643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
-        "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
+        # typography-based structure: HEADING detection from Tf font
+        # sizes — per-doc body size = min(size) (one agg), headings =
+        # spans at >= 1.25x body, found JVM-side over the sized layout
+        # kernel; single-line docs (all heading-sized) correctly yield
+        # no heading because nothing clears the relative threshold
+        "doc_headings": lambda s, d: _doc_headings(s, d),
         # REAL video frames: Motion-JPEG samples located via the actual
         # stbl walk (stsz/stsc/stco) and pixel-decoded by the numpy JPEG
         # codec; every-5th-frame sampling, analytic pixel-sum oracle
@@ -1143,7 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # demoted to tail (driver-green in r02; slots went to
         # extract_columns / snapshot_changelog / layout_paragraphs /
-        # curation_pipeline)
+        # curation_pipeline / doc_headings)
+        "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
         "events_stateful_totals": lambda s, d: events.stream_user_totals(
@@ -1667,6 +1697,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '(del)' AS lang, CAST(-1 AS BIGINT) AS n_chars,
                    'delete' AS change_type
             FROM documents WHERE doc_id % 11 = 0
+        """,
+        # heading = the first line (words 1-3) at 18 pt, emitted only when
+        # a second line exists (len > 3 words) so the relative 1.25x-body
+        # rule has a 12 pt body to clear
+        "doc_headings": """
+            SELECT doc_id, CAST(0 AS INT) AS page_idx,
+                   array_to_string(string_split(text, ' ')[1:3], ' ') AS text,
+                   CAST(18 AS DOUBLE) AS size
+            FROM documents
+            WHERE len(string_split(text, ' ')) > 3
         """,
         # after rollback to snapshot 1, HEAD == batch 1 exactly (the bad
         # append and deletion request no longer apply)

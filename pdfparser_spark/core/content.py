@@ -75,8 +75,8 @@ def tokenize_content(data: bytes, layout: bool = False):
     than order-only: the machine tracks the text-line origin through
     BT (reset), Td/TD (relative translate), Tm (absolute: e, f), TL
     (leading), T* (next line), and the implicit T* of ``'``/``"``
-    (ISO 32000 §9.4.2), and text events carry two extra fields (x, y) —
-    the line origin at the show op.  Glyph-width advance within a line is
+    (ISO 32000 §9.4.2), and text events carry three extra fields
+    (x, y, fsize) — the line origin and current Tf size at the show op.  Glyph-width advance within a line is
     NOT modeled (needs /Widths; extractors conventionally report the line
     origin), and Tm's rotation/scale components are ignored (translation
     only) — both documented approximations.  Event shapes are unchanged
@@ -85,6 +85,7 @@ def tokenize_content(data: bytes, layout: bool = False):
     stack: list = []
     font: str | None = None
     x = y = 0.0  # text-line origin (valid while layout=True)
+    fsize = 0.0  # current font size from Tf (0 until the first Tf)
     leading = 0.0
     pos = 0
     n = len(data)
@@ -93,7 +94,7 @@ def tokenize_content(data: bytes, layout: bool = False):
     # MAKE_FUNCTION in the hot path); reads at/font/x/y at call time
     def _emit(kind, payload):
         if layout:
-            events.append((kind, at, font, payload, x, y))
+            events.append((kind, at, font, payload, x, y, fsize))
         else:
             events.append((kind, at, font, payload))
 
@@ -133,6 +134,10 @@ def tokenize_content(data: bytes, layout: bool = False):
         if op == b"Tf":
             if len(stack) >= 2 and isinstance(stack[-2], Name):
                 font = str(stack[-2])
+                if layout:
+                    sz = _num(stack[-1])
+                    if sz is not None:
+                        fsize = sz
             stack.clear()
         elif op == b"Tj":
             if stack and isinstance(stack[-1], bytes):

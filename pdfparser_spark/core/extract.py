@@ -616,12 +616,13 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
     """LAYOUT-aware extraction (north rule: "PDF/layout parse"): the same
     parse as :func:`extract_spans` but with the positioning operators
     interpreted (``tokenize_content(layout=True)``), emitting each text
-    span's text-line origin.  Returns
-    ``{"spans": [(page_idx, x, y, text)], "errors": [...]}`` — reading
-    order within a page is recoverable by sorting (-y, x, emit order),
-    which is how the Spark-side query presents it.  Media spans carry no
-    text-matrix position and are omitted here (they stay in the main
-    extraction's interleaved output)."""
+    span's text-line origin and Tf font size.  Returns
+    ``{"spans": [(page_idx, x, y, text, size)], "errors": [...]}`` —
+    origins are normalized into READING space for rotated pages
+    (/Rotate + /MediaBox, both inheritable), so reading order within a
+    page is recoverable by sorting (-y, x, emit order).  Media spans
+    carry no text-matrix position and are omitted here (they stay in
+    the main extraction's interleaved output)."""
     errors: list = []
     out: list = []
     try:
@@ -677,7 +678,7 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
                             parts.append(" ")
                     txt = "".join(parts)
                 rx, ry = _unrotate(ev[4], ev[5], rot, pw, ph)
-                out.append((page_idx, rx, ry, txt))
+                out.append((page_idx, rx, ry, txt, ev[6]))
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient catch-all, as extract_spans

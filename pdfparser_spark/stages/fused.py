@@ -76,7 +76,7 @@ def extract_layout_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
                     enumerate(res["spans"]),
                     key=lambda e: (e[1][0], -e[1][2], e[1][1], e[0]),
                 )
-                for ordn, (_emit_i, (page_idx, x, y, txt)) in enumerate(ordered):
+                for ordn, (_emit_i, (page_idx, x, y, txt, _size)) in enumerate(ordered):
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -142,7 +142,7 @@ def extract_columns_fused(
                     col_of = lambda _p, x: int(x >= column_split_x)  # noqa: E731
                 else:
                     page_xs: dict = {}
-                    for page_idx, x, _y, _t in res["spans"]:
+                    for page_idx, x, _y, _t, _s in res["spans"]:
                         page_xs.setdefault(page_idx, []).append(x)
                     starts = {p: cluster_columns(xs, min_gap) for p, xs in page_xs.items()}
                     col_of = lambda p, x: _column_of(x, starts[p])  # noqa: E731
@@ -156,7 +156,7 @@ def extract_columns_fused(
                         e[0],                          # emit order
                     ),
                 )
-                for ordn, (_emit_i, (page_idx, x, y, txt)) in enumerate(ordered):
+                for ordn, (_emit_i, (page_idx, x, y, txt, _size)) in enumerate(ordered):
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -175,6 +175,38 @@ def extract_columns_fused(
     return documents_raw.mapInPandas(
         run,
         schema="doc_id long, ord int, page_idx int, col int, x double, y double, text string",
+    )
+
+
+def extract_layout_sized_fused(documents_raw: DataFrame) -> DataFrame:
+    """Layout spans WITH the Tf font size, zero shuffle — the raw
+    material for typography-based structure analysis (heading detection,
+    body-size estimation).  Emits (doc_id, page_idx, x, y, size, text)
+    in emit order; downstream ranking/aggregation is JVM algebra."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_layout_spans(_doc_bytes(spans))
+                for page_idx, x, y, txt, size in res["spans"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "size": float(size),
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page_idx", "x", "y", "size", "text"]
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, page_idx int, x double, y double, size double, text string",
     )
 
 

@@ -1034,6 +1034,7 @@ COLUMN_X = (72, 306)
 COLUMN_ROWS = 3
 COLUMN_WPL = 3
 COLUMN_KERN = -300
+HEADING_PT = 18  # font size of the first line (page 0, row 0, left col)
 
 
 def columns_lines(doc_id: int, text: str) -> list[tuple[int, int, int, str]]:
@@ -1090,13 +1091,16 @@ def _columns_content(plines: list[tuple[int, int, int, str]], rot: int = 0, w: i
     are emitted in PDF space (pre-rotated for the page's /Rotate)."""
     parts = ["BT /F1 12 Tf "]
     px = py = 0
-    for j, (_p, row, col, ltext) in enumerate(plines):
+    for j, (p, row, col, ltext) in enumerate(plines):
         x, y = _rot_to_pdf(COLUMN_X[col], 720 - 14 * row, rot, w, h)
+        # the document's FIRST line (page 0, row 0, left column) is the
+        # HEADING, shown at 18 pt — observed only by doc_headings
+        size = HEADING_PT if (p, row, col) == (0, 0, 0) else 12
         tj = "[" + f" {COLUMN_KERN} ".join(f"({_pdf_escape(w_)})" for w_ in ltext.split(" ")) + "] TJ "
         if j % 2 == 0:
-            parts.append(f"1 0 0 1 {x} {y} Tm {tj}")
+            parts.append(f"/F1 {size} Tf 1 0 0 1 {x} {y} Tm {tj}")
         else:
-            parts.append(f"{x - px} {y - py} Td {tj}")
+            parts.append(f"/F1 {size} Tf {x - px} {y - py} Td {tj}")
         px, py = x, y
     parts.append("ET")
     # latin-1: byte-faithful for any code point < 256 in word content

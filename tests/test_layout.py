@@ -62,9 +62,9 @@ def test_layout_bt_resets_origin():
     assert _texts(evs) == [(b"a", 72.0, 700.0), (b"b", 10.0, 10.0)]
 
 
-def test_layout_textarr_carries_origin():
+def test_layout_textarr_carries_origin_and_size():
     evs = tokenize_content(b"BT /F1 12 Tf 72 700 Td [(A) -120 (B)] TJ ET", layout=True)
-    assert evs[0][0] == "textarr" and evs[0][4:] == (72.0, 700.0)
+    assert evs[0][0] == "textarr" and evs[0][4:] == (72.0, 700.0, 12.0)
 
 
 def test_non_layout_event_shape_unchanged():
@@ -83,10 +83,10 @@ def test_synth_variants_all_land_on_analytic_origin():
         assert got == expected_spans(doc_id, WORDS), doc_id
         lr = extract_layout_spans(d["bytes"])
         assert not lr["errors"], (doc_id, lr["errors"])
-        for p, x, y, _txt in lr["spans"]:
+        for p, x, y, _txt, _sz in lr["spans"]:
             assert (x, y) == (72.0, 720.0 - 14 * p), (doc_id, p, x, y)
         # layout text in page order == the text spans of the plain parse
-        assert [t for _p, _x, _y, t in sorted(lr["spans"])] == [
+        assert [t for _p, _x, _y, t, _s in sorted(lr["spans"])] == [
             t for k, t, _m in expected_spans(doc_id, WORDS) if k == "text"
         ]
 
@@ -104,7 +104,7 @@ def test_kerning_gap_is_word_break():
     d = build_document_columns(0, "alpha beta gamma")
     r = extract_layout_spans(d["bytes"])
     assert not r["errors"]
-    assert [t for *_xy, t in r["spans"]] == ["alpha beta gamma"]
+    assert [t for _p, _x, _y, t, _s in r["spans"]] == ["alpha beta gamma"]
 
 
 def test_kern_threshold_leaves_small_kerns_alone():
@@ -118,7 +118,7 @@ def test_kern_threshold_leaves_small_kerns_alone():
     d = build_document(1, WORDS)  # doc 1: 2 pages -> page 1 takes the TJ path
     r = extract_layout_spans(d["bytes"])
     assert not r["errors"]
-    assert [t for *_xy, t in sorted(r["spans"])] == [
+    assert [t for _p, _x, _y, t, _s in sorted(r["spans"])] == [
         t for t in page_texts(WORDS, 2) if t
     ]
 
@@ -139,8 +139,8 @@ def test_columns_stream_order_differs_from_reading_order():
         enumerate(r["spans"]),
         key=lambda e: (e[1][0], e[1][1] >= 200, -e[1][2], e[1][1], e[0]),
     )
-    assert [t for _i, (_p, _x, _y, t) in got] == reading
-    assert [(p, x, y) for _i, (p, x, y, _t) in got] == [
+    assert [t for _i, (_p, _x, _y, t, _s) in got] == reading
+    assert [(p, x, y) for _i, (p, x, y, _t, _s) in got] == [
         (p, x, y) for (_o, p, _c, x, y, _t) in exp
     ]
 
@@ -263,3 +263,29 @@ def test_extract_layout_fused_reading_order(spark):
         # reading order: ord follows (page, -y)
         assert list(g["page_idx"]) == sorted(g["page_idx"])
         assert (g["y"].values == 720.0 - 14 * g["page_idx"].values).all()
+
+
+def test_doc_headings_relative_rule(spark):
+    import pandas as pd
+
+    from pdfparser_spark.stages import extract_layout_sized_fused, synthesize_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                # doc 0: heading + body lines; doc 1: SINGLE line (all
+                # heading-sized -> relative rule must yield nothing)
+                "text": ["big title words body one two three four", "only title"],
+            }
+        )
+    )
+    sized = extract_layout_sized_fused(synthesize_corpus(docs, family="columns"))
+    body = sized.groupBy("doc_id").agg(F.min("size").alias("body_size"))
+    heads = (
+        sized.join(body, "doc_id")
+        .filter(F.col("size") >= 1.25 * F.col("body_size"))
+        .collect()
+    )
+    assert [(r.doc_id, r.text, r.size) for r in heads] == [(0, "big title words", 18.0)]

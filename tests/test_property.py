@@ -620,6 +620,6 @@ def test_columns_family_roundtrips_arbitrary_words(words, doc_id):
         key=lambda e: (e[1][0], e[1][1] >= 200, -e[1][2], e[1][1], e[0]),
     )
     exp = expected_columns(doc_id, text)
-    assert [(p, x, y, t) for _i, (p, x, y, t) in got] == [
+    assert [(p, x, y, t) for _i, (p, x, y, t, _s) in got] == [
         (p, x, y, t) for (_o, p, _c, x, y, t) in exp
     ]

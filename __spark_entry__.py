@@ -640,7 +640,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # REAL decode tier: actual PPM/BMP payload bytes in a binary column,
         # parsed with numpy; pixel sums pin the decoder/resampler output
-        "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
+        # PQ (product quantization): vectors stored as 8 small codes
+        # (~1/32nd of embedding bytes), candidates scored by ADC lookups
+        # against a broadcast per-query table over the compact code scan,
+        # exact cosine re-rank on the top-32 — the memory-efficient ANN
+        # layout at 10^12 vectors.  Codebooks are DATA-FITTED: per-subspace
+        # Lloyd's with integer-quantized sums (shuffle-order-independent,
+        # bit-reproducible), and the oracle replays training + encode +
+        # ADC + re-rank in chained CTEs.  Fixed-codebook variant
+        # (ann_pq_topk) in the tail; recall: fixed 0.16 -> trained 0.44
+        # at identical rerank depth (pytest floor)
+        "ann_pq_trained": lambda s, d: ann.ann_pq_trained(_emb(s, d)),
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
         # typography-based structure: HEADING detection from Tf font
@@ -1172,7 +1182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # demoted to tail (driver-green in r02; slots went to
         # extract_columns / snapshot_changelog / layout_paragraphs /
-        # curation_pipeline / doc_headings)
+        # curation_pipeline / doc_headings / ann_pq_trained)
+        "ann_pq_topk": lambda s, d: ann.ann_pq_topk(_emb(s, d)),
+        "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
@@ -1422,6 +1434,169 @@ def _sql_dot(a: str, b: str) -> str:
 
 def _sql_cos(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+def _sql_pq_coeff(m: int, k: int, i: str = "i") -> str:
+    """PQ centroid coefficient (ann._pq_coeff_at) recomputed in SQL —
+    ``i`` is the 1-based LOCAL dim, salt uses the 0-based one."""
+    h = f"md5('pq{m}:{k}:dim' || CAST({i} - 1 AS VARCHAR))"
+    return f"(((ascii(substr({h}, 1, 1)) * 31 + ascii(substr({h}, 2, 1))) % 101) / 101.0 - 0.5)"
+
+
+def _sql_pq_score(col: str, m: int, k: int, subdim: int = 8) -> str:
+    """||c||^2 - 2 sub.c for subspace m, centroid k — operand order
+    identical to ann._pq_sub_scores (c2 left-fold, dot left-fold)."""
+    c = _sql_pq_coeff(m, k)
+    dot = (
+        f"list_reduce(list_prepend(0.0, [CAST({col}[{m * subdim} + i] AS DOUBLE) * {c} "
+        f"FOR i IN generate_series(1, {subdim})]), (acc, x) -> acc + x)"
+    )
+    c2 = (
+        f"list_reduce(list_prepend(0.0, [{c} * {c} "
+        f"FOR i IN generate_series(1, {subdim})]), (acc, x) -> acc + x)"
+    )
+    return f"(({c2}) - 2.0 * ({dot}))"
+
+
+def _sql_pq_topk(m_sub: int = 8, n_k: int = 16, rerank: int = 32) -> str:
+    """Full PQ replay: encode every vector (argmin over the k-score list
+    per subspace, list_position = first-match ties like array_position),
+    per-query ADC table, approx top-``rerank`` cut, exact cosine re-rank."""
+
+    def slist(col: str, m: int) -> str:
+        return "[" + ", ".join(_sql_pq_score(col, m, k) for k in range(n_k)) + "]"
+
+    code_cols = ", ".join(
+        f"list_position({slist('embedding', m)}, list_min({slist('embedding', m)}))"
+        for m in range(m_sub)
+    )
+    dtab = "[" + ", ".join(slist("embedding", m) for m in range(m_sub)) + "]"
+    adist_terms = ", ".join(f"q.dtab[{m + 1}][c.codes[{m + 1}]]" for m in range(m_sub))
+    return f"""
+        WITH codes AS MATERIALIZED (
+          SELECT vec_id, [{code_cols}] AS codes FROM embeddings
+        ), qd AS MATERIALIZED (
+          SELECT vec_id AS query_id, {dtab} AS dtab
+          FROM embeddings WHERE vec_id < 5
+        ), approx AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_reduce(list_prepend(0.0, [{adist_terms}]),
+                             (acc, x) -> acc + x) AS adist
+          FROM qd q JOIN codes c ON c.vec_id <> q.query_id
+        ), cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arnk
+            FROM approx
+          ) WHERE arnk <= {rerank}
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """
+
+
+def _sql_pq_trained(
+    n_iters: int = 5, m_sub: int = 8, n_k: int = 16, subdim: int = 8, rerank: int = 32
+) -> str:
+    """Replay ann.pq_train_kmeans + ann_pq_trained in chained CTEs: the
+    per-subspace Lloyd iterations (score, argmin-assign, quantized
+    BIGINT sums, new centroids keyed (m, k)), then encode + ADC +
+    exact-cosine re-rank against the trained centroids.  The initial
+    codebooks are inlined as literals (python mirror of the md5 rule —
+    repr round-trips doubles exactly); ADC sums fold in subspace order
+    (list_reduce, never an unordered SUM) to mirror Spark's aggregate."""
+    from pdfparser_spark.textops.ann import _pq_codebook_init
+
+    init = _pq_codebook_init(m_sub, n_k, subdim)
+    vals = ", ".join(
+        f"({m}, {k + 1}, [{', '.join(repr(x) for x in init[m][k])}])"
+        for m in range(m_sub)
+        for k in range(n_k)
+    )
+    parts = [f"""
+        WITH cent0(m, k, cl) AS MATERIALIZED (
+          SELECT * FROM (VALUES {vals})
+        ), sub AS MATERIALIZED (
+          SELECT e.vec_id, mm.m,
+                 e.embedding[mm.m * {subdim} + 1 : mm.m * {subdim} + {subdim}] AS sv
+          FROM embeddings e,
+               (SELECT unnest(generate_series(0, {m_sub - 1})) AS m) mm
+        )"""]
+    for it in range(1, n_iters + 1):
+        parts.append(f"""
+        , asg{it} AS MATERIALIZED (
+          SELECT vec_id, m, k FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.m
+                     ORDER BY {_sql_cent_score('s.sv', 'c.cl')}, c.k
+                   ) AS rn
+            FROM sub s JOIN cent{it - 1} c ON c.m = s.m
+          ) WHERE rn = 1
+        ), sums{it} AS (
+          SELECT a.m, a.k, u.d,
+                 SUM(CAST(FLOOR(CAST(s.sv[u.d] AS DOUBLE) * 16777216.0) AS BIGINT)) AS sq,
+                 COUNT(*) AS n
+          FROM asg{it} a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+               LATERAL unnest(generate_series(1, {subdim})) AS u(d)
+          GROUP BY 1, 2, 3
+        ), cent{it} AS MATERIALIZED (
+          SELECT p.m, p.k,
+                 list(COALESCE(CAST(q.sq AS DOUBLE) / (16777216.0 * q.n), p.c) ORDER BY p.d) AS cl
+          FROM (SELECT m, k, d, cl[d] AS c
+                FROM cent{it - 1}, LATERAL unnest(generate_series(1, {subdim})) AS u(d)) p
+          LEFT JOIN sums{it} q ON q.m = p.m AND q.k = p.k AND q.d = p.d
+          GROUP BY p.m, p.k
+        )""")
+    parts.append(f"""
+        , codesf AS MATERIALIZED (
+          SELECT vec_id, m, k FROM (
+            SELECT s.vec_id, s.m, c.k,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.vec_id, s.m
+                     ORDER BY {_sql_cent_score('s.sv', 'c.cl')}, c.k
+                   ) AS rn
+            FROM sub s JOIN cent{n_iters} c ON c.m = s.m
+          ) WHERE rn = 1
+        ), approx AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_reduce(list_prepend(0.0, list(
+                   {_sql_cent_score('q.sv', 'ct.cl')} ORDER BY q.m
+                 )), (acc, x) -> acc + x) AS adist
+          FROM sub q
+          JOIN codesf c ON c.m = q.m AND c.vec_id <> q.vec_id
+          JOIN cent{n_iters} ct ON ct.m = c.m AND ct.k = c.k
+          WHERE q.vec_id < 5
+          GROUP BY q.vec_id, c.vec_id
+        ), cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arnk
+            FROM approx
+          ) WHERE arnk <= {rerank}
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """)
+    return "".join(parts)
 
 
 def _sql_ivf_coeff(j: int, i: str = "i") -> str:
@@ -2503,6 +2678,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
         """,
         "ann_ivf_trained": _sql_ivf_trained(),
+        "ann_pq_topk": _sql_pq_topk(),
+        "ann_pq_trained": _sql_pq_trained(),
         # bucketed (banded hyperplane-LSH) near-dup — mirrors
         # dedup.embedding_neardup: candidates share any 2-bit band, tau
         # filters the UNROUNDED cosine on both sides

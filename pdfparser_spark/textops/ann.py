@@ -412,3 +412,225 @@ def ann_ivf_trained(
     oracle, which replays all ``n_iters`` iterations in chained CTEs."""
     cb = ivf_train_kmeans(embeddings, n_lists, n_iters)
     return ann_ivf_topk(embeddings, n_queries, k, n_lists, n_probe, codebook=cb)
+
+
+# --- PQ (product quantization) index ---------------------------------------
+# The memory-efficient ANN layout at 10^12-vector scale: each vector is
+# stored as PQ_M small codes (here 8 bytes) instead of 64 floats, the
+# candidate scan touches ONLY the compact code table (asymmetric distance
+# computation against a per-query lookup table), and full embeddings are
+# fetched just for the top-R re-rank candidates.  Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 (public).
+
+PQ_M = 8       # subspaces (64-dim embeddings -> 8-dim subvectors)
+PQ_K = 16      # centroids per subspace (4-bit codes)
+PQ_RERANK = 32 # approx-distance candidates re-ranked exactly per query
+
+
+def _pq_coeff_at(m: int, cK: int, i):
+    """Deterministic PQ centroid coefficient at runtime LOCAL dim ``i``
+    (0-based within the subspace) — md5 family, 'pq' salt."""
+    h = F.md5(F.concat(F.lit(f"pq{m}:{cK}:dim"), i.cast("string")))
+    mixed = (F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))) % 101
+    return mixed.cast("double") / 101.0 - 0.5
+
+
+def _pq_sub_scores(col, m: int, subdim: int) -> Column:
+    """array<double> of the K assignment scores ||c||^2 - 2 sub.c for
+    subspace ``m`` of vector ``col`` (rank-equivalent L2, as IVF)."""
+    sub = F.slice(col, m * subdim + 1, subdim)
+    idx = F.sequence(F.lit(0), F.lit(subdim - 1))
+    scores = []
+    for cK in range(PQ_K):
+        dot = F.aggregate(
+            F.zip_with(sub, idx, lambda x, i: x.cast("double") * _pq_coeff_at(m, cK, i)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        c2 = F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc + _pq_coeff_at(m, cK, i) * _pq_coeff_at(m, cK, i),
+        )
+        scores.append(c2 - 2.0 * dot)
+    return F.array(*scores)
+
+
+def pq_encode(embeddings: DataFrame, m_sub: int = PQ_M, dim: int = 64, codebook=None) -> DataFrame:
+    """(vec_id, codes array<int>) — each subspace's nearest deterministic
+    centroid (1-based, ties -> smaller code, mirroring array_position /
+    list_position).  This table is the PERSISTED index: PQ_M small ints
+    per vector, ~1/32nd of the embedding bytes."""
+    subdim = dim // m_sub
+    codes = [
+        F.array_position(s, F.array_min(s)).cast("int")
+        for s in _pq_all_scores(F.col("embedding"), m_sub, subdim, codebook)
+    ]
+    return embeddings.select("vec_id", F.array(*codes).alias("codes"))
+
+
+def ann_pq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = PQ_M,
+    dim: int = 64,
+    rerank: int = PQ_RERANK,
+    codebook=None,
+) -> DataFrame:
+    """PQ top-k with exact re-rank: queries carry a per-query ADC lookup
+    table (m_sub x PQ_K approximate-distance cells, built as plan
+    expressions and BROADCAST); the corpus side is a scan of the compact
+    code table only — approx distance is m_sub array lookups per
+    candidate, no embedding bytes move.  The top-``rerank`` candidates
+    per query then join back to the embeddings table (vec_id-keyed, R
+    rows per query) for the exact cosine cut.  Deterministic end to end:
+    the DuckDB oracle replays encoding, ADC, and re-rank bit-for-bit."""
+    subdim = dim // m_sub
+    codes = pq_encode(embeddings, m_sub, dim, codebook)
+    dtab = F.array(*_pq_all_scores(F.col("embedding"), m_sub, subdim, codebook))
+    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        dtab.alias("dtab"),
+    )
+    approx = (
+        F.broadcast(queries)
+        .join(codes, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("dtab"), lambda c, row: F.element_at(row, c)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= rerank)
+        .drop("arnk", "adist")
+    )
+    scored = cand.join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
+PQ_TRAIN_ITERS = 5  # fixed per-subspace Lloyd iterations (determinism + oracle)
+
+
+def _pq_codebook_init(m_sub: int = PQ_M, n_k: int = PQ_K, subdim: int = 8):
+    """Python mirror of ``_pq_coeff_at`` — the deterministic initial
+    codebooks per subspace, cb[m][k][local_dim]."""
+    import hashlib
+
+    cb = []
+    for m in range(m_sub):
+        rows = []
+        for cK in range(n_k):
+            row = []
+            for d in range(subdim):
+                h = hashlib.md5(f"pq{m}:{cK}:dim{d}".encode()).hexdigest()
+                row.append(((ord(h[0]) * 31 + ord(h[1])) % 101) / 101.0 - 0.5)
+            rows.append(row)
+        cb.append(rows)
+    return cb
+
+
+def _pq_literal_sub_scores(col, m: int, cb_m, subdim: int) -> Column:
+    """``_pq_sub_scores`` against LITERAL centroids (c2 pre-folded in
+    python with the same left-to-right order, dot left-folded over the
+    zipped slice) — operand-for-operand the ``_literal_scores`` shape."""
+    sub = F.slice(col, m * subdim + 1, subdim)
+    scores = []
+    for c in cb_m:
+        c2 = 0.0
+        for x in c:
+            c2 = c2 + x * x
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(
+            F.zip_with(sub, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scores.append(F.lit(c2) - 2.0 * dot)
+    return F.array(*scores)
+
+
+def _pq_all_scores(col, m_sub: int, subdim: int, codebook=None) -> list:
+    return [
+        _pq_sub_scores(col, m, subdim)
+        if codebook is None
+        else _pq_literal_sub_scores(col, m, codebook[m], subdim)
+        for m in range(m_sub)
+    ]
+
+
+def pq_train_kmeans(
+    embeddings: DataFrame,
+    m_sub: int = PQ_M,
+    n_k: int = PQ_K,
+    dim: int = 64,
+    n_iters: int = PQ_TRAIN_ITERS,
+):
+    """Per-subspace Lloyd's k-means — the PQ codebook training batch job.
+    One Spark job per iteration: assign every subvector to its nearest
+    centroid, aggregate per-(subspace, code, local-dim) sums; only the
+    m_sub x n_k x subdim model artifact is collected.  Same exactness
+    discipline as ``ivf_train_kmeans``: components quantize to
+    ``floor(v * 2^24)`` and sum as BIGINT (order-independent, map-side
+    combinable), centroid = sum / (2^24 * count) in double — the whole
+    loop is bit-reproducible across engines and shuffle orders."""
+    subdim = dim // m_sub
+    cb = None
+    for _ in range(n_iters):
+        scores = _pq_all_scores(F.col("embedding"), m_sub, subdim, cb)
+        codes_col = F.array(
+            *[F.array_position(s, F.array_min(s)).cast("int") for s in scores]
+        )
+        rows = (
+            embeddings.select(codes_col.alias("codes"), F.posexplode("embedding").alias("d", "v"))
+            .select(
+                (F.col("d") / subdim).cast("int").alias("m"),
+                (F.col("d") % subdim).alias("ld"),
+                F.element_at("codes", (F.col("d") / subdim).cast("int") + 1).alias("k"),
+                F.floor(F.col("v").cast("double") * F.lit(_Q)).cast("long").alias("q"),
+            )
+            .groupBy("m", "k", "ld")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        prev = cb if cb is not None else _pq_codebook_init(m_sub, n_k, subdim)
+        nxt = [[list(r) for r in cbm] for cbm in prev]
+        for r in rows:  # empty cells keep their previous centroid
+            nxt[r["m"]][r["k"] - 1][r["ld"]] = r["s"] / (_Q * r["n"])
+        cb = nxt
+    return cb
+
+
+def ann_pq_trained(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    m_sub: int = PQ_M,
+    dim: int = 64,
+    rerank: int = PQ_RERANK,
+    n_iters: int = PQ_TRAIN_ITERS,
+) -> DataFrame:
+    """PQ top-k over DATA-FITTED codebooks: train per-subspace k-means,
+    then encode + ADC + exact re-rank exactly like ``ann_pq_topk`` with
+    the literal trained centroids."""
+    cb = pq_train_kmeans(embeddings, m_sub, PQ_K, dim, n_iters)
+    return ann_pq_topk(embeddings, n_queries, k, m_sub, dim, rerank, codebook=cb)

@@ -1185,6 +1185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation_pipeline / doc_headings / ann_pq_trained)
         "ann_pq_topk": lambda s, d: ann.ann_pq_topk(_emb(s, d)),
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
+        # the composed 10^12-scale index: IVF lists (sublinear probe) +
+        # PQ codes (compact ADC scan) + exact re-rank; corpus-side state
+        # is (list_id, codes) — ~9 small ints per vector
+        "ann_ivfpq_topk": lambda s, d: ann.ann_ivfpq_topk(_emb(s, d)),
         "audio_features": lambda s, d: audio.audio_features(_pipeline(s, d)["spans_flat"]),
         "duplicate_ngram_spans": lambda s, d: dedup.duplicate_ngram_spans(_docs(s, d)),
         "ann_cosine_topk": lambda s, d: ann.cosine_topk(_emb(s, d)),
@@ -1597,6 +1601,72 @@ def _sql_pq_trained(
         ) WHERE rnk <= 5
     """)
     return "".join(parts)
+
+
+def _sql_ivfpq_topk(
+    n_lists: int = 8, n_probe: int = 2, m_sub: int = 8, n_k: int = 16, rerank: int = 32
+) -> str:
+    """IVF coarse lists + PQ ADC + exact re-rank replay — the composed
+    index oracle: the IVF probe/assign fragments share operand order
+    with ann._list_scores, the PQ encode/ADC fragments with
+    ann._pq_sub_scores (both fixed md5 codebooks)."""
+
+    def slist(col: str, m: int) -> str:
+        return "[" + ", ".join(_sql_pq_score(col, m, k) for k in range(n_k)) + "]"
+
+    code_cols = ", ".join(
+        f"list_position({slist('embedding', m)}, list_min({slist('embedding', m)}))"
+        for m in range(m_sub)
+    )
+    dtab = "[" + ", ".join(slist("embedding", m) for m in range(m_sub)) + "]"
+    adist_terms = ", ".join(f"q.dtab[{m + 1}][c.codes[{m + 1}]]" for m in range(m_sub))
+    return f"""
+        WITH sc AS MATERIALIZED (
+          SELECT vec_id, [{', '.join(_sql_ivf_score(j) for j in range(n_lists))}] AS scores
+          FROM embeddings
+        ), assign AS (
+          SELECT vec_id, CAST(list_indexof(scores, list_min(scores)) AS INT) AS list_id
+          FROM sc
+        ), codes AS MATERIALIZED (
+          SELECT vec_id, [{code_cols}] AS codes FROM embeddings
+        ), probe AS (
+          SELECT vec_id AS query_id,
+                 list_transform(
+                   list_sort([{', '.join(f"{{'score': scores[{j + 1}], 'lid': {j + 1}}}" for j in range(n_lists))}])[1:{n_probe}],
+                   p -> CAST(p.lid AS INT)) AS lids
+          FROM sc WHERE vec_id < 5
+        ), qd AS MATERIALIZED (
+          SELECT vec_id AS query_id, {dtab} AS dtab
+          FROM embeddings WHERE vec_id < 5
+        ), approx AS (
+          SELECT p.query_id, c.vec_id AS neighbor_id,
+                 list_reduce(list_prepend(0.0, [{adist_terms}]),
+                             (acc, x) -> acc + x) AS adist
+          FROM probe p
+          JOIN qd q ON q.query_id = p.query_id,
+               LATERAL unnest(p.lids) AS t(lid)
+          JOIN assign a ON a.list_id = t.lid
+          JOIN codes c ON c.vec_id = a.vec_id
+          WHERE a.vec_id <> p.query_id
+        ), cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS arnk
+            FROM approx
+          ) WHERE arnk <= {rerank}
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored
+        ) WHERE rnk <= 5
+    """
 
 
 def _sql_ivf_coeff(j: int, i: str = "i") -> str:
@@ -2680,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _sql_ivf_trained(),
         "ann_pq_topk": _sql_pq_topk(),
         "ann_pq_trained": _sql_pq_trained(),
+        "ann_ivfpq_topk": _sql_ivfpq_topk(),
         # bucketed (banded hyperplane-LSH) near-dup — mirrors
         # dedup.embedding_neardup: candidates share any 2-bit band, tau
         # filters the UNROUNDED cosine on both sides

@@ -634,3 +634,80 @@ def ann_pq_trained(
     the literal trained centroids."""
     cb = pq_train_kmeans(embeddings, m_sub, PQ_K, dim, n_iters)
     return ann_pq_topk(embeddings, n_queries, k, m_sub, dim, rerank, codebook=cb)
+
+
+def ann_ivfpq_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+    m_sub: int = PQ_M,
+    dim: int = 64,
+    rerank: int = PQ_RERANK,
+) -> DataFrame:
+    """IVF + PQ — the composed 10^12-scale index (FAISS IVFPQ layout,
+    Jegou et al. 2011): the coarse quantizer shards vectors into
+    inverted lists (list_id = the partitioning column, so each list is a
+    co-located shard), each vector stores only its PQ codes, and a query
+    (a) probes its n_probe nearest lists — SUBLINEAR: untouched lists
+    cost nothing — then (b) ADC-scores just those lists' compact codes,
+    and (c) exactly re-ranks the top-``rerank``.  The only corpus-side
+    state is (list_id, codes): ~9 small ints per vector."""
+    subdim = dim // m_sub
+    lscores = _list_scores(F.col("embedding"), n_lists)
+    corpus = pq_encode(embeddings, m_sub, dim).join(
+        embeddings.select(
+            "vec_id",
+            F.array_position(lscores, F.array_min(lscores)).cast("int").alias("list_id"),
+        ),
+        "vec_id",
+    )
+    pairs = F.array_sort(
+        F.zip_with(
+            lscores,
+            F.sequence(F.lit(1), F.lit(n_lists)),
+            lambda s, j: F.struct(s.alias("score"), j.alias("lid")),
+        )
+    )
+    probe = F.transform(F.slice(pairs, 1, n_probe), lambda p: p["lid"].cast("int"))
+    dtab = F.array(*_pq_all_scores(F.col("embedding"), m_sub, subdim))
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        dtab.alias("dtab"),
+        F.explode(probe).alias("list_id"),
+    )
+    approx = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "qv",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"), F.col("dtab"), lambda c, row: F.element_at(row, c)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adist"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= rerank)
+        .drop("arnk", "adist")
+    )
+    scored = cand.join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")

@@ -1010,3 +1010,22 @@ def test_pq_training_improves_recall(spark, sf_dir):
     codes = ann.pq_encode(emb).limit(5).collect()
     assert all(len(r.codes) == ann.PQ_M for r in codes)
     assert all(1 <= c <= ann.PQ_K for r in codes for c in r.codes)
+
+
+def test_ann_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
+    """IVFPQ only ever sees the probed lists: its neighbors must be a
+    subset of the plain-IVF candidate pool (same coarse quantizer, k
+    unbounded), and every query answers."""
+    import os
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    pool = {}
+    for r in ann.ann_ivf_topk(emb, k=10**6).collect():
+        pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ann.ann_ivfpq_topk(emb).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(got) == set(pool) == set(range(5))
+    for q, ns in got.items():
+        assert ns <= pool[q]
+        assert 1 <= len(ns) <= 5

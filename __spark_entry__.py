@@ -1198,6 +1198,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": lambda s, d: events.stream_interval_join(
             s, os.path.join(d, "events.parquet")
         ),
+        # dynamic partition pruning over the time-partitioned fact
+        # layout: the runtime day-dim filter prunes whole partition
+        # directories from the fact scan (pytest asserts the plan)
+        "dpp_day_rollup": lambda s, d: relops.partition_pruned_rollup(
+            s,
+            os.path.join(d, "events.parquet"),
+            os.path.join(_CACHE_ROOT, f"dppev_{_sf_tag(d)}_{_SRC_TAG}"),
+        ),
         # ROLLBACK as a forward commit: two appends + a bad deletion
         # request, then rollback to snapshot 1 — the HEAD read must equal
         # batch 1 exactly (manifest-only restore; history intact)
@@ -1952,6 +1960,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 AS DOUBLE) AS size
             FROM documents
             WHERE len(string_split(text, ' ')) > 3
+        """,
+        # selected days (day-of-month % 7 == 3), integer-cents sums
+        "dpp_day_rollup": """
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+            FROM events
+            WHERE EXTRACT(day FROM CAST(ts AS DATE)) % 7 = 3
+            GROUP BY 1
         """,
         # after rollback to snapshot 1, HEAD == batch 1 exactly (the bad
         # append and deletion request no longer apply)

@@ -383,3 +383,51 @@ def salted_skew_join_oracle_sql() -> str:
         FROM fact f JOIN dim d ON f.grp = d.grp
         GROUP BY 1, 2
     """
+
+
+def partition_pruned_rollup(spark, events_path: str, work_dir: str):
+    """DYNAMIC PARTITION PRUNING demo — the time-partitioned-fact layout
+    every 100 TB event store uses: the fact table is written
+    ``PARTITIONED BY (day)`` (one directory per day; at scale, per
+    hour), the dim side is a SELECTIVE set of days only known at
+    runtime, and Spark's DPP turns the dim into a runtime partition
+    filter on the fact scan — directories for unselected days are never
+    listed or read (pytest asserts ``dynamicpruning`` in the plan).
+    The partitioned copy is built once and cached under ``work_dir``
+    (atomic rename, concurrent-builder safe).  The day sum is integer
+    cents (floor(value*100) summed as BIGINT) so the aggregate is
+    order-independent and bit-equal across engines."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if not os.path.isdir(work_dir):
+        tmp = f"{work_dir}.tmp-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(events_path)
+            .withColumn("day", F.to_date("ts"))
+            .write.partitionBy("day")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, work_dir)
+        except OSError:  # lost the race: another builder already published
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+    fact = spark.read.parquet(work_dir)
+    dim = (
+        spark.read.parquet(events_path)
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .filter(F.dayofmonth("day") % 7 == 3)
+    )
+    return (
+        fact.join(dim, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+    )

@@ -478,3 +478,19 @@ def test_curation_pipeline_end_to_end(spark, sf_dir):
             assert rows[d - 21].n_copies >= 2
     # no canonical under the quality gate
     assert all(r.n_words >= 10 for r in rows.values())
+
+
+def test_dpp_day_rollup_prunes_partitions(spark, sf_dir, tmp_path):
+    """The fact scan must carry a runtime partition filter (DPP) derived
+    from the day dim — whole unselected day directories never read."""
+    import os
+
+    from pdfparser_spark.relops import partition_pruned_rollup
+
+    df = partition_pruned_rollup(
+        spark, os.path.join(sf_dir, "events.parquet"), str(tmp_path / "dppev")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    rows = {r.day.isoformat(): r.n_events for r in df.collect()}
+    assert rows and all(int(d[8:10]) % 7 == 3 for d in rows)

@@ -656,12 +656,17 @@ def ann_ivfpq_topk(
     state is (list_id, codes): ~9 small ints per vector."""
     subdim = dim // m_sub
     lscores = _list_scores(F.col("embedding"), n_lists)
-    corpus = pq_encode(embeddings, m_sub, dim).join(
-        embeddings.select(
-            "vec_id",
-            F.array_position(lscores, F.array_min(lscores)).cast("int").alias("list_id"),
-        ),
+    # list assignment and PQ codes are both projections of the same row —
+    # ONE select, no self-join, no shuffle to build the corpus index
+    corpus = embeddings.select(
         "vec_id",
+        F.array_position(lscores, F.array_min(lscores)).cast("int").alias("list_id"),
+        F.array(
+            *[
+                F.array_position(s, F.array_min(s)).cast("int")
+                for s in _pq_all_scores(F.col("embedding"), m_sub, subdim)
+            ]
+        ).alias("codes"),
     )
     pairs = F.array_sort(
         F.zip_with(

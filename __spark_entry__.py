@@ -403,6 +403,27 @@ def _doc_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_stream_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming consumer of the snapshot log: commit the docs table in
+    two batches, then drain the table's append stream (a file source
+    over the data-dir glob) — the result must equal everything
+    committed.  Insert-only by construction; see
+    snapshots.stream_log_inserts."""
+    from pdfparser_spark.snapshots import SnapshotLog, stream_log_inserts
+
+    log = SnapshotLog(_scratch_log_dir("slog_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_batch(df: DataFrame) -> int:
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+
+    commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
+    return stream_log_inserts(log, spark, table="docs")
+
+
 def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
     a bad deletion request (every 11th doc), then ``rollback`` to
@@ -1210,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # request, then rollback to snapshot 1 — the HEAD read must equal
         # batch 1 exactly (manifest-only restore; history intact)
         "snapshot_rollback": _snapshot_rollback,
+        # the snapshot log consumed AS A STREAM: a Structured Streaming
+        # file source over the data-dir glob drains both commits
+        "snapshot_stream_inserts": _snapshot_stream_inserts,
     }
 
 
@@ -1960,6 +1984,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(18 AS DOUBLE) AS size
             FROM documents
             WHERE len(string_split(text, ' ')) > 3
+        """,
+        # the drained append stream == everything committed (both batches)
+        "snapshot_stream_inserts": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         # selected days (day-of-month % 7 == 3), integer-cents sums
         "dpp_day_rollup": """

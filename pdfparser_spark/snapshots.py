@@ -818,3 +818,36 @@ def extract_increment(
         "spans": log.read(spark, "spans"),
         "delta": spans_delta,
     }
+
+
+def stream_log_inserts(log: SnapshotLog, spark: SparkSession, table: str = "docs") -> DataFrame:
+    """CONTINUOUS consumption of the snapshot log's append stream: a
+    Structured Streaming file source over the table's data-directory
+    glob (``data/<table>/snap-*``).  Each commit's directory becomes
+    visible atomically after the HEAD swap, so a running stream picks up
+    exactly the newly committed files at its next micro-batch — the
+    streaming analog of ``changes()``, insert-only by construction
+    (delete files live under ``del-*`` and never match the glob;
+    consumers that need deletes use the batch change feed).  This drains
+    everything committed so far via AvailableNow into a memory sink and
+    returns it; the production shape swaps the sink for ``foreachBatch``
+    with its own checkpoint, making consumption incremental across
+    restarts."""
+    import uuid as _uuid
+
+    dirs = log.files_for(table)
+    if not dirs:
+        raise ValueError(f"table {table!r} has no committed data")
+    schema = spark.read.parquet(dirs[0]).schema
+    glob = os.path.join(log.root, "data", table, "snap-*")
+    stream = spark.readStream.schema(schema).parquet(glob)
+    sink = f"log_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

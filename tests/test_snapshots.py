@@ -638,3 +638,23 @@ def test_bloom_probe_renders_like_spark_cast(spark, tmp_path):
 
     rows = log.read(spark, "docs", where_eq=("doc_id", 5.0)).collect()
     assert [(r.doc_id, r.text) for r in rows] == [(5, "d5")]
+
+
+def test_stream_log_inserts_picks_up_new_commits(spark, tmp_path):
+    """The append stream sees exactly what's committed at each drain —
+    new snapshot dirs appear atomically and delete files never match."""
+    from pdfparser_spark.snapshots import delete_docs, stream_log_inserts
+
+    log = SnapshotLog(str(tmp_path / "log"))
+
+    def add(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = log.new_data_dir("t")
+        df.write.parquet(d)
+        log.commit({"t": [d]})
+
+    add([(0, "a"), (1, "b")])
+    assert {r.doc_id for r in stream_log_inserts(log, spark, "t").collect()} == {0, 1}
+    add([(2, "c")])
+    delete_docs(log, spark, [0], table="t")  # must NOT surface in the stream
+    assert {r.doc_id for r in stream_log_inserts(log, spark, "t").collect()} == {0, 1, 2}

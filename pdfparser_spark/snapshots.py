@@ -154,7 +154,32 @@ class SnapshotLog:
         ranges AT COMMIT TIME (one tiny agg over data already in memory)
         so later reads can skip whole directories without opening a
         single parquet footer.  Dirs without stats are simply never
-        pruned, so the field is always correctness-optional."""
+        pruned, so the field is always correctness-optional.
+
+        CONCURRENCY: the read-HEAD -> write-snapshot -> swap-HEAD
+        critical section is serialized by an advisory ``flock`` on
+        ``commit.lock`` — two concurrent committers each land their own
+        snapshot (sequential parents), never a lost update.  This is the
+        filesystem stand-in for an Iceberg catalog's atomic
+        compare-and-swap (a conditional PUT on an object store); data
+        files were written OUTSIDE the lock into immutable dirs, so the
+        held section is a few metadata writes, not the job."""
+        import fcntl
+
+        lockpath = os.path.join(self.root, "commit.lock")
+        with open(lockpath, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            return self._commit_locked(tables, operation, summary, schemas, stats, deletes)
+
+    def _commit_locked(
+        self,
+        tables: dict[str, list[str]],
+        operation: str,
+        summary: dict | None,
+        schemas: dict[str, str] | None,
+        stats: dict[str, dict[str, dict]] | None,
+        deletes: dict[str, list[str]] | None,
+    ) -> int:
         parent = self.head_id()
         if parent is not None and schemas and operation != "evolve":
             cur = self.snapshot(parent).get("schemas", {})

@@ -658,3 +658,30 @@ def test_stream_log_inserts_picks_up_new_commits(spark, tmp_path):
     add([(2, "c")])
     delete_docs(log, spark, [0], table="t")  # must NOT surface in the stream
     assert {r.doc_id for r in stream_log_inserts(log, spark, "t").collect()} == {0, 1, 2}
+
+
+def test_concurrent_commits_never_lose_updates(tmp_path):
+    """The commit critical section is serialized (advisory flock — the
+    filesystem stand-in for the catalog's CAS): parallel committers each
+    land their own snapshot with sequential parents, never a lost HEAD
+    update."""
+    import threading
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    n_workers, n_commits = 6, 5
+
+    def worker(w):
+        for i in range(n_commits):
+            log.commit({"t": [f"/fake/{w}-{i}"]}, summary={"w": w})
+
+    ts = [threading.Thread(target=worker, args=(w,)) for w in range(n_workers)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    chain = log.chain()
+    total = n_workers * n_commits
+    assert log.head_id() == total and len(chain) == total
+    assert [s["parent_id"] for s in chain] == [None] + list(range(1, total))
+    dirs = [d for s in chain for d in s["tables"]["t"]]
+    assert len(set(dirs)) == total  # every commit's dir survived

@@ -286,6 +286,14 @@ def _incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(res["spans"])
 
 
+def _commit_docs_batch(log, df: DataFrame, table: str = "docs") -> int:
+    """Write one batch into a fresh data dir and commit it (the demo-log
+    append shape shared by the changelog/rollback/stream queries)."""
+    d = log.new_data_dir(table)
+    df.write.parquet(d)
+    return log.commit({table: [d]}, schemas={table: df.schema.json()})
+
+
 def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED demo: commit the docs table in two batches
     (doc_id%3==0 first, the rest second), then commit a deletion request
@@ -298,11 +306,7 @@ def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = SnapshotLog(_scratch_log_dir("cdc_"))
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-
-    def commit_batch(df: DataFrame) -> int:
-        d = log.new_data_dir("docs")
-        df.write.parquet(d)
-        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+    commit_batch = lambda df: _commit_docs_batch(log, df)  # noqa: E731
 
     s1 = commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
     commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
@@ -395,9 +399,11 @@ def _doc_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
             family="columns",
         )
     )
-    body = sized.groupBy("doc_id").agg(F.min("size").alias("body_size"))
+    # per-doc body size as an unordered window min: ONE kernel pass (the
+    # agg + self-join alternative plans the extraction subtree twice)
+    body = F.min("size").over(Window.partitionBy("doc_id"))
     return (
-        sized.join(body, "doc_id")
+        sized.withColumn("body_size", body)
         .filter(F.col("size") >= 1.25 * F.col("body_size"))
         .select("doc_id", "page_idx", "text", "size")
     )
@@ -413,11 +419,7 @@ def _snapshot_stream_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = SnapshotLog(_scratch_log_dir("slog_"))
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-
-    def commit_batch(df: DataFrame) -> int:
-        d = log.new_data_dir("docs")
-        df.write.parquet(d)
-        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+    commit_batch = lambda df: _commit_docs_batch(log, df)  # noqa: E731
 
     commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
     commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
@@ -434,11 +436,7 @@ def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     log = SnapshotLog(_scratch_log_dir("rb_"))
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-
-    def commit_batch(df: DataFrame) -> int:
-        d = log.new_data_dir("docs")
-        df.write.parquet(d)
-        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+    commit_batch = lambda df: _commit_docs_batch(log, df)  # noqa: E731
 
     s1 = commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
     commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
@@ -1860,7 +1858,8 @@ def _sql_para_join(a: str, b: str) -> str:
 _PARA_M1 = _sql_para_join("COALESCE(l0, '')", "COALESCE(l1, '')")
 _PARAGRAPHS_SQL = f"""
     WITH w0t AS (
-      SELECT doc_id, string_split(text, ' ') AS w0 FROM documents
+      -- COALESCE mirrors synthesize_corpus's NULL-text -> '' coercion
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w0 FROM documents
     ), base AS (
       -- hyphenate_words mirror: 0-based index j = i-1
       SELECT doc_id, flatten([
@@ -1939,7 +1938,8 @@ def oracle_sql() -> dict[str, str]:
         # breaks at kerning gaps; reading order = (page, column, row)
         "extract_columns": """
             WITH base AS (
-              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 2) AS np
+              -- COALESCE mirrors synthesize_corpus's NULL-text -> '' coercion
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w, 1 + (doc_id % 2) AS np
               FROM documents
             ), pg AS (
               SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
@@ -1980,10 +1980,10 @@ def oracle_sql() -> dict[str, str]:
         # rule has a 12 pt body to clear
         "doc_headings": """
             SELECT doc_id, CAST(0 AS INT) AS page_idx,
-                   array_to_string(string_split(text, ' ')[1:3], ' ') AS text,
+                   array_to_string(string_split(COALESCE(text, ''), ' ')[1:3], ' ') AS text,
                    CAST(18 AS DOUBLE) AS size
             FROM documents
-            WHERE len(string_split(text, ' ')) > 3
+            WHERE len(string_split(COALESCE(text, ''), ' ')) > 3
         """,
         # the drained append stream == everything committed (both batches)
         "snapshot_stream_inserts": """

@@ -127,11 +127,16 @@ class SnapshotLog:
         return out
 
     # -- writing -------------------------------------------------------------
-    def new_data_dir(self, table: str) -> str:
+    def new_data_dir(self, table: str, kind: str = "snap") -> str:
         """A fresh immutable directory for one commit's files.  Unreferenced
         until the snapshot entry + HEAD swap land, so a crashed writer
-        leaves only orphans (safe to garbage-collect), never a bad read."""
-        d = os.path.join(self.root, "data", table, f"snap-{uuid.uuid4().hex[:12]}")
+        leaves only orphans (safe to garbage-collect), never a bad read.
+
+        ``kind='snap'`` (append commits) vs ``kind='rew'`` (replace
+        rewrites: compaction, merge upsert): the prefixes keep the
+        APPEND data stream (``stream_log_inserts``, glob ``snap-*``)
+        from re-reading rows a rewrite re-materialized."""
+        d = os.path.join(self.root, "data", table, f"{kind}-{uuid.uuid4().hex[:12]}")
         os.makedirs(os.path.dirname(d), exist_ok=True)
         return d
 
@@ -378,7 +383,7 @@ def compact(log: SnapshotLog, spark: SparkSession, table: str = "spans") -> int:
     until ``expire_snapshots`` reclaims them."""
     replaced = len(log.files_for(table))
     current = log.read(spark, table)
-    out = log.new_data_dir(table)
+    out = log.new_data_dir(table, kind="rew")
     current.write.parquet(out)
     n, stats = _dir_stats(spark.read.parquet(out))
     return log.commit(
@@ -503,7 +508,7 @@ def merge_upsert(
     keys = updates.select(key).distinct()
     kept = current.join(F.broadcast(keys), key, "left_anti")
     merged = kept.unionByName(updates)
-    out = log.new_data_dir(table)
+    out = log.new_data_dir(table, kind="rew")
     merged.write.parquet(out)
     n, stats = _dir_stats(spark.read.parquet(out), key)
     return log.commit(
@@ -851,9 +856,13 @@ def stream_log_inserts(log: SnapshotLog, spark: SparkSession, table: str = "docs
     glob (``data/<table>/snap-*``).  Each commit's directory becomes
     visible atomically after the HEAD swap, so a running stream picks up
     exactly the newly committed files at its next micro-batch — the
-    streaming analog of ``changes()``, insert-only by construction
-    (delete files live under ``del-*`` and never match the glob;
-    consumers that need deletes use the batch change feed).  This drains
+    APPEND feed: insert-only by construction (delete files live under
+    ``del-*`` and replace rewrites under ``rew-*``; neither matches the
+    glob, so compaction never re-delivers rows the stream already saw —
+    deletes and merged updates stay on the batch ``changes()`` feed).
+    After ``expire_snapshots`` reclaims pre-compaction append dirs, a
+    FRESH consumer should bootstrap from a batch read and stream from
+    then on; a checkpointed consumer already processed them.  This drains
     everything committed so far via AvailableNow into a memory sink and
     returns it; the production shape swaps the sink for ``foreachBatch``
     with its own checkpoint, making consumption incremental across

@@ -469,6 +469,30 @@ def pq_encode(embeddings: DataFrame, m_sub: int = PQ_M, dim: int = 64, codebook=
     return embeddings.select("vec_id", F.array(*codes).alias("codes"))
 
 
+def _adc_rerank(approx: DataFrame, embeddings: DataFrame, k: int, rerank: int) -> DataFrame:
+    """Shared PQ tail: cut to the top-``rerank`` candidates by ADC
+    approximate distance (ties -> smaller neighbor), fetch their full
+    embeddings (vec_id equi-join, R rows per query), exact-cosine
+    re-rank to top-``k``.  ``approx`` carries (query_id, qv,
+    neighbor_id, adist)."""
+    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
+    cand = (
+        approx.withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= rerank)
+        .drop("arnk", "adist")
+    )
+    scored = cand.join(
+        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
+        "neighbor_id",
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+
+
 def ann_pq_topk(
     embeddings: DataFrame,
     n_queries: int = 5,
@@ -510,22 +534,7 @@ def ann_pq_topk(
             ).alias("adist"),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
-    cand = (
-        approx.withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") <= rerank)
-        .drop("arnk", "adist")
-    )
-    scored = cand.join(
-        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
-        "neighbor_id",
-    ).select(
-        "query_id",
-        "neighbor_id",
-        _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+    return _adc_rerank(approx, embeddings, k, rerank)
 
 
 PQ_TRAIN_ITERS = 5  # fixed per-subspace Lloyd iterations (determinism + oracle)
@@ -700,19 +709,4 @@ def ann_ivfpq_topk(
             ).alias("adist"),
         )
     )
-    wa = Window.partitionBy("query_id").orderBy(F.col("adist"), F.col("neighbor_id"))
-    cand = (
-        approx.withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") <= rerank)
-        .drop("arnk", "adist")
-    )
-    scored = cand.join(
-        embeddings.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")),
-        "neighbor_id",
-    ).select(
-        "query_id",
-        "neighbor_id",
-        _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k).drop("rnk")
+    return _adc_rerank(approx, embeddings, k, rerank)

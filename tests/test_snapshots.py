@@ -658,6 +658,13 @@ def test_stream_log_inserts_picks_up_new_commits(spark, tmp_path):
     add([(2, "c")])
     delete_docs(log, spark, [0], table="t")  # must NOT surface in the stream
     assert {r.doc_id for r in stream_log_inserts(log, spark, "t").collect()} == {0, 1, 2}
+    # a compaction rewrite must NOT re-deliver rows (rew-* excluded):
+    # every appended row appears exactly once in the drained feed
+    from pdfparser_spark.snapshots import compact
+
+    compact(log, spark, table="t")
+    rows = [r.doc_id for r in stream_log_inserts(log, spark, "t").collect()]
+    assert sorted(rows) == [0, 1, 2]
 
 
 def test_concurrent_commits_never_lose_updates(tmp_path):

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdfparser_spark import relops, streaming as stream_extract, zorder
+from pdfparser_spark import relops, streaming as stream_extract, tables, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
@@ -559,6 +559,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 family="columns",
             )
         ),
+        # TABLE detection (north rule: "PDF/layout parse"): the table
+        # family interleaves an aligned cell grid with prose lines, two
+        # staggered multi-cell TRAP lines (grids differ -> must be
+        # dropped) and an optional second table; detection is pure JVM
+        # DataFrame algebra over the layout kernel's lines — candidate
+        # rows (>=2 cells) grouped by identical x-grid signature within a
+        # 30 pt row gap, blocks of >=2 rows emitted as (table, row, col)
+        # cells (pdfparser_spark/tables.py)
+        "extract_table_cells": lambda s, d: tables.detect_tables(
+            extract_layout_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="table",
+                )
+            ).select("doc_id", "page_idx", "x", "y", "text")
+        ),
         # document metadata: trailer /Info + catalog /Outlines chain walk
         # (First -> Next, cycle-capped) — one mapInPandas, zero shuffle
         "doc_metadata": lambda s, d: extract_meta_fused(
@@ -703,9 +719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cosines WITHIN clusters only, drop vectors dominated by an
         # earlier keeper — the within-cluster join bounds all pair work
         "semantic_dedup": lambda s, d: dedup.semantic_dedup(_emb(s, d)),
-        # canonical-document selection: argmax(quality) per duplicate
-        # cluster as ONE max-of-struct aggregate (no window re-sort)
-        "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
         # Common Crawl-shaped WARC source: distributed synth writer ->
         # binaryFile scan -> per-record gzip-member split + WARC/HTTP
         # parse in ONE zero-shuffle mapInPandas; oracle rebuilds every
@@ -833,6 +846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: same-oracle execution-mode variants + stub-tier demos ---
         # (beyond the driver's 50-query window; exercised by pytest and
         # scripts/check_oracles.py, which cover ALL registered queries)
+        # canonical-document selection: argmax(quality) per duplicate
+        # cluster as ONE max-of-struct aggregate (no window re-sort);
+        # demoted (r02-green): curation_pipeline's canonicalization stage
+        # carries the same decision in-window
+        "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         # data-quality monitoring: per-lang length-distribution drift
         # between the even (reference) and odd (candidate) ingest slices,
@@ -1956,6 +1974,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(720 - 14 * rw AS DOUBLE) AS y,
                    text
             FROM ln
+        """,
+        # table family analytic grid: main table nr x nc from the shape
+        # rule, second table (2 rows, same grid) on doc_id % 7 == 0; cell
+        # word index 2 + p*nr*nc + r*nc + c (second: 100 + p*2*nc + r*nc
+        # + c) mod word count, '' -> placeholder c{p}{r}{c}.  Title,
+        # footer and the doc%5==0 trap lines are EXCLUDED — the
+        # detector's min-cols / min-rows / grid-signature decisions are
+        # what this oracle checks
+        "extract_table_cells": """
+            WITH base AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
+                     1 + doc_id % 2 AS np,
+                     2 + (doc_id // 3) % 3 AS nr,
+                     2 + doc_id % 3 AS nc
+              FROM documents
+            ), pg AS (
+              SELECT doc_id, w, nr, nc, unnest(generate_series(0, np - 1)) AS p FROM base
+            ), main AS (
+              SELECT doc_id, p, 0 AS t, r, c,
+                     2 + p*nr*nc + r*nc + c AS wi, 700 - 18*r AS y
+              FROM pg, unnest(generate_series(0, 3)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
+              WHERE r < nr AND c < nc
+            ), second AS (
+              SELECT doc_id, p, 1 AS t, r, c,
+                     100 + p*2*nc + r*nc + c AS wi, 400 - 18*r AS y
+              FROM pg, unnest(generate_series(0, 1)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
+              WHERE doc_id % 7 = 0 AND c < nc
+            ), allc AS (
+              SELECT * FROM main UNION ALL SELECT * FROM second
+            )
+            SELECT a.doc_id, CAST(a.p AS INT) AS page_idx, CAST(a.t AS INT) AS table_idx,
+                   CAST(a.r AS INT) AS row_idx, CAST(a.c AS INT) AS col_idx,
+                   CAST(72 + 128*a.c AS DOUBLE) AS x, CAST(a.y AS DOUBLE) AS y,
+                   CASE WHEN b.w[1 + a.wi % len(b.w)] = '' THEN 'c' || a.p || a.r || a.c
+                        ELSE b.w[1 + a.wi % len(b.w)] END AS cell
+            FROM allc a JOIN base b USING (doc_id)
         """,
         # paragraph assembly over the columns family on HYPHENATED text:
         # the injector (hyphenate_words mirror) splits every 5th >=6-char

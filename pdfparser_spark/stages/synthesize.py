@@ -21,6 +21,7 @@ from ..synth import (
     build_document_columns,
     build_document_damaged,
     build_document_protected,
+    build_document_table,
 )
 
 _BUILDERS = {
@@ -29,6 +30,7 @@ _BUILDERS = {
     "columns": build_document_columns,
     "damaged": build_document_damaged,
     "protected": build_document_protected,
+    "table": build_document_table,
 }
 
 

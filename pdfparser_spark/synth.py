@@ -1185,6 +1185,166 @@ def expected_columns(doc_id: int, text: str) -> list[tuple[int, int, int, float,
     ]
 
 
+# ---------------------------------------------------------------------------
+# Table family: pages carrying a rows x cols cell grid plus non-table lines
+# (title, footer, staggered trap lines, an optional second table) so the
+# DataFrame-side table DETECTOR (pdfparser_spark/tables.py) has real
+# decisions to make: cells align on a shared x grid across consecutive
+# y-lines; everything else must be excluded.
+
+TABLE_X = (72, 200, 328, 456)  # column grid x origins (max 4 cols)
+TABLE_TOP_Y = 700  # first table row baseline
+TABLE_ROW_DY = 18  # row pitch
+TABLE2_TOP_Y = 400  # second table (doc_id % 7 == 0): far below the first
+TABLE_TITLE_Y = 740  # single-cell title line (must NOT become a table row)
+TABLE_FOOTER_Y = 100  # single-cell footer line
+# trap lines (doc_id % 5 == 0, page 0): two consecutive MULTI-cell lines
+# whose x grids differ between the lines — each is a 1-row group, so the
+# min-rows >= 2 rule must drop both
+TABLE_TRAPS = ((560, (72, 300)), (542, (82, 310)))
+
+
+def table_shape(doc_id: int) -> tuple[int, int]:
+    """(n_rows, n_cols) of the table family's main per-page grid."""
+    return 2 + (doc_id // 3) % 3, 2 + doc_id % 3
+
+
+def table_cell_text(words: list[str], doc_id: int, p: int, r: int, c: int, second: bool = False) -> str:
+    """Cell content is data-driven: word at index 2 + p*nr*nc + r*nc + c
+    (second table: 100 + p*2*nc + r*nc + c), modulo the word count; an
+    empty word falls back to the deterministic placeholder c{p}{r}{c} so
+    every grid cell exists (the detector requires a full x signature)."""
+    nr, nc = table_shape(doc_id)
+    wi = (100 + p * 2 * nc + r * nc + c) if second else (2 + p * nr * nc + r * nc + c)
+    w = words[wi % len(words)]
+    return w if w else f"c{p}{r}{c}"
+
+
+def table_lines(doc_id: int, text: str) -> list[tuple[int, int, int, str]]:
+    """EVERY line the table family draws, as (page, x, y, text) in stream
+    order — title, main-grid cells, traps, optional second table, footer."""
+    words = (text or "").split(" ")
+    nr, nc = table_shape(doc_id)
+    out = []
+    for p in range(1 + doc_id % 2):
+        out.append((p, 72, TABLE_TITLE_Y, "Quarterly Report"))
+        for r in range(nr):
+            for c in range(nc):
+                out.append(
+                    (p, TABLE_X[c], TABLE_TOP_Y - TABLE_ROW_DY * r, table_cell_text(words, doc_id, p, r, c))
+                )
+        if p == 0 and doc_id % 5 == 0:
+            for k, (ty, txs) in enumerate(TABLE_TRAPS):
+                for j, tx in enumerate(txs):
+                    out.append((p, tx, ty, f"t{k}{j}"))
+        if doc_id % 7 == 0:
+            for r in range(2):
+                for c in range(nc):
+                    out.append(
+                        (
+                            p,
+                            TABLE_X[c],
+                            TABLE2_TOP_Y - TABLE_ROW_DY * r,
+                            table_cell_text(words, doc_id, p, r, c, second=True),
+                        )
+                    )
+        out.append((p, 72, TABLE_FOOTER_Y, "end of report"))
+    return out
+
+
+def expected_table_cells(doc_id: int, text: str) -> list[tuple[int, int, int, int, float, float, str]]:
+    """Analytic ground truth for ``extract_table_cells``: (page, table_idx,
+    row_idx, col_idx, x, y, cell) — grid cells only; title/footer/traps
+    excluded by the detector's min-cols/min-rows/signature rules."""
+    words = (text or "").split(" ")
+    nr, nc = table_shape(doc_id)
+    out = []
+    for p in range(1 + doc_id % 2):
+        for r in range(nr):
+            for c in range(nc):
+                out.append(
+                    (
+                        p, 0, r, c,
+                        float(TABLE_X[c]), float(TABLE_TOP_Y - TABLE_ROW_DY * r),
+                        table_cell_text(words, doc_id, p, r, c),
+                    )
+                )
+        if doc_id % 7 == 0:
+            for r in range(2):
+                for c in range(nc):
+                    out.append(
+                        (
+                            p, 1, r, c,
+                            float(TABLE_X[c]), float(TABLE2_TOP_Y - TABLE_ROW_DY * r),
+                            table_cell_text(words, doc_id, p, r, c, second=True),
+                        )
+                    )
+    return out
+
+
+def _table_content(plines: list[tuple[int, int, int, str]]) -> bytes:
+    """One page's content stream: every line shown at an ABSOLUTE Tm
+    origin (positioning-operator variance lives in the other families)."""
+    parts = ["BT /F1 12 Tf "]
+    for _p, x, y, ltext in plines:
+        parts.append(f"1 0 0 1 {x} {y} Tm ({_pdf_escape(ltext)}) Tj ")
+    parts.append("ET")
+    return "".join(parts).encode("latin-1")
+
+
+def build_document_table(doc_id: int, text: str) -> dict:
+    """Table family: a clean classic-xref document whose pages draw an
+    aligned cell grid among non-table lines.  Only ``extract_table_cells``
+    (layout kernel + DataFrame-side table detector) observes this family."""
+    lines = table_lines(doc_id, text)
+    n_pages = 1 + doc_id % 2
+
+    b = _Builder()
+    offsets: dict[int, int] = {}
+    b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
+    CATALOG, PAGESROOT, FONT = 1, 2, 3
+    page_ids = {p: 4 + p for p in range(n_pages)}
+    content_ids = {p: 4 + n_pages + p for p in range(n_pages)}
+    offsets[CATALOG] = b.struct(
+        f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
+    )
+    kids = " ".join(f"{page_ids[p]} 0 R" for p in range(n_pages))
+    offsets[PAGESROOT] = b.struct(
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{kids}] /Count {n_pages} >> endobj\n".encode("ascii")
+    )
+    offsets[FONT] = b.struct(
+        f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n".encode("ascii")
+    )
+    for p in range(n_pages):
+        offsets[page_ids[p]] = b.struct(
+            (
+                f"{page_ids[p]} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
+                f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
+                f"/MediaBox [0 0 612 792] /Contents {content_ids[p]} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    for p in range(n_pages):
+        body = _table_content([ln for ln in lines if ln[0] == p])
+        offsets[content_ids[p]] = b.struct(
+            f"{content_ids[p]} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
+        )
+        b.text_payload(body)
+        b.struct(b"\nendstream endobj\n")
+    n_objs = 3 + 2 * n_pages
+    xref_pos = b.pos
+    b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))
+    b.struct(b"0000000000 65535 f\r\n")
+    for i in range(1, n_objs + 1):
+        b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
+    b.struct(
+        (
+            f"trailer << /Size {n_objs + 1} /Root {CATALOG} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF"
+        ).encode("ascii")
+    )
+    return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
+
+
 def reconstruct(span_rows: list[dict]) -> bytes:
     """Decode-stage step 0: reassemble document bytes from input spans
     (media markers are zero-width; text fields concatenate in offset

@@ -1,0 +1,118 @@
+"""Table detection over layout spans — pure DataFrame algebra.
+
+The layout kernel (``stages.fused.extract_layout_fused``) turns each
+document into positioned text lines ``(doc_id, page_idx, x, y, text)``.
+Real documents interleave tabular data with prose; a training-data
+pipeline wants the table CELLS back as structured ``(table, row, col)``
+records.  The reference parser has no table notion (its surface stops at
+ordered spans — SURVEY.md §2.6); this is north-rule layout-analysis depth
+("PDF/layout parse") built ON TOP of the kernel's output, entirely as
+JVM-side DataFrame algebra — no Python in the detection path.
+
+Detection rule (classic grid-alignment heuristic):
+
+1. A *candidate row* is a (page, y) text line with >= ``min_cols`` cells
+   (distinct x origins).  Single-cell prose lines (titles, footers,
+   paragraphs) never enter.
+2. Consecutive candidate rows (descending y) belong to the same table iff
+   they share the SAME x signature (the sorted tuple of cell origins —
+   i.e. the column grid) and are vertically closer than ``row_gap``.
+   A signature change or a large gap starts a new block.
+3. Blocks with >= ``min_rows`` rows are tables; everything else (e.g.
+   two adjacent multi-cell lines whose grids don't align) is discarded.
+4. ``table_idx`` numbers a page's tables top-to-bottom, ``row_idx``
+   top-to-bottom within the table, ``col_idx`` left-to-right.
+
+Scale shape: ONE hash aggregate keyed on (doc_id, page_idx, y) — uniform,
+corpus-sized — then windows partitioned by (doc_id, page_idx) (bounded
+partitions: lines-per-page), then a posexplode.  No joins, no Python, no
+driver actions; survives any corpus size that extraction itself survives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def detect_tables(
+    lines: DataFrame,
+    min_rows: int = 2,
+    min_cols: int = 2,
+    row_gap: float = 30.0,
+) -> DataFrame:
+    """``(doc_id, page_idx, x, y, text)`` layout lines ->
+    ``(doc_id, page_idx, table_idx, row_idx, col_idx, x, y, cell)``.
+
+    See module docstring for the detection rule.  ``row_gap`` is the max
+    vertical distance between consecutive baselines of one table (points).
+    """
+    w_page = Window.partitionBy("doc_id", "page_idx").orderBy(F.col("y").desc())
+    w_run = w_page.rowsBetween(Window.unboundedPreceding, 0)
+
+    rows = (
+        # ONE shuffle for the whole operator: clustering on (doc_id,
+        # page_idx) satisfies the agg's (doc_id, page_idx, y) grouping AND
+        # every window below, so Catalyst inserts no further Exchange.
+        # (The layout kernel's mapInPandas reports UnknownPartitioning, so
+        # upstream doc_id clustering can't be reused declaratively.)
+        lines.repartition("doc_id", "page_idx")
+        .groupBy("doc_id", "page_idx", "y")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            # cells carried through the agg as (x, text) structs: array_sort
+            # orders by x (first struct field), so position == column index —
+            # no join back onto the line table, no double-equality keys
+            F.array_sort(F.collect_list(F.struct("x", F.col("text").alias("cell")))).alias("cells"),
+        )
+        .filter(F.col("n_cells") >= min_cols)
+        # the column grid = the sorted x origins; its string form is the
+        # row's signature (same-source doubles render identically)
+        .withColumn(
+            "sig", F.concat_ws(",", F.transform("cells", lambda s: s["x"].cast("string")))
+        )
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("sig").over(w_page).isNull()
+                | (F.lag("sig").over(w_page) != F.col("sig"))
+                | ((F.lag("y").over(w_page) - F.col("y")) > F.lit(float(row_gap))),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("block", F.sum("brk").over(w_run))
+    )
+
+    w_block = Window.partitionBy("doc_id", "page_idx", "block")
+    kept = (
+        rows.withColumn("n_rows", F.count(F.lit(1)).over(w_block))
+        .filter(F.col("n_rows") >= min_rows)
+        # blocks were numbered in descending-y order, so rank(block) is
+        # already top-to-bottom; dense_rank re-packs after drops
+        .withColumn(
+            "table_idx",
+            F.dense_rank().over(Window.partitionBy("doc_id", "page_idx").orderBy("block")) - 1,
+        )
+        .withColumn("row_idx", F.row_number().over(w_block.orderBy(F.col("y").desc())) - 1)
+    )
+
+    return (
+        kept.select(
+            "doc_id",
+            "page_idx",
+            F.col("table_idx").cast("int").alias("table_idx"),
+            F.col("row_idx").cast("int").alias("row_idx"),
+            "y",
+            F.posexplode("cells").alias("col_idx", "cellst"),
+        )
+        .select(
+            "doc_id",
+            "page_idx",
+            "table_idx",
+            "row_idx",
+            F.col("col_idx").cast("int").alias("col_idx"),
+            F.col("cellst.x").alias("x"),
+            "y",
+            F.col("cellst.cell").alias("cell"),
+        )
+    )

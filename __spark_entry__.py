@@ -732,7 +732,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the deterministic doc_id graph — K unrolled join+agg
         # rounds in ONE plan, hub skew absorbed by map-side combine
         "docs_pagerank": lambda s, d: graph.pagerank(_docs(s, d)),
-        "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
+        # data selection with importance resampling (DSIR): hashed-unigram
+        # rate tables (<= 256 rows each, broadcast) score every doc by
+        # target-vs-raw enrichment in BIGINT fixed point — the oracle
+        # retrains AND rescores from scratch
+        "dsir_select": lambda s, d: curation.dsir_select(_docs(s, d)),
         # crawl-archive PDF extraction: application/pdf WARC responses
         # through the SAME kernel — transport invisible to extraction,
         # plain span oracle
@@ -851,6 +855,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted (r02-green): curation_pipeline's canonicalization stage
         # carries the same decision in-window
         "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
+        # demoted (r01+r02-green): curation_pipeline's quality gate
+        # carries the same rate algebra in-window
+        "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
+        # markdown linearization of detected tables (the LLM-facing
+        # serialization; same analytic grid oracle as extract_table_cells)
+        "table_markdown": lambda s, d: tables.tables_to_markdown(
+            tables.detect_tables(
+                extract_layout_fused(
+                    synthesize_corpus(
+                        _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                        family="table",
+                    )
+                ).select("doc_id", "page_idx", "x", "y", "text")
+            )
+        ),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         # data-quality monitoring: per-lang length-distribution drift
         # between the even (reference) and odd (candidate) ingest slices,
@@ -1874,6 +1893,42 @@ def _sql_para_join(a: str, b: str) -> str:
 
 
 _PARA_M1 = _sql_para_join("COALESCE(l0, '')", "COALESCE(l1, '')")
+# table family analytic grid (shared by extract_table_cells and
+# table_markdown): main table nr x nc from the shape rule, second table
+# (2 rows, same grid) on doc_id % 7 == 0; cell = word at index
+# 2 + p*nr*nc + r*nc + c (second: 100 + p*2*nc + r*nc + c) mod word
+# count, '' -> placeholder c{p}{r}{c}.  Title, footer and the doc%5==0
+# trap lines are EXCLUDED — the detector's min-cols / min-rows /
+# grid-signature decisions are what these oracles check.
+_TABLE_CELLS_CTE = """base AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
+                     1 + doc_id % 2 AS np,
+                     2 + (doc_id // 3) % 3 AS nr,
+                     2 + doc_id % 3 AS nc
+              FROM documents
+            ), pg AS (
+              SELECT doc_id, w, nr, nc, unnest(generate_series(0, np - 1)) AS p FROM base
+            ), main AS (
+              SELECT doc_id, p, 0 AS t, r, c,
+                     2 + p*nr*nc + r*nc + c AS wi, 700 - 18*r AS y
+              FROM pg, unnest(generate_series(0, 3)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
+              WHERE r < nr AND c < nc
+            ), second AS (
+              SELECT doc_id, p, 1 AS t, r, c,
+                     100 + p*2*nc + r*nc + c AS wi, 400 - 18*r AS y
+              FROM pg, unnest(generate_series(0, 1)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
+              WHERE doc_id % 7 = 0 AND c < nc
+            ), allc AS (
+              SELECT * FROM main UNION ALL SELECT * FROM second
+            ), cells AS (
+              SELECT a.doc_id, CAST(a.p AS INT) AS page_idx, CAST(a.t AS INT) AS table_idx,
+                     CAST(a.r AS INT) AS row_idx, CAST(a.c AS INT) AS col_idx,
+                     CAST(72 + 128*a.c AS DOUBLE) AS x, CAST(a.y AS DOUBLE) AS y,
+                     CASE WHEN b.w[1 + a.wi % len(b.w)] = '' THEN 'c' || a.p || a.r || a.c
+                          ELSE b.w[1 + a.wi % len(b.w)] END AS cell
+              FROM allc a JOIN base b USING (doc_id)
+            )"""
+
 _PARAGRAPHS_SQL = f"""
     WITH w0t AS (
       -- COALESCE mirrors synthesize_corpus's NULL-text -> '' coercion
@@ -1975,41 +2030,26 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM ln
         """,
-        # table family analytic grid: main table nr x nc from the shape
-        # rule, second table (2 rows, same grid) on doc_id % 7 == 0; cell
-        # word index 2 + p*nr*nc + r*nc + c (second: 100 + p*2*nc + r*nc
-        # + c) mod word count, '' -> placeholder c{p}{r}{c}.  Title,
-        # footer and the doc%5==0 trap lines are EXCLUDED — the
-        # detector's min-cols / min-rows / grid-signature decisions are
-        # what this oracle checks
-        "extract_table_cells": """
-            WITH base AS (
-              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
-                     1 + doc_id % 2 AS np,
-                     2 + (doc_id // 3) % 3 AS nr,
-                     2 + doc_id % 3 AS nc
-              FROM documents
-            ), pg AS (
-              SELECT doc_id, w, nr, nc, unnest(generate_series(0, np - 1)) AS p FROM base
-            ), main AS (
-              SELECT doc_id, p, 0 AS t, r, c,
-                     2 + p*nr*nc + r*nc + c AS wi, 700 - 18*r AS y
-              FROM pg, unnest(generate_series(0, 3)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
-              WHERE r < nr AND c < nc
-            ), second AS (
-              SELECT doc_id, p, 1 AS t, r, c,
-                     100 + p*2*nc + r*nc + c AS wi, 400 - 18*r AS y
-              FROM pg, unnest(generate_series(0, 1)) AS ur(r), unnest(generate_series(0, 3)) AS uc(c)
-              WHERE doc_id % 7 = 0 AND c < nc
-            ), allc AS (
-              SELECT * FROM main UNION ALL SELECT * FROM second
+        "extract_table_cells": "WITH " + _TABLE_CELLS_CTE + """
+            SELECT doc_id, page_idx, table_idx, row_idx, col_idx, x, y, cell
+            FROM cells
+        """,
+        # markdown rendering of the SAME analytic grid: row 0 = header,
+        # then the | --- | separator, then body rows
+        "table_markdown": "WITH " + _TABLE_CELLS_CTE + """, rws AS (
+              SELECT doc_id, page_idx, table_idx, row_idx,
+                     '| ' || string_agg(cell, ' | ' ORDER BY col_idx) || ' |' AS row_md,
+                     CAST(COUNT(*) AS BIGINT) AS n_cols
+              FROM cells GROUP BY 1, 2, 3, 4
             )
-            SELECT a.doc_id, CAST(a.p AS INT) AS page_idx, CAST(a.t AS INT) AS table_idx,
-                   CAST(a.r AS INT) AS row_idx, CAST(a.c AS INT) AS col_idx,
-                   CAST(72 + 128*a.c AS DOUBLE) AS x, CAST(a.y AS DOUBLE) AS y,
-                   CASE WHEN b.w[1 + a.wi % len(b.w)] = '' THEN 'c' || a.p || a.r || a.c
-                        ELSE b.w[1 + a.wi % len(b.w)] END AS cell
-            FROM allc a JOIN base b USING (doc_id)
+            SELECT doc_id, page_idx, table_idx,
+                   CAST(COUNT(*) AS INT) AS n_rows,
+                   CAST(MAX(n_cols) AS INT) AS n_cols,
+                   arg_min(row_md, row_idx) || chr(10)
+                     || '|' || repeat(' --- |', CAST(MAX(n_cols) AS INT))
+                     || COALESCE(chr(10) || string_agg(row_md, chr(10) ORDER BY row_idx)
+                                   FILTER (WHERE row_idx > 0), '') AS md
+            FROM rws GROUP BY 1, 2, 3
         """,
         # paragraph assembly over the columns family on HYPHENATED text:
         # the injector (hyphenate_words mirror) splits every 5th >=6-char
@@ -3373,6 +3413,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_pairs, ll_sum, ll_avg,
                    CAST(ll_avg >= 250000 AS INT) AS in_domain
             FROM fin
+        """,
+        # DSIR retrained AND rescored from scratch: both fixed-point rate
+        # tables (floor(SCALE*cnt/total) via the portable pmod floor
+        # division), the target-vs-raw delta, and every doc's score
+        "dsir_select": """
+            WITH wx AS (
+              SELECT doc_id, lang,
+                     (ascii(substr(md5(word), 1, 1)) * 31
+                      + ascii(substr(md5(word), 2, 1))) % 256 AS bucket
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+            ), raw AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM wx GROUP BY 1
+            ), rawr AS (
+              SELECT bucket,
+                     CAST((cnt*1000000 - ((cnt*1000000 % t) + t) % t) // t AS BIGINT) AS q_raw
+              FROM raw, (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM raw)
+            ), tgt AS (
+              SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM wx WHERE lang = 'en' GROUP BY 1
+            ), tgtr AS (
+              SELECT bucket,
+                     CAST((cnt*1000000 - ((cnt*1000000 % t) + t) % t) // t AS BIGINT) AS q_tgt
+              FROM tgt, (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM tgt)
+            ), dl AS (
+              SELECT bucket, COALESCE(q_tgt, 0) - q_raw AS delta
+              FROM rawr LEFT JOIN tgtr USING (bucket)
+            ), pd AS (
+              SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM wx GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+                   CAST(SUM(n * delta) AS BIGINT) AS dsir_score,
+                   CAST(CAST(SUM(n * delta) AS BIGINT) >= 0 AS INT) AS selected
+            FROM pd JOIN dl USING (bucket) GROUP BY doc_id
         """,
         # BPE training replayed from scratch in chained CTEs (one level
         # per merge), argmax ties to the lexicographically smallest pair

@@ -116,3 +116,66 @@ def detect_tables(
             F.col("cellst.cell").alias("cell"),
         )
     )
+
+
+def tables_to_markdown(cells: DataFrame) -> DataFrame:
+    """``detect_tables`` output -> one GitHub-markdown string per table
+    ``(doc_id, page_idx, table_idx, n_rows, n_cols, md)`` — the shape a
+    training-data pipeline actually feeds an LLM (linearized tables).
+
+    Row 0 renders as the header, followed by the ``| --- |`` separator,
+    then the body rows.  Pure JVM string algebra: two nested aggregates
+    whose grouping keys extend ``detect_tables``'s (doc_id, page_idx)
+    clustering, so Catalyst inserts NO exchange beyond the detector's own
+    single repartition (pytest-asserted)."""
+    rows = (
+        cells.groupBy("doc_id", "page_idx", "table_idx", "row_idx")
+        .agg(
+            F.concat(
+                F.lit("| "),
+                F.concat_ws(
+                    " | ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("col_idx", "cell"))),
+                        lambda s: s["cell"],
+                    ),
+                ),
+                F.lit(" |"),
+            ).alias("row_md"),
+            F.count(F.lit(1)).alias("n_cols"),
+        )
+    )
+    sep = F.concat(F.lit("|"), F.repeat(F.lit(" --- |"), F.col("n_cols")))
+    return (
+        rows.groupBy("doc_id", "page_idx", "table_idx")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("row_idx", "row_md"))).alias("rws"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("n_cols").alias("n_cols"),
+        )
+        .select(
+            "doc_id",
+            "page_idx",
+            "table_idx",
+            F.col("n_rows").cast("int").alias("n_rows"),
+            F.col("n_cols").cast("int").alias("n_cols"),
+            F.concat(
+                F.element_at(F.col("rws"), 1)["row_md"],
+                F.lit("\n"),
+                sep,
+                F.when(
+                    F.col("n_rows") > 1,
+                    F.concat(
+                        F.lit("\n"),
+                        F.concat_ws(
+                            "\n",
+                            F.transform(
+                                F.slice(F.col("rws"), 2, F.size("rws")),
+                                lambda s: s["row_md"],
+                            ),
+                        ),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("md"),
+        )
+    )

@@ -399,3 +399,83 @@ def leakage_safe_splits(documents: DataFrame) -> DataFrame:
             "split"
         ),
     )
+
+
+DSIR_DIMS = 256  # hashed-unigram feature buckets
+DSIR_SCALE = 1_000_000  # fixed-point denominator for bucket rates
+DSIR_TARGET_LANG = "en"  # plays the role of DSIR's target domain sample
+
+
+def _dsir_bucket(word):
+    """Hashed-unigram bucket in [0, DSIR_DIMS): the same engine-portable
+    ascii-slice-of-md5 rule as textqc.hashed_features / ann._plane_coeff_at
+    (md5 hex chars are identical across Spark and DuckDB)."""
+    h = F.md5(word)
+    return (
+        F.ascii(F.substring(h, 1, 1)) * 31 + F.ascii(F.substring(h, 2, 1))
+    ) % DSIR_DIMS
+
+
+def dsir_select(documents: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    public): score every document by how much more its hashed-unigram
+    profile resembles the TARGET slice (here ``lang = target_lang``, the
+    stand-in for "a sample of the domain we want more of") than the raw
+    corpus, and gate on score >= 0.
+
+    Deviation from the paper, deliberate and documented: the paper's
+    importance weight is sum(log p_target(b) - log p_raw(b)); logs are
+    transcendental and not bit-identical across engines (the same reason
+    lm.py sums quantized probabilities), so the weight here is the
+    LINEAR fixed-point rate difference
+
+        delta(b)  = floor(SCALE*cnt_t(b)/total_t) - floor(SCALE*cnt_r(b)/total_r)
+        score(d)  = sum over d's word occurrences of delta(bucket(word))
+
+    which preserves the "enriched in target vs raw" signal, is BIGINT-
+    exact, and lets the DuckDB oracle replay training AND scoring
+    bit-for-bit.  score >= 0 keeps docs at least as target-like as the
+    corpus average.
+
+    Scale shape: both rate tables collapse to <= DSIR_DIMS rows (map-side
+    combinable aggregates; the target side's lang filter pushes to the
+    scan), enter the corpus side as ONE broadcast join, and the per-doc
+    reduce is a (doc_id, bucket) agg + a doc_id agg — the lm.py shape;
+    nothing iterative, nothing driver-resident."""
+    from .model import _floor_div
+
+    toks = documents.select(
+        "doc_id", "lang", F.explode(_words_col()).alias("word")
+    ).select("doc_id", "lang", _dsir_bucket(F.col("word")).alias("bucket"))
+
+    def rates(df, name):
+        cnt = df.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        total = cnt.agg(F.sum("cnt").alias("total"))
+        return cnt.crossJoin(F.broadcast(total)).select(
+            "bucket", _floor_div(F.col("cnt") * DSIR_SCALE, F.col("total")).alias(name)
+        )
+
+    delta = (
+        rates(toks, "q_raw")
+        .join(rates(toks.filter(F.col("lang") == target_lang), "q_tgt"), "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("q_tgt", F.lit(0)) - F.col("q_raw")).alias("delta"),
+        )
+    )
+    return (
+        toks.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("delta")).alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dsir_score",
+            (F.col("dsir_score") >= 0).cast("int").alias("selected"),
+        )
+    )

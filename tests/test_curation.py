@@ -494,3 +494,61 @@ def test_dpp_day_rollup_prunes_partitions(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan
     rows = {r.day.isoformat(): r.n_events for r in df.collect()}
     assert rows and all(int(d[8:10]) % 7 == 3 for d in rows)
+
+
+def test_dsir_select_fixed_point_replay(spark):
+    """dsir_select must equal a pure-Python replay of the fixed-point
+    algebra (rates -> delta -> per-doc sum) on a small mixed corpus."""
+    import hashlib as _h
+
+    from pyspark.sql import Row
+
+    from pdfparser_spark.textops.curation import DSIR_DIMS, DSIR_SCALE, dsir_select
+
+    rows = [
+        Row(doc_id=0, lang="en", text="spark join filter window agg"),
+        Row(doc_id=1, lang="en", text="join window window table scan"),
+        Row(doc_id=2, lang="de", text="der die das join und oder"),
+        Row(doc_id=3, lang="zh", text="der die das und oder oder"),
+        Row(doc_id=4, lang="en", text="scan scan filter agg table"),
+    ]
+
+    def bucket(w):
+        h = _h.md5(w.encode()).hexdigest()
+        return (ord(h[0]) * 31 + ord(h[1])) % DSIR_DIMS
+
+    toks = [(r.doc_id, r.lang, bucket(w)) for r in rows for w in r.text.split(" ")]
+
+    def rates(sel):
+        cnt = {}
+        for _d, _l, b in sel:
+            cnt[b] = cnt.get(b, 0) + 1
+        total = sum(cnt.values())
+        return {b: (c * DSIR_SCALE) // total for b, c in cnt.items()}
+
+    q_raw = rates(toks)
+    q_tgt = rates([t for t in toks if t[1] == "en"])
+    exp = {}
+    for d, _l, b in toks:
+        nw, sc = exp.get(d, (0, 0))
+        exp[d] = (nw + 1, sc + q_tgt.get(b, 0) - q_raw[b])
+
+    got = {
+        r.doc_id: (r.n_words, r.dsir_score, r.selected)
+        for r in dsir_select(spark.createDataFrame(rows)).collect()
+    }
+    assert got == {d: (nw, sc, int(sc >= 0)) for d, (nw, sc) in exp.items()}
+    # the en docs must gate in, the non-en must gate out on this corpus
+    assert [got[d][2] for d in range(5)] == [1, 1, 0, 0, 1]
+
+
+def test_dsir_select_separates_target_slice(spark, sf_dir):
+    """On the real documents table the en slice must be enriched among the
+    selected docs relative to its corpus share."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = curation.dsir_select(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = res.groupBy((res.lang == "en").alias("is_en"), "selected").count().collect()
+    c = {(r.is_en, r.selected): r["count"] for r in rows}
+    en_rate = c.get((True, 1), 0) / max(c.get((True, 1), 0) + c.get((True, 0), 0), 1)
+    other_rate = c.get((False, 1), 0) / max(c.get((False, 1), 0) + c.get((False, 0), 0), 1)
+    assert en_rate > other_rate

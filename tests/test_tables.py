@@ -105,3 +105,35 @@ def test_min_rows_and_min_cols_knobs(spark):
     # widening row_gap merges nothing across the signature-identical but
     # 364-pt-distant block boundary only when gap allows it
     assert detect_tables(df, row_gap=400.0).count() == 8
+
+
+def test_tables_to_markdown_renders_grid(spark, table_layout):
+    from pdfparser_spark.tables import tables_to_markdown
+
+    out = tables_to_markdown(detect_tables(table_layout)).toPandas()
+    # doc 1: 2x3 main grid only, 2 pages, no second table (1 % 7 != 0)
+    d1 = out[(out.doc_id == 1) & (out.page_idx == 0)]
+    assert len(d1) == 1 and int(d1.n_rows.iloc[0]) == 2 and int(d1.n_cols.iloc[0]) == 3
+    words = WORDS.split(" ")
+    hdr = [words[(2 + 0 * 3 + c) % len(words)] for c in range(3)]
+    body = [words[(2 + 1 * 3 + c) % len(words)] for c in range(3)]
+    exp = (
+        "| " + " | ".join(hdr) + " |\n"
+        "|" + " --- |" * 3 + "\n"
+        "| " + " | ".join(body) + " |"
+    )
+    assert d1.md.iloc[0] == exp
+    # every doc/page yields exactly one md per detected table
+    cells = detect_tables(table_layout).toPandas()
+    n_tables = len(cells.groupby(["doc_id", "page_idx", "table_idx"]))
+    assert len(out) == n_tables
+
+
+def test_tables_to_markdown_adds_no_exchange(table_layout):
+    from pdfparser_spark.tables import tables_to_markdown
+
+    plan = (
+        tables_to_markdown(detect_tables(table_layout))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("+- Exchange") == 2  # detector's one + fixture's one

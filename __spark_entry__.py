@@ -426,6 +426,25 @@ def _snapshot_stream_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_log_inserts(log, spark, table="docs")
 
 
+def _snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-ref demo (Iceberg tags/branches): commit batch 1, pin the
+    immutable tag ``v1`` on it, keep committing (batch 2 + a branch that
+    moves with HEAD) — reading ``ref="v1"`` must still equal batch 1
+    bit-for-bit while HEAD has moved on.  A ref is a tiny JSON pointer:
+    release-pinning a 10^12-row table costs one metadata write."""
+    from pdfparser_spark.snapshots import SnapshotLog
+
+    log = SnapshotLog(_scratch_log_dir("tag_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    commit_batch = lambda df: _commit_docs_batch(log, df)  # noqa: E731
+
+    s1 = commit_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    log.set_ref("v1", s1, kind="tag")
+    commit_batch(docs.filter(F.col("doc_id") % 3 != 0))
+    log.set_ref("main-dev", kind="branch")  # tracks HEAD at creation
+    return log.read(spark, "docs", ref="v1")
+
+
 def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
     a bad deletion request (every 11th doc), then ``rollback`` to
@@ -870,6 +889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).select("doc_id", "page_idx", "x", "y", "text")
             )
         ),
+        # asymmetric containment (short-doc-inside-long-doc) on the LSH
+        # candidates — the direction symmetric Jaccard can't see
+        "lsh_containment": lambda s, d: dedup.lsh_containment(_docs(s, d)),
         "simhash16": lambda s, d: dedup.simhash(_docs(s, d)),
         # data-quality monitoring: per-lang length-distribution drift
         # between the even (reference) and odd (candidate) ingest slices,
@@ -1266,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # request, then rollback to snapshot 1 — the HEAD read must equal
         # batch 1 exactly (manifest-only restore; history intact)
         "snapshot_rollback": _snapshot_rollback,
+        # named-ref (tag) read: HEAD moves, the v1 tag still reads batch 1
+        "snapshot_tag_read": _snapshot_tag_read,
         # the snapshot log consumed AS A STREAM: a Structured Streaming
         # file source over the data-dir glob drains both commits
         "snapshot_stream_inserts": _snapshot_stream_inserts,
@@ -2096,6 +2120,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_rollback": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
         """,
+        "snapshot_tag_read": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        """,
         # end-to-end curation chain: remap (single-level: the ORIGINAL
         # text of doc_id - 21) -> extracted text == the original
         # truncated to n_pages * 8 words -> >=10-word gate -> md5
@@ -2399,6 +2426,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN shv b ON b.doc_id = p.doc_b
             WHERE FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                         / len(list_distinct(list_concat(a.sh, b.sh))) * 10000.0 + 0.5) / 10000.0 >= 0.8
+        """,
+        # asymmetric containment on the same candidates; Spark's
+        # array_intersect size == list_intersect len over distinct shingles
+        "lsh_containment": "WITH " + _LSH_PAIRS_CTE + """,
+            shv AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_distinct([array_to_string(w[i : i+2], ' ') FOR i IN generate_series(1, len(w)-2)])
+                ELSE [] END AS sh
+              FROM w
+            ), scored AS (
+              SELECT p.doc_a, p.doc_b,
+                     FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(a.sh) * 10000.0 + 0.5) / 10000.0 AS cont_a_in_b,
+                     FLOOR(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(b.sh) * 10000.0 + 0.5) / 10000.0 AS cont_b_in_a
+              FROM pairs p
+              JOIN shv a ON a.doc_id = p.doc_a
+              JOIN shv b ON b.doc_id = p.doc_b
+            )
+            SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a
+            FROM scored WHERE GREATEST(cont_a_in_b, cont_b_in_a) >= 0.8
         """,
         # incremental index dedup == the full-corpus verified pairs
         # restricted to pairs touching the new batch (odd doc_ids): the

@@ -112,6 +112,52 @@ class SnapshotLog:
                 best = s["snapshot_id"]
         return best
 
+    # -- named refs (Iceberg tags / branches) ---------------------------------
+    def set_ref(self, name: str, snapshot_id: int | None = None, kind: str = "tag") -> int:
+        """Pin ``name`` to a snapshot (HEAD when omitted).  ``tag`` refs are
+        immutable — re-pointing one raises; ``branch`` refs move freely.
+        Refs are tiny JSON files swapped atomically (the same catalog-side
+        metadata shape as commit itself), so creating one costs O(1)
+        regardless of table size — the release/audit-pin workflow at
+        10^12 rows is a metadata write, never a data copy."""
+        if kind not in ("tag", "branch"):
+            raise ValueError(f"unknown ref kind {kind!r}")
+        sid = self.head_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError("cannot create a ref on an empty log")
+        self.snapshot(sid)  # must exist
+        rdir = os.path.join(self.root, "refs")
+        os.makedirs(rdir, exist_ok=True)
+        rpath = os.path.join(rdir, f"{name}.json")
+        if os.path.exists(rpath):
+            with open(rpath) as f:
+                cur = json.load(f)
+            if cur["kind"] == "tag":
+                raise ValueError(f"tag {name!r} already points at {cur['snapshot_id']}")
+        with open(rpath + ".tmp", "w") as f:
+            json.dump({"name": name, "snapshot_id": sid, "kind": kind, "ts": time.time()}, f)
+        os.replace(rpath + ".tmp", rpath)
+        return sid
+
+    def ref(self, name: str) -> dict:
+        try:
+            with open(os.path.join(self.root, "refs", f"{name}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"unknown ref {name!r}") from None
+
+    def refs(self) -> dict[str, dict]:
+        rdir = os.path.join(self.root, "refs")
+        if not os.path.isdir(rdir):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(rdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(rdir, fn)) as f:
+                    r = json.load(f)
+                out[r["name"]] = r
+        return out
+
     def files_for(self, table: str, snapshot_id: int | None = None) -> list[str]:
         """The manifest-planned file list: walk newest -> oldest collecting
         each commit's dirs for the table, stopping at a ``replace``
@@ -318,17 +364,23 @@ class SnapshotLog:
         table: str,
         snapshot_id: int | None = None,
         as_of_ts: float | None = None,
+        ref: str | None = None,
         where: tuple[str, object, object] | None = None,
         where_eq: tuple[str, object] | None = None,
     ) -> DataFrame:
-        """Read a table at HEAD, at a snapshot id, or as of a timestamp —
-        planned strictly from the snapshot manifests.  ``where=(col, lo,
+        """Read a table at HEAD, at a snapshot id, as of a timestamp, or
+        at a named ref (tag/branch) — planned strictly from the snapshot
+        manifests.  ``where=(col, lo,
         hi)`` additionally skips non-matching directories via the manifest
         stats (file-level pruning BEFORE Spark ever lists them — at 10^12
         rows the read cost is dominated by how many files the plan
         touches) and applies the residual range filter to the survivors.
         ``where_eq=(col, v)`` is the point-lookup path: min/max AND the
         manifest Bloom filter prune, residual ``col == v`` runs after."""
+        if ref is not None:
+            if snapshot_id is not None or as_of_ts is not None:
+                raise ValueError("ref is exclusive with snapshot_id/as_of_ts")
+            snapshot_id = self.ref(ref)["snapshot_id"]
         if as_of_ts is not None:
             snapshot_id = self.as_of(as_of_ts)
             if snapshot_id is None:
@@ -411,6 +463,14 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     head = log.head_id()
     if head is None or keep_from > head:
         return []
+    # named refs RETAIN their snapshots (Iceberg semantics): refuse to
+    # expire history a tag/branch still points into
+    for r in log.refs().values():
+        if r["snapshot_id"] < keep_from:
+            raise ValueError(
+                f"ref {r['name']!r} pins snapshot {r['snapshot_id']} below "
+                f"keep_from {keep_from}; drop the ref first"
+            )
     full = log.chain(keep_from)
     tables = {t for s in full for t in s["tables"]}
     for t in tables:

@@ -391,6 +391,39 @@ def lsh_verified_dups(documents: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
+def lsh_containment(documents: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Asymmetric near-dup detection: exact shingle-set CONTAINMENT
+    c(A in B) = |A intersect B| / |A| on the LSH candidates — the check
+    that catches a SHORT document embedded in a LONG one (quoted posts,
+    boilerplate inclusion, page-in-site), where symmetric Jaccard is
+    bounded by |A|/|B| and silently stays under any useful threshold.
+    Returns (doc_a, doc_b, cont_a_in_b, cont_b_in_a) for candidates whose
+    larger direction clears ``threshold``.
+
+    Same scale shape as lsh_verified_dups: candidate generation is the
+    capped band join, exact set arithmetic runs on candidates only."""
+    pairs = lsh_candidate_pairs(documents)
+    sh = documents.select("doc_id", shingles_expr().alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+
+    def r4c(x):
+        return F.floor(x * 10000.0 + 0.5) / 10000.0
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            r4c(inter / F.size("sh_a")).alias("cont_a_in_b"),
+            r4c(inter / F.size("sh_b")).alias("cont_b_in_a"),
+        )
+        .filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+    )
+
+
 def incremental_lsh_dedup(
     documents: DataFrame,
     log_root: str,

@@ -692,3 +692,40 @@ def test_concurrent_commits_never_lose_updates(tmp_path):
     assert [s["parent_id"] for s in chain] == [None] + list(range(1, total))
     dirs = [d for s in chain for d in s["tables"]["t"]]
     assert len(set(dirs)) == total  # every commit's dir survived
+
+
+def test_refs_tag_branch_and_expire_guard(spark, tmp_path):
+    """Named refs: a tag pins a snapshot immutably (re-pointing raises),
+    a branch re-points freely, read(ref=) resolves through either, and
+    expire_snapshots refuses to drop history a ref still pins."""
+    from pdfparser_spark.snapshots import compact, expire_snapshots
+
+    log = SnapshotLog(str(tmp_path / "log"))
+
+    def add(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        d = log.new_data_dir("t")
+        df.write.parquet(d)
+        return log.commit({"t": [d]})
+
+    s1 = add([(0, "a"), (1, "b")])
+    assert log.set_ref("v1", kind="tag") == s1  # defaults to HEAD
+    s2 = add([(2, "c")])
+    log.set_ref("dev", s1, kind="branch")
+
+    assert {r.doc_id for r in log.read(spark, "t", ref="v1").collect()} == {0, 1}
+    assert log.ref("dev")["snapshot_id"] == s1
+    log.set_ref("dev", s2, kind="branch")  # branches move
+    assert {r.doc_id for r in log.read(spark, "t", ref="dev").collect()} == {0, 1, 2}
+    with pytest.raises(ValueError, match="already points"):
+        log.set_ref("v1", s2, kind="tag")  # tags do not
+    with pytest.raises(ValueError, match="unknown ref"):
+        log.read(spark, "t", ref="nope")
+    with pytest.raises(ValueError, match="unknown ref kind"):
+        log.set_ref("x", s1, kind="release")
+    assert set(log.refs()) == {"v1", "dev"}
+
+    # the v1 tag pins s1: expiring above it must refuse
+    compact(log, spark, table="t")
+    with pytest.raises(ValueError, match="pins snapshot"):
+        expire_snapshots(log, log.head_id())

@@ -1029,3 +1029,28 @@ def test_ann_ivfpq_candidates_come_from_probed_lists(spark, sf_dir):
     for q, ns in got.items():
         assert ns <= pool[q]
         assert 1 <= len(ns) <= 5
+
+
+def test_lsh_containment_catches_embedded_doc(spark):
+    """A short doc whose text is a strict prefix of a long doc: Jaccard
+    stays under the 0.8 bar (size mismatch) but containment of the short
+    side is 1.0 — lsh_containment must surface the pair, lsh_verified_dups
+    must not."""
+    from pyspark.sql import Row
+
+    from pdfparser_spark.textops.dedup import lsh_containment, lsh_verified_dups
+
+    short = " ".join(f"w{i}" for i in range(30))
+    long_ = short + " extra tail words appended here beyond the prefix"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long_),
+         Row(doc_id=3, text="совершенно unrelated text about nothing shared at all")]
+    )
+    got = {(r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in lsh_containment(docs).collect()}
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 1.0  # short fully inside long, not vice versa
+    # symmetric Jaccard misses the same pair at the same threshold
+    jac = {(r.doc_a, r.doc_b) for r in lsh_verified_dups(docs).collect()}
+    assert (1, 2) not in jac

@@ -889,6 +889,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).select("doc_id", "page_idx", "x", "y", "text")
             )
         ),
+        # column-type inference over detected tables (last synth column is
+        # numeric by construction — the oracle checks the decision)
+        "table_column_profile": lambda s, d: tables.table_column_profile(
+            tables.detect_tables(
+                extract_layout_fused(
+                    synthesize_corpus(
+                        _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                        family="table",
+                    )
+                ).select("doc_id", "page_idx", "x", "y", "text")
+            )
+        ),
         # asymmetric containment (short-doc-inside-long-doc) on the LSH
         # candidates — the direction symmetric Jaccard can't see
         "lsh_containment": lambda s, d: dedup.lsh_containment(_docs(s, d)),
@@ -1948,7 +1960,8 @@ _TABLE_CELLS_CTE = """base AS (
               SELECT a.doc_id, CAST(a.p AS INT) AS page_idx, CAST(a.t AS INT) AS table_idx,
                      CAST(a.r AS INT) AS row_idx, CAST(a.c AS INT) AS col_idx,
                      CAST(72 + 128*a.c AS DOUBLE) AS x, CAST(a.y AS DOUBLE) AS y,
-                     CASE WHEN b.w[1 + a.wi % len(b.w)] = '' THEN 'c' || a.p || a.r || a.c
+                     CASE WHEN a.c = b.nc - 1 THEN CAST((2 + a.wi) * 37 % 9973 AS VARCHAR)
+                          WHEN b.w[1 + a.wi % len(b.w)] = '' THEN 'c' || a.p || a.r || a.c
                           ELSE b.w[1 + a.wi % len(b.w)] END AS cell
               FROM allc a JOIN base b USING (doc_id)
             )"""
@@ -2057,6 +2070,15 @@ def oracle_sql() -> dict[str, str]:
         "extract_table_cells": "WITH " + _TABLE_CELLS_CTE + """
             SELECT doc_id, page_idx, table_idx, row_idx, col_idx, x, y, cell
             FROM cells
+        """,
+        # column typing over the SAME analytic grid: all-digits => int
+        "table_column_profile": "WITH " + _TABLE_CELLS_CTE + """
+            SELECT doc_id, page_idx, table_idx, col_idx,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+                   CASE WHEN SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END) = COUNT(*)
+                        THEN 'int' ELSE 'text' END AS col_type
+            FROM cells GROUP BY 1, 2, 3, 4
         """,
         # markdown rendering of the SAME analytic grid: row 0 = header,
         # then the | --- | separator, then body rows

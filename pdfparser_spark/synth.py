@@ -1213,9 +1213,13 @@ def table_cell_text(words: list[str], doc_id: int, p: int, r: int, c: int, secon
     """Cell content is data-driven: word at index 2 + p*nr*nc + r*nc + c
     (second table: 100 + p*2*nc + r*nc + c), modulo the word count; an
     empty word falls back to the deterministic placeholder c{p}{r}{c} so
-    every grid cell exists (the detector requires a full x signature)."""
+    every grid cell exists (the detector requires a full x signature).
+    The LAST column is numeric — str((2 + wi)*37 % 9973) — so column-type
+    inference (table_column_profile) has a real decision per table."""
     nr, nc = table_shape(doc_id)
     wi = (100 + p * 2 * nc + r * nc + c) if second else (2 + p * nr * nc + r * nc + c)
+    if c == nc - 1:
+        return str((2 + wi) * 37 % 9973)
     w = words[wi % len(words)]
     return w if w else f"c{p}{r}{c}"
 

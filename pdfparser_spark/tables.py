@@ -40,12 +40,17 @@ def detect_tables(
     min_rows: int = 2,
     min_cols: int = 2,
     row_gap: float = 30.0,
+    x_quantum: float = 0.0,
 ) -> DataFrame:
     """``(doc_id, page_idx, x, y, text)`` layout lines ->
     ``(doc_id, page_idx, table_idx, row_idx, col_idx, x, y, cell)``.
 
     See module docstring for the detection rule.  ``row_gap`` is the max
     vertical distance between consecutive baselines of one table (points).
+    ``x_quantum`` > 0 snaps cell origins to the nearest multiple for the
+    SIGNATURE comparison only (output ``x`` stays raw) — the tolerance
+    real scanners/writers need, where a column's cells jitter by a
+    fraction of a point; 0 (default) keeps exact matching.
     """
     w_page = Window.partitionBy("doc_id", "page_idx").orderBy(F.col("y").desc())
     w_run = w_page.rowsBetween(Window.unboundedPreceding, 0)
@@ -67,9 +72,23 @@ def detect_tables(
         )
         .filter(F.col("n_cells") >= min_cols)
         # the column grid = the sorted x origins; its string form is the
-        # row's signature (same-source doubles render identically)
+        # row's signature (same-source doubles render identically; with a
+        # quantum, jittered origins snap to a shared grid first)
         .withColumn(
-            "sig", F.concat_ws(",", F.transform("cells", lambda s: s["x"].cast("string")))
+            "sig",
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "cells",
+                    (lambda s: s["x"].cast("string"))
+                    if x_quantum <= 0
+                    else (
+                        lambda s: (
+                            F.floor(s["x"] / x_quantum + 0.5) * x_quantum
+                        ).cast("string")
+                    ),
+                ),
+            ),
         )
         .withColumn(
             "brk",
@@ -177,5 +196,36 @@ def tables_to_markdown(cells: DataFrame) -> DataFrame:
                     ),
                 ).otherwise(F.lit("")),
             ).alias("md"),
+        )
+    )
+
+
+def table_column_profile(cells: DataFrame) -> DataFrame:
+    """Per-column type inference over ``detect_tables`` output:
+    ``(doc_id, page_idx, table_idx, col_idx, n_cells, n_numeric,
+    col_type)`` where ``col_type`` is ``int`` iff every cell in the
+    column is all-digits, else ``text`` — the first step of table
+    *understanding* (numeric columns become features, text columns
+    become labels/keys downstream).
+
+    One hash aggregate whose key extends the detector's clustering —
+    no new exchange, no Python; the digit test is a JVM regex."""
+    is_num = F.col("cell").rlike("^[0-9]+$").cast("int")
+    return (
+        cells.groupBy("doc_id", "page_idx", "table_idx", "col_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(is_num).alias("n_numeric"),
+        )
+        .select(
+            "doc_id",
+            "page_idx",
+            "table_idx",
+            "col_idx",
+            "n_cells",
+            "n_numeric",
+            F.when(F.col("n_numeric") == F.col("n_cells"), "int")
+            .otherwise("text")
+            .alias("col_type"),
         )
     )

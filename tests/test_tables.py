@@ -114,9 +114,11 @@ def test_tables_to_markdown_renders_grid(spark, table_layout):
     # doc 1: 2x3 main grid only, 2 pages, no second table (1 % 7 != 0)
     d1 = out[(out.doc_id == 1) & (out.page_idx == 0)]
     assert len(d1) == 1 and int(d1.n_rows.iloc[0]) == 2 and int(d1.n_cols.iloc[0]) == 3
+    from pdfparser_spark.synth import table_cell_text
+
     words = WORDS.split(" ")
-    hdr = [words[(2 + 0 * 3 + c) % len(words)] for c in range(3)]
-    body = [words[(2 + 1 * 3 + c) % len(words)] for c in range(3)]
+    hdr = [table_cell_text(words, 1, 0, 0, c) for c in range(3)]
+    body = [table_cell_text(words, 1, 0, 1, c) for c in range(3)]
     exp = (
         "| " + " | ".join(hdr) + " |\n"
         "|" + " --- |" * 3 + "\n"
@@ -137,3 +139,33 @@ def test_tables_to_markdown_adds_no_exchange(table_layout):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("+- Exchange") == 2  # detector's one + fixture's one
+
+
+def test_x_quantum_tolerates_scanner_jitter(spark):
+    # two rows whose column origins jitter by <1pt: exact signatures
+    # differ (no table), a 2pt quantum snaps them to one grid
+    rows = [
+        (1, 0, 72.0, 700.0, "a"), (1, 0, 200.3, 700.0, "b"),
+        (1, 0, 72.4, 682.0, "c"), (1, 0, 199.8, 682.0, "d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, page_idx int, x double, y double, text string")
+    assert detect_tables(df).count() == 0
+    out = detect_tables(df, x_quantum=2.0).toPandas()
+    assert len(out) == 4 and set(out.cell) == {"a", "b", "c", "d"}
+    # raw x survives in the output (the quantum affects matching only)
+    assert sorted(out.x) == [72.0, 72.4, 199.8, 200.3]
+
+
+def test_table_column_profile_types(spark, table_layout):
+    from pdfparser_spark.tables import table_column_profile
+
+    cells = detect_tables(table_layout)
+    out = table_column_profile(cells).toPandas()
+    # the synth family's LAST column is numeric, every other column text
+    for r in out.itertuples():
+        nc = 2 + int(r.doc_id) % 3
+        assert r.col_type == ("int" if r.col_idx == nc - 1 else "text"), r
+        assert (r.n_numeric == r.n_cells) == (r.col_type == "int")
+    # profile covers every detected (table, col)
+    n_cols = len(cells.toPandas().groupby(["doc_id", "page_idx", "table_idx", "col_idx"]))
+    assert len(out) == n_cols

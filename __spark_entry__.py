@@ -1305,6 +1305,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the snapshot log consumed AS A STREAM: a Structured Streaming
         # file source over the data-dir glob drains both commits
         "snapshot_stream_inserts": _snapshot_stream_inserts,
+        # Form XObject tier (ISO 32000 §8.10): doc%9=2 routes page 1
+        # through a NESTED form pair (content splice in staged mode,
+        # in-place execution in the fused kernel) — spans must still equal
+        # the analytic family expectation (form execution is
+        # output-invariant by construction)
+        "extract_form_xobjects": lambda s, d: _flat(s, d, F.col("doc_id") % 9 == 2),
+        # /Encoding dictionary with /Differences (§9.6.5.1): doc%21=5
+        # writes e/a/space through remapped codes 142/150/160 — only a
+        # decoder honoring the dictionary (AGL + uniXXXX arms) recovers
+        # the expected text
+        "extract_diff_encoding": lambda s, d: _flat(
+            s, d, (F.col("doc_id") % 21 == 5) & (F.col("doc_id") % 17 != 0)
+        ),
     }
 
 
@@ -2006,6 +2019,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_incremental": _span_sql(),
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
+        "extract_form_xobjects": _span_sql("doc_id % 9 = 2"),
+        "extract_diff_encoding": _span_sql("doc_id % 21 = 5 AND doc_id % 17 <> 0"),
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
         "extract_strict_mode": _span_sql("doc_id % 13 <> 0"),
         "extract_binary_corpus": _BINARY_SPAN_SQL,
@@ -2202,7 +2217,7 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, string_split(text,' ') AS w, 1 + (doc_id % 3) AS np FROM documents
             ), ne AS (
-              SELECT doc_id, np,
+              SELECT doc_id, np, len(w) AS nw,
                      CAST((len(w) > 0) AS INT) + CAST((np >= 2 AND len(w) > 8) AS INT)
                        + CAST((np >= 3 AND len(w) > 16) AS INT) AS nonempty
               FROM base
@@ -2219,11 +2234,16 @@ def oracle_sql() -> dict[str, str]:
                  -- attachments: tree root (+2 kids when 2 files) + per-file
                  -- filespec + EmbeddedFile stream
                  + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
+                 -- nested Form XObject pair wrapping page 1 (doc%9=2 docs
+                 -- always have 3 pages; forms emitted only when page 1
+                 -- is nonempty, i.e. the doc has a 2nd 8-word slice)
+                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
                  + CAST(doc_id % 2 = 1 AS INT)
                  + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
+                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """,

@@ -177,3 +177,128 @@ def simple_decode(raw: bytes, encoding_name: str | None) -> str:
     else:
         enc = "latin-1"
     return raw.decode(enc, errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# /Encoding dictionaries with /Differences (ISO 32000 §9.6.5.1 table 114)
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset (public AGL 2.0): the names real PDF writers put
+# in /Differences arrays for Latin-script text.  Letters/digits map to
+# themselves through the identity arm below; this table carries the
+# non-identity names (punctuation, accented Latin-1, common symbols, a few
+# Greek).  Unlisted names fall through the uniXXXX / 'g<NN>' conventions,
+# then to U+FFFD — never an exception.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "florin": "ƒ", "fraction": "⁄", "perthousand": "‰",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»",
+    "fi": "ﬁ", "fl": "ﬂ", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "Euro": "€", "currency": "¤", "section": "§",
+    "paragraph": "¶", "periodcentered": "·",
+    "exclamdown": "¡", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+    "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+    "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+    "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+    "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ",
+    "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ae": "æ", "ccedilla": "ç", "egrave": "è",
+    "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ",
+    "ydieresis": "ÿ",
+    "alpha": "α", "beta": "β", "gamma": "γ",
+    "delta": "δ", "epsilon": "ε", "pi": "π",
+    "sigma": "σ", "mu": "μ", "Omega": "Ω",
+    "lambda": "λ", "theta": "θ", "omega": "ω",
+}
+
+
+def glyph_to_char(name: str) -> str:
+    """One glyph name -> one unicode string (AGL conventions): single
+    ASCII letters map to themselves; the AGL table above; ``uniXXXX`` /
+    ``uXXXX[XX]`` hex forms; ``gNN`` and anything else -> U+FFFD."""
+    if len(name) == 1:
+        return name
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return "�"
+    if name.startswith("u") and len(name) in (5, 7) and name[1:].isalnum():
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
+def differences_decoder(base_encoding: str | None, differences: list):
+    """Decoder for a §9.6.5.1 /Encoding DICTIONARY: start from the
+    /BaseEncoding single-byte table (same simple_decode fallbacks), then
+    apply the /Differences array — an integer sets the current code, each
+    following name remaps that code (auto-incrementing).  Malformed
+    entries are skipped, never fatal (lenient stance)."""
+    table = [simple_decode(bytes([i]), base_encoding) for i in range(256)]
+    code = 0
+    for item in differences if isinstance(differences, list) else []:
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, str):
+            if 0 <= code <= 255:
+                table[code] = glyph_to_char(item)
+            code += 1
+
+    def decode(raw: bytes) -> str:
+        return "".join(table[b] for b in raw)
+
+    return decode
+
+
+def encoding_decoder(spec: str | None):
+    """Decoder from a serialized encoding spec (the staged DAG's string
+    ``encoding`` column): a plain base-encoding name, or a JSON object
+    ``{"b": base_name, "d": [differences...]}`` produced by
+    core/extract.py for /Encoding dictionaries."""
+    if spec and spec.startswith("{"):
+        import json
+
+        try:
+            d = json.loads(spec)
+        except ValueError:
+            return lambda raw: simple_decode(raw, None)
+        return differences_decoder(d.get("b"), d.get("d") or [])
+    return lambda raw: simple_decode(raw, spec)

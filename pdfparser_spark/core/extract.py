@@ -21,8 +21,8 @@ from __future__ import annotations
 import hashlib
 
 from . import crypt
-from .cmap import CMap, simple_decode
-from .content import tokenize_content
+from .cmap import CMap, differences_decoder, simple_decode
+from .content import do_spans, tokenize_content
 from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
 from .filters import build_filter_chain, decode_chain, decode_media_prefix, is_media_chain
 from .objects import Name, Ref, Stream, get_resolved, resolve
@@ -338,6 +338,196 @@ def _walk_pages(root_pages, objects: dict, errors: list):
     return [p for p, _inh in _walk_pages_inherited(root_pages, objects, errors)]
 
 
+# Form XObjects may invoke other forms (ISO 32000 §8.10.1); real documents
+# nest shallowly — the cap contains crafted deep chains, and the on-path
+# cycle set contains self/mutual recursion (a form appearing many times
+# SEQUENTIALLY on a page is legal and common; only nesting is a cycle).
+MAX_FORM_DEPTH = 8
+
+
+def _content_events(
+    content: bytes,
+    resources,
+    objects: dict,
+    errors: list,
+    layout: bool = False,
+    depth: int = 0,
+    active: set | None = None,
+    ox: float = 0.0,
+    oy: float = 0.0,
+):
+    """Yield ``(event, fonts)`` pairs for one content stream, EXECUTING
+    Form XObjects in place (ISO 32000 §8.10): a ``Do`` whose target is a
+    ``/Subtype /Form`` stream recurses into the form's decoded content
+    under the form's own ``/Resources`` (caller's as fallback when the
+    form declares none, §8.10.2's legacy-writer allowance), so text in
+    stamps / letterheads / flattened form fields is extracted instead of
+    being misreported as media.  Image and unresolvable XObjects still
+    surface as ``('media', ...)`` events, and a dangling name records the
+    same ReferenceError metric as before.  ``fonts`` is the /Font dict of
+    the emitting context — a form's /F1 may be a different font than the
+    page's /F1, so callers key decoder caches on (id(fonts), name).
+
+    With ``layout=True``, the form's /Matrix translation (e, f) offsets
+    recursed line origins (accumulated across nesting); rotation/scale
+    components are ignored — the kernel's documented Tm convention.
+
+    The reference never reaches this tier (content streams are stub
+    types, pdf_file.rs:705); semantics from ISO 32000 §8.10."""
+    if active is None:
+        active = set()
+    fonts = get_resolved(resources, "Font", objects) or {}
+    xobjects = get_resolved(resources, "XObject", objects) or {}
+    for ev in tokenize_content(content, layout=layout):
+        if ev[0] == "media":
+            name = ev[2]
+            xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None
+            if xo is None and isinstance(xobjects, dict) and name not in xobjects:
+                errors.append((REFERENCE_ERROR, "classify", f"dangling XObject {name}"))
+            if (
+                isinstance(xo, Stream)
+                and xo.data is not None
+                and str(get_resolved(xo.attrs, "Subtype", objects)) == "Form"
+            ):
+                if depth >= MAX_FORM_DEPTH or id(xo) in active:
+                    errors.append(
+                        (DOC_TREE_ERROR, "tokenize", f"form recursion capped at {name}")
+                    )
+                    continue
+                sub_res = get_resolved(xo.attrs, "Resources", objects)
+                if not isinstance(sub_res, dict):
+                    sub_res = resources
+                fx = fy = 0.0
+                if layout:
+                    mat = get_resolved(xo.attrs, "Matrix", objects)
+                    if (
+                        isinstance(mat, list)
+                        and len(mat) == 6
+                        and all(isinstance(v, (int, float)) for v in mat)
+                    ):
+                        fx, fy = float(mat[4]), float(mat[5])
+                active.add(id(xo))
+                yield from _content_events(
+                    xo.data, sub_res, objects, errors, layout,
+                    depth + 1, active, ox + fx, oy + fy,
+                )
+                active.discard(id(xo))
+                continue
+            yield ev, fonts
+        elif ev[0] == "inline":
+            yield ev, fonts
+        else:
+            if layout and (ox or oy):
+                ev = (ev[0], ev[1], ev[2], ev[3], ev[4] + ox, ev[5] + oy, ev[6])
+            yield ev, fonts
+
+
+def _form_entries(resources, objects: dict) -> dict:
+    """{name: Stream} of the /XObject entries that are decoded Form
+    streams.  Empty for the overwhelmingly common no-form page — the
+    decode stage's fast path pays one tiny dict scan, never a content
+    re-tokenization."""
+    xobjects = get_resolved(resources, "XObject", objects) or {}
+    out: dict = {}
+    if isinstance(xobjects, dict):
+        for name, xref in xobjects.items():
+            xo = resolve(xref, objects)
+            if (
+                isinstance(xo, Stream)
+                and xo.data is not None
+                and str(get_resolved(xo.attrs, "Subtype", objects)) == "Form"
+            ):
+                out[str(name)] = xo
+    return out
+
+
+def expand_forms(
+    content: bytes,
+    resources,
+    objects: dict,
+    errors: list,
+    depth: int = 0,
+    active: set | None = None,
+):
+    """Staged-DAG realization of Form XObject execution (§8.10): splice
+    each form's decoded content into the page stream at its ``/Name Do``
+    site (byte-exact spans from content.do_spans), recursively, so the
+    tokenize stage sees one flat stream and staged output equals the
+    fused kernel's.  Returns ``(bytes, extra_fonts, extra_xobj_names)``
+    — the fonts/XObject names declared by the spliced forms' own
+    /Resources, which the caller merges into the PAGE dimension tables
+    (staged mode resolves fonts per page, a documented flattening; the
+    fused kernel keys caches per emitting context).  Depth/cycle capping
+    records the same DocTreeError metric as the fused path."""
+    if active is None:
+        active = set()
+    forms = _form_entries(resources, objects)
+    if not forms:
+        return content, {}, []
+    extra_fonts: dict = {}
+    extra_xnames: list = []
+    pieces: list[bytes] = []
+    cur = 0
+    for name, start, end in do_spans(content):
+        xo = forms.get(name)
+        if xo is None:
+            continue
+        pieces.append(content[cur:start])
+        cur = end
+        if depth >= MAX_FORM_DEPTH or id(xo) in active:
+            errors.append((DOC_TREE_ERROR, "tokenize", f"form recursion capped at {name}"))
+            continue
+        sub_res = get_resolved(xo.attrs, "Resources", objects)
+        if not isinstance(sub_res, dict):
+            sub_res = resources
+        active.add(id(xo))
+        inner, inner_fonts, inner_xnames = expand_forms(
+            xo.data, sub_res, objects, errors, depth + 1, active
+        )
+        active.discard(id(xo))
+        fdict = get_resolved(sub_res, "Font", objects) or {}
+        if isinstance(fdict, dict):
+            for fname, fref in fdict.items():
+                extra_fonts.setdefault(str(fname), fref)
+        xdict = get_resolved(sub_res, "XObject", objects) or {}
+        if isinstance(xdict, dict):
+            extra_xnames.extend(str(x) for x in xdict)
+        extra_fonts.update(inner_fonts)
+        extra_xnames.extend(inner_xnames)
+        pieces.append(b"\n")
+        pieces.append(inner)
+        pieces.append(b"\n")
+    pieces.append(content[cur:])
+    return b"".join(pieces), extra_fonts, extra_xnames
+
+
+def _encoding_spec(font: dict, objects: dict):
+    """(cmap_bytes, encoding_spec_string) for the decode stage's string
+    ``encoding`` column: /ToUnicode wins; an /Encoding NAME passes
+    through; an /Encoding DICTIONARY (/BaseEncoding + /Differences,
+    §9.6.5.1) serializes to the JSON form cmap.encoding_decoder reads."""
+    tu = get_resolved(font, "ToUnicode", objects)
+    if isinstance(tu, Stream) and tu.data is not None:
+        return tu.data, None
+    enc = get_resolved(font, "Encoding", objects)
+    if isinstance(enc, dict):
+        import json
+
+        base = get_resolved(enc, "BaseEncoding", objects)
+        diffs = get_resolved(enc, "Differences", objects)
+        ser = []
+        for it in diffs if isinstance(diffs, list) else []:
+            if isinstance(it, (int, float)):
+                ser.append(int(it))
+            else:
+                ser.append(str(it))
+        return None, json.dumps(
+            {"b": str(base) if isinstance(base, str) else None, "d": ser},
+            separators=(",", ":"),
+        )
+    return None, str(enc) if isinstance(enc, str) else None
+
+
 def _page_rotation(inh: dict) -> int:
     """Effective /Rotate (inheritable): a multiple of 90, normalized to
     0/90/180/270; anything else reads as unrotated (lenient)."""
@@ -385,6 +575,15 @@ def _font_decoder(font_obj, objects: dict, errors: list):
         cm = CMap.parse(tu.data)
         return cm.decode
     enc = get_resolved(font, "Encoding", objects)
+    if isinstance(enc, dict):
+        # /Encoding dictionary (§9.6.5.1): /BaseEncoding + /Differences
+        # remap table — common in real subset-embedded fonts; the reference
+        # has no font code at all (SURVEY.md §2.7)
+        base = get_resolved(enc, "BaseEncoding", objects)
+        return differences_decoder(
+            str(base) if isinstance(base, str) else None,
+            get_resolved(enc, "Differences", objects),
+        )
     enc_name = str(enc) if isinstance(enc, str) else None
     return lambda raw: simple_decode(raw, enc_name)
 
@@ -433,35 +632,54 @@ def decode_document(data: bytes, password: bytes = b""):
 
         for page_idx, page in enumerate(pages):
             resources = get_resolved(page, "Resources", objects) or {}
-            fdict = get_resolved(resources, "Font", objects) or {}
-            if isinstance(fdict, dict):
-                for fname, fref in fdict.items():
-                    font = resolve(fref, objects)
-                    cmap_bytes = None
-                    enc_name = None
-                    if isinstance(font, dict):
-                        tu = get_resolved(font, "ToUnicode", objects)
-                        if isinstance(tu, Stream) and tu.data is not None:
-                            cmap_bytes = tu.data
-                        else:
-                            enc = get_resolved(font, "Encoding", objects)
-                            enc_name = str(enc) if isinstance(enc, str) else None
-                    fonts.append((page_idx, str(fname), cmap_bytes, enc_name))
-            xdict = get_resolved(resources, "XObject", objects) or {}
-            if isinstance(xdict, dict):
-                for xname in xdict:
-                    xobjs.append((page_idx, str(xname)))
 
+            # content pieces first: Form XObjects splice in place (§8.10)
+            # and contribute their own font/XObject names to the page's
+            # dimension rows below
+            extra_fonts: dict = {}
+            extra_xnames: list = []
             cobj = get_resolved(page, "Contents", objects)
             items = cobj if isinstance(cobj, list) else ([cobj] if cobj is not None else [])
             for seq, it in enumerate(items):
                 st = resolve(it, objects)
                 if isinstance(st, Stream) and st.data is not None:
-                    contents.append((page_idx, seq, st.data))
+                    cdata, ef, ex = expand_forms(st.data, resources, objects, errors)
+                    extra_fonts.update(ef)
+                    extra_xnames.extend(ex)
+                    contents.append((page_idx, seq, cdata))
                 elif isinstance(st, Stream):
                     errors.append((FILTER_ERROR, "decode", "content stream undecoded"))
                 elif it is not None:
                     errors.append((REFERENCE_ERROR, "classify", "dangling /Contents reference"))
+
+            fdict = get_resolved(resources, "Font", objects) or {}
+            seen_fonts: set = set()
+            if isinstance(fdict, dict):
+                for fname, fref in fdict.items():
+                    font = resolve(fref, objects)
+                    cmap_bytes = None
+                    enc_spec = None
+                    if isinstance(font, dict):
+                        cmap_bytes, enc_spec = _encoding_spec(font, objects)
+                    fonts.append((page_idx, str(fname), cmap_bytes, enc_spec))
+                    seen_fonts.add(str(fname))
+            # fonts declared by spliced forms (page namespace wins on
+            # collision — the staged flattening documented in expand_forms)
+            for fname, fref in extra_fonts.items():
+                if fname in seen_fonts:
+                    continue
+                font = resolve(fref, objects)
+                cmap_bytes = None
+                enc_spec = None
+                if isinstance(font, dict):
+                    cmap_bytes, enc_spec = _encoding_spec(font, objects)
+                fonts.append((page_idx, fname, cmap_bytes, enc_spec))
+                seen_fonts.add(fname)
+
+            xdict = get_resolved(resources, "XObject", objects) or {}
+            xnames = [str(x) for x in xdict] if isinstance(xdict, dict) else []
+            for xname in dict.fromkeys(xnames + extra_xnames):
+                xobjs.append((page_idx, xname))
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient: corrupt doc must not kill the task
@@ -562,28 +780,25 @@ def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
         pages = _walk_pages(pages_node, objects, errors)
         n_pages = len(pages)
 
-        # per-page: tokenize content, decode text, resolve XObjects
+        # per-page: tokenize content (Form XObjects executed in place),
+        # decode text, resolve XObjects
         font_cache: dict = {}
         for page in pages:
             resources = get_resolved(page, "Resources", objects) or {}
-            fonts = get_resolved(resources, "Font", objects) or {}
-            xobjects = get_resolved(resources, "XObject", objects) or {}
             content = _page_content_bytes(page, objects, errors)
-            for ev in tokenize_content(content):
+            for ev, fonts in _content_events(content, resources, objects, errors):
                 if ev[0] == "inline":
                     # self-contained inline image: media span, no XObject
                     # resolution (nothing to dangle)
                     spans.append(("media", None, ev[2]))
                     continue
                 if ev[0] == "media":
-                    name = ev[2]
-                    xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None
-                    if xo is None and isinstance(xobjects, dict) and name not in xobjects:
-                        errors.append((REFERENCE_ERROR, "classify", f"dangling XObject {name}"))
-                    spans.append(("media", None, name))
+                    spans.append(("media", None, ev[2]))
                     continue
                 font_name = ev[2]
-                fkey = font_name or ""
+                # a form's /F1 may differ from the page's /F1 — cache per
+                # font-table identity, not per name
+                fkey = (id(fonts), font_name or "")
                 if fkey not in font_cache:
                     fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
                     font_cache[fkey] = _font_decoder(fobj, objects, errors)
@@ -644,18 +859,17 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
         font_cache: dict = {}
         for page_idx, (page, inh) in enumerate(pages):
             resources = inh.get("Resources") or {}
-            fonts = get_resolved(resources, "Font", objects) or {}
             # /Rotate normalization (inheritable, §7.7.3.4): report line
             # origins in READING space so columns/paragraph logic is
             # rotation-invariant — a 90/270 page swaps effective dims
             rot = _page_rotation(inh)
             pw, ph = _page_dims(inh)
             content = _page_content_bytes(page, objects, errors)
-            for ev in tokenize_content(content, layout=True):
+            for ev, fonts in _content_events(content, resources, objects, errors, layout=True):
                 if ev[0] not in ("text", "textarr"):
                     continue
                 font_name = ev[2]
-                fkey = font_name or ""
+                fkey = (id(fonts), font_name or "")
                 if fkey not in font_cache:
                     fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
                     font_cache[fkey] = _font_decoder(fobj, objects, errors)

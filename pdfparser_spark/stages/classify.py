@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.cmap import CMap, simple_decode
+from ..core.cmap import CMap, encoding_decoder
 from ..core.content import INLINE_MEDIA_REF
 from ..schema import CLASSIFIED
 
@@ -67,6 +67,7 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
 
     def decode_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[bytes, CMap] = {}
+        enc_cache: dict = {}  # spec string -> decoder (simple or /Differences)
         for pdf in batches:
             texts = []
             for operand, cmap, enc in zip(pdf["operand"], pdf["cmap"], pdf["encoding"]):
@@ -78,7 +79,11 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
                         cm = cache[key] = CMap.parse(key)
                     texts.append(cm.decode(raw))
                 else:
-                    texts.append(simple_decode(raw, enc if isinstance(enc, str) else None))
+                    spec = enc if isinstance(enc, str) else None
+                    dec = enc_cache.get(spec)
+                    if dec is None:
+                        dec = enc_cache[spec] = encoding_decoder(spec)
+                    texts.append(dec(raw))
             out = pdf[["doc_id", "page_idx", "seq", "ev_idx"]].copy()
             out["kind"] = "text"
             out["text"] = texts

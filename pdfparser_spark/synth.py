@@ -83,6 +83,26 @@ def doc_rules(doc_id: int) -> dict:
         # so the name-tree walk is exercised beyond the flat /Names case
         "attachments": doc_id % 7 == 3,
         "n_attachments": 1 + doc_id % 2 if doc_id % 7 == 3 else 0,
+        # /Encoding dictionary with /Differences (§9.6.5.1): every 21st+5
+        # doc (never a CMap doc — 5 mod 7 != 0) gets a font whose
+        # /Encoding is << /BaseEncoding /WinAnsiEncoding /Differences
+        # [142 /e 150 /uni0061 160 /space] >>, and page 0's text writes
+        # every e/a/space through the REMAPPED codes as octal escapes
+        # (\216 \226 \240).  A decoder ignoring /Differences reads
+        # WinAnsi Ž/–/NBSP and fails every span oracle; the AGL
+        # identity, uniXXXX, and named-glyph arms are each exercised.
+        # Octal-rule docs excluded to keep the escape paths orthogonal.
+        "diff_encoding": doc_id % 21 == 5 and doc_id % 17 != 0,
+        # Form XObject tier (ISO 32000 §8.10): every 9th+2 doc (always
+        # 3 pages) routes page 1's ENTIRE content through a nested pair of
+        # forms — page /Contents is just `q /Fm1 Do Q`, Fm1's stream is
+        # `q /Fm2 Do Q`, Fm2 carries the real body.  Each form has a
+        # /Matrix translation (form_offsets) compensated by the inner
+        # prelude, and Fm2 declares NO /Resources (legacy-writer fallback
+        # to the caller's, §8.10.2).  Extracted spans AND layout origins
+        # are invariant, so every pre-existing oracle doubles as a
+        # form-execution check; only object_stats sees the +2 objects.
+        "form_xobject": doc_id % 9 == 2,
         # positioning-operator family for the layout kernel: every page's
         # text-line origin lands at (72, 720 - 14*p) but REACHES it through
         # a different operator path (Td | Tm | Td+Td | Td+TD | Td+TL+')
@@ -94,6 +114,13 @@ def doc_rules(doc_id: int) -> dict:
         # fails the hash.
         "layout_variant": doc_id % 5,
     }
+
+
+def form_offsets(doc_id: int) -> tuple[int, int, int, int]:
+    """(e1, f1, e2, f2): /Matrix translations of the nested Fm1/Fm2 pair.
+    Deterministic, mixed-sign, integer — the inner prelude subtracts the
+    accumulated (e1+e2, f1+f2) so the line origin stays analytic."""
+    return 6 * (doc_id % 5) - 9, -8, 3, doc_id % 7
 
 
 def page_texts(text: str, n_pages: int) -> list[str]:
@@ -268,26 +295,35 @@ end
 end"""
 
 
-def _position_prelude(page_idx: int, rules: dict) -> tuple[str, bool]:
+def _position_prelude(
+    page_idx: int, rules: dict, ox: int = 0, oy: int = 0
+) -> tuple[str, bool]:
     """Positioning prelude that lands the text-line origin at
     (72, 720 - 14*page_idx) through one of five operator paths (ISO 32000
     §9.4.2).  Returns ``(prelude, use_quote)``; ``use_quote`` means the
     show op should be ``'`` (whose implicit T* performs the final drop to
-    the target line — leading was set by the prelude's TL)."""
-    y = 720 - 14 * page_idx
+    the target line — leading was set by the prelude's TL).
+
+    ``(ox, oy)`` is an ambient translation already applied by the caller
+    (Form XObject /Matrix chain): the prelude targets the REMAINDER so
+    the final origin stays on the family's analytic grid."""
+    x = 72 - ox
+    y = 720 - 14 * page_idx - oy
     v = (rules.get("layout_variant", 0) + page_idx) % 5
     if v == 0:
-        return f"72 {y} Td ", False
+        return f"{x} {y} Td ", False
     if v == 1:
-        return f"1 0 0 1 72 {y} Tm ", False
+        return f"1 0 0 1 {x} {y} Tm ", False
     if v == 2:  # two relative Td hops accumulate
-        return f"36 {y - 10} Td 36 10 Td ", False
+        return f"{x - 36} {y - 10} Td 36 10 Td ", False
     if v == 3:  # TD = Td + set leading (-ty)
-        return f"72 {y + 14} Td 0 -14 TD ", False
-    return f"72 {y + 14} Td 14 TL ", True  # v == 4: TL + implicit T* of '
+        return f"{x} {y + 14} Td 0 -14 TD ", False
+    return f"{x} {y + 14} Td 14 TL ", True  # v == 4: TL + implicit T* of '
 
 
-def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
+def _content_plain(
+    ptext: str, page_idx: int, rules: dict, ox: int = 0, oy: int = 0
+) -> bytes:
     """The decoded content-stream body for one page."""
     cmap = rules["cmap_font"]
     if cmap:
@@ -297,7 +333,7 @@ def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
         def show(s: str) -> str:
             return "(" + s + ")"
 
-    prelude, quote = _position_prelude(page_idx, rules)
+    prelude, quote = _position_prelude(page_idx, rules, ox, oy)
     parts = [f"BT /F1 12 Tf {prelude}"]
     if page_idx == 1 and " " in ptext:
         first, rest = ptext.split(" ", 1)
@@ -306,7 +342,14 @@ def _content_plain(ptext: str, page_idx: int, rules: dict) -> bytes:
         parts.append(f"[{show(first)} -120 {show(' ' + rest)}] TJ ")
     else:
         body = ptext
-        if page_idx == 0 and rules["octal"] and not cmap and body:
+        if page_idx == 0 and rules.get("diff_encoding") and not cmap and body:
+            # write e/a/space through the /Differences-remapped codes
+            lit = body.replace("e", r"\216").replace("a", r"\226").replace(" ", r"\240")
+            if quote:
+                parts.append(f"({lit}) ' ")
+            else:
+                parts.append(f"({lit}) Tj ")
+        elif page_idx == 0 and rules["octal"] and not cmap and body:
             if quote:
                 parts.append("T* ")
             parts.append(f"({_octal_escape_first(body)}) Tj ")
@@ -348,6 +391,13 @@ def build_document(doc_id: int, text: str) -> dict:
     if r["n_pages"] == 3:
         inter_id = next_id
         next_id += 1
+    # nested Form XObject pair carrying page 1's content (rule implies
+    # n_pages == 3, so page index 1 always exists; skip when its text
+    # slice is empty — there is nothing to wrap)
+    fm1_id = fm2_id = None
+    if r["form_xobject"] and len(texts) > 1 and texts[1]:
+        fm1_id, fm2_id = next_id, next_id + 1
+        next_id += 2
     page_ids, content_ids, length_ids = {}, {}, {}
     for p, _t in pages:
         page_ids[p] = next_id
@@ -437,6 +487,12 @@ def build_document(doc_id: int, text: str) -> dict:
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
             f"/Encoding /Identity-H /ToUnicode {cmap_id} 0 R >>".encode("ascii")
         )
+    elif r["diff_encoding"]:
+        b.struct(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [142 /e 150 /uni0061 160 /space] >> >>"
+        )
     else:
         b.struct(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")
     obj_close()
@@ -482,8 +538,13 @@ def build_document(doc_id: int, text: str) -> dict:
     for p, t in pages:
         parent = inter_id if (inter_id is not None and p < 2) else PAGESROOT
         res = f"<< /Font << /F1 {FONT} 0 R >>"
+        xo_entries = []
         if imgobj_id is not None:
-            res += f" /XObject << /Im1 {imgobj_id} 0 R >>"
+            xo_entries.append(f"/Im1 {imgobj_id} 0 R")
+        if fm1_id is not None and p == 1:
+            xo_entries.append(f"/Fm1 {fm1_id} 0 R")
+        if xo_entries:
+            res += " /XObject << " + " ".join(xo_entries) + " >>"
         res += " >>"
         entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
         if t:
@@ -581,11 +642,42 @@ def build_document(doc_id: int, text: str) -> dict:
             b.struct(b"\nendstream")
             obj_close()
 
+    # nested Form XObjects: Fm1 (own /Resources: Fm2 + the font) invokes
+    # Fm2 (NO /Resources — resolves through the caller's, §8.10.2), which
+    # carries page 1's real body with the /Matrix chain compensated
+    if fm1_id is not None:
+        e1, f1, e2, f2 = form_offsets(doc_id)
+        fm1_res = f"<< /XObject << /Fm2 {fm2_id} 0 R >> /Font << /F1 {FONT} 0 R >> >>"
+        fm1_body = b"q /Fm2 Do Q"
+        obj_open(fm1_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            f"/Matrix [1 0 0 1 {e1} {f1}] /Resources {fm1_res} "
+            f"/Length {len(fm1_body)} >>\nstream\n".encode("ascii")
+        )
+        b.text_payload(fm1_body)
+        b.struct(b"\nendstream")
+        obj_close()
+        fm2_plain = _content_plain(texts[1], 1, r, ox=e1 + e2, oy=f1 + f2)
+        fm2_payload, fm2_filt = _encode_payload(fm2_plain, r["filter_mode"])
+        obj_open(fm2_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            f"/Matrix [1 0 0 1 {e2} {f2}] /Filter {fm2_filt} "
+            f"/Length {len(fm2_payload)} >>\nstream\n".encode("ascii")
+        )
+        b.text_payload(fm2_payload)
+        b.struct(b"\nendstream")
+        obj_close()
+
     # content streams (the *text* input spans)
     for p, t in pages:
         if not t:
             continue
-        plain = _content_plain(t, p, r)
+        if fm1_id is not None and p == 1:
+            plain = b"q /Fm1 Do Q"
+        else:
+            plain = _content_plain(t, p, r)
         payload, filt = _encode_payload(plain, r["filter_mode"])
         obj_open(content_ids[p])
         if p in length_ids:

@@ -208,3 +208,83 @@ def test_doc_graph_damaged_is_lenient():
     cut = d["bytes"][: len(d["bytes"]) // 2]
     g = extract_doc_graph(cut)
     assert isinstance(g["links"], list) and isinstance(g["fields"], list)
+
+
+def test_form_xobject_execution():
+    """doc%9=2 routes page 1 through a NESTED Form XObject pair (Fm1 ->
+    Fm2, /Matrix translations, Fm2 resolving resources through Fm1's per
+    §8.10.2) — spans must equal the analytic expectation (form execution
+    is output-invariant) and object/stream counts must grow by exactly 2."""
+    from pdfparser_spark.synth import doc_rules
+
+    checked = 0
+    for doc_id, text in _docs(240):
+        did = int(doc_id)
+        if did % 9 != 2:
+            continue
+        d = build_document(did, text)
+        assert b"/Subtype /Form" in d["bytes"] or len(text.split(" ")) <= 8, did
+        res = extract_spans(d["bytes"])
+        got = [(k, t, m) for (k, t, m) in res["spans"]]
+        assert got == expected_spans(did, text), did
+        # no form-related errors in lenient mode (only dangling-rule docs err)
+        extra = [e for e in res["errors"] if "ImMissing" not in e[2]]
+        assert extra == [], (did, extra)
+        checked += 1
+    assert checked > 0
+
+
+def test_form_recursion_cap_and_cycle():
+    """A self-invoking form must terminate with a DocTreeError metric, not
+    hang or crash; page text outside the cycle still extracts."""
+    body = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << /FmA 5 0 R >> >> "
+        b"/Contents 6 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+        # FmA invokes ITSELF (its resources map /FmA back to object 5)
+        b"5 0 obj\n<< /Type /XObject /Subtype /Form "
+        b"/Resources << /XObject << /FmA 5 0 R >> >> /Length 11 >>\n"
+        b"stream\nq /FmA Do Q\nendstream\nendobj\n"
+        b"6 0 obj\n<< /Length 44 >>\nstream\n"
+        b"BT /F1 12 Tf 72 720 Td (hello world) Tj ET q /FmA Do Q\nendstream\nendobj\n"
+    )
+    # trailerless: the lenient scan-recovery path indexes the objects
+    doc = body + b"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    res = extract_spans(doc)
+    assert ("text", "hello world", None) in [tuple(s) for s in res["spans"]]
+    assert any("form recursion" in e[2] for e in res["errors"]), res["errors"]
+
+
+def test_differences_encoding():
+    """doc%21=5 (non-octal) writes page 0's e/a/space through /Encoding
+    /Differences-remapped codes 142/150/160 — a decoder that ignores the
+    dictionary reads WinAnsi Ž/–/NBSP instead.  Exercises the AGL
+    identity arm (/e), the uniXXXX arm (/uni0061) and the named-glyph
+    table arm (/space)."""
+    checked = 0
+    for doc_id, text in _docs(300):
+        did = int(doc_id)
+        if not (did % 21 == 5 and did % 17 != 0):
+            continue
+        d = build_document(did, text)
+        assert b"/Differences" in d["bytes"], did
+        res = extract_spans(d["bytes"])
+        got = [(k, t, m) for (k, t, m) in res["spans"]]
+        assert got == expected_spans(did, text), did
+        checked += 1
+    assert checked > 0
+
+
+def test_differences_decoder_agl_fallbacks():
+    from pdfparser_spark.core.cmap import differences_decoder
+
+    d = differences_decoder("WinAnsiEncoding", [233, "eacute", "bullet", 65, "uni0042", "g42"])
+    assert d(bytes([233, 234])) == "é•"   # auto-increment after a name
+    assert d(bytes([65, 66])) == "B�"     # uniXXXX hit, g42 -> U+FFFD
+    assert d(b"plain") == "plain"          # base table untouched elsewhere
+    # malformed /Differences never raises
+    assert differences_decoder(None, [999, "x", None, -3, "y"])(b"ok") == "ok"

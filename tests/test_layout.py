@@ -82,7 +82,9 @@ def test_synth_variants_all_land_on_analytic_origin():
         got = [(s[0], s[1], s[2]) for s in extract_spans(d["bytes"])["spans"]]
         assert got == expected_spans(doc_id, WORDS), doc_id
         lr = extract_layout_spans(d["bytes"])
-        assert not lr["errors"], (doc_id, lr["errors"])
+        # the layout kernel resolves XObjects too (form execution) — it
+        # reports the SAME dangling-reference metric as the plain kernel
+        assert [e for e in lr["errors"] if "dangling XObject" not in e[2]] == []
         for p, x, y, _txt, _sz in lr["spans"]:
             assert (x, y) == (72.0, 720.0 - 14 * p), (doc_id, p, x, y)
         # layout text in page order == the text spans of the plain parse

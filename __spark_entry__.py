@@ -29,6 +29,7 @@ from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
     assemble_paragraphs,
+    extract_advance_fused,
     extract_attachments_fused,
     extract_columns_fused,
     extract_forms_fused,
@@ -707,12 +708,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_trained": lambda s, d: ann.ann_pq_trained(_emb(s, d)),
         # audio modality: real RIFF/WAV PCM payloads decoded by the numpy
         # codec; integer features recomputed analytically by the oracle
-        # typography-based structure: HEADING detection from Tf font
-        # sizes — per-doc body size = min(size) (one agg), headings =
-        # spans at >= 1.25x body, found JVM-side over the sized layout
-        # kernel; single-line docs (all heading-sized) correctly yield
-        # no heading because nothing clears the relative threshold
-        "doc_headings": lambda s, d: _doc_headings(s, d),
+        # GLYPH-ADVANCE layout (removes the plain layout kernel's
+        # documented "advance is NOT modeled" approximation): the advance
+        # family shows each line as MULTIPLE segments with no positioning
+        # op between them, under per-doc Tc/Tw/Tz and a TJ kern — a
+        # segment's x offset is recoverable ONLY by folding the font's
+        # /FirstChar//Widths table into an advance cursor (§9.4.4).
+        # Integer widths x integer sizes x milli-point spacing keep every
+        # cursor EXACT: the oracle replays the cursor in BIGINT algebra
+        "extract_layout_advance": lambda s, d: extract_advance_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="advance",
+            )
+        ),
         # REAL video frames: Motion-JPEG samples located via the actual
         # stbl walk (stsz/stsc/stco) and pixel-decoded by the numpy JPEG
         # codec; every-5th-frame sampling, analytic pixel-sum oracle
@@ -1317,6 +1326,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the expected text
         "extract_diff_encoding": lambda s, d: _flat(
             s, d, (F.col("doc_id") % 21 == 5) & (F.col("doc_id") % 17 != 0)
+        ),
+        # typography-based structure: HEADING detection from Tf font
+        # sizes — per-doc body size = min(size) (one agg), headings =
+        # spans at >= 1.25x body, found JVM-side over the sized layout
+        # kernel; single-line docs (all heading-sized) correctly yield
+        # no heading (tail slot: the size-capture kernel evidence is
+        # carried by extract_layout_advance in the window)
+        "doc_headings": lambda s, d: _doc_headings(s, d),
+        # CCNet-style cross-doc LINE dedup chained onto the extraction
+        # kernel: spans recurring in >= 2 distinct docs are boilerplate
+        # and dropped from all of them (one 16-byte-key agg + equi-join)
+        "boilerplate_line_filter": lambda s, d: dedup.boilerplate_line_filter(
+            _pipeline(s, d)["spans_flat"]
         ),
     }
 
@@ -2056,6 +2078,59 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM txt
         """,
+        # glyph-advance family: line i (6-word slices, <=7 lines, one
+        # page) shows segments words[0:3] / [3:4] / [4:6] on baseline
+        # y = 720-16i with NO positioning op between; a segment's
+        # ax_micro (1e-5 pt) is the BIGINT-exact cursor — per glyph
+        # w(c)=300+(ascii%8)*50 widths x fs x Tz + Tc + Tw-on-space,
+        # minus the TJ kern k x fs x Tz before segment 2 — replayed
+        # here with pure integer algebra (no float tolerance)
+        "extract_layout_advance": """
+            WITH base AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
+                     12 + (doc_id % 4) * 2 AS fs,
+                     (doc_id % 3) * 250 AS tc,
+                     (doc_id % 2) * 500 AS tw,
+                     CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
+                     300 - (doc_id % 7) * 150 AS k
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, fs, tc, tw, tz, k, i AS li,
+                     w[i*6 + 1 : i*6 + 6] AS lw
+              FROM base, unnest(generate_series(0, 6)) AS u(i)
+              WHERE len(w) > i*6
+            ), seg AS (
+              SELECT doc_id, fs, tc, tw, tz, k, li, s AS si,
+                     CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
+                            WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
+                            ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
+              FROM ln, unnest([0, 1, 2]) AS v(s)
+            ), wsum AS (
+              SELECT *,
+                CAST(fs AS BIGINT) * tz
+                  * COALESCE(list_sum(list_transform(string_split(t, ''), c -> 300 + (ascii(c) % 8) * 50)), 0)
+                + CAST(length(t) AS BIGINT) * tc * tz
+                + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz AS wmicro
+              FROM seg
+            ), pos AS (
+              SELECT doc_id, li, si, t, fs,
+                COALESCE(SUM(wmicro) OVER (
+                  PARTITION BY doc_id, li ORDER BY si
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                - CASE WHEN si = 2 AND length(t) > 0 THEN CAST(k AS BIGINT) * fs * tz ELSE 0 END AS ax
+              FROM wsum
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY li, si) - 1 AS INT) AS ord,
+                   CAST(0 AS INT) AS page_idx,
+                   CAST(72 AS DOUBLE) AS x,
+                   CAST(720 - 16 * li AS DOUBLE) AS y,
+                   CAST(ax AS BIGINT) AS ax_micro,
+                   t AS text,
+                   CAST(fs AS DOUBLE) AS size
+            FROM pos
+            WHERE length(t) > 0
+        """,
         # two-column family: line i of page p sits at row i//2, column
         # i%2 (stream order row-major), columns at x = 72 / 306, rows at
         # y = 720 - 14*row; words are kerned TJ pieces with NO space
@@ -2392,6 +2467,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram_md5, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
             FROM g GROUP BY gram_md5 HAVING COUNT(*) >= 2
+        """,
+        # CCNet line dedup over the extraction output: the armored
+        # family's text spans ARE the lines; a line kept iff its exact
+        # text occurs in < 2 distinct docs
+        "boilerplate_line_filter": _SPAN_CTE + """, lf AS (
+              SELECT text AS ltext, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM spans WHERE kind = 'text' GROUP BY text
+            )
+            SELECT s.doc_id, s.ord, s.text
+            FROM spans s JOIN lf ON s.text = lf.ltext
+            WHERE s.kind = 'text' AND lf.n_docs < 2
         """,
         # removal twin of duplicate_ngram_spans: covered token positions =
         # union of all duplicate windows; rebuild joins survivors with ' '

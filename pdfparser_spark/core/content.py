@@ -68,7 +68,7 @@ def _num(v) -> float | None:
     return float(v) if isinstance(v, (int, float)) else None
 
 
-def tokenize_content(data: bytes, layout: bool = False):
+def tokenize_content(data: bytes, layout: bool = False, advance: bool = False):
     """Run the postfix machine over one decoded content stream.
 
     With ``layout=True``, the positioning operators are INTERPRETED rather
@@ -77,23 +77,43 @@ def tokenize_content(data: bytes, layout: bool = False):
     (leading), T* (next line), and the implicit T* of ``'``/``"``
     (ISO 32000 §9.4.2), and text events carry three extra fields
     (x, y, fsize) — the line origin and current Tf size at the show op.  Glyph-width advance within a line is
-    NOT modeled (needs /Widths; extractors conventionally report the line
-    origin), and Tm's rotation/scale components are ignored (translation
-    only) — both documented approximations.  Event shapes are unchanged
-    when ``layout=False`` (every pre-existing caller)."""
+    NOT modeled here (needs /Widths; extractors conventionally report the
+    line origin), and Tm's rotation/scale components are ignored
+    (translation only) — both documented approximations.  Event shapes are
+    unchanged when ``layout=False`` (every pre-existing caller).
+
+    With ``advance=True`` (implies layout), the machine ALSO tracks the
+    character/word-spacing/scaling state (Tc/Tw/Tz, §9.3.2-9.3.4) and a
+    per-line show-op counter, and text events carry four more fields:
+    (..., tc_milli, tw_milli, tz_pct, seg).  ``seg`` resets to 0 on every
+    positioning operator (BT/Td/TD/Tm/T* and the implicit T* of '/") so
+    the caller — which owns the font /Widths tables — can reset its
+    advance cursor at each new line and accumulate glyph widths across
+    same-line show ops (core/extract.py ``extract_advance_spans``).
+    Tc/Tw are exact milli-point ints, Tz an int percent: the caller's
+    cursor math stays in exact integer micro-points."""
+    if advance:
+        layout = True
     events = []
     stack: list = []
     font: str | None = None
     x = y = 0.0  # text-line origin (valid while layout=True)
     fsize = 0.0  # current font size from Tf (0 until the first Tf)
     leading = 0.0
+    tc = tw = 0  # Tc/Tw in milli-points (valid while advance=True)
+    tz = 100  # Tz percent
+    seg = 0  # show ops since the last positioning operator
     pos = 0
     n = len(data)
 
     # hoisted out of the token loop (defining it per-operator would cost a
     # MAKE_FUNCTION in the hot path); reads at/font/x/y at call time
     def _emit(kind, payload):
-        if layout:
+        nonlocal seg
+        if advance:
+            events.append((kind, at, font, payload, x, y, fsize, tc, tw, tz, seg))
+            seg += 1
+        elif layout:
             events.append((kind, at, font, payload, x, y, fsize))
         else:
             events.append((kind, at, font, payload))
@@ -146,12 +166,21 @@ def tokenize_content(data: bytes, layout: bool = False):
         elif op == b"'":
             if layout:
                 y -= leading  # implicit T* before showing
+                seg = 0
             if stack and isinstance(stack[-1], bytes):
                 _emit("text", stack[-1])
             stack.clear()
         elif op == b'"':
             if layout:
                 y -= leading
+                seg = 0
+            # " sets word/char spacing BEFORE showing (aw ac string ", §9.4.3)
+            if advance and len(stack) >= 3:
+                aw, ac = _num(stack[-3]), _num(stack[-2])
+                if aw is not None:
+                    tw = int(round(aw * 1000))
+                if ac is not None:
+                    tc = int(round(ac * 1000))
             if stack and isinstance(stack[-1], bytes):
                 _emit("text", stack[-1])
             stack.clear()
@@ -161,6 +190,7 @@ def tokenize_content(data: bytes, layout: bool = False):
             stack.clear()
         elif layout and op == b"BT":
             x = y = 0.0
+            seg = 0
             stack.clear()
         elif layout and op in (b"Td", b"TD"):
             if len(stack) >= 2:
@@ -170,12 +200,14 @@ def tokenize_content(data: bytes, layout: bool = False):
                     y += dy
                     if op == b"TD":
                         leading = -dy
+            seg = 0
             stack.clear()
         elif layout and op == b"Tm":
             if len(stack) >= 6:
                 e, f = _num(stack[-2]), _num(stack[-1])
                 if e is not None and f is not None:
                     x, y = e, f
+            seg = 0
             stack.clear()
         elif layout and op == b"TL":
             if stack:
@@ -185,6 +217,25 @@ def tokenize_content(data: bytes, layout: bool = False):
             stack.clear()
         elif layout and op == b"T*":
             y -= leading
+            seg = 0
+            stack.clear()
+        elif advance and op == b"Tc":
+            if stack:
+                v = _num(stack[-1])
+                if v is not None:
+                    tc = int(round(v * 1000))
+            stack.clear()
+        elif advance and op == b"Tw":
+            if stack:
+                v = _num(stack[-1])
+                if v is not None:
+                    tw = int(round(v * 1000))
+            stack.clear()
+        elif advance and op == b"Tz":
+            if stack:
+                v = _num(stack[-1])
+                if v is not None:
+                    tz = int(round(v))
             stack.clear()
         elif op == b"Do":
             if stack and isinstance(stack[-1], Name):

@@ -355,6 +355,7 @@ def _content_events(
     active: set | None = None,
     ox: float = 0.0,
     oy: float = 0.0,
+    advance: bool = False,
 ):
     """Yield ``(event, fonts)`` pairs for one content stream, EXECUTING
     Form XObjects in place (ISO 32000 §8.10): a ``Do`` whose target is a
@@ -376,9 +377,11 @@ def _content_events(
     types, pdf_file.rs:705); semantics from ISO 32000 §8.10."""
     if active is None:
         active = set()
+    if advance:
+        layout = True
     fonts = get_resolved(resources, "Font", objects) or {}
     xobjects = get_resolved(resources, "XObject", objects) or {}
-    for ev in tokenize_content(content, layout=layout):
+    for ev in tokenize_content(content, layout=layout, advance=advance):
         if ev[0] == "media":
             name = ev[2]
             xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None
@@ -409,7 +412,7 @@ def _content_events(
                 active.add(id(xo))
                 yield from _content_events(
                     xo.data, sub_res, objects, errors, layout,
-                    depth + 1, active, ox + fx, oy + fy,
+                    depth + 1, active, ox + fx, oy + fy, advance,
                 )
                 active.discard(id(xo))
                 continue
@@ -418,7 +421,7 @@ def _content_events(
             yield ev, fonts
         else:
             if layout and (ox or oy):
-                ev = (ev[0], ev[1], ev[2], ev[3], ev[4] + ox, ev[5] + oy, ev[6])
+                ev = ev[:4] + (ev[4] + ox, ev[5] + oy) + ev[6:]
             yield ev, fonts
 
 
@@ -893,6 +896,102 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
                     txt = "".join(parts)
                 rx, ry = _unrotate(ev[4], ev[5], rot, pw, ph)
                 out.append((page_idx, rx, ry, txt, ev[6]))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient catch-all, as extract_spans
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"spans": out, "errors": errors}
+
+
+def _font_widths(font_obj, objects: dict):
+    """Glyph-width lookup for a simple font (ISO 32000 §9.6.2): ``code ->
+    width`` in 1/1000 text-space units from /FirstChar + /Widths, with the
+    conventional 500 default for out-of-range codes or width-less fonts
+    (Type0 /W tables are not modeled — documented; the advance family uses
+    simple fonts).  Returns a plain list-lookup closure so the per-glyph
+    hot path is one index, no dict hashing."""
+    font = resolve(font_obj, objects)
+    first, widths = 0, None
+    if isinstance(font, dict):
+        fc = resolve(font.get("FirstChar"), objects)
+        ws = resolve(font.get("Widths"), objects)
+        if isinstance(fc, int) and isinstance(ws, list):
+            first = fc
+            widths = [int(resolve(w, objects)) if isinstance(resolve(w, objects), (int, float)) else 500 for w in ws]
+    if widths is None:
+        return lambda code: 500
+    last = first + len(widths)
+
+    def lookup(code: int) -> int:
+        return widths[code - first] if first <= code < last else 500
+
+    return lookup
+
+
+def extract_advance_spans(data: bytes, password: bytes = b""):
+    """Layout extraction WITH glyph-width advance modeled (removing the
+    plain layout kernel's documented approximation): each show op — and
+    each string element inside a TJ array — emits its own span carrying
+    ``ax_micro``, the x-advance cursor (integer micro-points, 1e-5 pt)
+    from the line origin at the moment the string is shown.  The cursor
+    accumulates Σ(w(code)/1000·Tfs + Tc + Tw·[code=32])·Tz/100 per glyph
+    (§9.4.4) with widths from the font's /FirstChar//Widths table, and TJ
+    numeric elements translate it by −k/1000·Tfs·Tz/100 (§9.4.3); it
+    resets whenever the line origin moves (any positioning operator).
+    Integer widths × integer font sizes × milli-point Tc/Tw × percent Tz
+    keep every cursor value EXACT — the DuckDB oracle reproduces them
+    with BIGINT algebra, no float tolerance.  Returns
+    ``{"spans": [(page_idx, x, y, ax_micro, text, size)], "errors": []}``."""
+    errors: list = []
+    out: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        pages = _walk_pages_inherited(pages_node, objects, errors)
+        dec_cache: dict = {}
+        w_cache: dict = {}
+        for page_idx, (page, inh) in enumerate(pages):
+            resources = inh.get("Resources") or {}
+            content = _page_content_bytes(page, objects, errors)
+            cursor = 0
+            for ev, fonts in _content_events(
+                content, resources, objects, errors, advance=True
+            ):
+                if ev[0] not in ("text", "textarr"):
+                    continue
+                font_name = ev[2]
+                fkey = (id(fonts), font_name or "")
+                if fkey not in dec_cache:
+                    fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
+                    dec_cache[fkey] = _font_decoder(fobj, objects, errors)
+                    w_cache[fkey] = _font_widths(fobj, objects)
+                dec, wid = dec_cache[fkey], w_cache[fkey]
+                x, y, fs, tc, tw, tz, seg = ev[4], ev[5], ev[6], ev[7], ev[8], ev[9], ev[10]
+                if seg == 0:
+                    cursor = 0
+                elems = [ev[3]] if ev[0] == "text" else ev[3]
+                for el in elems:
+                    if isinstance(el, (bytes, bytearray)):
+                        if el:
+                            out.append((page_idx, x, y, cursor, dec(el), fs))
+                        for code in el:
+                            cursor += int(round(wid(code) * fs)) * tz + tc * tz + (
+                                tw * tz if code == 32 else 0
+                            )
+                    elif isinstance(el, (int, float)):
+                        cursor -= int(round(el * fs)) * tz
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient catch-all, as extract_spans

@@ -23,7 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import extract_layout_spans, extract_spans
+from ..core.extract import extract_advance_spans, extract_layout_spans, extract_spans
 from ..schema import DOCUMENTS_RAW
 
 def _doc_bytes(spans) -> bytes:
@@ -94,6 +94,45 @@ def extract_layout_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     return documents_raw.mapInPandas(
         run,
         schema="doc_id long, ord int, page_idx int, x double, y double, text string",
+    )
+
+
+def extract_advance_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Glyph-advance layout extraction, zero shuffle: the width-modeling
+    kernel (`core.extract.extract_advance_spans` — /Widths + Tc/Tw/Tz +
+    TJ kerns folded into an exact integer cursor) emitting one span per
+    shown string with its x-advance from the line origin in micro-points.
+    `ord` numbers spans per document in STREAM order (the cursor itself
+    is the within-line order).  Emits (doc_id, ord, page_idx, x, y,
+    ax_micro, text, size)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_advance_spans(_doc_bytes(spans), password=password)
+                for ordn, (page_idx, x, y, ax, txt, size) in enumerate(res["spans"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "ax_micro": int(ax),
+                            "text": txt,
+                            "size": float(size),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ord", "page_idx", "x", "y", "ax_micro", "text", "size"],
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, "
+        "ax_micro long, text string, size double",
     )
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from ..schema import DOCUMENTS_RAW
 from ..synth import (
     build_document,
+    build_document_advance,
     build_document_binary,
     build_document_columns,
     build_document_damaged,
@@ -26,6 +27,7 @@ from ..synth import (
 
 _BUILDERS = {
     "ascii": build_document,
+    "advance": build_document_advance,
     "binary": build_document_binary,
     "columns": build_document_columns,
     "damaged": build_document_damaged,

@@ -1441,6 +1441,185 @@ def build_document_table(doc_id: int, text: str) -> dict:
     return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
 
 
+# ---------------------------------------------------------------------------
+# Advance family: one-page documents whose lines are shown as MULTIPLE text
+# segments on one baseline with NO positioning operator between them, under
+# per-doc character spacing (Tc), word spacing (Tw), horizontal scaling (Tz)
+# and a TJ kern between the last two segments.  A second segment's x position
+# is observable ONLY by a kernel that models glyph-width advance from the
+# font's /Widths array (ISO 32000 §9.4.4, §9.3.2-9.3.4) — the documented
+# approximation the plain layout kernel makes ("advance is NOT modeled").
+# All advance arithmetic is exact integer micro-points (1e-5 pt): widths are
+# integers, font sizes are integers, Tc/Tw are exact milli-point values and
+# Tz is an integer percent, so the DuckDB oracle reproduces every cursor
+# position bit-for-bit with BIGINT algebra.
+
+ADV_WPL = 6  # words per line
+ADV_MAX_LINES = 7
+ADV_LINE_DY = 16  # baseline pitch: y = 720 - 16 * line
+
+
+def adv_font_size(doc_id: int) -> int:
+    return 12 + (doc_id % 4) * 2
+
+
+def adv_tc_milli(doc_id: int) -> int:
+    """Character spacing in milli-points: 0 / 250 / 500 (0, .25, .5 pt)."""
+    return (doc_id % 3) * 250
+
+
+def adv_tw_milli(doc_id: int) -> int:
+    """Word spacing in milli-points: 0 / 500."""
+    return (doc_id % 2) * 500
+
+
+def adv_tz_pct(doc_id: int) -> int:
+    """Horizontal scaling percent (§9.3.4): 50 on every 5th doc, else 100."""
+    return 50 if doc_id % 5 == 0 else 100
+
+
+def adv_kern(doc_id: int) -> int:
+    """TJ kern (thousandths of em, §9.4.3) between segments 1 and 2;
+    positive moves LEFT, negative RIGHT — both signs exercised."""
+    return 300 - (doc_id % 7) * 150
+
+
+def adv_width(code: int) -> int:
+    """Per-glyph width in 1/1000 text-space units — the /Widths entry the
+    font carries for ``code`` (32..126)."""
+    return 300 + (code % 8) * 50
+
+
+def advance_lines(doc_id: int, text: str) -> list[tuple[int, list[str]]]:
+    """(line_idx, words) — ADV_WPL-word slices, capped at ADV_MAX_LINES
+    (mirrors the oracle's ``len(w) > i*6`` guard)."""
+    words = text.split(" ")
+    out = []
+    for i in range(ADV_MAX_LINES):
+        base = i * ADV_WPL
+        if len(words) > base:
+            out.append((i, words[base : base + ADV_WPL]))
+    return out
+
+
+def advance_segments(lw: list[str]) -> list[str]:
+    """A line's three shown segments: words 0-2 (Tj), word 3 and words 4-5
+    (two TJ string elements separated by the kern).  Empty segments are
+    not shown."""
+    return [" ".join(lw[0:3]), " ".join(lw[3:4]), " ".join(lw[4:6])]
+
+
+def _adv_seg_width_micro(seg: str, fs: int, tc: int, tw: int, tz: int) -> int:
+    """Advance of one shown string in micro-points (1e-5 pt): per glyph
+    w/1000 * fs * tz/100 points, plus Tc per glyph and Tw per space-32
+    (§9.3.2-9.3.3; Tz multiplies all horizontal displacements)."""
+    total = 0
+    for ch in seg.encode("latin-1"):
+        total += adv_width(ch) * fs * tz + tc * tz + (tw * tz if ch == 32 else 0)
+    return total
+
+
+def expected_advance(doc_id: int, text: str) -> list[tuple[int, int, int, float, float, int, str, int]]:
+    """Analytic ground truth for ``extract_layout_advance``: (ord, page,
+    line, x, y, ax_micro, text, size) in stream order."""
+    fs, tc, tw, tz = (
+        adv_font_size(doc_id), adv_tc_milli(doc_id), adv_tw_milli(doc_id), adv_tz_pct(doc_id),
+    )
+    k = adv_kern(doc_id)
+    out = []
+    for li, lw in advance_lines(doc_id, text):
+        cursor = 0
+        segs = advance_segments(lw)
+        for si, seg in enumerate(segs):
+            if si == 2 and seg:
+                cursor -= k * fs * tz  # the TJ kern precedes segment 2
+            if seg:
+                out.append(
+                    (len(out), 0, li, 72.0, float(720 - ADV_LINE_DY * li), cursor, seg, fs)
+                )
+            cursor += _adv_seg_width_micro(seg, fs, tc, tw, tz)
+    return out
+
+
+def _milli_str(m: int) -> str:
+    """Exact decimal for a milli-point value (250 -> '0.25'); the float
+    parse of these strings is exact (dyadic fractions only)."""
+    return f"{m // 1000}" if m % 1000 == 0 else f"{m / 1000:g}"
+
+
+def _advance_content(doc_id: int, lines: list[tuple[int, list[str]]]) -> bytes:
+    fs, tc, tw, tz = (
+        adv_font_size(doc_id), adv_tc_milli(doc_id), adv_tw_milli(doc_id), adv_tz_pct(doc_id),
+    )
+    k = adv_kern(doc_id)
+    parts = [f"BT /F1 {fs} Tf {_milli_str(tc)} Tc {_milli_str(tw)} Tw {tz} Tz "]
+    for li, lw in lines:
+        s0, s1, s2 = advance_segments(lw)
+        parts.append(f"1 0 0 1 72 {720 - ADV_LINE_DY * li} Tm ")
+        if s0:
+            parts.append(f"({_pdf_escape(s0)}) Tj ")
+        tj = []
+        if s1:
+            tj.append(f"({_pdf_escape(s1)})")
+        if s2:
+            # the kern ALWAYS precedes segment 2 (expected_advance mirror)
+            tj.append(f"{k} ({_pdf_escape(s2)})")
+        if tj:
+            parts.append("[" + " ".join(tj) + "] TJ ")
+    parts.append("ET")
+    return "".join(parts).encode("latin-1")
+
+
+def build_document_advance(doc_id: int, text: str) -> dict:
+    """Glyph-advance family: a clean one-page classic-xref document whose
+    font carries a REAL /FirstChar//Widths table (w(c) = 300 + (c%8)*50)
+    and whose lines are multi-segment shows under Tc/Tw/Tz and a TJ kern.
+    Only ``extract_layout_advance`` (width-modeling layout kernel)
+    observes this family."""
+    lines = advance_lines(doc_id, text)
+    b = _Builder()
+    offsets: dict[int, int] = {}
+    b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
+    CATALOG, PAGESROOT, FONT, PAGE, CONTENT = 1, 2, 3, 4, 5
+    offsets[CATALOG] = b.struct(
+        f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
+    )
+    offsets[PAGESROOT] = b.struct(
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{PAGE} 0 R] /Count 1 >> endobj\n".encode("ascii")
+    )
+    widths = " ".join(str(adv_width(c)) for c in range(32, 127))
+    offsets[FONT] = b.struct(
+        (
+            f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Synth "
+            f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >> endobj\n"
+        ).encode("ascii")
+    )
+    offsets[PAGE] = b.struct(
+        (
+            f"{PAGE} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
+            f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
+            f"/MediaBox [0 0 612 792] /Contents {CONTENT} 0 R >> endobj\n"
+        ).encode("ascii")
+    )
+    body = _advance_content(doc_id, lines)
+    offsets[CONTENT] = b.struct(
+        f"{CONTENT} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
+    )
+    b.text_payload(body)
+    b.struct(b"\nendstream endobj\n")
+    xref_pos = b.pos
+    b.struct(b"xref\n0 6\n")
+    b.struct(b"0000000000 65535 f\r\n")
+    for i in range(1, 6):
+        b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
+    b.struct(
+        (
+            f"trailer << /Size 6 /Root {CATALOG} 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
+        ).encode("ascii")
+    )
+    return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
+
+
 def reconstruct(span_rows: list[dict]) -> bytes:
     """Decode-stage step 0: reassemble document bytes from input spans
     (media markers are zero-width; text fields concatenate in offset

@@ -155,6 +155,36 @@ def duplicate_ngram_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     )
 
 
+def boilerplate_line_filter(spans_flat: DataFrame, min_df: int = 2) -> DataFrame:
+    """Cross-document LINE dedup (CCNet's paragraph-hash dedup, Wenzek et
+    al. 2020, public — the standard boilerplate strip for crawled text):
+    a line whose exact text recurs in >= ``min_df`` DISTINCT documents is
+    boilerplate (navigation, footers, cookie banners) and is dropped from
+    ALL of them; document-unique lines survive.  Runs over the extraction
+    kernel's output — the spans ARE the lines — so the pass chains parse
+    and curation in one plan.  Emits the surviving (doc_id, ord, text)
+    rows.
+
+    Plan (100 TB shape): per-doc-distinct line hashes -> ONE (line_md5)
+    hash aggregate with map-side combine for the document frequencies
+    (16-byte shuffle key, uniform), then an equi-join of the line table
+    against the under-threshold keys — no broadcast needed (the frequency
+    table is corpus-scale), no O(n^2) pairs, AQE handles residual skew."""
+    lines = spans_flat.filter(F.col("kind") == "text").select(
+        "doc_id", "ord", "text", F.md5(F.col("text")).alias("line_md5")
+    )
+    dfreq = (
+        lines.select("doc_id", "line_md5")
+        .distinct()  # a doc repeating its own line counts once
+        .groupBy("line_md5")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        lines.join(dfreq.filter(F.col("n_docs") < min_df), "line_md5")
+        .select("doc_id", "ord", "text")
+    )
+
+
 def remove_duplicate_spans(documents: DataFrame, n: int = 8) -> DataFrame:
     """Exact-substring dedup REMOVAL (the cut pass of Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better", public):

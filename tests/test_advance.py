@@ -1,0 +1,94 @@
+"""Glyph-width advance layout kernel (core.extract.extract_advance_spans).
+
+The advance family (synth.build_document_advance) shows each line as
+multiple segments with no positioning operator between them; a segment's
+x offset is recoverable only by folding the font's /FirstChar//Widths
+table, Tc/Tw/Tz and TJ kerns into an exact integer cursor (ISO 32000
+§9.3.2-9.3.4, §9.4.3-9.4.4).  The reference never reaches this tier
+(content streams are stub types, pdf_file.rs:705).
+"""
+
+from pdfparser_spark.core.content import tokenize_content
+from pdfparser_spark.core.extract import extract_advance_spans
+from pdfparser_spark.synth import (
+    adv_font_size,
+    adv_kern,
+    adv_tc_milli,
+    adv_tw_milli,
+    adv_tz_pct,
+    build_document_advance,
+    expected_advance,
+)
+
+TEXT = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+
+
+def _spans(doc_id: int, text: str = TEXT):
+    d = build_document_advance(doc_id, text)
+    res = extract_advance_spans(d["bytes"])
+    assert res["errors"] == []
+    return res["spans"]
+
+
+def test_advance_matches_analytic_expectation():
+    # every doc id residue class: fs x tc x tw x tz x kern all vary
+    for doc_id in range(0, 420, 7):
+        exp = [
+            (p, 72.0, y, ax, t, float(fs))
+            for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(doc_id, TEXT)
+        ]
+        assert _spans(doc_id) == exp, f"doc {doc_id}"
+
+
+def test_advance_cursor_is_exact_integer_math():
+    # doc 0: fs=12 tc=0 tw=0 tz=50 k=300 — hand-check the second segment:
+    # seg0 'alpha beta gamma' advances sum(w(c))*12*50 micro
+    spans = _spans(0)
+    seg0 = spans[0]
+    assert seg0[3] == 0 and seg0[4] == "alpha beta gamma"
+    w = lambda ch: 300 + (ord(ch) % 8) * 50
+    manual = sum(w(c) * 12 * 50 for c in "alpha beta gamma")
+    assert spans[1][3] == manual and spans[1][4] == "delta"
+
+
+def test_advance_kern_moves_cursor_both_directions():
+    # k = 300 - (doc%7)*150: doc 10 -> -300 (moves RIGHT, cursor grows);
+    # doc 7 -> +300 (moves LEFT).  Compare segment-2 cursor vs the
+    # no-kern position (cursor after segment 1).
+    for doc_id, sign in ((7, -1), (10, +1)):
+        fs, tz = adv_font_size(doc_id), adv_tz_pct(doc_id)
+        k = adv_kern(doc_id)
+        spans = _spans(doc_id)
+        tc, tw = adv_tc_milli(doc_id), adv_tw_milli(doc_id)
+        w = lambda ch: 300 + (ord(ch) % 8) * 50
+        seg1 = spans[1]
+        after1 = seg1[3] + sum(
+            w(c) * fs * tz + tc * tz + (tw * tz if c == " " else 0) for c in seg1[4]
+        )
+        assert spans[2][3] - after1 == -k * fs * tz
+        assert (spans[2][3] - after1 > 0) == (sign > 0)
+
+
+def test_quote_operator_sets_spacing_before_show():
+    # aw ac string " sets Tw/Tc BEFORE showing (§9.4.3): the shown
+    # string's own advance uses the new spacing
+    evs = tokenize_content(b"BT /F1 10 Tf 2 1 (ab) \" ET", advance=True)
+    assert len(evs) == 1
+    kind, _at, _f, payload, _x, _y, fs, tc, tw, tz, seg = evs[0]
+    assert (kind, payload, fs) == ("text", b"ab", 10.0)
+    assert (tw, tc, tz, seg) == (2000, 1000, 100, 0)
+
+
+def test_seg_counter_resets_on_positioning():
+    evs = tokenize_content(
+        b"BT (a) Tj (b) Tj 0 -10 Td (c) Tj T* (d) Tj ET", advance=True
+    )
+    assert [e[-1] for e in evs] == [0, 1, 0, 0]
+
+
+def test_missing_widths_defaults_to_500():
+    # a font with no /Widths: every glyph advances 500/1000 * fs * tz
+    from pdfparser_spark.core.extract import _font_widths
+
+    lk = _font_widths({"Subtype": "Type1"}, {})
+    assert lk(65) == 500 and lk(32) == 500

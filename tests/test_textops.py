@@ -1054,3 +1054,27 @@ def test_lsh_containment_catches_embedded_doc(spark):
     # symmetric Jaccard misses the same pair at the same threshold
     jac = {(r.doc_a, r.doc_b) for r in lsh_verified_dups(docs).collect()}
     assert (1, 2) not in jac
+
+
+def test_boilerplate_line_filter_drops_cross_doc_lines(spark):
+    """Lines recurring in >= min_df distinct docs are dropped from ALL
+    docs; a doc repeating its OWN line counts once (survives)."""
+    spans = spark.createDataFrame(
+        [
+            (0, 0, "text", "subscribe to our newsletter", None),
+            (0, 1, "text", "unique content of doc zero", None),
+            (1, 0, "text", "subscribe to our newsletter", None),
+            (1, 1, "text", "doc one says something else", None),
+            (2, 0, "text", "repeated within one doc only", None),
+            (2, 1, "text", "repeated within one doc only", None),
+            (2, 2, "media", "subscribe to our newsletter", "Im1"),
+        ],
+        "doc_id long, ord int, kind string, text string, media_ref string",
+    )
+    kept = {
+        (r.doc_id, r.ord)
+        for r in dedup.boilerplate_line_filter(spans, min_df=2).collect()
+    }
+    # the newsletter line (2 docs) is gone everywhere; doc 2's self-repeat
+    # survives both copies; the media row never participates
+    assert kept == {(0, 1), (1, 1), (2, 0), (2, 1)}

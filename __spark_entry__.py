@@ -2084,13 +2084,16 @@ def oracle_sql() -> dict[str, str]:
         # ax_micro (1e-5 pt) is the BIGINT-exact cursor — per glyph
         # w(c)=300+(ascii%8)*50 widths x fs x Tz + Tc + Tw-on-space,
         # minus the TJ kern k x fs x Tz before segment 2 — replayed
-        # here with pure integer algebra (no float tolerance)
+        # here with pure integer algebra (no float tolerance).  doc%11=6
+        # is the COMPOSITE-font variant: same widths via the CIDFont /W
+        # table and 2-byte Identity-H codes, but Tw can never apply
+        # (word spacing hits the single-byte code 32 only, §9.3.3)
         "extract_layout_advance": """
             WITH base AS (
               SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
                      12 + (doc_id % 4) * 2 AS fs,
                      (doc_id % 3) * 250 AS tc,
-                     (doc_id % 2) * 500 AS tw,
+                     CASE WHEN doc_id % 11 = 6 THEN 0 ELSE (doc_id % 2) * 500 END AS tw,
                      CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
                      300 - (doc_id % 7) * 150 AS k
               FROM documents

@@ -903,14 +903,65 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
     return {"spans": out, "errors": errors}
 
 
+def _parse_w_array(warr, objects: dict) -> dict:
+    """CIDFont /W array (§9.7.4.3) -> {cid: width}.  Both entry forms:
+    ``c [w1 w2 ...]`` (consecutive CIDs from c) and ``c_first c_last w``
+    (a constant run).  A dict is fine at the synth corpus' table sizes;
+    a production font with huge constant runs would keep the range form
+    — noted, not needed here (runs are bounded by the guard below)."""
+    out: dict = {}
+    i = 0
+    while i < len(warr) - 1:
+        c = resolve(warr[i], objects)
+        nxt = resolve(warr[i + 1], objects)
+        if isinstance(c, int) and isinstance(nxt, list):
+            for j, w in enumerate(nxt):
+                wv = resolve(w, objects)
+                if isinstance(wv, (int, float)):
+                    out[c + j] = int(wv)
+            i += 2
+        elif (
+            isinstance(c, int)
+            and isinstance(nxt, int)
+            and i + 2 < len(warr)
+            and isinstance(resolve(warr[i + 2], objects), (int, float))
+        ):
+            w = int(resolve(warr[i + 2], objects))
+            # cap a malformed run (c_last < c_first or absurd span) so a
+            # corrupt font can't allocate unbounded driver memory
+            for cid in range(c, min(nxt, c + 65535) + 1):
+                out[cid] = w
+            i += 3
+        else:
+            i += 1  # malformed entry: skip one token, resync
+    return out
+
+
 def _font_widths(font_obj, objects: dict):
-    """Glyph-width lookup for a simple font (ISO 32000 §9.6.2): ``code ->
-    width`` in 1/1000 text-space units from /FirstChar + /Widths, with the
-    conventional 500 default for out-of-range codes or width-less fonts
-    (Type0 /W tables are not modeled — documented; the advance family uses
-    simple fonts).  Returns a plain list-lookup closure so the per-glyph
-    hot path is one index, no dict hashing."""
+    """Glyph-width model for the advance kernel: returns ``(lookup,
+    code_width, apply_tw)``.
+
+    Simple fonts (§9.6.2): ``code -> width`` from /FirstChar + /Widths
+    (1-byte codes, Tw applies to code 32), conventional 500 default for
+    out-of-range codes or width-less fonts.  Composite Type0 fonts
+    (§9.7): widths from the descendant CIDFont's /W table keyed by CID
+    with /DW (default 1000) for everything else; codes are 2-byte
+    (Identity-H — the overwhelmingly dominant real-world encoding) and
+    Tw does NOT apply (word spacing hits the SINGLE-BYTE code 32 only,
+    §9.3.3)."""
     font = resolve(font_obj, objects)
+    if isinstance(font, dict) and str(font.get("Subtype")) == "Type0":
+        dw, table = 1000, {}
+        dfs = resolve(font.get("DescendantFonts"), objects)
+        desc = resolve(dfs[0], objects) if isinstance(dfs, list) and dfs else None
+        if isinstance(desc, dict):
+            d = resolve(desc.get("DW"), objects)
+            if isinstance(d, (int, float)):
+                dw = int(d)
+            warr = resolve(desc.get("W"), objects)
+            if isinstance(warr, list):
+                table = _parse_w_array(warr, objects)
+        return (lambda cid: table.get(cid, dw)), 2, False
     first, widths = 0, None
     if isinstance(font, dict):
         fc = resolve(font.get("FirstChar"), objects)
@@ -919,13 +970,13 @@ def _font_widths(font_obj, objects: dict):
             first = fc
             widths = [int(resolve(w, objects)) if isinstance(resolve(w, objects), (int, float)) else 500 for w in ws]
     if widths is None:
-        return lambda code: 500
+        return (lambda code: 500), 1, True
     last = first + len(widths)
 
     def lookup(code: int) -> int:
         return widths[code - first] if first <= code < last else 500
 
-    return lookup
+    return lookup, 1, True
 
 
 def extract_advance_spans(data: bytes, password: bytes = b""):
@@ -977,7 +1028,8 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                     fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
                     dec_cache[fkey] = _font_decoder(fobj, objects, errors)
                     w_cache[fkey] = _font_widths(fobj, objects)
-                dec, wid = dec_cache[fkey], w_cache[fkey]
+                dec = dec_cache[fkey]
+                wid, cw, apply_tw = w_cache[fkey]
                 x, y, fs, tc, tw, tz, seg = ev[4], ev[5], ev[6], ev[7], ev[8], ev[9], ev[10]
                 if seg == 0:
                     cursor = 0
@@ -986,9 +1038,16 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                     if isinstance(el, (bytes, bytearray)):
                         if el:
                             out.append((page_idx, x, y, cursor, dec(el), fs))
-                        for code in el:
+                        if cw == 1:
+                            codes = el
+                        else:  # 2-byte composite codes, big-endian (§9.7.6)
+                            codes = [
+                                (el[j] << 8) | el[j + 1]
+                                for j in range(0, len(el) - len(el) % 2, 2)
+                            ]
+                        for code in codes:
                             cursor += int(round(wid(code) * fs)) * tz + tc * tz + (
-                                tw * tz if code == 32 else 0
+                                tw * tz if apply_tw and code == 32 else 0
                             )
                     elif isinstance(el, (int, float)):
                         cursor -= int(round(el * fs)) * tz

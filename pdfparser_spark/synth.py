@@ -1490,6 +1490,15 @@ def adv_width(code: int) -> int:
     return 300 + (code % 8) * 50
 
 
+def adv_is_cid(doc_id: int) -> bool:
+    """Every 11th+6 doc uses a COMPOSITE font (Type0/Identity-H, §9.7):
+    strings are 2-byte hex codes, widths come from the descendant
+    CIDFont's /W table (same values, keyed by CID = code), text decodes
+    through a 2-byte ToUnicode CMap — and Tw does NOT apply (word
+    spacing hits the SINGLE-BYTE code 32 only, §9.3.3)."""
+    return doc_id % 11 == 6
+
+
 def advance_lines(doc_id: int, text: str) -> list[tuple[int, list[str]]]:
     """(line_idx, words) — ADV_WPL-word slices, capped at ADV_MAX_LINES
     (mirrors the oracle's ``len(w) > i*6`` guard)."""
@@ -1521,10 +1530,14 @@ def _adv_seg_width_micro(seg: str, fs: int, tc: int, tw: int, tz: int) -> int:
 
 def expected_advance(doc_id: int, text: str) -> list[tuple[int, int, int, float, float, int, str, int]]:
     """Analytic ground truth for ``extract_layout_advance``: (ord, page,
-    line, x, y, ax_micro, text, size) in stream order."""
+    line, x, y, ax_micro, text, size) in stream order.  CID docs zero
+    the EFFECTIVE word spacing (Tw is written but can never apply to
+    2-byte codes, §9.3.3)."""
     fs, tc, tw, tz = (
         adv_font_size(doc_id), adv_tc_milli(doc_id), adv_tw_milli(doc_id), adv_tz_pct(doc_id),
     )
+    if adv_is_cid(doc_id):
+        tw = 0
     k = adv_kern(doc_id)
     out = []
     for li, lw in advance_lines(doc_id, text):
@@ -1547,23 +1560,32 @@ def _milli_str(m: int) -> str:
     return f"{m // 1000}" if m % 1000 == 0 else f"{m / 1000:g}"
 
 
+def _hex2(s: str) -> str:
+    """2-byte big-endian hex string body for a composite-font show op
+    (Identity-H: code == CID == the character's code point)."""
+    return "".join(f"{ord(c):04X}" for c in s)
+
+
 def _advance_content(doc_id: int, lines: list[tuple[int, list[str]]]) -> bytes:
     fs, tc, tw, tz = (
         adv_font_size(doc_id), adv_tc_milli(doc_id), adv_tw_milli(doc_id), adv_tz_pct(doc_id),
     )
     k = adv_kern(doc_id)
+    cid = adv_is_cid(doc_id)
+    show = (lambda s: f"<{_hex2(s)}>") if cid else (lambda s: f"({_pdf_escape(s)})")
+    # Tw is written UNCONDITIONALLY — for CID docs it must be inert
     parts = [f"BT /F1 {fs} Tf {_milli_str(tc)} Tc {_milli_str(tw)} Tw {tz} Tz "]
     for li, lw in lines:
         s0, s1, s2 = advance_segments(lw)
         parts.append(f"1 0 0 1 72 {720 - ADV_LINE_DY * li} Tm ")
         if s0:
-            parts.append(f"({_pdf_escape(s0)}) Tj ")
+            parts.append(f"{show(s0)} Tj ")
         tj = []
         if s1:
-            tj.append(f"({_pdf_escape(s1)})")
+            tj.append(show(s1))
         if s2:
             # the kern ALWAYS precedes segment 2 (expected_advance mirror)
-            tj.append(f"{k} ({_pdf_escape(s2)})")
+            tj.append(f"{k} {show(s2)}")
         if tj:
             parts.append("[" + " ".join(tj) + "] TJ ")
     parts.append("ET")
@@ -1577,10 +1599,12 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     Only ``extract_layout_advance`` (width-modeling layout kernel)
     observes this family."""
     lines = advance_lines(doc_id, text)
+    cid = adv_is_cid(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
-    CATALOG, PAGESROOT, FONT, PAGE, CONTENT = 1, 2, 3, 4, 5
+    CATALOG, PAGESROOT, FONT, PAGE, CONTENT, DESC, TOUNI = 1, 2, 3, 4, 5, 6, 7
+    n_objs = 7 if cid else 5
     offsets[CATALOG] = b.struct(
         f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
     )
@@ -1588,12 +1612,24 @@ def build_document_advance(doc_id: int, text: str) -> dict:
         f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{PAGE} 0 R] /Count 1 >> endobj\n".encode("ascii")
     )
     widths = " ".join(str(adv_width(c)) for c in range(32, 127))
-    offsets[FONT] = b.struct(
-        (
-            f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Synth "
-            f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >> endobj\n"
-        ).encode("ascii")
-    )
+    if cid:
+        # composite font (§9.7): Type0 -> descendant CIDFontType2 whose
+        # /W table carries the SAME width values keyed by CID (= code
+        # under Identity-H); /DW covers everything outside 32..126
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Synth "
+                f"/Encoding /Identity-H /DescendantFonts [{DESC} 0 R] "
+                f"/ToUnicode {TOUNI} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    else:
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Synth "
+                f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >> endobj\n"
+            ).encode("ascii")
+        )
     offsets[PAGE] = b.struct(
         (
             f"{PAGE} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
@@ -1607,14 +1643,32 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     )
     b.text_payload(body)
     b.struct(b"\nendstream endobj\n")
+    if cid:
+        offsets[DESC] = b.struct(
+            (
+                f"{DESC} 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
+                f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
+                f"/DW 1000 /W [32 [{widths}]] >> endobj\n"
+            ).encode("ascii")
+        )
+        cm = (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap\n"
+        )
+        offsets[TOUNI] = b.struct(
+            f"{TOUNI} 0 obj << /Length {len(cm)} >> stream\n".encode("ascii")
+        )
+        b.text_payload(cm)
+        b.struct(b"\nendstream endobj\n")
     xref_pos = b.pos
-    b.struct(b"xref\n0 6\n")
+    b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))
     b.struct(b"0000000000 65535 f\r\n")
-    for i in range(1, 6):
+    for i in range(1, n_objs + 1):
         b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
     b.struct(
         (
-            f"trailer << /Size 6 /Root {CATALOG} 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
+            f"trailer << /Size {n_objs + 1} /Root {CATALOG} 0 R >>\nstartxref\n{xref_pos}\n%%EOF"
         ).encode("ascii")
     )
     return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}

@@ -90,5 +90,43 @@ def test_missing_widths_defaults_to_500():
     # a font with no /Widths: every glyph advances 500/1000 * fs * tz
     from pdfparser_spark.core.extract import _font_widths
 
-    lk = _font_widths({"Subtype": "Type1"}, {})
+    lk, cw, apply_tw = _font_widths({"Subtype": "Type1"}, {})
     assert lk(65) == 500 and lk(32) == 500
+    assert cw == 1 and apply_tw is True
+
+
+def test_cid_font_w_table_and_dw():
+    # Type0 widths from the descendant's /W; both entry forms; /DW
+    # covers unlisted CIDs; 2-byte codes; Tw inert (§9.3.3)
+    from pdfparser_spark.core.extract import _font_widths
+
+    font = {
+        "Subtype": "Type0",
+        "DescendantFonts": [
+            {"Subtype": "CIDFontType2", "DW": 750, "W": [10, [100, 200], 20, 22, 333]}
+        ],
+    }
+    lk, cw, apply_tw = _font_widths(font, {})
+    assert (lk(10), lk(11)) == (100, 200)  # c [w...] form
+    assert lk(20) == lk(21) == lk(22) == 333  # c_first c_last w form
+    assert lk(9999) == 750  # /DW default
+    assert cw == 2 and apply_tw is False
+
+
+def test_cid_advance_family_end_to_end():
+    # doc 6 is the CID variant (doc%11==6): hex-string shows, /W widths,
+    # ToUnicode bfrange decode, word spacing inert
+    spans = _spans(6)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs))
+        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(6, TEXT)
+    ]
+    assert spans == exp
+    assert adv_tw_milli(6) == 0 or True  # Tw may be nonzero in content...
+    # ...but the cursor must NOT include it: recompute seg-1 offset with
+    # tw excluded and assert equality
+    w = lambda ch: 300 + (ord(ch) % 8) * 50
+    fs, tz = adv_font_size(6), adv_tz_pct(6)
+    tc = adv_tc_milli(6)
+    manual = sum(w(c) * fs * tz + tc * tz for c in spans[0][4])
+    assert spans[1][3] == manual

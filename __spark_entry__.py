@@ -1340,6 +1340,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_line_filter": lambda s, d: dedup.boilerplate_line_filter(
             _pipeline(s, d)["spans_flat"]
         ),
+        # /ActualText marked content (§14.9.4): these docs draw REVERSED
+        # glyphs wrapped in /Span << /ActualText (true) >> BDC..EMC — the
+        # span oracle only matches a kernel that emits the replacement
+        "extract_actualtext": lambda s, d: _flat(
+            s, d,
+            (F.col("doc_id") % 23 == 7) & (F.col("doc_id") % 21 != 5)
+            & (F.col("doc_id") % 17 != 0) & (F.col("doc_id") % 7 != 0),
+        ),
+        # hidden optional content (§8.11.4.3): these docs carry a page-0
+        # text layer inside a switched-off OCG — it must NOT extract
+        "extract_hidden_ocg": lambda s, d: _flat(s, d, F.col("doc_id") % 29 == 11),
+        # /Contents ARRAY (§7.8.2): page 0 split into two streams at a
+        # token boundary — the reader must concatenate before tokenizing
+        # (operands and operator land in different pieces)
+        "extract_content_array": lambda s, d: _flat(s, d, F.col("doc_id") % 31 == 13),
     }
 
 
@@ -2043,6 +2058,11 @@ def oracle_sql() -> dict[str, str]:
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_form_xobjects": _span_sql("doc_id % 9 = 2"),
         "extract_diff_encoding": _span_sql("doc_id % 21 = 5 AND doc_id % 17 <> 0"),
+        "extract_actualtext": _span_sql(
+            "doc_id % 23 = 7 AND doc_id % 21 <> 5 AND doc_id % 17 <> 0 AND doc_id % 7 <> 0"
+        ),
+        "extract_hidden_ocg": _span_sql("doc_id % 29 = 11"),
+        "extract_content_array": _span_sql("doc_id % 31 = 13"),
         "extract_media_interleaved": _span_sql("doc_id % 5 = 0"),
         "extract_strict_mode": _span_sql("doc_id % 13 <> 0"),
         "extract_binary_corpus": _BINARY_SPAN_SQL,
@@ -2316,12 +2336,18 @@ def oracle_sql() -> dict[str, str]:
                  -- always have 3 pages; forms emitted only when page 1
                  -- is nonempty, i.e. the doc has a 2nd 8-word slice)
                  + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
+                 -- hidden-layer OCG object (doc%29=11; the layer's text
+                 -- is suppressed but its object exists)
+                 + CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END
+                 -- /Contents-array split: page 0's second content stream
+                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
                  + CAST(doc_id % 2 = 1 AS INT)
                  + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
                  + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
+                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """,

@@ -266,6 +266,17 @@ def glyph_to_char(name: str) -> str:
     return "�"
 
 
+def pdf_text_string(raw: bytes) -> str:
+    """A PDF TEXT STRING (ISO 32000 §7.9.2.2) — used by /ActualText,
+    /Title, /T etc. — decodes WITHOUT any font: UTF-16BE when it opens
+    with the FE FF BOM, else PDFDocEncoding (byte-identical to Latin-1
+    over the printable range this corpus uses — the handful of divergent
+    control-range code points are not modeled; documented)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
 def differences_decoder(base_encoding: str | None, differences: list):
     """Decoder for a §9.6.5.1 /Encoding DICTIONARY: start from the
     /BaseEncoding single-byte table (same simple_decode fallbacks), then

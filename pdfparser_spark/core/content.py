@@ -68,8 +68,32 @@ def _num(v) -> float | None:
     return float(v) if isinstance(v, (int, float)) else None
 
 
-def tokenize_content(data: bytes, layout: bool = False, advance: bool = False):
+_DICT_MARK = object()  # sentinel for an open inline dict on the stack
+
+
+def tokenize_content(
+    data: bytes,
+    layout: bool = False,
+    advance: bool = False,
+    hidden_props: frozenset | set | None = None,
+):
     """Run the postfix machine over one decoded content stream.
+
+    MARKED CONTENT (ISO 32000 §14.6, §14.9.4, §8.11.3): ``BDC`` whose
+    inline property list carries ``/ActualText`` swallows the enclosed
+    show events and emits ONE ``('atext', at, None, bytes)`` replacement
+    event — positioned (layout modes) at the FIRST suppressed show, the
+    glyphs the text replaces — carrying the raw PDF text string (decode
+    with ``cmap.pdf_text_string``, NOT a font).  ``/OC <name> BDC`` whose
+    name is in ``hidden_props`` (the caller resolves the page's
+    /Properties entries against the catalog's /OCProperties /D /OFF
+    configuration) suppresses everything inside — text, media and inline
+    images never existed for extraction, matching viewer behavior for
+    switched-off optional-content layers.  Both regions nest and a hide
+    region dominates an ActualText one.  Property lists given as a NAME
+    (indirection through /Properties) are honored for /OC only; an
+    /ActualText reached by name indirection is not modeled (rare —
+    documented).
 
     With ``layout=True``, the positioning operators are INTERPRETED rather
     than order-only: the machine tracks the text-line origin through
@@ -103,13 +127,26 @@ def tokenize_content(data: bytes, layout: bool = False, advance: bool = False):
     tc = tw = 0  # Tc/Tw in milli-points (valid while advance=True)
     tz = 100  # Tz percent
     seg = 0  # show ops since the last positioning operator
+    mc_stack: list = []  # open BMC/BDC modes: None | 'hide' | 'atext'
+    hide_n = 0  # open hidden-OCG regions
+    atext_n = 0  # open ActualText regions
+    pending_atext: bytes | None = None  # replacement awaiting first show
     pos = 0
     n = len(data)
 
     # hoisted out of the token loop (defining it per-operator would cost a
     # MAKE_FUNCTION in the hot path); reads at/font/x/y at call time
     def _emit(kind, payload):
-        nonlocal seg
+        nonlocal seg, pending_atext
+        if hide_n:
+            return
+        if atext_n:
+            # the marked sequence's shows are replaced by the ActualText
+            # string, positioned where the replaced glyphs are drawn
+            if pending_atext is None:
+                return
+            kind, payload = "atext", pending_atext
+            pending_atext = None
         if advance:
             events.append((kind, at, font, payload, x, y, fsize, tc, tw, tz, seg))
             seg += 1
@@ -144,10 +181,23 @@ def tokenize_content(data: bytes, layout: bool = False, advance: bool = False):
             arr.reverse()
             stack.append(arr)
             continue
-        if kind in ("dict_open", "dict_close"):
-            # inline dicts (BDC/DP property lists) — treat as one operand
-            if kind == "dict_open":
-                stack.append({})
+        if kind == "dict_open":
+            stack.append(_DICT_MARK)
+            continue
+        if kind == "dict_close":
+            # build the inline dict (BDC/DP property lists): pairs of
+            # name -> value back to the opening marker
+            items: list = []
+            while stack and stack[-1] is not _DICT_MARK:
+                items.append(stack.pop())
+            if stack:
+                stack.pop()
+            items.reverse()
+            d: dict = {}
+            for j in range(0, len(items) - 1, 2):
+                if isinstance(items[j], Name):
+                    d[str(items[j])] = items[j + 1]
+            stack.append(d)
             continue
         # keyword = operator
         op = val
@@ -237,13 +287,56 @@ def tokenize_content(data: bytes, layout: bool = False, advance: bool = False):
                 if v is not None:
                     tz = int(round(v))
             stack.clear()
+        elif op == b"BMC":
+            mc_stack.append(None)
+            stack.clear()
+        elif op == b"BDC":
+            mode = None
+            if len(stack) >= 2:
+                tag, props = stack[-2], stack[-1]
+                if (
+                    isinstance(props, dict)
+                    and isinstance(props.get("ActualText"), (bytes, bytearray))
+                    and not atext_n
+                    and not hide_n
+                ):
+                    mode = "atext"
+                    pending_atext = bytes(props["ActualText"])
+                elif (
+                    isinstance(tag, Name)
+                    and str(tag) == "OC"
+                    and isinstance(props, Name)
+                    and hidden_props
+                    and str(props) in hidden_props
+                ):
+                    mode = "hide"
+            mc_stack.append(mode)
+            if mode == "atext":
+                atext_n += 1
+            elif mode == "hide":
+                hide_n += 1
+            stack.clear()
+        elif op == b"EMC":
+            if mc_stack:
+                m = mc_stack.pop()
+                if m == "atext":
+                    if pending_atext is not None:
+                        # region held no show op: emit at the current state
+                        # (while atext_n is still open so _emit routes it)
+                        _emit("text", b"")
+                    atext_n -= 1
+                elif m == "hide":
+                    hide_n -= 1
+            stack.clear()
         elif op == b"Do":
             if stack and isinstance(stack[-1], Name):
-                events.append(("media", at, str(stack[-1])))
+                if not hide_n and not atext_n:
+                    events.append(("media", at, str(stack[-1])))
             stack.clear()
         elif op == b"BI":
             pos = _skip_inline_image(data, pos)
-            events.append(("inline", at, INLINE_MEDIA_REF))
+            if not hide_n and not atext_n:
+                events.append(("inline", at, INLINE_MEDIA_REF))
             stack.clear()
         else:
             # BT/ET/Td/TD/Tm/T*/TL/graphics ops: ordering-only here

@@ -19,9 +19,10 @@ lenient keeps going and reports errors as metric rows.
 from __future__ import annotations
 
 import hashlib
+import json
 
 from . import crypt
-from .cmap import CMap, differences_decoder, simple_decode
+from .cmap import CMap, differences_decoder, pdf_text_string, simple_decode
 from .content import do_spans, tokenize_content
 from .errors import DOC_TREE_ERROR, FILTER_ERROR, REFERENCE_ERROR, FilterError, ParsingError, PdfError
 from .filters import build_filter_chain, decode_chain, decode_media_prefix, is_media_chain
@@ -345,6 +346,40 @@ def _walk_pages(root_pages, objects: dict, errors: list):
 MAX_FORM_DEPTH = 8
 
 
+def _off_ocg_ids(root, objects: dict) -> set:
+    """ids of the optional-content groups switched OFF by the catalog's
+    default configuration (/OCProperties /D /OFF, ISO 32000 §8.11.4.3).
+    Only the default config's /OFF list is modeled (no /ON re-enable, no
+    usage-based auto states) — the dominant real-world shape; documented."""
+    out: set = set()
+    ocp = get_resolved(root, "OCProperties", objects) if isinstance(root, dict) else None
+    if isinstance(ocp, dict):
+        d = get_resolved(ocp, "D", objects)
+        off = get_resolved(d, "OFF", objects) if isinstance(d, dict) else None
+        if isinstance(off, list):
+            for ref in off:
+                ocg = resolve(ref, objects)
+                if isinstance(ocg, dict):
+                    out.add(id(ocg))
+    return out
+
+
+def _hidden_prop_names(resources, objects: dict, off_ids: set) -> frozenset | None:
+    """The /Properties resource names that resolve to switched-off OCGs —
+    the set ``tokenize_content`` suppresses ``/OC <name> BDC`` regions
+    for.  None when nothing is hidden (the overwhelmingly common case —
+    zero per-token overhead)."""
+    if not off_ids:
+        return None
+    props = get_resolved(resources, "Properties", objects)
+    if not isinstance(props, dict):
+        return None
+    hidden = frozenset(
+        str(name) for name, ref in props.items() if id(resolve(ref, objects)) in off_ids
+    )
+    return hidden or None
+
+
 def _content_events(
     content: bytes,
     resources,
@@ -356,6 +391,7 @@ def _content_events(
     ox: float = 0.0,
     oy: float = 0.0,
     advance: bool = False,
+    off_ids: set | None = None,
 ):
     """Yield ``(event, fonts)`` pairs for one content stream, EXECUTING
     Form XObjects in place (ISO 32000 §8.10): a ``Do`` whose target is a
@@ -381,7 +417,10 @@ def _content_events(
         layout = True
     fonts = get_resolved(resources, "Font", objects) or {}
     xobjects = get_resolved(resources, "XObject", objects) or {}
-    for ev in tokenize_content(content, layout=layout, advance=advance):
+    hidden = _hidden_prop_names(resources, objects, off_ids) if off_ids else None
+    for ev in tokenize_content(
+        content, layout=layout, advance=advance, hidden_props=hidden
+    ):
         if ev[0] == "media":
             name = ev[2]
             xo = resolve(xobjects.get(name), objects) if isinstance(xobjects, dict) else None
@@ -412,7 +451,7 @@ def _content_events(
                 active.add(id(xo))
                 yield from _content_events(
                     xo.data, sub_res, objects, errors, layout,
-                    depth + 1, active, ox + fx, oy + fy, advance,
+                    depth + 1, active, ox + fx, oy + fy, advance, off_ids,
                 )
                 active.discard(id(xo))
                 continue
@@ -599,7 +638,7 @@ def decode_document(data: bytes, password: bytes = b""):
 
     Returns dict:
        version: str | None
-       contents: list[(page_idx, seq, decoded_bytes)]
+       contents: list[(page_idx, seq, decoded_bytes, hidden_props_json)]
        fonts:    list[(page_idx, font_name, cmap_bytes | None, encoding | None)]
        xobjs:    list[(page_idx, media_name)]
        errors:   list[(error_kind, stage, detail)]
@@ -633,27 +672,46 @@ def decode_document(data: bytes, password: bytes = b""):
         pages = _walk_pages(pages_node, objects, errors)
         n_pages = len(pages)
 
+        off_ids = _off_ocg_ids(root, objects)
         for page_idx, page in enumerate(pages):
             resources = get_resolved(page, "Resources", objects) or {}
+            # switched-off OCG property names travel to the tokenize stage
+            # as a JSON list in the content row's ``encoding`` column (the
+            # column exists for font rows; content rows reuse it — same
+            # precedent as the /Differences spec serialization).  Form
+            # content is spliced into the page, so its /OC names resolve
+            # against the PAGE /Properties namespace — the documented
+            # staged flattening, same as fonts.
+            hidden = _hidden_prop_names(resources, objects, off_ids)
+            hidden_json = json.dumps(sorted(hidden)) if hidden else None
 
-            # content pieces first: Form XObjects splice in place (§8.10)
-            # and contribute their own font/XObject names to the page's
+            # content pieces first: a /Contents ARRAY concatenates into ONE
+            # stream before tokenization (§7.8.2 — tokens may be split only
+            # BETWEEN streams, but operands and their operator routinely
+            # land in different pieces, so per-piece tokenization is
+            # wrong); then Form XObjects splice in place (§8.10) and
+            # contribute their own font/XObject names to the page's
             # dimension rows below
             extra_fonts: dict = {}
             extra_xnames: list = []
             cobj = get_resolved(page, "Contents", objects)
             items = cobj if isinstance(cobj, list) else ([cobj] if cobj is not None else [])
-            for seq, it in enumerate(items):
+            pieces: list = []
+            for it in items:
                 st = resolve(it, objects)
                 if isinstance(st, Stream) and st.data is not None:
-                    cdata, ef, ex = expand_forms(st.data, resources, objects, errors)
-                    extra_fonts.update(ef)
-                    extra_xnames.extend(ex)
-                    contents.append((page_idx, seq, cdata))
+                    pieces.append(st.data)
                 elif isinstance(st, Stream):
                     errors.append((FILTER_ERROR, "decode", "content stream undecoded"))
                 elif it is not None:
                     errors.append((REFERENCE_ERROR, "classify", "dangling /Contents reference"))
+            if pieces:
+                cdata, ef, ex = expand_forms(
+                    b"\n".join(pieces), resources, objects, errors
+                )
+                extra_fonts.update(ef)
+                extra_xnames.extend(ex)
+                contents.append((page_idx, 0, cdata, hidden_json))
 
             fdict = get_resolved(resources, "Font", objects) or {}
             seen_fonts: set = set()
@@ -786,10 +844,13 @@ def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
         # per-page: tokenize content (Form XObjects executed in place),
         # decode text, resolve XObjects
         font_cache: dict = {}
+        off_ids = _off_ocg_ids(root, objects)
         for page in pages:
             resources = get_resolved(page, "Resources", objects) or {}
             content = _page_content_bytes(page, objects, errors)
-            for ev, fonts in _content_events(content, resources, objects, errors):
+            for ev, fonts in _content_events(
+                content, resources, objects, errors, off_ids=off_ids
+            ):
                 if ev[0] == "inline":
                     # self-contained inline image: media span, no XObject
                     # resolution (nothing to dangle)
@@ -797,6 +858,11 @@ def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
                     continue
                 if ev[0] == "media":
                     spans.append(("media", None, ev[2]))
+                    continue
+                if ev[0] == "atext":
+                    # /ActualText replacement: a PDF text string, decoded
+                    # WITHOUT the font (§14.9.4)
+                    spans.append(("text", pdf_text_string(ev[3]), None))
                     continue
                 font_name = ev[2]
                 # a form's /F1 may differ from the page's /F1 — cache per
@@ -860,6 +926,7 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
             raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
         pages = _walk_pages_inherited(pages_node, objects, errors)
         font_cache: dict = {}
+        off_ids = _off_ocg_ids(root, objects)
         for page_idx, (page, inh) in enumerate(pages):
             resources = inh.get("Resources") or {}
             # /Rotate normalization (inheritable, §7.7.3.4): report line
@@ -868,7 +935,13 @@ def extract_layout_spans(data: bytes, password: bytes = b""):
             rot = _page_rotation(inh)
             pw, ph = _page_dims(inh)
             content = _page_content_bytes(page, objects, errors)
-            for ev, fonts in _content_events(content, resources, objects, errors, layout=True):
+            for ev, fonts in _content_events(
+                content, resources, objects, errors, layout=True, off_ids=off_ids
+            ):
+                if ev[0] == "atext":
+                    rx, ry = _unrotate(ev[4], ev[5], rot, pw, ph)
+                    out.append((page_idx, rx, ry, pdf_text_string(ev[3]), ev[6]))
+                    continue
                 if ev[0] not in ("text", "textarr"):
                     continue
                 font_name = ev[2]
@@ -1013,13 +1086,26 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
         pages = _walk_pages_inherited(pages_node, objects, errors)
         dec_cache: dict = {}
         w_cache: dict = {}
+        off_ids = _off_ocg_ids(root, objects)
         for page_idx, (page, inh) in enumerate(pages):
             resources = inh.get("Resources") or {}
             content = _page_content_bytes(page, objects, errors)
             cursor = 0
             for ev, fonts in _content_events(
-                content, resources, objects, errors, advance=True
+                content, resources, objects, errors, advance=True, off_ids=off_ids
             ):
+                if ev[0] == "atext":
+                    # replacement text: positioned at the cursor of the
+                    # first replaced show; its glyph advance is unknowable
+                    # (the replaced shows are swallowed), so the exact-
+                    # cursor guarantee ends at an ActualText region —
+                    # documented (the advance family carries none)
+                    if ev[10] == 0:
+                        cursor = 0
+                    out.append(
+                        (page_idx, ev[4], ev[5], cursor, pdf_text_string(ev[3]), ev[6])
+                    )
+                    continue
                 if ev[0] not in ("text", "textarr"):
                     continue
                 font_name = ev[2]

@@ -25,8 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..core.cmap import CMap, encoding_decoder
+from ..core.cmap import CMap, encoding_decoder, pdf_text_string
 from ..core.content import INLINE_MEDIA_REF
+from .tokenize import ATEXT_FONT
 from ..schema import CLASSIFIED
 
 _COLS = [f.name for f in CLASSIFIED.fields]
@@ -63,16 +64,22 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
     # --- text: bind font, decode glyph bytes ------------------------------
     joined = text_ev.join(
         _maybe_broadcast(fonts, dim_rows_hint), on=["doc_id", "page_idx", "font_name"], how="left"
-    ).select("doc_id", "page_idx", "seq", "ev_idx", "operand", "cmap", "encoding")
+    ).select("doc_id", "page_idx", "seq", "ev_idx", "font_name", "operand", "cmap", "encoding")
 
     def decode_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[bytes, CMap] = {}
         enc_cache: dict = {}  # spec string -> decoder (simple or /Differences)
         for pdf in batches:
             texts = []
-            for operand, cmap, enc in zip(pdf["operand"], pdf["cmap"], pdf["encoding"]):
+            for fname, operand, cmap, enc in zip(
+                pdf["font_name"], pdf["operand"], pdf["cmap"], pdf["encoding"]
+            ):
                 raw = bytes(operand) if operand is not None else b""
-                if cmap is not None:
+                if fname == ATEXT_FONT:
+                    # /ActualText replacement (§14.9.4): a PDF text
+                    # string — never font-decoded
+                    texts.append(pdf_text_string(raw))
+                elif cmap is not None:
                     key = bytes(cmap)
                     cm = cache.get(key)
                     if cm is None:

@@ -48,8 +48,19 @@ def _rows_for_doc(doc_id: int, spans) -> list[dict]:
             "n_streams": d["n_streams"],
         }
     ]
-    for page_idx, seq, payload in d["contents"]:
-        rows.append({"doc_id": doc_id, "rtype": "content", "page_idx": page_idx, "seq": seq, "data": payload})
+    for page_idx, seq, payload, hidden_json in d["contents"]:
+        # content rows reuse the (font-row) ``encoding`` column to carry the
+        # page's switched-off OCG property names to the tokenize stage
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "rtype": "content",
+                "page_idx": page_idx,
+                "seq": seq,
+                "data": payload,
+                "encoding": hidden_json,
+            }
+        )
     for page_idx, fname, cmap, enc in d["fonts"]:
         rows.append(
             {

@@ -19,21 +19,55 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import json
+
 from ..core.content import tokenize_content
 from ..schema import TOKENS
 
 _COLS = [f.name for f in TOKENS.fields]
 
 
+ATEXT_FONT = "__atext__"  # sentinel font: classify decodes as PDF text string
+
+
 def tokenize(decoded: DataFrame) -> DataFrame:
-    content = decoded.filter(F.col("rtype") == "content").select("doc_id", "page_idx", "seq", "data")
+    # the content row's ``encoding`` column carries the page's switched-off
+    # OCG property names (JSON list, decode stage) — /OC regions naming
+    # them are suppressed here, exactly like the fused kernel
+    content = decoded.filter(F.col("rtype") == "content").select(
+        "doc_id", "page_idx", "seq", "data", "encoding"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for doc_id, page_idx, seq, data in zip(pdf["doc_id"], pdf["page_idx"], pdf["seq"], pdf["data"]):
-                for ev_idx, ev in enumerate(tokenize_content(bytes(data))):
-                    if ev[0] in ("media", "inline"):
+            for doc_id, page_idx, seq, data, hidden_json in zip(
+                pdf["doc_id"], pdf["page_idx"], pdf["seq"], pdf["data"], pdf["encoding"]
+            ):
+                hidden = (
+                    frozenset(json.loads(hidden_json))
+                    if isinstance(hidden_json, str) and hidden_json
+                    else None
+                )
+                for ev_idx, ev in enumerate(
+                    tokenize_content(bytes(data), hidden_props=hidden)
+                ):
+                    if ev[0] == "atext":
+                        # /ActualText replacement: not font-encoded — route
+                        # to classify's PDF-text-string arm via the
+                        # sentinel font name (which matches no font row)
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "page_idx": int(page_idx),
+                                "seq": int(seq),
+                                "ev_idx": ev_idx,
+                                "ev_type": "text",
+                                "font_name": ATEXT_FONT,
+                                "operand": ev[3],
+                            }
+                        )
+                    elif ev[0] in ("media", "inline"):
                         # inline images carry the INLINE_MEDIA_REF sentinel
                         # as their media_name; classify resolves real names
                         # against /XObject and exempts the sentinel from the

@@ -93,6 +93,28 @@ def doc_rules(doc_id: int) -> dict:
         # identity, uniXXXX, and named-glyph arms are each exercised.
         # Octal-rule docs excluded to keep the escape paths orthogonal.
         "diff_encoding": doc_id % 21 == 5 and doc_id % 17 != 0,
+        # /ActualText marked content (§14.9.4): every 23rd+7 doc shows
+        # page 0's line as GARBLED glyphs (reversed) wrapped in
+        # /Span << /ActualText (true text) >> BDC..EMC — only a kernel
+        # honoring the replacement recovers the expected span text, so
+        # every span oracle doubles as the check.  Excluded from the
+        # cmap/octal/diff-encoding docs to keep the escape and encoding
+        # paths orthogonal.
+        "actual_text": (
+            doc_id % 23 == 7 and doc_id % 21 != 5 and doc_id % 17 != 0 and doc_id % 7 != 0
+        ),
+        # hidden optional-content layer (§8.11): every 29th+11 doc appends
+        # a page-0 text block inside /OC /MC9 BDC..EMC whose OCG sits in
+        # the catalog's /OCProperties /D /OFF list — it must NOT extract
+        # (spans invariant; +1 object in the object_stats formula)
+        "ocg_hidden": doc_id % 29 == 11,
+        # /Contents ARRAY (§7.8.2): every 31st+13 doc splits page 0's
+        # content into TWO streams at a token boundary (right after the
+        # first "Tf "); extraction must concatenate the array before
+        # tokenizing, so a kernel processing pieces independently loses
+        # the split-off positioning/show tail and fails every span
+        # oracle.  +1 object and +1 stream in object_stats.
+        "split_content": doc_id % 31 == 13,
         # Form XObject tier (ISO 32000 §8.10): every 9th+2 doc (always
         # 3 pages) routes page 1's ENTIRE content through a nested pair of
         # forms — page /Contents is just `q /Fm1 Do Q`, Fm1's stream is
@@ -353,6 +375,15 @@ def _content_plain(
             if quote:
                 parts.append("T* ")
             parts.append(f"({_octal_escape_first(body)}) Tj ")
+        elif page_idx == 0 and rules.get("actual_text") and body:
+            # §14.9.4: draw REVERSED glyphs, declare the true text as
+            # /ActualText — extraction must emit the declaration, not the
+            # glyphs (the ' variant keeps its implicit T*: the atext
+            # event is positioned at the show, after the drop)
+            op = "'" if quote else "Tj"
+            parts.append(
+                f"/Span << /ActualText ({body}) >> BDC ({body[::-1]}) {op} EMC "
+            )
         elif quote:
             parts.append(f"{show(body)} ' ")
         else:
@@ -360,6 +391,11 @@ def _content_plain(
     parts.append("ET")
     if page_idx == 0 and rules["media"]:
         parts.append(" q /Im1 Do Q")
+    if page_idx == 0 and rules.get("ocg_hidden"):
+        # switched-off layer: NOTHING inside may extract (§8.11.4.3)
+        parts.append(
+            " /OC /MC9 BDC BT /F1 12 Tf 72 40 Td (hidden layer must not extract) Tj ET EMC"
+        )
     if rules["dangling"] and page_idx == rules["_last_page"]:
         parts.append(" q /ImMissing Do Q")
     return "".join(parts).encode("ascii")
@@ -446,6 +482,19 @@ def build_document(doc_id: int, text: str) -> dict:
         att_ef0 = next_id
         next_id += n_att
 
+    # hidden optional-content layer: one OCG object, switched off by the
+    # catalog's default configuration
+    ocg_id = None
+    if r["ocg_hidden"]:
+        ocg_id = next_id
+        next_id += 1
+
+    # /Contents array: the second stream of page 0's split content
+    split_id = None
+    if r["split_content"] and 0 in content_ids:
+        split_id = next_id
+        next_id += 1
+
     cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
     if outl_root_id is not None:
         cat_body += f" /Outlines {outl_root_id} 0 R"
@@ -453,6 +502,11 @@ def build_document(doc_id: int, text: str) -> dict:
         cat_body += f" /AcroForm {acro_id} 0 R"
     if att_tree_id is not None:
         cat_body += f" /Names << /EmbeddedFiles {att_tree_id} 0 R >>"
+    if ocg_id is not None:
+        cat_body += (
+            f" /OCProperties << /OCGs [{ocg_id} 0 R]"
+            f" /D << /OFF [{ocg_id} 0 R] >> >>"
+        )
     cat_body += " >>"
     trailer_info = f" /Info {info_id} 0 R"
 
@@ -545,15 +599,25 @@ def build_document(doc_id: int, text: str) -> dict:
             xo_entries.append(f"/Fm1 {fm1_id} 0 R")
         if xo_entries:
             res += " /XObject << " + " ".join(xo_entries) + " >>"
+        if ocg_id is not None and p == 0:
+            res += f" /Properties << /MC9 {ocg_id} 0 R >>"
         res += " >>"
         entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
-        if t:
+        if t and p == 0 and split_id is not None:
+            entry += f" /Contents [{content_ids[p]} 0 R {split_id} 0 R]"
+        elif t:
             entry += f" /Contents {content_ids[p]} 0 R"
         if p == 0 and link_ids:
             entry += " /Annots [" + " ".join(f"{a} 0 R" for a in link_ids) + "]"
         entry += " >>"
         obj_open(page_ids[p])
         b.struct(entry.encode("ascii"))
+        obj_close()
+
+    # hidden-layer OCG object
+    if ocg_id is not None:
+        obj_open(ocg_id)
+        b.struct(b"<< /Type /OCG /Name (layer1) >>")
         obj_close()
 
     # document metadata objects: /Info dict + /Outlines chain
@@ -678,6 +742,13 @@ def build_document(doc_id: int, text: str) -> dict:
             plain = b"q /Fm1 Do Q"
         else:
             plain = _content_plain(t, p, r)
+        tail = None
+        if p == 0 and split_id is not None:
+            # split at a token boundary (§7.8.2: "the division between
+            # the streams may occur only between lexical tokens") —
+            # right after the first "Tf "; the reader concatenates
+            cut = plain.index(b"Tf ") + 3
+            plain, tail = plain[:cut], plain[cut:]
         payload, filt = _encode_payload(plain, r["filter_mode"])
         obj_open(content_ids[p])
         if p in length_ids:
@@ -690,6 +761,15 @@ def build_document(doc_id: int, text: str) -> dict:
         if p in length_ids:
             obj_open(length_ids[p])
             b.struct(str(len(payload)).encode("ascii"))
+            obj_close()
+        if tail is not None:
+            tpayload, tfilt = _encode_payload(tail, r["filter_mode"])
+            obj_open(split_id)
+            b.struct(
+                f"<< /Length {len(tpayload)} /Filter {tfilt} >>\nstream\n".encode("ascii")
+            )
+            b.text_payload(tpayload)
+            b.struct(b"\nendstream")
             obj_close()
 
     n_objs = next_id  # ids 1..next_id-1, plus obj 0 free

@@ -1,0 +1,147 @@
+"""Marked-content semantics (ISO 32000 §14.6): /ActualText replacement
+(§14.9.4) and hidden optional-content suppression (§8.11).
+
+The reference never reaches this tier (content streams are stub types,
+pdf_file.rs:705); semantics from the spec.
+"""
+
+from pdfparser_spark.core.cmap import pdf_text_string
+from pdfparser_spark.core.content import tokenize_content
+from pdfparser_spark.core.extract import extract_layout_spans, extract_spans
+from pdfparser_spark.synth import build_document, doc_rules
+
+TEXT = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega"
+)
+
+
+def test_actualtext_replaces_shows():
+    evs = tokenize_content(
+        b"BT 72 700 Td /Span << /ActualText (real) >> BDC (g4rbl3d) Tj (more) Tj EMC (after) Tj ET"
+    )
+    assert [(e[0], e[3]) for e in evs] == [("atext", b"real"), ("text", b"after")]
+
+
+def test_actualtext_positioned_at_first_show():
+    # the ' show's implicit T* happens BEFORE the replacement is anchored
+    evs = tokenize_content(
+        b"BT 72 700 Td 14 TL /Span << /ActualText (real) >> BDC (x) ' EMC ET",
+        layout=True,
+    )
+    assert evs[0][0] == "atext" and evs[0][5] == 686.0  # 700 - 14
+
+
+def test_actualtext_empty_region_emits_at_emc():
+    evs = tokenize_content(b"/Span << /ActualText (ghost) >> BDC EMC")
+    assert [(e[0], e[3]) for e in evs] == [("atext", b"ghost")]
+
+
+def test_hidden_ocg_suppresses_text_and_media():
+    evs = tokenize_content(
+        b"(vis) Tj /OC /MC9 BDC (hid) Tj /Im1 Do BI /W 1 ID x EI EMC (vis2) Tj",
+        hidden_props=frozenset({"MC9"}),
+    )
+    assert [(e[0], e[3] if e[0] == "text" else e[2]) for e in evs] == [
+        ("text", b"vis"),
+        ("text", b"vis2"),
+    ]
+
+
+def test_visible_ocg_and_plain_bmc_flow_through():
+    evs = tokenize_content(
+        b"/OC /MC1 BDC (kept) Tj EMC /Tag BMC (k2) Tj EMC",
+        hidden_props=frozenset({"MC9"}),
+    )
+    assert [e[3] for e in evs] == [b"kept", b"k2"]
+
+
+def test_hide_dominates_nested_actualtext():
+    evs = tokenize_content(
+        b"/OC /MC9 BDC /Span << /ActualText (nope) >> BDC (x) Tj EMC EMC (ok) Tj",
+        hidden_props=frozenset({"MC9"}),
+    )
+    assert [e[3] for e in evs] == [b"ok"]
+
+
+def test_pdf_text_string_utf16_and_pdfdoc():
+    assert pdf_text_string(b"plain") == "plain"
+    assert pdf_text_string("réel".encode("latin-1")) == "réel"
+    assert pdf_text_string(b"\xfe\xff\x00r\x00e\x00a\x00l") == "real"
+
+
+def _family_page_texts(doc_id: int, text: str) -> list[str]:
+    words = text.split(" ")
+    np_ = 1 + doc_id % 3
+    return [" ".join(words[p * 8 : p * 8 + 8]) for p in range(np_) if len(words) > p * 8]
+
+
+def test_armored_actualtext_doc_extracts_true_text():
+    # doc 76 satisfies the actual_text rule (76%23=7, 76%21=13, 76%17=8,
+    # 76%7=6) with filter_mode 0 (uncompressed content, so the garbled
+    # bytes are literally visible): page 0 draws REVERSED glyphs but must
+    # extract the true text
+    r = doc_rules(76)
+    assert r["actual_text"]
+    d = build_document(76, TEXT)
+    got = [t for (k, t, _m) in extract_spans(d["bytes"])["spans"] if k == "text"]
+    assert got == _family_page_texts(76, TEXT)
+    assert got[0][::-1] not in got
+    # the DECODED content stream really does draw the reversed glyphs
+    from pdfparser_spark.synth import _content_plain
+
+    r2 = dict(r, _last_page=0)
+    r2["_last_page"] = max(p for p, t in enumerate(_family_page_texts(76, TEXT)))
+    body = _content_plain(got[0], 0, r2)
+    assert got[0][::-1].encode() in body and b"/ActualText" in body
+
+
+def test_armored_hidden_ocg_doc_excludes_layer():
+    # doc 40 satisfies ocg_hidden (40%29=11): the hidden layer's text
+    # exists in the bytes but never in the spans
+    r = doc_rules(40)
+    assert r["ocg_hidden"]
+    d = build_document(40, TEXT)
+    # the decoded content stream carries the layer (the file bytes are
+    # filter-encoded, so check the authored body, then the extraction)
+    from pdfparser_spark.synth import _content_plain
+
+    pts = _family_page_texts(40, TEXT)
+    body = _content_plain(pts[0], 0, dict(r, _last_page=len(pts) - 1))
+    assert b"hidden layer must not extract" in body
+    res = extract_spans(d["bytes"])
+    got = [t for (k, t, _m) in res["spans"] if k == "text"]
+    assert got == _family_page_texts(40, TEXT)
+    assert all("hidden layer" not in t for t in got)
+    # layout kernel suppresses it too
+    lay = extract_layout_spans(d["bytes"])
+    assert all("hidden layer" not in t for (_p, _x, _y, t, _s) in lay["spans"])
+
+
+def test_ocg_on_config_keeps_layer_visible():
+    # same structure but OCG NOT in /OFF -> the layer text extracts; build
+    # doc 40 and rename the catalog's /OFF key (SAME length — offsets in
+    # the xref table must stay valid)
+    d = build_document(40, TEXT)
+    data = d["bytes"].replace(b"/D << /OFF [", b"/D << /OFX [")
+    got = extract_spans(data)["spans"]
+    assert any(t and "hidden layer" in t for (_k, t, _m) in got)
+
+
+def test_contents_array_concatenates_before_tokenize():
+    # doc 13 satisfies split_content (13%31=13): page 0's "... Tf" prelude
+    # and the rest of the content land in DIFFERENT streams; extraction
+    # must still produce the family's exact spans (both kernels)
+    from pdfparser_spark.core.extract import decode_document
+
+    r = doc_rules(13)
+    assert r["split_content"]
+    d = build_document(13, TEXT)
+    got = [t for (k, t, _m) in extract_spans(d["bytes"])["spans"] if k == "text"]
+    assert got == _family_page_texts(13, TEXT)
+    # the staged decode concatenates: exactly ONE content row per page
+    dd = decode_document(d["bytes"])
+    pages = [c[0] for c in dd["contents"]]
+    assert len(pages) == len(set(pages))
+    # and the second piece really exists as its own stream object
+    assert d["bytes"].count(b"endstream") >= 2

@@ -295,6 +295,33 @@ def _commit_docs_batch(log, df: DataFrame, table: str = "docs") -> int:
     return log.commit({table: [d]}, schemas={table: df.schema.json()})
 
 
+def _snapshot_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-delete demo (Iceberg v2 semantics): commit the docs table
+    in two batches, position-delete every 10th+3 row — coordinates
+    located via the scan's hidden _metadata (file_path, row_index), not
+    by key — then RE-APPEND a subset of the deleted rows (doc_id%30==3).
+    Position deletes are scoped to the files they name, so the re-
+    ingested copies MUST reappear in the HEAD read (the observable
+    difference from the global equality tombstones of delete_docs)."""
+    from pdfparser_spark.snapshots import (
+        SnapshotLog,
+        delete_positions,
+        positions_where,
+    )
+
+    log = SnapshotLog(_scratch_log_dir("pdel_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 == 0))
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 != 0))
+    delete_positions(
+        log,
+        positions_where(log, spark, "docs", F.col("doc_id") % 10 == 3),
+        table="docs",
+    )
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 30 == 3))
+    return log.read(spark, "docs")
+
+
 def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHANGE DATA FEED demo: commit the docs table in two batches
     (doc_id%3==0 first, the rest second), then commit a deletion request
@@ -1355,6 +1382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token boundary — the reader must concatenate before tokenizing
         # (operands and operator land in different pieces)
         "extract_content_array": lambda s, d: _flat(s, d, F.col("doc_id") % 31 == 13),
+        # Iceberg-v2 POSITION deletes: rows dropped by (file, row_index)
+        # coordinate via the scan's _metadata columns, merge-on-read;
+        # re-appended copies of deleted rows REAPPEAR (file-scoped, not
+        # global tombstones — the equality/position semantic split)
+        "snapshot_position_deletes": _snapshot_position_deletes,
     }
 
 
@@ -2220,6 +2252,14 @@ def oracle_sql() -> dict[str, str]:
         # change feed from snapshot 1 (exclusive) to HEAD: batch 2 =
         # inserts, the deletion request = tombstone keys with sentinel
         # attribute values
+        # position deletes drop doc_id%10=3 rows from the files they were
+        # in; the later re-append of doc_id%30=3 is a NEW file the
+        # coordinates don't name, so those copies come back
+        "snapshot_position_deletes": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 <> 3
+            UNION ALL
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 30 = 3
+        """,
         "snapshot_changelog": """
             SELECT doc_id, lang, n_chars, 'insert' AS change_type
             FROM documents WHERE doc_id % 3 <> 0

@@ -407,6 +407,17 @@ class SnapshotLog:
                 return df
             raise ValueError(f"table {table!r} has no committed data")
         df = reader.parquet(*dirs)
+        ddirs = self.delete_files_for(table, snapshot_id)
+        # position-delete files (pdel-*) carry (file_path, row_index)
+        # coordinates; equality-delete files (del-*) carry key values
+        pdirs = [d for d in ddirs if os.path.basename(d).startswith("pdel-")]
+        edirs = [d for d in ddirs if not os.path.basename(d).startswith("pdel-")]
+        if pdirs:
+            # the scan's hidden metadata columns must be attached directly
+            # on the file-source relation, before any other operator
+            df = df.withColumn("__pd_fp", F.col("_metadata.file_path")).withColumn(
+                "__pd_ri", F.col("_metadata.row_index")
+            )
         if where is not None:
             col, lo, hi = where
             if lo is not None:
@@ -415,13 +426,28 @@ class SnapshotLog:
                 df = df.filter(F.col(col) <= hi)
         if where_eq is not None:
             df = df.filter(F.col(where_eq[0]) == where_eq[1])
-        ddirs = self.delete_files_for(table, snapshot_id)
-        if ddirs:
+        if edirs:
             # merge-on-read: anti-join the accumulated equality-delete keys
             # (a tiny broadcast side — delete sets are rare keys, not data)
-            dels = spark.read.parquet(*ddirs)
+            dels = spark.read.parquet(*edirs)
             key = dels.columns[0]
             df = df.join(F.broadcast(dels.select(key).distinct()), key, "left_anti")
+        if pdirs:
+            # merge-on-read position deletes (Iceberg v2 shape): drop the
+            # exact (file, row) coordinates — scoped to the files they
+            # name, so unlike the global equality tombstones they do NOT
+            # suppress a re-ingested copy of the same logical row
+            pdels = (
+                spark.read.parquet(*pdirs)
+                .select(
+                    F.col("file_path").alias("__pd_fp"),
+                    F.col("row_index").alias("__pd_ri"),
+                )
+                .distinct()
+            )
+            df = df.join(F.broadcast(pdels), ["__pd_fp", "__pd_ri"], "left_anti").drop(
+                "__pd_fp", "__pd_ri"
+            )
         return df
 
 
@@ -784,6 +810,52 @@ def delete_docs_keys(
         {},
         operation="delete",
         summary={"delete_file": ddir},
+        deletes={table: [ddir]},
+    )
+
+
+def positions_where(
+    log: SnapshotLog, spark: SparkSession, table: str, condition
+) -> DataFrame:
+    """``(file_path, row_index)`` coordinates of the HEAD rows matching
+    ``condition`` — the shape a position-delete request pipeline produces
+    (e.g. a dedup pass marking each cluster's losing rows by file
+    coordinates instead of by key).  Planned from the scan's hidden
+    ``_metadata`` columns; no extra column needs to exist in the data."""
+    dirs = log.files_for(table)
+    if not dirs:
+        raise ValueError(f"table {table!r} has no committed data")
+    df = spark.read.parquet(*dirs)
+    return df.filter(condition).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+
+
+def delete_positions(
+    log: SnapshotLog,
+    positions: DataFrame,
+    table: str = "spans",
+) -> int:
+    """Row-level POSITION delete (Iceberg v2 §position deletes): commit a
+    small parquet file of ``(file_path, row_index)`` coordinates that
+    every subsequent read drops via a broadcast positional anti-join on
+    the scan's ``_metadata`` columns — merge-on-read, no data rewritten.
+
+    Contrast with :func:`delete_docs` (equality deletes): position
+    deletes are scoped to the exact files they name, so a LATER append of
+    the same logical row is NOT suppressed — the Iceberg semantics, and
+    the right primitive when the deletion is about specific physical rows
+    (dedup losers, corrupt-batch excision) rather than a key-based
+    forget-me request.  ``compact()`` materializes them away like any
+    other delete file."""
+    ddir = os.path.join(log.root, "data", table, f"pdel-{uuid.uuid4().hex[:12]}")
+    os.makedirs(os.path.dirname(ddir), exist_ok=True)
+    positions.select("file_path", "row_index").distinct().coalesce(1).write.parquet(ddir)
+    return log.commit(
+        {},
+        operation="delete",
+        summary={"position_delete_file": ddir},
         deletes={table: [ddir]},
     )
 

@@ -623,3 +623,57 @@ def test_columns_family_roundtrips_arbitrary_words(words, doc_id):
     assert [(p, x, y, t) for _i, (p, x, y, t, _s) in got] == [
         (p, x, y, t) for (_o, p, _c, x, y, t) in exp
     ]
+
+
+# --- advance kernel + marked content under mutation -------------------------
+
+from pdfparser_spark.core.extract import extract_advance_spans  # noqa: E402
+from pdfparser_spark.synth import build_document_advance  # noqa: E402
+
+
+@given(
+    doc_id=st.integers(0, 500),
+    seed=st.integers(0, 10**6),
+    n_mutations=st.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_advance_never_raises_on_mutations(doc_id, seed, n_mutations):
+    """The glyph-advance kernel (width tables, Tc/Tw/Tz state, CID codes)
+    stays lenient under arbitrary byte corruption — errors become metric
+    rows, never task-killing exceptions."""
+    import random
+
+    d = build_document_advance(doc_id, "stream filter sort hash merge join window gap")
+    payload = bytearray(d["bytes"])
+    rng = random.Random(seed)
+    for _ in range(n_mutations):
+        payload[rng.randrange(len(payload))] = rng.randrange(256)
+    res = extract_advance_spans(bytes(payload))
+    assert isinstance(res["spans"], list)
+    assert isinstance(res["errors"], list)
+    for span in res["spans"]:
+        assert isinstance(span[3], int)  # ax_micro stays integral
+
+
+@given(
+    doc_id=st.sampled_from([76, 214, 352, 40, 69, 127, 13, 44, 168]),
+    seed=st.integers(0, 10**6),
+    n_mutations=st.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_marked_content_docs_never_raise_on_mutations(doc_id, seed, n_mutations):
+    """ActualText (76/214/352), hidden-OCG (40/69/127) and split-content
+    (13/44/168) docs under corruption: BDC/EMC imbalance, a clipped
+    /OCProperties or a broken /Contents array must all stay contained."""
+    import random
+
+    from pdfparser_spark.synth import build_document
+
+    d = build_document(doc_id, "stream filter sort hash merge join window gap")
+    payload = bytearray(d["bytes"])
+    rng = random.Random(seed)
+    for _ in range(n_mutations):
+        payload[rng.randrange(len(payload))] = rng.randrange(256)
+    res = extract_spans(bytes(payload))
+    assert isinstance(res["spans"], list)
+    assert isinstance(res["errors"], list)

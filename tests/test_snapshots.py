@@ -729,3 +729,37 @@ def test_refs_tag_branch_and_expire_guard(spark, tmp_path):
     compact(log, spark, table="t")
     with pytest.raises(ValueError, match="pins snapshot"):
         expire_snapshots(log, log.head_id())
+
+
+def test_position_deletes_scoped_to_files(spark, tmp_path):
+    """delete_positions drops the exact (file, row_index) coordinates;
+    a LATER append of the same logical row reappears (file-scoped Iceberg
+    v2 semantics), and compact() materializes the deletes away."""
+    from pdfparser_spark.snapshots import compact, delete_positions, positions_where
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(8)], "doc_id long, text string")
+    d1 = log.new_data_dir("t")
+    df.write.parquet(d1)
+    log.commit({"t": [d1]})
+
+    pos = positions_where(log, spark, "t", F.col("doc_id") % 2 == 1)
+    delete_positions(log, pos, table="t")
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 2, 4, 6}
+
+    # re-append doc 1: the coordinates name the OLD file only — it returns
+    d2 = log.new_data_dir("t")
+    spark.createDataFrame([(1, "v1-again")], "doc_id long, text string").write.parquet(d2)
+    log.commit({"t": [d2]})
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2, 4, 6}
+
+    # equality and position deletes compose on one table
+    from pdfparser_spark.snapshots import delete_docs
+
+    delete_docs(log, spark, [6], table="t")
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2, 4}
+
+    # compaction materializes both kinds away; reads stay identical
+    compact(log, spark, "t")
+    assert log.delete_files_for("t") == []
+    assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2, 4}

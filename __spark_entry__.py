@@ -1387,6 +1387,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-appended copies of deleted rows REAPPEAR (file-scoped, not
         # global tombstones — the equality/position semantic split)
         "snapshot_position_deletes": _snapshot_position_deletes,
+        # cluster-balanced data selection: k-means-trained assignment
+        # (the ann_ivf_trained chain) + a deterministic md5-ranked cap of
+        # 20 vectors per cluster — semantic-diversity sampling; the
+        # oracle retrains all 10 Lloyd iterations from scratch
+        "cluster_balanced_sample": lambda s, d: ann.cluster_balanced_sample(_emb(s, d)),
     }
 
 
@@ -1889,13 +1894,10 @@ def _sql_cent_score(e: str, cl: str) -> str:
     return f"({c2} - 2.0 * {dot})"
 
 
-def _sql_ivf_trained(n_iters: int = 10, n_lists: int = 8, n_probe: int = 2) -> str:
-    """Replay ann.ivf_train_kmeans in chained CTEs — one (score, assign,
-    quantized-sum, new-centroid) block per Lloyd iteration — then the same
-    probe/top-k as ann_ivf_topk over the trained centroids.  Exact because
-    the per-dim sums are integers (floor(v * 2^24) summed as BIGINT:
-    order-independent) and every double op mirrors the Spark side
-    operand-for-operand."""
+def _sql_ivf_train_parts(n_iters: int, n_lists: int) -> list[str]:
+    """The Lloyd-training CTE chain shared by _sql_ivf_trained and
+    _sql_cluster_sample: cent0 .. cent{n_iters}, then the final
+    ``scf`` scores and hard ``assign`` (vec_id, list_id)."""
     h = "md5('ivf' || CAST(jj AS VARCHAR) || ':dim' || CAST(d AS VARCHAR))"
     coeff = f"(((ascii(substr({h}, 1, 1)) * 31 + ascii(substr({h}, 2, 1))) % 101) / 101.0 - 0.5)"
     parts = [f"""
@@ -1942,7 +1944,20 @@ def _sql_ivf_trained(n_iters: int = 10, n_lists: int = 8, n_probe: int = 2) -> s
                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
                 FROM scf
               ) WHERE rn = 1
-            ), probe AS (
+            )""")
+    return parts
+
+
+def _sql_ivf_trained(n_iters: int = 10, n_lists: int = 8, n_probe: int = 2) -> str:
+    """Replay ann.ivf_train_kmeans in chained CTEs — one (score, assign,
+    quantized-sum, new-centroid) block per Lloyd iteration — then the same
+    probe/top-k as ann_ivf_topk over the trained centroids.  Exact because
+    the per-dim sums are integers (floor(v * 2^24) summed as BIGINT:
+    order-independent) and every double op mirrors the Spark side
+    operand-for-operand."""
+    parts = _sql_ivf_train_parts(n_iters, n_lists)
+    parts.append(f"""
+            , probe AS (
               SELECT vec_id AS query_id, j AS list_id FROM (
                 SELECT vec_id, j,
                        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, j) AS rn
@@ -1964,6 +1979,26 @@ def _sql_ivf_trained(n_iters: int = 10, n_lists: int = 8, n_probe: int = 2) -> s
               FROM scored
             )
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+        """)
+    return "".join(parts)
+
+
+def _sql_cluster_sample(n_iters: int = 10, n_lists: int = 8, per_cluster: int = 20) -> str:
+    """Cluster-balanced sampling oracle: the SAME trained assignment as
+    _sql_ivf_trained, then a deterministic md5-ranked row_number <= K per
+    cluster — mirrors ann.cluster_balanced_sample operand-for-operand."""
+    parts = _sql_ivf_train_parts(n_iters, n_lists)
+    parts.append(f"""
+            , ranked AS (
+              SELECT vec_id, list_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY list_id
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                     ) AS rk
+              FROM assign
+            )
+            SELECT vec_id, CAST(list_id AS INT) AS list_id, CAST(rk AS INT) AS rk
+            FROM ranked WHERE rk <= {per_cluster}
         """)
     return "".join(parts)
 
@@ -3132,6 +3167,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
         """,
         "ann_ivf_trained": _sql_ivf_trained(),
+        "cluster_balanced_sample": _sql_cluster_sample(),
         "ann_pq_topk": _sql_pq_topk(),
         "ann_pq_trained": _sql_pq_trained(),
         "ann_ivfpq_topk": _sql_ivfpq_topk(),

@@ -414,6 +414,41 @@ def ann_ivf_trained(
     return ann_ivf_topk(embeddings, n_queries, k, n_lists, n_probe, codebook=cb)
 
 
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    n_lists: int = N_LISTS,
+    n_iters: int = IVF_TRAIN_ITERS,
+    per_cluster: int = 20,
+) -> DataFrame:
+    """CLUSTER-BALANCED data selection (the semantic-diversity sampling
+    step of curation pipelines — cap each embedding cluster's
+    contribution so boilerplate-dense regions can't dominate the
+    training mix): k-means-train the centroids (``ivf_train_kmeans``,
+    bit-reproducible), hard-assign every vector, keep a deterministic
+    md5-ranked sample of at most ``per_cluster`` vectors per cluster.
+    Emits (vec_id, list_id, rk).
+
+    Plan: assignment is a codegen'd argmin projection over the scan (the
+    codebook is a literal), then ONE window over ``list_id`` with
+    WindowGroupLimit pushing the top-K before the exchange — per-cluster
+    state is K rows, no global sort, no driver collection beyond the
+    KiB-scale codebook."""
+    cb = ivf_train_kmeans(embeddings, n_lists, n_iters)
+    scores = _literal_scores(F.col("embedding"), cb)
+    assigned = embeddings.select(
+        "vec_id",
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+    )
+    w = Window.partitionBy("list_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= per_cluster)
+        .select("vec_id", "list_id", "rk")
+    )
+
+
 # --- PQ (product quantization) index ---------------------------------------
 # The memory-efficient ANN layout at 10^12-vector scale: each vector is
 # stored as PQ_M small codes (here 8 bytes) instead of 64 floats, the

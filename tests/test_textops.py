@@ -1078,3 +1078,21 @@ def test_boilerplate_line_filter_drops_cross_doc_lines(spark):
     # the newsletter line (2 docs) is gone everywhere; doc 2's self-repeat
     # survives both copies; the media row never participates
     assert kept == {(0, 1), (1, 1), (2, 0), (2, 1)}
+
+
+def test_cluster_balanced_sample_caps_each_cluster(spark, sf_dir):
+    """Every cluster contributes at most per_cluster rows, ranks are
+    1..n within each cluster, and the selection is deterministic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.cluster_balanced_sample(emb, per_cluster=5).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.list_id, []).append(r.rk)
+    assert by_cluster, "no clusters sampled"
+    for lid, rks in by_cluster.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+        assert len(rks) <= 5
+    out2 = ann.cluster_balanced_sample(emb, per_cluster=5).collect()
+    assert sorted((r.vec_id, r.list_id, r.rk) for r in out) == sorted(
+        (r.vec_id, r.list_id, r.rk) for r in out2
+    )

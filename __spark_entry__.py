@@ -2182,15 +2182,19 @@ def oracle_sql() -> dict[str, str]:
                      (doc_id % 3) * 250 AS tc,
                      CASE WHEN doc_id % 11 = 6 THEN 0 ELSE (doc_id % 2) * 500 END AS tw,
                      CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
-                     300 - (doc_id % 7) * 150 AS k
+                     300 - (doc_id % 7) * 150 AS k,
+                     -- font kind: Courier std-14 (no /Widths -> constant
+                     -- 600) and Type3 (/FontMatrix 0.002 -> eff_w = 2x)
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 9 THEN 1 ELSE 0 END AS mono,
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm
               FROM documents
             ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, i AS li,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, fm, i AS li,
                      w[i*6 + 1 : i*6 + 6] AS lw
               FROM base, unnest(generate_series(0, 6)) AS u(i)
               WHERE len(w) > i*6
             ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, li, s AS si,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, fm, li, s AS si,
                      CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
                             WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
                             ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
@@ -2198,7 +2202,9 @@ def oracle_sql() -> dict[str, str]:
             ), wsum AS (
               SELECT *,
                 CAST(fs AS BIGINT) * tz
-                  * COALESCE(list_sum(list_transform(string_split(t, ''), c -> 300 + (ascii(c) % 8) * 50)), 0)
+                  * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
+                      CASE WHEN mono = 1 THEN 600
+                           ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
                 + CAST(length(t) AS BIGINT) * tc * tz
                 + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz AS wmicro
               FROM seg

@@ -1021,7 +1021,16 @@ def _font_widths(font_obj, objects: dict):
     with /DW (default 1000) for everything else; codes are 2-byte
     (Identity-H — the overwhelmingly dominant real-world encoding) and
     Tw does NOT apply (word spacing hits the SINGLE-BYTE code 32 only,
-    §9.3.3)."""
+    §9.3.3).  Type3 fonts (§9.6.4): /Widths values are in GLYPH space;
+    the text-space advance is width × FontMatrix[0] (the matrix's
+    horizontal scale, §9.2.4), folded here into an effective per-mille
+    width so the cursor algebra stays integer-exact whenever a·1000 is
+    integral; a code with no glyph advances 0 (nothing is painted).
+    Width-less standard-14 fonts (§9.6.2.2: viewers supply the built-in
+    metrics): the Courier family is monospace at 600/1000 em in the
+    public Adobe Core-14 AFMs, so /BaseFont /Courier* without /Widths
+    resolves every glyph to 600 (subset prefixes ``ABCDEF+`` stripped);
+    the proportional standard-14 keep the conventional 500 default."""
     font = resolve(font_obj, objects)
     if isinstance(font, dict) and str(font.get("Subtype")) == "Type0":
         dw, table = 1000, {}
@@ -1035,6 +1044,7 @@ def _font_widths(font_obj, objects: dict):
             if isinstance(warr, list):
                 table = _parse_w_array(warr, objects)
         return (lambda cid: table.get(cid, dw)), 2, False
+    is_type3 = isinstance(font, dict) and str(font.get("Subtype")) == "Type3"
     first, widths = 0, None
     if isinstance(font, dict):
         fc = resolve(font.get("FirstChar"), objects)
@@ -1042,7 +1052,29 @@ def _font_widths(font_obj, objects: dict):
         if isinstance(fc, int) and isinstance(ws, list):
             first = fc
             widths = [int(resolve(w, objects)) if isinstance(resolve(w, objects), (int, float)) else 500 for w in ws]
+    if is_type3:
+        a = 0.001  # degenerate default: glyph space == 1/1000 text space
+        fm = resolve(font.get("FontMatrix"), objects)
+        if isinstance(fm, list) and fm:
+            a0 = resolve(fm[0], objects)
+            if isinstance(a0, (int, float)) and a0 != 0:
+                a = float(a0)
+        if widths is None:
+            return (lambda code: 0), 1, True
+        last = first + len(widths)
+
+        def t3_lookup(code: int) -> int:
+            if first <= code < last:
+                return int(round(widths[code - first] * a * 1000))
+            return 0
+
+        return t3_lookup, 1, True
     if widths is None:
+        base = str(font.get("BaseFont") or "") if isinstance(font, dict) else ""
+        if "+" in base:  # subset tag, e.g. ABCDEF+Courier-Bold
+            base = base.split("+", 1)[1]
+        if base.startswith("Courier"):
+            return (lambda code: 600), 1, True
         return (lambda code: 500), 1, True
     last = first + len(widths)
 

@@ -1579,6 +1579,33 @@ def adv_is_cid(doc_id: int) -> bool:
     return doc_id % 11 == 6
 
 
+def adv_is_type3(doc_id: int) -> bool:
+    """Every 13th+2 non-CID doc uses a TYPE3 font (§9.6.4): glyphs are
+    content-stream procedures (/CharProcs), codes map to glyph names via
+    an /Encoding /Differences table (uniXXXX names), and — the part the
+    advance kernel must honor — /Widths values live in GLYPH space, so
+    the text-space advance is width × FontMatrix[0].  The family's
+    /FontMatrix is [0.002 0 0 0.002 0 0]: effective width = 2× the
+    per-mille value, which the oracle replays as an integer factor."""
+    return doc_id % 13 == 2 and not adv_is_cid(doc_id)
+
+
+def adv_is_courier(doc_id: int) -> bool:
+    """Every 13th+9 non-CID doc uses /BaseFont /Courier with NO /Widths
+    at all — a standard-14 font whose metrics the viewer must supply
+    (§9.6.2.2).  Courier is monospace at 600/1000 em in the public Adobe
+    Core-14 AFMs, so every glyph advances 600."""
+    return doc_id % 13 == 9 and not adv_is_cid(doc_id)
+
+
+def adv_eff_width(doc_id: int, code: int) -> int:
+    """Effective per-mille text-space width of ``code`` under the doc's
+    font kind (the value the kernel's folded lookup must produce)."""
+    if adv_is_courier(doc_id):
+        return 600
+    return adv_width(code) * (2 if adv_is_type3(doc_id) else 1)
+
+
 def advance_lines(doc_id: int, text: str) -> list[tuple[int, list[str]]]:
     """(line_idx, words) — ADV_WPL-word slices, capped at ADV_MAX_LINES
     (mirrors the oracle's ``len(w) > i*6`` guard)."""
@@ -1598,13 +1625,15 @@ def advance_segments(lw: list[str]) -> list[str]:
     return [" ".join(lw[0:3]), " ".join(lw[3:4]), " ".join(lw[4:6])]
 
 
-def _adv_seg_width_micro(seg: str, fs: int, tc: int, tw: int, tz: int) -> int:
+def _adv_seg_width_micro(doc_id: int, seg: str, fs: int, tc: int, tw: int, tz: int) -> int:
     """Advance of one shown string in micro-points (1e-5 pt): per glyph
-    w/1000 * fs * tz/100 points, plus Tc per glyph and Tw per space-32
-    (§9.3.2-9.3.3; Tz multiplies all horizontal displacements)."""
+    eff_w/1000 * fs * tz/100 points, plus Tc per glyph and Tw per
+    space-32 (§9.3.2-9.3.3; Tz multiplies all horizontal displacements);
+    the effective width folds in the doc's font kind (Type3 FontMatrix /
+    Courier built-ins)."""
     total = 0
     for ch in seg.encode("latin-1"):
-        total += adv_width(ch) * fs * tz + tc * tz + (tw * tz if ch == 32 else 0)
+        total += adv_eff_width(doc_id, ch) * fs * tz + tc * tz + (tw * tz if ch == 32 else 0)
     return total
 
 
@@ -1630,7 +1659,7 @@ def expected_advance(doc_id: int, text: str) -> list[tuple[int, int, int, float,
                 out.append(
                     (len(out), 0, li, 72.0, float(720 - ADV_LINE_DY * li), cursor, seg, fs)
                 )
-            cursor += _adv_seg_width_micro(seg, fs, tc, tw, tz)
+            cursor += _adv_seg_width_micro(doc_id, seg, fs, tc, tw, tz)
     return out
 
 
@@ -1680,11 +1709,14 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     observes this family."""
     lines = advance_lines(doc_id, text)
     cid = adv_is_cid(doc_id)
+    t3 = adv_is_type3(doc_id)
+    mono = adv_is_courier(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
     CATALOG, PAGESROOT, FONT, PAGE, CONTENT, DESC, TOUNI = 1, 2, 3, 4, 5, 6, 7
-    n_objs = 7 if cid else 5
+    PROC = 6  # Type3 glyph-procedure stream (slot shared with DESC: disjoint kinds)
+    n_objs = 7 if cid else (6 if t3 else 5)
     offsets[CATALOG] = b.struct(
         f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
     )
@@ -1701,6 +1733,32 @@ def build_document_advance(doc_id: int, text: str) -> dict:
                 f"{FONT} 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Synth "
                 f"/Encoding /Identity-H /DescendantFonts [{DESC} 0 R] "
                 f"/ToUnicode {TOUNI} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    elif t3:
+        # Type3 (§9.6.4): every code 32..126 maps to a /uniXXXX glyph name
+        # (so the text decode genuinely goes through /Differences), every
+        # glyph name maps to the one shared glyph procedure, and /Widths
+        # are GLYPH-space values scaled by /FontMatrix [0.002 ...] — the
+        # advance kernel must produce eff_w = 2 × the table value.
+        names = " ".join(f"/uni{c:04X}" for c in range(32, 127))
+        procs = " ".join(f"/uni{c:04X} {PROC} 0 R" for c in range(32, 127))
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type3 "
+                f"/FontBBox [0 0 1000 1000] /FontMatrix [0.002 0 0 0.002 0 0] "
+                f"/CharProcs << {procs} >> "
+                f"/Encoding << /Type /Encoding /Differences [32 {names}] >> "
+                f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >> endobj\n"
+            ).encode("ascii")
+        )
+    elif mono:
+        # standard-14: NO /Widths — the consumer must supply Courier's
+        # built-in 600/1000-em monospace metrics (§9.6.2.2)
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
+                f"/BaseFont /Courier >> endobj\n"
             ).encode("ascii")
         )
     else:
@@ -1740,6 +1798,15 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             f"{TOUNI} 0 obj << /Length {len(cm)} >> stream\n".encode("ascii")
         )
         b.text_payload(cm)
+        b.struct(b"\nendstream endobj\n")
+    if t3:
+        # the shared glyph procedure: a bare d0 width declaration (§9.6.4
+        # requires /CharProcs streams; extraction never executes them)
+        proc = b"300 0 d0\n"
+        offsets[PROC] = b.struct(
+            f"{PROC} 0 obj << /Length {len(proc)} >> stream\n".encode("ascii")
+        )
+        b.text_payload(proc)
         b.struct(b"\nendstream endobj\n")
     xref_pos = b.pos
     b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))

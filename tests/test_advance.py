@@ -130,3 +130,76 @@ def test_cid_advance_family_end_to_end():
     tc = adv_tc_milli(6)
     manual = sum(w(c) * fs * tz + tc * tz for c in spans[0][4])
     assert spans[1][3] == manual
+
+
+def test_type3_fontmatrix_scales_widths():
+    # Type3 /Widths are glyph-space; text-space advance = w * FontMatrix[0]
+    # (§9.6.4): folded into an effective per-mille width by the lookup
+    from pdfparser_spark.core.extract import _font_widths
+
+    font = {
+        "Subtype": "Type3",
+        "FontMatrix": [0.002, 0, 0, 0.002, 0, 0],
+        "FirstChar": 65,
+        "Widths": [400, 500],
+    }
+    lk, cw, apply_tw = _font_widths(font, {})
+    assert (lk(65), lk(66)) == (800, 1000)  # 2x the glyph-space value
+    assert lk(64) == 0 and lk(67) == 0  # no glyph -> nothing painted -> 0
+    assert cw == 1 and apply_tw is True
+    # a Type3 with no /Widths at all advances nothing
+    lk2, _, _ = _font_widths({"Subtype": "Type3", "FontMatrix": [0.01, 0, 0, 0.01, 0, 0]}, {})
+    assert lk2(65) == 0
+
+
+def test_courier_std14_builtin_metrics():
+    # standard-14 fallback (§9.6.2.2): Courier family without /Widths is
+    # monospace 600/1000 em; subset prefixes strip; proportional fonts
+    # keep the conventional 500 default
+    from pdfparser_spark.core.extract import _font_widths
+
+    for base in ("Courier", "Courier-Bold", "Courier-BoldOblique"):
+        lk, cw, tw = _font_widths({"Subtype": "Type1", "BaseFont": base}, {})
+        assert lk(32) == lk(65) == lk(126) == 600 and cw == 1 and tw is True
+    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "ABCDEF+Courier"}, {})
+    assert lk(65) == 600
+    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica"}, {})
+    assert lk(65) == 500
+
+
+def test_type3_advance_family_end_to_end():
+    # doc 2 is the Type3 variant (doc%13==2, non-CID): text decodes
+    # through /Encoding /Differences uniXXXX names, the cursor through
+    # glyph-space /Widths x FontMatrix 0.002
+    spans = _spans(2)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs))
+        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(2, TEXT)
+    ]
+    assert spans == exp
+    # the doubled widths are observable: seg-1 offset is exactly the
+    # doubled-glyph sum (plus unscaled Tc/Tw terms)
+    w = lambda ch: (300 + (ord(ch) % 8) * 50) * 2
+    fs, tz = adv_font_size(2), adv_tz_pct(2)
+    tc, tw = adv_tc_milli(2), adv_tw_milli(2)
+    manual = sum(
+        w(c) * fs * tz + tc * tz + (tw * tz if c == " " else 0) for c in spans[0][4]
+    )
+    assert spans[1][3] == manual
+
+
+def test_courier_advance_family_end_to_end():
+    # doc 9 is the width-less Courier variant (doc%13==9, non-CID):
+    # every glyph advances the built-in 600
+    spans = _spans(9)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs))
+        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(9, TEXT)
+    ]
+    assert spans == exp
+    fs, tz = adv_font_size(9), adv_tz_pct(9)
+    tc, tw = adv_tc_milli(9), adv_tw_milli(9)
+    manual = sum(
+        600 * fs * tz + tc * tz + (tw * tz if c == " " else 0) for c in spans[0][4]
+    )
+    assert spans[1][3] == manual

@@ -1402,6 +1402,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Analytic expected-span CTE: mirrors pdfparser_spark/synth.py doc_rules /
 # page_texts / expected_spans EXACTLY (words-per-page 8; media Im1 after
 # page-0 text when doc_id%5=0; dangling ImMissing last when doc_id%13=0).
+# the Helvetica Core-14 AFM widths as a DuckDB list literal — built from
+# the SAME Python tuple the kernel reads (single source of truth), so the
+# oracle can never drift from the engine on a metrics edit
+from pdfparser_spark.core.extract import HELVETICA_WIDTHS as _HELV_W
+
+_HELV_SQL = "[" + ", ".join(str(w) for w in _HELV_W) + "]"
+
 _SPAN_CTE = """
 WITH base AS (
   SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np FROM documents
@@ -2174,8 +2181,16 @@ def oracle_sql() -> dict[str, str]:
         # here with pure integer algebra (no float tolerance).  doc%11=6
         # is the COMPOSITE-font variant: same widths via the CIDFont /W
         # table and 2-byte Identity-H codes, but Tw can never apply
-        # (word spacing hits the single-byte code 32 only, §9.3.3)
-        "extract_layout_advance": """
+        # (word spacing hits the single-byte code 32 only, §9.3.3).
+        # doc%13=9 non-CID is width-less /Courier (mono 600), doc%13=2 is
+        # Type3 (/FontMatrix 0.002 -> eff_w = 2x), doc%13=11 is width-less
+        # /Helvetica — per-glyph widths from the public Core-14 AFM table
+        # inlined below as a 95-element list literal (built from the SAME
+        # Python source the kernel uses, core.extract.HELVETICA_WIDTHS).
+        # doc%19=5 lifts segment 1 by the text rise Ts (dyadic quarter
+        # points — float-exact); doc%17=4 shows segment 1 as invisible
+        # ink (Tr 3): still emitted, still advancing, mode=3 reported
+        "extract_layout_advance": f"""
             WITH base AS (
               SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
                      12 + (doc_id % 4) * 2 AS fs,
@@ -2184,17 +2199,22 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
                      300 - (doc_id % 7) * 150 AS k,
                      -- font kind: Courier std-14 (no /Widths -> constant
-                     -- 600) and Type3 (/FontMatrix 0.002 -> eff_w = 2x)
+                     -- 600), Type3 (/FontMatrix 0.002 -> eff_w = 2x),
+                     -- Helvetica std-14 (public AFM per-glyph table)
                      CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 9 THEN 1 ELSE 0 END AS mono,
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 11 THEN 1 ELSE 0 END AS helv,
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm,
+                     CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
+                     CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
+                     {_HELV_SQL} AS hw
               FROM documents
             ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, fm, i AS li,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, hw, i AS li,
                      w[i*6 + 1 : i*6 + 6] AS lw
               FROM base, unnest(generate_series(0, 6)) AS u(i)
               WHERE len(w) > i*6
             ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, fm, li, s AS si,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, hw, li, s AS si,
                      CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
                             WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
                             ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
@@ -2204,12 +2224,13 @@ def oracle_sql() -> dict[str, str]:
                 CAST(fs AS BIGINT) * tz
                   * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
                       CASE WHEN mono = 1 THEN 600
+                           WHEN helv = 1 THEN hw[ascii(c) - 31]
                            ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
                 + CAST(length(t) AS BIGINT) * tc * tz
                 + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz AS wmicro
               FROM seg
             ), pos AS (
-              SELECT doc_id, li, si, t, fs,
+              SELECT doc_id, li, si, t, fs, rise, tmode,
                 COALESCE(SUM(wmicro) OVER (
                   PARTITION BY doc_id, li ORDER BY si
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -2220,10 +2241,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY li, si) - 1 AS INT) AS ord,
                    CAST(0 AS INT) AS page_idx,
                    CAST(72 AS DOUBLE) AS x,
-                   CAST(720 - 16 * li AS DOUBLE) AS y,
+                   CAST(720 - 16 * li AS DOUBLE)
+                     + CASE WHEN si = 1 THEN rise / 1000.0 ELSE 0.0 END AS y,
                    CAST(ax AS BIGINT) AS ax_micro,
                    t AS text,
-                   CAST(fs AS DOUBLE) AS size
+                   CAST(fs AS DOUBLE) AS size,
+                   CAST(CASE WHEN si = 1 THEN tmode ELSE 0 END AS INT) AS mode
             FROM pos
             WHERE length(t) > 0
         """,

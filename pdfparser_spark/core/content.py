@@ -107,15 +107,22 @@ def tokenize_content(
     unchanged when ``layout=False`` (every pre-existing caller).
 
     With ``advance=True`` (implies layout), the machine ALSO tracks the
-    character/word-spacing/scaling state (Tc/Tw/Tz, §9.3.2-9.3.4) and a
-    per-line show-op counter, and text events carry four more fields:
-    (..., tc_milli, tw_milli, tz_pct, seg).  ``seg`` resets to 0 on every
-    positioning operator (BT/Td/TD/Tm/T* and the implicit T* of '/") so
-    the caller — which owns the font /Widths tables — can reset its
-    advance cursor at each new line and accumulate glyph widths across
-    same-line show ops (core/extract.py ``extract_advance_spans``).
-    Tc/Tw are exact milli-point ints, Tz an int percent: the caller's
-    cursor math stays in exact integer micro-points."""
+    character/word-spacing/scaling state (Tc/Tw/Tz, §9.3.2-9.3.4), the
+    text rise (Ts, §9.3.7) and render mode (Tr, §9.3.6), and a per-line
+    show-op counter, and text events carry six more fields:
+    (..., tc_milli, tw_milli, tz_pct, seg, rise_milli, tr_mode).  ``seg``
+    resets to 0 on every positioning operator (BT/Td/TD/Tm/T* and the
+    implicit T* of '/") so the caller — which owns the font /Widths
+    tables — can reset its advance cursor at each new line and accumulate
+    glyph widths across same-line show ops (core/extract.py
+    ``extract_advance_spans``).  Tc/Tw/Ts are exact milli-point ints, Tz
+    an int percent: the caller's cursor math stays in exact integer
+    micro-points.  Rise displaces the BASELINE of subsequent shows (the
+    caller adds it to y); render mode 3 (invisible — the OCR-text-layer
+    convention) still advances the cursor and still emits the span: for
+    extraction the text layer IS the content, so visibility is reported,
+    never used to drop text.  Neither is reset by BT — text state
+    persists across text objects (§9.3.1, Table 103)."""
     if advance:
         layout = True
     events = []
@@ -126,6 +133,8 @@ def tokenize_content(
     leading = 0.0
     tc = tw = 0  # Tc/Tw in milli-points (valid while advance=True)
     tz = 100  # Tz percent
+    rise = 0  # Ts in milli-points (§9.3.7)
+    tr = 0  # Tr render mode (§9.3.6; 3 = invisible)
     seg = 0  # show ops since the last positioning operator
     mc_stack: list = []  # open BMC/BDC modes: None | 'hide' | 'atext'
     hide_n = 0  # open hidden-OCG regions
@@ -148,7 +157,7 @@ def tokenize_content(
             kind, payload = "atext", pending_atext
             pending_atext = None
         if advance:
-            events.append((kind, at, font, payload, x, y, fsize, tc, tw, tz, seg))
+            events.append((kind, at, font, payload, x, y, fsize, tc, tw, tz, seg, rise, tr))
             seg += 1
         elif layout:
             events.append((kind, at, font, payload, x, y, fsize))
@@ -286,6 +295,18 @@ def tokenize_content(
                 v = _num(stack[-1])
                 if v is not None:
                     tz = int(round(v))
+            stack.clear()
+        elif advance and op == b"Ts":
+            if stack:
+                v = _num(stack[-1])
+                if v is not None:
+                    rise = int(round(v * 1000))
+            stack.clear()
+        elif advance and op == b"Tr":
+            if stack:
+                v = _num(stack[-1])
+                if v is not None:
+                    tr = int(v)
             stack.clear()
         elif op == b"BMC":
             mc_stack.append(None)

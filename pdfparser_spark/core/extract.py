@@ -1010,6 +1010,21 @@ def _parse_w_array(warr, objects: dict) -> dict:
     return out
 
 
+# Helvetica glyph widths for codes 32..126 (1/1000 em), from the public
+# Adobe Core-14 AFM (Helvetica.afm) under StandardEncoding — the metrics
+# a conforming reader must supply for a width-less /BaseFont /Helvetica
+# standard-14 font (ISO 32000 §9.6.2.2).  Index = code - 32.
+HELVETICA_WIDTHS = (
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584,
+)
+
+
 def _font_widths(font_obj, objects: dict):
     """Glyph-width model for the advance kernel: returns ``(lookup,
     code_width, apply_tw)``.
@@ -1030,7 +1045,9 @@ def _font_widths(font_obj, objects: dict):
     metrics): the Courier family is monospace at 600/1000 em in the
     public Adobe Core-14 AFMs, so /BaseFont /Courier* without /Widths
     resolves every glyph to 600 (subset prefixes ``ABCDEF+`` stripped);
-    the proportional standard-14 keep the conventional 500 default."""
+    width-less /Helvetica (regular face) resolves through the public
+    ``HELVETICA_WIDTHS`` AFM table; the other proportional standard-14
+    keep the conventional 500 default."""
     font = resolve(font_obj, objects)
     if isinstance(font, dict) and str(font.get("Subtype")) == "Type0":
         dw, table = 1000, {}
@@ -1075,6 +1092,12 @@ def _font_widths(font_obj, objects: dict):
             base = base.split("+", 1)[1]
         if base.startswith("Courier"):
             return (lambda code: 600), 1, True
+        if base.startswith("Helvetica") and "-" not in base:
+            # the regular face only — Bold/Oblique have their own AFMs,
+            # which we don't carry; those keep the conventional default
+            return (
+                lambda code: HELVETICA_WIDTHS[code - 32] if 32 <= code < 127 else 500
+            ), 1, True
         return (lambda code: 500), 1, True
     last = first + len(widths)
 
@@ -1096,8 +1119,15 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
     resets whenever the line origin moves (any positioning operator).
     Integer widths × integer font sizes × milli-point Tc/Tw × percent Tz
     keep every cursor value EXACT — the DuckDB oracle reproduces them
-    with BIGINT algebra, no float tolerance.  Returns
-    ``{"spans": [(page_idx, x, y, ax_micro, text, size)], "errors": []}``."""
+    with BIGINT algebra, no float tolerance.  The text rise (Ts, §9.3.7)
+    displaces each span's baseline: ``y`` is the line origin PLUS the
+    rise in effect at the show op (milli-point-exact, so dyadic rises
+    stay float-exact).  ``mode`` is the render mode (Tr, §9.3.6) at the
+    show op — mode 3 spans are invisible ink (the OCR-text-layer
+    convention): they are REPORTED, never dropped, and their glyphs
+    advance the cursor like any other (§9.3.6 leaves the displacement
+    algebra untouched).  Returns ``{"spans": [(page_idx, x, y, ax_micro,
+    text, size, mode)], "errors": []}``."""
     errors: list = []
     out: list = []
     try:
@@ -1135,7 +1165,10 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                     if ev[10] == 0:
                         cursor = 0
                     out.append(
-                        (page_idx, ev[4], ev[5], cursor, pdf_text_string(ev[3]), ev[6])
+                        (
+                            page_idx, ev[4], ev[5] + ev[11] / 1000.0, cursor,
+                            pdf_text_string(ev[3]), ev[6], ev[12],
+                        )
                     )
                     continue
                 if ev[0] not in ("text", "textarr"):
@@ -1149,13 +1182,16 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                 dec = dec_cache[fkey]
                 wid, cw, apply_tw = w_cache[fkey]
                 x, y, fs, tc, tw, tz, seg = ev[4], ev[5], ev[6], ev[7], ev[8], ev[9], ev[10]
+                rise, tr = ev[11], ev[12]
                 if seg == 0:
                     cursor = 0
                 elems = [ev[3]] if ev[0] == "text" else ev[3]
                 for el in elems:
                     if isinstance(el, (bytes, bytearray)):
                         if el:
-                            out.append((page_idx, x, y, cursor, dec(el), fs))
+                            out.append(
+                                (page_idx, x, y + rise / 1000.0, cursor, dec(el), fs, tr)
+                            )
                         if cw == 1:
                             codes = el
                         else:  # 2-byte composite codes, big-endian (§9.7.6)

@@ -103,15 +103,17 @@ def extract_advance_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
     TJ kerns folded into an exact integer cursor) emitting one span per
     shown string with its x-advance from the line origin in micro-points.
     `ord` numbers spans per document in STREAM order (the cursor itself
-    is the within-line order).  Emits (doc_id, ord, page_idx, x, y,
-    ax_micro, text, size)."""
+    is the within-line order).  `y` carries the text rise (Ts) and
+    `mode` the render mode (Tr; 3 = invisible OCR-layer ink, reported
+    not dropped).  Emits (doc_id, ord, page_idx, x, y, ax_micro, text,
+    size, mode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 res = extract_advance_spans(_doc_bytes(spans), password=password)
-                for ordn, (page_idx, x, y, ax, txt, size) in enumerate(res["spans"]):
+                for ordn, (page_idx, x, y, ax, txt, size, mode) in enumerate(res["spans"]):
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -122,17 +124,21 @@ def extract_advance_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
                             "ax_micro": int(ax),
                             "text": txt,
                             "size": float(size),
+                            "mode": int(mode),
                         }
                     )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "ord", "page_idx", "x", "y", "ax_micro", "text", "size"],
+                columns=[
+                    "doc_id", "ord", "page_idx", "x", "y", "ax_micro",
+                    "text", "size", "mode",
+                ],
             )
 
     return documents_raw.mapInPandas(
         run,
         schema="doc_id long, ord int, page_idx int, x double, y double, "
-        "ax_micro long, text string, size double",
+        "ax_micro long, text string, size double, mode int",
     )
 
 

@@ -1598,11 +1598,38 @@ def adv_is_courier(doc_id: int) -> bool:
     return doc_id % 13 == 9 and not adv_is_cid(doc_id)
 
 
+def adv_is_helv(doc_id: int) -> bool:
+    """Every 13th+11 non-CID doc uses width-less /BaseFont /Helvetica —
+    the PROPORTIONAL standard-14 case (§9.6.2.2): unlike Courier there is
+    no constant to fall back on, the consumer must carry the real per-
+    glyph AFM table (core.extract.HELVETICA_WIDTHS, public Adobe Core-14
+    metrics), and the oracle replays it as a 95-element list literal."""
+    return doc_id % 13 == 11 and not adv_is_cid(doc_id)
+
+
+def adv_rise_milli(doc_id: int) -> int:
+    """Text rise (Ts, §9.3.7) applied to SEGMENT 1 only on every 19th+5
+    doc: 0.25/0.5/0.75/1.0 pt (dyadic — float-exact in both engines)."""
+    return 250 * (1 + doc_id % 4) if doc_id % 19 == 5 else 0
+
+
+def adv_tr_mode(doc_id: int) -> int:
+    """Render mode (Tr, §9.3.6) for SEGMENT 1 on every 17th+4 doc: mode 3
+    (invisible — the OCR-text-layer convention).  The glyphs still
+    advance the cursor and the span is still emitted; only the reported
+    ``mode`` column observes it."""
+    return 3 if doc_id % 17 == 4 else 0
+
+
 def adv_eff_width(doc_id: int, code: int) -> int:
     """Effective per-mille text-space width of ``code`` under the doc's
     font kind (the value the kernel's folded lookup must produce)."""
     if adv_is_courier(doc_id):
         return 600
+    if adv_is_helv(doc_id):
+        from .core.extract import HELVETICA_WIDTHS
+
+        return HELVETICA_WIDTHS[code - 32] if 32 <= code < 127 else 500
     return adv_width(code) * (2 if adv_is_type3(doc_id) else 1)
 
 
@@ -1637,17 +1664,24 @@ def _adv_seg_width_micro(doc_id: int, seg: str, fs: int, tc: int, tw: int, tz: i
     return total
 
 
-def expected_advance(doc_id: int, text: str) -> list[tuple[int, int, int, float, float, int, str, int]]:
+def expected_advance(
+    doc_id: int, text: str
+) -> list[tuple[int, int, int, float, float, int, str, int, int]]:
     """Analytic ground truth for ``extract_layout_advance``: (ord, page,
-    line, x, y, ax_micro, text, size) in stream order.  CID docs zero
-    the EFFECTIVE word spacing (Tw is written but can never apply to
-    2-byte codes, §9.3.3)."""
+    line, x, y, ax_micro, text, size, mode) in stream order.  CID docs
+    zero the EFFECTIVE word spacing (Tw is written but can never apply
+    to 2-byte codes, §9.3.3).  Segment 1 rides at the doc's text rise
+    (y + Ts) and carries the doc's render mode; rise and mode never
+    touch the cursor (§9.3.6/§9.3.7 leave the displacement algebra
+    alone)."""
     fs, tc, tw, tz = (
         adv_font_size(doc_id), adv_tc_milli(doc_id), adv_tw_milli(doc_id), adv_tz_pct(doc_id),
     )
     if adv_is_cid(doc_id):
         tw = 0
     k = adv_kern(doc_id)
+    rise = adv_rise_milli(doc_id)
+    mode = adv_tr_mode(doc_id)
     out = []
     for li, lw in advance_lines(doc_id, text):
         cursor = 0
@@ -1657,7 +1691,11 @@ def expected_advance(doc_id: int, text: str) -> list[tuple[int, int, int, float,
                 cursor -= k * fs * tz  # the TJ kern precedes segment 2
             if seg:
                 out.append(
-                    (len(out), 0, li, 72.0, float(720 - ADV_LINE_DY * li), cursor, seg, fs)
+                    (
+                        len(out), 0, li, 72.0,
+                        720 - ADV_LINE_DY * li + (rise / 1000.0 if si == 1 else 0.0),
+                        cursor, seg, fs, mode if si == 1 else 0,
+                    )
                 )
             cursor += _adv_seg_width_micro(doc_id, seg, fs, tc, tw, tz)
     return out
@@ -1681,6 +1719,8 @@ def _advance_content(doc_id: int, lines: list[tuple[int, list[str]]]) -> bytes:
     )
     k = adv_kern(doc_id)
     cid = adv_is_cid(doc_id)
+    rise = adv_rise_milli(doc_id)
+    mode = adv_tr_mode(doc_id)
     show = (lambda s: f"<{_hex2(s)}>") if cid else (lambda s: f"({_pdf_escape(s)})")
     # Tw is written UNCONDITIONALLY — for CID docs it must be inert
     parts = [f"BT /F1 {fs} Tf {_milli_str(tc)} Tc {_milli_str(tw)} Tw {tz} Tz "]
@@ -1689,14 +1729,26 @@ def _advance_content(doc_id: int, lines: list[tuple[int, list[str]]]) -> bytes:
         parts.append(f"1 0 0 1 72 {720 - ADV_LINE_DY * li} Tm ")
         if s0:
             parts.append(f"{show(s0)} Tj ")
-        tj = []
-        if s1:
-            tj.append(show(s1))
-        if s2:
-            # the kern ALWAYS precedes segment 2 (expected_advance mirror)
-            tj.append(f"{k} {show(s2)}")
-        if tj:
-            parts.append("[" + " ".join(tj) + "] TJ ")
+        if (rise or mode) and s1:
+            # Ts/Tr are operators, not TJ elements — the line splits into
+            # two TJ arrays so segment 1 alone rides the rise / render
+            # mode; Ts/Tr reset no positioning state (the cursor carries
+            # straight across, which is exactly what the kernel must get
+            # right) and the kern keeps preceding segment 2
+            pre = (f"{_milli_str(rise)} Ts " if rise else "") + (f"{mode} Tr " if mode else "")
+            post = ("0 Ts " if rise else "") + ("0 Tr " if mode else "")
+            parts.append(f"{pre}[{show(s1)}] TJ {post}")
+            if s2:
+                parts.append(f"[{k} {show(s2)}] TJ ")
+        else:
+            tj = []
+            if s1:
+                tj.append(show(s1))
+            if s2:
+                # the kern ALWAYS precedes segment 2 (expected_advance mirror)
+                tj.append(f"{k} {show(s2)}")
+            if tj:
+                parts.append("[" + " ".join(tj) + "] TJ ")
     parts.append("ET")
     return "".join(parts).encode("latin-1")
 
@@ -1711,6 +1763,7 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     cid = adv_is_cid(doc_id)
     t3 = adv_is_type3(doc_id)
     mono = adv_is_courier(doc_id)
+    helv = adv_is_helv(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
@@ -1759,6 +1812,16 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             (
                 f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
                 f"/BaseFont /Courier >> endobj\n"
+            ).encode("ascii")
+        )
+    elif helv:
+        # proportional standard-14: NO /Widths — the consumer must supply
+        # Helvetica's per-glyph AFM metrics (§9.6.2.2); a constant cannot
+        # fake these, every glyph width is observable in the cursor
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
+                f"/BaseFont /Helvetica >> endobj\n"
             ).encode("ascii")
         )
     else:

@@ -34,8 +34,8 @@ def test_advance_matches_analytic_expectation():
     # every doc id residue class: fs x tc x tw x tz x kern all vary
     for doc_id in range(0, 420, 7):
         exp = [
-            (p, 72.0, y, ax, t, float(fs))
-            for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(doc_id, TEXT)
+            (p, 72.0, y, ax, t, float(fs), m)
+            for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(doc_id, TEXT)
         ]
         assert _spans(doc_id) == exp, f"doc {doc_id}"
 
@@ -74,16 +74,16 @@ def test_quote_operator_sets_spacing_before_show():
     # string's own advance uses the new spacing
     evs = tokenize_content(b"BT /F1 10 Tf 2 1 (ab) \" ET", advance=True)
     assert len(evs) == 1
-    kind, _at, _f, payload, _x, _y, fs, tc, tw, tz, seg = evs[0]
+    kind, _at, _f, payload, _x, _y, fs, tc, tw, tz, seg, rise, tr = evs[0]
     assert (kind, payload, fs) == ("text", b"ab", 10.0)
-    assert (tw, tc, tz, seg) == (2000, 1000, 100, 0)
+    assert (tw, tc, tz, seg, rise, tr) == (2000, 1000, 100, 0, 0, 0)
 
 
 def test_seg_counter_resets_on_positioning():
     evs = tokenize_content(
         b"BT (a) Tj (b) Tj 0 -10 Td (c) Tj T* (d) Tj ET", advance=True
     )
-    assert [e[-1] for e in evs] == [0, 1, 0, 0]
+    assert [e[10] for e in evs] == [0, 1, 0, 0]
 
 
 def test_missing_widths_defaults_to_500():
@@ -118,8 +118,8 @@ def test_cid_advance_family_end_to_end():
     # ToUnicode bfrange decode, word spacing inert
     spans = _spans(6)
     exp = [
-        (p, 72.0, y, ax, t, float(fs))
-        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(6, TEXT)
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(6, TEXT)
     ]
     assert spans == exp
     assert adv_tw_milli(6) == 0 or True  # Tw may be nonzero in content...
@@ -163,8 +163,91 @@ def test_courier_std14_builtin_metrics():
         assert lk(32) == lk(65) == lk(126) == 600 and cw == 1 and tw is True
     lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "ABCDEF+Courier"}, {})
     assert lk(65) == 600
-    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica"}, {})
+    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Times-Roman"}, {})
     assert lk(65) == 500
+
+
+def test_helvetica_std14_builtin_metrics():
+    # width-less /Helvetica resolves through the public Core-14 AFM table
+    # (proportional — spot-check well-known values); Bold/Oblique faces
+    # have different AFMs we don't carry, so they keep the 500 default
+    from pdfparser_spark.core.extract import HELVETICA_WIDTHS, _font_widths
+
+    lk, cw, tw = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica"}, {})
+    assert (lk(32), lk(ord("i")), lk(ord("m")), lk(ord("W"))) == (278, 222, 833, 944)
+    assert lk(200) == 500 and cw == 1 and tw is True
+    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "GHIJKL+Helvetica"}, {})
+    assert lk(ord("a")) == 556
+    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica-Bold"}, {})
+    assert lk(ord("a")) == 500
+    assert len(HELVETICA_WIDTHS) == 95
+
+
+def test_helvetica_advance_family_end_to_end():
+    # doc 11 is the width-less Helvetica variant (doc%13==11, non-CID):
+    # every glyph advance comes from the built-in proportional table
+    from pdfparser_spark.core.extract import HELVETICA_WIDTHS
+
+    spans = _spans(11)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(11, TEXT)
+    ]
+    assert spans == exp
+    fs, tz = adv_font_size(11), adv_tz_pct(11)
+    tc, tw = adv_tc_milli(11), adv_tw_milli(11)
+    manual = sum(
+        HELVETICA_WIDTHS[ord(c) - 32] * fs * tz + tc * tz + (tw * tz if c == " " else 0)
+        for c in spans[0][4]
+    )
+    assert spans[1][3] == manual
+
+
+def test_text_rise_displaces_segment_baseline():
+    # doc 5 (doc%19==5): segment 1 rides at y + 0.5 pt ((1 + 5%4) * 0.25);
+    # the rise never touches the cursor (§9.3.7)
+    from pdfparser_spark.synth import adv_rise_milli
+
+    assert adv_rise_milli(5) == 500
+    spans = _spans(5)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(5, TEXT)
+    ]
+    assert spans == exp
+    by_line = [s for s in spans if s[2] in (720.0, 720.5)]
+    assert any(s[2] == 720.5 for s in by_line)  # the risen segment
+    assert any(s[2] == 720.0 for s in by_line)  # its neighbors
+
+
+def test_render_mode_reported_not_dropped():
+    # doc 4 (doc%17==4): segment 1 is invisible ink (Tr 3) — the span is
+    # still emitted, its glyphs still advance the cursor, and mode=3 is
+    # reported (the OCR-text-layer convention)
+    spans = _spans(4)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(4, TEXT)
+    ]
+    assert spans == exp
+    modes = [s[6] for s in spans]
+    assert 3 in modes and 0 in modes
+    # segment 2's cursor includes the invisible segment's full advance
+    texts = [s[4] for s in spans]
+    assert all(t for t in texts)
+
+
+def test_rise_and_mode_compose():
+    # doc 157: 157%19==5 AND 157%17==4 — segment 1 is BOTH risen and
+    # invisible; the split-TJ writer path must keep the cursor exact
+    spans = _spans(157)
+    exp = [
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(157, TEXT)
+    ]
+    assert spans == exp
+    # the risen+invisible segment: mode 3 and a fractional baseline
+    assert any(s[6] == 3 and s[2] != int(s[2]) for s in spans)
 
 
 def test_type3_advance_family_end_to_end():
@@ -173,8 +256,8 @@ def test_type3_advance_family_end_to_end():
     # glyph-space /Widths x FontMatrix 0.002
     spans = _spans(2)
     exp = [
-        (p, 72.0, y, ax, t, float(fs))
-        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(2, TEXT)
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(2, TEXT)
     ]
     assert spans == exp
     # the doubled widths are observable: seg-1 offset is exactly the
@@ -193,8 +276,8 @@ def test_courier_advance_family_end_to_end():
     # every glyph advances the built-in 600
     spans = _spans(9)
     exp = [
-        (p, 72.0, y, ax, t, float(fs))
-        for (_o, p, _li, _x, y, ax, t, fs) in expected_advance(9, TEXT)
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(9, TEXT)
     ]
     assert spans == exp
     fs, tz = adv_font_size(9), adv_tz_pct(9)

@@ -779,10 +779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse in ONE zero-shuffle mapInPandas; oracle rebuilds every
         # record analytically from the documents table
         "warc_ingest": _warc_ingest,
-        # CDX index + byte-range record fetch (Common Crawl random access):
-        # offsets proven exact by fetching a probe subset and matching the
-        # full analytic record oracle on it
-        "warc_cdx_fetch": _warc_cdx_fetch,
+        # Gopher rule-based document filter (Rae et al. 2021 §A1.1):
+        # word-count / mean-word-length / symbol-ratio / bullet-line /
+        # alpha-word / stopword gates, every ratio threshold an INTEGER
+        # cross-multiply — bit-exact verdict + per-rule counters in one
+        # map-only projection (no exchange)
+        "gopher_quality_gate": lambda s, d: textqc.gopher_quality_gate(_docs(s, d)),
         # link-analysis quality prior: fixed-iteration integer PageRank
         # over the deterministic doc_id graph — K unrolled join+agg
         # rounds in ONE plan, hub skew absorbed by map-side combine
@@ -913,6 +915,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted (r01+r02-green): curation_pipeline's quality gate
         # carries the same rate algebra in-window
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
+        # CDX index + byte-range record fetch (Common Crawl random access):
+        # offsets proven exact by fetching a probe subset and matching the
+        # full analytic record oracle on it; demoted (evidence-overlapping:
+        # warc_ingest carries the WARC source shape in-window)
+        "warc_cdx_fetch": _warc_cdx_fetch,
         # markdown linearization of detected tables (the LLM-facing
         # serialization; same analytic grid oracle as extract_table_cells)
         "table_markdown": lambda s, d: tables.tables_to_markdown(
@@ -1177,6 +1184,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("l_orderkey"))
             .limit(10)
             .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        ),
+        # TPC-H Q18 shape (large-volume customer): the IN-subquery over a
+        # grouped HAVING becomes aggregate -> LEFT SEMI join (the fact
+        # filters itself by its own rollup — no correlated rewrite, no
+        # second full join), then one shuffle join back to lineitem and a
+        # broadcast customer dim.  Quantities are integral doubles; the
+        # BIGINT cast keeps the hash engine-portable
+        "tpch_q18_large_orders": lambda s, d: (
+            _tbl(s, d, "orders")
+            .join(
+                _tbl(s, d, "lineitem")
+                .groupBy("l_orderkey")
+                .agg(F.sum("l_quantity").alias("q"))
+                .filter(F.col("q") > 350)
+                .select("l_orderkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+                "left_semi",
+            )
+            .join(_tbl(s, d, "lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(
+                F.broadcast(_tbl(s, d, "customer")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+            .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
         ),
         # strict-vs-lenient span diff via COGROUPED applyInPandas (the one
         # pandas-UDF surface the suite didn't yet exercise): both extraction
@@ -2932,6 +2964,56 @@ def oracle_sql() -> dict[str, str]:
         # random access: the CDX byte extents must fetch EXACTLY the probe
         # subset's records — same analytic oracle, filtered
         "warc_cdx_fetch": _warc_sql("doc_id % 29 = 0"),
+        # Gopher rule filter: every counter replayed with the same list
+        # algebra; ratio gates are integer cross-multiplies on BOTH sides
+        # (no float division exists anywhere in this query pair)
+        "gopher_quality_gate": """
+            WITH base AS (
+              SELECT doc_id, COALESCE(text, '') AS t,
+                     list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS ws,
+                     string_split(COALESCE(text, ''), chr(10)) AS ls
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+                CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                CAST(length(t) - length(replace(t, '#', ''))
+                   + (length(t) - length(replace(t, '...', ''))) // 3
+                   + length(t) - length(replace(t, '…', '')) AS BIGINT) AS n_symbols,
+                CAST(len(ls) AS BIGINT) AS n_lines,
+                CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•]'))) AS BIGINT) AS n_bullet_lines,
+                CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$'))) AS BIGINT) AS n_ellipsis_lines,
+                CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+                   + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_kinds
+              FROM base
+            )
+            SELECT *,
+                   CAST((CASE WHEN n_words BETWEEN 50 AND 100000 THEN 0 ELSE 1 END)
+                      + (CASE WHEN 3 * n_words <= sum_word_len
+                               AND sum_word_len <= 10 * n_words THEN 0 ELSE 2 END)
+                      + (CASE WHEN 10 * n_symbols <= n_words THEN 0 ELSE 4 END)
+                      + (CASE WHEN 10 * n_bullet_lines <= 9 * n_lines THEN 0 ELSE 8 END)
+                      + (CASE WHEN 10 * n_ellipsis_lines <= 3 * n_lines THEN 0 ELSE 16 END)
+                      + (CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 0 ELSE 32 END)
+                      + (CASE WHEN n_stopword_kinds >= 2 THEN 0 ELSE 64 END) AS INT) AS fail_mask,
+                   CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                              AND 3 * n_words <= sum_word_len
+                              AND sum_word_len <= 10 * n_words
+                              AND 10 * n_symbols <= n_words
+                              AND 10 * n_bullet_lines <= 9 * n_lines
+                              AND 10 * n_ellipsis_lines <= 3 * n_lines
+                              AND 5 * n_alpha_words >= 4 * n_words
+                              AND n_stopword_kinds >= 2
+                        THEN 1 ELSE 0 END AS INT) AS passes
+            FROM m
+        """,
         "warc_pdf_extract": _span_sql(),
         # rescue semantics: corrupt lines (doc_id % 23 == 7, truncated 5
         # bytes short) surface with NULL typed columns and the raw-line
@@ -3776,6 +3858,18 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY 1, 3, 4
             ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "tpch_q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
+            )
+            GROUP BY 1, 2, 3, 4, 5
         """,
         # streaming extraction must land EXACTLY the batch spans
         "extract_stream_log": _span_sql(),

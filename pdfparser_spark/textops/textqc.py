@@ -140,6 +140,77 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_gate(documents: DataFrame) -> DataFrame:
+    """The Gopher rule-based document filter (Rae et al. 2021 §A1.1,
+    public): a document is kept only if it passes ALL of
+      - word count in [50, 100000]
+      - mean word length in [3, 10]
+      - symbol-to-word ratio ('#' or ellipsis) <= 0.1
+      - <= 90% of lines start with a bullet, <= 30% end with an ellipsis
+      - >= 80% of words contain at least one alphabetic character
+      - at least 2 of the 8 Gopher stopwords appear
+
+    Every ratio threshold is evaluated as an INTEGER cross-multiply
+    (e.g. mean-word-length in [3,10] is ``3·n_words <= Σlen <=
+    10·n_words``), so the gate is bit-exact across engines — no float
+    division anywhere.  All counters are emitted alongside the verdict,
+    plus ``fail_mask`` — one bit per failed rule (bit0 word count, bit1
+    mean length, bit2 symbols, bit3 bullets, bit4 ellipses, bit5 alpha
+    words, bit6 stopwords) — so each rule's outcome is independently
+    observable: at 100 TB you keep the per-rule counters (one narrow
+    row per doc, map-only plan, no shuffle) and tune thresholds offline
+    rather than re-reading the corpus.
+
+    Plan: a single projection over the scan — no exchange at all."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    w = F.filter(F.split(t, " "), lambda x: x != "")
+    ls = F.split(t, "\n")
+    n_words = F.size(w).cast("long")
+    sum_len = F.aggregate(w, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    n_sym = (
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+        + F.floor((F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3)
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    n_lines = F.size(ls).cast("long")
+    n_bullet = F.size(F.filter(ls, lambda l: l.rlike("^[-*•]"))).cast("long")
+    n_ell = F.size(F.filter(ls, lambda l: l.rlike("(\\.\\.\\.|…)$"))).cast("long")
+    n_stops = sum(
+        (F.array_contains(w, s).cast("int") for s in GOPHER_STOPS), F.lit(0)
+    ).cast("long")
+    d = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        n_sym.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell.alias("n_ellipsis_lines"),
+        n_stops.alias("n_stopword_kinds"),
+    )
+    c = F.col
+    rules = [
+        c("n_words").between(50, 100000),
+        (3 * c("n_words") <= c("sum_word_len")) & (c("sum_word_len") <= 10 * c("n_words")),
+        10 * c("n_symbols") <= c("n_words"),
+        10 * c("n_bullet_lines") <= 9 * c("n_lines"),
+        10 * c("n_ellipsis_lines") <= 3 * c("n_lines"),
+        5 * c("n_alpha_words") >= 4 * c("n_words"),
+        c("n_stopword_kinds") >= 2,
+    ]
+    fail_mask = sum(
+        (F.when(r, 0).otherwise(1 << i) for i, r in enumerate(rules)), F.lit(0)
+    )
+    return d.withColumn("fail_mask", fail_mask.cast("int")).withColumn(
+        "passes", (F.col("fail_mask") == 0).cast("int")
+    )
+
+
 def hashed_features(documents: DataFrame, dims: int = 16) -> DataFrame:
     """Feature-hashing embeddings (the 'hashing trick', Weinberger et al.
     2009, public): each word hashes to a bucket in [0, dims) with a

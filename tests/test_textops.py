@@ -1096,3 +1096,35 @@ def test_cluster_balanced_sample_caps_each_cluster(spark, sf_dir):
     assert sorted((r.vec_id, r.list_id, r.rk) for r in out) == sorted(
         (r.vec_id, r.list_id, r.rk) for r in out2
     )
+
+
+def test_gopher_quality_gate(spark):
+    """Crafted rows exercise every rule: a passing document, and one
+    failure per gate (word count, mean word length, symbol ratio,
+    bullet lines, ellipsis lines, alpha-word fraction, stopwords)."""
+    good = " ".join(
+        ["the", "and", "that", "with"] * 2 + ["body", "text", "word"] * 20
+    )  # 68 words, mean len in [3,10], 4 stopword kinds
+    rows = [
+        Row(doc_id=0, text=good),
+        Row(doc_id=1, text="too few words"),  # word count < 50
+        Row(doc_id=2, text=" ".join(["a"] * 60 + ["the", "of"])),  # mean len < 3
+        Row(doc_id=3, text=good + " " + " ".join(["###"] * 10)),  # symbol ratio
+        Row(doc_id=4, text="\n".join(["- " + good] * 10)),  # all lines bulleted
+        Row(doc_id=5, text="\n".join([good + "..."] * 10)),  # all lines end ...
+        Row(doc_id=6, text=good + " " + " ".join(["123"] * 40)),  # alpha < 80%
+        Row(doc_id=7, text=" ".join(["body", "text", "word"] * 20)),  # no stopwords
+    ]
+    res = {r.doc_id: r for r in textqc.gopher_quality_gate(spark.createDataFrame(rows)).collect()}
+    assert res[0].passes == 1 and res[0].fail_mask == 0
+    assert res[1].fail_mask & 1
+    assert res[2].fail_mask & 2
+    assert res[3].fail_mask & 4
+    assert res[4].fail_mask & 8
+    assert res[5].fail_mask & 16
+    assert res[6].fail_mask & 32
+    assert res[7].fail_mask & 64
+    # counters are reported, not just the verdict
+    assert res[4].n_bullet_lines == res[4].n_lines == 10
+    assert res[5].n_ellipsis_lines == 10 and res[5].n_symbols == 10
+    assert res[0].n_stopword_kinds == 4

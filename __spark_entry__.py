@@ -2238,15 +2238,16 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm,
                      CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
                      CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
+                     CASE WHEN doc_id % 11 = 6 THEN 1 ELSE 0 END AS cid,
                      {_HELV_SQL} AS hw
               FROM documents
             ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, hw, i AS li,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, hw, i AS li,
                      w[i*6 + 1 : i*6 + 6] AS lw
               FROM base, unnest(generate_series(0, 6)) AS u(i)
               WHERE len(w) > i*6
             ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, hw, li, s AS si,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, hw, li, s AS si,
                      CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
                             WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
                             ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
@@ -2262,7 +2263,7 @@ def oracle_sql() -> dict[str, str]:
                 + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz AS wmicro
               FROM seg
             ), pos AS (
-              SELECT doc_id, li, si, t, fs, rise, tmode,
+              SELECT doc_id, li, si, t, fs, rise, tmode, cid,
                 COALESCE(SUM(wmicro) OVER (
                   PARTITION BY doc_id, li ORDER BY si
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -2276,7 +2277,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(720 - 16 * li AS DOUBLE)
                      + CASE WHEN si = 1 THEN rise / 1000.0 ELSE 0.0 END AS y,
                    CAST(ax AS BIGINT) AS ax_micro,
-                   t AS text,
+                   -- the CID ToUnicode bfchar overrides (decode is
+                   -- Unicode; the cursor above ran on original codes)
+                   CASE WHEN cid = 1
+                        THEN replace(replace(t, 'e', 'é'), 'o', '😀')
+                        ELSE t END AS text,
                    CAST(fs AS DOUBLE) AS size,
                    CAST(CASE WHEN si = 1 THEN tmode ELSE 0 END AS INT) AS mode
             FROM pos

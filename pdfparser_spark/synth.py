@@ -1575,8 +1575,25 @@ def adv_is_cid(doc_id: int) -> bool:
     strings are 2-byte hex codes, widths come from the descendant
     CIDFont's /W table (same values, keyed by CID = code), text decodes
     through a 2-byte ToUnicode CMap — and Tw does NOT apply (word
-    spacing hits the SINGLE-BYTE code 32 only, §9.3.3)."""
+    spacing hits the SINGLE-BYTE code 32 only, §9.3.3).  The CMap's
+    bfchar section OVERRIDES two bfrange identities (§9.10.3: later
+    entries win) with non-ASCII targets — 'e' -> U+00E9 and 'o' ->
+    U+1F600, the second a UTF-16BE SURROGATE PAIR — so the decode path
+    is observably Unicode-correct end to end (kernel, Arrow transfer,
+    parquet, and both SQL engines), while the CURSOR still runs on the
+    original CODES (widths are keyed by CID, not by the mapped text)."""
     return doc_id % 11 == 6
+
+
+# the CID ToUnicode bfchar overrides: (shown char, mapped replacement)
+ADV_CID_MAP = (("e", "é"), ("o", "\U0001f600"))
+
+
+def adv_cid_text(seg: str) -> str:
+    """The decoded text of a CID-doc segment (bfchar overrides applied)."""
+    for src, dst in ADV_CID_MAP:
+        seg = seg.replace(src, dst)
+    return seg
 
 
 def adv_is_type3(doc_id: int) -> bool:
@@ -1694,7 +1711,8 @@ def expected_advance(
                     (
                         len(out), 0, li, 72.0,
                         720 - ADV_LINE_DY * li + (rise / 1000.0 if si == 1 else 0.0),
-                        cursor, seg, fs, mode if si == 1 else 0,
+                        cursor, adv_cid_text(seg) if adv_is_cid(doc_id) else seg,
+                        fs, mode if si == 1 else 0,
                     )
                 )
             cursor += _adv_seg_width_micro(doc_id, seg, fs, tc, tw, tz)
@@ -1855,7 +1873,11 @@ def build_document_advance(doc_id: int, text: str) -> dict:
         cm = (
             b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
             b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
-            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\nendcmap\n"
+            b"1 beginbfrange\n<0020> <007E> <0020>\nendbfrange\n"
+            # bfchar OVERRIDES (later entries win, §9.10.3): 'e' -> é and
+            # 'o' -> U+1F600 (a UTF-16BE surrogate pair) — decode must be
+            # genuinely Unicode, the cursor still keyed by original CID
+            b"2 beginbfchar\n<0065> <00E9>\n<006F> <D83DDE00>\nendbfchar\nendcmap\n"
         )
         offsets[TOUNI] = b.struct(
             f"{TOUNI} 0 obj << /Length {len(cm)} >> stream\n".encode("ascii")

@@ -113,6 +113,22 @@ def test_cid_font_w_table_and_dw():
     assert cw == 2 and apply_tw is False
 
 
+def test_cid_tounicode_bfchar_overrides_are_unicode():
+    # the CID CMap's bfchar entries override the bfrange identities
+    # (§9.10.3, later wins) with non-ASCII targets: 'e' -> é and
+    # 'o' -> U+1F600 (a surrogate pair) — decode is genuinely Unicode
+    # while the cursor stays keyed by the ORIGINAL codes
+    spans = _spans(6)
+    joined = " ".join(s[4] for s in spans)
+    assert "é" in joined and "\U0001f600" in joined
+    assert "e" not in joined and "o" not in joined
+    exp = [
+        (p, 72.0, y, ax, t, float(fs), m)
+        for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(6, TEXT)
+    ]
+    assert spans == exp  # cursors unchanged by the text mapping
+
+
 def test_cid_advance_family_end_to_end():
     # doc 6 is the CID variant (doc%11==6): hex-string shows, /W widths,
     # ToUnicode bfrange decode, word spacing inert
@@ -124,11 +140,13 @@ def test_cid_advance_family_end_to_end():
     assert spans == exp
     assert adv_tw_milli(6) == 0 or True  # Tw may be nonzero in content...
     # ...but the cursor must NOT include it: recompute seg-1 offset with
-    # tw excluded and assert equality
+    # tw excluded and assert equality.  Widths are keyed by the ORIGINAL
+    # codes, so undo the ToUnicode bfchar mapping first.
+    orig = spans[0][4].replace("é", "e").replace("\U0001f600", "o")
     w = lambda ch: 300 + (ord(ch) % 8) * 50
     fs, tz = adv_font_size(6), adv_tz_pct(6)
     tc = adv_tc_milli(6)
-    manual = sum(w(c) * fs * tz + tc * tz for c in spans[0][4])
+    manual = sum(w(c) * fs * tz + tc * tz for c in orig)
     assert spans[1][3] == manual
 
 

@@ -677,3 +677,62 @@ def test_marked_content_docs_never_raise_on_mutations(doc_id, seed, n_mutations)
     res = extract_spans(bytes(payload))
     assert isinstance(res["spans"], list)
     assert isinstance(res["errors"], list)
+
+
+# --- content tokenizer (all three modes) ------------------------------------
+
+
+@given(data=BYTES)
+@settings(**SETTINGS)
+def test_tokenize_content_never_raises(data):
+    """Arbitrary bytes through the content machine in every mode: the
+    lenient contract is 'skip and resync', never an exception, and the
+    advance-mode event tuples keep their 13-field shape."""
+    from pdfparser_spark.core.content import tokenize_content
+
+    for kw in ({}, {"layout": True}, {"advance": True}):
+        evs = tokenize_content(data, **kw)
+        for ev in evs:
+            if ev[0] in ("text", "textarr", "atext") and kw.get("advance"):
+                assert len(ev) == 13
+                # Tc/Tw/rise milli-ints, Tz percent int, Tr mode int
+                assert all(isinstance(v, int) for v in (ev[7], ev[8], ev[9], ev[11], ev[12]))
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(
+            [b"(x) Tj", b"1 2 Td", b"5 Ts", b"3 Tr", b"0 Tr", b"[(a) 3 (b)] TJ",
+             b"2 Tc", b"1 Tw", b"50 Tz", b"BT", b"ET", b"T*", b"0.5 -0.5 Td"]
+        ),
+        max_size=24,
+    )
+)
+@settings(**SETTINGS)
+def test_tokenize_content_advance_state_machine(ops):
+    """Random operator interleavings: rise/mode fields always reflect the
+    most recent Ts/Tr, and seg resets exactly on positioning ops."""
+    from pdfparser_spark.core.content import tokenize_content
+
+    data = b" ".join(ops)
+    rise = tr = 0
+    seg = 0
+    expected = []
+    for op in ops:
+        if op == b"5 Ts":
+            rise = 5000
+        elif op == b"3 Tr":
+            tr = 3
+        elif op == b"0 Tr":
+            tr = 0
+        elif op in (b"1 2 Td", b"BT", b"T*", b"0.5 -0.5 Td"):
+            seg = 0
+        elif op in (b"(x) Tj", b"[(a) 3 (b)] TJ"):
+            expected.append((seg, rise, tr))
+            seg += 1
+    got = [
+        (ev[10], ev[11], ev[12])
+        for ev in tokenize_content(data, advance=True)
+        if ev[0] in ("text", "textarr")
+    ]
+    assert got == expected

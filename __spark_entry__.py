@@ -353,6 +353,33 @@ def _snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins.unionByName(del_)
 
 
+def _rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE under deletes: a per-lang (count,
+    sum) rollup maintained purely from the snapshot log's change feed —
+    never rescanning the source.  Four refreshes exercise every
+    maintenance path: (1) initial build from batch 1 (doc%3==0); (2)
+    append-only delta from batch 2 (the rest); (3) an equality-delete
+    commit for every 11th doc, whose rows' VALUES are materialized by
+    time-traveling to the pre-delete snapshot and semi-joining the
+    tombstone keys (negative partials); (4) a re-append of already-
+    tombstoned keys (doc%33==0), which the GLOBAL tombstone contract
+    must keep out of the rollup.  The maintained state is row-identical
+    to recomputing over the final merge-on-read table — which is exactly
+    what the oracle does."""
+    from pdfparser_spark.snapshots import SnapshotLog, delete_docs_keys, refresh_rollup
+
+    log = SnapshotLog(_scratch_log_dir("ivm_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 == 0))
+    refresh_rollup(log, spark, "docs", "rollup")
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 != 0))
+    delete_docs_keys(log, docs.filter(F.col("doc_id") % 11 == 0), table="docs")
+    refresh_rollup(log, spark, "docs", "rollup")
+    _commit_docs_batch(log, docs.filter(F.col("doc_id") % 33 == 0))
+    refresh_rollup(log, spark, "docs", "rollup")
+    return log.read(spark, "rollup")
+
+
 def _curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation in ONE lazy plan — the chain a training-data
     user actually runs: extract (fused, zero shuffle) -> reassemble each
@@ -868,13 +895,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as plan expressions, canonicalized by pure JVM string algebra,
         # collapsed k->1 by one hash aggregate on the canonical key
         "url_dedup_canonical": lambda s, d: urls.url_dedup_canonical(_docs(s, d)),
-        # CHANGE DATA FEED over the snapshot log: two append commits + a
-        # deletion-request commit; the changelog from snapshot 1
-        # (exclusive) to HEAD emits exactly batch 2's inserts plus the
-        # delete tombstone keys — the incremental-consumer contract
-        # (Delta CDF / Iceberg incremental scan) straight from manifests,
-        # no full-table diff
-        "snapshot_changelog": _snapshot_changelog,
+        # INCREMENTAL VIEW MAINTENANCE over the snapshot log: a per-lang
+        # rollup maintained from the change feed alone through appends, an
+        # equality-delete commit (deleted VALUES materialized by time
+        # travel + tombstone semi-join, subtracted as negative partials)
+        # and a re-append of tombstoned keys (globally suppressed) — the
+        # maintained state must equal recompute-from-scratch, row for row
+        "rollup_incremental": _rollup_incremental,
         # Iceberg-shaped snapshot log: two-commit incremental ingest whose
         # HEAD read must equal one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
@@ -920,6 +947,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full analytic record oracle on it; demoted (evidence-overlapping:
         # warc_ingest carries the WARC source shape in-window)
         "warc_cdx_fetch": _warc_cdx_fetch,
+        # CHANGE DATA FEED over the snapshot log: two append commits + a
+        # deletion-request commit; the changelog emits batch 2's inserts
+        # plus the tombstone keys straight from manifests; demoted
+        # (evidence-overlapping: rollup_incremental consumes the same
+        # feed in-window and proves maintenance on top of it)
+        "snapshot_changelog": _snapshot_changelog,
         # markdown linearization of detected tables (the LLM-facing
         # serialization; same analytic grid oracle as extract_table_cells)
         "table_markdown": lambda s, d: tables.tables_to_markdown(
@@ -2368,6 +2401,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, '(del)' AS lang, CAST(-1 AS BIGINT) AS n_chars,
                    'delete' AS change_type
             FROM documents WHERE doc_id % 11 = 0
+        """,
+        # the maintained rollup must equal a from-scratch aggregate over
+        # the FINAL table state: every doc except the tombstoned 11ths
+        # (the doc%33 re-append stays suppressed — global tombstones)
+        "rollup_incremental": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE doc_id % 11 <> 0
+            GROUP BY lang
         """,
         # heading = the first line (words 1-3) at 18 pt, emitted only when
         # a second line exists (len > 3 words) so the relative 1.25x-body

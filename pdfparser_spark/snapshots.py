@@ -666,10 +666,24 @@ def refresh_rollup(
 
     The rollup commit's summary records ``refreshed_to`` (the source
     snapshot id it incorporates), which is where the next refresh resumes
-    — state lives in the log, so any job can pick it up.  Sources with
-    delete commits in the unprocessed range are rejected (count/sum can't
-    subtract from keys alone); compaction is fine (CDF skips replaces).
-    Returns the rollup table's new snapshot id."""
+    — state lives in the log, so any job can pick it up.
+
+    EQUALITY-DELETE commits in the range are maintained incrementally
+    too (the Iceberg-CDC pattern): the tombstoned keys join back to the
+    source AS OF the last incorporated snapshot (time travel — the
+    pre-delete rows still exist there) to materialize the deleted rows'
+    VALUES, which subtract as negative partials; and because this log's
+    equality tombstones are GLOBAL (delete_docs contract: re-ingesting a
+    deleted key keeps it suppressed), newly inserted rows only count if
+    their key is not tombstoned as of ``head``.  The fetch of deleted
+    rows is delta-sized in practice — tombstone keys are rare, and the
+    manifest min/max + Bloom stats bound which directories the semi-join
+    scan touches.  POSITION-delete commits are rejected (file-scoped
+    coordinates cannot be attributed to rollup keys without replaying
+    the named files); compaction is fine (CDF skips replaces).  Rollup
+    keys whose count reaches zero are dropped, so the maintained state
+    is row-identical to a from-scratch recompute.  Returns the rollup
+    table's new snapshot id."""
     head = log.head_id()
     if rebuild:
         # full recompute from the source's current state (post-compaction
@@ -692,31 +706,71 @@ def refresh_rollup(
             last = s["summary"]["refreshed_to"]
             have_rollup = True
             break
-    ins, dels = changes(log, spark, from_snapshot=last, to_snapshot=head, table=source_table)
-    if dels is not None:
+    # the range's delete files by kind: equality (del-*) vs position
+    # (pdel-*); equality tombstones are also collected across the WHOLE
+    # chain because they suppress re-ingested keys globally
+    range_edirs: list[str] = []
+    range_pdirs: list[str] = []
+    all_edirs: list[str] = []
+    for s in log.chain(head):
+        for d in s.get("deletes", {}).get(source_table, []):
+            if os.path.basename(d).startswith("pdel-"):
+                if s["snapshot_id"] > last:
+                    range_pdirs.append(d)
+            else:
+                all_edirs.append(d)
+                if s["snapshot_id"] > last:
+                    range_edirs.append(d)
+    if range_pdirs:
         raise ValueError(
-            f"source {source_table!r} has deletes after snapshot {last}; "
-            "a count/sum rollup cannot subtract from keys alone — "
-            "refresh_rollup(..., rebuild=True) recomputes from the "
-            "source's current (delete-applied) state"
+            f"source {source_table!r} has POSITION deletes after snapshot "
+            f"{last}; file-scoped coordinates cannot be attributed to "
+            "rollup keys — refresh_rollup(..., rebuild=True) recomputes "
+            "from the source's current (delete-applied) state"
         )
-    if ins is None:  # fully caught up: no-op, return current head
-        return head
-    partial = ins.groupBy(key).agg(
-        F.count(F.lit(1)).alias(count_col), F.sum(sum_col).alias(sum_alias)
-    )
-    if have_rollup:
-        prev = log.read(spark, rollup_table)
-        partial = (
-            prev.unionByName(partial)
-            .groupBy(key)
-            .agg(
-                F.sum(count_col).alias(count_col),
-                F.sum(sum_alias).alias(sum_alias),
+    ins, _ = changes(log, spark, from_snapshot=last, to_snapshot=head, table=source_table)
+    parts: list[DataFrame] = []
+    if ins is not None:
+        pos = ins
+        if all_edirs:
+            tombs = spark.read.parquet(*all_edirs)
+            kcol = tombs.columns[0]
+            pos = pos.join(
+                F.broadcast(tombs.select(kcol).distinct()), kcol, "left_anti"
+            )
+        parts.append(
+            pos.groupBy(key).agg(
+                F.count(F.lit(1)).alias(count_col), F.sum(sum_col).alias(sum_alias)
             )
         )
+    if range_edirs and have_rollup and log.files_for(source_table, last):
+        # materialize the deleted rows' values from the pre-delete state
+        # (rows at `last` are already cleared of earlier tombstones)
+        tnew = spark.read.parquet(*range_edirs)
+        kcol = tnew.columns[0]
+        removed = log.read(spark, source_table, snapshot_id=last).join(
+            F.broadcast(tnew.select(kcol).distinct()), kcol, "left_semi"
+        )
+        parts.append(
+            removed.groupBy(key).agg(
+                (-F.count(F.lit(1))).alias(count_col),
+                (-F.sum(sum_col)).alias(sum_alias),
+            )
+        )
+    if not parts:  # fully caught up: no-op, return current head
+        return head
+    partial = parts[0]
+    for p in parts[1:]:
+        partial = partial.unionByName(p)
+    if have_rollup:
+        partial = log.read(spark, rollup_table).unionByName(partial)
+    merged = (
+        partial.groupBy(key)
+        .agg(F.sum(count_col).alias(count_col), F.sum(sum_alias).alias(sum_alias))
+        .filter(F.col(count_col) != 0)
+    )
     out = log.new_data_dir(rollup_table)
-    partial.write.parquet(out)
+    merged.write.parquet(out)
     return log.commit(
         {rollup_table: [out]},
         operation="replace",

@@ -763,3 +763,93 @@ def test_position_deletes_scoped_to_files(spark, tmp_path):
     compact(log, spark, "t")
     assert log.delete_files_for("t") == []
     assert {r.doc_id for r in log.read(spark, "t").collect()} == {0, 1, 2, 4}
+
+
+def test_refresh_rollup_incremental_with_deletes(spark, tmp_path):
+    """Incrementally maintained rollup == from-scratch recompute through
+    appends, an equality-delete commit (values materialized from the
+    pre-delete snapshot), and a re-append of tombstoned keys (globally
+    suppressed, so it must NOT re-enter the rollup)."""
+    from pdfparser_spark.snapshots import delete_docs, refresh_rollup
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    rows = [(i, ["en", "de", "fr"][i % 3], 100 + i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+
+    def commit(pred):
+        d = log.new_data_dir("docs")
+        df.filter(pred).write.parquet(d)
+        return log.commit({"docs": [d]})
+
+    def rollup_state():
+        return {
+            r["lang"]: (r["n_docs"], r["total_chars"])
+            for r in log.read(spark, "rollup").collect()
+        }
+
+    def recompute(live_pred):
+        return {
+            r["lang"]: (r["n"], r["s"])
+            for r in df.filter(live_pred)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+            .collect()
+        }
+
+    commit(F.col("doc_id") < 10)
+    refresh_rollup(log, spark, "docs", "rollup")
+    assert rollup_state() == recompute(F.col("doc_id") < 10)
+
+    # append-only refresh
+    commit((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    refresh_rollup(log, spark, "docs", "rollup")
+    assert rollup_state() == recompute(F.col("doc_id") < 20)
+
+    # delete refresh: values come from the pre-delete snapshot
+    delete_docs(log, spark, [0, 3, 6, 9, 12], table="docs")
+    refresh_rollup(log, spark, "docs", "rollup")
+    live = (F.col("doc_id") < 20) & (~F.col("doc_id").isin(0, 3, 6, 9, 12))
+    assert rollup_state() == recompute(live)
+
+    # re-append tombstoned keys + fresh keys: tombstones are GLOBAL, so
+    # only the fresh keys enter the rollup
+    commit(F.col("doc_id").isin(3, 6, 21, 22))
+    refresh_rollup(log, spark, "docs", "rollup")
+    live2 = (
+        (F.col("doc_id") < 20) | F.col("doc_id").isin(21, 22)
+    ) & (~F.col("doc_id").isin(0, 3, 6, 9, 12))
+    assert rollup_state() == recompute(live2)
+    # and the maintained state equals the current merge-on-read table
+    assert rollup_state() == {
+        r["lang"]: (r["n"], r["s"])
+        for r in log.read(spark, "docs")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+
+
+def test_refresh_rollup_rejects_position_deletes(spark, tmp_path):
+    import pytest as _pytest
+
+    from pdfparser_spark.snapshots import (
+        delete_positions,
+        positions_where,
+        refresh_rollup,
+    )
+
+    log = SnapshotLog(str(tmp_path / "log"))
+    df = spark.createDataFrame(
+        [(i, "en", 10 + i) for i in range(8)], "doc_id long, lang string, n_chars long"
+    )
+    d = log.new_data_dir("docs")
+    df.write.parquet(d)
+    log.commit({"docs": [d]})
+    refresh_rollup(log, spark, "docs", "rollup")
+    delete_positions(log, positions_where(log, spark, "docs", F.col("doc_id") == 2), table="docs")
+    with _pytest.raises(ValueError, match="POSITION deletes"):
+        refresh_rollup(log, spark, "docs", "rollup")
+    # rebuild recovers (reads the delete-applied current state)
+    refresh_rollup(log, spark, "docs", "rollup", rebuild=True)
+    total = sum(r["n_docs"] for r in log.read(spark, "rollup").collect())
+    assert total == 7

@@ -1100,6 +1100,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("k") > 80)
         ),
+        # the same props through Spark 4's VARIANT type: parse_json ONCE
+        # into the binary encoding, typed-path variant_get after — at
+        # scale the parse cost is paid once per row instead of once per
+        # path probe (and shredded storage makes paths column-prunable);
+        # DuckDB has no VARIANT, so the oracle checks VALUES via the
+        # json path — same answer, different physical representation
+        "events_props_variant": lambda s, d: (
+            _tbl(s, d, "events")
+            .select(F.parse_json("props").alias("v"))
+            .select(F.try_variant_get("v", "$.k", "int").alias("k"))
+            .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decile"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("k").cast("long").alias("sum_k"),
+            )
+        ),
         # ISO-BMFF metadata subset of the in-window video_frames_real walk
         "video_metadata": lambda s, d: mp4.video_metadata(_pipeline(s, d)["spans_flat"]),
         # context-window packing: overlapping fixed-size token chunks
@@ -3564,6 +3580,17 @@ def oracle_sql() -> dict[str, str]:
         "events_props_json": """
             SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
             FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 80
+        """,
+        # VARIANT has no DuckDB analog — the oracle checks the extracted
+        # VALUES via the json path (integer division mirrors floor)
+        "events_props_variant": """
+            WITH k AS (
+              SELECT CAST(json_extract(props, '$.k') AS INT) AS k FROM events
+            )
+            SELECT CAST(k // 10 AS INT) AS k_decile,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS sum_k
+            FROM k GROUP BY 1
         """,
         "docs_rollup_stats": """
             SELECT COALESCE(lang, '(all)') AS lang, COALESCE(source, '(all)') AS source,

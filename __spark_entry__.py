@@ -39,6 +39,7 @@ from pdfparser_spark.stages import (
     extract_layout_sized_fused,
     extract_links_fused,
     extract_meta_fused,
+    extract_tagged_fused,
     flatten_spans,
     hyphenate_words,
     synthesize_corpus,
@@ -821,10 +822,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # target-vs-raw enrichment in BIGINT fixed point — the oracle
         # retrains AND rescores from scratch
         "dsir_select": lambda s, d: curation.dsir_select(_docs(s, d)),
-        # crawl-archive PDF extraction: application/pdf WARC responses
-        # through the SAME kernel — transport invisible to extraction,
-        # plain span oracle
-        "warc_pdf_extract": _warc_pdf_extract,
+        # tagged-PDF LOGICAL reading order (ISO 32000 §14.7/§14.8): the
+        # family DRAWS lines rotated by doc_id, each wrapped in
+        # /P << /MCID j >> BDC..EMC; the structure tree's depth-first
+        # leaf walk (bare-int, [int] and /MCR kid shapes, /Sect
+        # recursion, nearest-ancestor /Pg) restores logical order and
+        # tags each span with its element's /S type; the untagged
+        # footer surfaces LAST as NULL-typed artifact content — a
+        # byte-order extraction fails the oracle on every doc%5!=0
+        "extract_tagged_order": lambda s, d: extract_tagged_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="tagged",
+            )
+        ),
         # model-based filtering: integer centroid classifier, trained and
         # applied in one plan (train agg -> broadcast model -> score agg)
         "model_classifier": lambda s, d: model.centroid_classifier(_docs(s, d)),
@@ -1473,6 +1484,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 20 vectors per cluster — semantic-diversity sampling; the
         # oracle retrains all 10 Lloyd iterations from scratch
         "cluster_balanced_sample": lambda s, d: ann.cluster_balanced_sample(_emb(s, d)),
+        # crawl-archive PDF extraction: application/pdf WARC responses
+        # through the SAME kernel — transport invisible to extraction,
+        # plain span oracle (tail: WARC shape in-window via warc_ingest,
+        # kernel via the extract_* block)
+        "warc_pdf_extract": _warc_pdf_extract,
     }
 
 
@@ -2341,6 +2357,30 @@ def oracle_sql() -> dict[str, str]:
         # y = 720 - 14*row; words are kerned TJ pieces with NO space
         # glyphs, so `text` only matches if the kernel inserts word
         # breaks at kerning gaps; reading order = (page, column, row)
+        # tagged family: logical line i = words[i*3 : i*3+3] (up to 5
+        # lines), typed H1 (line 0) / P; every 3rd doc appends the
+        # untagged 'draft' footer as NULL-typed artifact content AFTER
+        # the tagged spans.  The drawn order is rotated by doc_id — this
+        # SQL never sees that; only a structure-tree-aware kernel agrees
+        "extract_tagged_order": """
+            WITH base AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, i AS li,
+                     array_to_string(w[i*3 + 1 : i*3 + 3], ' ') AS t
+              FROM base, unnest(generate_series(0, 4)) AS u(i)
+              WHERE len(w) > i*3
+            )
+            SELECT doc_id, CAST(li AS INT) AS ord, CAST(0 AS INT) AS page_idx,
+                   CASE WHEN li = 0 THEN 'H1' ELSE 'P' END AS struct_type,
+                   t AS text
+            FROM ln
+            UNION ALL
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS ord, CAST(0 AS INT) AS page_idx,
+                   CAST(NULL AS VARCHAR) AS struct_type, 'draft' AS text
+            FROM ln WHERE doc_id % 3 = 0 GROUP BY doc_id
+        """,
         "extract_columns": """
             WITH base AS (
               -- COALESCE mirrors synthesize_corpus's NULL-text -> '' coercion

@@ -76,6 +76,7 @@ def tokenize_content(
     layout: bool = False,
     advance: bool = False,
     hidden_props: frozenset | set | None = None,
+    mcid: bool = False,
 ):
     """Run the postfix machine over one decoded content stream.
 
@@ -122,7 +123,16 @@ def tokenize_content(
     convention) still advances the cursor and still emits the span: for
     extraction the text layer IS the content, so visibility is reported,
     never used to drop text.  Neither is reset by BT — text state
-    persists across text objects (§9.3.1, Table 103)."""
+    persists across text objects (§9.3.1, Table 103).
+
+    With ``mcid=True`` (tagged-PDF support, §14.6.1/§14.7.5.3), every
+    text/textarr/atext event gains ONE trailing field: the marked-content
+    identifier of the innermost enclosing ``BDC`` whose property list
+    carries ``/MCID`` (an int), or None when the show op sits outside any
+    identified sequence (untagged/artifact content).  The structure-tree
+    walker (core/extract.py ``extract_tagged_spans``) joins these against
+    the /StructTreeRoot's depth-first leaf order to recover LOGICAL
+    reading order independent of drawing order."""
     if advance:
         layout = True
     events = []
@@ -137,6 +147,8 @@ def tokenize_content(
     tr = 0  # Tr render mode (§9.3.6; 3 = invisible)
     seg = 0  # show ops since the last positioning operator
     mc_stack: list = []  # open BMC/BDC modes: None | 'hide' | 'atext'
+    mcid_stack: list = []  # parallel: /MCID int per open region, else None
+    mcid_cur: int | None = None  # innermost open MCID (valid while mcid=True)
     hide_n = 0  # open hidden-OCG regions
     atext_n = 0  # open ActualText regions
     pending_atext: bytes | None = None  # replacement awaiting first show
@@ -157,12 +169,13 @@ def tokenize_content(
             kind, payload = "atext", pending_atext
             pending_atext = None
         if advance:
-            events.append((kind, at, font, payload, x, y, fsize, tc, tw, tz, seg, rise, tr))
+            ev = (kind, at, font, payload, x, y, fsize, tc, tw, tz, seg, rise, tr)
             seg += 1
         elif layout:
-            events.append((kind, at, font, payload, x, y, fsize))
+            ev = (kind, at, font, payload, x, y, fsize)
         else:
-            events.append((kind, at, font, payload))
+            ev = (kind, at, font, payload)
+        events.append(ev + (mcid_cur,) if mcid else ev)
 
     while pos < n:
         try:
@@ -310,11 +323,15 @@ def tokenize_content(
             stack.clear()
         elif op == b"BMC":
             mc_stack.append(None)
+            mcid_stack.append(None)
             stack.clear()
         elif op == b"BDC":
             mode = None
+            mid = None
             if len(stack) >= 2:
                 tag, props = stack[-2], stack[-1]
+                if isinstance(props, dict) and isinstance(props.get("MCID"), int):
+                    mid = props["MCID"]
                 if (
                     isinstance(props, dict)
                     and isinstance(props.get("ActualText"), (bytes, bytearray))
@@ -332,6 +349,9 @@ def tokenize_content(
                 ):
                     mode = "hide"
             mc_stack.append(mode)
+            mcid_stack.append(mid)
+            if mid is not None:
+                mcid_cur = mid
             if mode == "atext":
                 atext_n += 1
             elif mode == "hide":
@@ -340,6 +360,12 @@ def tokenize_content(
         elif op == b"EMC":
             if mc_stack:
                 m = mc_stack.pop()
+                mcid_stack.pop()
+                # recompute the innermost open MCID (sequences with /MCID
+                # do not nest in practice, but stay correct if they do)
+                mcid_cur = next(
+                    (v for v in reversed(mcid_stack) if v is not None), None
+                )
                 if m == "atext":
                     if pending_atext is not None:
                         # region held no show op: emit at the current state

@@ -392,6 +392,7 @@ def _content_events(
     oy: float = 0.0,
     advance: bool = False,
     off_ids: set | None = None,
+    mcid: bool = False,
 ):
     """Yield ``(event, fonts)`` pairs for one content stream, EXECUTING
     Form XObjects in place (ISO 32000 §8.10): a ``Do`` whose target is a
@@ -419,7 +420,7 @@ def _content_events(
     xobjects = get_resolved(resources, "XObject", objects) or {}
     hidden = _hidden_prop_names(resources, objects, off_ids) if off_ids else None
     for ev in tokenize_content(
-        content, layout=layout, advance=advance, hidden_props=hidden
+        content, layout=layout, advance=advance, hidden_props=hidden, mcid=mcid
     ):
         if ev[0] == "media":
             name = ev[2]
@@ -451,7 +452,7 @@ def _content_events(
                 active.add(id(xo))
                 yield from _content_events(
                     xo.data, sub_res, objects, errors, layout,
-                    depth + 1, active, ox + fx, oy + fy, advance, off_ids,
+                    depth + 1, active, ox + fx, oy + fy, advance, off_ids, mcid,
                 )
                 active.discard(id(xo))
                 continue
@@ -1411,3 +1412,157 @@ def extract_attachments(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"attachments": atts, "errors": errors}
+
+
+def _struct_leaves(stroot: dict, objects: dict, errors: list):
+    """Depth-first walk of the structure tree (ISO 32000 §14.7.2): yields
+    ``(page_dict_id, mcid, struct_type)`` marked-content leaves in LOGICAL
+    order.  /K takes every Table-323 shape: a bare int MCID (its page is
+    the nearest ancestor element's /Pg), a marked-content-reference dict
+    (``/Type /MCR`` with its own /Pg override, §14.7.5.3), an object
+    reference (``/Type /OBJR`` — an annotation, no text content: skipped),
+    a child structure element, or an array of any of these.  Depth- and
+    cycle-capped like the page-tree walk; the /ParentTree (the inverse
+    index viewers use for hit-testing) is not needed for extraction.
+
+    The reference has no tagged-PDF tier (its tree walk stops at
+    /Contents, doc_tree.rs:63-142); semantics from ISO 32000 §14.7-14.8."""
+    out: list = []
+    on_path: set = set()
+
+    def walk(node, pg_id, stype, depth):
+        if depth > MAX_TREE_DEPTH:
+            errors.append((DOC_TREE_ERROR, "assemble", "structure tree depth cap"))
+            return
+        node = resolve(node, objects)
+        if isinstance(node, int):
+            if pg_id is not None:
+                out.append((pg_id, node, stype))
+            return
+        if isinstance(node, list):
+            for kid in node:
+                walk(kid, pg_id, stype, depth + 1)
+            return
+        if not isinstance(node, dict):
+            return
+        t = get_resolved(node, "Type", objects)
+        tname = str(t) if isinstance(t, Name) else None
+        if tname == "MCR":
+            mpg = get_resolved(node, "Pg", objects)
+            m = get_resolved(node, "MCID", objects)
+            tgt = id(mpg) if isinstance(mpg, dict) else pg_id
+            if isinstance(m, int) and tgt is not None:
+                out.append((tgt, m, stype))
+            return
+        if tname == "OBJR":
+            return
+        # structure element: /Pg scopes integer kids below it, /S names it
+        if id(node) in on_path:
+            errors.append((DOC_TREE_ERROR, "assemble", "structure tree cycle"))
+            return
+        epg = get_resolved(node, "Pg", objects)
+        if isinstance(epg, dict):
+            pg_id = id(epg)
+        s = get_resolved(node, "S", objects)
+        if isinstance(s, Name):
+            stype = str(s)
+        k = node.get("K")
+        if k is not None:
+            on_path.add(id(node))
+            walk(k, pg_id, stype, depth + 1)
+            on_path.discard(id(node))
+
+    walk(stroot.get("K"), None, None, 0)
+    return out
+
+
+def extract_tagged_spans(data: bytes, password: bytes = b""):
+    """Tagged-PDF extraction (ISO 32000 §14.7/§14.8): text spans in the
+    LOGICAL reading order the structure tree declares, independent of the
+    content stream's drawing order.  Show ops are attributed to structure
+    leaves through the /MCID of their innermost marked-content sequence
+    (``tokenize_content(mcid=True)``); the /StructTreeRoot's depth-first
+    leaf order then ranks them.  Untagged shows (no enclosing /MCID, or an
+    MCID the tree never references) are artifact/untagged content
+    (§14.8.2.2) and are appended AFTER the tagged spans in drawing order
+    with a NULL struct_type — text is never lost.  Documents without a
+    structure tree degrade to pure drawing order, all rows untagged.
+
+    Returns ``{"spans": [(page_idx, ord, struct_type, text)], "errors"}``.
+    """
+    errors: list = []
+    out: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        pages = _walk_pages(pages_node, objects, errors)
+
+        # logical rank per (page, mcid) + the leaf's /S type
+        stroot = get_resolved(root, "StructTreeRoot", objects)
+        leaf_rank: dict = {}
+        if isinstance(stroot, dict):
+            for li, (pg_id, m, stype) in enumerate(
+                _struct_leaves(stroot, objects, errors)
+            ):
+                leaf_rank.setdefault((pg_id, m), (li, stype))
+
+        tagged: list = []
+        untagged: list = []
+        font_cache: dict = {}
+        off_ids = _off_ocg_ids(root, objects)
+        emit_i = 0
+        for page_idx, page in enumerate(pages):
+            resources = get_resolved(page, "Resources", objects) or {}
+            content = _page_content_bytes(page, objects, errors)
+            for ev, fonts in _content_events(
+                content, resources, objects, errors, off_ids=off_ids, mcid=True
+            ):
+                if ev[0] in ("media", "inline"):
+                    continue  # media carries no text; stays in the main extraction
+                if ev[0] == "atext":
+                    txt = pdf_text_string(ev[3])
+                else:
+                    font_name = ev[2]
+                    fkey = (id(fonts), font_name or "")
+                    if fkey not in font_cache:
+                        fobj = fonts.get(font_name) if isinstance(fonts, dict) else None
+                        font_cache[fkey] = _font_decoder(fobj, objects, errors)
+                    dec = font_cache[fkey]
+                    if ev[0] == "text":
+                        txt = dec(ev[3])
+                    else:
+                        txt = "".join(
+                            dec(x) for x in ev[3] if isinstance(x, (bytes, bytearray))
+                        )
+                m = ev[-1]
+                rank = leaf_rank.get((id(page), m)) if m is not None else None
+                if rank is not None:
+                    tagged.append((rank[0], emit_i, page_idx, rank[1], txt))
+                else:
+                    untagged.append((emit_i, page_idx, txt))
+                emit_i += 1
+        tagged.sort()
+        ordn = 0
+        for _li, _ei, page_idx, stype, txt in tagged:
+            out.append((page_idx, ordn, stype, txt))
+            ordn += 1
+        for _ei, page_idx, txt in untagged:
+            out.append((page_idx, ordn, None, txt))
+            ordn += 1
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient catch-all, as extract_spans
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"spans": out, "errors": errors}

@@ -23,7 +23,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..core.extract import extract_advance_spans, extract_layout_spans, extract_spans
+from ..core.extract import (
+    extract_advance_spans,
+    extract_layout_spans,
+    extract_spans,
+    extract_tagged_spans,
+)
 from ..schema import DOCUMENTS_RAW
 
 def _doc_bytes(spans) -> bytes:
@@ -424,4 +429,38 @@ def extract_attachments_fused(documents_raw: DataFrame, password: bytes = b"") -
     return documents_raw.mapInPandas(
         run,
         schema="doc_id long, att_idx int, att_name string, size int, payload_md5 string",
+    )
+
+
+def extract_tagged_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Tagged-PDF LOGICAL reading order, zero shuffle: the structure-tree
+    kernel (core/extract.py ``extract_tagged_spans``, ISO 32000 §14.7/
+    §14.8) ranks each show op by its /MCID's depth-first position in the
+    /StructTreeRoot walk; untagged (artifact) content follows in drawing
+    order with NULL struct_type.  One mapInPandas — the ranking is
+    per-document and row-local, so the plan is scan -> kernel -> sink at
+    any cluster size."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_tagged_spans(_doc_bytes(spans), password=password)
+                for page_idx, ordn, stype, txt in res["spans"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "struct_type": stype,
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "ord", "page_idx", "struct_type", "text"]
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, struct_type string, text string",
     )

@@ -23,6 +23,7 @@ from ..synth import (
     build_document_damaged,
     build_document_protected,
     build_document_table,
+    build_document_tagged,
 )
 
 _BUILDERS = {
@@ -33,6 +34,7 @@ _BUILDERS = {
     "damaged": build_document_damaged,
     "protected": build_document_protected,
     "table": build_document_table,
+    "tagged": build_document_tagged,
 }
 
 

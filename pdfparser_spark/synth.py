@@ -1916,3 +1916,178 @@ def reconstruct(span_rows: list[dict]) -> bytes:
         if t is not None:
             out += t.encode("latin-1")
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Tagged family: one page whose marked-content sequences are DRAWN in a
+# rotated order; the structure tree (/StructTreeRoot, ISO 32000 §14.7)
+# declares the logical order.  A byte-order extraction reads the page
+# rotated; only a kernel that joins /MCID against the tree's depth-first
+# leaf order reproduces the oracle.  Only extract_tagged_order observes
+# this family.
+
+TAG_WPL = 3  # words per logical line
+TAG_MAX_LINES = 5
+TAG_LINE_DY = 14  # baseline pitch: logical line i sits at y = 720 - 14*i
+TAG_ARTIFACT_TEXT = "draft"  # the untagged footer's fixed text
+TAG_ARTIFACT_Y = 36
+
+
+def tagged_lines(doc_id: int, text: str) -> list[str]:
+    """Logical lines: 3-word slices, up to 5; a line exists when the text
+    has any word at its start index (the oracle's ``len(w) > i*3`` guard,
+    same convention as the columns family)."""
+    words = text.split(" ")
+    return [
+        " ".join(words[i * TAG_WPL : i * TAG_WPL + TAG_WPL])
+        for i in range(TAG_MAX_LINES)
+        if len(words) > i * TAG_WPL
+    ]
+
+
+def tagged_has_artifact(doc_id: int) -> bool:
+    """Every 3rd doc draws an UNTAGGED footer (no /MCID): artifact content
+    per §14.8.2.2, reported AFTER the tagged spans with NULL type."""
+    return doc_id % 3 == 0
+
+
+def tagged_mcid_of(doc_id: int, li: int, n: int) -> int:
+    """MCID of logical line ``li``: sequences are numbered 0..n-1 in
+    DRAWING order, and the j-th drawn sequence shows logical line
+    (j + doc_id) % n — so logical i carries mcid (i - doc_id) mod n."""
+    return (li - doc_id) % n
+
+
+def build_document_tagged(doc_id: int, text: str) -> dict:
+    """Tagged-PDF family: clean classic-xref, one page.  Drawing order is
+    the logical order rotated by doc_id; each drawn line is wrapped in
+    ``/P << /MCID j >> BDC .. EMC``.  The structure tree exercises every
+    /K leaf shape (bare int with ancestor /Pg, one-element int array, and
+    an explicit /Type /MCR dict) plus one level of recursion (odd docs
+    split the lines across two /Sect elements).  Logical line 0 is an
+    /H1 element, the rest /P."""
+    lines = tagged_lines(doc_id, text)
+    n = len(lines)
+    use_sects = doc_id % 2 == 1 and n >= 2
+    half = (n + 1) // 2
+
+    CATALOG, PAGESROOT, FONT, PAGE, CONTENT, STROOT, DOCELEM = 1, 2, 3, 4, 5, 6, 7
+    next_id = 8
+    sect_ids: list[int] = []
+    if use_sects:
+        sect_ids = [8, 9]
+        next_id = 10
+    line_ids = {i: next_id + i for i in range(n)}
+    n_objs = next_id - 1 + n
+
+    # content: one BT, each drawn sequence absolute-positioned (Tm); the
+    # j-th drawn sequence shows LOGICAL line (j + doc_id) % n at that
+    # line's physical slot — the page LOOKS normal, only the stream order
+    # (and therefore untagged extraction) is rotated
+    parts = ["BT /F1 12 Tf "]
+    for j in range(n):
+        li = (j + doc_id) % n
+        y = 720 - TAG_LINE_DY * li
+        parts.append(
+            f"/P << /MCID {j} >> BDC 1 0 0 1 72 {y} Tm "
+            f"({_pdf_escape(lines[li])}) Tj EMC "
+        )
+    if tagged_has_artifact(doc_id) and n:
+        parts.append(f"1 0 0 1 72 {TAG_ARTIFACT_Y} Tm ({TAG_ARTIFACT_TEXT}) Tj ")
+    parts.append("ET")
+    body = "".join(parts).encode("latin-1")
+
+    def elem_k(li: int) -> str:
+        m = tagged_mcid_of(doc_id, li, n)
+        if li % 3 == 2:  # explicit marked-content reference with own /Pg
+            return f"<< /Type /MCR /Pg {PAGE} 0 R /MCID {m} >>"
+        if li % 4 == 3:  # one-element array of a bare MCID
+            return f"[{m}]"
+        return str(m)
+
+    b = _Builder()
+    offsets: dict[int, int] = {}
+    b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
+    offsets[CATALOG] = b.struct(
+        (
+            f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R "
+            f"/StructTreeRoot {STROOT} 0 R /MarkInfo << /Marked true >> >> endobj\n"
+        ).encode("ascii")
+    )
+    offsets[PAGESROOT] = b.struct(
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{PAGE} 0 R] /Count 1 >> endobj\n".encode("ascii")
+    )
+    offsets[FONT] = b.struct(
+        f"{FONT} 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n".encode("ascii")
+    )
+    offsets[PAGE] = b.struct(
+        (
+            f"{PAGE} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
+            f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
+            f"/StructParents 0 /Contents {CONTENT} 0 R >> endobj\n"
+        ).encode("ascii")
+    )
+    offsets[CONTENT] = b.struct(
+        f"{CONTENT} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
+    )
+    b.text_payload(body)
+    b.struct(b"\nendstream endobj\n")
+    offsets[STROOT] = b.struct(
+        f"{STROOT} 0 obj << /Type /StructTreeRoot /K {DOCELEM} 0 R >> endobj\n".encode("ascii")
+    )
+    if use_sects:
+        doc_kids = f"[{sect_ids[0]} 0 R {sect_ids[1]} 0 R]"
+    else:
+        doc_kids = "[" + " ".join(f"{line_ids[i]} 0 R" for i in range(n)) + "]"
+    offsets[DOCELEM] = b.struct(
+        (
+            f"{DOCELEM} 0 obj << /Type /StructElem /S /Document /P {STROOT} 0 R "
+            f"/Pg {PAGE} 0 R /K {doc_kids} >> endobj\n"
+        ).encode("ascii")
+    )
+    if use_sects:
+        groups = (range(0, half), range(half, n))
+        for si, grp in enumerate(groups):
+            kids = "[" + " ".join(f"{line_ids[i]} 0 R" for i in grp) + "]"
+            # NO /Pg on the sects: bare-int grandchildren resolve through
+            # the Document element's /Pg (nearest-ancestor semantics)
+            offsets[sect_ids[si]] = b.struct(
+                (
+                    f"{sect_ids[si]} 0 obj << /Type /StructElem /S /Sect "
+                    f"/P {DOCELEM} 0 R /K {kids} >> endobj\n"
+                ).encode("ascii")
+            )
+    for i in range(n):
+        parent = sect_ids[0 if i < half else 1] if use_sects else DOCELEM
+        stype = "H1" if i == 0 else "P"
+        offsets[line_ids[i]] = b.struct(
+            (
+                f"{line_ids[i]} 0 obj << /Type /StructElem /S /{stype} "
+                f"/P {parent} 0 R /K {elem_k(i)} >> endobj\n"
+            ).encode("ascii")
+        )
+    xref_pos = b.pos
+    b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))
+    b.struct(b"0000000000 65535 f\r\n")
+    for i in range(1, n_objs + 1):
+        b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
+    b.struct(
+        (
+            f"trailer << /Size {n_objs + 1} /Root {CATALOG} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF"
+        ).encode("ascii")
+    )
+    return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
+
+
+def expected_tagged(doc_id: int, text: str) -> list[tuple[int, int, str | None, str]]:
+    """Analytic ground truth for ``extract_tagged_order``: (ord, page_idx,
+    struct_type, text) — logical lines first (H1 then P), then the
+    untagged artifact footer."""
+    lines = tagged_lines(doc_id, text)
+    out = [
+        (i, 0, "H1" if i == 0 else "P", t) for i, t in enumerate(lines)
+    ]
+    if tagged_has_artifact(doc_id) and lines:
+        out.append((len(lines), 0, None, TAG_ARTIFACT_TEXT))
+    return out

@@ -736,3 +736,26 @@ def test_tokenize_content_advance_state_machine(ops):
         if ev[0] in ("text", "textarr")
     ]
     assert got == expected
+
+
+@given(
+    doc_id=st.integers(0, 500),
+    seed=st.integers(0, 10**6),
+    n_mutations=st.integers(1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_tagged_never_raises_on_mutations(doc_id, seed, n_mutations):
+    """Byte-mutated tagged documents (structure tree included) must
+    degrade to error rows, never exceptions — same lenient contract as
+    every other kernel entry point."""
+    import random as _random
+
+    from pdfparser_spark.core.extract import extract_tagged_spans
+    from pdfparser_spark.synth import build_document_tagged
+
+    data = bytearray(build_document_tagged(doc_id, "alpha beta gamma delta eps zeta")["bytes"])
+    rng = _random.Random(seed)
+    for _ in range(n_mutations):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    r = extract_tagged_spans(bytes(data))
+    assert isinstance(r["spans"], list)

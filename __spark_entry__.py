@@ -39,6 +39,7 @@ from pdfparser_spark.stages import (
     extract_layout_sized_fused,
     extract_links_fused,
     extract_meta_fused,
+    extract_scanned_fused,
     extract_tagged_fused,
     flatten_spans,
     hyphenate_words,
@@ -590,13 +591,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
         ),
-        # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
-        # image XObjects; this pulls them back out of the (decrypted)
-        # object graph and decodes them with the textops codecs
-        "extract_embedded_images": lambda s, d: extract_images_fused(
+        # scanned-PDF pages to pixels: the scanned family's bi-level image
+        # XObjects carry REAL CCITT Group 3/4 data (ITU-T T.4/T.6 codec in
+        # textops/ccitt.py); /K, /EncodedByteAlign and /BlackIs1 vary per
+        # doc so each ISO 32000 §7.4.6 knob is individually observable —
+        # ignoring BlackIs1 inverts the ink on every 3rd doc, the 1-D /K 0
+        # docs fail a G4-only decoder, unaligned rows fail an
+        # always-aligning one.  (The binary family's JPEG walk moved to
+        # the tail: decryption/JPEG evidence lives in extract_protected_
+        # corpus / video_frames_real.)
+        "extract_scanned_ccitt": lambda s, d: extract_scanned_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
-                family="binary",
+                family="scanned",
             )
         ),
         # password-protected family: every doc encrypted (RC4/AESV2/AESV3
@@ -1489,6 +1496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain span oracle (tail: WARC shape in-window via warc_ingest,
         # kernel via the extract_* block)
         "warc_pdf_extract": _warc_pdf_extract,
+        # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
+        # image XObjects; this pulls them back out of the (decrypted)
+        # object graph and decodes them with the textops codecs
+        "extract_embedded_images": lambda s, d: extract_images_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="binary",
+            )
+        ),
     }
 
 
@@ -2531,6 +2547,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         # embedded Im1 JPEG: dims synth.embedded_image_dims, grayscale
         # DC-only decode per _jpeg_block_px — integer-exact end to end
+        # scanned family: the ink mask is the integer stripe formula
+        # black(x,y) = ((x + (y*ph)%5) // bw) % 2 = 0 with ph = 1+doc%3,
+        # bw = 2+doc%4 over a (24+8*(doc%4)) x (16+4*(doc%5)) grid; the
+        # signature weights each ink pixel by its raster position, so a
+        # single wrong pixel anywhere fails the hash
+        "extract_scanned_ccitt": """
+            WITH dims AS (
+              SELECT doc_id,
+                     24 + 8 * (doc_id % 4) AS w,
+                     16 + 4 * (doc_id % 5) AS h,
+                     1 + doc_id % 3 AS ph,
+                     2 + doc_id % 4 AS bw
+              FROM documents
+            ), px AS (
+              SELECT doc_id, w, h, x, y,
+                     CASE WHEN ((x + (y * ph) % 5) // bw) % 2 = 0
+                          THEN 1 ELSE 0 END AS ink
+              FROM dims,
+                   unnest(generate_series(0, h - 1)) AS uy(y),
+                   unnest(generate_series(0, w - 1)) AS ux(x)
+            )
+            SELECT doc_id, CAST(0 AS INT) AS page_idx, 'Im1' AS media_ref,
+                   CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                   CAST(SUM(ink) AS BIGINT) AS n_black,
+                   CAST(SUM(ink * (CAST(y AS BIGINT) * w + x + 1)) AS BIGINT) AS ink_sig
+            FROM px GROUP BY doc_id, w, h
+        """,
         "extract_embedded_images": f"""
             SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,

@@ -1566,3 +1566,86 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient catch-all, as extract_spans
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"spans": out, "errors": errors}
+
+
+def extract_ccitt_images(data: bytes, password: bytes = b""):
+    """Scanned-page raw material: every image XObject whose filter chain
+    contains CCITTFaxDecode, with the §7.4.6 decode parameters the codec
+    needs — ``(page_idx, name, k, columns, rows, byte_align, black_is_1,
+    payload)`` where ``payload`` is the bytes at the CCITT boundary
+    (transport armor stripped, decryption applied).  /DecodeParms given
+    as an ARRAY parallel to a /Filter array is handled by taking the
+    CCITT entry's dict.  The bit-level decode itself lives in
+    textops/ccitt.py — same layering as JPEG/PNG (the kernel never
+    rasterizes).  Lenient: damaged docs yield error rows, not exceptions."""
+    errors: list = []
+    out: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(data, offsets, compressed, errors, decryptor, objstm_expanded)
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)  # sets stream kinds (image routing)
+        root = get_resolved(trailer, "Root", objects)
+        pages_node = get_resolved(root, "Pages", objects) if isinstance(root, dict) else None
+        if pages_node is None:
+            return {"images": out, "errors": errors}
+        seen: set = set()
+        for page_idx, page in enumerate(_walk_pages(pages_node, objects, errors)):
+            resources = get_resolved(page, "Resources", objects) or {}
+            xdict = get_resolved(resources, "XObject", objects) or {}
+            if not isinstance(xdict, dict):
+                continue
+            for xname, xref in xdict.items():
+                st = resolve(xref, objects)
+                if not (isinstance(st, Stream) and st.kind == "image"):
+                    continue
+                key = (str(xname), id(st))
+                if key in seen:
+                    continue
+                seen.add(key)
+                try:
+                    chain = build_filter_chain(st.attrs, lambda v: resolve(v, objects))
+                except (FilterError, PdfError):
+                    continue
+                entry = next(
+                    ((name, parms) for name, parms in chain
+                     if name in ("CCITTFaxDecode", "CCF")),
+                    None,
+                )
+                if entry is None:
+                    continue
+                try:
+                    payload = decode_media_prefix(st.raw, chain)
+                except (FilterError, PdfError):
+                    errors.append((FILTER_ERROR, "decode", "CCITT transport armor broken"))
+                    continue
+                parms = entry[1] or {}
+                def geti(key, default):
+                    v = resolve(parms.get(key), objects)
+                    return int(v) if isinstance(v, (int, float)) else default
+                def getb(key):
+                    v = resolve(parms.get(key), objects)
+                    return bool(v) if isinstance(v, bool) else False
+                rows = geti("Rows", 0) or None
+                if rows is None:
+                    h = get_resolved(st.attrs, "Height", objects)
+                    rows = int(h) if isinstance(h, (int, float)) else None
+                out.append(
+                    (
+                        page_idx,
+                        str(xname),
+                        geti("K", 0),
+                        geti("Columns", 1728),
+                        rows,
+                        getb("EncodedByteAlign"),
+                        getb("BlackIs1"),
+                        bytes(payload),
+                    )
+                )
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"images": out, "errors": errors}

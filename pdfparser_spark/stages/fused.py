@@ -464,3 +464,55 @@ def extract_tagged_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
         run,
         schema="doc_id long, ord int, page_idx int, struct_type string, text string",
     )
+
+
+def extract_scanned_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Scanned-PDF pages to pixels, zero shuffle: pull every
+    CCITTFaxDecode image XObject out of the object graph
+    (``core.extract.extract_ccitt_images``) and run the REAL Group 3/4
+    codec (``textops/ccitt.py``), honoring /K, /Columns, /Rows,
+    /EncodedByteAlign and /BlackIs1.  Emits one row per image with the
+    ink statistics (count + position-weighted signature — any single
+    pixel flip changes it).  One mapInPandas; decode is per-document."""
+    import numpy as np
+
+    from ..core.extract import extract_ccitt_images
+    from ..textops.ccitt import decode_ccitt
+
+    cols = ["doc_id", "page_idx", "media_ref", "width", "height", "n_black", "ink_sig"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_ccitt_images(_doc_bytes(spans), password=password)
+                for page_idx, name, k, columns, nrows, ba, b1, payload in res["images"]:
+                    try:
+                        mask = decode_ccitt(
+                            payload, columns, nrows, k=k,
+                            byte_align=ba, black_is_1=b1,
+                        )
+                    except ValueError:
+                        continue  # corrupt scan: contained skip, task lives
+                    h, w = mask.shape
+                    idx = np.arange(h * w, dtype=np.int64).reshape(h, w) + 1
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": page_idx,
+                            "media_ref": name,
+                            "width": w,
+                            "height": h,
+                            "n_black": int(mask.sum(dtype=np.int64)),
+                            "ink_sig": int((idx * mask).sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, page_idx int, media_ref string, width int, "
+            "height int, n_black long, ink_sig long"
+        ),
+    )

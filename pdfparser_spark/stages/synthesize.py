@@ -22,6 +22,7 @@ from ..synth import (
     build_document_columns,
     build_document_damaged,
     build_document_protected,
+    build_document_scanned,
     build_document_table,
     build_document_tagged,
 )
@@ -33,6 +34,7 @@ _BUILDERS = {
     "columns": build_document_columns,
     "damaged": build_document_damaged,
     "protected": build_document_protected,
+    "scanned": build_document_scanned,
     "table": build_document_table,
     "tagged": build_document_tagged,
 }

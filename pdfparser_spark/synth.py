@@ -2091,3 +2091,107 @@ def expected_tagged(doc_id: int, text: str) -> list[tuple[int, int, str | None, 
     if tagged_has_artifact(doc_id) and lines:
         out.append((len(lines), 0, None, TAG_ARTIFACT_TEXT))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Scanned family: one page, one bi-level image XObject compressed with
+# CCITTFaxDecode (the dominant scanned-PDF shape).  The ink pattern is an
+# integer formula both the kernel and the DuckDB oracle replay exactly;
+# the per-doc /K, /EncodedByteAlign and /BlackIs1 variants make each
+# ISO 32000 §7.4.6 knob individually observable (a kernel ignoring
+# BlackIs1 decodes INVERTED ink on every 3rd doc).
+
+def scanned_dims(doc_id: int) -> tuple[int, int]:
+    return 24 + 8 * (doc_id % 4), 16 + 4 * (doc_id % 5)
+
+
+def scanned_params(doc_id: int) -> dict:
+    """CCITT parameter variants: G4 (/K -1) with every 7th+3 doc on 1-D
+    Group 3 (/K 0); byte-aligned rows on even docs; /BlackIs1 on every
+    3rd+1 doc."""
+    return {
+        "k": 0 if doc_id % 7 == 3 else -1,
+        "byte_align": doc_id % 2 == 0,
+        "black_is_1": doc_id % 3 == 1,
+    }
+
+
+def scanned_ink(doc_id: int):
+    """The analytic ink mask: shifted block stripes — long runs with
+    per-row phase motion (vertical-mode-heavy, horizontal at wraps)."""
+    import numpy as np
+
+    w, h = scanned_dims(doc_id)
+    ph = 1 + doc_id % 3
+    bw = 2 + doc_id % 4
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    return ((x + ((y * ph) % 5)) // bw) % 2 == 0
+
+
+def build_document_scanned(doc_id: int, text: str) -> dict:
+    """Scanned-page family: classic xref, one page whose only content is
+    ``/Im1 Do``; the image stream is REAL CCITT-compressed data from the
+    textops/ccitt.py encoder.  ``text`` is unused (scans carry no text
+    layer) — only extract_scanned_ccitt observes this family."""
+    from .textops.ccitt import encode_ccitt
+
+    w, h = scanned_dims(doc_id)
+    p = scanned_params(doc_id)
+    payload = encode_ccitt(
+        scanned_ink(doc_id), k=p["k"], byte_align=p["byte_align"],
+        black_is_1=p["black_is_1"],
+    )
+    parms = (
+        f"/K {p['k']} /Columns {w} /Rows {h}"
+        + (" /EncodedByteAlign true" if p["byte_align"] else "")
+        + (" /BlackIs1 true" if p["black_is_1"] else "")
+    )
+    body = b"q /Im1 Do Q"
+
+    b = _Builder()
+    offsets: dict[int, int] = {}
+    b.struct(f"%PDF-1.{4 + doc_id % 3}\n".encode("ascii"))
+    CATALOG, PAGESROOT, PAGE, CONTENT, IMG = 1, 2, 3, 4, 5
+    offsets[CATALOG] = b.struct(
+        f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
+    )
+    offsets[PAGESROOT] = b.struct(
+        f"{PAGESROOT} 0 obj << /Type /Pages /Kids [{PAGE} 0 R] /Count 1 >> endobj\n".encode("ascii")
+    )
+    offsets[PAGE] = b.struct(
+        (
+            f"{PAGE} 0 obj << /Type /Page /Parent {PAGESROOT} 0 R "
+            f"/Resources << /XObject << /Im1 {IMG} 0 R >> >> "
+            f"/MediaBox [0 0 612 792] /Contents {CONTENT} 0 R >> endobj\n"
+        ).encode("ascii")
+    )
+    offsets[CONTENT] = b.struct(
+        f"{CONTENT} 0 obj << /Length {len(body)} >> stream\n".encode("ascii")
+    )
+    b.text_payload(body)
+    b.struct(b"\nendstream endobj\n")
+    b.media_marker("Im1")
+    offsets[IMG] = b.struct(
+        (
+            f"{IMG} 0 obj << /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
+            f"/Filter /CCITTFaxDecode /DecodeParms << {parms} >> "
+            f"/Length {len(payload)} >>\nstream\n"
+        ).encode("ascii")
+    )
+    b.text_payload(payload)
+    b.struct(b"\nendstream endobj\n")
+    n_objs = 5
+    xref_pos = b.pos
+    b.struct(f"xref\n0 {n_objs + 1}\n".encode("ascii"))
+    b.struct(b"0000000000 65535 f\r\n")
+    for i in range(1, n_objs + 1):
+        b.struct(f"{offsets[i]:010d} 00000 n\r\n".encode("ascii"))
+    b.struct(
+        (
+            f"trailer << /Size {n_objs + 1} /Root {CATALOG} 0 R >>\n"
+            f"startxref\n{xref_pos}\n%%EOF"
+        ).encode("ascii")
+    )
+    return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}

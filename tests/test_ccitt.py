@@ -1,0 +1,106 @@
+"""CCITTFaxDecode (ITU-T T.4/T.6) codec + the scanned family end to end."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfparser_spark.core.extract import extract_ccitt_images
+from pdfparser_spark.synth import (
+    build_document_scanned,
+    scanned_dims,
+    scanned_ink,
+    scanned_params,
+)
+from pdfparser_spark.textops import ccitt
+
+
+def test_run_tables_are_prefix_free():
+    for table in (ccitt._WHITE, ccitt._BLACK):
+        codes = list(table.values()) + list(ccitt._EXT.values())
+        for i, a in enumerate(codes):
+            for b in codes[i + 1 :]:
+                assert not a.startswith(b) and not b.startswith(a), (a, b)
+
+
+@given(
+    seed=st.integers(0, 10**6),
+    h=st.integers(1, 24),
+    w=st.integers(1, 48),
+    k=st.sampled_from([-1, 0]),
+    byte_align=st.booleans(),
+    black_is_1=st.booleans(),
+    density=st.floats(0.0, 1.0),
+)
+@settings(max_examples=120, deadline=None)
+def test_codec_roundtrips_random_masks(seed, h, w, k, byte_align, black_is_1, density):
+    rng = np.random.RandomState(seed % 2**31)
+    mask = rng.rand(h, w) < density
+    data = ccitt.encode_ccitt(mask, k=k, byte_align=byte_align, black_is_1=black_is_1)
+    out = ccitt.decode_ccitt(data, w, h, k=k, byte_align=byte_align, black_is_1=black_is_1)
+    assert np.array_equal(out, mask)
+
+
+def test_codec_handles_runs_beyond_extended_makeups():
+    # a 6000-px run needs repeated 2560 makeups (T.4 coding of runs > 2623)
+    m = np.zeros((2, 6000), dtype=bool)
+    m[0, 10:5980] = True
+    for k in (-1, 0):
+        data = ccitt.encode_ccitt(m, k=k)
+        assert np.array_equal(ccitt.decode_ccitt(data, 6000, 2, k=k), m)
+
+
+@given(seed=st.integers(0, 10**6), n_mut=st.integers(1, 8))
+@settings(max_examples=80, deadline=None)
+def test_decoder_only_raises_valueerror(seed, n_mut):
+    import random as _random
+
+    rng = _random.Random(seed)
+    m = (np.arange(20 * 32).reshape(20, 32) % 7) < 3
+    data = bytearray(ccitt.encode_ccitt(m, k=-1))
+    for _ in range(n_mut):
+        data[rng.randrange(len(data))] = rng.randrange(256)
+    try:
+        out = ccitt.decode_ccitt(bytes(data), 32, 20, k=-1)
+        assert out.shape == (20, 32)
+    except ValueError:
+        pass  # the only permitted failure mode
+
+
+def test_scanned_family_end_to_end():
+    for did in range(25):
+        d = build_document_scanned(did, "unused")
+        r = extract_ccitt_images(d["bytes"])
+        assert not r["errors"], (did, r["errors"][:2])
+        assert len(r["images"]) == 1
+        _pi, name, k, cols, rows, ba, b1, payload = r["images"][0]
+        p = scanned_params(did)
+        assert (k, ba, b1) == (p["k"], p["byte_align"], p["black_is_1"])
+        assert (cols, rows) == scanned_dims(did)
+        mask = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=ba, black_is_1=b1)
+        assert np.array_equal(mask, scanned_ink(did))
+
+
+def test_black_is_1_is_individually_observable():
+    # doc 1 sets /BlackIs1: a decoder ignoring it reads INVERTED ink
+    d = build_document_scanned(1, "unused")
+    r = extract_ccitt_images(d["bytes"])
+    _pi, _n, k, cols, rows, ba, b1, payload = r["images"][0]
+    assert b1
+    wrong = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=ba, black_is_1=False)
+    assert np.array_equal(wrong, ~scanned_ink(1))
+
+
+def test_byte_align_is_individually_observable():
+    # doc 0 byte-aligns each row: decoding without alignment must not
+    # silently agree (either raises or differs)
+    d = build_document_scanned(0, "unused")
+    r = extract_ccitt_images(d["bytes"])
+    _pi, _n, k, cols, rows, ba, b1, payload = r["images"][0]
+    assert ba and k == -1
+    try:
+        wrong = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=False, black_is_1=b1)
+        assert not np.array_equal(wrong, scanned_ink(0))
+    except ValueError:
+        pass

@@ -35,6 +35,7 @@ from pdfparser_spark.stages import (
     extract_forms_fused,
     extract_fused,
     extract_images_fused,
+    extract_labels_fused,
     extract_layout_fused,
     extract_layout_sized_fused,
     extract_links_fused,
@@ -1505,6 +1506,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 family="binary",
             )
         ),
+# page labels (§12.4.2): the catalog /PageLabels number tree —
+        # 5 numbering styles, /P prefix, /St, a second decimal range, and
+        # the no-tree viewer default — INLINE in the armored catalog so
+        # object_stats is untouched
+        "doc_page_labels": lambda s, d: extract_labels_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
     }
 
 
@@ -2378,6 +2388,30 @@ def oracle_sql() -> dict[str, str]:
         # untagged 'draft' footer as NULL-typed artifact content AFTER
         # the tagged spans.  The drawn order is rotated by doc_id — this
         # SQL never sees that; only a structure-tree-aware kernel agrees
+        # page-label rules replayed: style cycle doc%5 over D/r/R/a/A,
+        # prefix on doc%4=0, /St 1+doc%3 (page 0); pages 1+ decimal from
+        # 10+doc%7 on even docs (default 1 on odd); doc%9=4 has no tree
+        "doc_page_labels": """
+            WITH pg AS (
+              SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS p
+              FROM documents
+            )
+            SELECT doc_id, CAST(p AS INT) AS page_idx,
+              CASE
+                WHEN doc_id % 9 = 4 THEN CAST(p + 1 AS VARCHAR)
+                WHEN p = 0 THEN
+                  (CASE WHEN doc_id % 4 = 0 THEN 'fm-' ELSE '' END) ||
+                  CASE doc_id % 5
+                    WHEN 0 THEN CAST(1 + doc_id % 3 AS VARCHAR)
+                    WHEN 1 THEN ['i','ii','iii'][CAST(1 + doc_id % 3 AS INT)]
+                    WHEN 2 THEN ['I','II','III'][CAST(1 + doc_id % 3 AS INT)]
+                    WHEN 3 THEN ['a','b','c'][CAST(1 + doc_id % 3 AS INT)]
+                    ELSE ['A','B','C'][CAST(1 + doc_id % 3 AS INT)]
+                  END
+                ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7 ELSE 1 END) + p - 1 AS VARCHAR)
+              END AS label
+            FROM pg
+        """,
         "extract_tagged_order": """
             WITH base AS (
               SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w

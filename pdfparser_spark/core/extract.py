@@ -1649,3 +1649,127 @@ def extract_ccitt_images(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"images": out, "errors": errors}
+
+
+_ROMAN_PAIRS = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+    (5, "v"), (4, "iv"), (1, "i"),
+)
+
+
+def _roman(n: int) -> str:
+    out = []
+    for v, s in _ROMAN_PAIRS:
+        while n >= v:
+            out.append(s)
+            n -= v
+    return "".join(out)
+
+
+def _alpha(n: int) -> str:
+    """§12.4.2 letter style: a..z, then aa..zz, aaa..zzz, ..."""
+    return chr(97 + (n - 1) % 26) * (1 + (n - 1) // 26)
+
+
+def _format_page_label(style: str | None, prefix: str, n: int) -> str:
+    if style == "D":
+        body = str(n)
+    elif style == "r":
+        body = _roman(n)
+    elif style == "R":
+        body = _roman(n).upper()
+    elif style == "a":
+        body = _alpha(n)
+    elif style == "A":
+        body = _alpha(n).upper()
+    else:  # no /S: the label is the prefix alone (§12.4.2 table 159)
+        body = ""
+    return prefix + body
+
+
+def _number_tree_pairs(node, objects: dict, errors: list, depth: int = 0) -> list:
+    """Flatten a number tree (ISO 32000 §7.9.7): /Nums leaf arrays and
+    /Kids recursion, depth-capped.  Same shape as the /Names tree the
+    attachments walk handles, with integer keys."""
+    if depth > MAX_TREE_DEPTH:
+        errors.append((DOC_TREE_ERROR, "assemble", "number tree depth cap"))
+        return []
+    node = resolve(node, objects)
+    if not isinstance(node, dict):
+        return []
+    out: list = []
+    nums = get_resolved(node, "Nums", objects)
+    if isinstance(nums, list):
+        for j in range(0, len(nums) - 1, 2):
+            k = resolve(nums[j], objects)
+            v = resolve(nums[j + 1], objects)
+            if isinstance(k, int):
+                out.append((k, v))
+    kids = get_resolved(node, "Kids", objects)
+    if isinstance(kids, list):
+        for kid in kids:
+            out.extend(_number_tree_pairs(kid, objects, errors, depth + 1))
+    return out
+
+
+def extract_page_labels(data: bytes, password: bytes = b""):
+    """Page labels (ISO 32000 §12.4.2): the catalog /PageLabels number
+    tree maps page-index ranges to label dicts (/S style D/R/r/A/a, /P
+    prefix, /St start); each page's label comes from the governing range
+    (largest key <= index).  Without a tree — or for pages below the
+    first range — the viewer-default ordinal+1 decimal is reported, so
+    every page always has a label.  Returns ``{"labels": [(page_idx,
+    label)], "errors"}``; lenient like every kernel entry point."""
+    errors: list = []
+    out: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(data, offsets, compressed, errors, decryptor, objstm_expanded)
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        if not isinstance(root, dict):
+            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+        pages_node = get_resolved(root, "Pages", objects)
+        if pages_node is None:
+            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+        n_pages = len(_walk_pages(pages_node, objects, errors))
+
+        ranges: list = []
+        pl = get_resolved(root, "PageLabels", objects)
+        if isinstance(pl, dict):
+            for k, v in sorted(
+                _number_tree_pairs(pl, objects, errors), key=lambda kv: kv[0]
+            ):
+                if not isinstance(v, dict):
+                    continue
+                s = get_resolved(v, "S", objects)
+                p = get_resolved(v, "P", objects)
+                st = get_resolved(v, "St", objects)
+                ranges.append(
+                    (
+                        k,
+                        str(s) if isinstance(s, Name) else None,
+                        _as_text(p) or "",
+                        st if isinstance(st, int) and st >= 1 else 1,
+                    )
+                )
+        for idx in range(n_pages):
+            gov = None
+            for k, s, p, st in ranges:
+                if k <= idx:
+                    gov = (k, s, p, st)
+                else:
+                    break
+            if gov is None:
+                out.append((idx, str(idx + 1)))
+            else:
+                k, s, p, st = gov
+                out.append((idx, _format_page_label(s, p, st + (idx - k))))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"labels": out, "errors": errors}

@@ -516,3 +516,26 @@ def extract_scanned_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
             "height int, n_black long, ink_sig long"
         ),
     )
+
+
+def extract_labels_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Page labels (§12.4.2), zero shuffle: the /PageLabels number-tree
+    walk + style formatting (decimal/roman/letters, prefix, /St) in one
+    mapInPandas.  Every page gets a label (viewer-default ordinal+1 when
+    no tree governs it)."""
+    from ..core.extract import extract_page_labels
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_page_labels(_doc_bytes(spans), password=password)
+                for page_idx, label in res["labels"]:
+                    rows.append(
+                        {"doc_id": int(doc_id), "page_idx": page_idx, "label": label}
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "page_idx", "label"])
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, page_idx int, label string"
+    )

@@ -507,6 +507,13 @@ def build_document(doc_id: int, text: str) -> dict:
             f" /OCProperties << /OCGs [{ocg_id} 0 R]"
             f" /D << /OFF [{ocg_id} 0 R] >> >>"
         )
+    if doc_id % 9 != 4:
+        # /PageLabels number tree (§12.4.2), INLINE so object_stats is
+        # untouched: range 0 cycles the 5 numbering styles with an
+        # optional prefix and /St, pages 1+ renumber decimally (every
+        # other doc omitting /St — the default-1 path); every 9th+4 doc
+        # has NO tree (viewer default: ordinal+1 decimal)
+        cat_body += " /PageLabels << /Nums [" + _page_labels_nums(doc_id) + "] >>"
     cat_body += " >>"
     trailer_info = f" /Info {info_id} 0 R"
 
@@ -2195,3 +2202,64 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
         ).encode("ascii")
     )
     return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
+
+
+# ---------------------------------------------------------------------------
+# /PageLabels rules for the armored family (ISO 32000 §12.4.2): an INLINE
+# number tree in the catalog — no new objects, so the object_stats formula
+# is untouched; observed only by extract_page_labels (doc_page_labels).
+
+_LABEL_STYLES = ("D", "r", "R", "a", "A")
+_ROMAN_L = ("i", "ii", "iii")
+_ALPHA_L = ("a", "b", "c")
+
+
+def page_label_rules(doc_id: int) -> dict | None:
+    """None = no /PageLabels tree (every 9th+4 doc).  Otherwise the two
+    ranges: page 0 styled/prefixed/started per doc, pages 1+ decimal
+    with /St on even docs only (odd docs exercise the default-1 path)."""
+    if doc_id % 9 == 4:
+        return None
+    return {
+        "style0": _LABEL_STYLES[doc_id % 5],
+        "prefix0": "fm-" if doc_id % 4 == 0 else "",
+        "st0": 1 + doc_id % 3,
+        "st1": 10 + doc_id % 7 if doc_id % 2 == 0 else None,
+    }
+
+
+def _page_labels_nums(doc_id: int) -> str:
+    r = page_label_rules(doc_id)
+    assert r is not None
+    e0 = f"/S /{r['style0']} /St {r['st0']}"
+    if r["prefix0"]:
+        e0 += f" /P ({r['prefix0']})"
+    out = f"0 << {e0} >>"
+    if 1 + doc_id % 3 > 1:
+        e1 = "/S /D" + (f" /St {r['st1']}" if r["st1"] is not None else "")
+        out += f" 1 << {e1} >>"
+    return out
+
+
+def expected_page_labels(doc_id: int) -> list[tuple[int, str]]:
+    """Analytic ground truth for ``doc_page_labels``."""
+    n_pages = 1 + doc_id % 3
+    r = page_label_rules(doc_id)
+    out = []
+    for p in range(n_pages):
+        if r is None:
+            out.append((p, str(p + 1)))
+        elif p == 0:
+            n = r["st0"]
+            s = r["style0"]
+            body = (
+                str(n) if s == "D"
+                else _ROMAN_L[n - 1] if s == "r"
+                else _ROMAN_L[n - 1].upper() if s == "R"
+                else _ALPHA_L[n - 1] if s == "a"
+                else _ALPHA_L[n - 1].upper()
+            )
+            out.append((p, r["prefix0"] + body))
+        else:
+            out.append((p, str((r["st1"] or 1) + p - 1)))
+    return out

@@ -288,3 +288,50 @@ def test_differences_decoder_agl_fallbacks():
     assert d(b"plain") == "plain"          # base table untouched elsewhere
     # malformed /Differences never raises
     assert differences_decoder(None, [999, "x", None, -3, "y"])(b"ok") == "ok"
+
+
+# --- page labels (§12.4.2) ---------------------------------------------------
+
+
+def test_page_labels_family_roundtrip():
+    from pdfparser_spark.core.extract import extract_page_labels
+    from pdfparser_spark.synth import build_document, expected_page_labels
+
+    for did in range(45):
+        d = build_document(did, "alpha beta gamma delta eps zeta eta theta")
+        r = extract_page_labels(d["bytes"])
+        assert not r["errors"], (did, r["errors"][:1])
+        assert r["labels"] == expected_page_labels(did), did
+
+
+def test_page_label_formatters():
+    from pdfparser_spark.core.extract import _alpha, _format_page_label, _roman
+
+    assert _roman(1964) == "mcmlxiv"
+    assert _roman(4) == "iv" and _roman(9) == "ix" and _roman(40) == "xl"
+    assert _alpha(1) == "a" and _alpha(26) == "z"
+    assert _alpha(27) == "aa" and _alpha(53) == "aaa"
+    # no /S: the label is the prefix alone (table 159)
+    assert _format_page_label(None, "App-", 7) == "App-"
+    assert _format_page_label("A", "", 28) == "BB"
+
+
+def test_page_labels_kids_tree_and_uncovered_pages():
+    # a /Kids-shaped number tree whose first range starts at page 1:
+    # page 0 falls back to the viewer-default ordinal
+    from pdfparser_spark.core.extract import extract_page_labels
+    from pdfparser_spark.synth import build_document
+
+    d = build_document(4, "alpha beta gamma delta eps zeta")  # 2 pages, no tree
+    data = d["bytes"].replace(
+        b"/Type /Catalog /Pages 2 0 R",
+        b"/Type /Catalog /Pages 2 0 R "
+        b"/PageLabels << /Kids [<< /Nums [1 << /S /r /St 5 >>] >>] >>",
+    )
+    # the splice shifts later offsets; the lenient parser still resolves
+    # the page tree (candidate validation / recovery), which is all this
+    # assertion needs
+    r = extract_page_labels(data)
+    labels = dict(r["labels"])
+    assert labels.get(0) == "1"  # uncovered -> ordinal default
+    assert labels.get(1) == "v"

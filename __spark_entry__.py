@@ -37,6 +37,7 @@ from pdfparser_spark.stages import (
     extract_images_fused,
     extract_labels_fused,
     extract_layout_fused,
+    extract_signatures_fused,
     extract_layout_sized_fused,
     extract_links_fused,
     extract_meta_fused,
@@ -921,9 +922,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and a re-append of tombstoned keys (globally suppressed) — the
         # maintained state must equal recompute-from-scratch, row for row
         "rollup_incremental": _rollup_incremental,
-        # Iceberg-shaped snapshot log: two-commit incremental ingest whose
-        # HEAD read must equal one-shot full extraction (same span oracle)
-        "extract_incremental": _incremental_spans,
+        # digital signatures (§12.8): AcroForm /Sig fields verified for
+        # real — ByteRange coverage, CMS messageDigest vs the covered-byte
+        # hash, RSASSA-PKCS1-v1_5 over the signed attrs with the EMBEDDED
+        # cert's key (public RFCs 5652/8017/5280; pure-Python bigint RSA).
+        # Variant cycle doc%5 exercises tamper / truncated-coverage /
+        # corrupt-signature / SHA-1; zero shuffle
+        "doc_signatures": lambda s, d: extract_signatures_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="signed",
+            )
+        ),
         # benchmark decontamination (n-gram-overlap contamination check):
         # eval-set shingles stay broadcast-sized at any corpus scale
         "decontamination_overlap": lambda s, d: curation.decontaminate(_docs(s, d)),
@@ -958,6 +968,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted (r02-green): curation_pipeline's canonicalization stage
         # carries the same decision in-window
         "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
+        # demoted (r01+r02-green): the snapshot-log ingest evidence is
+        # carried in-window by extract_stream_log / rollup_incremental;
+        # Iceberg-shaped two-commit ingest whose HEAD read must equal
+        # one-shot full extraction (same span oracle)
+        "extract_incremental": _incremental_spans,
         # demoted (r01+r02-green): curation_pipeline's quality gate
         # carries the same rate algebra in-window
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
@@ -2411,6 +2426,18 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7 ELSE 1 END) + p - 1 AS VARCHAR)
               END AS label
             FROM pg
+        """,
+        # signed family replayed: variant cycle doc%5 (0 valid sha256 /
+        # 1 tampered / 2 under-covered / 3 corrupt sig / 4 valid sha1),
+        # signer CN cycle doc%3 — synth.expected_signature in SQL
+        "doc_signatures": """
+            SELECT doc_id, CAST(0 AS INT) AS sig_idx, 'Sig1' AS field,
+                   'Corpus Signer ' || CAST(doc_id % 3 AS VARCHAR) AS signer,
+                   CASE WHEN doc_id % 5 = 4 THEN 'sha1' ELSE 'sha256' END AS digest_alg,
+                   doc_id % 5 <> 2 AS coverage_ok,
+                   doc_id % 5 <> 1 AS digest_ok,
+                   doc_id % 5 <> 3 AS sig_ok
+            FROM documents
         """,
         "extract_tagged_order": """
             WITH base AS (

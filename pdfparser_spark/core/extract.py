@@ -1773,3 +1773,74 @@ def extract_page_labels(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"labels": out, "errors": errors}
+
+
+def extract_signatures(data: bytes, password: bytes = b""):
+    """Digital-signature tier (ISO 32000 §12.8): walk the catalog
+    ``/AcroForm /Fields`` for ``/FT /Sig`` fields, and for each signature
+    dictionary check (a) §12.8.2 byte-range coverage (the two ranges must
+    span the whole file leaving only the ``/Contents`` hole), (b) the CMS
+    messageDigest against the actual hash of the covered bytes, and
+    (c) the RSASSA-PKCS1-v1_5 signature over the signed attributes with
+    the key from the EMBEDDED certificate (core/signature.py — public
+    RFCs 5652/8017/5280 only).  The reference's tree walk stops at
+    ``/Contents`` (doc_tree.rs:63-142); signatures are a north-star tier.
+
+    Returns ``{"signatures": [(sig_idx, field, signer, digest_alg,
+    coverage_ok, digest_ok, sig_ok)], "errors"}`` — lenient: a
+    structurally broken CMS yields an error row plus a row with NULL
+    verdicts, never an exception."""
+    from .signature import byte_range_coverage_ok, range_bytes, verify_cms
+
+    sigs: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        acro = get_resolved(root, "AcroForm", objects) if isinstance(root, dict) else None
+        farr = get_resolved(acro, "Fields", objects) if isinstance(acro, dict) else None
+        si = 0
+        for fref in farr if isinstance(farr, list) else []:
+            fd = resolve(fref, objects)
+            if not isinstance(fd, dict) or str(get_resolved(fd, "FT", objects)) != "Sig":
+                continue
+            sv = get_resolved(fd, "V", objects)
+            if not isinstance(sv, dict):
+                continue
+            fname = _as_text(get_resolved(fd, "T", objects))
+            br = get_resolved(sv, "ByteRange", objects)
+            if isinstance(br, list):
+                br = [resolve(x, objects) for x in br]
+            contents = get_resolved(sv, "Contents", objects)
+            coverage = byte_range_coverage_ok(br, len(data))
+            signer = alg = None
+            digest_ok = sig_ok = None
+            if (
+                isinstance(br, list)
+                and len(br) == 4
+                and all(isinstance(x, int) and x >= 0 for x in br)
+                and isinstance(contents, (bytes, bytearray))
+            ):
+                try:
+                    res = verify_cms(bytes(contents), range_bytes(data, br))
+                    signer = res["signer"]
+                    alg = res["digest_alg"]
+                    digest_ok = res["digest_ok"]
+                    sig_ok = res["sig_ok"]
+                except ValueError as e:
+                    errors.append((DOC_TREE_ERROR, "classify", f"CMS: {e}"))
+            else:
+                errors.append((DOC_TREE_ERROR, "classify", "malformed signature dict"))
+            sigs.append((si, fname, signer, alg, coverage, digest_ok, sig_ok))
+            si += 1
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"signatures": sigs, "errors": errors}

@@ -23,6 +23,7 @@ from ..synth import (
     build_document_damaged,
     build_document_protected,
     build_document_scanned,
+    build_document_signed,
     build_document_table,
     build_document_tagged,
 )
@@ -35,6 +36,7 @@ _BUILDERS = {
     "damaged": build_document_damaged,
     "protected": build_document_protected,
     "scanned": build_document_scanned,
+    "signed": build_document_signed,
     "table": build_document_table,
     "tagged": build_document_tagged,
 }

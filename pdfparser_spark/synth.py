@@ -2263,3 +2263,250 @@ def expected_page_labels(doc_id: int) -> list[tuple[int, str]]:
         else:
             out.append((p, str((r["st1"] or 1) + p - 1)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Signed family (ISO 32000 §12.8): every doc carries an /AcroForm signature
+# field whose /V is a real signature dictionary — /ByteRange over the whole
+# file minus the /Contents hex hole, /Contents a DER CMS SignedData
+# (RFC 5652) signed RSASSA-PKCS1-v1_5 (RFC 8017) with the hardcoded
+# deterministic corpus key below.  Variant cycle doc_id % 5:
+#   0  valid, SHA-256                  -> all checks true
+#   1  covered byte TAMPERED post-sign -> digest_ok False (sig over attrs ok)
+#   2  bytes APPENDED post-sign        -> coverage_ok False (incremental-
+#      update shape: the signature covers less than the current file)
+#   3  signature octets corrupted      -> sig_ok False (digest still ok)
+#   4  valid, SHA-1                    -> all true, digest_alg 'sha1'
+# Signer CN cycles doc_id % 3.  Only extract_signatures observes this
+# family; the reference's walk never reaches /AcroForm (doc_tree.rs:63-142).
+
+# Deterministic 512-bit primes (SHA-256 counter-mode candidates, fixed
+# seeds "pdfspark-sig-p"/"-q", Miller-Rabin verified offline).
+SIG_P = int(
+    "e6f2f4bed13bd21a789a37a88237eb2bb68d0065c2b73d6e7e4bf022504a3971"
+    "cf06c95f8059e9b13c59a442bceed59ac1fe2373bb75bcc2025bafedc8fd156b", 16
+)
+SIG_Q = int(
+    "e83e41f135724e5d6fa16f48f747d2ef54f5f2beee8a1f2948b28da7ec64583f"
+    "5be9893dd0ad40a90bc5a1780804e97fcca8fbd62a843cf8f194829dc3d9779b", 16
+)
+SIG_N = SIG_P * SIG_Q
+SIG_E = 65537
+SIG_D = pow(SIG_E, -1, (SIG_P - 1) * (SIG_Q - 1))
+_SIG_K = (SIG_N.bit_length() + 7) // 8
+
+# Pre-encoded DER OIDs (tag 0x06 included)
+_OID_SIGNED_DATA = bytes.fromhex("06092a864886f70d010702")
+_OID_DATA = bytes.fromhex("06092a864886f70d010701")
+_OID_CONTENT_TYPE = bytes.fromhex("06092a864886f70d010903")
+_OID_MESSAGE_DIGEST = bytes.fromhex("06092a864886f70d010904")
+_OID_RSA = bytes.fromhex("06092a864886f70d010101")
+_OID_SHA256 = bytes.fromhex("0609608648016503040201")
+_OID_SHA1 = bytes.fromhex("06052b0e03021a")
+_OID_CN = bytes.fromhex("0603550403")
+
+_SIG_HOLE_HEX = 2400  # hex chars reserved for /Contents (1200 bytes DER cap)
+
+
+def _der(tag: int, content: bytes) -> bytes:
+    n = len(content)
+    if n < 0x80:
+        return bytes((tag, n)) + content
+    lb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes((tag, 0x80 | len(lb))) + lb + content
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 8) // 8, "big") if v else b"\x00"
+    return _der(0x02, b)
+
+
+def _der_name(cn: str) -> bytes:
+    atv = _der(0x30, _OID_CN + _der(0x13, cn.encode("ascii")))
+    return _der(0x30, _der(0x31, atv))
+
+
+def _der_alg(oid: bytes) -> bytes:
+    return _der(0x30, oid + b"\x05\x00")  # AlgorithmIdentifier + NULL param
+
+
+def sig_signer_cn(doc_id: int) -> str:
+    return f"Corpus Signer {doc_id % 3}"
+
+
+def _sig_cert(cn: str, serial: int) -> bytes:
+    """Minimal RFC 5280 certificate carrying the corpus RSA key.  The
+    cert's own signature field is a zero bit string (chain validation is
+    out of scope — see core/signature.py docstring)."""
+    spki = _der(
+        0x30,
+        _der_alg(_OID_RSA)
+        + _der(0x03, b"\x00" + _der(0x30, _der_int(SIG_N) + _der_int(SIG_E))),
+    )
+    validity = _der(0x30, _der(0x17, b"200101000000Z") + _der(0x17, b"400101000000Z"))
+    tbs = _der(
+        0x30,
+        _der(0xA0, _der_int(2))
+        + _der_int(serial)
+        + _der_alg(_OID_RSA)
+        + _der_name("pdfspark test CA")
+        + validity
+        + _der_name(cn)
+        + spki,
+    )
+    return _der(0x30, tbs + _der_alg(_OID_RSA) + _der(0x03, b"\x00\x00"))
+
+
+def _sig_cms(signed_bytes: bytes, doc_id: int) -> bytes:
+    """Detached CMS SignedData over ``signed_bytes`` (RFC 5652 §5)."""
+    import hashlib
+
+    sha1 = doc_id % 5 == 4
+    oid_h, hasher = (_OID_SHA1, hashlib.sha1) if sha1 else (_OID_SHA256, hashlib.sha256)
+    digest = hasher(signed_bytes).digest()
+    attrs = (
+        _der(0x30, _OID_CONTENT_TYPE + _der(0x31, _OID_DATA))
+        + _der(0x30, _OID_MESSAGE_DIGEST + _der(0x31, _der(0x04, digest)))
+    )
+    # RFC 5652 §5.4: the signature is over the attrs RETAGGED as SET OF
+    em_t = (
+        (
+            bytes.fromhex("3021300906052b0e03021a05000414")
+            if sha1
+            else bytes.fromhex("3031300d060960864801650304020105000420")
+        )
+        + hasher(_der(0x31, attrs)).digest()
+    )
+    em = b"\x00\x01" + b"\xff" * (_SIG_K - len(em_t) - 3) + b"\x00" + em_t
+    sig = pow(int.from_bytes(em, "big"), SIG_D, SIG_N).to_bytes(_SIG_K, "big")
+    if doc_id % 5 == 3:
+        sig = sig[:-1] + bytes((sig[-1] ^ 0xFF,))  # corrupt: DER shape intact
+    serial = 1000 + doc_id % 3
+    cn = sig_signer_cn(doc_id)
+    si = _der(
+        0x30,
+        _der_int(1)
+        + _der(0x30, _der_name("pdfspark test CA") + _der_int(serial))
+        + _der_alg(oid_h)
+        + _der(0xA0, attrs)
+        + _der_alg(_OID_RSA)
+        + _der(0x04, sig),
+    )
+    sd = _der(
+        0x30,
+        _der_int(1)
+        + _der(0x31, _der_alg(oid_h))
+        + _der(0x30, _OID_DATA)
+        + _der(0xA0, _sig_cert(cn, serial))
+        + _der(0x31, si),
+    )
+    return _der(0x30, _OID_SIGNED_DATA + _der(0xA0, sd))
+
+
+def expected_signature(doc_id: int) -> tuple[str, str, str, bool, bool, bool]:
+    """Analytic ground truth for ``doc_signatures``:
+    (field, signer, digest_alg, coverage_ok, digest_ok, sig_ok)."""
+    v = doc_id % 5
+    return (
+        "Sig1",
+        sig_signer_cn(doc_id),
+        "sha1" if v == 4 else "sha256",
+        v != 2,
+        v != 1,
+        v != 3,
+    )
+
+
+def build_document_signed(doc_id: int, text: str) -> dict:
+    """One-page signed PDF built placeholder-first: the file is laid out
+    with a fixed-width /ByteRange and a zero-filled /Contents hex hole,
+    the ranges are patched in place (same byte length), the range bytes
+    are hashed and the CMS is injected — then the post-signing variant
+    mutation (tamper/append) is applied.  Deterministic per doc_id."""
+    words = (text or "").split()
+    line = " ".join(words[:6]) or "signed document"
+    content = f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(line)}) Tj ET".encode("latin-1")
+    tamper_off_marker = b"% tamper-slot X\n"
+
+    objs: list[bytes] = []
+    objs.append(
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R "
+        b"/AcroForm << /Fields [6 0 R] /SigFlags 3 >> >>\nendobj\n"
+    )
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    objs.append(
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> "
+        b"/Annots [6 0 R] >>\nendobj\n"
+    )
+    objs.append(
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+    )
+    objs.append(
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"
+    )
+    objs.append(
+        b"6 0 obj\n<< /Type /Annot /Subtype /Widget /FT /Sig /T (Sig1) "
+        b"/Rect [0 0 0 0] /V 7 0 R /P 3 0 R >>\nendobj\n"
+    )
+    sig_obj = (
+        b"7 0 obj\n<< /Type /Sig /Filter /Adobe.PPKLite "
+        b"/SubFilter /adbe.pkcs7.detached "
+        b"/ByteRange [0000000000 0000000000 0000000000 0000000000] "
+        b"/Contents <" + b"0" * _SIG_HOLE_HEX + b"> >>\nendobj\n"
+    )
+    objs.append(sig_obj)
+
+    buf = bytearray()
+    buf += b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n"
+    buf += tamper_off_marker
+    offsets = []
+    for o in objs:
+        offsets.append(len(buf))
+        buf += o
+    xref_off = len(buf)
+    buf += b"xref\n0 8\n0000000000 65535 f \n"
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += (
+        b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % xref_off
+    )
+
+    data = bytearray(buf)
+    lt = data.index(b"/Contents <") + len(b"/Contents ")
+    gt = lt + 1 + _SIG_HOLE_HEX
+    assert data[gt : gt + 1] == b">"
+    hole_end = gt + 1
+    br = (0, lt, hole_end, len(data) - hole_end)
+    br_text = b"[%010d %010d %010d %010d]" % br
+    br_at = bytes(data).index(b"/ByteRange [") + len(b"/ByteRange ")
+    assert len(br_text) == 1 + 4 * 10 + 3 + 1
+    data[br_at : br_at + len(br_text)] = br_text
+    signed_bytes = bytes(data[: br[1]]) + bytes(data[br[2] :])
+    cms = _sig_cms(signed_bytes, doc_id)
+    hx = binascii.hexlify(cms)
+    assert len(hx) <= _SIG_HOLE_HEX, "CMS overflows the /Contents hole"
+    data[lt + 1 : lt + 1 + len(hx)] = hx
+
+    v = doc_id % 5
+    if v == 1:
+        t = bytes(data).index(b"% tamper-slot X") + len(b"% tamper-slot ")
+        data[t : t + 1] = b"Y"  # covered byte changed post-signing
+    elif v == 2:
+        data += b"% appended after signing\n"  # coverage now short of EOF
+
+    out = bytes(data)
+    # span rows: struct / content-text / struct (interleaved input shape)
+    c_at = out.index(content)
+    rows = [
+        {"kind": "struct", "text": out[:c_at].decode("latin-1"), "media_ref": None, "offset": 0},
+        {"kind": "text", "text": content.decode("latin-1"), "media_ref": None, "offset": c_at},
+        {
+            "kind": "struct",
+            "text": out[c_at + len(content) :].decode("latin-1"),
+            "media_ref": None,
+            "offset": c_at + len(content),
+        },
+    ]
+    return {"bytes": out, "span_rows": rows}

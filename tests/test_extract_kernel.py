@@ -335,3 +335,71 @@ def test_page_labels_kids_tree_and_uncovered_pages():
     labels = dict(r["labels"])
     assert labels.get(0) == "1"  # uncovered -> ordinal default
     assert labels.get(1) == "v"
+
+
+def test_signed_family_roundtrip():
+    # all five doc%5 variants x three signer CNs: the kernel's verdict
+    # triple must equal the analytic expectation, with zero error rows
+    from pdfparser_spark.core.extract import extract_signatures
+    from pdfparser_spark.synth import build_document_signed, expected_signature, reconstruct
+
+    for did in range(30):
+        d = build_document_signed(did, "alpha beta gamma delta epsilon zeta")
+        assert reconstruct(d["span_rows"]) == d["bytes"], did  # fused-path seam
+        r = extract_signatures(d["bytes"])
+        assert not r["errors"], (did, r["errors"])
+        assert len(r["signatures"]) == 1, did
+        got = r["signatures"][0]
+        assert got[0] == 0 and got[1:] == expected_signature(did), did
+
+
+def test_signature_cms_tamper_and_der_containment():
+    from pdfparser_spark.core.signature import byte_range_coverage_ok, range_bytes, verify_cms
+    from pdfparser_spark.synth import _sig_cms
+
+    payload = b"covered bytes of a signed document"
+    cms = _sig_cms(payload, doc_id=0)
+    ok = verify_cms(cms, payload)
+    assert ok["digest_ok"] and ok["sig_ok"] and ok["digest_alg"] == "sha256"
+    assert ok["signer"] == "Corpus Signer 0"
+    # different payload -> digest mismatch, signature (over attrs) intact
+    bad = verify_cms(cms, payload + b"x")
+    assert not bad["digest_ok"] and bad["sig_ok"]
+    # structurally broken DER must raise ValueError (kernel contains it),
+    # never any other exception type — deterministic single-byte flips
+    for i in range(0, len(cms), 7):
+        mut = cms[:i] + bytes((cms[i] ^ 0x5A,)) + cms[i + 1 :]
+        try:
+            verify_cms(mut, payload)
+        except ValueError:
+            pass
+    # truncation sweep
+    for cut in range(1, 40):
+        try:
+            verify_cms(cms[:-cut], payload)
+        except ValueError:
+            pass
+    # coverage predicate edges
+    assert byte_range_coverage_ok([0, 10, 20, 5], 25)
+    assert not byte_range_coverage_ok([0, 10, 20, 5], 26)  # short of EOF
+    assert not byte_range_coverage_ok([1, 10, 20, 5], 25)  # not from 0
+    assert not byte_range_coverage_ok([0, 30, 20, 5], 25)  # overlapping
+    assert not byte_range_coverage_ok([0, 10, 20], 25)  # arity
+    assert range_bytes(b"0123456789", [0, 3, 7, 3]) == b"012789"
+
+
+def test_signed_kernel_lenient_on_corrupt_contents():
+    # zero out the CMS hex hole: the kernel reports an error row and a
+    # NULL-verdict signature row; never raises
+    from pdfparser_spark.core.extract import extract_signatures
+    from pdfparser_spark.synth import build_document_signed
+
+    d = build_document_signed(5, "alpha beta gamma")
+    data = bytearray(d["bytes"])
+    lt = data.index(b"/Contents <") + len(b"/Contents <")
+    data[lt : lt + 2400] = b"0" * 2400
+    r = extract_signatures(bytes(data))
+    assert len(r["signatures"]) == 1
+    si, field, signer, alg, cov, dok, sok = r["signatures"][0]
+    assert field == "Sig1" and cov is True and dok is None and sok is None
+    assert r["errors"]

@@ -599,9 +599,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc so each ISO 32000 §7.4.6 knob is individually observable —
         # ignoring BlackIs1 inverts the ink on every 3rd doc, the 1-D /K 0
         # docs fail a G4-only decoder, unaligned rows fail an
-        # always-aligning one.  (The binary family's JPEG walk moved to
-        # the tail: decryption/JPEG evidence lives in extract_protected_
-        # corpus / video_frames_real.)
+        # always-aligning one.  Every 5th+2 doc is JBIG2 instead (T.88
+        # embedded segment walk + MMR generic region, textops/jbig2.py) —
+        # the ink oracle is compression-invariant, so the same SQL proves
+        # both codecs.  (The binary family's JPEG walk moved to the tail:
+        # decryption/JPEG evidence lives in extract_protected_corpus /
+        # video_frames_real.)
         "extract_scanned_ccitt": lambda s, d: extract_scanned_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),

@@ -1570,14 +1570,18 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
 
 def extract_ccitt_images(data: bytes, password: bytes = b""):
     """Scanned-page raw material: every image XObject whose filter chain
-    contains CCITTFaxDecode, with the §7.4.6 decode parameters the codec
-    needs — ``(page_idx, name, k, columns, rows, byte_align, black_is_1,
-    payload)`` where ``payload`` is the bytes at the CCITT boundary
-    (transport armor stripped, decryption applied).  /DecodeParms given
-    as an ARRAY parallel to a /Filter array is handled by taking the
-    CCITT entry's dict.  The bit-level decode itself lives in
-    textops/ccitt.py — same layering as JPEG/PNG (the kernel never
-    rasterizes).  Lenient: damaged docs yield error rows, not exceptions."""
+    contains CCITTFaxDecode (§7.4.6) OR JBIG2Decode (§7.4.7), with the
+    decode parameters the codec needs —
+    ``(page_idx, name, codec, k, columns, rows, byte_align, black_is_1,
+    payload, globals)`` where ``payload`` is the bytes at the media-codec
+    boundary (transport armor stripped, decryption applied), ``codec`` is
+    ``'ccitt'`` or ``'jbig2'``, and ``globals`` is the decoded
+    /JBIG2Globals stream (b"" when absent; CCITT fields are zeroed for
+    jbig2 rows).  /DecodeParms given as an ARRAY parallel to a /Filter
+    array is handled by taking the codec entry's dict.  The bit-level
+    decode itself lives in textops/ccitt.py and textops/jbig2.py — same
+    layering as JPEG/PNG (the kernel never rasterizes).  Lenient: damaged
+    docs yield error rows, not exceptions."""
     errors: list = []
     out: list = []
     try:
@@ -1611,7 +1615,7 @@ def extract_ccitt_images(data: bytes, password: bytes = b""):
                     continue
                 entry = next(
                     ((name, parms) for name, parms in chain
-                     if name in ("CCITTFaxDecode", "CCF")),
+                     if name in ("CCITTFaxDecode", "CCF", "JBIG2Decode")),
                     None,
                 )
                 if entry is None:
@@ -1619,7 +1623,7 @@ def extract_ccitt_images(data: bytes, password: bytes = b""):
                 try:
                     payload = decode_media_prefix(st.raw, chain)
                 except (FilterError, PdfError):
-                    errors.append((FILTER_ERROR, "decode", "CCITT transport armor broken"))
+                    errors.append((FILTER_ERROR, "decode", "scan transport armor broken"))
                     continue
                 parms = entry[1] or {}
                 def geti(key, default):
@@ -1628,6 +1632,18 @@ def extract_ccitt_images(data: bytes, password: bytes = b""):
                 def getb(key):
                     v = resolve(parms.get(key), objects)
                     return bool(v) if isinstance(v, bool) else False
+                if entry[0] == "JBIG2Decode":
+                    gstream = resolve(parms.get("JBIG2Globals"), objects)
+                    gbytes = b""
+                    if isinstance(gstream, Stream):
+                        gbytes = bytes(
+                            gstream.data if gstream.data is not None else gstream.raw
+                        )
+                    out.append(
+                        (page_idx, str(xname), "jbig2", 0, 0, None, False, False,
+                         bytes(payload), gbytes)
+                    )
+                    continue
                 rows = geti("Rows", 0) or None
                 if rows is None:
                     h = get_resolved(st.attrs, "Height", objects)
@@ -1636,12 +1652,14 @@ def extract_ccitt_images(data: bytes, password: bytes = b""):
                     (
                         page_idx,
                         str(xname),
+                        "ccitt",
                         geti("K", 0),
                         geti("Columns", 1728),
                         rows,
                         getb("EncodedByteAlign"),
                         getb("BlackIs1"),
                         bytes(payload),
+                        b"",
                     )
                 )
     except PdfError as e:

@@ -468,16 +468,18 @@ def extract_tagged_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
 
 def extract_scanned_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Scanned-PDF pages to pixels, zero shuffle: pull every
-    CCITTFaxDecode image XObject out of the object graph
-    (``core.extract.extract_ccitt_images``) and run the REAL Group 3/4
-    codec (``textops/ccitt.py``), honoring /K, /Columns, /Rows,
-    /EncodedByteAlign and /BlackIs1.  Emits one row per image with the
-    ink statistics (count + position-weighted signature — any single
-    pixel flip changes it).  One mapInPandas; decode is per-document."""
+    CCITTFaxDecode / JBIG2Decode image XObject out of the object graph
+    (``core.extract.extract_ccitt_images``) and run the REAL codec —
+    Group 3/4 (``textops/ccitt.py``, honoring /K, /Columns, /Rows,
+    /EncodedByteAlign, /BlackIs1) or the T.88 embedded segment walk with
+    MMR generic regions (``textops/jbig2.py``).  Emits one row per image
+    with the ink statistics (count + position-weighted signature — any
+    single pixel flip changes it).  One mapInPandas; decode per-doc."""
     import numpy as np
 
     from ..core.extract import extract_ccitt_images
     from ..textops.ccitt import decode_ccitt
+    from ..textops.jbig2 import decode_jbig2
 
     cols = ["doc_id", "page_idx", "media_ref", "width", "height", "n_black", "ink_sig"]
 
@@ -486,12 +488,15 @@ def extract_scanned_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 res = extract_ccitt_images(_doc_bytes(spans), password=password)
-                for page_idx, name, k, columns, nrows, ba, b1, payload in res["images"]:
+                for page_idx, name, codec, k, columns, nrows, ba, b1, payload, gbl in res["images"]:
                     try:
-                        mask = decode_ccitt(
-                            payload, columns, nrows, k=k,
-                            byte_align=ba, black_is_1=b1,
-                        )
+                        if codec == "jbig2":
+                            mask = decode_jbig2(payload, gbl)
+                        else:
+                            mask = decode_ccitt(
+                                payload, columns, nrows, k=k,
+                                byte_align=ba, black_is_1=b1,
+                            )
                     except ValueError:
                         continue  # corrupt scan: contained skip, task lives
                     h, w = mask.shape

@@ -2115,11 +2115,14 @@ def scanned_dims(doc_id: int) -> tuple[int, int]:
 def scanned_params(doc_id: int) -> dict:
     """CCITT parameter variants: G4 (/K -1) with every 7th+3 doc on 1-D
     Group 3 (/K 0); byte-aligned rows on even docs; /BlackIs1 on every
-    3rd+1 doc."""
+    3rd+1 doc.  Every 5th+2 doc is compressed as JBIG2 instead (T.88
+    embedded organization, MMR generic region) — the ink oracle is
+    compression-invariant, so the same SQL proves both codecs."""
     return {
         "k": 0 if doc_id % 7 == 3 else -1,
         "byte_align": doc_id % 2 == 0,
         "black_is_1": doc_id % 3 == 1,
+        "jbig2": doc_id % 5 == 2,
     }
 
 
@@ -2139,21 +2142,30 @@ def scanned_ink(doc_id: int):
 def build_document_scanned(doc_id: int, text: str) -> dict:
     """Scanned-page family: classic xref, one page whose only content is
     ``/Im1 Do``; the image stream is REAL CCITT-compressed data from the
-    textops/ccitt.py encoder.  ``text`` is unused (scans carry no text
-    layer) — only extract_scanned_ccitt observes this family."""
+    textops/ccitt.py encoder — except every 5th+2 doc, which is JBIG2
+    (T.88 embedded organization, MMR generic region, textops/jbig2.py).
+    ``text`` is unused (scans carry no text layer) — only
+    extract_scanned_ccitt observes this family."""
     from .textops.ccitt import encode_ccitt
 
     w, h = scanned_dims(doc_id)
     p = scanned_params(doc_id)
-    payload = encode_ccitt(
-        scanned_ink(doc_id), k=p["k"], byte_align=p["byte_align"],
-        black_is_1=p["black_is_1"],
-    )
-    parms = (
-        f"/K {p['k']} /Columns {w} /Rows {h}"
-        + (" /EncodedByteAlign true" if p["byte_align"] else "")
-        + (" /BlackIs1 true" if p["black_is_1"] else "")
-    )
+    if p["jbig2"]:
+        from .textops.jbig2 import encode_jbig2_mmr
+
+        payload = encode_jbig2_mmr(scanned_ink(doc_id))
+        filter_spec = "/Filter /JBIG2Decode"
+    else:
+        payload = encode_ccitt(
+            scanned_ink(doc_id), k=p["k"], byte_align=p["byte_align"],
+            black_is_1=p["black_is_1"],
+        )
+        parms = (
+            f"/K {p['k']} /Columns {w} /Rows {h}"
+            + (" /EncodedByteAlign true" if p["byte_align"] else "")
+            + (" /BlackIs1 true" if p["black_is_1"] else "")
+        )
+        filter_spec = f"/Filter /CCITTFaxDecode /DecodeParms << {parms} >>"
     body = b"q /Im1 Do Q"
 
     b = _Builder()
@@ -2183,7 +2195,7 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
         (
             f"{IMG} 0 obj << /Type /XObject /Subtype /Image /Width {w} /Height {h} "
             f"/BitsPerComponent 1 /ColorSpace /DeviceGray "
-            f"/Filter /CCITTFaxDecode /DecodeParms << {parms} >> "
+            f"{filter_spec} "
             f"/Length {len(payload)} >>\nstream\n"
         ).encode("ascii")
     )

@@ -74,11 +74,18 @@ def test_scanned_family_end_to_end():
         r = extract_ccitt_images(d["bytes"])
         assert not r["errors"], (did, r["errors"][:2])
         assert len(r["images"]) == 1
-        _pi, name, k, cols, rows, ba, b1, payload = r["images"][0]
+        _pi, name, codec, k, cols, rows, ba, b1, payload, gbl = r["images"][0]
         p = scanned_params(did)
-        assert (k, ba, b1) == (p["k"], p["byte_align"], p["black_is_1"])
-        assert (cols, rows) == scanned_dims(did)
-        mask = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=ba, black_is_1=b1)
+        if p["jbig2"]:
+            from pdfparser_spark.textops.jbig2 import decode_jbig2
+
+            assert codec == "jbig2" and gbl == b""
+            mask = decode_jbig2(payload, gbl)
+        else:
+            assert codec == "ccitt"
+            assert (k, ba, b1) == (p["k"], p["byte_align"], p["black_is_1"])
+            assert (cols, rows) == scanned_dims(did)
+            mask = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=ba, black_is_1=b1)
         assert np.array_equal(mask, scanned_ink(did))
 
 
@@ -86,7 +93,7 @@ def test_black_is_1_is_individually_observable():
     # doc 1 sets /BlackIs1: a decoder ignoring it reads INVERTED ink
     d = build_document_scanned(1, "unused")
     r = extract_ccitt_images(d["bytes"])
-    _pi, _n, k, cols, rows, ba, b1, payload = r["images"][0]
+    _pi, _n, _codec, k, cols, rows, ba, b1, payload, _g = r["images"][0]
     assert b1
     wrong = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=ba, black_is_1=False)
     assert np.array_equal(wrong, ~scanned_ink(1))
@@ -97,10 +104,40 @@ def test_byte_align_is_individually_observable():
     # silently agree (either raises or differs)
     d = build_document_scanned(0, "unused")
     r = extract_ccitt_images(d["bytes"])
-    _pi, _n, k, cols, rows, ba, b1, payload = r["images"][0]
+    _pi, _n, _codec, k, cols, rows, ba, b1, payload, _g = r["images"][0]
     assert ba and k == -1
     try:
         wrong = ccitt.decode_ccitt(payload, cols, rows, k=k, byte_align=False, black_is_1=b1)
         assert not np.array_equal(wrong, scanned_ink(0))
+    except ValueError:
+        pass
+
+
+def test_jbig2_mmr_roundtrip_and_containment():
+    from pdfparser_spark.textops.jbig2 import decode_jbig2, encode_jbig2_mmr
+
+    for did in range(10):
+        m = scanned_ink(did)
+        assert np.array_equal(decode_jbig2(encode_jbig2_mmr(m)), m), did
+    blob = encode_jbig2_mmr(scanned_ink(3))
+    # corrupt JBIG2 may only ever raise ValueError (task containment)
+    for i in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:i] + bytes((blob[i] ^ 0xFF,)) + blob[i + 1 :])
+        except ValueError:
+            pass
+    for cut in range(1, len(blob), 5):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass
+    # arithmetic-coded generic region: documented subset boundary
+    arith = bytearray(blob)
+    # generic flags byte of segment 1: MMR bit cleared
+    # segment 0 header (11) + page info (19) + segment 1 header (11) + region info (17)
+    arith[11 + 19 + 11 + 17] = 0x00
+    try:
+        decode_jbig2(bytes(arith))
+        raise AssertionError("expected ValueError for arithmetic region")
     except ValueError:
         pass

@@ -457,11 +457,17 @@ def test_incremental_rollup_refresh(spark, tmp_path):
     h = log.head_id()
     assert refresh_rollup(log, spark, "docs", "doc_stats") == h
 
-    # deletes in the unprocessed range are rejected
+    # equality deletes in the unprocessed range are maintained
+    # incrementally too (session-9 extension): the tombstoned keys'
+    # values subtract as negative partials
     delete_docs(log, spark, [0], table="docs")
     add([(6, "zh", 1)])
-    with _pytest.raises(ValueError, match="deletes"):
-        refresh_rollup(log, spark, "docs", "doc_stats")
+    refresh_rollup(log, spark, "docs", "doc_stats")
+    got = {
+        r.lang: (r.n_docs, r.total_chars)
+        for r in log.read(spark, "doc_stats").collect()
+    }
+    assert got == {"en": (2, 27), "fr": (2, 105), "de": (1, 3), "zh": (1, 1)}
 
 
 def test_rollup_rebuild_after_deletes(spark, tmp_path):

@@ -1862,3 +1862,79 @@ def extract_signatures(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"signatures": sigs, "errors": errors}
+
+
+def extract_markup_annots(data: bytes, password: bytes = b""):
+    """Markup-annotation tier (ISO 32000 §12.5.6.4/.10): page ``/Annots``
+    entries with Subtype /Text (sticky notes) or /Highlight, reported with
+    author (/T) and comment (/Contents); for highlights the /QuadPoints
+    quads are mapped back onto the LAYOUT extraction's text-line origins
+    to recover the highlighted text itself — the geometric join between
+    the annotation layer and the content layer.  Quad convention per
+    §12.5.6.10 (ul ur ll lr); matching uses each quad's bounding box with
+    a small epsilon, text joined in reading order (-y, x).
+
+    Returns ``{"annots": [(page_idx, annot_idx, subtype, author,
+    contents, covered_text)], "errors"}``; covered_text is None for
+    non-highlight annotations and '' for a highlight covering no text.
+    Lenient, like every kernel here."""
+    annots_out: list = []
+    errors: list = []
+    try:
+        layout = extract_layout_spans(data, password=password)
+        errors.extend(layout["errors"])
+        by_page: dict = {}
+        for page_idx, x, y, txt, _size in layout["spans"]:
+            by_page.setdefault(page_idx, []).append((x, y, txt))
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, [], decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        root_pages = get_resolved(root, "Pages", objects) if isinstance(root, dict) else None
+        for p, page in enumerate(_walk_pages(root_pages, objects, errors)):
+            arr = get_resolved(page, "Annots", objects)
+            if not isinstance(arr, list):
+                continue
+            ai = 0
+            for aref in arr:
+                an = resolve(aref, objects)
+                if not isinstance(an, dict):
+                    continue
+                sub = str(get_resolved(an, "Subtype", objects))
+                if sub not in ("Text", "Highlight"):
+                    continue
+                author = _as_text(get_resolved(an, "T", objects))
+                contents = _as_text(get_resolved(an, "Contents", objects))
+                covered = None
+                if sub == "Highlight":
+                    qp = get_resolved(an, "QuadPoints", objects)
+                    covered = ""
+                    if isinstance(qp, list) and len(qp) >= 8:
+                        nums = [
+                            float(resolve(v, objects))
+                            for v in qp
+                            if isinstance(resolve(v, objects), (int, float))
+                        ]
+                        hits = []
+                        eps = 1.0
+                        for q in range(0, len(nums) - 7, 8):
+                            xs = nums[q : q + 8 : 2]
+                            ys = nums[q + 1 : q + 8 : 2]
+                            x0, x1 = min(xs) - eps, max(xs) + eps
+                            y0, y1 = min(ys) - eps, max(ys) + eps
+                            for x, y, txt in by_page.get(p, []):
+                                if x0 <= x <= x1 and y0 <= y <= y1 and txt:
+                                    hits.append((x, y, txt))
+                        hits = sorted(set(hits), key=lambda h: (-h[1], h[0]))
+                        covered = " ".join(t for _x, _y, t in hits)
+                annots_out.append((p, ai, sub, author, contents, covered))
+                ai += 1
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"annots": annots_out, "errors": errors}

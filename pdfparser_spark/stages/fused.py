@@ -585,3 +585,42 @@ def extract_signatures_fused(documents_raw: DataFrame, password: bytes = b"") ->
             "sig_ok boolean"
         ),
     )
+
+
+def extract_markup_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Markup annotations (§12.5.6), zero shuffle: the /Annots walk plus
+    the /QuadPoints-to-layout geometric join in one mapInPandas — the
+    highlighted TEXT is recovered per document, so no cross-doc data
+    movement exists at any corpus size."""
+    from ..core.extract import extract_markup_annots
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "page_idx", "annot_idx", "subtype",
+            "author", "contents", "covered_text",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_markup_annots(_doc_bytes(spans), password=password)
+                for p, ai, sub, author, contents, covered in res["annots"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": p,
+                            "annot_idx": ai,
+                            "subtype": sub,
+                            "author": author,
+                            "contents": contents,
+                            "covered_text": covered,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, page_idx int, annot_idx int, subtype string, "
+            "author string, contents string, covered_text string"
+        ),
+    )

@@ -75,6 +75,15 @@ def doc_rules(doc_id: int) -> dict:
         # oracles) and by the object_stats count formula
         "links": doc_id % 6 != 4,
         "n_links": 1 + doc_id % 4 if doc_id % 6 != 4 else 0,
+        # markup annotations (§12.5.6.4/.10) on every 12th+6 doc: one
+        # /Text sticky note + one /Highlight whose /QuadPoints either
+        # COVER page 0's text-line origin (doc%24==6) or miss it
+        # (doc%24==18) — the quad-to-text geometry test is observable.
+        # INLINE dicts inside the /Annots array: zero new objects, so
+        # object_stats is untouched; 12th+6 docs always carry links
+        # (6 mod 6 = 0), so the array already exists.
+        "markup": doc_id % 12 == 6,
+        "markup_cover": doc_id % 24 == 6,
         "form": doc_id % 4 != 3,
         "n_fields": 1 + doc_id % 3 if doc_id % 4 != 3 else 0,
         # embedded-file attachments (ISO 32000 §7.7.4 name tree + §7.11
@@ -178,6 +187,23 @@ def link_uri(doc_id: int, k: int) -> str:
 def expected_links(doc_id: int) -> list[tuple[int, int, str]]:
     """Analytic ground truth for extract_doc_graph links: (page, link_idx, uri)."""
     return [(0, k, link_uri(doc_id, k)) for k in range(doc_rules(doc_id)["n_links"])]
+
+
+def expected_markup(doc_id: int, text: str) -> list[tuple[int, int, str, str, str, str | None]]:
+    """Analytic ground truth for doc_markup_annots:
+    (page_idx, annot_idx, subtype, author, contents, covered_text).
+    covered_text is the page-0 line when the highlight quad covers its
+    origin, '' when it misses, NULL for non-highlight annotations."""
+    r = doc_rules(doc_id)
+    if not r["markup"]:
+        return []
+    author = f"reviewer-{doc_id % 4}"
+    line = page_texts(text or "", r["n_pages"])[0]
+    covered = line if r["markup_cover"] else ""
+    return [
+        (0, 0, "Text", author, f"note-{doc_id % 10}", None),
+        (0, 1, "Highlight", author, f"hl-{doc_id % 10}", covered),
+    ]
 
 
 def expected_fields(doc_id: int) -> list[tuple[int, str, str, str | None]]:
@@ -614,8 +640,24 @@ def build_document(doc_id: int, text: str) -> dict:
             entry += f" /Contents [{content_ids[p]} 0 R {split_id} 0 R]"
         elif t:
             entry += f" /Contents {content_ids[p]} 0 R"
-        if p == 0 and link_ids:
-            entry += " /Annots [" + " ".join(f"{a} 0 R" for a in link_ids) + "]"
+        if p == 0 and (link_ids or r["markup"]):
+            annots = [f"{a} 0 R" for a in link_ids]
+            if r["markup"]:
+                author = f"reviewer-{doc_id % 4}"
+                # cover quad brackets the page-0 line origin (72, 720);
+                # the miss quad sits in empty space at y 100-112
+                qy = (714, 726) if r["markup_cover"] else (100, 112)
+                annots.append(
+                    f"<< /Type /Annot /Subtype /Text /Rect [500 700 520 720] "
+                    f"/T ({author}) /Contents (note-{doc_id % 10}) >>"
+                )
+                annots.append(
+                    f"<< /Type /Annot /Subtype /Highlight "
+                    f"/Rect [70 {qy[0]} 300 {qy[1]}] /T ({author}) "
+                    f"/Contents (hl-{doc_id % 10}) "
+                    f"/QuadPoints [70 {qy[1]} 300 {qy[1]} 70 {qy[0]} 300 {qy[0]}] >>"
+                )
+            entry += " /Annots [" + " ".join(annots) + "]"
         entry += " >>"
         obj_open(page_ids[p])
         b.struct(entry.encode("ascii"))

@@ -403,3 +403,44 @@ def test_signed_kernel_lenient_on_corrupt_contents():
     si, field, signer, alg, cov, dok, sok = r["signatures"][0]
     assert field == "Sig1" and cov is True and dok is None and sok is None
     assert r["errors"]
+
+
+def test_markup_annots_family_roundtrip():
+    from pdfparser_spark.core.extract import extract_markup_annots, extract_spans
+    from pdfparser_spark.synth import build_document, expected_markup, expected_spans
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    for did in (6, 18, 30, 42, 54, 66, 78, 90, 102, 114):
+        d = build_document(did, text)
+        r = extract_markup_annots(d["bytes"])
+        assert [tuple(a) for a in r["annots"]] == expected_markup(did, text), did
+        # the inline annot dicts must not disturb the span extraction
+        s = extract_spans(d["bytes"])
+        assert [tuple(x) for x in s["spans"]] == expected_spans(did, text), did
+    # non-markup doc: no annot rows
+    d = build_document(7, text)
+    assert extract_markup_annots(d["bytes"])["annots"] == []
+
+
+def test_markup_quad_geometry_multiquad_and_malformed():
+    # hand-spliced: a highlight whose SECOND quad covers the line, first
+    # misses — multi-quad iteration observable; malformed QuadPoints
+    # (odd count) degrade to '' without an exception
+    from pdfparser_spark.core.extract import extract_markup_annots
+    from pdfparser_spark.synth import build_document
+
+    d = build_document(6, "w0 w1 w2 w3 w4 w5 w6 w7 w8")
+    data = d["bytes"].replace(
+        b"/QuadPoints [70 726 300 726 70 714 300 714]",
+        b"/QuadPoints [0 10 5 10 0 0 5 0 70 726 300 726 70 714 300 714]",
+    )
+    r = extract_markup_annots(data)
+    hl = [a for a in r["annots"] if a[2] == "Highlight"]
+    assert hl and hl[0][5] == "w0 w1 w2 w3 w4 w5 w6 w7"
+    data2 = d["bytes"].replace(
+        b"/QuadPoints [70 726 300 726 70 714 300 714]",
+        b"/QuadPoints [70 726 300]",
+    )
+    r2 = extract_markup_annots(data2)
+    hl2 = [a for a in r2["annots"] if a[2] == "Highlight"]
+    assert hl2 and hl2[0][5] == ""

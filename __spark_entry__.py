@@ -38,6 +38,7 @@ from pdfparser_spark.stages import (
     extract_labels_fused,
     extract_layout_fused,
     extract_markup_fused,
+    extract_revisions_fused,
     extract_signatures_fused,
     extract_layout_sized_fused,
     extract_links_fused,
@@ -983,6 +984,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # revision forensics (§7.5.6): the xref /Prev chain replayed
+        # oldest-first — per-revision kind, visible-object count, changed
+        # ids (the PDF analog of the snapshot changes() feed); tail slot:
+        # the chain-merge evidence is in-window via the incremental docs'
+        # span oracles, this adds the per-revision view
+        "doc_revisions": lambda s, d: extract_revisions_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # demoted (r01+r02-green): curation_pipeline's quality gate
         # carries the same rate algebra in-window
         "quality_scores": lambda s, d: textqc.quality_scores(_docs(s, d)),
@@ -1563,6 +1574,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from pdfparser_spark.core.extract import HELVETICA_WIDTHS as _HELV_W
 
 _HELV_SQL = "[" + ", ".join(str(w) for w in _HELV_W) + "]"
+
+# object-count analytic (mirrors synth doc_rules object layout); shared
+# by object_stats and the doc_revisions oracle (per-revision count is the
+# same value: incremental updates rewrite ids, never add them)
+_OBJECT_STATS_SQL = """
+            WITH base AS (
+              SELECT doc_id, string_split(text,' ') AS w, 1 + (doc_id % 3) AS np FROM documents
+            ), ne AS (
+              SELECT doc_id, np, len(w) AS nw,
+                     CAST((len(w) > 0) AS INT) + CAST((np >= 2 AND len(w) > 8) AS INT)
+                       + CAST((np >= 3 AND len(w) > 16) AS INT) AS nonempty
+              FROM base
+            )
+            SELECT doc_id,
+              CAST(3 + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
+                 + CAST(np = 3 AS INT) + np + nonempty + CAST(doc_id % 11 = 0 AS INT)
+                 + CAST(doc_id % 2 = 1 AS INT)
+                 -- /Info dict + (/Outlines root + items unless doc_id%5=2)
+                 + 1 + CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 2 + doc_id % 4 END
+                 -- interactive tier: /Annots link objects + /AcroForm + fields
+                 + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
+                 + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
+                 -- attachments: tree root (+2 kids when 2 files) + per-file
+                 -- filespec + EmbeddedFile stream
+                 + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
+                 -- nested Form XObject pair wrapping page 1 (doc%9=2 docs
+                 -- always have 3 pages; forms emitted only when page 1
+                 -- is nonempty, i.e. the doc has a 2nd 8-word slice)
+                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
+                 -- hidden-layer OCG object (doc%29=11; the layer's text
+                 -- is suppressed but its object exists)
+                 + CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END
+                 -- /Contents-array split: page 0's second content stream
+                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
+                 AS INT) AS n_objects,
+              CAST(np AS INT) AS n_pages,
+              CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
+                 + CAST(doc_id % 2 = 1 AS INT)
+                 + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
+                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
+                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
+                 AS INT) AS n_streams
+            FROM ne
+        """
 
 _SPAN_CTE = """
 WITH base AS (
@@ -2693,45 +2748,21 @@ def oracle_sql() -> dict[str, str]:
         "version_sniff": """
             SELECT doc_id, '1.' || CAST(4 + doc_id % 4 AS VARCHAR) AS version FROM documents
         """,
-        "object_stats": """
-            WITH base AS (
-              SELECT doc_id, string_split(text,' ') AS w, 1 + (doc_id % 3) AS np FROM documents
-            ), ne AS (
-              SELECT doc_id, np, len(w) AS nw,
-                     CAST((len(w) > 0) AS INT) + CAST((np >= 2 AND len(w) > 8) AS INT)
-                       + CAST((np >= 3 AND len(w) > 16) AS INT) AS nonempty
-              FROM base
-            )
-            SELECT doc_id,
-              CAST(3 + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
-                 + CAST(np = 3 AS INT) + np + nonempty + CAST(doc_id % 11 = 0 AS INT)
-                 + CAST(doc_id % 2 = 1 AS INT)
-                 -- /Info dict + (/Outlines root + items unless doc_id%5=2)
-                 + 1 + CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 2 + doc_id % 4 END
-                 -- interactive tier: /Annots link objects + /AcroForm + fields
-                 + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
-                 + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
-                 -- attachments: tree root (+2 kids when 2 files) + per-file
-                 -- filespec + EmbeddedFile stream
-                 + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
-                 -- nested Form XObject pair wrapping page 1 (doc%9=2 docs
-                 -- always have 3 pages; forms emitted only when page 1
-                 -- is nonempty, i.e. the doc has a 2nd 8-word slice)
-                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
-                 -- hidden-layer OCG object (doc%29=11; the layer's text
-                 -- is suppressed but its object exists)
-                 + CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END
-                 -- /Contents-array split: page 0's second content stream
-                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
-                 AS INT) AS n_objects,
-              CAST(np AS INT) AS n_pages,
-              CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
-                 + CAST(doc_id % 2 = 1 AS INT)
-                 + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
-                 + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
-                 + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
-                 AS INT) AS n_streams
-            FROM ne
+        "object_stats": _OBJECT_STATS_SQL,
+        # xref /Prev-chain revisions: every doc has a base revision; the
+        # classic incremental docs (doc%19=0 even) add one that rewrites
+        # only the Catalog (object 1); n_objects is revision-invariant
+        # (updates rewrite ids, never add them) = the object_stats count
+        "doc_revisions": f"""
+            WITH stats AS ({_OBJECT_STATS_SQL})
+            SELECT d.doc_id, CAST(u.i AS INT) AS rev_idx,
+                   CASE WHEN d.doc_id % 2 = 1 THEN 'stream' ELSE 'classic' END AS kind,
+                   s.n_objects AS n_objects,
+                   CASE WHEN u.i = 1 THEN '1' ELSE CAST(NULL AS VARCHAR) END AS changed
+            FROM documents d
+            JOIN stats s ON s.doc_id = d.doc_id,
+                 unnest(generate_series(0,
+                   CASE WHEN d.doc_id % 19 = 0 AND d.doc_id % 2 = 0 THEN 1 ELSE 0 END)) AS u(i)
         """,
         "parse_metrics": """
             SELECT doc_id, 'ReferenceError' AS error_kind, 'classify' AS stage, CAST(1 AS BIGINT) AS count

@@ -1938,3 +1938,55 @@ def extract_markup_annots(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"annots": annots_out, "errors": errors}
+
+
+def extract_revisions(data: bytes, password: bytes = b""):
+    """Revision forensics (ISO 32000 §7.5.6 incremental updates): walk the
+    xref /Prev chain as discrete sections (``xref.xref_sections``) and
+    replay them OLDEST-FIRST, reporting per revision the xref kind, the
+    number of visible objects under the prefix-merge (newest-definition-
+    wins within the prefix), and which object ids this revision changed
+    or introduced — the PDF analog of the snapshot log's ``changes()``
+    feed.  ``changed`` is a comma-joined sorted id list, NULL for the
+    base revision.
+
+    Returns ``{"revisions": [(rev_idx, kind, n_objects, changed)],
+    "errors"}`` — lenient; damaged-footer docs (no parsable chain) yield
+    no rows plus an error row (revision history is a chain affordance,
+    recovery has no /Prev provenance)."""
+    from .xref import xref_sections
+
+    del password  # xref layer is never encrypted (§7.6.2)
+    rows: list = []
+    errors: list = []
+    try:
+        sections = list(reversed(xref_sections(data)))  # oldest-first
+
+        def oid(k) -> int:  # offset keys are (id, gen) tuples
+            return int(k[0]) if isinstance(k, tuple) else int(k)
+
+        vis: dict = {}
+        for i, (kind, offs, comp, _tr) in enumerate(sections):
+            sec: dict = {}
+            for k, v in offs.items():
+                sec[oid(k)] = ("o", v)
+            for k, v in comp.items():
+                sec.setdefault(oid(k), ("c", v))
+            changed = sorted(
+                k for k, v in sec.items() if k != 0 and vis.get(k) != v
+            )
+            vis.update(sec)
+            n_objects = sum(1 for k in vis if k != 0)
+            rows.append(
+                (
+                    i,
+                    kind,
+                    n_objects,
+                    ",".join(str(k) for k in changed) if i > 0 else None,
+                )
+            )
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"revisions": rows, "errors": errors}

@@ -210,17 +210,24 @@ def read_xref(data: bytes, max_prev: int = 64):
         return offs, tr, {}
 
 
-def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
-    offsets: dict = {}
-    compressed: dict = {}
-    trailer: dict = {}
-    seen = set()
+def xref_sections(data: bytes, max_prev: int = 64) -> list:
+    """The /Prev chain as a LIST of sections, newest-first:
+    ``[(kind, offsets, compressed, trailer)]`` with kind ``'classic'`` /
+    ``'stream'`` (a hybrid §7.5.8.4 section stays one 'classic' entry
+    with its /XRefStm merged in).  Each section is one incremental-update
+    REVISION of the document — the raw material for revision forensics
+    (``extract_revisions``) as well as the merged view below."""
+    tok = Tokenizer(data)
+    at = find_startxref(data)
+    sections: list = []
+    seen: set = set()
     for _ in range(max_prev):
         if at in seen or at < 0 or at >= len(data):
             break
         seen.add(at)
         probe = skip_ws(data, at)
         if data[probe : probe + 4] == b"xref":
+            kind = "classic"
             offs, tr = _parse_classic_xref(data, probe, tok)
             comp: dict = {}
             # hybrid-reference file (ISO 32000 §7.5.8.4): the classic
@@ -240,17 +247,30 @@ def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
                 except ParsingError:
                     pass  # lenient: hybrid stream unreadable -> classic only
         else:
+            kind = "stream"
             offs, tr, comp = _parse_xref_stream(data, probe, tok)
+        sections.append((kind, offs, comp, tr))
+        prev = tr.get("Prev")
+        if prev is None:
+            break
+        at = int(prev)
+    if not sections:
+        raise ParsingError("no trailer found")
+    return sections
+
+
+def _read_xref_chain(data: bytes, at: int, tok: Tokenizer, max_prev: int):
+    del at  # the section walk re-derives the anchor from startxref
+    offsets: dict = {}
+    compressed: dict = {}
+    trailer: dict = {}
+    for _kind, offs, comp, tr in xref_sections(data, max_prev):
         for k, v in offs.items():
             offsets.setdefault(k, v)
         for k, v in comp.items():
             compressed.setdefault(k, v)
         for k, v in tr.items():
             trailer.setdefault(k, v)
-        prev = tr.get("Prev")
-        if prev is None:
-            break
-        at = int(prev)
     if not trailer:
         raise ParsingError("no trailer found")
     return offsets, trailer, compressed

@@ -624,3 +624,34 @@ def extract_markup_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
             "author string, contents string, covered_text string"
         ),
     )
+
+
+def extract_revisions_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Incremental-update revision history (§7.5.6), zero shuffle: the
+    xref /Prev chain replayed oldest-first per document — kind, visible
+    object count under the prefix merge, and the ids each revision
+    changed.  The PDF-side analog of the snapshot log's changes() feed."""
+    from ..core.extract import extract_revisions
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "rev_idx", "kind", "n_objects", "changed"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_revisions(_doc_bytes(spans), password=password)
+                for rev_idx, kind, n_objects, changed in res["revisions"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "rev_idx": rev_idx,
+                            "kind": kind,
+                            "n_objects": n_objects,
+                            "changed": changed,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, rev_idx int, kind string, n_objects int, changed string",
+    )

@@ -444,3 +444,32 @@ def test_markup_quad_geometry_multiquad_and_malformed():
     r2 = extract_markup_annots(data2)
     hl2 = [a for a in r2["annots"] if a[2] == "Highlight"]
     assert hl2 and hl2[0][5] == ""
+
+
+def test_revisions_chain_replay():
+    from pdfparser_spark.core.extract import extract_revisions
+    from pdfparser_spark.core.xref import parse_all_objects, read_xref
+    from pdfparser_spark.synth import build_document, build_document_damaged, doc_rules
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17"
+    for did in (0, 1, 2, 19, 38, 57, 76, 95, 114):
+        d = build_document(did, text)
+        r = extract_revisions(d["bytes"])
+        assert not r["errors"], did
+        revs = r["revisions"]
+        rules = doc_rules(did)
+        assert len(revs) == (2 if rules["incremental"] else 1), did
+        # visible count under the full prefix merge == the parse's count
+        offsets, _tr, compressed = read_xref(d["bytes"])
+        objs = parse_all_objects(d["bytes"], offsets, compressed, [])
+        assert revs[-1][2] == len(objs), did
+        kind = "stream" if did % 2 == 1 else "classic"
+        assert all(rv[1] == kind for rv in revs), did
+        if rules["incremental"]:
+            # the update rewrites ONLY the Catalog; counts are invariant
+            assert revs[0][3] is None and revs[1][3] == "1"
+            assert revs[0][2] == revs[1][2]
+    # damaged footer: no /Prev provenance -> error row, no revisions
+    dd = build_document_damaged(4, text)
+    rd = extract_revisions(dd["bytes"])
+    assert rd["revisions"] == [] and rd["errors"]

@@ -1608,6 +1608,8 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 29 = 11 THEN 1 ELSE 0 END
                  -- /Contents-array split: page 0's second content stream
                  + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
+                 -- markup docs: the FreeText /AP /N appearance XObject
+                 + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
@@ -1615,6 +1617,7 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 7 = 3 THEN 1 + doc_id % 2 ELSE 0 END
                  + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
                  + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """
@@ -2506,17 +2509,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_markup_annots": """
             SELECT doc_id, CAST(0 AS INT) AS page_idx,
                    CAST(u.ai AS INT) AS annot_idx,
-                   CASE u.ai WHEN 0 THEN 'Text' ELSE 'Highlight' END AS subtype,
+                   CASE u.ai WHEN 0 THEN 'Text' WHEN 1 THEN 'Highlight'
+                             ELSE 'FreeText' END AS subtype,
                    'reviewer-' || CAST(doc_id % 4 AS VARCHAR) AS author,
-                   (CASE u.ai WHEN 0 THEN 'note-' ELSE 'hl-' END)
+                   (CASE u.ai WHEN 0 THEN 'note-' WHEN 1 THEN 'hl-'
+                              ELSE 'fb-' END)
                      || CAST(doc_id % 10 AS VARCHAR) AS contents,
                    CASE
                      WHEN u.ai = 0 THEN CAST(NULL AS VARCHAR)
+                     -- FreeText: the /AP /N appearance's DRAWN text, not
+                     -- the /Contents fallback
+                     WHEN u.ai = 2 THEN 'ap-' || CAST(doc_id % 10 AS VARCHAR)
                      WHEN doc_id % 24 = 6 THEN
                        array_to_string(string_split(COALESCE(text, ''), ' ')[1:8], ' ')
                      ELSE ''
                    END AS covered_text
-            FROM documents, unnest(generate_series(0, 1)) AS u(ai)
+            FROM documents, unnest(generate_series(0, 2)) AS u(ai)
             WHERE doc_id % 12 = 6
         """,
         # signed family replayed: variant cycle doc%5 (0 valid sha256 /

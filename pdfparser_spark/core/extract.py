@@ -1905,11 +1905,68 @@ def extract_markup_annots(data: bytes, password: bytes = b""):
                 if not isinstance(an, dict):
                     continue
                 sub = str(get_resolved(an, "Subtype", objects))
-                if sub not in ("Text", "Highlight"):
+                if sub not in ("Text", "Highlight", "FreeText"):
                     continue
                 author = _as_text(get_resolved(an, "T", objects))
                 contents = _as_text(get_resolved(an, "Contents", objects))
                 covered = None
+                if sub == "FreeText":
+                    # §12.5.5: the annotation's VISIBLE text is drawn by
+                    # its /AP /N appearance Form XObject; /Contents is only
+                    # the fallback.  Tokenize the appearance with its own
+                    # /Resources (caller fallback per §8.10.2) and decode
+                    # the shows — covered_text = what a reader actually sees
+                    covered = ""
+                    ap = get_resolved(an, "AP", objects)
+                    nstream = (
+                        resolve(ap.get("N"), objects) if isinstance(ap, dict) else None
+                    )
+                    if isinstance(nstream, Stream):
+                        content = nstream.data
+                        if content is None:
+                            try:
+                                content = decode_chain(
+                                    nstream.raw,
+                                    build_filter_chain(
+                                        nstream.attrs, lambda v: resolve(v, objects)
+                                    ),
+                                )
+                            except (FilterError, PdfError):
+                                content = None
+                        fres = get_resolved(nstream.attrs, "Resources", objects)
+                        if not isinstance(fres, dict):
+                            fres = get_resolved(page, "Resources", objects) or {}
+                        if content:
+                            parts = []
+                            fcache: dict = {}
+                            for ev, fonts in _content_events(
+                                bytes(content), fres, objects, errors
+                            ):
+                                if ev[0] not in ("text", "textarr", "atext"):
+                                    continue
+                                if ev[0] == "atext":
+                                    parts.append(pdf_text_string(ev[3]))
+                                    continue
+                                fname = ev[2] or ""
+                                if fname not in fcache:
+                                    fobj = (
+                                        fonts.get(fname)
+                                        if isinstance(fonts, dict)
+                                        else None
+                                    )
+                                    fcache[fname] = _font_decoder(fobj, objects, errors)
+                                dec = fcache[fname]
+                                if ev[0] == "text":
+                                    parts.append(dec(ev[3]))
+                                else:
+                                    parts.append(
+                                        "".join(
+                                            dec(el)
+                                            for el in ev[3]
+                                            if isinstance(el, (bytes, bytearray))
+                                        )
+                                    )
+                            covered = "".join(parts)
                 if sub == "Highlight":
                     qp = get_resolved(an, "QuadPoints", objects)
                     covered = ""

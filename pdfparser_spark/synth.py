@@ -203,6 +203,8 @@ def expected_markup(doc_id: int, text: str) -> list[tuple[int, int, str, str, st
     return [
         (0, 0, "Text", author, f"note-{doc_id % 10}", None),
         (0, 1, "Highlight", author, f"hl-{doc_id % 10}", covered),
+        # FreeText: covered_text = the /AP /N appearance's DRAWN text
+        (0, 2, "FreeText", author, f"fb-{doc_id % 10}", f"ap-{doc_id % 10}"),
     ]
 
 
@@ -521,6 +523,14 @@ def build_document(doc_id: int, text: str) -> dict:
         split_id = next_id
         next_id += 1
 
+    # FreeText appearance stream (§12.5.6.6 + §12.5.5): the annot's visible
+    # text lives in its /AP /N Form XObject, NOT in /Contents — one extra
+    # object + stream on markup docs
+    ap_id = None
+    if r["markup"]:
+        ap_id = next_id
+        next_id += 1
+
     cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
     if outl_root_id is not None:
         cat_body += f" /Outlines {outl_root_id} 0 R"
@@ -657,6 +667,15 @@ def build_document(doc_id: int, text: str) -> dict:
                     f"/Contents (hl-{doc_id % 10}) "
                     f"/QuadPoints [70 {qy[1]} 300 {qy[1]} 70 {qy[0]} 300 {qy[0]}] >>"
                 )
+                # FreeText: /Contents is the FALLBACK; the visible text is
+                # drawn by the /AP /N appearance stream and differs — a
+                # kernel echoing /Contents instead of parsing the
+                # appearance fails the oracle
+                annots.append(
+                    f"<< /Type /Annot /Subtype /FreeText /Rect [100 600 300 630] "
+                    f"/T ({author}) /Contents (fb-{doc_id % 10}) "
+                    f"/AP << /N {ap_id} 0 R >> >>"
+                )
             entry += " /Annots [" + " ".join(annots) + "]"
         entry += " >>"
         obj_open(page_ids[p])
@@ -693,6 +712,21 @@ def build_document(doc_id: int, text: str) -> dict:
             obj_open(oid)
             b.struct(item.encode("ascii"))
             obj_close()
+
+    # FreeText appearance stream: a Form XObject drawing the REAL text
+    if ap_id is not None:
+        ap_body = f"BT /F1 10 Tf 2 8 Td (ap-{doc_id % 10}) Tj ET".encode("ascii")
+        obj_open(ap_id)
+        b.struct(
+            (
+                f"<< /Type /XObject /Subtype /Form /BBox [0 0 200 30] "
+                f"/Resources << /Font << /F1 {FONT} 0 R >> >> "
+                f"/Length {len(ap_body)} >>\nstream\n"
+            ).encode("ascii")
+        )
+        b.text_payload(ap_body)
+        b.struct(b"\nendstream")
+        obj_close()
 
     # interactive-tier objects: /Annots links (URI actions) + AcroForm fields
     for k, oid in enumerate(link_ids):

@@ -2192,13 +2192,16 @@ def scanned_params(doc_id: int) -> dict:
     """CCITT parameter variants: G4 (/K -1) with every 7th+3 doc on 1-D
     Group 3 (/K 0); byte-aligned rows on even docs; /BlackIs1 on every
     3rd+1 doc.  Every 5th+2 doc is compressed as JBIG2 instead (T.88
-    embedded organization, MMR generic region) — the ink oracle is
-    compression-invariant, so the same SQL proves both codecs."""
+    embedded organization): MQ ARITHMETIC template-0 generic region on
+    the even half (doc%10=2), MMR on the odd half (doc%10=7) — the ink
+    oracle is compression-invariant, so the same SQL proves all three
+    codecs."""
     return {
         "k": 0 if doc_id % 7 == 3 else -1,
         "byte_align": doc_id % 2 == 0,
         "black_is_1": doc_id % 3 == 1,
         "jbig2": doc_id % 5 == 2,
+        "jbig2_arith": doc_id % 10 == 2,
     }
 
 
@@ -2227,9 +2230,10 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
     w, h = scanned_dims(doc_id)
     p = scanned_params(doc_id)
     if p["jbig2"]:
-        from .textops.jbig2 import encode_jbig2_mmr
+        from .textops.jbig2 import encode_jbig2_arith, encode_jbig2_mmr
 
-        payload = encode_jbig2_mmr(scanned_ink(doc_id))
+        enc = encode_jbig2_arith if p["jbig2_arith"] else encode_jbig2_mmr
+        payload = enc(scanned_ink(doc_id))
         filter_spec = "/Filter /JBIG2Decode"
     else:
         payload = encode_ccitt(

@@ -1,4 +1,4 @@
-"""JBIG2 (ITU-T T.88) — the PDF-embedded organization, MMR subset.
+"""JBIG2 (ITU-T T.88) — the PDF-embedded organization.
 
 PDF's /JBIG2Decode filter (ISO 32000 §7.4.7) wraps a T.88 *embedded*
 stream: a bare sequence of segments (no file header), optionally preceded
@@ -9,16 +9,19 @@ public T.88 spec only:
     short/long referred-to-segment forms, 1- or 4-byte page association,
     4-byte data length),
   - page information segments (§7.4.8) for the page bitmap geometry,
-  - generic region segments (§7.4.6, types 36/38/39) **with MMR=1**:
-    the region data is ITU-T T.6 (Group 4) two-dimensional coding, which
-    is exactly the existing ``textops/ccitt.py`` decoder — JBIG2's MMR
-    mode *is* G4 over the region bitmap (T.88 §6.2.6),
+  - generic region segments (§7.4.6, types 36/38/39), BOTH coding modes:
+    MMR=1 (the region data is ITU-T T.6 Group 4 coding — exactly the
+    existing ``textops/ccitt.py`` decoder, T.88 §6.2.6) and MMR=0
+    arithmetic coding — the full MQ coder (Annex E: state table E.1,
+    INITDEC/DECODE/BYTEIN and the matching encoder with 0xFF stuffing)
+    driving the 16-pixel template-0 context model (§6.2.5.7, nominal AT
+    pixels),
   - region composition onto the page bitmap (OR).
 
-Arithmetic-coded regions (MQ coder), symbol dictionaries and text/
-halftone/refinement regions are OUT OF SCOPE and raise ``ValueError``
-(same honest-subset layering as the baseline-only JPEG decoder in
-jpeg.py).  Corrupt input only ever raises ``ValueError``.
+Templates 1-3, TPGDON, non-nominal AT pixels, symbol dictionaries and
+text/halftone/refinement regions are OUT OF SCOPE and raise
+``ValueError`` (same honest-subset layering as the baseline-only JPEG
+decoder in jpeg.py).  Corrupt input only ever raises ``ValueError``.
 
 The reference has no JBIG2 tier (its filter enumeration errors on every
 image codec, pdf_file.rs FilterType).
@@ -102,13 +105,26 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     raise ValueError("JBIG2: short generic region segment")
                 rw, rh, rx, ry = struct.unpack_from(">IIII", blob, ds)
                 gflags = blob[ds + 17]
-                if not gflags & 0x01:
-                    raise ValueError(
-                        "JBIG2: arithmetic-coded generic region unsupported (MMR only)"
-                    )
                 if rw == 0 or rh == 0 or rw > 1 << 20 or rh > 1 << 20:
                     raise ValueError("JBIG2: implausible region geometry")
-                mask = decode_ccitt(blob[ds + 18 : de], rw, rh, k=-1)
+                if gflags & 0x01:  # MMR: the region data is T.6 coding
+                    mask = decode_ccitt(blob[ds + 18 : de], rw, rh, k=-1)
+                else:  # MQ arithmetic coding
+                    template = (gflags >> 1) & 0x03
+                    tpgdon = bool(gflags & 0x08)
+                    if template != 0 or tpgdon:
+                        raise ValueError(
+                            "JBIG2: only template-0 non-TPGDON arithmetic "
+                            "regions supported"
+                        )
+                    at = ds + 18
+                    if at + 8 > de:
+                        raise ValueError("JBIG2: truncated AT pixels")
+                    if struct.unpack_from("bbbbbbbb", blob, at) != (
+                        3, -1, -3, -1, 2, -2, -2, -2
+                    ):
+                        raise ValueError("JBIG2: non-nominal AT pixels unsupported")
+                    mask = decode_generic_arith(blob[at + 8 : de], rw, rh)
                 regions.append((rx, ry, mask))
             elif styp in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
                 continue
@@ -145,6 +161,244 @@ def encode_jbig2_mmr(mask: np.ndarray) -> bytes:
         struct.pack(">IIIIB", w, h, 0, 0, 0)  # region info, external OR
         + bytes((0x01,))  # generic flags: MMR=1
         + encode_ccitt(mask, k=-1)
+    )
+    return (
+        _segment(0, _PAGE_INFO, 1, page_info)
+        + _segment(1, 38, 1, region)
+        + _segment(2, _END_OF_PAGE, 1, b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MQ arithmetic coder (ITU-T T.88 Annex E — same coder as JPEG 2000).
+# Probability state table E.1: (Qe, NMPS, NLPS, SWITCH).
+
+_MQ = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+class MQDecoder:
+    """T.88 E.3 decoder (software conventions: INITDEC/DECODE/BYTEIN/
+    RENORMD).  Past-the-end reads behave as 0xFF marker bytes, per the
+    spec's marker-detection convention."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.bp = 0
+        self.c = self._b(0) << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _b(self, i: int) -> int:
+        return self.d[i] if i < len(self.d) else 0xFF
+
+    def _bytein(self) -> None:
+        if self._b(self.bp) == 0xFF:
+            if self._b(self.bp + 1) > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp += 1
+                self.c += self._b(self.bp) << 9
+                self.ct = 7
+        else:
+            self.bp += 1
+            self.c += self._b(self.bp) << 8
+            self.ct = 8
+
+    def decode(self, state: list, cx: int) -> int:
+        i, mps = state[cx]
+        qe, nmps, nlps, switch = _MQ[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            if self.a < qe:  # MPS exchange
+                d = mps
+                state[cx] = (nmps, mps)
+            else:
+                d = 1 - mps
+                state[cx] = (nlps, 1 - mps if switch else mps)
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                state[cx] = (nlps, 1 - mps if switch else mps)
+            else:
+                d = mps
+                state[cx] = (nmps, mps)
+        while True:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 E.3 encoder (CODEMPS/CODELPS/BYTEOUT/FLUSH with 0xFF bit
+    stuffing).  Matched pair with :class:`MQDecoder`; round-trip is the
+    correctness contract (same standing as the other synth codecs)."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.b = -1  # pending byte (B register); -1 = none yet
+
+    def encode(self, state: list, cx: int, d: int) -> None:
+        i, mps = state[cx]
+        qe, nmps, nlps, switch = _MQ[i]
+        if d == mps:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            state[cx] = (nmps, mps)
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            state[cx] = (nlps, 1 - mps if switch else mps)
+        while True:  # RENORME
+            if self.ct == 0:
+                self._byteout()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+
+    def _emit(self, v: int) -> None:
+        if self.b >= 0:
+            self.out.append(self.b)
+        self.b = v & 0xFF
+
+    def _byteout(self) -> None:
+        if self.b == 0xFF:
+            self._emit(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self._emit(self.c >> 19)
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.b += 1
+            if self.b == 0xFF:
+                self.c &= 0x7FFFFFF
+                self._emit(self.c >> 20)
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self._emit(self.c >> 19)
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def flush(self) -> bytes:
+        # SETBITS + two byteouts (E.3.8)
+        tempc = (self.c + self.a - 1) & 0xFFFF0000
+        self.c = tempc + 0x8000 if tempc < self.c else tempc
+        # spec FLUSH does two byteouts; emitting four is equally valid
+        # (the decoder ignores bytes past the point it needs) and immune
+        # to the CT<8 partial-byte tail edge
+        for _ in range(4):
+            self.c = (self.c << self.ct) & 0xFFFFFFFF
+            self._byteout()
+        if self.b != 0xFF:
+            self._emit(0xFF)
+        self._emit(0xAC)  # spec terminator pair FF AC
+        if self.b >= 0:
+            self.out.append(self.b)
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic generic region, GBTEMPLATE=0 with nominal AT pixels
+# (T.88 §6.2.5.7 figure 4/8): 16-pixel context — row y-2 columns x-2..x+2
+# (A4, fixed x-1..x+1, A3), row y-1 columns x-3..x+3 (A2, fixed x-2..x+2,
+# A1), row y columns x-4..x-1.  Context bits are packed in raster order,
+# MSB first.  TPGDON and non-nominal ATs are out of scope (ValueError).
+
+_T0_COORDS = tuple(
+    [(-2 + dx, -2) for dx in range(5)]
+    + [(-3 + dx, -1) for dx in range(7)]
+    + [(-4 + dx, 0) for dx in range(4)]
+)
+
+
+def _t0_context(rows: list, x: int, y: int, w: int) -> int:
+    cx = 0
+    for dx, dy in _T0_COORDS:
+        px, py = x + dx, y + dy
+        bit = rows[py][px] if 0 <= px < w and py >= 0 else 0
+        cx = (cx << 1) | bit
+    return cx
+
+
+def decode_generic_arith(data: bytes, w: int, h: int) -> np.ndarray:
+    """MQ-decode one template-0 generic region -> boolean bitmap."""
+    if w <= 0 or h <= 0 or w * h > 1 << 22:
+        raise ValueError("JBIG2: implausible arithmetic region geometry")
+    dec = MQDecoder(data)
+    state = [(0, 0)] * (1 << 16)
+    rows: list = []
+    for y in range(h):
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            row[x] = dec.decode(state, _t0_context(rows, x, y, w))
+    return np.array(rows, dtype=bool)
+
+
+def encode_generic_arith(mask: np.ndarray) -> bytes:
+    """Matched template-0 encoder (the synth writer)."""
+    h, w = mask.shape
+    enc = MQEncoder()
+    state = [(0, 0)] * (1 << 16)
+    rows = mask.astype(np.uint8).tolist()
+    for y in range(h):
+        for x in range(w):
+            enc.encode(state, _t0_context(rows, x, y, w), rows[y][x])
+    return enc.flush()
+
+
+def encode_jbig2_arith(mask: np.ndarray) -> bytes:
+    """Boolean bitmap -> embedded JBIG2 stream with an ARITHMETIC
+    (MQ-coded, template 0) immediate lossless generic region."""
+    h, w = mask.shape
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    region = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + bytes((0x00,))  # generic flags: MMR=0, GBTEMPLATE=0, TPGDON=0
+        # nominal AT pixels (A1..A4 as signed (x, y) byte pairs)
+        + struct.pack("bbbbbbbb", 3, -1, -3, -1, 2, -2, -2, -2)
+        + encode_generic_arith(mask)
     )
     return (
         _segment(0, _PAGE_INFO, 1, page_info)

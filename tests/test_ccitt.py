@@ -141,3 +141,45 @@ def test_jbig2_mmr_roundtrip_and_containment():
         raise AssertionError("expected ValueError for arithmetic region")
     except ValueError:
         pass
+
+
+def test_jbig2_arithmetic_roundtrip_and_fuzz():
+    from pdfparser_spark.textops.jbig2 import decode_jbig2, encode_jbig2_arith
+
+    for did in range(10):
+        m = scanned_ink(did)
+        assert np.array_equal(decode_jbig2(encode_jbig2_arith(m)), m), did
+    blob = encode_jbig2_arith(scanned_ink(5))
+    for i in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:i] + bytes((blob[i] ^ 0x5A,)) + blob[i + 1 :])
+        except ValueError:
+            pass
+    for cut in range(1, len(blob), 4):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass
+
+
+def test_mq_coder_roundtrip_skewed_streams():
+    import hashlib
+
+    from pdfparser_spark.textops.jbig2 import MQDecoder, MQEncoder
+
+    for trial in range(25):
+        h = hashlib.sha256(f"mq{trial}".encode()).digest() * 50
+        n = 31 + trial * 97
+        bits = [(h[i % len(h)] >> (i % 8)) & 1 for i in range(n)]
+        if trial % 3 == 1:
+            bits = [1 if b and i % 9 == 0 else 0 for i, b in enumerate(bits)]
+        if trial % 3 == 2:
+            bits = [0 if b and i % 11 == 0 else 1 for i, b in enumerate(bits)]
+        enc = MQEncoder()
+        st = [(0, 0)] * 16
+        for i, b in enumerate(bits):
+            enc.encode(st, i % 16, b)
+        blob = enc.flush()
+        dec = MQDecoder(blob)
+        st2 = [(0, 0)] * 16
+        assert [dec.decode(st2, i % 16) for i in range(n)] == bits, trial

@@ -265,9 +265,15 @@ def _image_payload(kind: str, w: int, h: int, opt: int = 0) -> bytes:
     if kind == "jpeg":
         return jpeg.encode_jpeg(_block_pattern(w, h))
     if kind == "png":
-        return png.encode_png(_gradient(w, h))
+        return png.encode_png(_gradient(w, h), interlace=bool(opt & 1))
     if kind == "tiff":
-        return tiff.encode_tiff(_gradient(w, h), big_endian=bool(opt & 1), packbits=bool(opt & 2))
+        return tiff.encode_tiff(
+            _gradient(w, h),
+            big_endian=bool(opt & 1),
+            packbits=bool(opt & 2),
+            lzw=bool(opt & 4),
+            predictor=bool(opt & 8),
+        )
     return encode_ppm(_gradient(w, h))
 
 
@@ -286,7 +292,19 @@ def _make_image_payload(doc_id: int, media_ref: str) -> bytes:
         kind = "tiff"
     else:
         kind = "ppm"
-    opt = (ord(hh[5]) % 2) | ((ord(hh[6]) % 2) << 1) if kind == "tiff" else 0
+    opt = 0
+    if kind == "png":
+        opt = ord(hh[5]) % 2  # bit0: Adam7 interlace — same decoded pixels
+    if kind == "tiff":
+        # bit0 byte order, bit1 PackBits, bit2 LZW (wins over PackBits),
+        # bit3 Predictor 2 (LZW only) — every combination decodes to the
+        # same gradient, so the pixel-sum oracle is layout-invariant
+        opt = (
+            (ord(hh[5]) % 2)
+            | ((ord(hh[6]) % 2) << 1)
+            | ((ord(hh[7]) % 2) << 2)
+            | ((ord(hh[8]) % 2) << 3)
+        )
     return _image_payload(kind, w, h, opt)
 
 

@@ -6,8 +6,9 @@ and per-row filter reconstruction (None/Sub/Up/Average/Paeth) — the row
 filters are exactly the PDF PNG predictors, so reconstruction reuses
 ``core.filters._apply_predictor`` (predictor 15, the adaptive per-row
 form).  Supported: 8-bit depth, color types 0 (gray), 2 (RGB),
-3 (palette) and 6 (RGBA); interlaced (Adam7) files are rejected with
-ValueError rather than mis-decoded.
+3 (palette) and 6 (RGBA), and Adam7 INTERLACED files (the 7-pass
+sub-image walk per the PNG spec §8.2 — each pass is filtered
+independently, then scattered onto the 8x8 grid).
 """
 
 from __future__ import annotations
@@ -22,6 +23,19 @@ from ..core.filters import _apply_predictor
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}
 
+# Adam7 pass layout (PNG spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pass_dims(w: int, h: int):
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        yield x0, y0, dx, dy, pw, ph
+
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
     return (
@@ -32,16 +46,25 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """uint8 image (H x W gray, or H x W x {3,4} RGB/RGBA) -> PNG bytes
-    (filter type 0 rows, single IDAT)."""
+    (filter type 0 rows, single IDAT); Adam7 interlaced on request."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     ctype = {1: 0, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    rows = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes NO bytes (spec §8.2)
+            sub = img[y0::dy, x0::dx]
+            parts += [b"\x00" + sub[r].tobytes() for r in range(ph)]
+        rows = b"".join(parts)
+    else:
+        rows = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
@@ -82,23 +105,43 @@ def decode_png(payload: bytes):
         raise ValueError("missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    if interlace:
-        raise ValueError("Adam7 interlacing not supported")
+        raise ValueError("only 8-bit PNG supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"unsupported PNG color type {color}")
     ch = _CHANNELS[color]
     try:
         raw = zlib.decompress(bytes(idat))
-        # per-row filter reconstruction == PDF PNG predictor 15 (adaptive)
-        flat = _apply_predictor(
-            raw, {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w}
-        )
+        if interlace:
+            # Adam7: each pass is an independently-filtered sub-image;
+            # unfilter per pass, scatter onto the 8x8 grid
+            img = np.zeros((h, w, ch), dtype=np.uint8)
+            pos = 0
+            for x0, y0, dx, dy, pw, ph in _pass_dims(w, h):
+                if pw == 0 or ph == 0:
+                    continue
+                span = ph * (1 + pw * ch)
+                chunk = raw[pos : pos + span]
+                if len(chunk) != span:
+                    raise ValueError("interlaced PNG data short of geometry")
+                pos += span
+                flat = _apply_predictor(
+                    chunk,
+                    {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": pw},
+                )
+                sub = np.frombuffer(flat, dtype=np.uint8, count=ph * pw * ch)
+                img[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        else:
+            # per-row filter reconstruction == PDF PNG predictor 15 (adaptive)
+            flat = _apply_predictor(
+                raw, {"Predictor": 15, "Colors": ch, "BitsPerComponent": 8, "Columns": w}
+            )
+            img = np.frombuffer(flat, dtype=np.uint8, count=h * w * ch).reshape(h, w, ch)
     except ValueError:
         raise
     except Exception as e:  # zlib.error / FilterError -> documented contract
         raise ValueError(f"malformed PNG image data: {e}") from e
-    img = np.frombuffer(flat, dtype=np.uint8, count=h * w * ch).reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")

@@ -3,10 +3,13 @@
 Real decode of the actual container: the 8-byte header in either byte
 order (``II``/``MM``), the IFD entry walk (tag, type, count, value with
 inline-vs-offset resolution), strip assembly, and pixel reconstruction
-for uncompressed (compression 1) and PackBits (compression 32773,
-implemented from the public spec) baseline images — 8-bit grayscale and
-RGB.  Anything else (LZW/JPEG-in-TIFF, tiles, planar config 2, bit
-depths != 8) is rejected with ValueError rather than mis-decoded.
+for uncompressed (compression 1), PackBits (compression 32773) and LZW
+(compression 5 — the TIFF 6.0 §13 MSB-first variant with early code-width
+change, which is byte-identical to PDF's LZWDecode and reuses
+core/filters.py) baseline images, with TIFF Predictor 2 (horizontal
+differencing, §14) honored on the LZW path — 8-bit grayscale and RGB.
+Anything else (JPEG-in-TIFF, tiles, planar config 2, bit depths != 8) is
+rejected with ValueError rather than mis-decoded.
 """
 
 from __future__ import annotations
@@ -18,34 +21,56 @@ import numpy as np
 # tag ids (TIFF 6.0 baseline)
 WIDTH, HEIGHT, BITS, COMPRESSION, PHOTOMETRIC = 256, 257, 258, 259, 262
 STRIP_OFFSETS, SAMPLES, ROWS_PER_STRIP, STRIP_COUNTS, PLANAR = 273, 277, 278, 279, 284
+PREDICTOR = 317
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I"}
 
 
-def encode_tiff(img: np.ndarray, big_endian: bool = False, packbits: bool = False) -> bytes:
+def encode_tiff(
+    img: np.ndarray,
+    big_endian: bool = False,
+    packbits: bool = False,
+    lzw: bool = False,
+    predictor: bool = False,
+) -> bytes:
     """uint8 image (H x W gray or H x W x 3 RGB) -> single-strip baseline
-    TIFF in the chosen byte order, optionally PackBits-compressed."""
+    TIFF in the chosen byte order; PackBits- or LZW-compressed on request
+    (``lzw`` wins), with optional horizontal-differencing Predictor 2 on
+    the LZW path."""
+    from ..core.filters import lzw_encode
+
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
-    body = img.tobytes()
-    if packbits:
-        body = _packbits_encode(body)
+    if lzw and predictor:
+        px = img.reshape(h, w, spp).astype(np.int16)
+        diff = px.copy()
+        diff[:, 1:, :] = px[:, 1:, :] - px[:, :-1, :]
+        body = lzw_encode((diff & 0xFF).astype(np.uint8).tobytes())
+    elif lzw:
+        body = lzw_encode(img.tobytes())
+    elif packbits:
+        body = _packbits_encode(img.tobytes())
+    else:
+        body = img.tobytes()
     e = ">" if big_endian else "<"
 
+    comp = 5 if lzw else 32773 if packbits else 1
     entries = [
         (WIDTH, 3, 1, w),
         (HEIGHT, 3, 1, h),
         (BITS, 3, spp, None),  # value or offset, fixed below
-        (COMPRESSION, 3, 1, 32773 if packbits else 1),
+        (COMPRESSION, 3, 1, comp),
         (PHOTOMETRIC, 3, 1, 1 if gray else 2),
         (STRIP_OFFSETS, 4, 1, None),
         (SAMPLES, 3, 1, spp),
         (ROWS_PER_STRIP, 3, 1, h),
         (STRIP_COUNTS, 4, 1, len(body)),
     ]
+    if lzw and predictor:
+        entries.append((PREDICTOR, 3, 1, 2))
     # layout: header(8) + ifd + [bits array if spp=3] + pixel data
     ifd_size = 2 + 12 * len(entries) + 4
     bits_off = 8 + ifd_size
@@ -183,8 +208,11 @@ def decode_tiff(payload: bytes):
     bits = tags.get(BITS, [8])
     if any(b != 8 for b in bits) or spp not in (1, 3) or planar != 1:
         raise ValueError("only 8-bit chunky gray/RGB TIFF supported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
+    predictor = one(PREDICTOR, 1)
+    if predictor not in (1, 2) or (predictor == 2 and comp != 5):
+        raise ValueError("unsupported TIFF predictor layout")
     offsets = tags.get(STRIP_OFFSETS)
     counts = tags.get(STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):
@@ -201,10 +229,22 @@ def decode_tiff(payload: bytes):
             raise ValueError("more strips than rows")
         if comp == 32773:
             raw += _packbits_decode(strip, n_rows * row_bytes)
+        elif comp == 5:
+            from ..core.filters import FilterError, lzw_decode
+
+            try:
+                dec = lzw_decode(strip)
+            except FilterError as err:
+                raise ValueError(f"TIFF LZW: {err}") from err
+            if len(dec) < n_rows * row_bytes:
+                raise ValueError("TIFF LZW strip short of geometry")
+            raw += dec[: n_rows * row_bytes]
         else:
             raw += strip
     if len(raw) < h * row_bytes:
         raise ValueError("pixel data short of geometry")
     img = np.frombuffer(bytes(raw), dtype=np.uint8, count=h * row_bytes)
     img = img.reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo by row-wise cumsum
+        img = (img.astype(np.uint32).cumsum(axis=1, dtype=np.uint32) & 0xFF).astype(np.uint8)
     return w, h, (img[:, :, 0] if spp == 1 else img)

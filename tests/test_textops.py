@@ -404,8 +404,14 @@ def test_png_roundtrip_all_color_types():
     bad[40] ^= 0xFF  # corrupt inside IDAT -> CRC mismatch
     with _pytest.raises(ValueError, match="CRC"):
         png.decode_png(bytes(bad))
+    # Adam7 interlace round-trips (odd dims exercise empty passes);
+    # truncated interlaced data is a contained ValueError
+    for dims in ((4, 4), (7, 5), (1, 1), (9, 3)):
+        pic = rgb[: dims[1], : dims[0]]
+        w2, h2, out2 = png.decode_png(png.encode_png(pic, interlace=True))
+        assert (w2, h2) == dims and np.array_equal(out2, pic)
     ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlaced
-    with _pytest.raises(ValueError, match="Adam7"):
+    with _pytest.raises(ValueError, match="short of geometry"):
         png.decode_png(b"\x89PNG\r\n\x1a\n" + png._chunk(b"IHDR", ihdr_i) + png._chunk(b"IDAT", zlib.compress(b"\x00")))
     assert media.sniff_decode(good)[0] == "png"
 
@@ -537,11 +543,20 @@ def test_tiff_roundtrip_matrix():
     assert len(tiff.encode_tiff(const, packbits=True)) < 16 * 16
     with _pytest.raises(ValueError, match="byte-order"):
         tiff.decode_tiff(b"XX\x2a\x00garbage")
-    with _pytest.raises(ValueError, match="compression"):
+    # LZW (compression 5) round-trips, with and without Predictor 2
+    for pred in (False, True):
+        w3, h3, out3 = tiff.decode_tiff(tiff.encode_tiff(img, lzw=True, predictor=pred))
+        assert np.array_equal(out3, img), pred
+    # raw bytes relabeled as LZW: contained ValueError, never misdecode
+    with _pytest.raises(ValueError):
         payload = bytearray(tiff.encode_tiff(img[:, :, 0]))
-        # compression tag value slot: flip raw(1) -> LZW(5)
         idx = payload.find((259).to_bytes(2, "little"))
         payload[idx + 8] = 5
+        tiff.decode_tiff(bytes(payload))
+    with _pytest.raises(ValueError, match="compression"):
+        payload = bytearray(tiff.encode_tiff(img[:, :, 0]))
+        idx = payload.find((259).to_bytes(2, "little"))
+        payload[idx + 8] = 6  # JPEG-in-TIFF: out of scope
         tiff.decode_tiff(bytes(payload))
 
 

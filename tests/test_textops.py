@@ -589,9 +589,14 @@ def test_audio_wav_roundtrip_and_chunk_walk():
         audio.decode_wav(b"not audio at all")
     with _pytest.raises(ValueError, match="truncated"):
         audio.decode_wav(payload[: len(payload) // 2])
-    nonpcm = payload.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1)
+    nonpcm = payload.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 2, 1), 1)
     with _pytest.raises(ValueError, match="PCM"):
-        audio.decode_wav(nonpcm)
+        audio.decode_wav(nonpcm)  # MS-ADPCM: lossy, out of scope
+    # the four lossless layout variants carry identical samples
+    wave = audio._waveform(120, 2)
+    for layout in ("pcm16", "pcm24", "float32", "ext16"):
+        r2, c2, a2 = audio.decode_wav(audio.encode_wav(wave, 8000, layout))
+        assert (r2, c2) == (8000, 2) and np.array_equal(a2, wave), layout
 
 
 def test_audio_features_match_waveform_rule():

@@ -18,7 +18,8 @@ public T.88 spec only:
     pixels),
   - region composition onto the page bitmap (OR).
 
-Templates 1-3, TPGDON, non-nominal AT pixels, symbol dictionaries and
+TPGDON typical prediction (§6.2.5.6) is honored in both directions.
+Templates 1-3, non-nominal AT pixels, symbol dictionaries and
 text/halftone/refinement regions are OUT OF SCOPE and raise
 ``ValueError`` (same honest-subset layering as the baseline-only JPEG
 decoder in jpeg.py).  Corrupt input only ever raises ``ValueError``.
@@ -112,10 +113,9 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 else:  # MQ arithmetic coding
                     template = (gflags >> 1) & 0x03
                     tpgdon = bool(gflags & 0x08)
-                    if template != 0 or tpgdon:
+                    if template != 0:
                         raise ValueError(
-                            "JBIG2: only template-0 non-TPGDON arithmetic "
-                            "regions supported"
+                            "JBIG2: only template-0 arithmetic regions supported"
                         )
                     at = ds + 18
                     if at + 8 > de:
@@ -124,7 +124,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                         3, -1, -3, -1, 2, -2, -2, -2
                     ):
                         raise ValueError("JBIG2: non-nominal AT pixels unsupported")
-                    mask = decode_generic_arith(blob[at + 8 : de], rw, rh)
+                    mask = decode_generic_arith(blob[at + 8 : de], rw, rh, tpgdon=tpgdon)
                 regions.append((rx, ry, mask))
             elif styp in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
                 continue
@@ -361,14 +361,28 @@ def _t0_context(rows: list, x: int, y: int, w: int) -> int:
     return cx
 
 
-def decode_generic_arith(data: bytes, w: int, h: int) -> np.ndarray:
-    """MQ-decode one template-0 generic region -> boolean bitmap."""
+_TPGD_CX = 0x9B25  # template-0 SLTP pseudo-pixel context (T.88 §6.2.5.7)
+
+
+def decode_generic_arith(data: bytes, w: int, h: int, tpgdon: bool = False) -> np.ndarray:
+    """MQ-decode one template-0 generic region -> boolean bitmap.
+
+    ``tpgdon`` = typical prediction (§6.2.5.6): each row starts with an
+    SLTP decision in the fixed pseudo-pixel context; when the running
+    LTP flag is set the row is a COPY of the previous one and no pixel
+    decisions are coded for it."""
     if w <= 0 or h <= 0 or w * h > 1 << 22:
         raise ValueError("JBIG2: implausible arithmetic region geometry")
     dec = MQDecoder(data)
     state = [(0, 0)] * (1 << 16)
     rows: list = []
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            ltp ^= dec.decode(state, _TPGD_CX)
+            if ltp:
+                rows.append(list(rows[-1]) if rows else [0] * w)
+                continue
         row = [0] * w
         rows.append(row)
         for x in range(w):
@@ -376,29 +390,39 @@ def decode_generic_arith(data: bytes, w: int, h: int) -> np.ndarray:
     return np.array(rows, dtype=bool)
 
 
-def encode_generic_arith(mask: np.ndarray) -> bytes:
+def encode_generic_arith(mask: np.ndarray, tpgdon: bool = False) -> bytes:
     """Matched template-0 encoder (the synth writer)."""
     h, w = mask.shape
     enc = MQEncoder()
     state = [(0, 0)] * (1 << 16)
     rows = mask.astype(np.uint8).tolist()
+    ltp = 0
     for y in range(h):
+        if tpgdon:
+            typical = y > 0 and rows[y] == rows[y - 1]
+            sltp = ltp ^ (1 if typical else 0)
+            enc.encode(state, _TPGD_CX, sltp)
+            ltp ^= sltp
+            if ltp:
+                continue
         for x in range(w):
             enc.encode(state, _t0_context(rows, x, y, w), rows[y][x])
     return enc.flush()
 
 
-def encode_jbig2_arith(mask: np.ndarray) -> bytes:
+def encode_jbig2_arith(mask: np.ndarray, tpgdon: bool = True) -> bytes:
     """Boolean bitmap -> embedded JBIG2 stream with an ARITHMETIC
-    (MQ-coded, template 0) immediate lossless generic region."""
+    (MQ-coded, template 0) immediate lossless generic region; typical
+    prediction ON by default (every row codes its SLTP decision, so a
+    decoder ignoring TPGDON desynchronizes immediately)."""
     h, w = mask.shape
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     region = (
         struct.pack(">IIIIB", w, h, 0, 0, 0)
-        + bytes((0x00,))  # generic flags: MMR=0, GBTEMPLATE=0, TPGDON=0
+        + bytes((0x08 if tpgdon else 0x00,))  # MMR=0, GBTEMPLATE=0, TPGDON bit3
         # nominal AT pixels (A1..A4 as signed (x, y) byte pairs)
         + struct.pack("bbbbbbbb", 3, -1, -3, -1, 2, -2, -2, -2)
-        + encode_generic_arith(mask)
+        + encode_generic_arith(mask, tpgdon=tpgdon)
     )
     return (
         _segment(0, _PAGE_INFO, 1, page_info)

@@ -183,3 +183,29 @@ def test_mq_coder_roundtrip_skewed_streams():
         dec = MQDecoder(blob)
         st2 = [(0, 0)] * 16
         assert [dec.decode(st2, i % 16) for i in range(n)] == bits, trial
+
+
+def test_jbig2_tpgdon_typical_prediction():
+    from pdfparser_spark.textops.jbig2 import (
+        decode_generic_arith,
+        decode_jbig2,
+        encode_generic_arith,
+        encode_jbig2_arith,
+    )
+
+    # repeated-row mask: typical prediction triggers and compresses
+    rep = np.zeros((12, 20), dtype=bool)
+    rep[3:9, 4:15] = True
+    t = encode_generic_arith(rep, tpgdon=True)
+    n = encode_generic_arith(rep, tpgdon=False)
+    assert len(t) < len(n)
+    assert np.array_equal(decode_generic_arith(t, 20, 12, tpgdon=True), rep)
+    # the SLTP bit consumes coder state: decoding a TPGDON stream with
+    # the flag ignored must NOT silently agree
+    wrong = decode_generic_arith(t, 20, 12, tpgdon=False)
+    assert not np.array_equal(wrong, rep)
+    # container-level roundtrip both ways
+    for did in range(6):
+        m = scanned_ink(did)
+        for tp in (False, True):
+            assert np.array_equal(decode_jbig2(encode_jbig2_arith(m, tpgdon=tp)), m)

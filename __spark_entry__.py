@@ -956,13 +956,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Z-order clustering: Morton-interleaved (lang, length) layout vs
         # hash-scattered baseline, manifest-stat file skipping REPORTED
         # (the clustering step that makes snapshot min/max stats selective)
-        # incremental sketch maintenance over the table format: per-batch
-        # Count-Min grids committed to the snapshot log and SUM-merged at
-        # read — integer-equal to the single-pass grid (same oracle);
-        # redelivered batches are parity-guarded, never double-counted
-        "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
-            _docs(s, d),
-            _scratch_log_dir("cmslog_"),
+        # CERTIFICATE-based encryption (§7.6.4 /Adobe.PubSec): the crypt
+        # filter's /Recipients CMS EnvelopedData is RSA-opened with the
+        # registered corpus key (no password exists), the §7.6.4.3 SHA-1
+        # file key derived, streams AESV2-decrypted — decoy-recipient and
+        # /EncryptMetadata-false KDF arms per doc rules.  (Took
+        # cms_incremental_hitters's slot: its incremental-sketch pattern
+        # is carried in-window by rollup_incremental and in tail by
+        # hll_incremental_distinct; demoted, driver-green r02-era.)
+        "extract_pubsec_corpus": lambda s, d: flatten_spans(
+            extract_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="pubsec",
+                )
+            )
         ),
         "zorder_skipping": lambda s, d: zorder.zorder_skipping_report(_docs(s, d)),
         # STREAMING extraction, PRODUCTION sink shape: the fused kernel
@@ -984,6 +992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # demoted (pattern carried in-window by rollup_incremental, tail
+        # twin hll_incremental_distinct): per-batch Count-Min grids
+        # committed to the snapshot log, SUM-merged at read
+        "cms_incremental_hitters": lambda s, d: sketch.cms_incremental_heavy_hitters(
+            _docs(s, d),
+            _scratch_log_dir("cmslog_"),
+        ),
         # revision forensics (§7.5.6): the xref /Prev chain replayed
         # oldest-first — per-revision kind, visible-object count, changed
         # ids (the PDF analog of the snapshot changes() feed); tail slot:
@@ -2501,6 +2516,19 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7 ELSE 1 END) + p - 1 AS VARCHAR)
               END AS label
             FROM pg
+        """,
+        # pubsec family: one page, one line = the first 6 words (single-
+        # space split), 'certificate encrypted' fallback for empty text —
+        # observable only if the reader opens the recipient envelope
+        "extract_pubsec_corpus": """
+            SELECT doc_id, CAST(0 AS INT) AS ord, 'text' AS kind,
+                   CASE WHEN t = '' THEN 'certificate encrypted' ELSE t END AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM (
+              SELECT doc_id,
+                     TRIM(array_to_string(string_split(COALESCE(text, ''), ' ')[1:6], ' ')) AS t
+              FROM documents
+            )
         """,
         # markup annots replayed: every 12th+6 doc carries one /Text note
         # and one /Highlight; the highlight's covered text is page 0's

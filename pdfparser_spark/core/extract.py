@@ -147,6 +147,62 @@ def _build_decryptor(data: bytes, trailer: dict, offsets: dict, password: bytes 
                 "encrypted document requires a user password", kind=FILTER_ERROR, stage="decode"
             )
         return crypt.StandardDecryptor(key, stm5, str5, enc_obj)
+    elif str(enc.get("Filter")) == "Adobe.PubSec":
+        # public-key security handler (§7.6.4): the crypt filter carries
+        # /Recipients EnvelopedData blobs; the seed unwraps with a
+        # registered RSA private key (pubsec.PRIVATE_KEYS — the
+        # certificate analog of the password parameter), and the file key
+        # is the §7.6.4.3 SHA-1 over seed + recipient blobs.  AESV2
+        # crypt-filter scope (the modern /V 4 adbe.pkcs7.s5 shape).
+        from . import pubsec
+
+        if v != 4:
+            raise PdfError(
+                f"unsupported PubSec version V={v}", kind=FILTER_ERROR, stage="decode"
+            )
+        cfp = enc.get("CF")
+        cfp = cfp if isinstance(cfp, dict) else {}
+
+        def pub_filter(sel_name):
+            sel = str(enc.get(sel_name) or "Identity")
+            if sel == "Identity":
+                return None
+            cfd = cfp.get(sel)
+            return cfd if isinstance(cfd, dict) else None
+
+        cfd = pub_filter("StmF") or pub_filter("StrF")
+        if cfd is None or str(cfd.get("CFM")) != "AESV2":
+            raise PdfError(
+                "unsupported PubSec crypt filter (AESV2 scope)",
+                kind=FILTER_ERROR,
+                stage="decode",
+            )
+        recips = [
+            bytes(rv)
+            for rv in (cfd.get("Recipients") or [])
+            if isinstance(rv, (bytes, bytearray))
+        ]
+        if not recips:
+            raise PdfError(
+                "PubSec crypt filter without /Recipients",
+                kind=FILTER_ERROR,
+                stage="decode",
+            )
+        try:
+            seed, _perms = pubsec.recover_seed(recips)
+        except ValueError as e:
+            raise PdfError(
+                f"encrypted document requires a recipient key ({e})",
+                kind=FILTER_ERROR,
+                stage="decode",
+            ) from e
+        em = enc.get("EncryptMetadata")
+        key = pubsec.file_key(
+            seed, recips, 16, encrypt_metadata=em if isinstance(em, bool) else True
+        )
+        stm_p = "aes" if pub_filter("StmF") else None
+        str_p = "aes" if pub_filter("StrF") else None
+        return crypt.StandardDecryptor(key, stm_p, str_p, enc_obj)
     else:
         raise PdfError(
             f"unsupported encryption (/Filter {enc.get('Filter')} V={v} R={r})",

@@ -22,6 +22,7 @@ from ..synth import (
     build_document_columns,
     build_document_damaged,
     build_document_protected,
+    build_document_pubsec,
     build_document_scanned,
     build_document_signed,
     build_document_table,
@@ -35,6 +36,7 @@ _BUILDERS = {
     "columns": build_document_columns,
     "damaged": build_document_damaged,
     "protected": build_document_protected,
+    "pubsec": build_document_pubsec,
     "scanned": build_document_scanned,
     "signed": build_document_signed,
     "table": build_document_table,

@@ -2372,19 +2372,13 @@ def expected_page_labels(doc_id: int) -> list[tuple[int, str]]:
 # Signer CN cycles doc_id % 3.  Only extract_signatures observes this
 # family; the reference's walk never reaches /AcroForm (doc_tree.rs:63-142).
 
-# Deterministic 512-bit primes (SHA-256 counter-mode candidates, fixed
-# seeds "pdfspark-sig-p"/"-q", Miller-Rabin verified offline).
-SIG_P = int(
-    "e6f2f4bed13bd21a789a37a88237eb2bb68d0065c2b73d6e7e4bf022504a3971"
-    "cf06c95f8059e9b13c59a442bceed59ac1fe2373bb75bcc2025bafedc8fd156b", 16
-)
-SIG_Q = int(
-    "e83e41f135724e5d6fa16f48f747d2ef54f5f2beee8a1f2948b28da7ec64583f"
-    "5be9893dd0ad40a90bc5a1780804e97fcca8fbd62a843cf8f194829dc3d9779b", 16
-)
-SIG_N = SIG_P * SIG_Q
-SIG_E = 65537
-SIG_D = pow(SIG_E, -1, (SIG_P - 1) * (SIG_Q - 1))
+# The deterministic corpus RSA keypair lives in core/pubsec.py (shared
+# with the public-key encryption tier); the signature writer aliases it.
+from .core.pubsec import CORPUS_D as SIG_D
+from .core.pubsec import CORPUS_E as SIG_E
+from .core.pubsec import CORPUS_N as SIG_N
+from .core.pubsec import CORPUS_P as SIG_P
+from .core.pubsec import CORPUS_Q as SIG_Q
 _SIG_K = (SIG_N.bit_length() + 7) // 8
 
 # Pre-encoded DER OIDs (tag 0x06 included)
@@ -2599,6 +2593,110 @@ def build_document_signed(doc_id: int, text: str) -> dict:
             "text": out[c_at + len(content) :].decode("latin-1"),
             "media_ref": None,
             "offset": c_at + len(content),
+        },
+    ]
+    return {"bytes": out, "span_rows": rows}
+
+
+def expected_pubsec_span(doc_id: int, text: str) -> str:
+    # single-space split, mirroring the oracle's string_split(text, ' ')
+    words = (text or "").split(" ")
+    return " ".join(words[:6]).strip() or "certificate encrypted"
+
+
+def build_document_pubsec(doc_id: int, text: str) -> dict:
+    """Certificate-encrypted family (ISO 32000 §7.6.4, /Adobe.PubSec
+    /adbe.pkcs7.s5): one-page docs whose streams are AESV2-encrypted
+    under a file key derived from a CMS EnvelopedData recipient blob —
+    no password anywhere; the reader must RSA-open the key-transport
+    envelope with the corpus private key, then derive the §7.6.4.3 SHA-1
+    file key.  Every 4th doc carries TWO recipient blobs with the real
+    envelope second (the walk-all-recipients path); every 3rd+1 doc sets
+    /EncryptMetadata false (the 0xFFFFFFFF KDF suffix arm)."""
+    import hashlib as _hl
+
+    from .core import crypt as _crypt
+    from .core import pubsec as _ps
+
+    line = expected_pubsec_span(doc_id, text)
+    content = f"BT /F1 12 Tf 72 720 Td ({_pdf_escape(line)}) Tj ET".encode("latin-1")
+
+    seed = _hl.sha1(f"psseed{doc_id}".encode()).digest()
+    cek = _hl.md5(f"pscek{doc_id}".encode()).digest()
+    iv = _hl.md5(f"psiv{doc_id}".encode()).digest()
+    ps_bytes = _hl.sha256(f"psps{doc_id}".encode()).digest() * 5
+    real = _ps.build_recipient_cms(
+        seed, 0xFFFFFFFC, _ps.CORPUS_N, _ps.CORPUS_E, cek, iv, ps_bytes,
+        serial=100 + doc_id % 3,
+    )
+    recips = [real]
+    if doc_id % 4 == 0:
+        # a foreign recipient our key cannot open, FIRST in the array —
+        # the reader must keep walking instead of failing on it (the
+        # registry holds only (CORPUS_N, CORPUS_D); decrypting a p^2
+        # modulus envelope with it yields a non-00-02 block -> skipped)
+        other_n = _ps.CORPUS_P * _ps.CORPUS_P
+        decoy = _ps.build_recipient_cms(
+            seed, 0xFFFFFFFC, other_n, 3, cek, iv, ps_bytes, serial=9
+        )
+        recips = [decoy, real]
+    encrypt_metadata = doc_id % 3 != 1
+    fkey = _ps.file_key(seed, recips, 16, encrypt_metadata=encrypt_metadata)
+
+    def enc_stream(raw: bytes, oid: int) -> bytes:
+        eiv = _hl.md5(f"psoiv{doc_id}:{oid}".encode()).digest()
+        return _crypt.aes_cbc_encrypt(
+            _crypt.object_key(fkey, oid, 0, aes=True), raw, eiv
+        )
+
+    payload = enc_stream(content, 4)
+    rec_hex = " ".join("<" + binascii.hexlify(r).decode() + ">" for r in recips)
+    enc_dict = (
+        "<< /Filter /Adobe.PubSec /SubFilter /adbe.pkcs7.s5 /V 4 /Length 128 "
+        "/CF << /DefaultCryptFilter << /Type /CryptFilter /CFM /AESV2 "
+        f"/AuthEvent /DocOpen /Recipients [{rec_hex}] /Length 128 >> >> "
+        "/StmF /DefaultCryptFilter /StrF /DefaultCryptFilter"
+        + (" /EncryptMetadata false" if not encrypt_metadata else "")
+        + " >>"
+    )
+
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+        (
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        ),
+        b"4 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(payload), payload),
+        b"5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n",
+        b"6 0 obj\n%s\nendobj\n" % enc_dict.encode("ascii"),
+    ]
+    buf = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for o in objs:
+        offsets.append(len(buf))
+        buf += o
+    xref_off = len(buf)
+    buf += b"xref\n0 7\n0000000000 65535 f \n"
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    id_hex = _hl.md5(f"psid{doc_id}".encode()).hexdigest()
+    buf += (
+        b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (id_hex.encode(), id_hex.encode(), xref_off)
+    )
+    out = bytes(buf)
+    c_at = out.index(payload)
+    rows = [
+        {"kind": "struct", "text": out[:c_at].decode("latin-1"), "media_ref": None, "offset": 0},
+        {"kind": "text", "text": payload.decode("latin-1"), "media_ref": None, "offset": c_at},
+        {
+            "kind": "struct",
+            "text": out[c_at + len(payload) :].decode("latin-1"),
+            "media_ref": None,
+            "offset": c_at + len(payload),
         },
     ]
     return {"bytes": out, "span_rows": rows}

@@ -473,3 +473,54 @@ def test_revisions_chain_replay():
     dd = build_document_damaged(4, text)
     rd = extract_revisions(dd["bytes"])
     assert rd["revisions"] == [] and rd["errors"]
+
+
+def test_pubsec_family_decrypts_without_password():
+    from pdfparser_spark.core import pubsec
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document_pubsec, expected_pubsec_span, reconstruct
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    for did in (0, 1, 3, 4, 7, 8, 12, 13):  # decoy (%4=0) + no-meta (%3=1) arms
+        d = build_document_pubsec(did, text)
+        assert reconstruct(d["span_rows"]) == d["bytes"], did
+        r = extract_spans(d["bytes"])
+        assert not r["errors"], (did, r["errors"][:2])
+        assert [tuple(x) for x in r["spans"]] == [
+            ("text", expected_pubsec_span(did, text), None)
+        ], did
+    # without the registered key the doc must fail CLOSED (error row,
+    # no spans) — never silently emit ciphertext
+    d = build_document_pubsec(2, text)
+    saved = pubsec.PRIVATE_KEYS[:]
+    try:
+        pubsec.PRIVATE_KEYS[:] = [(pubsec.CORPUS_N, 12345)]
+        r = extract_spans(d["bytes"])
+        assert r["spans"] == [] and r["errors"], r
+        assert any("recipient" in e[2] for e in r["errors"])
+    finally:
+        pubsec.PRIVATE_KEYS[:] = saved
+
+
+def test_pubsec_envelope_edges():
+    import hashlib
+
+    from pdfparser_spark.core import pubsec
+
+    seed = hashlib.sha1(b"s").digest()
+    cek = hashlib.md5(b"c").digest()
+    iv = hashlib.md5(b"i").digest()
+    ps = hashlib.sha256(b"p").digest() * 5
+    blob = pubsec.build_recipient_cms(seed, 7, pubsec.CORPUS_N, pubsec.CORPUS_E, cek, iv, ps)
+    s2, perms = pubsec.recover_seed([blob])
+    assert s2 == seed and perms == 7
+    # EncryptMetadata-false KDF suffix changes the key
+    assert pubsec.file_key(seed, [blob], 16) != pubsec.file_key(
+        seed, [blob], 16, encrypt_metadata=False
+    )
+    # corrupt envelopes only ever raise ValueError
+    for i in range(0, len(blob), 5):
+        try:
+            pubsec.recover_seed([blob[:i] + bytes((blob[i] ^ 0x3C,)) + blob[i + 1 :]])
+        except ValueError:
+            pass

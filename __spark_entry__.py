@@ -40,6 +40,7 @@ from pdfparser_spark.stages import (
     extract_markup_fused,
     extract_revisions_fused,
     extract_signatures_fused,
+    extract_xmp_fused,
     extract_layout_sized_fused,
     extract_links_fused,
     extract_meta_fused,
@@ -992,6 +993,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # XMP metadata (§14.3.2): the catalog /Metadata RDF packet mined
+        # for dc:title (x-default rdf:Alt alternative, XML entities
+        # decoded) + xmp:CreatorTool — tail slot: the /Info metadata walk
+        # evidence is in-window via doc_metadata; this adds the
+        # real-world XML carrier
+        "doc_xmp_metadata": lambda s, d: extract_xmp_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # demoted (pattern carried in-window by rollup_incremental, tail
         # twin hll_incremental_distinct): per-batch Count-Min grids
         # committed to the snapshot log, SUM-merged at read
@@ -1625,6 +1636,8 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
                  -- markup docs: the FreeText /AP /N appearance XObject
                  + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
+                 -- XMP /Metadata stream object
+                 + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
@@ -1633,6 +1646,7 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 9 = 2 AND nw > 8 THEN 2 ELSE 0 END
                  + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
                  + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """
@@ -2516,6 +2530,13 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7 ELSE 1 END) + p - 1 AS VARCHAR)
               END AS label
             FROM pg
+        """,
+        # XMP docs replayed: doc%16=9, title carries XML-escaped <&>
+        "doc_xmp_metadata": """
+            SELECT doc_id,
+                   'XMP ' || CAST(doc_id % 45 AS VARCHAR) || ' <&> done' AS xmp_title,
+                   'pdfspark ' || CAST(doc_id % 5 AS VARCHAR) AS creator_tool
+            FROM documents WHERE doc_id % 16 = 9
         """,
         # pubsec family: one page, one line = the first 6 words (single-
         # space split), 'certificate encrypted' fallback for empty text —

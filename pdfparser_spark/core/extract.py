@@ -2103,3 +2103,73 @@ def extract_revisions(data: bytes, password: bytes = b""):
     except Exception as e:  # lenient: corrupt doc must not kill the task
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     return {"revisions": rows, "errors": errors}
+
+
+def _xml_unescape(s: str) -> str:
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        s = s.replace(ent, ch)
+    return s
+
+
+def extract_xmp(data: bytes, password: bytes = b""):
+    """XMP metadata (ISO 32000 §14.3.2 / ISO 16684-1): the catalog
+    ``/Metadata`` stream's RDF packet, mined for ``dc:title`` (the
+    x-default ``rdf:Alt`` alternative) and ``xmp:CreatorTool`` — element
+    OR attribute form, prefix-agnostic local-name matching, XML entities
+    decoded.  This is where real-world documents keep their metadata
+    (the /Info dict is the legacy carrier, §14.3.3 note).
+
+    Returns ``{"title", "creator_tool", "has_xmp", "errors"}`` —
+    lenient as every kernel here."""
+    import re as _re
+
+    title = tool = None
+    has_xmp = False
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        meta = get_resolved(root, "Metadata", objects) if isinstance(root, dict) else None
+        if isinstance(meta, Stream):
+            raw = meta.data
+            if raw is None:
+                try:
+                    raw = decode_chain(
+                        meta.raw,
+                        build_filter_chain(meta.attrs, lambda v: resolve(v, objects)),
+                    )
+                except (FilterError, PdfError):
+                    raw = meta.raw
+            has_xmp = True
+            xml = bytes(raw).decode("utf-8", "replace")
+            m = _re.search(
+                r"<(?:\w+:)?title\b[^>]*>.*?<(?:\w+:)?li\b[^>]*>(.*?)</(?:\w+:)?li>",
+                xml,
+                _re.DOTALL,
+            )
+            if m:
+                title = _xml_unescape(m.group(1).strip())
+            m = _re.search(
+                r"<(?:\w+:)?CreatorTool\b[^>]*>(.*?)</(?:\w+:)?CreatorTool>",
+                xml,
+                _re.DOTALL,
+            )
+            if m:
+                tool = _xml_unescape(m.group(1).strip())
+            else:  # attribute form on rdf:Description
+                m = _re.search(r"(?:\w+:)?CreatorTool\s*=\s*\"([^\"]*)\"", xml)
+                if m:
+                    tool = _xml_unescape(m.group(1))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"title": title, "creator_tool": tool, "has_xmp": has_xmp, "errors": errors}

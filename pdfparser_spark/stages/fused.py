@@ -655,3 +655,29 @@ def extract_revisions_fused(documents_raw: DataFrame, password: bytes = b"") -> 
         run,
         schema="doc_id long, rev_idx int, kind string, n_objects int, changed string",
     )
+
+
+def extract_xmp_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """XMP metadata mining (§14.3.2), zero shuffle beyond the leveling
+    repartition: one row per document that carries a /Metadata packet."""
+    from ..core.extract import extract_xmp
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "xmp_title", "creator_tool"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_xmp(_doc_bytes(spans), password=password)
+                if res["has_xmp"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "xmp_title": res["title"],
+                            "creator_tool": res["creator_tool"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, xmp_title string, creator_tool string"
+    )

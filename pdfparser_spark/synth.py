@@ -84,6 +84,11 @@ def doc_rules(doc_id: int) -> dict:
         # (6 mod 6 = 0), so the array already exists.
         "markup": doc_id % 12 == 6,
         "markup_cover": doc_id % 24 == 6,
+        # XMP metadata stream (§14.3.2) on every 16th+9 doc: the catalog
+        # /Metadata points at an uncompressed XML packet carrying
+        # dc:title + xmp:CreatorTool; +1 obj +1 stream in object_stats.
+        # Observed only by doc_xmp_metadata.
+        "xmp": doc_id % 16 == 9,
         "form": doc_id % 4 != 3,
         "n_fields": 1 + doc_id % 3 if doc_id % 4 != 3 else 0,
         # embedded-file attachments (ISO 32000 §7.7.4 name tree + §7.11
@@ -530,8 +535,14 @@ def build_document(doc_id: int, text: str) -> dict:
     if r["markup"]:
         ap_id = next_id
         next_id += 1
+    xmp_id = None
+    if r["xmp"]:
+        xmp_id = next_id
+        next_id += 1
 
     cat_body = f"<< /Type /Catalog /Pages {PAGESROOT} 0 R"
+    if xmp_id is not None:
+        cat_body += f" /Metadata {xmp_id} 0 R"
     if outl_root_id is not None:
         cat_body += f" /Outlines {outl_root_id} 0 R"
     if acro_id is not None:
@@ -712,6 +723,17 @@ def build_document(doc_id: int, text: str) -> dict:
             obj_open(oid)
             b.struct(item.encode("ascii"))
             obj_close()
+
+    # XMP metadata stream (uncompressed XML packet, §14.3.2 convention)
+    if xmp_id is not None:
+        packet = xmp_packet(doc_id)
+        obj_open(xmp_id)
+        b.struct(
+            f"<< /Type /Metadata /Subtype /XML /Length {len(packet)} >>\nstream\n".encode("ascii")
+        )
+        b.text_payload(packet)
+        b.struct(b"\nendstream")
+        obj_close()
 
     # FreeText appearance stream: a Form XObject drawing the REAL text
     if ap_id is not None:
@@ -2700,3 +2722,37 @@ def build_document_pubsec(doc_id: int, text: str) -> dict:
         },
     ]
     return {"bytes": out, "span_rows": rows}
+
+
+def xmp_expected(doc_id: int) -> tuple[str, str] | None:
+    """(dc:title, xmp:CreatorTool) for XMP docs, None otherwise."""
+    if doc_id % 16 != 9:
+        return None
+    return f"XMP {doc_id % 45} <&> done", f"pdfspark {doc_id % 5}"
+
+
+def xmp_packet(doc_id: int) -> bytes:
+    """A real XMP packet (ISO 16684-1 shape): xpacket wrapper, rdf:RDF,
+    dc:title as an rdf:Alt language alternative, xmp:CreatorTool in
+    ELEMENT form.  The title carries XML-escaped characters so entity
+    decoding is observable."""
+    title, tool = xmp_expected(doc_id)
+    esc = title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        ' <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        '  <rdf:Description rdf:about=""\n'
+        '    xmlns:dc="http://purl.org/dc/elements/1.1/"\n'
+        '    xmlns:xmp="http://ns.adobe.com/xap/1.0/">\n'
+        "   <dc:title>\n"
+        "    <rdf:Alt>\n"
+        f'     <rdf:li xml:lang="x-default">{esc}</rdf:li>\n'
+        "    </rdf:Alt>\n"
+        "   </dc:title>\n"
+        f"   <xmp:CreatorTool>{tool}</xmp:CreatorTool>\n"
+        "  </rdf:Description>\n"
+        " </rdf:RDF>\n"
+        "</x:xmpmeta>\n"
+        '<?xpacket end="w"?>'
+    ).encode("utf-8").decode("latin-1").encode("latin-1")

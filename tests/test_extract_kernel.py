@@ -524,3 +524,26 @@ def test_pubsec_envelope_edges():
             pubsec.recover_seed([blob[:i] + bytes((blob[i] ^ 0x3C,)) + blob[i + 1 :]])
         except ValueError:
             pass
+
+
+def test_xmp_packet_mining():
+    from pdfparser_spark.core.extract import extract_xmp
+    from pdfparser_spark.synth import build_document, xmp_expected
+
+    text = "w0 w1 w2 w3 w4 w5"
+    for did in (9, 25, 41, 57):
+        d = build_document(did, text)
+        r = extract_xmp(d["bytes"])
+        assert r["has_xmp"] and not r["errors"], (did, r)
+        assert (r["title"], r["creator_tool"]) == xmp_expected(did), did
+    # no-XMP doc
+    assert extract_xmp(build_document(8, text)["bytes"])["has_xmp"] is False
+    # attribute-form CreatorTool (the other real-world shape): patch the
+    # packet IN PLACE with an equal-length replacement so xref offsets
+    # and the stream /Length stay valid
+    d = build_document(9, text)
+    old = b"<xmp:CreatorTool>pdfspark 4</xmp:CreatorTool>"
+    new = b'x:CreatorTool="attr tool"'.ljust(len(old))
+    assert old in d["bytes"] and len(new) == len(old)
+    r = extract_xmp(d["bytes"].replace(old, new))
+    assert r["creator_tool"] == "attr tool", r

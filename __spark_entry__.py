@@ -39,6 +39,7 @@ from pdfparser_spark.stages import (
     extract_layout_fused,
     extract_markup_fused,
     extract_revisions_fused,
+    extract_rewrite_fused,
     extract_signatures_fused,
     extract_xmp_fused,
     extract_layout_sized_fused,
@@ -993,6 +994,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # rewrite FIXPOINT (the S4 sink tier round-tripped): extract ->
+        # core/writer.py serializes the spans back to a fresh PDF ->
+        # extract again; rows equal plain extraction's, so the UNCHANGED
+        # span oracle proves writer validity (tail: oracle shared with
+        # extract_spans)
+        "pdf_rewrite_roundtrip": lambda s, d: extract_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # XMP metadata (§14.3.2): the catalog /Metadata RDF packet mined
         # for dc:title (x-default rdf:Alt alternative, XML entities
         # decoded) + xmp:CreatorTool — tail slot: the /Info metadata walk
@@ -2370,6 +2381,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans": _span_sql(),
         "extract_spans_fused": _span_sql(),
         "extract_incremental": _span_sql(),
+        "pdf_rewrite_roundtrip": _span_sql(),
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_form_xobjects": _span_sql("doc_id % 9 = 2"),

@@ -1,0 +1,159 @@
+"""PDF writer: ordered spans -> a valid single-use PDF.
+
+The sink-side complement of the extraction kernel (SURVEY.md §2.1 S4):
+given the extraction output — ``(kind, text, media_ref)`` spans in
+reading order — emit a well-formed classic-xref PDF that the SAME
+kernel extracts back to the SAME span sequence (the rewrite fixpoint,
+asserted by the ``pdf_rewrite_roundtrip`` query against the unchanged
+span oracle).  This is the primitive a redaction/transformation
+pipeline needs: scrub or edit the spans, re-serialize, and the result
+is a real document again.
+
+Layout: one page per span.  A text span becomes a one-line content
+stream (literal string, §7.3.4.2 escapes); a media span becomes a page
+whose content is ``/<name> Do`` over a 1x1 RGB image XObject carrying
+the original resource name — re-extraction reports the same
+``(media, NULL, name)`` marker.  Text is latin-1 (the span column's
+byte-faithful charset); code points above U+00FF are written as UTF-16BE
+literal strings with a BOM (§7.9.2.2), which ``pdf_text_string`` decodes
+back.  Pure Python, deterministic.
+"""
+
+from __future__ import annotations
+
+
+def _escape_literal(b: bytes) -> bytes:
+    out = bytearray()
+    for c in b:
+        if c in (0x5C, 0x28, 0x29):  # backslash, parens
+            out += b"\\" + bytes((c,))
+        elif c in (0x0D, 0x0A):  # raw EOLs would be normalized (§7.3.4.2)
+            out += b"\\r" if c == 0x0D else b"\\n"
+        else:
+            out.append(c)
+    return bytes(out)
+
+
+def _is_latin1(s: str) -> bool:
+    try:
+        s.encode("latin-1")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+def _cid_objects(text: str, next_id: int):
+    """Type0/Identity-H font trio for one non-latin1 page: returns
+    (show_hex_string, [tounicode, descendant, type0] bodies); the type0
+    dict is object ``next_id + 2``.  Codes are dense per-page indices;
+    the generated ToUnicode bfchar table maps them back (supplementary
+    planes as UTF-16 surrogate pairs), which is exactly the §9.10.3
+    decode path the kernel implements."""
+    chars = sorted(set(text))
+    lines = []
+    for i, ch in enumerate(chars):
+        dst = ch.encode("utf-16-be").hex().upper()
+        lines.append(f"<{i:04X}> <{dst}>")
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(chars)} beginbfchar\n" + "\n".join(lines) + "\nendbfchar\n"
+        "endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend"
+    ).encode("ascii")
+    tounicode = (
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap)
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /SynthCID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 500 >>"
+    )
+    type0 = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+        b"/Encoding /Identity-H /DescendantFonts [%d 0 R] "
+        b"/ToUnicode %d 0 R >>" % (next_id + 1, next_id)
+    )
+    idx = {ch: i for i, ch in enumerate(chars)}
+    show = "".join(f"{idx[ch]:04X}" for ch in text).encode("ascii")
+    return b"<" + show + b">", [tounicode, desc, type0]
+
+
+def _text_string(s: str) -> bytes:
+    """PDF literal string for latin-1 text (§7.3.4.2 escapes)."""
+    return b"(" + _escape_literal(s.encode("latin-1")) + b")"
+
+
+def write_pdf(spans) -> bytes:
+    """``spans`` = iterable of (kind, text, media_ref) in reading order
+    -> PDF bytes.  Unknown kinds and empty text spans are skipped."""
+    items: list = []  # ('text', str) | ('media', name bytes)
+    for kind, text, media_ref in spans:
+        if kind == "text" and text:
+            items.append(("text", text))
+        elif kind == "media" and media_ref:
+            items.append(("media", str(media_ref).encode("latin-1")))
+    if not items:
+        items.append(("text", " "))
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)  # ids are 1-based
+
+    n_pages = len(items)
+    cat_id = add(b"")  # placeholder, filled below
+    root_id = add(b"")
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids = []
+    for kind, payload in items:
+        extra: list[bytes] = []
+        if kind == "media":
+            res = (
+                b"<< /Font << /F1 %d 0 R >> /XObject << /%s %d 0 R >> >>"
+                % (font_id, payload, len(objs) + 3)
+            )
+            content = b"q /" + payload + b" Do Q"
+            extra = [
+                b"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 "
+                b"/BitsPerComponent 8 /ColorSpace /DeviceRGB /Length 3 >>\n"
+                b"stream\n\x80\x80\x80\nendstream"
+            ]
+        elif _is_latin1(payload):
+            res = b"<< /Font << /F1 %d 0 R >> >>" % font_id
+            content = b"BT /F1 12 Tf 72 720 Td " + _text_string(payload) + b" Tj ET"
+        else:
+            # Unicode page: a per-page Type0/Identity-H font with a
+            # generated ToUnicode bfchar table (objects follow the
+            # content stream: tounicode, descendant, type0)
+            show, extra = _cid_objects(payload, len(objs) + 3)
+            res = b"<< /Font << /F1 %d 0 R >> >>" % (len(objs) + 5)
+            content = b"BT /F1 12 Tf 72 720 Td " + show + b" Tj ET"
+        pid = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources %s /Contents %d 0 R >>" % (root_id, res, len(objs) + 2)
+        )
+        add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+        for body in extra:
+            add(body)
+        page_ids.append(pid)
+
+    kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
+    objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
+    objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        cat_id,
+        xref_at,
+    )
+    return bytes(buf)

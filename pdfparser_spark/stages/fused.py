@@ -681,3 +681,36 @@ def extract_xmp_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFr
     return documents_raw.mapInPandas(
         run, schema="doc_id long, xmp_title string, creator_tool string"
     )
+
+
+def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Rewrite FIXPOINT, zero shuffle: extract -> serialize the spans
+    back to a fresh PDF (core/writer.py) -> extract the rewritten bytes.
+    Output rows equal plain extraction's (same span oracle), so a green
+    row proves the writer emits documents the kernel fully agrees with —
+    the transformation-pipeline primitive (scrub/edit spans, re-emit)."""
+    from ..core.extract import extract_spans
+    from ..core.writer import write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                again = extract_spans(write_pdf(first["spans"]))
+                for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, ord int, kind string, text string, media_ref string"
+    )

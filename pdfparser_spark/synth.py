@@ -2738,8 +2738,11 @@ def xmp_packet(doc_id: int) -> bytes:
     decoding is observable."""
     title, tool = xmp_expected(doc_id)
     esc = title.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # begin="" (not the UTF-8 BOM): the ASCII-armored family is all-ASCII
+    # by contract (the WARC record builder and the reconstruct seam rely
+    # on it); ISO 16684-1 allows the empty begin for ASCII-safe packets
     return (
-        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<?xpacket begin="" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
         '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
         ' <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
         '  <rdf:Description rdf:about=""\n'
@@ -2755,4 +2758,4 @@ def xmp_packet(doc_id: int) -> bytes:
         " </rdf:RDF>\n"
         "</x:xmpmeta>\n"
         '<?xpacket end="w"?>'
-    ).encode("utf-8").decode("latin-1").encode("latin-1")
+    ).encode("ascii")

@@ -547,3 +547,39 @@ def test_xmp_packet_mining():
     assert old in d["bytes"] and len(new) == len(old)
     r = extract_xmp(d["bytes"].replace(old, new))
     assert r["creator_tool"] == "attr tool", r
+
+
+def test_writer_rewrite_fixpoint():
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+    from pdfparser_spark.synth import build_document, build_document_binary
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17"
+    for did in (0, 1, 5, 7, 13, 17, 19, 21, 34, 65, 119):
+        first = extract_spans(build_document(did, text)["bytes"])["spans"]
+        again = extract_spans(write_pdf(first))
+        assert not again["errors"], did
+        assert [tuple(x) for x in again["spans"]] == [tuple(x) for x in first], did
+    # the binary family's spans rewrite cleanly too (incl. media markers)
+    for did in (0, 3, 5, 15):
+        first = extract_spans(build_document_binary(did, text)["bytes"])["spans"]
+        again = extract_spans(write_pdf(first))
+        assert [tuple(x) for x in again["spans"]] == [tuple(x) for x in first], did
+
+
+def test_writer_escapes_unicode_and_empty():
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    weird = [
+        ("text", 'parens (a\\b) and "quotes"\nnewline\rcr', None),
+        ("text", "émojis \U0001F600 héllo — em–dash", None),
+        ("media", None, "ImX"),
+        ("text", "plain again", None),
+    ]
+    out = extract_spans(write_pdf(weird))
+    assert not out["errors"]
+    assert [tuple(x) for x in out["spans"]] == weird
+    # empty input still yields a valid single-page document
+    empty = extract_spans(write_pdf([]))
+    assert not empty["errors"]

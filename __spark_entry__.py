@@ -38,6 +38,7 @@ from pdfparser_spark.stages import (
     extract_labels_fused,
     extract_layout_fused,
     extract_markup_fused,
+    extract_redact_fused,
     extract_revisions_fused,
     extract_rewrite_fused,
     extract_signatures_fused,
@@ -994,6 +995,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
+        # REDACTION round-trip: the same armored corpus synthesized over
+        # PII-bearing text (the curation tier's deterministic contact
+        # blocks), extract -> scrub spans with the SHARED RE2-safe
+        # patterns -> re-serialize via core/writer.py -> extract the
+        # redacted document; oracle = the span SQL over the PII text with
+        # the same regexp_replace chain applied (tail: composes
+        # pii_scrub_stats + pdf_rewrite_roundtrip evidence end to end)
+        "pdf_redact_roundtrip": lambda s, d: extract_redact_fused(
+            synthesize_corpus(
+                _pii_docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # rewrite FIXPOINT (the S4 sink tier round-tripped): extract ->
         # core/writer.py serializes the spans back to a fresh PDF ->
         # extract again; rows equal plain extraction's, so the UNCHANGED
@@ -1773,6 +1786,14 @@ def _dom_sql(where: str = "TRUE") -> str:
     """
 
 
+def _pii_docs(s, d):
+    """documents with the curation tier's deterministic PII contact block
+    appended to text — the input for the redaction round-trip."""
+    from pdfparser_spark.textops.curation import _pii_text
+
+    return _docs(s, d).select("doc_id", _pii_text().alias("text"), "lang")
+
+
 def _span_sql(where: str = "TRUE") -> str:
     return _SPAN_CTE + f"SELECT doc_id, ord, kind, text, media_ref FROM spans WHERE {where}"
 
@@ -2382,6 +2403,41 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_fused": _span_sql(),
         "extract_incremental": _span_sql(),
         "pdf_rewrite_roundtrip": _span_sql(),
+        # redaction round-trip: the span CTE over the PII-extended text,
+        # scrub applied to the final span text (same chain as pii_scrub)
+        "pdf_redact_roundtrip": _SPAN_CTE.replace(
+            "FROM documents", "FROM pdocs", 1
+        ).replace(
+            "WITH base AS (",
+            """WITH pdocs AS (
+              SELECT doc_id, text
+                || CASE WHEN doc_id % 3 <> 0
+                        THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@m'
+                             || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 4 = 1
+                        THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 2
+                        THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                             || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                        ELSE '' END AS text
+              FROM documents
+            ), base AS (""",
+            1,
+        ) + """
+            SELECT doc_id, ord, kind,
+              CASE WHEN kind = 'text' THEN
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+                  '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g')
+              ELSE text END AS text,
+              media_ref
+            FROM spans
+        """,
+
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_form_xobjects": _span_sql("doc_id % 9 = 2"),

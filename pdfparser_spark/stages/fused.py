@@ -714,3 +714,51 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
     return documents_raw.mapInPandas(
         run, schema="doc_id long, ord int, kind string, text string, media_ref string"
     )
+
+
+def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """REDACTION round-trip, zero shuffle: extract -> scrub PII from the
+    span text with the SAME RE2-safe patterns the curation tier and the
+    oracle share (email -> phone -> ip, fixed order) -> serialize the
+    scrubbed spans back to a PDF (core/writer.py) -> extract the
+    redacted document.  The output must equal the span oracle with the
+    scrub applied — the end-to-end right-to-be-forgotten shape for
+    document corpora (the redacted artifact is a REAL document again,
+    not a text column)."""
+    import re as _re
+
+    from ..core.extract import extract_spans
+    from ..core.writer import write_pdf
+    from ..textops.curation import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    subs = [(_re.compile(p), r) for p, r in
+            ((EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>"), (IPV4_RE, "<IP>"))]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                scrubbed = []
+                for kind, text, media_ref in first["spans"]:
+                    if kind == "text" and text:
+                        for rx, repl in subs:
+                            text = rx.sub(repl, text)
+                    scrubbed.append((kind, text, media_ref))
+                again = extract_spans(write_pdf(scrubbed))
+                for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, ord int, kind string, text string, media_ref string"
+    )

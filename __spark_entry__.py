@@ -37,6 +37,7 @@ from pdfparser_spark.stages import (
     extract_images_fused,
     extract_labels_fused,
     extract_layout_fused,
+    extract_layout_rewrite_fused,
     extract_markup_fused,
     extract_redact_fused,
     extract_revisions_fused,
@@ -1007,6 +1008,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _pii_docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # layout-preserving rewrite fixpoint: layout-extract ->
+        # write_pdf_layout (spans re-shown at their origins via Tm) ->
+        # layout-extract; oracle = the UNCHANGED layout SQL, so a green
+        # row proves the writer preserves geometry (tail)
+        "pdf_layout_rewrite": lambda s, d: extract_layout_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # rewrite FIXPOINT (the S4 sink tier round-tripped): extract ->
         # core/writer.py serializes the spans back to a fresh PDF ->
         # extract again; rows equal plain extraction's, so the UNCHANGED
@@ -1673,6 +1683,29 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
+        """
+
+# layout expected-origin analytic (armored family line origins); shared
+# by extract_layout and the layout-rewrite fixpoint
+_LAYOUT_SQL = """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+            ),
+            txt AS (
+              SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
+              FROM pg WHERE len(w) > p*8
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS ord,
+                   CAST(p AS INT) AS page_idx,
+                   CAST(72 AS DOUBLE) AS x,
+                   CAST(720 - 14 * p AS DOUBLE) AS y,
+                   text
+            FROM txt
         """
 
 _SPAN_CTE = """
@@ -2462,26 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         # constants are only reproduced if Td/TD/Tm/TL/T*/' are all
         # interpreted per ISO 32000 §9.4.2.  ord = reading-order rank
         # (page, -y, x) over text spans (media spans carry no text matrix).
-        "extract_layout": """
-            WITH base AS (
-              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np
-              FROM documents
-            ),
-            pg AS (
-              SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
-            ),
-            txt AS (
-              SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
-              FROM pg WHERE len(w) > p*8
-            )
-            SELECT doc_id,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS ord,
-                   CAST(p AS INT) AS page_idx,
-                   CAST(72 AS DOUBLE) AS x,
-                   CAST(720 - 14 * p AS DOUBLE) AS y,
-                   text
-            FROM txt
-        """,
+        "extract_layout": _LAYOUT_SQL,
+        "pdf_layout_rewrite": _LAYOUT_SQL,
         # glyph-advance family: line i (6-word slices, <=7 lines, one
         # page) shows segments words[0:3] / [3:4] / [4:6] on baseline
         # y = 720-16i with NO positioning op between; a segment's

@@ -14,9 +14,13 @@ stream (literal string, §7.3.4.2 escapes); a media span becomes a page
 whose content is ``/<name> Do`` over a 1x1 RGB image XObject carrying
 the original resource name — re-extraction reports the same
 ``(media, NULL, name)`` marker.  Text is latin-1 (the span column's
-byte-faithful charset); code points above U+00FF are written as UTF-16BE
-literal strings with a BOM (§7.9.2.2), which ``pdf_text_string`` decodes
-back.  Pure Python, deterministic.
+byte-faithful charset) in escaped literal strings; non-latin1 spans get
+a per-page Type0/Identity-H font with a GENERATED ToUnicode bfchar
+table (surrogate pairs included) — the §9.10.3 decode path maps the
+dense per-page codes back to the exact text.  A second entry point,
+:func:`write_pdf_layout`, preserves GEOMETRY: each span re-shown at its
+(page, x, y) origin via a Tm set, proving the layout fixpoint.  Pure
+Python, deterministic.
 """
 
 from __future__ import annotations
@@ -141,6 +145,96 @@ def write_pdf(spans) -> bytes:
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
+
+    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(buf))
+        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        buf += b"%010d 00000 n \n" % off
+    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        cat_id,
+        xref_at,
+    )
+    return bytes(buf)
+
+
+def _num(v: float) -> bytes:
+    """PDF numeric literal (no exponent notation, §7.3.3): integers plain,
+    floats via repr (exact read-back for values parsed from decimals)."""
+    if float(v).is_integer():
+        return b"%d" % int(v)
+    r = repr(float(v))
+    if "e" in r or "E" in r:  # out-of-range for corpus geometry; clamp form
+        r = f"{float(v):.10f}".rstrip("0").rstrip(".")
+    return r.encode("ascii")
+
+
+def write_pdf_layout(layout_spans) -> bytes:
+    """Layout-preserving writer: ``(page_idx, x, y, text)`` spans -> a PDF
+    that re-extracts (extract_layout_spans) to the SAME page/origin/text
+    triples — each span is shown at its origin via a Tm set.  Pages are
+    the distinct page_idx values in order (gaps become empty pages so
+    indices survive).  Non-latin1 spans share one per-page Type0 font
+    with a generated ToUnicode table (same machinery as write_pdf)."""
+    by_page: dict = {}
+    max_page = -1
+    for page_idx, x, y, text in layout_spans:
+        p = int(page_idx)
+        by_page.setdefault(p, []).append((float(x), float(y), str(text)))
+        max_page = max(max_page, p)
+    if max_page < 0:
+        max_page = 0
+
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    cat_id = add(b"")
+    root_id = add(b"")
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    page_ids = []
+    for p in range(max_page + 1):
+        spans = by_page.get(p, [])
+        uni_text = "".join(t for _x, _y, t in spans if not _is_latin1(t))
+        parts = [b"BT /F1 12 Tf"]
+        ucodes = None
+        if uni_text:
+            chars = sorted(set(uni_text))
+            ucodes = {ch: i for i, ch in enumerate(chars)}
+        for x, y, t in spans:
+            pos = b" 1 0 0 1 " + _num(x) + b" " + _num(y) + b" Tm "
+            if _is_latin1(t):
+                parts.append(b"/F1 12 Tf" + pos + _text_string(t) + b" Tj")
+            else:
+                show = "".join(f"{ucodes[ch]:04X}" for ch in t).encode("ascii")
+                parts.append(b"/FU 12 Tf" + pos + b"<" + show + b"> Tj")
+        parts.append(b"ET")
+        content = b" ".join(parts)
+        res = b"<< /Font << /F1 %d 0 R" % font_id
+        extra: list[bytes] = []
+        if uni_text:
+            _show, extra = _cid_objects(uni_text, len(objs) + 3)
+            res += b" /FU %d 0 R" % (len(objs) + 5)
+        res += b" >> >>"
+        pid = add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+            b"/Resources %s /Contents %d 0 R >>" % (root_id, res, len(objs) + 2)
+        )
+        add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+        for body in extra:
+            add(body)
+        page_ids.append(pid)
+
+    kids = b"[" + b" ".join(b"%d 0 R" % q for q in page_ids) + b"]"
+    objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
+    objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
 
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = []

@@ -762,3 +762,47 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     return documents_raw.mapInPandas(
         run, schema="doc_id long, ord int, kind string, text string, media_ref string"
     )
+
+
+def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Layout-preserving rewrite fixpoint, zero shuffle: layout-extract ->
+    write_pdf_layout (each span re-shown at its origin) -> layout-extract
+    the rewritten bytes, re-ranked exactly like extract_layout_fused.
+    Green against the UNCHANGED layout oracle = the writer preserves
+    geometry, not just text."""
+    from ..core.extract import extract_layout_spans
+    from ..core.writer import write_pdf_layout
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "page_idx", "x", "y", "text"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_layout_spans(_doc_bytes(spans), password=password)
+                rewritten = write_pdf_layout(
+                    [(p, x, y, t) for p, x, y, t, _sz in first["spans"]]
+                )
+                again = extract_layout_spans(rewritten)
+                ordered = sorted(
+                    enumerate(again["spans"]),
+                    key=lambda e: (e[1][0], -e[1][2], e[1][1], e[0]),
+                )
+                for ordn, (_i, (page_idx, x, y, txt, _size)) in enumerate(ordered):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=cols
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, text string",
+    )

@@ -583,3 +583,25 @@ def test_writer_escapes_unicode_and_empty():
     # empty input still yields a valid single-page document
     empty = extract_spans(write_pdf([]))
     assert not empty["errors"]
+
+
+def test_layout_writer_geometry_fixpoint():
+    from pdfparser_spark.core.extract import extract_layout_spans
+    from pdfparser_spark.core.writer import write_pdf_layout
+    from pdfparser_spark.synth import build_document
+
+    text = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17"
+    for did in (0, 1, 2, 5, 7, 21, 34):
+        first = extract_layout_spans(build_document(did, text)["bytes"])["spans"]
+        again = extract_layout_spans(
+            write_pdf_layout([(p, x, y, t) for p, x, y, t, _s in first])
+        )
+        assert not again["errors"], did
+        got = sorted((p, x, y, t) for p, x, y, t, _s in again["spans"])
+        want = sorted((p, x, y, t) for p, x, y, t, _s in first)
+        assert got == want, did
+    # non-integer origins and a non-latin1 span survive exactly
+    uni = [(0, 61.44, 650.25, "snow ☃ man"), (2, 72.0, 700.0, "gap page kept")]
+    out = extract_layout_spans(write_pdf_layout(uni))
+    got = sorted((p, x, y, t) for p, x, y, t, _s in out["spans"])
+    assert not out["errors"] and got == sorted(uni)

@@ -952,9 +952,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # benchmark decontamination (n-gram-overlap contamination check):
         # eval-set shingles stay broadcast-sized at any corpus scale
         "decontamination_overlap": lambda s, d: curation.decontaminate(_docs(s, d)),
-        # PII detect + redact (C4-style cleanup): RE2-safe regexes shared
-        # verbatim with the oracle; pure projection, zero shuffle
-        "pii_scrub_stats": lambda s, d: curation.pii_scrub(_docs(s, d)),
+        # REDACTION round-trip (window slot from pii_scrub_stats, whose
+        # regex-chain evidence this supersedes end to end): the armored
+        # corpus synthesized over PII-bearing text, extract -> scrub
+        # spans with the SHARED RE2-safe patterns -> re-serialize via
+        # core/writer.py -> extract the REDACTED document; oracle = the
+        # span SQL over the PII text + the same regexp_replace chain
+        "pdf_redact_roundtrip": lambda s, d: extract_redact_fused(
+            synthesize_corpus(
+                _pii_docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # KMV distinct-count sketch: deterministic md5-48bit hashes, so the
         # ESTIMATE itself is bit-identical cross-engine
         # Z-order clustering: Morton-interleaved (lang, length) layout vs
@@ -991,23 +999,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted (r02-green): curation_pipeline's canonicalization stage
         # carries the same decision in-window
         "canonical_docs": lambda s, d: curation.canonical_docs(_docs(s, d)),
+        # demoted: its detect+redact regex chain is proven end-to-end
+        # in-window by pdf_redact_roundtrip (driver-green r01+r02)
+        "pii_scrub_stats": lambda s, d: curation.pii_scrub(_docs(s, d)),
         # demoted (r01+r02-green): the snapshot-log ingest evidence is
         # carried in-window by extract_stream_log / rollup_incremental;
         # Iceberg-shaped two-commit ingest whose HEAD read must equal
         # one-shot full extraction (same span oracle)
         "extract_incremental": _incremental_spans,
-        # REDACTION round-trip: the same armored corpus synthesized over
-        # PII-bearing text (the curation tier's deterministic contact
-        # blocks), extract -> scrub spans with the SHARED RE2-safe
-        # patterns -> re-serialize via core/writer.py -> extract the
-        # redacted document; oracle = the span SQL over the PII text with
-        # the same regexp_replace chain applied (tail: composes
-        # pii_scrub_stats + pdf_rewrite_roundtrip evidence end to end)
-        "pdf_redact_roundtrip": lambda s, d: extract_redact_fused(
-            synthesize_corpus(
-                _pii_docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
-            )
-        ),
         # layout-preserving rewrite fixpoint: layout-extract ->
         # write_pdf_layout (spans re-shown at their origins via Tm) ->
         # layout-extract; oracle = the UNCHANGED layout SQL, so a green

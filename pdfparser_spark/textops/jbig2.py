@@ -14,13 +14,13 @@ public T.88 spec only:
     existing ``textops/ccitt.py`` decoder, T.88 §6.2.6) and MMR=0
     arithmetic coding — the full MQ coder (Annex E: state table E.1,
     INITDEC/DECODE/BYTEIN and the matching encoder with 0xFF stuffing)
-    driving the 16-pixel template-0 context model (§6.2.5.7, nominal AT
+    driving the §6.2.5.7 context models for GBTEMPLATEs 0-3 (nominal AT
     pixels),
   - region composition onto the page bitmap (OR).
 
-TPGDON typical prediction (§6.2.5.6) is honored in both directions.
-Templates 1-3, non-nominal AT pixels, symbol dictionaries and
-text/halftone/refinement regions are OUT OF SCOPE and raise
+TPGDON typical prediction (§6.2.5.6) and ALL FOUR GBTEMPLATEs are
+honored in both directions.  Non-nominal AT pixels, symbol dictionaries
+and text/halftone/refinement regions are OUT OF SCOPE and raise
 ``ValueError`` (same honest-subset layering as the baseline-only JPEG
 decoder in jpeg.py).  Corrupt input only ever raises ``ValueError``.
 
@@ -113,18 +113,16 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 else:  # MQ arithmetic coding
                     template = (gflags >> 1) & 0x03
                     tpgdon = bool(gflags & 0x08)
-                    if template != 0:
-                        raise ValueError(
-                            "JBIG2: only template-0 arithmetic regions supported"
-                        )
                     at = ds + 18
-                    if at + 8 > de:
+                    nominal = _NOMINAL_AT[template]
+                    n_at = len(nominal)
+                    if at + n_at > de:
                         raise ValueError("JBIG2: truncated AT pixels")
-                    if struct.unpack_from("bbbbbbbb", blob, at) != (
-                        3, -1, -3, -1, 2, -2, -2, -2
-                    ):
+                    if struct.unpack_from("%db" % n_at, blob, at) != nominal:
                         raise ValueError("JBIG2: non-nominal AT pixels unsupported")
-                    mask = decode_generic_arith(blob[at + 8 : de], rw, rh, tpgdon=tpgdon)
+                    mask = decode_generic_arith(
+                        blob[at + n_at : de], rw, rh, tpgdon=tpgdon, template=template
+                    )
                 regions.append((rx, ry, mask))
             elif styp in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
                 continue
@@ -339,59 +337,96 @@ class MQEncoder:
 
 
 # ---------------------------------------------------------------------------
-# Arithmetic generic region, GBTEMPLATE=0 with nominal AT pixels
-# (T.88 §6.2.5.7 figure 4/8): 16-pixel context — row y-2 columns x-2..x+2
-# (A4, fixed x-1..x+1, A3), row y-1 columns x-3..x+3 (A2, fixed x-2..x+2,
-# A1), row y columns x-4..x-1.  Context bits are packed in raster order,
-# MSB first.  TPGDON and non-nominal ATs are out of scope (ValueError).
+# Arithmetic generic regions, GBTEMPLATEs 0-3 with nominal AT pixels
+# (T.88 §6.2.5.7): per-template neighbor coordinate sets, context bits
+# packed in raster order, MSB first.  Template 0 = 16 pixels (4 AT),
+# 1 = 13 (1 AT), 2 = 10 (1 AT), 3 = 10 single-reference-row (1 AT).
+# Non-nominal ATs are out of scope (ValueError).
 
-_T0_COORDS = tuple(
-    [(-2 + dx, -2) for dx in range(5)]
-    + [(-3 + dx, -1) for dx in range(7)]
-    + [(-4 + dx, 0) for dx in range(4)]
+_TEMPLATE_COORDS = (
+    # T0: row -2 x-2..x+2 (A4 .. A3), row -1 x-3..x+3 (A2 .. A1), row 0 x-4..x-1
+    tuple(
+        [(-2 + dx, -2) for dx in range(5)]
+        + [(-3 + dx, -1) for dx in range(7)]
+        + [(-4 + dx, 0) for dx in range(4)]
+    ),
+    # T1: row -2 x-1..x+2, row -1 x-2..x+3 (A1 at +3,-1), row 0 x-3..x-1
+    tuple(
+        [(-1 + dx, -2) for dx in range(4)]
+        + [(-2 + dx, -1) for dx in range(6)]
+        + [(-3 + dx, 0) for dx in range(3)]
+    ),
+    # T2: row -2 x-1..x+1, row -1 x-2..x+2 (A1 at +2,-1), row 0 x-2..x-1
+    tuple(
+        [(-1 + dx, -2) for dx in range(3)]
+        + [(-2 + dx, -1) for dx in range(5)]
+        + [(-2 + dx, 0) for dx in range(2)]
+    ),
+    # T3: single reference row: row -1 x-3..x+2 (A1 at +2,-1), row 0 x-4..x-1
+    tuple(
+        [(-3 + dx, -1) for dx in range(6)]
+        + [(-4 + dx, 0) for dx in range(4)]
+    ),
+)
+
+# nominal AT pixel lists per template (A1 [, A2-A4]) as signed byte pairs
+_NOMINAL_AT = (
+    (3, -1, -3, -1, 2, -2, -2, -2),
+    (3, -1),
+    (2, -1),
+    (2, -1),
 )
 
 
-def _t0_context(rows: list, x: int, y: int, w: int) -> int:
+def _gb_context(rows: list, x: int, y: int, w: int, coords) -> int:
     cx = 0
-    for dx, dy in _T0_COORDS:
+    for dx, dy in coords:
         px, py = x + dx, y + dy
         bit = rows[py][px] if 0 <= px < w and py >= 0 else 0
         cx = (cx << 1) | bit
     return cx
 
 
-_TPGD_CX = 0x9B25  # template-0 SLTP pseudo-pixel context (T.88 §6.2.5.7)
+# per-template SLTP pseudo-pixel contexts (T.88 §6.2.5.7)
+_TPGD_CX = (0x9B25, 0x0795, 0x00E5, 0x0195)
 
 
-def decode_generic_arith(data: bytes, w: int, h: int, tpgdon: bool = False) -> np.ndarray:
-    """MQ-decode one template-0 generic region -> boolean bitmap.
+def decode_generic_arith(
+    data: bytes, w: int, h: int, tpgdon: bool = False, template: int = 0
+) -> np.ndarray:
+    """MQ-decode one generic region (GBTEMPLATE 0-3) -> boolean bitmap.
 
     ``tpgdon`` = typical prediction (§6.2.5.6): each row starts with an
-    SLTP decision in the fixed pseudo-pixel context; when the running
-    LTP flag is set the row is a COPY of the previous one and no pixel
-    decisions are coded for it."""
+    SLTP decision in the template's fixed pseudo-pixel context; when the
+    running LTP flag is set the row is a COPY of the previous one and no
+    pixel decisions are coded for it."""
     if w <= 0 or h <= 0 or w * h > 1 << 22:
         raise ValueError("JBIG2: implausible arithmetic region geometry")
+    if template not in (0, 1, 2, 3):
+        raise ValueError("JBIG2: unknown GBTEMPLATE")
+    coords = _TEMPLATE_COORDS[template]
     dec = MQDecoder(data)
     state = [(0, 0)] * (1 << 16)
     rows: list = []
     ltp = 0
     for y in range(h):
         if tpgdon:
-            ltp ^= dec.decode(state, _TPGD_CX)
+            ltp ^= dec.decode(state, _TPGD_CX[template])
             if ltp:
                 rows.append(list(rows[-1]) if rows else [0] * w)
                 continue
         row = [0] * w
         rows.append(row)
         for x in range(w):
-            row[x] = dec.decode(state, _t0_context(rows, x, y, w))
+            row[x] = dec.decode(state, _gb_context(rows, x, y, w, coords))
     return np.array(rows, dtype=bool)
 
 
-def encode_generic_arith(mask: np.ndarray, tpgdon: bool = False) -> bytes:
-    """Matched template-0 encoder (the synth writer)."""
+def encode_generic_arith(
+    mask: np.ndarray, tpgdon: bool = False, template: int = 0
+) -> bytes:
+    """Matched encoder for any GBTEMPLATE (the synth writer)."""
+    coords = _TEMPLATE_COORDS[template]
     h, w = mask.shape
     enc = MQEncoder()
     state = [(0, 0)] * (1 << 16)
@@ -401,28 +436,30 @@ def encode_generic_arith(mask: np.ndarray, tpgdon: bool = False) -> bytes:
         if tpgdon:
             typical = y > 0 and rows[y] == rows[y - 1]
             sltp = ltp ^ (1 if typical else 0)
-            enc.encode(state, _TPGD_CX, sltp)
+            enc.encode(state, _TPGD_CX[template], sltp)
             ltp ^= sltp
             if ltp:
                 continue
         for x in range(w):
-            enc.encode(state, _t0_context(rows, x, y, w), rows[y][x])
+            enc.encode(state, _gb_context(rows, x, y, w, coords), rows[y][x])
     return enc.flush()
 
 
-def encode_jbig2_arith(mask: np.ndarray, tpgdon: bool = True) -> bytes:
+def encode_jbig2_arith(
+    mask: np.ndarray, tpgdon: bool = True, template: int = 0
+) -> bytes:
     """Boolean bitmap -> embedded JBIG2 stream with an ARITHMETIC
-    (MQ-coded, template 0) immediate lossless generic region; typical
-    prediction ON by default (every row codes its SLTP decision, so a
-    decoder ignoring TPGDON desynchronizes immediately)."""
+    (MQ-coded, GBTEMPLATE 0-3) immediate lossless generic region;
+    typical prediction ON by default (every row codes its SLTP decision,
+    so a decoder ignoring TPGDON desynchronizes immediately)."""
     h, w = mask.shape
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    at = _NOMINAL_AT[template]
     region = (
         struct.pack(">IIIIB", w, h, 0, 0, 0)
-        + bytes((0x08 if tpgdon else 0x00,))  # MMR=0, GBTEMPLATE=0, TPGDON bit3
-        # nominal AT pixels (A1..A4 as signed (x, y) byte pairs)
-        + struct.pack("bbbbbbbb", 3, -1, -3, -1, 2, -2, -2, -2)
-        + encode_generic_arith(mask, tpgdon=tpgdon)
+        + bytes(((0x08 if tpgdon else 0x00) | (template << 1),))
+        + struct.pack("%db" % len(at), *at)  # nominal AT pixel pairs
+        + encode_generic_arith(mask, tpgdon=tpgdon, template=template)
     )
     return (
         _segment(0, _PAGE_INFO, 1, page_info)

@@ -204,8 +204,11 @@ def test_jbig2_tpgdon_typical_prediction():
     # the flag ignored must NOT silently agree
     wrong = decode_generic_arith(t, 20, 12, tpgdon=False)
     assert not np.array_equal(wrong, rep)
-    # container-level roundtrip both ways
+    # container-level roundtrip: both TPGDON arms x all four templates
     for did in range(6):
         m = scanned_ink(did)
         for tp in (False, True):
-            assert np.array_equal(decode_jbig2(encode_jbig2_arith(m, tpgdon=tp)), m)
+            for t in (0, 1, 2, 3):
+                assert np.array_equal(
+                    decode_jbig2(encode_jbig2_arith(m, tpgdon=tp, template=t)), m
+                )

@@ -87,9 +87,12 @@ def _text_string(s: str) -> bytes:
     return b"(" + _escape_literal(s.encode("latin-1")) + b")"
 
 
-def write_pdf(spans) -> bytes:
+def write_pdf(spans, xref_stream: bool = False) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
-    -> PDF bytes.  Unknown kinds and empty text spans are skipped."""
+    -> PDF bytes.  Unknown kinds and empty text spans are skipped.
+    ``xref_stream=True`` emits the PDF 1.5+ cross-reference STREAM form
+    (/Type /XRef, /W [1 4 2], Flate) instead of the classic table —
+    both writer formats re-extract identically."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -146,20 +149,44 @@ def write_pdf(spans) -> bytes:
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
+    return _serialize(objs, cat_id, xref_stream)
+
+
+def _serialize(objs: list, cat_id: int, xref_stream: bool = False) -> bytes:
+    """Object bodies -> file bytes with a classic xref table or a §7.5.8
+    cross-reference stream (/W [1 4 2], FlateDecode, self-entry last)."""
+    import zlib as _zlib
+
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = []
     for i, body in enumerate(objs, start=1):
         offsets.append(len(buf))
         buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    if not xref_stream:
+        xref_at = len(buf)
+        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            buf += b"%010d 00000 n \n" % off
+        buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(objs) + 1,
+            cat_id,
+            xref_at,
+        )
+        return bytes(buf)
+    xref_id = len(objs) + 1
     xref_at = len(buf)
-    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    rows = bytearray(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
     for off in offsets:
-        buf += b"%010d 00000 n \n" % off
-    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-        len(objs) + 1,
-        cat_id,
-        xref_at,
+        rows += b"\x01" + off.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    payload = _zlib.compress(bytes(rows))
+    buf += (
+        b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+        % (xref_id, xref_id + 1, cat_id, len(payload))
     )
+    buf += payload
+    buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(buf)
 
 
@@ -174,7 +201,7 @@ def _num(v: float) -> bytes:
     return r.encode("ascii")
 
 
-def write_pdf_layout(layout_spans) -> bytes:
+def write_pdf_layout(layout_spans, xref_stream: bool = False) -> bytes:
     """Layout-preserving writer: ``(page_idx, x, y, text)`` spans -> a PDF
     that re-extracts (extract_layout_spans) to the SAME page/origin/text
     triples — each span is shown at its origin via a Tm set.  Pages are
@@ -235,19 +262,4 @@ def write_pdf_layout(layout_spans) -> bytes:
     kids = b"[" + b" ".join(b"%d 0 R" % q for q in page_ids) + b"]"
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
-
-    buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(buf))
-        buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-    xref_at = len(buf)
-    buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
-    for off in offsets:
-        buf += b"%010d 00000 n \n" % off
-    buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-        len(objs) + 1,
-        cat_id,
-        xref_at,
-    )
-    return bytes(buf)
+    return _serialize(objs, cat_id, xref_stream)

@@ -698,7 +698,11 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 first = extract_spans(_doc_bytes(spans), password=password)
-                again = extract_spans(write_pdf(first["spans"]))
+                # odd docs rewrite in the modern xref-STREAM form — both
+                # writer formats must re-extract identically
+                again = extract_spans(
+                    write_pdf(first["spans"], xref_stream=doc_id % 2 == 1)
+                )
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
                     rows.append(
                         {
@@ -746,7 +750,9 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
                         for rx, repl in subs:
                             text = rx.sub(repl, text)
                     scrubbed.append((kind, text, media_ref))
-                again = extract_spans(write_pdf(scrubbed))
+                again = extract_spans(
+                    write_pdf(scrubbed, xref_stream=doc_id % 2 == 1)
+                )
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
                     rows.append(
                         {
@@ -780,7 +786,8 @@ def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b""
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 first = extract_layout_spans(_doc_bytes(spans), password=password)
                 rewritten = write_pdf_layout(
-                    [(p, x, y, t) for p, x, y, t, _sz in first["spans"]]
+                    [(p, x, y, t) for p, x, y, t, _sz in first["spans"]],
+                    xref_stream=doc_id % 2 == 1,
                 )
                 again = extract_layout_spans(rewritten)
                 ordered = sorted(

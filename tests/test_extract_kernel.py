@@ -605,3 +605,15 @@ def test_layout_writer_geometry_fixpoint():
     out = extract_layout_spans(write_pdf_layout(uni))
     got = sorted((p, x, y, t) for p, x, y, t, _s in out["spans"])
     assert not out["errors"] and got == sorted(uni)
+
+
+def test_writer_xref_stream_form():
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    spans = [("text", "modern form", None), ("media", None, "ImZ")]
+    data = write_pdf(spans, xref_stream=True)
+    assert b"/Type /XRef" in data and b"trailer" not in data
+    out = extract_spans(data)
+    assert not out["errors"]
+    assert [tuple(x) for x in out["spans"]] == spans

@@ -38,6 +38,7 @@ from pdfparser_spark.stages import (
     extract_labels_fused,
     extract_layout_fused,
     extract_layout_rewrite_fused,
+    extract_graphics_fused,
     extract_markup_fused,
     extract_redact_fused,
     extract_revisions_fused,
@@ -1617,6 +1618,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # vector graphics (§8.5): per-doc path-op counters over every
+        # page's content stream — the armored family draws doc_id%3
+        # filled rects, a doc_id%4-segment stroked polyline and doc_id%2
+        # stroked Béziers on page 0 (synth.gfx_ops); zero shuffle
+        "doc_graphics": lambda s, d: extract_graphics_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
     }
 
 
@@ -2612,6 +2622,25 @@ def oracle_sql() -> dict[str, str]:
                 ELSE CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + doc_id % 7 ELSE 1 END) + p - 1 AS VARCHAR)
               END AS label
             FROM pg
+        """,
+        # vector-graphics rules replayed (synth.gfx_ops): page 0 draws
+        # doc%3 filled rects (areas 20x10, 21x12 -> summed 0/200/452),
+        # one doc%4-segment stroked polyline, doc%2 stroked Béziers;
+        # strokes = polyline S (if any) + curve S ops, fills = rects
+        "doc_graphics": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 AS INT) AS n_rects,
+                   CAST(doc_id % 4 AS INT) AS n_lines,
+                   CAST(doc_id % 2 AS INT) AS n_curves,
+                   CAST((CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END)
+                        + doc_id % 2 AS INT) AS n_subpaths,
+                   CAST((CASE WHEN doc_id % 4 > 0 THEN 1 ELSE 0 END)
+                        + doc_id % 2 AS INT) AS n_strokes,
+                   CAST(doc_id % 3 AS INT) AS n_fills,
+                   CAST(0 AS INT) AS n_clips,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 200
+                        ELSE 452 END AS BIGINT) AS rect_area
+            FROM documents
         """,
         # XMP docs replayed: doc%16=9, title carries XML-escaped <&>
         "doc_xmp_metadata": """

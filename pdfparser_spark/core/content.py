@@ -391,6 +391,85 @@ def tokenize_content(
     return events
 
 
+# path-painting operator classes (ISO 32000 §8.5.3): B-family ops both
+# fill AND stroke; `n` is a no-op (ends the path, used after W/W* clips)
+_STROKE_OPS = frozenset((b"S", b"s", b"B", b"B*", b"b", b"b*"))
+_FILL_OPS = frozenset((b"f", b"F", b"f*", b"B", b"B*", b"b", b"b*"))
+_CURVE_OPS = frozenset((b"c", b"v", b"y"))
+
+
+def graphics_stats(data: bytes) -> dict:
+    """Vector-graphics summary of one decoded content stream (ISO 32000
+    §8.5: path construction m/l/c/v/y/re/h, path painting S/s/f/F/f*/
+    B/B*/b/b*/n, clipping W/W*).  The third content class next to text
+    and images — the reference never reaches it (content streams are a
+    declared-only surface, pdf_file.rs:705); counting it gives the
+    corpus-level "how much of this page is drawing vs text" signal a
+    layout classifier needs.
+
+    Returns integer counters: ``n_rects`` (re), ``n_lines`` (l),
+    ``n_curves`` (c/v/y), ``n_subpaths`` (m), ``n_strokes`` /
+    ``n_fills`` (painting ops; the B family counts as both), ``n_clips``
+    (W/W*), and ``rect_area`` — the summed |w·h| of every ``re`` operand
+    quadruple, rounded to an int (synth geometry is integral).  Inline
+    images are skipped with the same BI..EI rule as tokenize_content;
+    ops inside hidden/ActualText marked regions still count (visibility
+    is a viewer concern; the DRAWING exists in the stream)."""
+    nums: list[float] = []
+    out = {
+        "n_rects": 0,
+        "n_lines": 0,
+        "n_curves": 0,
+        "n_subpaths": 0,
+        "n_strokes": 0,
+        "n_fills": 0,
+        "n_clips": 0,
+        "rect_area": 0,
+    }
+    pos = 0
+    n = len(data)
+    while pos < n:
+        try:
+            kind, val, p = _next_token(data, pos)
+        except ParsingError:
+            pos += 1
+            continue
+        if kind == "eof":
+            break
+        pos = p
+        if kind == "number":
+            nums.append(float(val))
+            if len(nums) > 6:
+                del nums[0]
+            continue
+        if kind != "keyword":
+            if kind in ("value", "name"):
+                continue  # string/name operands never feed path ops
+            nums.clear()
+            continue
+        if val == b"re":
+            out["n_rects"] += 1
+            if len(nums) >= 2:
+                out["rect_area"] += int(round(abs(nums[-2] * nums[-1])))
+        elif val == b"l":
+            out["n_lines"] += 1
+        elif val == b"m":
+            out["n_subpaths"] += 1
+        elif val in _CURVE_OPS:
+            out["n_curves"] += 1
+        elif val in (b"W", b"W*"):
+            out["n_clips"] += 1
+        elif val == b"BI":
+            pos = _skip_inline_image(data, pos)
+        else:
+            if val in _STROKE_OPS:
+                out["n_strokes"] += 1
+            if val in _FILL_OPS:
+                out["n_fills"] += 1
+        nums.clear()
+    return out
+
+
 def do_spans(data: bytes) -> list[tuple[str, int, int]]:
     """Byte spans of every ``/Name Do`` op: (name, start, end) where
     ``start`` is the name token's offset and ``end`` is the position just

@@ -1397,6 +1397,59 @@ def extract_doc_graph(data: bytes, password: bytes = b""):
     return {"links": links, "fields": fields, "errors": errors}
 
 
+def extract_graphics(data: bytes, password: bytes = b""):
+    """Vector-graphics summary: path-construction and path-painting
+    operator counts (ISO 32000 §8.5) summed over every page's decoded
+    content stream — the third content class next to text and images.
+    The reference declares content streams but never executes them
+    (pdf_file.rs:705); this is the drawing-density signal a downstream
+    layout/quality classifier consumes.  Counts are over PAGE streams
+    (Form XObject bodies are not expanded here — the synth family keeps
+    path ops on page streams; documented scope).
+
+    Returns the ``content.graphics_stats`` counter dict plus
+    ``"errors"`` — lenient: damaged input yields zero counters + error
+    rows, never an exception."""
+    from .content import graphics_stats
+
+    totals = {
+        "n_rects": 0,
+        "n_lines": 0,
+        "n_curves": 0,
+        "n_subpaths": 0,
+        "n_strokes": 0,
+        "n_fills": 0,
+        "n_clips": 0,
+        "rect_area": 0,
+    }
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            root_pages = get_resolved(root, "Pages", objects)
+            for page in _walk_pages(root_pages, objects, errors):
+                content = _page_content_bytes(page, objects, errors)
+                if not content:
+                    continue
+                stats = graphics_stats(content)
+                for k in totals:
+                    totals[k] += stats[k]
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    totals["errors"] = errors
+    return totals
+
+
 def extract_attachments(data: bytes, password: bytes = b""):
     """Embedded-file attachments: the catalog ``/Names /EmbeddedFiles``
     name tree (ISO 32000 §7.7.4 — flat ``/Names`` arrays or a

@@ -339,6 +339,45 @@ def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataF
     )
 
 
+def extract_graphics_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Vector-graphics summary, zero shuffle: per-doc path-op counters
+    over every page's content stream (`core.extract.extract_graphics`).
+    Emits (doc_id, n_rects, n_lines, n_curves, n_subpaths, n_strokes,
+    n_fills, n_clips, rect_area)."""
+    from ..core.extract import extract_graphics
+
+    cols = [
+        "n_rects",
+        "n_lines",
+        "n_curves",
+        "n_subpaths",
+        "n_strokes",
+        "n_fills",
+        "n_clips",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                g = extract_graphics(_doc_bytes(spans), password=password)
+                row = {"doc_id": int(doc_id)}
+                for c in cols:
+                    row[c] = int(g[c])
+                row["rect_area"] = int(g["rect_area"])
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=["doc_id"] + cols + ["rect_area"])
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_rects int, n_lines int, n_curves int, "
+            "n_subpaths int, n_strokes int, n_fills int, n_clips int, "
+            "rect_area long"
+        ),
+    )
+
+
 def extract_links_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Interactive tier, zero shuffle: page /Annots link annotations with
     /URI actions (`core.extract.extract_doc_graph`), one row per link.

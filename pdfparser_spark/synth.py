@@ -149,7 +149,30 @@ def doc_rules(doc_id: int) -> dict:
         # for all variants — a kernel that misinterprets any one operator
         # fails the hash.
         "layout_variant": doc_id % 5,
+        # vector graphics (ISO 32000 §8.5) on EVERY page 0, after the text
+        # block: doc_id % 3 filled rectangles (re f), a doc_id % 4-segment
+        # stroked polyline (m l.. S), and doc_id % 2 stroked Béziers
+        # (m c S).  Path ops are ordering-only for the text machine, so
+        # every span/layout oracle is invariant; only extract_graphics
+        # observes the counts (doc_graphics oracle).  Geometry is integral
+        # — rect j is (20+j) x (10+2j), so the analytic summed area is
+        # 0 / 200 / 452 by doc_id % 3.
+        "gfx": (doc_id % 3, doc_id % 4, doc_id % 2),
     }
+
+
+def gfx_ops(rules: dict) -> str:
+    """Deterministic page-0 vector-graphics tail (see doc_rules['gfx'])."""
+    nr, nl, nc = rules.get("gfx", (0, 0, 0))
+    parts = []
+    for j in range(nr):
+        parts.append(f" {10 + 30 * j} 40 {20 + j} {10 + 2 * j} re f")
+    if nl:
+        pts = " ".join(f"{20 + 15 * i} {60 + 7 * i} l" for i in range(1, nl + 1))
+        parts.append(f" 20 60 m {pts} S")
+    for _ in range(nc):
+        parts.append(" 300 50 m 310 60 330 60 340 50 c S")
+    return "".join(parts)
 
 
 def form_offsets(doc_id: int) -> tuple[int, int, int, int]:
@@ -422,6 +445,8 @@ def _content_plain(
         else:
             parts.append(f"{show(body)} Tj ")
     parts.append("ET")
+    if page_idx == 0:
+        parts.append(gfx_ops(rules))
     if page_idx == 0 and rules["media"]:
         parts.append(" q /Im1 Do Q")
     if page_idx == 0 and rules.get("ocg_hidden"):

@@ -140,6 +140,43 @@ def test_doc_metadata_walk():
         assert m["errors"] == []
 
 
+def test_doc_graphics_counts():
+    """Vector-graphics counters follow synth.gfx_ops: doc%3 filled rects
+    (summed area 0/200/452), a doc%4-segment stroked polyline, doc%2
+    stroked Béziers — across both xref layouts and every filter mode."""
+    from pdfparser_spark.core.extract import extract_graphics
+
+    for did in range(0, 36):
+        d = build_document(did, "alpha beta gamma delta epsilon zeta " * 2)
+        g = extract_graphics(d["bytes"])
+        nr, nl, nc = did % 3, did % 4, did % 2
+        assert g["n_rects"] == nr
+        assert g["n_lines"] == nl
+        assert g["n_curves"] == nc
+        assert g["n_subpaths"] == (1 if nl else 0) + nc
+        assert g["n_strokes"] == (1 if nl else 0) + nc
+        assert g["n_fills"] == nr
+        assert g["n_clips"] == 0
+        assert g["rect_area"] == [0, 200, 452][nr]
+        assert g["errors"] == []
+
+
+def test_graphics_stats_unit():
+    """Operator classes: the B family counts as stroke AND fill, W as a
+    clip, and the BI..EI payload must not desync the counter; corrupt
+    bytes resync without raising."""
+    from pdfparser_spark.core.content import graphics_stats
+
+    s = graphics_stats(
+        b"1 2 3 4 re B 10 20 m 30 40 l W n "
+        b"BI /W 1 /H 1 ID \x00\x01S EI 5 5 m 1 2 3 4 5 6 c S (\xff str) Tj"
+    )
+    assert s["n_rects"] == 1 and s["rect_area"] == 12
+    assert s["n_strokes"] == 2 and s["n_fills"] == 1
+    assert s["n_clips"] == 1 and s["n_lines"] == 1
+    assert s["n_subpaths"] == 2 and s["n_curves"] == 1
+
+
 def test_doc_metadata_damaged_is_lenient():
     """A footer-cut document must yield Nones/zero, never an exception."""
     from pdfparser_spark.core.extract import extract_doc_meta

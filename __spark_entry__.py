@@ -39,6 +39,7 @@ from pdfparser_spark.stages import (
     extract_layout_fused,
     extract_layout_rewrite_fused,
     extract_graphics_fused,
+    extract_incremental_redact_fused,
     extract_markup_fused,
     extract_redact_fused,
     extract_revisions_fused,
@@ -1627,6 +1628,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # incremental-update writer (§7.5.6): extract -> write_pdf ->
+        # APPEND a one-page redaction revision (original bytes intact,
+        # classic xref section + /Prev; classic-over-stream mixed chain
+        # on odd docs) -> re-extract + replay the revision chain.  First
+        # text span comes back [REDACTED], everything else fixpoints,
+        # and the file now carries exactly 2 forensic revisions
+        "pdf_incremental_redact": lambda s, d: extract_incremental_redact_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
     }
 
 
@@ -2480,6 +2492,23 @@ def oracle_sql() -> dict[str, str]:
             FROM spans
         """,
 
+        # incremental-redact round-trip: the span CTE with the FIRST
+        # text span replaced by the writer's [REDACTED] line; every doc
+        # with a text span gains exactly one appended revision (2 total)
+        "pdf_incremental_redact": _SPAN_CTE + """
+            SELECT doc_id, ord, kind,
+              CASE WHEN kind = 'text' AND ord = fto THEN '[REDACTED]'
+                   ELSE text END AS text,
+              media_ref,
+              CAST(CASE WHEN fto IS NOT NULL THEN 2 ELSE 1 END AS INT)
+                AS n_revisions
+            FROM (
+              SELECT *,
+                MIN(CASE WHEN kind = 'text' THEN ord END)
+                  OVER (PARTITION BY doc_id) AS fto
+              FROM spans
+            )
+        """,
         "extract_xref_stream": _span_sql("doc_id % 2 = 1"),
         "extract_cmap_fonts": _span_sql("doc_id % 7 = 0"),
         "extract_form_xobjects": _span_sql("doc_id % 9 = 2"),

@@ -152,6 +152,116 @@ def write_pdf(spans, xref_stream: bool = False) -> bytes:
     return _serialize(objs, cat_id, xref_stream)
 
 
+def content_object_ids(spans) -> list:
+    """Replay :func:`write_pdf`'s deterministic object allocation without
+    serializing: one ``(kind, page_id, content_id)`` triple per emitted
+    page, in page order.  An incremental updater needs these ids to
+    target a page's objects in a document this writer produced."""
+    items: list = []
+    for kind, text, media_ref in spans:
+        if kind == "text" and text:
+            items.append(("text", text))
+        elif kind == "media" and media_ref:
+            items.append(("media", media_ref))
+    if not items:
+        items.append(("text", " "))
+    out = []
+    n = 3  # catalog, pages root, shared /F1 font
+    for kind, payload in items:
+        out.append((kind, n + 1, n + 2))
+        if kind == "media":
+            n += 3  # page, content, image XObject
+        elif _is_latin1(payload):
+            n += 2  # page, content
+        else:
+            n += 5  # page, content, tounicode, descendant, type0
+    return out
+
+
+def write_pdf_incremental(base: bytes, updates: dict) -> bytes:
+    """Append an incremental-update revision (ISO 32000 §7.5.6): the
+    changed object bodies are re-emitted after the existing ``%%EOF``,
+    followed by a classic xref SECTION covering exactly those ids (one
+    subsection per contiguous run, spec-exact 20-byte entries) and a
+    trailer whose ``/Prev`` points at the previous ``startxref`` — the
+    original bytes are untouched, which is what makes the edit
+    forensically visible (``extract_revisions`` reports the new revision
+    and its changed ids).  ``updates`` maps object id -> new body bytes
+    (without the ``N 0 obj``/``endobj`` envelope).  ``/Size`` and
+    ``/Root`` are carried forward from the newest revision's trailer
+    (last occurrence in the file); works over both writer base forms —
+    a classic section atop an xref-stream base is the mixed /Prev chain
+    the reader already merges."""
+    import re as _re
+
+    if not updates:
+        return base
+    sx = base.rfind(b"startxref")
+    if sx < 0:
+        raise ValueError("base has no startxref anchor")
+    prev = int(base[sx + len(b"startxref"):].split()[0])
+    roots = list(_re.finditer(rb"/Root\s+(\d+)\s+\d+\s+R", base))
+    sizes = list(_re.finditer(rb"/Size\s+(\d+)", base))
+    if not roots or not sizes:
+        raise ValueError("base trailer lacks /Root or /Size")
+    root_id = int(roots[-1].group(1))
+    size = max(int(sizes[-1].group(1)), max(updates) + 1)
+
+    buf = bytearray(base)
+    if not buf.endswith(b"\n"):
+        buf += b"\n"
+    offs = {}
+    for oid in sorted(updates):
+        offs[oid] = len(buf)
+        buf += b"%d 0 obj\n" % oid + updates[oid] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n"
+    ids = sorted(offs)
+    i = 0
+    while i < len(ids):
+        j = i
+        while j + 1 < len(ids) and ids[j + 1] == ids[j] + 1:
+            j += 1
+        buf += b"%d %d\n" % (ids[i], j - i + 1)
+        for oid in ids[i : j + 1]:
+            buf += b"%010d 00000 n\r\n" % offs[oid]  # exactly 20 bytes (§7.5.4)
+        i = j + 1
+    buf += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (size, root_id, prev, xref_at)
+    )
+    return bytes(buf)
+
+
+REDACTED_TEXT = "[REDACTED]"
+
+
+def redact_first_text_incremental(base: bytes, spans) -> bytes:
+    """Minimal-edit redaction over a :func:`write_pdf` document: replace
+    the FIRST text page's content stream (and the page's /Resources,
+    pinned back to the shared /F1 Helvetica so the replacement decodes
+    as latin-1 regardless of the original page's font) with a
+    ``[REDACTED]`` line, as one appended revision.  Returns ``base``
+    unchanged when no text page exists."""
+    for kind, page_id, content_id in content_object_ids(spans):
+        if kind != "text":
+            continue
+        content = b"BT /F1 12 Tf 72 720 Td (" + REDACTED_TEXT.encode("ascii") + b") Tj ET"
+        return write_pdf_incremental(
+            base,
+            {
+                page_id: (
+                    b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    b"/Resources << /Font << /F1 3 0 R >> >> /Contents %d 0 R >>"
+                    % content_id
+                ),
+                content_id: b"<< /Length %d >>\nstream\n%s\nendstream"
+                % (len(content), content),
+            },
+        )
+    return base
+
+
 def _serialize(objs: list, cat_id: int, xref_stream: bool = False) -> bytes:
     """Object bodies -> file bytes with a classic xref table or a §7.5.8
     cross-reference stream (/W [1 4 2], FlateDecode, self-entry last)."""

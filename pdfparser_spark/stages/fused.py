@@ -809,6 +809,51 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     )
 
 
+def extract_incremental_redact_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Incremental-update round-trip, zero shuffle: extract -> serialize
+    (core/writer.py) -> APPEND a one-page redaction as an incremental
+    revision (§7.5.6: original bytes untouched, new xref section with
+    /Prev) -> extract the updated file AND replay its revision chain.
+    The first text span must come back as [REDACTED] with every other
+    span intact, and extract_revisions must see exactly two revisions —
+    the minimal-edit write path paired with its own forensics."""
+    from ..core.extract import extract_revisions, extract_spans
+    from ..core.writer import redact_first_text_incremental, write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref", "n_revisions"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                base = write_pdf(first["spans"], xref_stream=doc_id % 2 == 1)
+                upd = redact_first_text_incremental(base, first["spans"])
+                again = extract_spans(upd)
+                nrev = len(extract_revisions(upd)["revisions"])
+                for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                            "n_revisions": nrev,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ord int, kind string, text string, "
+            "media_ref string, n_revisions int"
+        ),
+    )
+
+
 def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Layout-preserving rewrite fixpoint, zero shuffle: layout-extract ->
     write_pdf_layout (each span re-shown at its origin) -> layout-extract

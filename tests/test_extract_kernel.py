@@ -654,3 +654,44 @@ def test_writer_xref_stream_form():
     out = extract_spans(data)
     assert not out["errors"]
     assert [tuple(x) for x in out["spans"]] == spans
+
+
+def test_writer_incremental_update():
+    """§7.5.6 appended revision: the base bytes stay a byte-identical
+    prefix, the first text span reads back [REDACTED], other spans are
+    untouched, and the revision chain reports the edit — over BOTH base
+    forms (a classic section over an xref-stream base is the mixed
+    /Prev chain)."""
+    from pdfparser_spark.core.extract import extract_revisions, extract_spans
+    from pdfparser_spark.core.writer import (
+        redact_first_text_incremental,
+        write_pdf,
+        write_pdf_incremental,
+    )
+
+    spans = [("media", None, "ImA"), ("text", "keep or cut", None), ("text", "tail", None)]
+    for xs in (False, True):
+        base = write_pdf(spans, xref_stream=xs)
+        upd = redact_first_text_incremental(base, spans)
+        assert upd[: len(base)] == base  # original revision untouched
+        out = extract_spans(upd)
+        assert not out["errors"]
+        assert [tuple(x) for x in out["spans"]] == [
+            ("media", None, "ImA"),
+            ("text", "[REDACTED]", None),
+            ("text", "tail", None),
+        ]
+        revs = extract_revisions(upd)["revisions"]
+        assert len(revs) == 2
+        # revision 2 changed exactly the page + its content stream
+        assert len(revs[1][3].split(",")) == 2
+
+    # chaining: a second increment over the first re-parses fine
+    upd2 = write_pdf_incremental(upd, {3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"})
+    out2 = extract_spans(upd2)
+    assert not out2["errors"]
+    assert len(extract_revisions(upd2)["revisions"]) == 3
+    # no text span -> no-op
+    media_only = [("media", None, "ImA")]
+    b2 = write_pdf(media_only)
+    assert redact_first_text_incremental(b2, media_only) == b2

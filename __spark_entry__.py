@@ -2552,7 +2552,11 @@ def oracle_sql() -> dict[str, str]:
         # Python source the kernel uses, core.extract.HELVETICA_WIDTHS).
         # doc%19=5 lifts segment 1 by the text rise Ts (dyadic quarter
         # points — float-exact); doc%17=4 shows segment 1 as invisible
-        # ink (Tr 3): still emitted, still advancing, mode=3 reported
+        # ink (Tr 3): still emitted, still advancing, mode=3 reported.
+        # Every OTHER CID doc ((doc//11)%2=1) writes VERTICALLY
+        # (Identity-V, §9.7.4.3): ax_micro is the negative ty cursor —
+        # w1·fs + Tc per glyph from /DW2 (or the /W2 override at
+        # w1y+200 for a-z/space when (doc//11)%4=3), Tz NEVER applies
         "extract_layout_advance": f"""
             WITH base AS (
               SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
@@ -2570,35 +2574,51 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
                      CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
                      CASE WHEN doc_id % 11 = 6 THEN 1 ELSE 0 END AS cid,
+                     -- vertical writing (§9.7.4.3): every other CID doc is
+                     -- Identity-V; glyphs drop by /DW2's w1y (or the /W2
+                     -- override for a-z and space), Tz never applies
+                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 2 = 1 THEN 1 ELSE 0 END AS vert,
+                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 4 = 3 THEN 1 ELSE 0 END AS hasw2,
+                     -(800 + (doc_id % 3) * 100) AS w1y,
                      {_HELV_SQL} AS hw
               FROM documents
             ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, hw, i AS li,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, vert, hasw2, w1y, hw, i AS li,
                      w[i*6 + 1 : i*6 + 6] AS lw
               FROM base, unnest(generate_series(0, 6)) AS u(i)
               WHERE len(w) > i*6
             ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, hw, li, s AS si,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, fm, rise, tmode, cid, vert, hasw2, w1y, hw, li, s AS si,
                      CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
                             WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
                             ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
               FROM ln, unnest([0, 1, 2]) AS v(s)
             ), wsum AS (
               SELECT *,
-                CAST(fs AS BIGINT) * tz
-                  * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
-                      CASE WHEN mono = 1 THEN 600
-                           WHEN helv = 1 THEN hw[ascii(c) - 31]
-                           ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
-                + CAST(length(t) AS BIGINT) * tc * tz
-                + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz AS wmicro
+                CASE WHEN vert = 1 THEN
+                  CAST(fs AS BIGINT) * 100
+                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
+                        CASE WHEN hasw2 = 1 AND (ascii(c) BETWEEN 97 AND 122 OR ascii(c) = 32)
+                             THEN w1y + 200 ELSE w1y END)), 0)
+                  + CAST(length(t) AS BIGINT) * tc * 100
+                ELSE
+                  CAST(fs AS BIGINT) * tz
+                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
+                        CASE WHEN mono = 1 THEN 600
+                             WHEN helv = 1 THEN hw[ascii(c) - 31]
+                             ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
+                  + CAST(length(t) AS BIGINT) * tc * tz
+                  + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz
+                END AS wmicro
               FROM seg
             ), pos AS (
               SELECT doc_id, li, si, t, fs, rise, tmode, cid,
                 COALESCE(SUM(wmicro) OVER (
                   PARTITION BY doc_id, li ORDER BY si
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                - CASE WHEN si = 2 AND length(t) > 0 THEN CAST(k AS BIGINT) * fs * tz ELSE 0 END AS ax
+                - CASE WHEN si = 2 AND length(t) > 0
+                       THEN CAST(k AS BIGINT) * fs * (CASE WHEN vert = 1 THEN 100 ELSE tz END)
+                       ELSE 0 END AS ax
               FROM wsum
             )
             SELECT doc_id,

@@ -1067,6 +1067,39 @@ def _parse_w_array(warr, objects: dict) -> dict:
     return out
 
 
+def _parse_w2_array(warr, objects: dict) -> dict:
+    """CIDFont /W2 array (§9.7.4.3, vertical metrics) -> {cid: w1y}.
+    Both entry forms: ``c [w1y vx vy w1y vx vy ...]`` (triplets for
+    consecutive CIDs from c) and ``c_first c_last w1y vx vy`` (a
+    constant run).  The glyph-position vector (vx, vy) is parsed past
+    but dropped — it offsets the GLYPH relative to the origin, never
+    the cursor, and the advance kernel reports line origins."""
+    out: dict = {}
+    i = 0
+    while i < len(warr) - 1:
+        c = resolve(warr[i], objects)
+        nxt = resolve(warr[i + 1], objects)
+        if isinstance(c, int) and isinstance(nxt, list):
+            for j in range(0, len(nxt) - 2, 3):
+                wv = resolve(nxt[j], objects)
+                if isinstance(wv, (int, float)):
+                    out[c + j // 3] = int(wv)
+            i += 2
+        elif (
+            isinstance(c, int)
+            and isinstance(nxt, int)
+            and i + 4 < len(warr)
+            and isinstance(resolve(warr[i + 2], objects), (int, float))
+        ):
+            w = int(resolve(warr[i + 2], objects))
+            for cid in range(c, min(nxt, c + 65535) + 1):
+                out[cid] = w
+            i += 5  # c_first c_last w1y vx vy
+        else:
+            i += 1  # malformed entry: skip one token, resync
+    return out
+
+
 # Helvetica glyph widths for codes 32..126 (1/1000 em), from the public
 # Adobe Core-14 AFM (Helvetica.afm) under StandardEncoding — the metrics
 # a conforming reader must supply for a width-less /BaseFont /Helvetica
@@ -1110,6 +1143,23 @@ def _font_widths(font_obj, objects: dict):
         dw, table = 1000, {}
         dfs = resolve(font.get("DescendantFonts"), objects)
         desc = resolve(dfs[0], objects) if isinstance(dfs, list) and dfs else None
+        # vertical writing mode (§9.7.4.3): a predefined CMap name ending
+        # in -V (Identity-V being the common one); an embedded CMap
+        # stream's /WMode is out of scope — documented
+        enc = get_resolved(font, "Encoding", objects)
+        vertical = isinstance(enc, str) and str(enc).endswith("-V")
+        if vertical:
+            w1y, table2 = -1000, {}  # /DW2 default [880 -1000]
+            if isinstance(desc, dict):
+                d2 = resolve(desc.get("DW2"), objects)
+                if isinstance(d2, list) and len(d2) >= 2:
+                    v = resolve(d2[1], objects)
+                    if isinstance(v, (int, float)):
+                        w1y = int(v)
+                w2 = resolve(desc.get("W2"), objects)
+                if isinstance(w2, list):
+                    table2 = _parse_w2_array(w2, objects)
+            return (lambda cid: table2.get(cid, w1y)), 2, False, True
         if isinstance(desc, dict):
             d = resolve(desc.get("DW"), objects)
             if isinstance(d, (int, float)):
@@ -1117,7 +1167,7 @@ def _font_widths(font_obj, objects: dict):
             warr = resolve(desc.get("W"), objects)
             if isinstance(warr, list):
                 table = _parse_w_array(warr, objects)
-        return (lambda cid: table.get(cid, dw)), 2, False
+        return (lambda cid: table.get(cid, dw)), 2, False, False
     is_type3 = isinstance(font, dict) and str(font.get("Subtype")) == "Type3"
     first, widths = 0, None
     if isinstance(font, dict):
@@ -1134,7 +1184,7 @@ def _font_widths(font_obj, objects: dict):
             if isinstance(a0, (int, float)) and a0 != 0:
                 a = float(a0)
         if widths is None:
-            return (lambda code: 0), 1, True
+            return (lambda code: 0), 1, True, False
         last = first + len(widths)
 
         def t3_lookup(code: int) -> int:
@@ -1142,26 +1192,26 @@ def _font_widths(font_obj, objects: dict):
                 return int(round(widths[code - first] * a * 1000))
             return 0
 
-        return t3_lookup, 1, True
+        return t3_lookup, 1, True, False
     if widths is None:
         base = str(font.get("BaseFont") or "") if isinstance(font, dict) else ""
         if "+" in base:  # subset tag, e.g. ABCDEF+Courier-Bold
             base = base.split("+", 1)[1]
         if base.startswith("Courier"):
-            return (lambda code: 600), 1, True
+            return (lambda code: 600), 1, True, False
         if base.startswith("Helvetica") and "-" not in base:
             # the regular face only — Bold/Oblique have their own AFMs,
             # which we don't carry; those keep the conventional default
             return (
                 lambda code: HELVETICA_WIDTHS[code - 32] if 32 <= code < 127 else 500
-            ), 1, True
-        return (lambda code: 500), 1, True
+            ), 1, True, False
+        return (lambda code: 500), 1, True, False
     last = first + len(widths)
 
     def lookup(code: int) -> int:
         return widths[code - first] if first <= code < last else 500
 
-    return lookup, 1, True
+    return lookup, 1, True, False
 
 
 def extract_advance_spans(data: bytes, password: bytes = b""):
@@ -1237,7 +1287,7 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                     dec_cache[fkey] = _font_decoder(fobj, objects, errors)
                     w_cache[fkey] = _font_widths(fobj, objects)
                 dec = dec_cache[fkey]
-                wid, cw, apply_tw = w_cache[fkey]
+                wid, cw, apply_tw, vert = w_cache[fkey]
                 x, y, fs, tc, tw, tz, seg = ev[4], ev[5], ev[6], ev[7], ev[8], ev[9], ev[10]
                 rise, tr = ev[11], ev[12]
                 if seg == 0:
@@ -1257,11 +1307,17 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                                 for j in range(0, len(el) - len(el) % 2, 2)
                             ]
                         for code in codes:
-                            cursor += int(round(wid(code) * fs)) * tz + tc * tz + (
-                                tw * tz if apply_tw and code == 32 else 0
-                            )
+                            if vert:
+                                # §9.4.4 ty: w1·Tfs + Tc — Tz scales only
+                                # horizontal displacement, Tw only code 32
+                                # single-byte (unreachable for 2-byte CIDs)
+                                cursor += int(round(wid(code) * fs)) * 100 + tc * 100
+                            else:
+                                cursor += int(round(wid(code) * fs)) * tz + tc * tz + (
+                                    tw * tz if apply_tw and code == 32 else 0
+                                )
                     elif isinstance(el, (int, float)):
-                        cursor -= int(round(el * fs)) * tz
+                        cursor -= int(round(el * fs)) * (100 if vert else tz)
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient catch-all, as extract_spans

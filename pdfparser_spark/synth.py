@@ -1719,6 +1719,37 @@ def adv_is_cid(doc_id: int) -> bool:
 ADV_CID_MAP = (("e", "é"), ("o", "\U0001f600"))
 
 
+def adv_is_vert(doc_id: int) -> bool:
+    """Every OTHER composite doc writes in VERTICAL mode (§9.7.4.3):
+    /Encoding /Identity-V, glyphs advance DOWN the page by the
+    descendant CIDFont's w1 metric — /DW2's second element by default,
+    /W2 overrides per CID — and the §9.4.4 ty formula replaces tx:
+    Tz does NOT scale vertical displacement, Tc does apply, Tw still
+    can't (2-byte codes).  ``ax_micro`` reports the (negative) vertical
+    cursor."""
+    return adv_is_cid(doc_id) and (doc_id // 11) % 2 == 1
+
+
+def adv_w1y(doc_id: int) -> int:
+    """Default vertical displacement (per-mille, negative = down the
+    page) carried in /DW2 [880 w1y]: -800 / -900 / -1000 by doc_id%3."""
+    return -(800 + (doc_id % 3) * 100)
+
+
+def adv_has_w2(doc_id: int) -> bool:
+    """Every other vertical doc ALSO carries a /W2 override table: the
+    range form for lowercase a-z and the triplet form for the space —
+    both §9.7.4.3 entry shapes — at w1y + 200 (a smaller drop)."""
+    return adv_is_vert(doc_id) and (doc_id // 11) % 4 == 3
+
+
+def adv_w1(doc_id: int, code: int) -> int:
+    """Effective w1 (vertical per-mille displacement) of ``code``."""
+    if adv_has_w2(doc_id) and (97 <= code <= 122 or code == 32):
+        return adv_w1y(doc_id) + 200
+    return adv_w1y(doc_id)
+
+
 def adv_cid_text(seg: str) -> str:
     """The decoded text of a CID-doc segment (bfchar overrides applied)."""
     for src, dst in ADV_CID_MAP:
@@ -1804,8 +1835,13 @@ def _adv_seg_width_micro(doc_id: int, seg: str, fs: int, tc: int, tw: int, tz: i
     eff_w/1000 * fs * tz/100 points, plus Tc per glyph and Tw per
     space-32 (§9.3.2-9.3.3; Tz multiplies all horizontal displacements);
     the effective width folds in the doc's font kind (Type3 FontMatrix /
-    Courier built-ins)."""
+    Courier built-ins).  VERTICAL docs use the §9.4.4 ty formula instead:
+    w1·fs + Tc per glyph, un-scaled by Tz, Tw never (2-byte codes)."""
     total = 0
+    if adv_is_vert(doc_id):
+        for ch in seg.encode("latin-1"):
+            total += adv_w1(doc_id, ch) * fs * 100 + tc * 100
+        return total
     for ch in seg.encode("latin-1"):
         total += adv_eff_width(doc_id, ch) * fs * tz + tc * tz + (tw * tz if ch == 32 else 0)
     return total
@@ -1835,7 +1871,9 @@ def expected_advance(
         segs = advance_segments(lw)
         for si, seg in enumerate(segs):
             if si == 2 and seg:
-                cursor -= k * fs * tz  # the TJ kern precedes segment 2
+                # the TJ kern precedes segment 2; Tz never scales the
+                # vertical translation (§9.4.4)
+                cursor -= k * fs * (100 if adv_is_vert(doc_id) else tz)
             if seg:
                 out.append(
                     (
@@ -1929,10 +1967,11 @@ def build_document_advance(doc_id: int, text: str) -> dict:
         # composite font (§9.7): Type0 -> descendant CIDFontType2 whose
         # /W table carries the SAME width values keyed by CID (= code
         # under Identity-H); /DW covers everything outside 32..126
+        enc = "Identity-V" if adv_is_vert(doc_id) else "Identity-H"
         offsets[FONT] = b.struct(
             (
                 f"{FONT} 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Synth "
-                f"/Encoding /Identity-H /DescendantFonts [{DESC} 0 R] "
+                f"/Encoding /{enc} /DescendantFonts [{DESC} 0 R] "
                 f"/ToUnicode {TOUNI} 0 R >> endobj\n"
             ).encode("ascii")
         )
@@ -1993,11 +2032,20 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     b.text_payload(body)
     b.struct(b"\nendstream endobj\n")
     if cid:
+        # vertical docs carry the §9.7.4.3 vertical metrics: /DW2's w1y
+        # default plus (every other one) a /W2 override table in BOTH
+        # entry shapes — the a-z range form and the space-32 triplet form
+        vm = ""
+        if adv_is_vert(doc_id):
+            vm = f" /DW2 [880 {adv_w1y(doc_id)}]"
+            if adv_has_w2(doc_id):
+                lo = adv_w1y(doc_id) + 200
+                vm += f" /W2 [32 [{lo} 0 880] 97 122 {lo} 440 880]"
         offsets[DESC] = b.struct(
             (
                 f"{DESC} 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth "
                 f"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> "
-                f"/DW 1000 /W [32 [{widths}]] >> endobj\n"
+                f"/DW 1000 /W [32 [{widths}]]{vm} >> endobj\n"
             ).encode("ascii")
         )
         cm = (

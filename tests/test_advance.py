@@ -90,7 +90,7 @@ def test_missing_widths_defaults_to_500():
     # a font with no /Widths: every glyph advances 500/1000 * fs * tz
     from pdfparser_spark.core.extract import _font_widths
 
-    lk, cw, apply_tw = _font_widths({"Subtype": "Type1"}, {})
+    lk, cw, apply_tw, _v = _font_widths({"Subtype": "Type1"}, {})
     assert lk(65) == 500 and lk(32) == 500
     assert cw == 1 and apply_tw is True
 
@@ -106,7 +106,7 @@ def test_cid_font_w_table_and_dw():
             {"Subtype": "CIDFontType2", "DW": 750, "W": [10, [100, 200], 20, 22, 333]}
         ],
     }
-    lk, cw, apply_tw = _font_widths(font, {})
+    lk, cw, apply_tw, _v = _font_widths(font, {})
     assert (lk(10), lk(11)) == (100, 200)  # c [w...] form
     assert lk(20) == lk(21) == lk(22) == 333  # c_first c_last w form
     assert lk(9999) == 750  # /DW default
@@ -161,12 +161,12 @@ def test_type3_fontmatrix_scales_widths():
         "FirstChar": 65,
         "Widths": [400, 500],
     }
-    lk, cw, apply_tw = _font_widths(font, {})
+    lk, cw, apply_tw, _v = _font_widths(font, {})
     assert (lk(65), lk(66)) == (800, 1000)  # 2x the glyph-space value
     assert lk(64) == 0 and lk(67) == 0  # no glyph -> nothing painted -> 0
     assert cw == 1 and apply_tw is True
     # a Type3 with no /Widths at all advances nothing
-    lk2, _, _ = _font_widths({"Subtype": "Type3", "FontMatrix": [0.01, 0, 0, 0.01, 0, 0]}, {})
+    lk2, _, _, _v = _font_widths({"Subtype": "Type3", "FontMatrix": [0.01, 0, 0, 0.01, 0, 0]}, {})
     assert lk2(65) == 0
 
 
@@ -177,11 +177,11 @@ def test_courier_std14_builtin_metrics():
     from pdfparser_spark.core.extract import _font_widths
 
     for base in ("Courier", "Courier-Bold", "Courier-BoldOblique"):
-        lk, cw, tw = _font_widths({"Subtype": "Type1", "BaseFont": base}, {})
+        lk, cw, tw, _v = _font_widths({"Subtype": "Type1", "BaseFont": base}, {})
         assert lk(32) == lk(65) == lk(126) == 600 and cw == 1 and tw is True
-    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "ABCDEF+Courier"}, {})
+    lk, _, _, _v = _font_widths({"Subtype": "Type1", "BaseFont": "ABCDEF+Courier"}, {})
     assert lk(65) == 600
-    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Times-Roman"}, {})
+    lk, _, _, _v = _font_widths({"Subtype": "Type1", "BaseFont": "Times-Roman"}, {})
     assert lk(65) == 500
 
 
@@ -191,12 +191,12 @@ def test_helvetica_std14_builtin_metrics():
     # have different AFMs we don't carry, so they keep the 500 default
     from pdfparser_spark.core.extract import HELVETICA_WIDTHS, _font_widths
 
-    lk, cw, tw = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica"}, {})
+    lk, cw, tw, _v = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica"}, {})
     assert (lk(32), lk(ord("i")), lk(ord("m")), lk(ord("W"))) == (278, 222, 833, 944)
     assert lk(200) == 500 and cw == 1 and tw is True
-    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "GHIJKL+Helvetica"}, {})
+    lk, _, _, _v = _font_widths({"Subtype": "Type1", "BaseFont": "GHIJKL+Helvetica"}, {})
     assert lk(ord("a")) == 556
-    lk, _, _ = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica-Bold"}, {})
+    lk, _, _, _v = _font_widths({"Subtype": "Type1", "BaseFont": "Helvetica-Bold"}, {})
     assert lk(ord("a")) == 500
     assert len(HELVETICA_WIDTHS) == 95
 
@@ -304,3 +304,40 @@ def test_courier_advance_family_end_to_end():
         600 * fs * tz + tc * tz + (tw * tz if c == " " else 0) for c in spans[0][4]
     )
     assert spans[1][3] == manual
+
+
+def test_vertical_identity_v_end_to_end():
+    """Identity-V docs (§9.7.4.3): ax_micro is the NEGATIVE vertical
+    cursor — w1·fs + Tc per glyph from /DW2, /W2 overriding a-z and the
+    space at w1y+200 (both entry shapes), TJ kerns un-scaled by Tz."""
+    from pdfparser_spark.synth import adv_has_w2, adv_is_vert, adv_w1, adv_w1y
+
+    vert_ids = [d for d in range(0, 400) if adv_is_vert(d)]
+    assert vert_ids and any(adv_has_w2(d) for d in vert_ids)
+    for doc_id in vert_ids:
+        spans = _spans(doc_id)
+        exp = [
+            (p, 72.0, y, ax, t, float(fs), m)
+            for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(doc_id, TEXT)
+        ]
+        assert spans == exp, f"doc {doc_id}"
+        # the second segment's cursor is strictly negative (glyphs drop)
+        by_line = [s for s in spans if abs(s[2] - 720.0) <= 1.0]
+        assert len(by_line) >= 2 and by_line[1][3] < 0
+        fs = adv_font_size(doc_id)
+        tc = adv_tc_milli(doc_id)
+        manual = sum(
+            adv_w1(doc_id, ord(c)) * fs * 100 + tc * 100 for c in "alpha beta gamma"
+        )
+        assert by_line[1][3] == manual
+
+
+def test_vertical_w2_parser_both_forms():
+    """/W2 triplet and range forms resolve; unlisted CIDs fall back to
+    /DW2's w1y; a font with neither uses the spec default -1000."""
+    from pdfparser_spark.core.extract import _parse_w2_array
+
+    t = _parse_w2_array([40, [-700, 0, 880, -650, 0, 880], 97, 99, -600, 440, 880], {})
+    assert t == {40: -700, 41: -650, 97: -600, 98: -600, 99: -600}
+    # malformed tail resyncs without raising
+    assert _parse_w2_array([97, 99], {}) == {}

@@ -87,12 +87,14 @@ def _text_string(s: str) -> bytes:
     return b"(" + _escape_literal(s.encode("latin-1")) + b")"
 
 
-def write_pdf(spans, xref_stream: bool = False) -> bytes:
+def write_pdf(spans, xref_stream: bool = False, objstm: bool = False) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
     ``xref_stream=True`` emits the PDF 1.5+ cross-reference STREAM form
-    (/Type /XRef, /W [1 4 2], Flate) instead of the classic table —
-    both writer formats re-extract identically."""
+    (/Type /XRef, /W [1 4 2], Flate) instead of the classic table;
+    ``objstm=True`` additionally packs non-stream objects into a §7.5.7
+    object stream (type-2 xref entries) — all writer formats re-extract
+    identically."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -149,7 +151,7 @@ def write_pdf(spans, xref_stream: bool = False) -> bytes:
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
-    return _serialize(objs, cat_id, xref_stream)
+    return _serialize(objs, cat_id, xref_stream, objstm)
 
 
 def content_object_ids(spans) -> list:
@@ -262,10 +264,62 @@ def redact_first_text_incremental(base: bytes, spans) -> bytes:
     return base
 
 
-def _serialize(objs: list, cat_id: int, xref_stream: bool = False) -> bytes:
+def _serialize(
+    objs: list, cat_id: int, xref_stream: bool = False, objstm: bool = False
+) -> bytes:
     """Object bodies -> file bytes with a classic xref table or a §7.5.8
-    cross-reference stream (/W [1 4 2], FlateDecode, self-entry last)."""
+    cross-reference stream (/W [1 4 2], FlateDecode, self-entry last).
+    ``objstm=True`` (implies the xref-stream form — classic tables have
+    no type-2 entries) additionally packs every NON-stream object into
+    one §7.5.7 object stream: header of ``id offset`` pairs, bodies
+    concatenated after /First, the whole payload Flate-compressed, and
+    the packed ids referenced from the xref stream as type-2
+    (objstm, index) entries — the fully "modern writer" output shape."""
     import zlib as _zlib
+
+    if objstm:
+        xref_stream = True
+        buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        packed = [i for i, b in enumerate(objs, start=1) if b"stream\n" not in b]
+        pset = set(packed)
+        entries: dict[int, tuple] = {}
+        for i, body in enumerate(objs, start=1):
+            if i in pset:
+                continue
+            entries[i] = (1, len(buf), 0)
+            buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        stm_id = len(objs) + 1
+        header = bytearray()
+        bodies = bytearray()
+        for idx, i in enumerate(packed):
+            header += b"%d %d " % (i, len(bodies))
+            bodies += objs[i - 1] + b"\n"
+            entries[i] = (2, stm_id, idx)
+        payload = _zlib.compress(bytes(header) + bytes(bodies))
+        entries[stm_id] = (1, len(buf), 0)
+        buf += (
+            b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (stm_id, len(packed), len(header), len(payload))
+        )
+        buf += payload
+        buf += b"\nendstream\nendobj\n"
+        xref_id = stm_id + 1
+        xref_at = len(buf)
+        rows = bytearray(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
+        for i in range(1, stm_id + 1):
+            t, a, c = entries[i]
+            rows += bytes((t,)) + a.to_bytes(4, "big") + c.to_bytes(2, "big")
+        rows += b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        xp = _zlib.compress(bytes(rows))
+        buf += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xref_id, xref_id + 1, cat_id, len(xp))
+        )
+        buf += xp
+        buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(buf)
 
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = []
@@ -311,7 +365,7 @@ def _num(v: float) -> bytes:
     return r.encode("ascii")
 
 
-def write_pdf_layout(layout_spans, xref_stream: bool = False) -> bytes:
+def write_pdf_layout(layout_spans, xref_stream: bool = False, objstm: bool = False) -> bytes:
     """Layout-preserving writer: ``(page_idx, x, y, text)`` spans -> a PDF
     that re-extracts (extract_layout_spans) to the SAME page/origin/text
     triples — each span is shown at its origin via a Tm set.  Pages are
@@ -372,4 +426,4 @@ def write_pdf_layout(layout_spans, xref_stream: bool = False) -> bytes:
     kids = b"[" + b" ".join(b"%d 0 R" % q for q in page_ids) + b"]"
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
-    return _serialize(objs, cat_id, xref_stream)
+    return _serialize(objs, cat_id, xref_stream, objstm)

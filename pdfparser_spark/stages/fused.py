@@ -740,7 +740,8 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
                 # odd docs rewrite in the modern xref-STREAM form — both
                 # writer formats must re-extract identically
                 again = extract_spans(
-                    write_pdf(first["spans"], xref_stream=doc_id % 2 == 1)
+                    write_pdf(first["spans"], xref_stream=doc_id % 2 == 1,
+                              objstm=doc_id % 4 == 3)
                 )
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
                     rows.append(
@@ -790,7 +791,7 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
                             text = rx.sub(repl, text)
                     scrubbed.append((kind, text, media_ref))
                 again = extract_spans(
-                    write_pdf(scrubbed, xref_stream=doc_id % 2 == 1)
+                    write_pdf(scrubbed, xref_stream=doc_id % 2 == 1, objstm=doc_id % 4 == 3)
                 )
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
                     rows.append(
@@ -872,6 +873,7 @@ def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b""
                 rewritten = write_pdf_layout(
                     [(p, x, y, t) for p, x, y, t, _sz in first["spans"]],
                     xref_stream=doc_id % 2 == 1,
+                    objstm=doc_id % 4 == 3,
                 )
                 again = extract_layout_spans(rewritten)
                 ordered = sorted(

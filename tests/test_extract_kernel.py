@@ -695,3 +695,29 @@ def test_writer_incremental_update():
     media_only = [("media", None, "ImA")]
     b2 = write_pdf(media_only)
     assert redact_first_text_incremental(b2, media_only) == b2
+
+
+def test_writer_objstm_form():
+    """The §7.5.7 writer form: non-stream objects packed into ONE object
+    stream referenced by type-2 xref entries; streams stay top-level;
+    re-extraction is identical across all three writer forms."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    spans = [("text", "pack me", None), ("media", None, "ImQ"), ("text", "ünï \U0001f600", None)]
+    data = write_pdf(spans, objstm=True)
+    assert b"/Type /ObjStm" in data and b"/Type /XRef" in data
+    # the catalog/pages/page dicts are compressed away from top level
+    assert b"/Type /Catalog" not in data
+    out = extract_spans(data)
+    assert not out["errors"]
+    assert [tuple(x) for x in out["spans"]] == spans
+    # incremental update over the objstm base still chains
+    from pdfparser_spark.core.extract import extract_revisions
+    from pdfparser_spark.core.writer import redact_first_text_incremental
+
+    upd = redact_first_text_incremental(data, spans)
+    out2 = extract_spans(upd)
+    assert not out2["errors"]
+    assert out2["spans"][0][1] == "[REDACTED]"
+    assert len(extract_revisions(upd)["revisions"]) == 2

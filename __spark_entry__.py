@@ -1677,6 +1677,8 @@ _OBJECT_STATS_SQL = """
                  -- interactive tier: /Annots link objects + /AcroForm + fields
                  + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
                  + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
+                 -- field hierarchy (parent + 2 kids) on every 8th+1 doc
+                 + CASE WHEN doc_id % 8 = 1 THEN 3 ELSE 0 END
                  -- attachments: tree root (+2 kids when 2 files) + per-file
                  -- filespec + EmbeddedFile stream
                  + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
@@ -4473,6 +4475,18 @@ def oracle_sql() -> dict[str, str]:
                    END AS field_value
             FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS t(k)
             WHERE doc_id % 4 != 3
+            UNION ALL
+            -- field hierarchy (every 8th+1 doc): two terminals under a
+            -- non-terminal parent — fully-qualified names, /FT inherited,
+            -- kid 0's /V inherited from the parent, kid 1's overridden
+            SELECT doc_id, CAST(1 + doc_id % 3 + j AS INT) AS field_idx,
+                   'grp' || CAST(doc_id AS VARCHAR) || '.c' || CAST(j AS VARCHAR)
+                     AS field_name,
+                   'Tx' AS field_type,
+                   'g' || CAST(doc_id AS VARCHAR)
+                     || CASE WHEN j = 1 THEN '-1' ELSE '' END AS field_value
+            FROM documents, LATERAL unnest([0, 1]) AS t(j)
+            WHERE doc_id % 8 = 1
         """,
         # plain inequality join in SQL — the oracle proves the bucket
         # expansion changes nothing semantically

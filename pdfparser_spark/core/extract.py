@@ -1426,26 +1426,53 @@ def extract_doc_graph(data: bytes, password: bytes = b""):
                         uri = _as_text(get_resolved(act, "URI", objects))
                     links.append((p, li, uri))
                     li += 1
+            def _walk_field(fd: dict, inh_ft, inh_v, prefix: str | None, depth: int):
+                """§12.7.3.2 hierarchy: a field with /Kids that carry /T
+                is NON-terminal — recurse, building the fully-qualified
+                name parent.child and inheriting /FT and /V (a kid's own
+                entry shadows an ancestor's).  Kids WITHOUT /T are widget
+                annotations of the same field, not child fields."""
+                fname = _as_text(get_resolved(fd, "T", objects))
+                qual = (
+                    f"{prefix}.{fname}" if prefix and fname else (fname or prefix)
+                )
+                ftype = get_resolved(fd, "FT", objects)
+                if ftype is None:
+                    ftype = inh_ft
+                val = get_resolved(fd, "V", objects)
+                if val is None:
+                    val = inh_v
+                kids = get_resolved(fd, "Kids", objects)
+                kid_fields = []
+                if isinstance(kids, list) and depth < 32:
+                    for kref in kids:
+                        kd = resolve(kref, objects)
+                        if isinstance(kd, dict) and get_resolved(kd, "T", objects) is not None:
+                            kid_fields.append(kd)
+                if kid_fields:
+                    for kd in kid_fields:
+                        _walk_field(kd, ftype, val, qual, depth + 1)
+                    return
+                fields.append(
+                    (
+                        len(fields),
+                        qual,
+                        str(ftype) if ftype is not None else None,
+                        _as_text(val),
+                    )
+                )
+
             acro = get_resolved(root, "AcroForm", objects)
             farr = get_resolved(acro, "Fields", objects) if isinstance(acro, dict) else None
             if isinstance(farr, list):
-                for fi, fref in enumerate(farr):
+                for fref in farr:
                     fd = resolve(fref, objects)
                     if not isinstance(fd, dict):
                         errors.append(
                             (REFERENCE_ERROR, "classify", "dangling /Fields reference")
                         )
                         continue
-                    fname = _as_text(get_resolved(fd, "T", objects))
-                    ftype = get_resolved(fd, "FT", objects)
-                    fields.append(
-                        (
-                            fi,
-                            fname,
-                            str(ftype) if ftype is not None else None,
-                            _as_text(get_resolved(fd, "V", objects)),
-                        )
-                    )
+                    _walk_field(fd, None, None, None, 0)
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient: corrupt doc must not kill the task

@@ -91,6 +91,13 @@ def doc_rules(doc_id: int) -> dict:
         "xmp": doc_id % 16 == 9,
         "form": doc_id % 4 != 3,
         "n_fields": 1 + doc_id % 3 if doc_id % 4 != 3 else 0,
+        # field HIERARCHY (§12.7.3.2) on every 8th+1 doc (always a form
+        # doc: 1 mod 4 != 3): one NON-terminal parent (/T grp<doc>, /FT
+        # /Tx, /V g<doc> — both inheritable) with two terminal kids —
+        # c0 inherits FT AND V from the parent, c1 overrides /V.  The
+        # walker must emit fully-qualified names grp<doc>.c0/.c1 with
+        # the inherited attributes; +3 objects in object_stats.
+        "field_tree": doc_id % 8 == 1,
         # embedded-file attachments (ISO 32000 §7.7.4 name tree + §7.11
         # file specifications) on every 7th+3 doc: 1 + doc_id % 2 files;
         # the 2-file docs route through a /Kids+/Limits intermediate level
@@ -241,14 +248,20 @@ def expected_fields(doc_id: int) -> list[tuple[int, str, str, str | None]]:
     (field_idx, name, ftype, value).  Even k: /FT /Tx with a string /V
     (omitted — None — on doc_id%5==1, k==0); odd k: /FT /Btn whose /V is
     a NAME object /Opt<(doc_id+k)%3>."""
+    r = doc_rules(doc_id)
     out: list[tuple[int, str, str, str | None]] = []
-    for k in range(doc_rules(doc_id)["n_fields"]):
+    for k in range(r["n_fields"]):
         if k % 2 == 1:
             out.append((k, f"f{k}", "Btn", f"Opt{(doc_id + k) % 3}"))
         elif doc_id % 5 == 1 and k == 0:
             out.append((k, f"f{k}", "Tx", None))
         else:
             out.append((k, f"f{k}", "Tx", f"v{doc_id}-{k}"))
+    if r["field_tree"]:
+        n = r["n_fields"]
+        # kid 0 inherits the parent's /FT and /V, kid 1 overrides /V
+        out.append((n, f"grp{doc_id}.c0", "Tx", f"g{doc_id}"))
+        out.append((n + 1, f"grp{doc_id}.c1", "Tx", f"g{doc_id}-1"))
     return out
 
 
@@ -518,11 +531,14 @@ def build_document(doc_id: int, text: str) -> dict:
     # interactive tier: link-annotation objects (page 0) + /AcroForm fields
     link_ids = list(range(next_id, next_id + r["n_links"]))
     next_id += r["n_links"]
-    acro_id = field0_id = None
+    acro_id = field0_id = ftree_id = None
     if r["n_fields"]:
         acro_id = next_id
         field0_id = next_id + 1
         next_id += 1 + r["n_fields"]
+        if r["field_tree"]:
+            ftree_id = next_id  # parent; kids are ftree_id+1, +2
+            next_id += 3
 
     # embedded-file attachments: name-tree root (+ kids level when 2 files)
     # + per-file filespec dict + EmbeddedFile stream
@@ -786,9 +802,13 @@ def build_document(doc_id: int, text: str) -> dict:
     if acro_id is not None:
         obj_open(acro_id)
         fields_arr = " ".join(f"{field0_id + k} 0 R" for k in range(r["n_fields"]))
+        if ftree_id is not None:
+            fields_arr += f" {ftree_id} 0 R"
         b.struct(f"<< /Fields [{fields_arr}] >>".encode("ascii"))
         obj_close()
-        for k, (_idx, fname, ftype, fval) in enumerate(expected_fields(doc_id)):
+        for k, (_idx, fname, ftype, fval) in enumerate(
+            expected_fields(doc_id)[: r["n_fields"]]
+        ):
             body = f"<< /FT /{ftype} /T ({fname})"
             if ftype == "Btn":
                 body += f" /V /{fval}"
@@ -797,6 +817,23 @@ def build_document(doc_id: int, text: str) -> dict:
             body += " >>"
             obj_open(field0_id + k)
             b.struct(body.encode("ascii"))
+            obj_close()
+        if ftree_id is not None:
+            # non-terminal parent: /FT and /V are INHERITABLE (§12.7.3.2);
+            # kid 0 carries neither, kid 1 overrides /V
+            obj_open(ftree_id)
+            b.struct(
+                f"<< /T (grp{doc_id}) /FT /Tx /V (g{doc_id}) "
+                f"/Kids [{ftree_id + 1} 0 R {ftree_id + 2} 0 R] >>".encode("ascii")
+            )
+            obj_close()
+            obj_open(ftree_id + 1)
+            b.struct(f"<< /T (c0) /Parent {ftree_id} 0 R >>".encode("ascii"))
+            obj_close()
+            obj_open(ftree_id + 2)
+            b.struct(
+                f"<< /T (c1) /Parent {ftree_id} 0 R /V (g{doc_id}-1) >>".encode("ascii")
+            )
             obj_close()
 
     # embedded-file attachments: name tree (flat /Names, or /Kids with

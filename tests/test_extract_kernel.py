@@ -721,3 +721,18 @@ def test_writer_objstm_form():
     assert not out2["errors"]
     assert out2["spans"][0][1] == "[REDACTED]"
     assert len(extract_revisions(upd)["revisions"]) == 2
+
+
+def test_field_hierarchy_qualified_names():
+    """§12.7.3.2: a non-terminal parent with /Kids yields terminal rows
+    under fully-qualified names; /FT and /V inherit down unless a kid
+    overrides; widget-only kids (no /T) never become fields."""
+    from pdfparser_spark.core.extract import extract_doc_graph
+    from pdfparser_spark.synth import expected_fields
+
+    for did in (1, 9, 17, 25, 33, 41):  # every 8th+1 doc carries the tree
+        d = build_document(did, "alpha beta gamma delta " * 3)
+        g = extract_doc_graph(d["bytes"])
+        assert [tuple(x) for x in g["fields"]] == [tuple(x) for x in expected_fields(did)]
+        names = [f[1] for f in g["fields"]]
+        assert f"grp{did}.c0" in names and f"grp{did}.c1" in names

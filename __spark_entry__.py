@@ -493,6 +493,54 @@ def _snapshot_stream_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_log_inserts(log, spark, table="docs")
 
 
+def _snapshot_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-table demo (Iceberg's ``snapshots``/``files`` inspection
+    surface): two stats-carrying appends + one equality-delete commit,
+    then the whole history answered from MANIFESTS alone — per-snapshot
+    operation/dir/tombstone counts, commit-time row volumes, the
+    metadata-only table count (NULL once tombstones are pending), and
+    the per-snapshot file stats (rows + doc_id range) — zero data files
+    read at any table size."""
+    from pdfparser_spark.snapshots import (
+        SnapshotLog,
+        _dir_stats,
+        delete_docs_keys,
+        files_meta_df,
+        snapshots_meta_df,
+    )
+
+    log = SnapshotLog(_scratch_log_dir("meta_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_stats(df):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        _n, st = _dir_stats(spark.read.parquet(d))
+        return log.commit(
+            {"docs": [d]},
+            schemas={"docs": df.schema.json()},
+            stats={"docs": {d: st}},
+        )
+
+    commit_stats(docs.filter(F.col("doc_id") % 3 == 0))
+    commit_stats(docs.filter(F.col("doc_id") % 3 != 0))
+    delete_docs_keys(log, docs.filter(F.col("doc_id") % 15 == 0), table="docs")
+
+    snaps = snapshots_meta_df(log, spark, "docs")
+    files = files_meta_df(log, spark, "docs").groupBy("added_snapshot_id").agg(
+        F.sum("rows").alias("file_rows"),
+        F.min("min_doc_id").alias("min_doc_id"),
+        F.max("max_doc_id").alias("max_doc_id"),
+    )
+    return snaps.join(
+        files, snaps.snapshot_id == files.added_snapshot_id, "left"
+    ).select(
+        "snapshot_id", "parent_id", "operation", "n_data_dirs",
+        "n_delete_files", "committed_rows", "meta_row_count",
+        "file_rows", "min_doc_id", "max_doc_id",
+    )
+
+
 def _snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-ref demo (Iceberg tags/branches): commit batch 1, pin the
     immutable tag ``v1`` on it, keep committing (batch 2 + a branch that
@@ -1639,6 +1687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # table-format inspection surface: snapshot history + file stats
+        # answered from manifests alone (the Iceberg snapshots/files
+        # metadata tables) — counts, tombstones, key ranges, and the
+        # metadata-only COUNT(*) that goes NULL once deletes are pending
+        "snapshot_inspect": _snapshot_inspect,
     }
 
 
@@ -2692,6 +2745,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 200
                         ELSE 452 END AS BIGINT) AS rect_area
             FROM documents
+        """,
+        # snapshot-inspection history replayed from the documents table:
+        # append %3=0, append %3<>0, equality-delete commit — the
+        # metadata count goes NULL once tombstones are pending
+        "snapshot_inspect": """
+            WITH a AS (
+              SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+              FROM documents WHERE doc_id % 3 = 0
+            ), b AS (
+              SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT CAST(1 AS INT) AS snapshot_id, CAST(NULL AS INT) AS parent_id,
+                   'append' AS operation, CAST(1 AS INT) AS n_data_dirs,
+                   CAST(0 AS INT) AS n_delete_files,
+                   CAST(n AS BIGINT) AS committed_rows,
+                   CAST(n AS BIGINT) AS meta_row_count,
+                   CAST(n AS BIGINT) AS file_rows,
+                   CAST(lo AS BIGINT) AS min_doc_id, CAST(hi AS BIGINT) AS max_doc_id
+            FROM a
+            UNION ALL
+            SELECT CAST(2 AS INT), CAST(1 AS INT), 'append', CAST(1 AS INT),
+                   CAST(0 AS INT), CAST(b.n AS BIGINT),
+                   CAST(a.n + b.n AS BIGINT), CAST(b.n AS BIGINT),
+                   CAST(b.lo AS BIGINT), CAST(b.hi AS BIGINT)
+            FROM a, b
+            UNION ALL
+            SELECT CAST(3 AS INT), CAST(2 AS INT), 'delete', CAST(0 AS INT),
+                   CAST(1 AS INT), CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         """,
         # XMP docs replayed: doc%16=9, title carries XML-escaped <&>
         "doc_xmp_metadata": """

@@ -943,6 +943,76 @@ def _bloom_positions(value) -> list[int]:
     ]
 
 
+def snapshots_meta_df(log: SnapshotLog, spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg-style ``snapshots`` inspection table: one row per snapshot
+    in the HEAD chain, answered from MANIFESTS alone (zero data files
+    touched — at 10^12 rows, table history must never cost a scan).
+    ``committed_rows`` is the snapshot's own new-data volume from its
+    commit-time stats (NULL when a dir lacks stats); ``meta_row_count``
+    is the metadata-only COUNT(*) of the whole table AS OF that snapshot
+    (NULL while equality-delete tombstones are pending — merge-on-read
+    counts need the data until ``compact()`` materializes them)."""
+    rows = []
+    for s in log.chain():
+        dirs = s.get("tables", {}).get(table, []) or []
+        st = s.get("stats", {}).get(table, {})
+        committed: int | None = 0
+        for d in dirs:
+            ds = st.get(d)
+            if ds is None or "rows" not in ds:
+                committed = None
+                break
+            committed += int(ds["rows"])
+        rows.append(
+            (
+                int(s["snapshot_id"]),
+                int(s["parent_id"]) if s.get("parent_id") is not None else None,
+                str(s["operation"]),
+                len(dirs),
+                len(s.get("deletes", {}).get(table, []) or []),
+                committed,
+                log.row_count(table, s["snapshot_id"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "snapshot_id int, parent_id int, operation string, "
+            "n_data_dirs int, n_delete_files int, committed_rows long, "
+            "meta_row_count long"
+        ),
+    )
+
+
+def files_meta_df(log: SnapshotLog, spark: SparkSession, table: str) -> DataFrame:
+    """Iceberg-style ``files`` inspection table: one row per PLANNED data
+    directory at HEAD — the snapshot that added it plus its manifest
+    stats (row count and key range), again from metadata alone.  Paths
+    carry run-local UUIDs, so consumers key on (added_snapshot_id,
+    rows, key range) — the stable identity of a file set."""
+    added: dict[str, int] = {}
+    for s in log.chain():
+        for d in s.get("tables", {}).get(table, []) or []:
+            added.setdefault(d, int(s["snapshot_id"]))
+    stats = log.stats_for(table)
+    rows = []
+    for d in log.files_for(table):
+        ds = stats.get(d) or {}
+        rng = (ds.get("cols") or {}).get("doc_id")
+        rows.append(
+            (
+                added.get(d),
+                int(ds["rows"]) if "rows" in ds else None,
+                int(rng[0]) if rng else None,
+                int(rng[1]) if rng else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema="added_snapshot_id int, rows long, min_doc_id long, max_doc_id long",
+    )
+
+
 def _dir_stats(df: DataFrame, col: str = "doc_id") -> tuple[int, dict]:
     """One combined aggregate -> (row_count, manifest stats entry): the
     count the caller needs anyway, the min/max the manifest wants, and

@@ -859,3 +859,50 @@ def test_refresh_rollup_rejects_position_deletes(spark, tmp_path):
     refresh_rollup(log, spark, "docs", "rollup", rebuild=True)
     total = sum(r["n_docs"] for r in log.read(spark, "rollup").collect())
     assert total == 7
+
+
+def test_metadata_inspection_tables(spark):
+    """snapshots_meta_df / files_meta_df answer history from manifests
+    alone: per-snapshot op/dir/tombstone counts, commit-time volumes,
+    the metadata COUNT(*) (NULL once tombstones are pending), and
+    per-dir stats rows."""
+    import tempfile
+
+    from pdfparser_spark.snapshots import (
+        SnapshotLog,
+        _dir_stats,
+        delete_docs_keys,
+        files_meta_df,
+        snapshots_meta_df,
+    )
+    from pyspark.sql import functions as F
+
+    log = SnapshotLog(tempfile.mkdtemp(prefix="metadf_"))
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+
+    def commit_stats(df):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        _n, st = _dir_stats(spark.read.parquet(d))
+        return log.commit(
+            {"docs": [d]}, schemas={"docs": df.schema.json()},
+            stats={"docs": {d: st}},
+        )
+
+    commit_stats(docs.filter(F.col("doc_id") < 20))
+    commit_stats(docs.filter(F.col("doc_id") >= 20))
+    delete_docs_keys(log, docs.filter(F.col("doc_id") % 10 == 0), table="docs")
+
+    snaps = {r["snapshot_id"]: r for r in snapshots_meta_df(log, spark, "docs").collect()}
+    assert snaps[1]["operation"] == "append" and snaps[1]["committed_rows"] == 20
+    assert snaps[1]["meta_row_count"] == 20 and snaps[1]["parent_id"] is None
+    assert snaps[2]["committed_rows"] == 40 and snaps[2]["meta_row_count"] == 60
+    assert snaps[3]["operation"] == "delete"
+    assert snaps[3]["n_delete_files"] == 1 and snaps[3]["meta_row_count"] is None
+
+    files = sorted(
+        files_meta_df(log, spark, "docs").collect(), key=lambda r: r["added_snapshot_id"]
+    )
+    assert [(f["added_snapshot_id"], f["rows"], f["min_doc_id"], f["max_doc_id"]) for f in files] == [
+        (1, 20, 0, 19), (2, 40, 20, 59),
+    ]

@@ -617,7 +617,7 @@ def _strict_lenient_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    out = {
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
         # NOTE (driver contract): the driver's correctness snapshot covers the
         # FIRST 50 entries of this dict only.  Every unique-evidence query
@@ -1693,6 +1693,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata-only COUNT(*) that goes NULL once deletes are pending
         "snapshot_inspect": _snapshot_inspect,
     }
+    # session-12 window swaps (driver checks the FIRST 50 entries): the new
+    # unique-evidence queries take the slots of two r02-driver-green rows —
+    # doc_graphics (vector-graphics content class) replaces ann_lsh_topk
+    # (LSH-band evidence also carried by incremental_lsh_dedup in-window),
+    # pdf_incremental_redact (incremental-update writer + revision
+    # forensics) replaces extract_protected_corpus (password decryption
+    # green in r02; the pubsec query keeps encryption evidence in-window).
+    order = list(out)
+    for newq, oldq in (
+        ("doc_graphics", "ann_lsh_topk"),
+        ("pdf_incremental_redact", "extract_protected_corpus"),
+    ):
+        order.remove(newq)
+        order[order.index(oldq)] = newq
+        order.append(oldq)
+    return {k: out[k] for k in order}
 
 
 # ---------------------------------------------------------------------------

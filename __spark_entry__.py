@@ -4540,10 +4540,25 @@ def oracle_sql() -> dict[str, str]:
         # analytic mirror of the synth metadata rules (synth.py: /Info is
         # always present; /Outlines absent on doc_id%5=2, else 1+doc_id%4
         # items titled 'Sec <doc>.<k>')
+        # title is invariant across the three §7.9.2.2 encodings the
+        # family writes (PDFDoc / UTF-16BE BOM / UTF-8 BOM) — only a
+        # BOM-aware text-string decode reproduces it; created = the
+        # §7.9.4 date parse (short-form defaults + 3 offset arms)
         "doc_metadata": """
             SELECT doc_id,
                    'Synth Doc ' || CAST(doc_id AS VARCHAR) AS title,
                    'Writer ' || CAST(doc_id % 7 AS VARCHAR) AS author,
+                   CAST(2000 + doc_id % 20 AS VARCHAR) || '-'
+                     || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+                     || CASE WHEN doc_id % 7 = 2 THEN '-01T00:00:00'
+                        ELSE '-' || lpad(CAST(1 + doc_id % 27 AS VARCHAR), 2, '0')
+                          || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                          || ':' || lpad(CAST(doc_id % 59 AS VARCHAR), 2, '0')
+                          || ':' || lpad(CAST(doc_id % 58 AS VARCHAR), 2, '0')
+                          || CASE doc_id % 3 WHEN 0 THEN 'Z'
+                                             WHEN 1 THEN '+05:30'
+                                             ELSE '-08:00' END
+                        END AS created,
                    CAST(CASE WHEN doc_id % 5 = 2 THEN 0
                         ELSE 1 + doc_id % 4 END AS INT) AS n_outlines,
                    CASE WHEN doc_id % 5 = 2 THEN NULL

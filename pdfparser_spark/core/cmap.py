@@ -269,11 +269,14 @@ def glyph_to_char(name: str) -> str:
 def pdf_text_string(raw: bytes) -> str:
     """A PDF TEXT STRING (ISO 32000 §7.9.2.2) — used by /ActualText,
     /Title, /T etc. — decodes WITHOUT any font: UTF-16BE when it opens
-    with the FE FF BOM, else PDFDocEncoding (byte-identical to Latin-1
+    with the FE FF BOM, UTF-8 when it opens with the EF BB BF BOM (the
+    PDF 2.0 addition), else PDFDocEncoding (byte-identical to Latin-1
     over the printable range this corpus uses — the handful of divergent
     control-range code points are not modeled; documented)."""
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", errors="replace")
     return raw.decode("latin-1")
 
 

@@ -1326,13 +1326,46 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
 
 
 def _as_text(v) -> str | None:
-    """PDF string object -> python str (synth strings are ASCII; decode
-    latin-1 so arbitrary bytes can never raise)."""
+    """PDF string object -> python str, through the §7.9.2.2 TEXT-STRING
+    rules (UTF-16BE / UTF-8 BOM sniff, else PDFDocEncoding≈latin-1) —
+    metadata strings (/Title, /T, /V, outline titles...) are text
+    strings, never font-encoded; decode can never raise."""
     if isinstance(v, (bytes, bytearray)):
-        return bytes(v).decode("latin-1")
+        return pdf_text_string(bytes(v))
     if isinstance(v, str):
         return v
     return None
+
+
+def parse_pdf_date(v) -> str | None:
+    """PDF date string (ISO 32000 §7.9.4: ``D:YYYYMMDDHHmmSSOHH'mm``,
+    every field after the year optional with documented defaults) ->
+    ISO-8601 text, or None when the year is unparseable.  The offset
+    ``Z`` renders as ``Z``, ``±HH'mm`` as ``±HH:MM``; a date with no
+    offset stays naive (the spec leaves it unspecified)."""
+    s = _as_text(v)
+    if s is None:
+        return None
+    if s.startswith("D:"):
+        s = s[2:]
+    if len(s) < 4 or not s[:4].isdigit():
+        return None
+
+    def take(i: int, default: int) -> int:
+        part = s[i : i + 2]
+        return int(part) if len(part) == 2 and part.isdigit() else default
+
+    y = int(s[:4])
+    mo, dy = take(4, 1), take(6, 1)
+    hh, mi, ss = take(8, 0), take(10, 0), take(12, 0)
+    iso = f"{y:04d}-{mo:02d}-{dy:02d}T{hh:02d}:{mi:02d}:{ss:02d}"
+    rest = s[14:]
+    if rest[:1] == "Z":
+        return iso + "Z"
+    if rest[:1] in "+-" and len(rest) >= 3 and rest[1:3].isdigit():
+        om = rest[4:6] if rest[4:6].isdigit() else "00"
+        return f"{iso}{rest[0]}{rest[1:3]}:{om}"
+    return iso
 
 
 def extract_doc_meta(data: bytes, password: bytes = b""):
@@ -1345,7 +1378,7 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
     Returns ``{"title", "author", "n_outlines", "first_outline",
     "errors"}`` — lenient: a damaged document yields Nones + error rows,
     never an exception."""
-    title = author = first_outline = None
+    title = author = first_outline = created = None
     n_outlines = 0
     errors: list = []
     try:
@@ -1360,6 +1393,7 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
         if isinstance(info, dict):
             title = _as_text(get_resolved(info, "Title", objects))
             author = _as_text(get_resolved(info, "Author", objects))
+            created = parse_pdf_date(get_resolved(info, "CreationDate", objects))
         root = get_resolved(trailer, "Root", objects)
         if isinstance(root, dict):
             outl = get_resolved(root, "Outlines", objects)
@@ -1377,6 +1411,7 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
     return {
         "title": title,
         "author": author,
+        "created": created,
         "n_outlines": n_outlines,
         "first_outline": first_outline,
         "errors": errors,

@@ -324,18 +324,23 @@ def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataF
                         "doc_id": int(doc_id),
                         "title": m["title"],
                         "author": m["author"],
+                        "created": m["created"],
                         "n_outlines": int(m["n_outlines"]),
                         "first_outline": m["first_outline"],
                     }
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "title", "author", "n_outlines", "first_outline"],
+                columns=[
+                    "doc_id", "title", "author", "created",
+                    "n_outlines", "first_outline",
+                ],
             )
 
     return documents_raw.mapInPandas(
         run,
-        schema="doc_id long, title string, author string, n_outlines int, first_outline string",
+        schema="doc_id long, title string, author string, created string, "
+        "n_outlines int, first_outline string",
     )
 
 

@@ -182,6 +182,28 @@ def gfx_ops(rules: dict) -> str:
     return "".join(parts)
 
 
+def synth_creation_date(doc_id: int) -> str:
+    """Deterministic §7.9.4 date string: D:YYYYMM (short form, field
+    defaults) on doc%7=2, else the full form with the offset cycling
+    Z / +05'30' / -08'00' by doc%3 (mirrored in the doc_dates oracle)."""
+    y, mo = 2000 + doc_id % 20, 1 + doc_id % 12
+    if doc_id % 7 == 2:
+        return f"D:{y:04d}{mo:02d}"
+    dy, hh, mi, ss = 1 + doc_id % 27, doc_id % 24, doc_id % 59, doc_id % 58
+    tz = ["Z", "+05'30'", "-08'00'"][doc_id % 3]
+    return f"D:{y:04d}{mo:02d}{dy:02d}{hh:02d}{mi:02d}{ss:02d}{tz}"
+
+
+def expected_created_iso(doc_id: int) -> str:
+    """ISO-8601 form of synth_creation_date as parse_pdf_date reports it."""
+    y, mo = 2000 + doc_id % 20, 1 + doc_id % 12
+    if doc_id % 7 == 2:
+        return f"{y:04d}-{mo:02d}-01T00:00:00"
+    dy, hh, mi, ss = 1 + doc_id % 27, doc_id % 24, doc_id % 59, doc_id % 58
+    tz = ["Z", "+05:30", "-08:00"][doc_id % 3]
+    return f"{y:04d}-{mo:02d}-{dy:02d}T{hh:02d}:{mi:02d}:{ss:02d}{tz}"
+
+
 def form_offsets(doc_id: int) -> tuple[int, int, int, int]:
     """(e1, f1, e2, f2): /Matrix translations of the nested Fm1/Fm2 pair.
     Deterministic, mixed-sign, integer — the inner prelude subtracts the
@@ -740,10 +762,27 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(b"<< /Type /OCG /Name (layer1) >>")
         obj_close()
 
-    # document metadata objects: /Info dict + /Outlines chain
+    # document metadata objects: /Info dict + /Outlines chain.  The
+    # /Title exercises all three §7.9.2.2 TEXT-STRING encodings (same
+    # text — doc_metadata's oracle is invariant, only a BOM-aware decode
+    # agrees): doc%14=5 UTF-16BE <FEFF..>, doc%14=12 UTF-8 <EFBBBF..>
+    # (PDF 2.0), else PDFDocEncoding literal.  Hex form keeps the family
+    # ASCII-armored.  /CreationDate = synth_creation_date (§7.9.4):
+    # short D:YYYYMM on doc%7=2 (field defaults), else full with the
+    # offset cycling Z / +05'30' / -08'00' by doc%3.
     obj_open(info_id)
+    title = f"Synth Doc {doc_id}"
+    if doc_id % 14 == 5:
+        tlit = "<FEFF" + title.encode("utf-16-be").hex().upper() + ">"
+    elif doc_id % 14 == 12:
+        tlit = "<EFBBBF" + title.encode("utf-8").hex().upper() + ">"
+    else:
+        tlit = f"({title})"
     b.struct(
-        f"<< /Title (Synth Doc {doc_id}) /Author (Writer {doc_id % 7}) >>".encode("ascii")
+        (
+            f"<< /Title {tlit} /Author (Writer {doc_id % 7}) "
+            f"/CreationDate ({synth_creation_date(doc_id)}) >>"
+        ).encode("ascii")
     )
     obj_close()
     if outl_root_id is not None:

@@ -736,3 +736,27 @@ def test_field_hierarchy_qualified_names():
         assert [tuple(x) for x in g["fields"]] == [tuple(x) for x in expected_fields(did)]
         names = [f[1] for f in g["fields"]]
         assert f"grp{did}.c0" in names and f"grp{did}.c1" in names
+
+
+def test_text_string_boms_and_dates():
+    """§7.9.2.2 text strings (UTF-16BE and PDF-2.0 UTF-8 BOMs) and the
+    §7.9.4 date grammar (short-form defaults, Z and ±HH'mm offsets)."""
+    from pdfparser_spark.core.cmap import pdf_text_string
+    from pdfparser_spark.core.extract import extract_doc_meta, parse_pdf_date
+    from pdfparser_spark.synth import expected_created_iso
+
+    assert pdf_text_string(b"\xfe\xff\x00H\x00i") == "Hi"
+    assert pdf_text_string(b"\xef\xbb\xbfH\xc3\xa9") == "Hé"
+    assert pdf_text_string(b"plain") == "plain"
+    assert parse_pdf_date(b"D:2007") == "2007-01-01T00:00:00"
+    assert parse_pdf_date(b"D:20070305140207+01'30'") == "2007-03-05T14:02:07+01:30"
+    assert parse_pdf_date(b"D:20070305140207Z") == "2007-03-05T14:02:07Z"
+    assert parse_pdf_date(b"garbage") is None
+
+    # the BOM docs (doc%14=5 UTF-16BE, doc%14=12 UTF-8) decode to the
+    # same title; every doc's /CreationDate parses to the analytic ISO
+    for did in (5, 12, 19, 26, 2, 9, 3):
+        d = build_document(did, "alpha beta gamma")
+        m = extract_doc_meta(d["bytes"])
+        assert m["title"] == f"Synth Doc {did}"
+        assert m["created"] == expected_created_iso(did)

@@ -4563,7 +4563,12 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1 + doc_id % 4 END AS INT) AS n_outlines,
                    CASE WHEN doc_id % 5 = 2 THEN NULL
                         ELSE 'Sec ' || CAST(doc_id AS VARCHAR) || '.0'
-                   END AS first_outline
+                   END AS first_outline,
+                   -- outline 0's destination page (direct array on even
+                   -- docs, /Names /Dests named string on odd docs)
+                   CAST(CASE WHEN doc_id % 5 = 2 THEN NULL
+                        ELSE doc_id % (1 + doc_id % 3) END AS INT)
+                     AS first_outline_page
             FROM documents
         """,
         # analytic mirror of synth.link_uri: page-0 links on doc_id%6!=4,

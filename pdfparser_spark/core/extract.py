@@ -1379,6 +1379,7 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
     "errors"}`` — lenient: a damaged document yields Nones + error rows,
     never an exception."""
     title = author = first_outline = created = None
+    first_outline_page = None
     n_outlines = 0
     errors: list = []
     try:
@@ -1398,12 +1399,17 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
         if isinstance(root, dict):
             outl = get_resolved(root, "Outlines", objects)
             node = get_resolved(outl, "First", objects) if isinstance(outl, dict) else None
+            first_node = node
             while isinstance(node, dict) and n_outlines < 4096:  # cycle cap
                 t = _as_text(get_resolved(node, "Title", objects))
                 if first_outline is None and t is not None:
                     first_outline = t
                 n_outlines += 1
                 node = get_resolved(node, "Next", objects)
+            if isinstance(first_node, dict):
+                first_outline_page = _dest_page_index(
+                    get_resolved(first_node, "Dest", objects), root, objects, errors
+                )
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient: corrupt doc must not kill the task
@@ -1414,8 +1420,84 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
         "created": created,
         "n_outlines": n_outlines,
         "first_outline": first_outline,
+        "first_outline_page": first_outline_page,
         "errors": errors,
     }
+
+
+def _name_tree_lookup(node, key: str, objects: dict, depth: int = 0):
+    """Name-tree point lookup (ISO 32000 §7.9.6): flat ``/Names``
+    [key value ...] pairs, or ``/Kids`` intermediates pruned by
+    ``/Limits`` when present.  Lenient: malformed nodes return None."""
+    node = resolve(node, objects)
+    if not isinstance(node, dict) or depth > 32:
+        return None
+    names = get_resolved(node, "Names", objects)
+    if isinstance(names, list):
+        for j in range(0, len(names) - 1, 2):
+            k = names[j]
+            if isinstance(k, (bytes, bytearray)) and bytes(k).decode("latin-1") == key:
+                return names[j + 1]
+        return None
+    kids = get_resolved(node, "Kids", objects)
+    if isinstance(kids, list):
+        for kid in kids:
+            kd = resolve(kid, objects)
+            if isinstance(kd, dict):
+                lim = get_resolved(kd, "Limits", objects)
+                if (
+                    isinstance(lim, list)
+                    and len(lim) >= 2
+                    and isinstance(lim[0], (bytes, bytearray))
+                    and isinstance(lim[1], (bytes, bytearray))
+                    and not (
+                        bytes(lim[0]).decode("latin-1")
+                        <= key
+                        <= bytes(lim[1]).decode("latin-1")
+                    )
+                ):
+                    continue
+            hit = _name_tree_lookup(kd, key, objects, depth + 1)
+            if hit is not None:
+                return hit
+    return None
+
+
+def _dest_page_index(dest, root: dict, objects: dict, errors: list):
+    """Destination -> target page index (ISO 32000 §12.3.2): an explicit
+    ``[page /XYZ ...]`` array, or a NAMED destination — a string looked
+    up in the catalog's ``/Names /Dests`` name tree (§12.3.2.3), falling
+    back to the PDF 1.1 catalog ``/Dests`` dictionary.  The resolved
+    page object is matched against the page-tree walk by identity.
+    Returns None when unresolvable (lenient)."""
+    if isinstance(dest, (bytes, bytearray)) or isinstance(dest, str):
+        key = (
+            bytes(dest).decode("latin-1")
+            if isinstance(dest, (bytes, bytearray))
+            else str(dest)
+        )
+        names = get_resolved(root, "Names", objects)
+        hit = None
+        if isinstance(names, dict):
+            hit = _name_tree_lookup(names.get("Dests"), key, objects)
+        if hit is None:
+            d11 = get_resolved(root, "Dests", objects)
+            if isinstance(d11, dict):
+                hit = d11.get(key)
+        dest = resolve(hit, objects)
+        # a named value may be a dict with the array under /D (§12.3.2.3)
+        if isinstance(dest, dict):
+            dest = get_resolved(dest, "D", objects)
+    if not isinstance(dest, list) or not dest:
+        return None
+    target = resolve(dest[0], objects)
+    if not isinstance(target, dict):
+        return None
+    root_pages = get_resolved(root, "Pages", objects)
+    for i, page in enumerate(_walk_pages(root_pages, objects, errors)):
+        if page is target:
+            return i
+    return None
 
 
 def extract_doc_graph(data: bytes, password: bytes = b""):

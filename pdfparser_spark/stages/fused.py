@@ -327,20 +327,21 @@ def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataF
                         "created": m["created"],
                         "n_outlines": int(m["n_outlines"]),
                         "first_outline": m["first_outline"],
+                        "first_outline_page": m["first_outline_page"],
                     }
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "title", "author", "created",
-                    "n_outlines", "first_outline",
+                    "n_outlines", "first_outline", "first_outline_page",
                 ],
             )
 
     return documents_raw.mapInPandas(
         run,
         schema="doc_id long, title string, author string, created string, "
-        "n_outlines int, first_outline string",
+        "n_outlines int, first_outline string, first_outline_page int",
     )
 
 

@@ -610,8 +610,19 @@ def build_document(doc_id: int, text: str) -> dict:
         cat_body += f" /Outlines {outl_root_id} 0 R"
     if acro_id is not None:
         cat_body += f" /AcroForm {acro_id} 0 R"
+    names_parts = []
     if att_tree_id is not None:
-        cat_body += f" /Names << /EmbeddedFiles {att_tree_id} 0 R >>"
+        names_parts.append(f"/EmbeddedFiles {att_tree_id} 0 R")
+    if n_outl and doc_id % 2 == 1:
+        # named-destination tree (§12.3.2.3): maps outline 0's /Dest
+        # string to its explicit [page /XYZ ...] target — flat /Names,
+        # fully inline (no new objects)
+        tp = doc_id % r["n_pages"]
+        names_parts.append(
+            f"/Dests << /Names [(sec-{doc_id}) [{page_ids[tp]} 0 R /XYZ 0 720 null]] >>"
+        )
+    if names_parts:
+        cat_body += " /Names << " + " ".join(names_parts) + " >>"
     if ocg_id is not None:
         cat_body += (
             f" /OCProperties << /OCGs [{ocg_id} 0 R]"
@@ -795,6 +806,16 @@ def build_document(doc_id: int, text: str) -> dict:
         for k in range(n_outl):
             oid = outl_item0 + k
             item = f"<< /Title (Sec {doc_id}.{k}) /Parent {outl_root_id} 0 R"
+            if k == 0:
+                # destination (§12.3.2): item 0 jumps to page doc%n_pages —
+                # DIRECT [page /XYZ ...] array on even docs, a NAMED
+                # string resolved through the catalog /Names /Dests name
+                # tree on odd docs (both inline: object_stats untouched)
+                tp = doc_id % r["n_pages"]
+                if doc_id % 2 == 0:
+                    item += f" /Dest [{page_ids[tp]} 0 R /XYZ 0 720 null]"
+                else:
+                    item += f" /Dest (sec-{doc_id})"
             if k > 0:
                 item += f" /Prev {oid - 1} 0 R"
             if k < n_outl - 1:

@@ -760,3 +760,24 @@ def test_text_string_boms_and_dates():
         m = extract_doc_meta(d["bytes"])
         assert m["title"] == f"Synth Doc {did}"
         assert m["created"] == expected_created_iso(did)
+
+
+def test_outline_destinations_resolve():
+    """§12.3.2: outline 0's /Dest jumps to page doc%n_pages — a direct
+    [page /XYZ ...] array on even docs, a NAMED string resolved through
+    the catalog /Names /Dests tree on odd docs; no-outline docs report
+    None; a dangling name degrades to None, never an exception."""
+    from pdfparser_spark.core.extract import extract_doc_meta
+    from pdfparser_spark.synth import doc_rules
+
+    for did in range(0, 40):
+        d = build_document(did, "alpha beta gamma delta epsilon zeta eta theta " * 3)
+        m = extract_doc_meta(d["bytes"])
+        n_outl = 0 if did % 5 == 2 else 1 + did % 4
+        exp = None if n_outl == 0 else did % doc_rules(did)["n_pages"]
+        assert m["first_outline_page"] == exp, did
+    # dangling named dest: strip the /Dests entry, keep the name
+    d = build_document(1, "alpha beta")
+    broken = d["bytes"].replace(b"/Dests", b"/Dxsts", 1)
+    m = extract_doc_meta(broken)
+    assert m["first_outline_page"] is None

@@ -30,6 +30,16 @@ Generation rules (all arithmetic on the integer ``doc_id``):
   form fields      = doc_id % 4 != 3: /AcroForm with 1 + doc_id % 3 fields
                      (even k /Tx string /V — unset on doc_id%5=1 k=0;
                      odd k /Btn NAME /V) — observed by extract_doc_graph
+  field hierarchy  = doc_id % 8 == 1: non-terminal parent + 2 kids with
+                     /FT and /V inheritance (+3 objects, §12.7.3.2)
+  vector graphics  = every page 0: doc%3 filled rects + doc%4-segment
+                     polyline + doc%2 Béziers (gfx_ops; doc_graphics)
+  /Info title      = doc%14=5 UTF-16BE hex, doc%14=12 UTF-8-BOM hex,
+                     else literal (§7.9.2.2; same text — decode check)
+  /CreationDate    = synth_creation_date: short D:YYYYMM on doc%7=2,
+                     else full with offset Z/+05'30'/-08'00' by doc%3
+  outline /Dest    = item 0 jumps to page doc%n_pages — direct array on
+                     even docs, NAMED via /Names /Dests tree on odd
 
 Expected spans per doc (ordering key seq = p*10 for page text, 1 for Im1,
 1000 for ImMissing; ord = rank of seq):

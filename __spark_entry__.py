@@ -1551,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
                 )
             )
+            .filter(F.col("uri").isNotNull())  # internal /Dest links have no host
             .select(F.parse_url(F.col("uri"), F.lit("HOST")).alias("host"), "doc_id")
             .groupBy("host")
             .agg(
@@ -1748,6 +1749,9 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
                  -- field hierarchy (parent + 2 kids) on every 8th+1 doc
                  + CASE WHEN doc_id % 8 = 1 THEN 3 ELSE 0 END
+                 -- internal /Dest link annotation on every 10th+8 doc
+                 -- that has an /Annots array
+                 + CASE WHEN doc_id % 10 = 8 AND doc_id % 6 != 4 THEN 1 ELSE 0 END
                  -- attachments: tree root (+2 kids when 2 files) + per-file
                  -- filespec + EmbeddedFile stream
                  + CASE WHEN doc_id % 7 = 3 THEN 3 + 4 * (doc_id % 2) ELSE 0 END
@@ -4577,9 +4581,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(0 AS INT) AS page, CAST(k AS INT) AS link_idx,
                    'https://h' || CAST((doc_id + 3 * k) % 5 AS VARCHAR)
                      || '.example.net/d/' || CAST(doc_id AS VARCHAR)
-                     || '/' || CAST(k AS VARCHAR) AS uri
+                     || '/' || CAST(k AS VARCHAR) AS uri,
+                   CAST(NULL AS INT) AS target_page
             FROM documents, LATERAL unnest(generate_series(0, doc_id % 4)) AS t(k)
             WHERE doc_id % 6 != 4
+            UNION ALL
+            -- the internal /Dest link (every 10th+8 doc with /Annots):
+            -- no uri, target = page doc%n_pages (direct array on
+            -- doc%4=0, named /Names /Dests lookup on doc%4=2)
+            SELECT doc_id, CAST(0 AS INT), CAST(1 + doc_id % 4 AS INT),
+                   CAST(NULL AS VARCHAR), CAST(doc_id % (1 + doc_id % 3) AS INT)
+            FROM documents WHERE doc_id % 10 = 8 AND doc_id % 6 != 4
         """,
         # analytic mirror of synth.expected_fields: fields on doc_id%4!=3,
         # 1+doc_id%3 of them; even k /Tx string values (NULL on

@@ -1509,7 +1509,7 @@ def extract_doc_graph(data: bytes, password: bytes = b""):
     ``/Contents`` (doc_tree.rs:63-142); this is the same transparent-deref
     walk applied to the page dict's other arrays.
 
-    Returns ``{"links": [(page_idx, link_idx, uri)], "fields":
+    Returns ``{"links": [(page_idx, link_idx, uri, target_page)], "fields":
     [(field_idx, name, ftype, value)], "errors"}`` — lenient: damaged
     input yields empty lists + error rows, never an exception."""
     links: list = []
@@ -1541,7 +1541,12 @@ def extract_doc_graph(data: bytes, password: bytes = b""):
                     uri = None
                     if isinstance(act, dict) and str(get_resolved(act, "S", objects)) == "URI":
                         uri = _as_text(get_resolved(act, "URI", objects))
-                    links.append((p, li, uri))
+                    # internal navigation: a /Dest (direct or named,
+                    # §12.3.2) instead of an /A action
+                    target = _dest_page_index(
+                        get_resolved(an, "Dest", objects), root, objects, errors
+                    )
+                    links.append((p, li, uri, target))
                     li += 1
             def _walk_field(fd: dict, inh_ft, inh_v, prefix: str | None, depth: int):
                 """§12.7.3.2 hierarchy: a field with /Kids that carry /T

@@ -385,9 +385,10 @@ def extract_graphics_fused(documents_raw: DataFrame, password: bytes = b"") -> D
 
 
 def extract_links_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
-    """Interactive tier, zero shuffle: page /Annots link annotations with
-    /URI actions (`core.extract.extract_doc_graph`), one row per link.
-    Emits (doc_id, page, link_idx, uri)."""
+    """Interactive tier, zero shuffle: page /Annots link annotations —
+    /URI actions AND internal /Dest links resolved to their target page
+    (`core.extract.extract_doc_graph`), one row per link.
+    Emits (doc_id, page, link_idx, uri, target_page)."""
     from ..core.extract import extract_doc_graph
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -395,19 +396,23 @@ def extract_links_fused(documents_raw: DataFrame, password: bytes = b"") -> Data
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 g = extract_doc_graph(_doc_bytes(spans), password=password)
-                for page, link_idx, uri in g["links"]:
+                for page, link_idx, uri, target in g["links"]:
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "page": int(page),
                             "link_idx": int(link_idx),
                             "uri": uri,
+                            "target_page": target,
                         }
                     )
-            yield pd.DataFrame(rows, columns=["doc_id", "page", "link_idx", "uri"])
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "page", "link_idx", "uri", "target_page"]
+            )
 
     return documents_raw.mapInPandas(
-        run, schema="doc_id long, page int, link_idx int, uri string"
+        run,
+        schema="doc_id long, page int, link_idx int, uri string, target_page int",
     )
 
 

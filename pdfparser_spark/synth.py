@@ -85,6 +85,13 @@ def doc_rules(doc_id: int) -> dict:
         # oracles) and by the object_stats count formula
         "links": doc_id % 6 != 4,
         "n_links": 1 + doc_id % 4 if doc_id % 6 != 4 else 0,
+        # INTERNAL link annotation (§12.5.6.5 with /Dest instead of an
+        # /A action) appended after the URI links on every 10th+8 doc
+        # that has an /Annots array: jumps to page doc%n_pages — direct
+        # array when doc%4=0, NAMED via the /Names /Dests tree when
+        # doc%4=2 (doc%10=8 docs are always even, so the tree never
+        # collides with the odd-doc outline name).  +1 object.
+        "internal_link": doc_id % 10 == 8 and doc_id % 6 != 4,
         # markup annotations (§12.5.6.4/.10) on every 12th+6 doc: one
         # /Text sticky note + one /Highlight whose /QuadPoints either
         # COVER page 0's text-line origin (doc%24==6) or miss it
@@ -251,9 +258,15 @@ def link_uri(doc_id: int, k: int) -> str:
     return f"https://h{(doc_id + 3 * k) % 5}.example.net/d/{doc_id}/{k}"
 
 
-def expected_links(doc_id: int) -> list[tuple[int, int, str]]:
-    """Analytic ground truth for extract_doc_graph links: (page, link_idx, uri)."""
-    return [(0, k, link_uri(doc_id, k)) for k in range(doc_rules(doc_id)["n_links"])]
+def expected_links(doc_id: int) -> list[tuple[int, int, str | None, int | None]]:
+    """Analytic ground truth for extract_doc_graph links:
+    (page, link_idx, uri, target_page) — URI links carry no target,
+    the internal /Dest link (doc%10=8) no uri."""
+    r = doc_rules(doc_id)
+    out = [(0, k, link_uri(doc_id, k), None) for k in range(r["n_links"])]
+    if r["internal_link"]:
+        out.append((0, r["n_links"], None, doc_id % r["n_pages"]))
+    return out
 
 
 def expected_markup(doc_id: int, text: str) -> list[tuple[int, int, str, str, str, str | None]]:
@@ -563,6 +576,10 @@ def build_document(doc_id: int, text: str) -> dict:
     # interactive tier: link-annotation objects (page 0) + /AcroForm fields
     link_ids = list(range(next_id, next_id + r["n_links"]))
     next_id += r["n_links"]
+    ilink_id = None
+    if r["internal_link"]:
+        ilink_id = next_id
+        next_id += 1
     acro_id = field0_id = ftree_id = None
     if r["n_fields"]:
         acro_id = next_id
@@ -623,14 +640,18 @@ def build_document(doc_id: int, text: str) -> dict:
     names_parts = []
     if att_tree_id is not None:
         names_parts.append(f"/EmbeddedFiles {att_tree_id} 0 R")
+    dest_names = []
+    tp = doc_id % r["n_pages"]
     if n_outl and doc_id % 2 == 1:
-        # named-destination tree (§12.3.2.3): maps outline 0's /Dest
-        # string to its explicit [page /XYZ ...] target — flat /Names,
-        # fully inline (no new objects)
-        tp = doc_id % r["n_pages"]
-        names_parts.append(
-            f"/Dests << /Names [(sec-{doc_id}) [{page_ids[tp]} 0 R /XYZ 0 720 null]] >>"
-        )
+        dest_names.append(f"(sec-{doc_id}) [{page_ids[tp]} 0 R /XYZ 0 720 null]")
+    if r["internal_link"] and doc_id % 4 == 2:
+        dest_names.append(f"(lnk-{doc_id}) [{page_ids[tp]} 0 R /XYZ 0 720 null]")
+    if dest_names:
+        # named-destination tree (§12.3.2.3) — flat /Names, fully inline
+        # (no new objects); at most one entry per doc (outline names live
+        # on odd docs, link names on doc%4=2 evens), so /Names stays
+        # trivially sorted
+        names_parts.append("/Dests << /Names [" + " ".join(dest_names) + "] >>")
     if names_parts:
         cat_body += " /Names << " + " ".join(names_parts) + " >>"
     if ocg_id is not None:
@@ -747,6 +768,8 @@ def build_document(doc_id: int, text: str) -> dict:
             entry += f" /Contents {content_ids[p]} 0 R"
         if p == 0 and (link_ids or r["markup"]):
             annots = [f"{a} 0 R" for a in link_ids]
+            if ilink_id is not None:
+                annots.append(f"{ilink_id} 0 R")
             if r["markup"]:
                 author = f"reviewer-{doc_id % 4}"
                 # cover quad brackets the page-0 line origin (72, 720);
@@ -867,6 +890,21 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(
             f"<< /Type /Annot /Subtype /Link /Rect [72 {700 - 16 * k} 240 {714 - 16 * k}] "
             f"/A << /S /URI /URI ({link_uri(doc_id, k)}) >> >>".encode("ascii")
+        )
+        obj_close()
+    if ilink_id is not None:
+        # internal navigation link (§12.5.6.5): /Dest, no /A action —
+        # direct array on doc%4=0, named through /Names /Dests on doc%4=2
+        tp = doc_id % r["n_pages"]
+        dest = (
+            f"[{page_ids[tp]} 0 R /XYZ 0 720 null]"
+            if doc_id % 4 == 0
+            else f"(lnk-{doc_id})"
+        )
+        obj_open(ilink_id)
+        b.struct(
+            f"<< /Type /Annot /Subtype /Link /Rect [72 100 240 114] "
+            f"/Dest {dest} >>".encode("ascii")
         )
         obj_close()
     if acro_id is not None:

@@ -541,6 +541,29 @@ def _snapshot_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish demo: stage batch 2 behind a ref (commit +
+    tag + rollback — readers keep serving batch 1 while the audit reads
+    the ref), audit it (row-count gate answered from MANIFESTS), then
+    ``publish`` — one forward replace commit.  The returned HEAD read
+    must equal both batches; an audit failure would simply never
+    publish."""
+    from pdfparser_spark.snapshots import SnapshotLog, publish, rollback
+
+    log = SnapshotLog(_scratch_log_dir("wap_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    s1 = _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 == 0))
+    s2 = _commit_docs_batch(log, docs.filter(F.col("doc_id") % 3 != 0))
+    log.set_ref("audit-b2", s2, kind="tag")
+    rollback(log, s1)  # un-publish: main serves batch 1, batch 2 staged
+    served = log.read(spark, "docs").count()
+    staged = log.read(spark, "docs", ref="audit-b2").count()
+    if staged > served:  # the audit gate passes -> publish
+        publish(log, "audit-b2")
+    return log.read(spark, "docs")
+
+
 def _snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named-ref demo (Iceberg tags/branches): commit batch 1, pin the
     immutable tag ``v1`` on it, keep committing (batch 2 + a branch that
@@ -1693,6 +1716,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # metadata tables) — counts, tombstones, key ranges, and the
         # metadata-only COUNT(*) that goes NULL once deletes are pending
         "snapshot_inspect": _snapshot_inspect,
+        # write-audit-publish: batch 2 staged behind a ref (readers keep
+        # serving batch 1), audited from manifests, then published as one
+        # forward replace commit
+        "snapshot_wap": _snapshot_wap,
     }
     # session-12 window swaps (driver checks the FIRST 50 entries): the new
     # unique-evidence queries take the slots of two r02-driver-green rows —
@@ -2765,6 +2792,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 200
                         ELSE 452 END AS BIGINT) AS rect_area
             FROM documents
+        """,
+        # WAP: after publish the HEAD read serves BOTH batches
+        "snapshot_wap": """
+            SELECT doc_id, lang, n_chars FROM documents
         """,
         # snapshot-inspection history replayed from the documents table:
         # append %3=0, append %3<>0, equality-delete commit — the

@@ -569,6 +569,19 @@ def rollback(log: SnapshotLog, to_snapshot: int) -> int:
     )
 
 
+def publish(log: SnapshotLog, ref: str) -> int:
+    """PUBLISH half of write-audit-publish (Iceberg's WAP flow): make the
+    audited staging ref's state the table's served state.  Staging =
+    commit the candidate batch, pin a ref on it, then ``rollback`` HEAD
+    to the pre-batch snapshot — readers keep serving the old state while
+    audit queries read ``ref=...``; publish = one forward replace commit
+    restoring the staged snapshot's reads (manifest-only, nothing
+    copied, history intact).  An aborted audit simply never publishes —
+    the staged snapshot ages out via ``expire_snapshots`` once the ref
+    is dropped."""
+    return rollback(log, int(log.ref(ref)["snapshot_id"]))
+
+
 def merge_upsert(
     log: SnapshotLog,
     spark: SparkSession,

@@ -906,3 +906,32 @@ def test_metadata_inspection_tables(spark):
     assert [(f["added_snapshot_id"], f["rows"], f["min_doc_id"], f["max_doc_id"]) for f in files] == [
         (1, 20, 0, 19), (2, 40, 20, 59),
     ]
+
+
+def test_write_audit_publish(spark):
+    """WAP: the staged batch is invisible to HEAD readers until publish;
+    the ref serves it for audit; publish is a manifest-only replace."""
+    import tempfile
+
+    from pdfparser_spark.snapshots import SnapshotLog, publish, rollback
+    from pyspark.sql import functions as F
+
+    log = SnapshotLog(tempfile.mkdtemp(prefix="wap_"))
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+
+    def commit(df):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        return log.commit({"docs": [d]}, schemas={"docs": df.schema.json()})
+
+    s1 = commit(docs.filter(F.col("doc_id") < 10))
+    s2 = commit(docs.filter(F.col("doc_id") >= 10))
+    log.set_ref("audit", s2, kind="tag")
+    rollback(log, s1)
+    assert log.read(spark, "docs").count() == 10  # staged batch invisible
+    assert log.read(spark, "docs", ref="audit").count() == 30
+    publish(log, "audit")
+    assert log.read(spark, "docs").count() == 30
+    # the publish commit is a replace, history intact
+    ops = [s["operation"] for s in log.chain()]
+    assert ops == ["append", "append", "replace", "replace"]

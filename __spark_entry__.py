@@ -43,6 +43,7 @@ from pdfparser_spark.stages import (
     extract_markup_fused,
     extract_redact_fused,
     extract_revisions_fused,
+    extract_encrypt_rewrite_fused,
     extract_rewrite_fused,
     extract_signatures_fused,
     extract_xmp_fused,
@@ -1095,6 +1096,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span oracle proves writer validity (tail: oracle shared with
         # extract_spans)
         "pdf_rewrite_roundtrip": lambda s, d: extract_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # ENCRYPTED rewrite fixpoint: extract -> re-serialize under the
+        # standard security handler (even docs RC4 V2/R3, odd AESV3 R6;
+        # form cycling classic/xref-stream/ObjStm) -> re-extract with the
+        # password; a wrong-password probe must see zero spans (poison
+        # row otherwise).  Tail: same span oracle as pdf_rewrite_roundtrip;
+        # decryption evidence is in-window via extract_pubsec_corpus
+        "pdf_encrypt_roundtrip": lambda s, d: extract_encrypt_rewrite_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -2559,6 +2571,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_fused": _span_sql(),
         "extract_incremental": _span_sql(),
         "pdf_rewrite_roundtrip": _span_sql(),
+        "pdf_encrypt_roundtrip": _span_sql(),
         # redaction round-trip: the span CTE over the PII-extended text,
         # scrub applied to the final span text (same chain as pii_scrub)
         "pdf_redact_roundtrip": _SPAN_CTE.replace(

@@ -87,14 +87,21 @@ def _text_string(s: str) -> bytes:
     return b"(" + _escape_literal(s.encode("latin-1")) + b")"
 
 
-def write_pdf(spans, xref_stream: bool = False, objstm: bool = False) -> bytes:
+def write_pdf(
+    spans,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    encrypt: dict | None = None,
+) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
     ``xref_stream=True`` emits the PDF 1.5+ cross-reference STREAM form
     (/Type /XRef, /W [1 4 2], Flate) instead of the classic table;
     ``objstm=True`` additionally packs non-stream objects into a §7.5.7
     object stream (type-2 xref entries) — all writer formats re-extract
-    identically."""
+    identically.  ``encrypt`` = ``{"mode": "rc4"|"aes256", "user_pwd":
+    bytes, ...}`` emits the document under the standard security handler
+    (see :class:`_EncState`); re-extraction needs the password."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -151,7 +158,7 @@ def write_pdf(spans, xref_stream: bool = False, objstm: bool = False) -> bytes:
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
-    return _serialize(objs, cat_id, xref_stream, objstm)
+    return _serialize(objs, cat_id, xref_stream, objstm, encrypt)
 
 
 def content_object_ids(spans) -> list:
@@ -264,8 +271,138 @@ def redact_first_text_incremental(base: bytes, spans) -> bytes:
     return base
 
 
+class _EncState:
+    """Writer-side standard security handler (ISO 32000 §7.6): holds the
+    derived file key plus the /Encrypt dictionary body, and transforms
+    object bodies — stream payloads and string values — into their
+    encrypted forms.  Two modes:
+
+    - ``rc4``: V 2 / R 3, 128-bit RC4 with Algorithm-1 per-object keys
+      (the classic Acrobat 5 shape; Algorithms 2/3/5 for key, /O, /U).
+    - ``aes256``: V 5 / R 6 AESV3 (ISO 32000-2 §7.6.4) — the 256-bit
+      file key is free-standing, wrapped via /UE and /OE (Algorithms
+      8/9), /Perms per Algorithm 10; CBC IVs derive deterministically
+      from the seed so fixtures are reproducible.
+
+    Encrypted string values are re-emitted as HEX strings (ciphertext is
+    binary); the reader's decrypt-then-parse path is representation-
+    agnostic.  The /Encrypt dictionary itself and xref streams are never
+    encrypted (§7.5.8.2); ObjStm-packed objects keep plaintext strings —
+    the container stream's encryption covers them (§7.6.2)."""
+
+    def __init__(self, spec: dict):
+        import hashlib
+        import struct
+
+        from . import crypt
+
+        self.mode = spec.get("mode", "rc4")
+        user = spec.get("user_pwd", b"")
+        owner = spec.get("owner_pwd") or (user + b"-owner")
+        seed = spec.get("seed", b"pdfspark")
+        p_flags = -44  # print+modify denied bits cleared: a typical mask
+        self.id0 = hashlib.md5(seed + b"/id0").digest()
+        if self.mode == "rc4":
+            o = crypt.compute_o_entry(owner, user, n=16, r=3)
+            self.key = crypt.compute_file_key(o, p_flags, self.id0, user, n=16, r=3)
+            u = crypt.compute_u_entry(self.key, self.id0, r=3)
+            self.enc_body = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P %d /O <%s> /U <%s> >>"
+                % (p_flags, o.hex().encode("ascii"), u.hex().encode("ascii"))
+            )
+        elif self.mode == "aes256":
+            self.key = hashlib.sha256(seed + b"/filekey").digest()
+            vs = hashlib.md5(seed + b"/vs").digest()[:8]
+            ks = hashlib.md5(seed + b"/ks").digest()[:8]
+            ovs = hashlib.md5(seed + b"/ovs").digest()[:8]
+            oks = hashlib.md5(seed + b"/oks").digest()[:8]
+            u, ue = crypt.v5_entries(self.key, vs, ks, user)
+            o, oe = crypt.v5_entries(self.key, ovs, oks, owner, udata=u[:48])
+            # Algorithm 10: one AES-ECB block (== CBC with a zero IV for
+            # a single block) over P + 0xFF pad + 'T'/'F' + 'adb' + tail
+            perms_clear = struct.pack("<i", p_flags) + b"\xff\xff\xff\xffTadbpdfs"
+            perms = crypt._cbc_nopad(self.key, perms_clear, b"\x00" * 16, encrypt=True)
+            self.enc_body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                % (
+                    p_flags,
+                    o.hex().encode("ascii"),
+                    u.hex().encode("ascii"),
+                    oe.hex().encode("ascii"),
+                    ue.hex().encode("ascii"),
+                    perms.hex().encode("ascii"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown encrypt mode {self.mode!r}")
+        self._seed = seed
+        self._crypt = crypt
+        self._nonce = 0
+
+    def _cipher(self, oid: int, data: bytes) -> bytes:
+        import hashlib
+
+        crypt = self._crypt
+        if self.mode == "rc4":
+            return crypt.rc4(crypt.object_key(self.key, oid, 0), data)
+        self._nonce += 1
+        iv = hashlib.md5(self._seed + b"/iv%d/%d" % (oid, self._nonce)).digest()
+        return crypt.aes_cbc_encrypt(self.key, data, iv)
+
+    def transform(self, oid: int, body: bytes, strings_only: bool = False) -> bytes:
+        """Encrypt one object body in place: the stream payload (with a
+        /Length rewrite — AES grows by IV + padding) and every string
+        value in the dictionary part."""
+        import re as _re
+
+        m = body.find(b"stream\n")
+        head, tail = (body, b"") if m < 0 else (body[:m], body[m:])
+        if tail and not strings_only:
+            payload = tail[len(b"stream\n") : -len(b"\nendstream")]
+            payload = self._cipher(oid, payload)
+            head = _re.sub(
+                rb"/Length \d+", b"/Length %d" % len(payload), head, count=1
+            )
+            tail = b"stream\n" + payload + b"\nendstream"
+        out = bytearray()
+        pos = 0
+        n = len(head)
+        while pos < n:
+            c = head[pos]
+            if c == 0x28:  # literal string
+                from .tokenizer import _parse_literal_string
+
+                val, nxt = _parse_literal_string(head, pos)
+                out += b"<" + self._cipher(oid, val).hex().encode("ascii") + b">"
+                pos = nxt
+            elif c == 0x3C and not (pos + 1 < n and head[pos + 1] == 0x3C):
+                from .tokenizer import _parse_hex_string
+
+                val, nxt = _parse_hex_string(head, pos)
+                out += b"<" + self._cipher(oid, val).hex().encode("ascii") + b">"
+                pos = nxt
+            elif c == 0x3C:  # '<<' dict open
+                out += b"<<"
+                pos += 2
+            else:
+                out.append(c)
+                pos += 1
+        return bytes(out) + tail
+
+    def trailer_entries(self, enc_id: int) -> bytes:
+        h = self.id0.hex().encode("ascii")
+        return b" /Encrypt %d 0 R /ID [<%s> <%s>]" % (enc_id, h, h)
+
+
 def _serialize(
-    objs: list, cat_id: int, xref_stream: bool = False, objstm: bool = False
+    objs: list,
+    cat_id: int,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    encrypt: dict | None = None,
 ) -> bytes:
     """Object bodies -> file bytes with a classic xref table or a §7.5.8
     cross-reference stream (/W [1 4 2], FlateDecode, self-entry last).
@@ -274,9 +411,14 @@ def _serialize(
     one §7.5.7 object stream: header of ``id offset`` pairs, bodies
     concatenated after /First, the whole payload Flate-compressed, and
     the packed ids referenced from the xref stream as type-2
-    (objstm, index) entries — the fully "modern writer" output shape."""
+    (objstm, index) entries — the fully "modern writer" output shape.
+    ``encrypt`` (a :class:`_EncState` spec dict: mode/user_pwd/owner_pwd/
+    seed) produces an ENCRYPTED document in any of the three forms; the
+    /Encrypt dictionary rides as its own direct object (never packed,
+    §7.5.7) and the trailer gains /Encrypt + /ID."""
     import zlib as _zlib
 
+    enc = _EncState(encrypt) if encrypt else None
     if objstm:
         xref_stream = True
         buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
@@ -287,8 +429,14 @@ def _serialize(
             if i in pset:
                 continue
             entries[i] = (1, len(buf), 0)
+            if enc:
+                body = enc.transform(i, body)
             buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
-        stm_id = len(objs) + 1
+        enc_id = len(objs) + 1 if enc else 0
+        stm_id = len(objs) + (2 if enc else 1)
+        if enc:
+            entries[enc_id] = (1, len(buf), 0)
+            buf += b"%d 0 obj\n" % enc_id + enc.enc_body + b"\nendobj\n"
         header = bytearray()
         bodies = bytearray()
         for idx, i in enumerate(packed):
@@ -296,6 +444,8 @@ def _serialize(
             bodies += objs[i - 1] + b"\n"
             entries[i] = (2, stm_id, idx)
         payload = _zlib.compress(bytes(header) + bytes(bodies))
+        if enc:  # the container is encrypted as a whole (§7.6.2)
+            payload = enc._cipher(stm_id, payload)
         entries[stm_id] = (1, len(buf), 0)
         buf += (
             b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
@@ -314,30 +464,43 @@ def _serialize(
         xp = _zlib.compress(bytes(rows))
         buf += (
             b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
-            b"/Filter /FlateDecode /Length %d >>\nstream\n"
-            % (xref_id, xref_id + 1, cat_id, len(xp))
+            b"/Filter /FlateDecode /Length %d%s >>\nstream\n"
+            % (
+                xref_id,
+                xref_id + 1,
+                cat_id,
+                len(xp),
+                enc.trailer_entries(enc_id) if enc else b"",
+            )
         )
         buf += xp
         buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
         return bytes(buf)
 
     buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    emit = list(objs)
+    enc_id = 0
+    if enc:
+        emit = [enc.transform(i, b) for i, b in enumerate(emit, start=1)]
+        enc_id = len(emit) + 1
+        emit.append(enc.enc_body)
     offsets = []
-    for i, body in enumerate(objs, start=1):
+    for i, body in enumerate(emit, start=1):
         offsets.append(len(buf))
         buf += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     if not xref_stream:
         xref_at = len(buf)
-        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(emit) + 1)
         for off in offsets:
             buf += b"%010d 00000 n \n" % off
-        buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
-            len(objs) + 1,
+        buf += b"trailer\n<< /Size %d /Root %d 0 R%s >>\nstartxref\n%d\n%%%%EOF\n" % (
+            len(emit) + 1,
             cat_id,
+            enc.trailer_entries(enc_id) if enc else b"",
             xref_at,
         )
         return bytes(buf)
-    xref_id = len(objs) + 1
+    xref_id = len(emit) + 1
     xref_at = len(buf)
     rows = bytearray(b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big"))
     for off in offsets:
@@ -346,8 +509,14 @@ def _serialize(
     payload = _zlib.compress(bytes(rows))
     buf += (
         b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
-        b"/Filter /FlateDecode /Length %d >>\nstream\n"
-        % (xref_id, xref_id + 1, cat_id, len(payload))
+        b"/Filter /FlateDecode /Length %d%s >>\nstream\n"
+        % (
+            xref_id,
+            xref_id + 1,
+            cat_id,
+            len(payload),
+            enc.trailer_entries(enc_id) if enc else b"",
+        )
     )
     buf += payload
     buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
@@ -365,13 +534,19 @@ def _num(v: float) -> bytes:
     return r.encode("ascii")
 
 
-def write_pdf_layout(layout_spans, xref_stream: bool = False, objstm: bool = False) -> bytes:
+def write_pdf_layout(
+    layout_spans,
+    xref_stream: bool = False,
+    objstm: bool = False,
+    encrypt: dict | None = None,
+) -> bytes:
     """Layout-preserving writer: ``(page_idx, x, y, text)`` spans -> a PDF
     that re-extracts (extract_layout_spans) to the SAME page/origin/text
     triples — each span is shown at its origin via a Tm set.  Pages are
     the distinct page_idx values in order (gaps become empty pages so
     indices survive).  Non-latin1 spans share one per-page Type0 font
-    with a generated ToUnicode table (same machinery as write_pdf)."""
+    with a generated ToUnicode table (same machinery as write_pdf).
+    ``encrypt`` as in :func:`write_pdf`."""
     by_page: dict = {}
     max_page = -1
     for page_idx, x, y, text in layout_spans:
@@ -426,4 +601,4 @@ def write_pdf_layout(layout_spans, xref_stream: bool = False, objstm: bool = Fal
     kids = b"[" + b" ".join(b"%d 0 R" % q for q in page_ids) + b"]"
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
-    return _serialize(objs, cat_id, xref_stream, objstm)
+    return _serialize(objs, cat_id, xref_stream, objstm, encrypt)

@@ -821,6 +821,67 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     )
 
 
+def extract_encrypt_rewrite_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """ENCRYPTED-rewrite fixpoint, zero shuffle: extract -> serialize the
+    spans back under the standard security handler (core/writer.py
+    ``encrypt=``; even docs V2/R3 128-bit RC4, odd docs V5/R6 AESV3-256,
+    serialization form cycling classic / xref-stream / ObjStm by
+    doc_id%3) -> re-extract WITH the password.  Rows equal plain
+    extraction's (same span oracle), so a green row proves the writer's
+    Algorithm 2/3/5 (+ 2.B/8/9/10) entries agree with the reader's
+    decryptor end-to-end.  A wrong-password probe per doc must yield
+    ZERO spans — asserted in-kernel (a poison row would break the
+    oracle), so ciphertext secrecy is part of the checked contract."""
+    from ..core.extract import extract_spans
+    from ..core.writer import write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                # password + seed are CORPUS-SHARED on purpose: R6 key
+                # derivation (Algorithm 2.B) costs ~2.5 s per distinct
+                # (pwd, salt) pair in pure Python, and crypt.hash_2b
+                # memoizes per worker process — shared salts amortize it
+                # to a one-time cost per executor (same trade the
+                # protected synth family makes)
+                pwd = b"hunter2-rw"
+                enc = write_pdf(
+                    first["spans"],
+                    xref_stream=doc_id % 3 == 1,
+                    objstm=doc_id % 3 == 2,
+                    encrypt={
+                        "mode": "aes256" if doc_id % 2 else "rc4",
+                        "user_pwd": pwd,
+                        "seed": b"encrw",
+                    },
+                )
+                locked = extract_spans(enc, strict=False, password=b"not-the-key")
+                again = extract_spans(enc, password=pwd)
+                spans_out = again["spans"] if not locked["spans"] else [
+                    ("text", "!CIPHERTEXT-LEAKED!", None)
+                ]
+                for ordn, (kind, text, media_ref) in enumerate(spans_out):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, ord int, kind string, text string, media_ref string"
+    )
+
+
 def extract_incremental_redact_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

@@ -723,6 +723,47 @@ def test_writer_objstm_form():
     assert len(extract_revisions(upd)["revisions"]) == 2
 
 
+def test_writer_encrypted_roundtrip():
+    """Writer-side standard security handler (§7.6): both modes (V2/R3
+    RC4-128, V5/R6 AESV3-256) across all three serialization forms
+    round-trip under the user AND owner passwords; a wrong password
+    yields zero spans; the plaintext never appears in the file bytes."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    spans = [("text", "secret alpha text", None), ("text", "ünï \U0001f600", None)]
+    for mode in ("rc4", "aes256"):
+        for xs, ost in ((False, False), (True, False), (True, True)):
+            data = write_pdf(
+                spans, xref_stream=xs, objstm=ost,
+                encrypt={"mode": mode, "user_pwd": b"hunter2"},
+            )
+            assert b"secret alpha" not in data  # ciphertext only
+            out = extract_spans(data, strict=True, password=b"hunter2")
+            assert not out["errors"]
+            assert [tuple(x) for x in out["spans"]] == spans
+            owner = extract_spans(data, password=b"hunter2-owner")
+            assert [tuple(x) for x in owner["spans"]] == spans
+            bad = extract_spans(data, strict=False, password=b"nope")
+            assert bad["spans"] == [] and bad["errors"]
+
+
+def test_writer_encrypted_layout_and_strings():
+    """Layout writer under encryption, and dictionary STRING values
+    (§7.6.2: strings encrypt too — the /Length rewrite plus hex
+    re-emission must keep the object parseable)."""
+    from pdfparser_spark.core.extract import extract_layout_spans
+    from pdfparser_spark.core.writer import write_pdf_layout
+
+    lsp = [(0, 72.0, 720.0, "alpha"), (2, 100.5, 650.25, "béta ü")]
+    for mode in ("rc4", "aes256"):
+        d = write_pdf_layout(lsp, objstm=(mode == "rc4"),
+                             encrypt={"mode": mode, "user_pwd": b"pw"})
+        out = extract_layout_spans(d, password=b"pw")
+        assert not out["errors"]
+        assert [t[:4] for t in out["spans"]] == lsp
+
+
 def test_field_hierarchy_qualified_names():
     """§12.7.3.2: a non-terminal parent with /Kids yields terminal rows
     under fully-qualified names; /FT and /V inherit down unless a kid

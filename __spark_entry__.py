@@ -43,6 +43,7 @@ from pdfparser_spark.stages import (
     extract_markup_fused,
     extract_redact_fused,
     extract_revisions_fused,
+    extract_apply_redactions_fused,
     extract_encrypt_rewrite_fused,
     extract_rewrite_fused,
     extract_signatures_fused,
@@ -1086,6 +1087,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout-extract; oracle = the UNCHANGED layout SQL, so a green
         # row proves the writer preserves geometry (tail)
         "pdf_layout_rewrite": lambda s, d: extract_layout_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # §12.5.4.5 two-phase redaction: MARK page doc%n_pages with an
+        # inline /Redact annot (writer page_annots hook) -> APPLY
+        # (core/redact.py: covered spans removed by quad GEOMETRY, marks
+        # deleted) -> re-extract.  Oracle = the layout SQL minus that
+        # page's line by doc_id arithmetic — geometry and arithmetic
+        # must agree.  Tail: layout-oracle family
+        "pdf_apply_redactions": lambda s, d: extract_apply_redactions_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -2650,6 +2662,11 @@ def oracle_sql() -> dict[str, str]:
         # (page, -y, x) over text spans (media spans carry no text matrix).
         "extract_layout": _LAYOUT_SQL,
         "pdf_layout_rewrite": _LAYOUT_SQL,
+        # redaction applied: the layout rows minus the marked page's
+        # line (page r = doc_id % n_pages), ord renumbered over survivors
+        "pdf_apply_redactions": _LAYOUT_SQL.replace(
+            "FROM txt", "FROM txt WHERE p <> doc_id % (1 + doc_id % 3)"
+        ),
         # glyph-advance family: line i (6-word slices, <=7 lines, one
         # page) shows segments words[0:3] / [3:4] / [4:6] on baseline
         # y = 720-16i with NO positioning op between; a segment's

@@ -539,6 +539,7 @@ def write_pdf_layout(
     xref_stream: bool = False,
     objstm: bool = False,
     encrypt: dict | None = None,
+    page_annots: dict | None = None,
 ) -> bytes:
     """Layout-preserving writer: ``(page_idx, x, y, text)`` spans -> a PDF
     that re-extracts (extract_layout_spans) to the SAME page/origin/text
@@ -546,7 +547,10 @@ def write_pdf_layout(
     the distinct page_idx values in order (gaps become empty pages so
     indices survive).  Non-latin1 spans share one per-page Type0 font
     with a generated ToUnicode table (same machinery as write_pdf).
-    ``encrypt`` as in :func:`write_pdf`."""
+    ``encrypt`` as in :func:`write_pdf`.  ``page_annots`` maps a page
+    index to a list of raw annotation dictionary bodies (bytes) emitted
+    INLINE in that page's /Annots array — zero extra objects; the
+    redaction pipeline uses this to place /Redact marks."""
     by_page: dict = {}
     max_page = -1
     for page_idx, x, y, text in layout_spans:
@@ -589,9 +593,12 @@ def write_pdf_layout(
             _show, extra = _cid_objects(uni_text, len(objs) + 3)
             res += b" /FU %d 0 R" % (len(objs) + 5)
         res += b" >> >>"
+        annots = b""
+        if page_annots and page_annots.get(p):
+            annots = b" /Annots [" + b" ".join(page_annots[p]) + b"]"
         pid = add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources %s /Contents %d 0 R >>" % (root_id, res, len(objs) + 2)
+            b"/Resources %s /Contents %d 0 R%s >>" % (root_id, res, len(objs) + 2, annots)
         )
         add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
         for body in extra:

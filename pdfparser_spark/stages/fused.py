@@ -927,6 +927,67 @@ def extract_incremental_redact_fused(
     )
 
 
+def extract_apply_redactions_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """The §12.5.4.5 two-phase redaction workflow in one Arrow kernel,
+    zero shuffle: layout-extract -> MARK page ``doc_id % n_pages`` with
+    an inline /Redact annotation whose quad brackets that page's line
+    origin (writer ``page_annots`` hook) -> APPLY the marks
+    (core/redact.py: covered spans removed, marks deleted) -> re-extract
+    the sanitized bytes.  Output = the layout rows MINUS the redacted
+    page's line; the kernel decides by GEOMETRY (quad containment), the
+    oracle by doc_id arithmetic — they agree only if the quad math is
+    right.  The sanitized bytes are also probed for the removed text —
+    a leak poisons the row so the oracle catches it."""
+    from ..core.extract import extract_layout_spans
+    from ..core.redact import apply_redactions, redact_mark
+    from ..core.writer import write_pdf_layout
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "page_idx", "x", "y", "text"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_layout_spans(_doc_bytes(spans), password=password)
+                r = doc_id % (1 + doc_id % 3)
+                marked = write_pdf_layout(
+                    [(p, x, y, t) for p, x, y, t, _sz in first["spans"]],
+                    xref_stream=doc_id % 2 == 1,
+                    objstm=doc_id % 4 == 3,
+                    page_annots={int(r): [redact_mark(70, 714 - 14 * r, 300, 726 - 14 * r)]},
+                )
+                res = apply_redactions(marked)
+                again = extract_layout_spans(res["bytes"])
+                # in-kernel guard: NOTHING may survive inside the marked
+                # quad, and the marks themselves must be gone
+                leaked = b"/Redact" in res["bytes"] or any(
+                    p == r and 714 - 14 * r <= y <= 726 - 14 * r and 70 <= x <= 300
+                    for p, x, y, _t, _s in again["spans"]
+                )
+                ordered = sorted(
+                    enumerate(again["spans"]),
+                    key=lambda e: (e[1][0], -e[1][2], e[1][1], e[0]),
+                )
+                for ordn, (_i, (page_idx, x, y, txt, _size)) in enumerate(ordered):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "text": "!REDACTION-LEAKED!" if leaked else txt,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, text string",
+    )
+
+
 def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Layout-preserving rewrite fixpoint, zero shuffle: layout-extract ->
     write_pdf_layout (each span re-shown at its origin) -> layout-extract

@@ -764,6 +764,51 @@ def test_writer_encrypted_layout_and_strings():
         assert [t[:4] for t in out["spans"]] == lsp
 
 
+def test_apply_redactions():
+    """§12.5.4.5 two-phase redaction: /Redact quads remove covered spans
+    (multi-quad, multi-annot), /Rect is the quad-less fallback, the marks
+    themselves vanish, untouched pages survive, and corrupt input is
+    contained (original bytes back, error recorded)."""
+    from pdfparser_spark.core.extract import extract_layout_spans
+    from pdfparser_spark.core.redact import apply_redactions, redact_mark
+    from pdfparser_spark.core.writer import write_pdf_layout
+
+    lsp = [
+        (0, 72.0, 720.0, "public alpha"),
+        (0, 72.0, 706.0, "secret beta"),
+        (0, 400.0, 720.0, "public gamma"),
+        (1, 72.0, 720.0, "secret delta"),
+        (2, 72.0, 720.0, "public epsilon"),
+    ]
+    marks = {
+        0: [redact_mark(70, 700, 300, 712)],  # covers beta only
+        1: [b"<< /Type /Annot /Subtype /Redact /Rect [70 714 300 726] >>"],
+    }
+    doc = write_pdf_layout(lsp, page_annots=marks)
+    res = apply_redactions(doc)
+    assert res["n_redacted"] == 2 and not res["errors"]
+    assert b"/Redact" not in res["bytes"]
+    assert b"secret" not in res["bytes"]
+    out = extract_layout_spans(res["bytes"])
+    assert [t[:4] for t in out["spans"]] == [
+        (0, 72.0, 720.0, "public alpha"),
+        (0, 400.0, 720.0, "public gamma"),
+        (2, 72.0, 720.0, "public epsilon"),
+    ]
+    # one annot, two quads: both regions redact
+    two = redact_mark(70, 700, 300, 712)[:-4] + b" 398 726 420 726 398 714 420 714] >>"
+    doc2 = write_pdf_layout(lsp[:3], page_annots={0: [two]})
+    res2 = apply_redactions(doc2)
+    assert res2["n_redacted"] == 2
+    # no marks -> content-identical round-trip
+    res3 = apply_redactions(write_pdf_layout(lsp))
+    assert res3["n_redacted"] == 0
+    assert [t[:4] for t in extract_layout_spans(res3["bytes"])["spans"]] == lsp
+    # corrupt input: contained, original bytes returned
+    res4 = apply_redactions(b"\x00garbage")
+    assert res4["bytes"] == b"\x00garbage" and res4["errors"]
+
+
 def test_field_hierarchy_qualified_names():
     """§12.7.3.2: a non-terminal parent with /Kids yields terminal rows
     under fully-qualified names; /FT and /V inherit down unless a kid

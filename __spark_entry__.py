@@ -45,6 +45,7 @@ from pdfparser_spark.stages import (
     extract_revisions_fused,
     extract_apply_redactions_fused,
     extract_encrypt_rewrite_fused,
+    extract_portfolio_fused,
     extract_rewrite_fused,
     extract_signatures_fused,
     extract_xmp_fused,
@@ -1119,6 +1120,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row otherwise).  Tail: same span oracle as pdf_rewrite_roundtrip;
         # decryption evidence is in-window via extract_pubsec_corpus
         "pdf_encrypt_roundtrip": lambda s, d: extract_encrypt_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # PDF-inside-PDF container: each doc's bytes embedded as a §7.11
+        # attachment in a fresh carrier (writer /EmbeddedFile ->
+        # /Filespec -> /Names tree), then the kernel walks the tree,
+        # decodes the payload and RECURSIVELY extracts the inner doc —
+        # the unchanged span oracle checks the whole chain.  Tail:
+        # span-oracle family; attachment-walk evidence in-window via
+        # doc_attachments
+        "pdf_portfolio_roundtrip": lambda s, d: extract_portfolio_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -2584,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_incremental": _span_sql(),
         "pdf_rewrite_roundtrip": _span_sql(),
         "pdf_encrypt_roundtrip": _span_sql(),
+        "pdf_portfolio_roundtrip": _span_sql(),
         # redaction round-trip: the span CTE over the PII-extended text,
         # scrub applied to the final span text (same chain as pii_scrub)
         "pdf_redact_roundtrip": _SPAN_CTE.replace(

@@ -1655,7 +1655,7 @@ def extract_graphics(data: bytes, password: bytes = b""):
     return totals
 
 
-def extract_attachments(data: bytes, password: bytes = b""):
+def extract_attachments(data: bytes, password: bytes = b"", with_payload: bool = False):
     """Embedded-file attachments: the catalog ``/Names /EmbeddedFiles``
     name tree (ISO 32000 §7.7.4 — flat ``/Names`` arrays or a
     ``/Kids``+``/Limits`` hierarchy, walked depth-capped in document
@@ -1667,7 +1667,10 @@ def extract_attachments(data: bytes, password: bytes = b""):
 
     Returns ``{"attachments": [(att_idx, name, size, payload_md5)],
     "errors"}`` — lenient: damaged input yields an empty list + error
-    rows, never an exception."""
+    rows, never an exception.  ``with_payload=True`` appends the decoded
+    payload bytes as a fifth element (None when undecodable) — the
+    recursive-container path (a portfolio's attachments are themselves
+    documents) needs the bytes, not just the digest."""
     atts: list = []
     errors: list = []
     try:
@@ -1720,7 +1723,14 @@ def extract_attachments(data: bytes, password: bytes = b""):
                 digest = hashlib.md5(bytes(st.data)).hexdigest()
             elif isinstance(st, Stream):
                 errors.append((FILTER_ERROR, "decode", "attachment stream undecoded"))
-            atts.append((idx, _as_text(nm), size, digest))
+            row = (idx, _as_text(nm), size, digest)
+            if with_payload:
+                row += (
+                    bytes(st.data)
+                    if isinstance(st, Stream) and st.data is not None
+                    else None,
+                )
+            atts.append(row)
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))
     except Exception as e:  # lenient: corrupt doc must not kill the task

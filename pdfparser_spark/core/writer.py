@@ -92,6 +92,7 @@ def write_pdf(
     xref_stream: bool = False,
     objstm: bool = False,
     encrypt: dict | None = None,
+    attachments: list | None = None,
 ) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
@@ -101,7 +102,12 @@ def write_pdf(
     object stream (type-2 xref entries) — all writer formats re-extract
     identically.  ``encrypt`` = ``{"mode": "rc4"|"aes256", "user_pwd":
     bytes, ...}`` emits the document under the standard security handler
-    (see :class:`_EncState`); re-extraction needs the password."""
+    (see :class:`_EncState`); re-extraction needs the password.
+    ``attachments`` = ``[(name, payload_bytes), ...]`` embeds each
+    payload as a §7.11 file attachment: a Flate-compressed
+    /EmbeddedFile stream behind a /Filespec, registered in the
+    catalog's /Names /EmbeddedFiles name tree (keys emitted sorted, as
+    §7.9.6 requires) — the portfolio/container write path."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -155,7 +161,27 @@ def write_pdf(
         page_ids.append(pid)
 
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
-    objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
+    cat_extra = b""
+    if attachments:
+        import zlib as _z
+
+        entries = []
+        for name, payload in sorted(attachments, key=lambda a: str(a[0])):
+            comp = _z.compress(bytes(payload))
+            ef_id = add(
+                b"<< /Type /EmbeddedFile /Filter /FlateDecode "
+                b"/Length %d /Params << /Size %d >> >>\nstream\n%s\nendstream"
+                % (len(comp), len(payload), comp)
+            )
+            fs_id = add(
+                b"<< /Type /Filespec /F " + _text_string(str(name))
+                + b" /EF << /F %d 0 R >> >>" % ef_id
+            )
+            entries.append(_text_string(str(name)) + b" %d 0 R" % fs_id)
+        cat_extra = (
+            b" /Names << /EmbeddedFiles << /Names [" + b" ".join(entries) + b"] >> >>"
+        )
+    objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R%s >>" % (root_id, cat_extra)
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
     return _serialize(objs, cat_id, xref_stream, objstm, encrypt)

@@ -882,6 +882,65 @@ def extract_encrypt_rewrite_fused(
     )
 
 
+def extract_portfolio_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """PDF-inside-PDF container round-trip, zero shuffle: each document's
+    RAW BYTES are embedded as a §7.11 file attachment inside a freshly
+    written one-page carrier (write_pdf ``attachments=`` — /EmbeddedFile
+    stream -> /Filespec -> catalog /Names /EmbeddedFiles), plus a decoy
+    text attachment so the name tree holds >1 key; the kernel then walks
+    the carrier's name tree, decodes the payload, and RECURSIVELY runs
+    plain extraction on the inner document.  Output rows = the inner
+    document's spans — the UNCHANGED span oracle is green only if writer
+    name-tree emission, attachment decode, and the recursive kernel all
+    agree (the portfolio/e-mail-archive ingestion shape)."""
+    from ..core.extract import extract_attachments, extract_spans
+    from ..core.writer import write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                inner_bytes = _doc_bytes(spans)
+                carrier = write_pdf(
+                    [("text", "portfolio %d" % doc_id, None)],
+                    xref_stream=doc_id % 2 == 1,
+                    objstm=doc_id % 4 == 3,
+                    attachments=[
+                        ("doc%d.pdf" % doc_id, inner_bytes),
+                        ("notes.txt", b"carrier for %d" % doc_id),
+                    ],
+                )
+                atts = extract_attachments(carrier, with_payload=True)
+                inner = next(
+                    (pl for _i, nm, _sz, _md5, pl in atts["attachments"]
+                     if nm.endswith(".pdf") and pl is not None),
+                    None,
+                )
+                spans_out = (
+                    extract_spans(inner, password=password)["spans"]
+                    if inner is not None
+                    else [("text", "!ATTACHMENT-LOST!", None)]
+                )
+                for ordn, (kind, text, media_ref) in enumerate(spans_out):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run, schema="doc_id long, ord int, kind string, text string, media_ref string"
+    )
+
+
 def extract_incremental_redact_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

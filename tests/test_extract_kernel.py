@@ -764,6 +764,40 @@ def test_writer_encrypted_layout_and_strings():
         assert [t[:4] for t in out["spans"]] == lsp
 
 
+def test_writer_attachments_portfolio():
+    """Writer-side §7.11 attachments: /EmbeddedFile (Flate) -> /Filespec
+    -> catalog /Names /EmbeddedFiles with sorted keys; extract_attachments
+    round-trips names, sizes, and (with_payload) the exact bytes — and an
+    attached PDF recursively extracts."""
+    import hashlib
+
+    from pdfparser_spark.core.extract import extract_attachments, extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    inner = write_pdf([("text", "inner doc", None), ("text", "page two", None)])
+    payloads = [("zz-last.bin", b"\x00\x01\xffbinary"), ("aa-first.txt", b"hello"),
+                ("mid.pdf", inner)]
+    for xs, ost in ((False, False), (True, True)):
+        data = write_pdf([("text", "carrier", None)], xref_stream=xs, objstm=ost,
+                         attachments=payloads)
+        out = extract_attachments(data, with_payload=True)
+        assert not out["errors"]
+        assert [a[1] for a in out["attachments"]] == [
+            "aa-first.txt", "mid.pdf", "zz-last.bin"
+        ]  # name-tree keys sorted
+        for _i, nm, size, digest, pl in out["attachments"]:
+            want = dict(payloads)[nm]
+            assert pl == want and size == len(want)
+            assert digest == hashlib.md5(want).hexdigest()
+        pdf_payload = out["attachments"][1][4]
+        spans = extract_spans(pdf_payload)["spans"]
+        assert [t for _k, t, _m in spans] == ["inner doc", "page two"]
+    # default call shape unchanged: 4-tuples, no payload
+    assert len(extract_attachments(write_pdf(
+        [("text", "c", None)], attachments=[("a.txt", b"x")]
+    ))["attachments"][0]) == 4
+
+
 def test_apply_redactions():
     """§12.5.4.5 two-phase redaction: /Redact quads remove covered spans
     (multi-quad, multi-annot), /Rect is the quad-less fallback, the marks

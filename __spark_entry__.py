@@ -45,6 +45,7 @@ from pdfparser_spark.stages import (
     extract_revisions_fused,
     extract_apply_redactions_fused,
     extract_encrypt_rewrite_fused,
+    extract_merge_pairs_fused,
     extract_portfolio_fused,
     extract_rewrite_fused,
     extract_signatures_fused,
@@ -1132,6 +1133,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span-oracle family; attachment-walk evidence in-window via
         # doc_attachments
         "pdf_portfolio_roundtrip": lambda s, d: extract_portfolio_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # document MERGE: docs pair by doc_id//2, span lists concat in
+        # doc order, ONE merged PDF written + re-extracted per pair; the
+        # only exchange is the inherent pair co-location (uniform keys,
+        # 2-doc groups).  Oracle = the span CTE renumbered over
+        # (doc_id, ord) within each pair.  Tail: span-CTE family
+        "pdf_merge_pairs": lambda s, d: extract_merge_pairs_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -2598,6 +2609,15 @@ def oracle_sql() -> dict[str, str]:
         "pdf_rewrite_roundtrip": _span_sql(),
         "pdf_encrypt_roundtrip": _span_sql(),
         "pdf_portfolio_roundtrip": _span_sql(),
+        "pdf_merge_pairs": _SPAN_CTE
+        + """
+            SELECT CAST(doc_id // 2 AS BIGINT) AS pair_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY doc_id // 2 ORDER BY doc_id, ord
+                   ) - 1 AS INT) AS ord,
+                   kind, text, media_ref
+            FROM spans
+        """,
         # redaction round-trip: the span CTE over the PII-extended text,
         # scrub applied to the final span text (same chain as pii_scrub)
         "pdf_redact_roundtrip": _SPAN_CTE.replace(

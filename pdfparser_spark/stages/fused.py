@@ -941,6 +941,64 @@ def extract_portfolio_fused(
     )
 
 
+def extract_merge_pairs_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Document MERGE (the pdftk/qpdf concat shape): documents pair up by
+    ``pair_id = doc_id // 2``, each pair's members are extracted, their
+    span lists concatenated in doc_id order, written as ONE merged PDF
+    (core/writer.py), and the merged bytes re-extracted.  Output rows key
+    on pair_id; the oracle renumbers the same spans with a window over
+    (doc_id, ord) — green only if the merged document preserves every
+    span of both inputs in order.
+
+    The one exchange here is inherent: merging is a CROSS-document
+    operation, so bytes must co-locate by pair.  Pair keys are uniform
+    (doc_id//2), each group is exactly 1-2 docs — no skew, and the
+    shuffle payload is the raw doc bytes themselves (no amplification).
+    At 1000 executors this is hash-partition + per-pair kernel work."""
+    import pyspark.sql.functions as F
+
+    from ..core.extract import extract_spans
+    from ..core.writer import write_pdf
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["pair_id", "ord", "kind", "text", "media_ref"]
+        rows = []
+        for pair_id, grp in pdf.groupby("pair_id"):
+            grp = grp.sort_values("doc_id")
+            spans_all = []
+            for _, r in grp.iterrows():
+                spans_all.extend(
+                    extract_spans(_doc_bytes(r["spans"]), password=password)["spans"]
+                )
+            merged = write_pdf(
+                spans_all,
+                xref_stream=pair_id % 2 == 1,
+                objstm=pair_id % 4 == 3,
+            )
+            again = extract_spans(merged)
+            for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
+                rows.append(
+                    {
+                        "pair_id": int(pair_id),
+                        "ord": ordn,
+                        "kind": kind,
+                        "text": text,
+                        "media_ref": media_ref,
+                    }
+                )
+        return pd.DataFrame(rows, columns=cols)
+
+    paired = documents_raw.withColumn(
+        "pair_id", F.floor(F.col("doc_id") / 2).cast("long")
+    )
+    return paired.groupBy("pair_id").applyInPandas(
+        merge,
+        schema="pair_id long, ord int, kind string, text string, media_ref string",
+    )
+
+
 def extract_incremental_redact_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

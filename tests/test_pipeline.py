@@ -240,3 +240,28 @@ def test_synthesize_tolerates_null_rows(spark):
     )
     out = flatten_spans(extract_fused(synthesize_corpus(df))).collect()
     assert sorted({r.doc_id for r in out}) == [1]  # only the healthy doc emits spans
+
+
+def test_merge_pairs_concats_spans(spark, sf_dir):
+    """pdf_merge_pairs: each pair's merged document re-extracts to both
+    members' spans concatenated in doc_id order, renumbered per pair."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.stages import extract_merge_pairs_fused, synthesize_corpus
+    from pdfparser_spark.synth import build_document
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter(
+        F.col("doc_id") < 20
+    )
+    out = extract_merge_pairs_fused(synthesize_corpus(docs)).collect()
+    got = {}
+    for r in sorted(out, key=lambda r: (r.pair_id, r.ord)):
+        got.setdefault(r.pair_id, []).append((r.kind, r.text, r.media_ref))
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for pair in sorted(got):
+        want = []
+        for d in (2 * pair, 2 * pair + 1):
+            if d in src:
+                want.extend(
+                    tuple(s) for s in extract_spans(build_document(d, src[d])["bytes"])["spans"]
+                )
+        assert got[pair] == want, pair

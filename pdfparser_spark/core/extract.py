@@ -1194,6 +1194,27 @@ def _font_widths(font_obj, objects: dict):
 
         return t3_lookup, 1, True, False
     if widths is None:
+        # embedded Type 1 program (§9.9 /FontFile): a width-less font's
+        # exact metrics live inside the program itself — built-in
+        # /Encoding + eexec-encrypted /CharStrings hsbw widths
+        # (core/type1.py); checked BEFORE the standard-14 fallbacks
+        # because an embedded program is this document's ground truth
+        fd = (
+            get_resolved(font, "FontDescriptor", objects)
+            if isinstance(font, dict)
+            else None
+        )
+        ff = get_resolved(fd, "FontFile", objects) if isinstance(fd, dict) else None
+        if isinstance(ff, Stream):
+            try:
+                from .type1 import parse_type1_widths
+
+                raw = ff.data if ff.data is not None else ff.raw
+                table = parse_type1_widths(bytes(raw))
+            except Exception:
+                table = {}
+            if table:
+                return (lambda code: table.get(code, 500)), 1, True, False
         base = str(font.get("BaseFont") or "") if isinstance(font, dict) else ""
         if "+" in base:  # subset tag, e.g. ABCDEF+Courier-Bold
             base = base.split("+", 1)[1]

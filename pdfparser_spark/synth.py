@@ -1930,6 +1930,24 @@ def adv_is_helv(doc_id: int) -> bool:
     return doc_id % 13 == 11 and not adv_is_cid(doc_id)
 
 
+def adv_is_embedded(doc_id: int) -> bool:
+    """Every 13th+5 non-CID doc has NO /Widths and no standard-14 name —
+    its metrics live only INSIDE the embedded Type 1 program
+    (/FontDescriptor /FontFile): the clear header's built-in /Encoding
+    maps codes to /gNN glyphs, the eexec-encrypted /CharStrings carry
+    each glyph's hsbw width (core/type1.py pair).  Width is PER-DOC
+    (``adv_emb_width``), so a kernel skipping the decryption cannot fake
+    the cursor; every other embedded doc serializes eexec in the spec's
+    ASCII-hex alternate form."""
+    return doc_id % 13 == 5 and not adv_is_cid(doc_id)
+
+
+def adv_emb_width(doc_id: int, code: int) -> int:
+    """Glyph width the embedded program declares for ``code``: doc-mixed
+    so the only way to reproduce it is to read this document's font."""
+    return 350 + ((code + doc_id) % 6) * 25
+
+
 def adv_rise_milli(doc_id: int) -> int:
     """Text rise (Ts, §9.3.7) applied to SEGMENT 1 only on every 19th+5
     doc: 0.25/0.5/0.75/1.0 pt (dyadic — float-exact in both engines)."""
@@ -1953,6 +1971,8 @@ def adv_eff_width(doc_id: int, code: int) -> int:
         from .core.extract import HELVETICA_WIDTHS
 
         return HELVETICA_WIDTHS[code - 32] if 32 <= code < 127 else 500
+    if adv_is_embedded(doc_id):
+        return adv_emb_width(doc_id, code)
     return adv_width(code) * (2 if adv_is_type3(doc_id) else 1)
 
 
@@ -2095,12 +2115,14 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     t3 = adv_is_type3(doc_id)
     mono = adv_is_courier(doc_id)
     helv = adv_is_helv(doc_id)
+    emb = adv_is_embedded(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
     CATALOG, PAGESROOT, FONT, PAGE, CONTENT, DESC, TOUNI = 1, 2, 3, 4, 5, 6, 7
     PROC = 6  # Type3 glyph-procedure stream (slot shared with DESC: disjoint kinds)
-    n_objs = 7 if cid else (6 if t3 else 5)
+    FFILE = 7  # embedded Type1 program (slot shared with TOUNI: disjoint kinds)
+    n_objs = 7 if (cid or emb) else (6 if t3 else 5)
     offsets[CATALOG] = b.struct(
         f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
     )
@@ -2135,6 +2157,15 @@ def build_document_advance(doc_id: int, text: str) -> dict:
                 f"/CharProcs << {procs} >> "
                 f"/Encoding << /Type /Encoding /Differences [32 {names}] >> "
                 f"/FirstChar 32 /LastChar 126 /Widths [{widths}] >> endobj\n"
+            ).encode("ascii")
+        )
+    elif emb:
+        # embedded program: NO /Widths, non-standard /BaseFont — the
+        # metrics are reachable only through /FontDescriptor /FontFile
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
+                f"/BaseFont /SYNF+EmbOne /FontDescriptor {DESC} 0 R >> endobj\n"
             ).encode("ascii")
         )
     elif mono:
@@ -2206,6 +2237,36 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             f"{TOUNI} 0 obj << /Length {len(cm)} >> stream\n".encode("ascii")
         )
         b.text_payload(cm)
+        b.struct(b"\nendstream endobj\n")
+    if emb:
+        from .core import type1 as _t1
+
+        prog = _t1.build_type1_font(
+            "SYNF+EmbOne",
+            {c: f"g{c}" for c in range(32, 127)},
+            {f"g{c}": adv_emb_width(doc_id, c) for c in range(32, 127)},
+            hex_form=(doc_id // 13) % 2 == 0,
+        )
+        # §9.9 Table 127 segment lengths: clear part through the eexec
+        # keyword + its newline; the 512-zeros + cleartomark trailer
+        l3 = 8 * 65 + len("cleartomark\n")
+        l1 = prog.find(b"eexec") + 6
+        l2 = len(prog) - l1 - l3
+        offsets[DESC] = b.struct(
+            (
+                f"{DESC} 0 obj << /Type /FontDescriptor /FontName /SYNF+EmbOne "
+                f"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                f"/Descent -200 /CapHeight 700 /StemV 80 "
+                f"/FontFile {FFILE} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+        offsets[FFILE] = b.struct(
+            (
+                f"{FFILE} 0 obj << /Length {len(prog)} /Length1 {l1} "
+                f"/Length2 {l2} /Length3 {l3} >> stream\n"
+            ).encode("ascii")
+        )
+        b.text_payload(prog)
         b.struct(b"\nendstream endobj\n")
     if t3:
         # the shared glyph procedure: a bare d0 width declaration (§9.6.4

@@ -341,3 +341,30 @@ def test_vertical_w2_parser_both_forms():
     assert t == {40: -700, 41: -650, 97: -600, 98: -600, 99: -600}
     # malformed tail resyncs without raising
     assert _parse_w2_array([97, 99], {}) == {}
+
+
+def test_embedded_type1_advance_family_end_to_end():
+    # doc 5 / doc 18 are the embedded-program variants (doc%13==5,
+    # non-CID): NO /Widths anywhere in the PDF objects — the cursor is
+    # right only if the kernel eexec-decrypts the /FontFile program and
+    # reads each glyph's hsbw width (per-doc values, hex and binary
+    # eexec serializations)
+    from pdfparser_spark.synth import adv_emb_width, adv_is_embedded
+
+    for d in (5, 18):
+        assert adv_is_embedded(d)
+        spans = _spans(d)
+        exp = [
+            (p, 72.0, y, ax, t, float(fs), m)
+            for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(d, TEXT)
+        ]
+        assert spans == exp, d
+        # widths really are doc-mixed: seg-1 offset equals the manual
+        # per-glyph sum under this doc's program
+        fs, tz = adv_font_size(d), adv_tz_pct(d)
+        tc, tw = adv_tc_milli(d), adv_tw_milli(d)
+        manual = sum(
+            adv_emb_width(d, ord(c)) * fs * tz + tc * tz + (tw * tz if c == " " else 0)
+            for c in spans[0][4]
+        )
+        assert spans[1][3] == manual, d

@@ -1,0 +1,69 @@
+"""Type 1 font program unit tests (core/type1.py): the eexec and
+charstring ciphers, charstring number encoding, the builder->parser
+fixpoint in both serializations, and the AGL-name fallback."""
+
+from __future__ import annotations
+
+from pdfparser_spark.core.type1 import (
+    _cs_width,
+    build_type1_font,
+    charstring_decrypt,
+    charstring_encrypt,
+    eexec_decrypt,
+    eexec_encrypt,
+    encode_cs_num,
+    parse_type1_widths,
+)
+
+
+def test_ciphers_roundtrip():
+    for payload in (b"", b"x", b"hello private dict", bytes(range(256))):
+        assert eexec_decrypt(eexec_encrypt(payload)) == payload
+        assert charstring_decrypt(charstring_encrypt(payload)) == payload
+        assert charstring_decrypt(charstring_encrypt(payload, 0), 0) == payload
+
+
+def test_charstring_numbers_and_width_ops():
+    # every encoding range, via a real hsbw prefix
+    for v in (0, 1, -1, 107, -107, 108, 1131, -108, -1131, 5000, -5000, 40000):
+        assert _cs_width(encode_cs_num(0) + encode_cs_num(v) + bytes([13])) == v
+    # sbw (12 7): wx is the THIRD operand
+    cs = b"".join(encode_cs_num(v) for v in (1, 2, 777, 0)) + bytes([12, 7])
+    assert _cs_width(cs) == 777
+    # any other leading operator -> no width
+    assert _cs_width(bytes([139, 139, 1])) is None  # hstem first
+    assert _cs_width(b"") is None
+
+
+def test_build_parse_fixpoint_binary_and_hex():
+    enc = {c: f"g{c}" for c in range(32, 127)}
+    w = {f"g{c}": 350 + (c % 6) * 25 for c in range(32, 127)}
+    for hx in (False, True):
+        prog = build_type1_font("SYNF+EmbOne", enc, w, hex_form=hx)
+        assert prog.startswith(b"%!PS-AdobeFont-1.0")
+        assert b"cleartomark" in prog
+        # the widths are NOT visible in the clear bytes (really encrypted)
+        assert b"hsbw" not in prog
+        got = parse_type1_widths(prog)
+        assert got == {c: 350 + (c % 6) * 25 for c in range(32, 127)}, hx
+
+
+def test_agl_fallback_without_dup_encoding():
+    """A program whose header declares no dup entries (StandardEncoding
+    style) still resolves codes via AGL glyph-name inversion."""
+    prog = build_type1_font("S", {}, {"a": 500, "uni0042": 611, "space": 250})
+    got = parse_type1_widths(prog)
+    assert got[ord("a")] == 500 and got[0x42] == 611 and got[32] == 250
+
+
+def test_corrupt_programs_are_contained():
+    assert parse_type1_widths(b"") == {}
+    assert parse_type1_widths(b"no eexec marker here") == {}
+    prog = build_type1_font("S", {65: "A"}, {"A": 700})
+    # truncating mid-encrypted-region must not raise
+    assert isinstance(parse_type1_widths(prog[: len(prog) // 2]), dict)
+    # flipping bytes in the encrypted region must not raise
+    mut = bytearray(prog)
+    mid = prog.find(b"eexec") + 40
+    mut[mid : mid + 8] = b"\x00" * 8
+    assert isinstance(parse_type1_widths(bytes(mut)), dict)

@@ -587,6 +587,36 @@ def _snapshot_tag_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.read(spark, "docs", ref="v1")
 
 
+def _snapshot_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec EVOLUTION demo (the Iceberg per-file-spec idea):
+    batch 1 lands under truncate(doc_id, 20), batch 2 under an EVOLVED
+    bucket(doc_id, 8) spec — no rewrite, each directory keeps its own
+    layout and the planner prunes each dir by the spec it was written
+    with.  Output = a range read (order-preserving truncate dirs pruned
+    to the 2 covering [25,44]; bucket dirs excluded by min/max) union a
+    point read (exactly ONE bucket dir survives by transform match) —
+    values must equal the plain SQL filters regardless of layout."""
+    from pdfparser_spark.snapshots import SnapshotLog, write_partitioned
+
+    log = SnapshotLog(_scratch_log_dir("pspec_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    write_partitioned(
+        spark, log, docs.filter(F.col("doc_id") < 200), "docs",
+        {"spec_id": 1, "col": "doc_id", "transform": "truncate", "n": 20},
+    )
+    write_partitioned(
+        spark, log, docs.filter(F.col("doc_id") >= 200), "docs",
+        {"spec_id": 2, "col": "doc_id", "transform": "bucket", "n": 8},
+    )
+    rng = log.read(spark, "docs", where=("doc_id", 25, 44)).withColumn(
+        "src", F.lit("range")
+    )
+    pt = log.read(spark, "docs", where_eq=("doc_id", 203)).withColumn(
+        "src", F.lit("point")
+    )
+    return rng.unionByName(pt)
+
+
 def _snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollback demo: commit batch 1 (doc_id%3==0), batch 2 (the rest),
     a bad deletion request (every 11th doc), then ``rollback`` to
@@ -1660,6 +1690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # request, then rollback to snapshot 1 — the HEAD read must equal
         # batch 1 exactly (manifest-only restore; history intact)
         "snapshot_rollback": _snapshot_rollback,
+        # Iceberg-style partition-spec evolution: per-dir specs, planner
+        # prunes each dir under its OWN layout (tail: values carried by
+        # plain SQL filters; pruning counts asserted in pytest)
+        "snapshot_partition_evolution": _snapshot_partition_evolution,
         # named-ref (tag) read: HEAD moves, the v1 tag still reads batch 1
         "snapshot_tag_read": _snapshot_tag_read,
         # the snapshot log consumed AS A STREAM: a Structured Streaming
@@ -3088,6 +3122,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "snapshot_tag_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+        """,
+        # partition layouts never change VALUES: the range and point
+        # reads equal the plain filters whatever spec each dir used
+        "snapshot_partition_evolution": """
+            SELECT doc_id, lang, n_chars, 'range' AS src
+            FROM documents WHERE doc_id BETWEEN 25 AND 44
+            UNION ALL
+            SELECT doc_id, lang, n_chars, 'point' AS src
+            FROM documents WHERE doc_id = 203
         """,
         # end-to-end curation chain: remap (single-level: the ORIGINAL
         # text of doc_id - 21) -> extracted text == the original

@@ -329,6 +329,8 @@ class SnapshotLog:
         probe_bits = (
             _bloom_positions(where_eq[1]) if where_eq is not None else None
         )
+        sentinel = object()
+        eq_v = where_eq[1] if where_eq is not None else sentinel
         kept = []
         for d in dirs:
             ds = stats.get(d, {})
@@ -336,6 +338,11 @@ class SnapshotLog:
             if rng is not None and (
                 (hi is not None and rng[0] > hi) or (lo is not None and rng[1] < lo)
             ):
+                continue
+            # partition-layout pruning (spec evolution: each dir under
+            # ITS OWN recorded spec — see write_partitioned)
+            part = ds.get("partition")
+            if part is not None and _part_skip(part, col, lo, hi, eq_v, sentinel):
                 continue
             bloom = ds.get("bloom", {}).get(col) if probe_bits is not None else None
             if bloom is not None:
@@ -1064,6 +1071,160 @@ def _dir_stats(df: DataFrame, col: str = "doc_id") -> tuple[int, dict]:
                 bits[p // 8] |= 1 << (p % 8)
         stats["bloom"] = {col: bytes(bits).hex()}
     return int(row["n"]), stats
+
+
+# -- partition specs (Iceberg-style layout + spec evolution) ----------------
+#
+# A partition spec is {"spec_id": k, "col": c, "transform": t, "n": n}.
+# The spec rides PER DIRECTORY in the manifest stats entry ("partition"),
+# which is exactly how Iceberg survives spec evolution: every data file
+# remembers the spec it was written under, and the planner prunes each
+# file by ITS OWN spec — old-layout and new-layout dirs coexist in one
+# table, no rewrite.  Transforms are the Iceberg set (identity / bucket /
+# truncate / day) with an engine-local bucket function (v % n for ints,
+# md5-derived for strings — deterministic, replayable planner-side;
+# Iceberg's murmur3 is an implementation detail, not a semantic).
+
+
+def partition_value(transform: str, n, v):
+    """Planner-side transform: the partition value ``v`` lands in."""
+    if v is None:
+        return None
+    if transform == "identity":
+        return v
+    if transform == "bucket":
+        if isinstance(v, int):
+            return v % int(n)
+        import hashlib
+
+        return int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16) % int(n)
+    if transform == "truncate":
+        if isinstance(v, int):
+            return v - (v % int(n))
+        return str(v)[: int(n)]
+    if transform == "day":
+        return int(v) // 86400
+    raise ValueError(f"unknown partition transform {transform!r}")
+
+
+def _partition_expr(df: DataFrame, spec: dict):
+    """The SAME transform as a JVM column expression (writer side)."""
+    from pyspark.sql import types as T
+
+    t, col, n = spec["transform"], spec["col"], spec.get("n")
+    c = F.col(col)
+    is_str = isinstance(df.schema[col].dataType, T.StringType)
+    if t == "identity":
+        return c
+    if t == "bucket":
+        if is_str:
+            return F.pmod(
+                F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"), F.lit(int(n))
+            )
+        return F.pmod(c.cast("long"), F.lit(int(n)))
+    if t == "truncate":
+        if is_str:
+            return F.substring(c, 1, int(n))
+        return c.cast("long") - F.pmod(c.cast("long"), F.lit(int(n)))
+    if t == "day":
+        return F.floor(c.cast("long") / 86400).cast("long")
+    raise ValueError(f"unknown partition transform {t!r}")
+
+
+def _part_skip(part: dict, col: str, lo, hi, eq_v, sentinel) -> bool:
+    """True => this directory cannot contain matching rows.  Equality
+    probes compare the probe's transform value against the dir's for ANY
+    transform; range probes prune only ORDER-PRESERVING transforms
+    (identity / int-truncate / day) — a bucket scatters ranges."""
+    if part.get("col") != col:
+        return False
+    t, n, pv = part.get("transform"), part.get("n"), part.get("value")
+    if eq_v is not sentinel:
+        try:
+            return partition_value(t, n, eq_v) != pv
+        except (ValueError, TypeError):
+            return False
+    if t == "identity" and isinstance(pv, (int, float)):
+        return (lo is not None and pv < lo) or (hi is not None and pv > hi)
+    if t == "truncate" and isinstance(pv, int):
+        return (hi is not None and pv > hi) or (
+            lo is not None and pv + int(n) - 1 < lo
+        )
+    if t == "day" and isinstance(pv, int):
+        return (hi is not None and pv * 86400 > hi) or (
+            lo is not None and (pv + 1) * 86400 - 1 < lo
+        )
+    return False
+
+
+def write_partitioned(
+    spark: SparkSession,
+    log: SnapshotLog,
+    df: DataFrame,
+    table: str,
+    spec: dict,
+    summary: dict | None = None,
+) -> int:
+    """Write ``df`` under ``spec``'s partition layout and commit: ONE
+    write job (``partitionBy`` on the transform value — the partition
+    column itself stays in the data files), ONE grouped aggregate for
+    the per-partition manifest stats (rows + min/max + Bloom on the
+    spec's source column), then a commit whose stats entries carry the
+    per-dir ``partition`` metadata ``plan_files`` prunes by.  Different
+    commits of the same table may use DIFFERENT specs (spec evolution)
+    — each dir is planned under the spec it was written with."""
+    from .textops.sketch import hash48
+
+    col = spec["col"]
+    base = log.new_data_dir(table, kind="part")
+    with_pv = df.withColumn("__pv", _partition_expr(df, spec))
+    with_pv.write.partitionBy("__pv").parquet(base)
+    pos = [
+        F.pmod(
+            hash48(F.concat(F.col(col).cast("string"), F.lit(f"#bloom{k}"))),
+            F.lit(BLOOM_M).cast("long"),
+        )
+        for k in range(BLOOM_K)
+    ]
+    grouped = (
+        with_pv.groupBy("__pv")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(col).alias("lo"),
+            F.max(col).alias("hi"),
+            *[F.collect_set(p).alias(f"pos{k}") for k, p in enumerate(pos)],
+        )
+        .collect()
+    )
+    dirs, stats = [], {}
+    meta = {
+        "spec_id": spec.get("spec_id", 0),
+        "col": col,
+        "transform": spec["transform"],
+        "n": spec.get("n"),
+    }
+    for row in grouped:
+        pv = row["__pv"]
+        d = os.path.join(base, f"__pv={pv}")
+        if not os.path.isdir(d):  # defensive: naming drift = no pruning meta
+            continue
+        entry: dict = {"rows": int(row["n"]), "cols": {}}
+        if row["lo"] is not None:
+            entry["cols"][col] = [row["lo"], row["hi"]]
+            bits = bytearray(BLOOM_M // 8)
+            for k in range(BLOOM_K):
+                for p in row[f"pos{k}"]:
+                    bits[p // 8] |= 1 << (p % 8)
+            entry["bloom"] = {col: bytes(bits).hex()}
+        entry["partition"] = {**meta, "value": pv}
+        dirs.append(d)
+        stats[d] = entry
+    return log.commit(
+        {table: dirs},
+        summary={**(summary or {}), "partition_spec": meta},
+        schemas={table: df.schema.json()},
+        stats={table: stats},
+    )
 
 
 def extract_increment(

@@ -935,3 +935,54 @@ def test_write_audit_publish(spark):
     # the publish commit is a replace, history intact
     ops = [s["operation"] for s in log.chain()]
     assert ops == ["append", "append", "replace", "replace"]
+
+
+def test_partition_transforms_match_both_sides():
+    """partition_value (planner) and _partition_expr (writer) agree —
+    the pruning contract depends on it."""
+    from pdfparser_spark.snapshots import partition_value
+
+    assert partition_value("identity", None, 7) == 7
+    assert partition_value("bucket", 8, 203) == 3
+    assert partition_value("bucket", 8, "alpha") == partition_value("bucket", 8, "alpha")
+    assert partition_value("truncate", 20, 47) == 40
+    assert partition_value("truncate", 3, "alphabet") == "alp"
+    assert partition_value("day", None, 200000) == 2
+    assert partition_value("identity", None, None) is None
+
+
+def test_partition_spec_evolution_prunes_per_dir(spark):
+    """Two commits under DIFFERENT specs coexist; the planner prunes each
+    dir by its own layout: range probes keep only the covering truncate
+    dirs, point probes keep exactly one bucket dir, and reads always
+    equal the plain filter."""
+    import tempfile
+
+    from pdfparser_spark.snapshots import SnapshotLog, write_partitioned
+
+    log = SnapshotLog(tempfile.mkdtemp(prefix="pspec_"))
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("v")
+    )
+    write_partitioned(
+        spark, log, docs.filter(F.col("doc_id") < 200), "docs",
+        {"spec_id": 1, "col": "doc_id", "transform": "truncate", "n": 20},
+    )
+    write_partitioned(
+        spark, log, docs.filter(F.col("doc_id") >= 200), "docs",
+        {"spec_id": 2, "col": "doc_id", "transform": "bucket", "n": 8},
+    )
+    n_dirs = len(log.files_for("docs"))
+    assert n_dirs == 18  # 10 truncate-20 dirs + 8 bucket dirs
+    assert log.read(spark, "docs").count() == 400
+    # range probe: only the two truncate dirs covering [25, 44] survive
+    dirs, skipped = log.plan_files("docs", where=("doc_id", 25, 44))
+    assert len(dirs) == 2 and skipped == 16
+    got = sorted(r.doc_id for r in log.read(spark, "docs", where=("doc_id", 25, 44)).collect())
+    assert got == list(range(25, 45))
+    # point probe in the bucket half: exactly one dir, by transform match
+    dirs, skipped = log.plan_files("docs", where_eq=("doc_id", 203))
+    assert len(dirs) == 1 and f"__pv={203 % 8}" in dirs[0]
+    assert [r.v for r in log.read(spark, "docs", where_eq=("doc_id", 203)).collect()] == [609]
+    # a probe matching nothing still returns an empty, well-typed frame
+    assert log.read(spark, "docs", where_eq=("doc_id", 401)).count() == 0

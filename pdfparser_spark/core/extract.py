@@ -1205,6 +1205,8 @@ def _font_widths(font_obj, objects: dict):
             else None
         )
         ff = get_resolved(fd, "FontFile", objects) if isinstance(fd, dict) else None
+        ff2 = get_resolved(fd, "FontFile2", objects) if isinstance(fd, dict) else None
+        table = {}
         if isinstance(ff, Stream):
             try:
                 from .type1 import parse_type1_widths
@@ -1213,8 +1215,18 @@ def _font_widths(font_obj, objects: dict):
                 table = parse_type1_widths(bytes(raw))
             except Exception:
                 table = {}
-            if table:
-                return (lambda code: table.get(code, 500)), 1, True, False
+        elif isinstance(ff2, Stream):
+            # TrueType program (§9.9 /FontFile2): head/hhea/hmtx/cmap4
+            try:
+                from .truetype import parse_truetype_widths
+
+                raw = ff2.data if ff2.data is not None else ff2.raw
+                table = parse_truetype_widths(bytes(raw))
+            except Exception:
+                table = {}
+        if table:
+            t = table
+            return (lambda code: t.get(code, 500)), 1, True, False
         base = str(font.get("BaseFont") or "") if isinstance(font, dict) else ""
         if "+" in base:  # subset tag, e.g. ABCDEF+Courier-Bold
             base = base.split("+", 1)[1]

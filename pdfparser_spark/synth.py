@@ -1948,6 +1948,21 @@ def adv_emb_width(doc_id: int, code: int) -> int:
     return 350 + ((code + doc_id) % 6) * 25
 
 
+def adv_is_truetype(doc_id: int) -> bool:
+    """Every 13th+7 non-CID doc embeds a TRUETYPE program
+    (/FontDescriptor /FontFile2, core/truetype.py pair): widths come
+    from the sfnt's own hmtx table through the cmap format-4 mapping,
+    scaled by head.unitsPerEm — 500 here, so hmtx carries w/2 and the
+    1000/upem scaling must be real (every family width is even)."""
+    return doc_id % 13 == 7 and not adv_is_cid(doc_id)
+
+
+def adv_tt_width(doc_id: int, code: int) -> int:
+    """Text-space width (per mille) the TrueType variant declares —
+    distinct formula from the Type 1 family, also doc-mixed."""
+    return 400 + ((2 * code + doc_id) % 5) * 30
+
+
 def adv_rise_milli(doc_id: int) -> int:
     """Text rise (Ts, §9.3.7) applied to SEGMENT 1 only on every 19th+5
     doc: 0.25/0.5/0.75/1.0 pt (dyadic — float-exact in both engines)."""
@@ -1973,6 +1988,8 @@ def adv_eff_width(doc_id: int, code: int) -> int:
         return HELVETICA_WIDTHS[code - 32] if 32 <= code < 127 else 500
     if adv_is_embedded(doc_id):
         return adv_emb_width(doc_id, code)
+    if adv_is_truetype(doc_id):
+        return adv_tt_width(doc_id, code)
     return adv_width(code) * (2 if adv_is_type3(doc_id) else 1)
 
 
@@ -2116,13 +2133,14 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     mono = adv_is_courier(doc_id)
     helv = adv_is_helv(doc_id)
     emb = adv_is_embedded(doc_id)
+    ttf = adv_is_truetype(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
     CATALOG, PAGESROOT, FONT, PAGE, CONTENT, DESC, TOUNI = 1, 2, 3, 4, 5, 6, 7
     PROC = 6  # Type3 glyph-procedure stream (slot shared with DESC: disjoint kinds)
     FFILE = 7  # embedded Type1 program (slot shared with TOUNI: disjoint kinds)
-    n_objs = 7 if (cid or emb) else (6 if t3 else 5)
+    n_objs = 7 if (cid or emb or ttf) else (6 if t3 else 5)
     offsets[CATALOG] = b.struct(
         f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
     )
@@ -2166,6 +2184,13 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             (
                 f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
                 f"/BaseFont /SYNF+EmbOne /FontDescriptor {DESC} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    elif ttf:
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /TrueType "
+                f"/BaseFont /SYNF+EmbTwo /FontDescriptor {DESC} 0 R >> endobj\n"
             ).encode("ascii")
         )
     elif mono:
@@ -2264,6 +2289,28 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             (
                 f"{FFILE} 0 obj << /Length {len(prog)} /Length1 {l1} "
                 f"/Length2 {l2} /Length3 {l3} >> stream\n"
+            ).encode("ascii")
+        )
+        b.text_payload(prog)
+        b.struct(b"\nendstream endobj\n")
+    if ttf:
+        from .core import truetype as _tt
+
+        prog = _tt.build_truetype_font(
+            {c: adv_tt_width(doc_id, c) // 2 for c in range(32, 127)}, upem=500
+        )
+        offsets[DESC] = b.struct(
+            (
+                f"{DESC} 0 obj << /Type /FontDescriptor /FontName /SYNF+EmbTwo "
+                f"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                f"/Descent -200 /CapHeight 700 /StemV 80 "
+                f"/FontFile2 {FFILE} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+        offsets[FFILE] = b.struct(
+            (
+                f"{FFILE} 0 obj << /Length {len(prog)} /Length1 {len(prog)} "
+                f">> stream\n"
             ).encode("ascii")
         )
         b.text_payload(prog)

@@ -60,7 +60,10 @@ def test_advance_kern_moves_cursor_both_directions():
         k = adv_kern(doc_id)
         spans = _spans(doc_id)
         tc, tw = adv_tc_milli(doc_id), adv_tw_milli(doc_id)
-        w = lambda ch: 300 + (ord(ch) % 8) * 50
+        from pdfparser_spark.synth import adv_eff_width
+
+        # font-kind-aware widths (doc 7 is the embedded-TrueType variant)
+        w = lambda ch: adv_eff_width(doc_id, ord(ch))
         seg1 = spans[1]
         after1 = seg1[3] + sum(
             w(c) * fs * tz + tc * tz + (tw * tz if c == " " else 0) for c in seg1[4]
@@ -365,6 +368,30 @@ def test_embedded_type1_advance_family_end_to_end():
         tc, tw = adv_tc_milli(d), adv_tw_milli(d)
         manual = sum(
             adv_emb_width(d, ord(c)) * fs * tz + tc * tz + (tw * tz if c == " " else 0)
+            for c in spans[0][4]
+        )
+        assert spans[1][3] == manual, d
+
+
+def test_truetype_advance_family_end_to_end():
+    # doc 7 / doc 20 are the embedded-TrueType variants (doc%13==7,
+    # non-CID): NO /Widths — the cursor is right only if the kernel reads
+    # the sfnt's hmtx through its cmap and scales by unitsPerEm (500
+    # here, so the raw hmtx value is HALF the text-space width)
+    from pdfparser_spark.synth import adv_is_truetype, adv_tt_width
+
+    for d in (7, 20):
+        assert adv_is_truetype(d)
+        spans = _spans(d)
+        exp = [
+            (p, 72.0, y, ax, t, float(fs), m)
+            for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(d, TEXT)
+        ]
+        assert spans == exp, d
+        fs, tz = adv_font_size(d), adv_tz_pct(d)
+        tc, tw = adv_tc_milli(d), adv_tw_milli(d)
+        manual = sum(
+            adv_tt_width(d, ord(c)) * fs * tz + tc * tz + (tw * tz if c == " " else 0)
             for c in spans[0][4]
         )
         assert spans[1][3] == manual, d

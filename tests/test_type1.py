@@ -67,3 +67,18 @@ def test_corrupt_programs_are_contained():
     mid = prog.find(b"eexec") + 40
     mut[mid : mid + 8] = b"\x00" * 8
     assert isinstance(parse_type1_widths(bytes(mut)), dict)
+
+
+def test_truetype_build_parse_fixpoint():
+    """core/truetype.py: hmtx widths through cmap format 4, scaled by
+    head.unitsPerEm; corrupt input contained."""
+    from pdfparser_spark.core.truetype import build_truetype_font, parse_truetype_widths
+
+    w = {c: 400 + ((2 * c + 7) % 5) * 30 for c in range(32, 127)}
+    assert parse_truetype_widths(build_truetype_font(w)) == w
+    # unitsPerEm scaling is real: 1024 font units at upem 2048 = 500/1000
+    got = parse_truetype_widths(build_truetype_font({c: 1024 for c in range(65, 70)}, upem=2048))
+    assert got == {c: 500 for c in range(65, 70)}
+    assert parse_truetype_widths(b"") == {}
+    assert parse_truetype_widths(b"\x00\x01\x00\x00\x00\x07") == {}
+    assert isinstance(parse_truetype_widths(build_truetype_font(w)[:100]), dict)

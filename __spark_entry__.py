@@ -2776,6 +2776,9 @@ def oracle_sql() -> dict[str, str]:
                      -- embedded TrueType program (doc%13=7): hmtx widths
                      -- through cmap4, scaled by head.unitsPerEm
                      CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 7 THEN 1 ELSE 0 END AS ttf,
+                     -- embedded CFF program (doc%13=3): Type 2 leading
+                     -- width operands + defaultWidthX for code%16==0
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 3 THEN 1 ELSE 0 END AS cff,
                      CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm,
                      CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
                      CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
@@ -2789,12 +2792,12 @@ def oracle_sql() -> dict[str, str]:
                      {_HELV_SQL} AS hw
               FROM documents
             ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, fm, rise, tmode, cid, vert, hasw2, w1y, hw, i AS li,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, i AS li,
                      w[i*6 + 1 : i*6 + 6] AS lw
               FROM base, unnest(generate_series(0, 6)) AS u(i)
               WHERE len(w) > i*6
             ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, fm, rise, tmode, cid, vert, hasw2, w1y, hw, li, s AS si,
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, li, s AS si,
                      CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
                             WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
                             ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
@@ -2814,6 +2817,8 @@ def oracle_sql() -> dict[str, str]:
                              WHEN helv = 1 THEN hw[ascii(c) - 31]
                              WHEN emb = 1 THEN 350 + ((ascii(c) + doc_id) % 6) * 25
                              WHEN ttf = 1 THEN 400 + ((2 * ascii(c) + doc_id) % 5) * 30
+                             WHEN cff = 1 THEN CASE WHEN ascii(c) % 16 = 0 THEN 480
+                                  ELSE 380 + ((3 * ascii(c) + doc_id) % 7) * 20 END
                              ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
                   + CAST(length(t) AS BIGINT) * tc * tz
                   + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz

@@ -1224,6 +1224,20 @@ def _font_widths(font_obj, objects: dict):
                 table = parse_truetype_widths(bytes(raw))
             except Exception:
                 table = {}
+        else:
+            ff3 = (
+                get_resolved(fd, "FontFile3", objects) if isinstance(fd, dict) else None
+            )
+            if isinstance(ff3, Stream):
+                # CFF program (§9.9 /FontFile3 /Type1C): Type 2 charstring
+                # leading-width operands + Private DICT defaults
+                try:
+                    from .cff import parse_cff_widths
+
+                    raw = ff3.data if ff3.data is not None else ff3.raw
+                    table = parse_cff_widths(bytes(raw))
+                except Exception:
+                    table = {}
         if table:
             t = table
             return (lambda code: t.get(code, 500)), 1, True, False

@@ -1963,6 +1963,27 @@ def adv_tt_width(doc_id: int, code: int) -> int:
     return 400 + ((2 * code + doc_id) % 5) * 30
 
 
+def adv_is_cff(doc_id: int) -> bool:
+    """Every 13th+3 non-CID doc embeds a CFF program (/FontDescriptor
+    /FontFile3 /Subtype /Type1C, core/cff.py pair): widths are Type 2
+    charstring leading operands (nominalWidthX-relative), EXCEPT codes
+    divisible by 16, whose charstrings omit the operand and ride the
+    Private DICT's defaultWidthX — both width paths observable."""
+    return doc_id % 13 == 3 and not adv_is_cid(doc_id)
+
+
+CFF_DEFAULT_W = 480
+CFF_NOMINAL_W = 107
+
+
+def adv_cff_width(doc_id: int, code: int) -> int:
+    """Width the CFF variant declares: the defaultWidthX constant for
+    code%16==0, a doc-mixed formula otherwise."""
+    if code % 16 == 0:
+        return CFF_DEFAULT_W
+    return 380 + ((3 * code + doc_id) % 7) * 20
+
+
 def adv_rise_milli(doc_id: int) -> int:
     """Text rise (Ts, §9.3.7) applied to SEGMENT 1 only on every 19th+5
     doc: 0.25/0.5/0.75/1.0 pt (dyadic — float-exact in both engines)."""
@@ -1990,6 +2011,8 @@ def adv_eff_width(doc_id: int, code: int) -> int:
         return adv_emb_width(doc_id, code)
     if adv_is_truetype(doc_id):
         return adv_tt_width(doc_id, code)
+    if adv_is_cff(doc_id):
+        return adv_cff_width(doc_id, code)
     return adv_width(code) * (2 if adv_is_type3(doc_id) else 1)
 
 
@@ -2134,13 +2157,14 @@ def build_document_advance(doc_id: int, text: str) -> dict:
     helv = adv_is_helv(doc_id)
     emb = adv_is_embedded(doc_id)
     ttf = adv_is_truetype(doc_id)
+    cff = adv_is_cff(doc_id)
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
     CATALOG, PAGESROOT, FONT, PAGE, CONTENT, DESC, TOUNI = 1, 2, 3, 4, 5, 6, 7
     PROC = 6  # Type3 glyph-procedure stream (slot shared with DESC: disjoint kinds)
     FFILE = 7  # embedded Type1 program (slot shared with TOUNI: disjoint kinds)
-    n_objs = 7 if (cid or emb or ttf) else (6 if t3 else 5)
+    n_objs = 7 if (cid or emb or ttf or cff) else (6 if t3 else 5)
     offsets[CATALOG] = b.struct(
         f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R >> endobj\n".encode("ascii")
     )
@@ -2191,6 +2215,13 @@ def build_document_advance(doc_id: int, text: str) -> dict:
             (
                 f"{FONT} 0 obj << /Type /Font /Subtype /TrueType "
                 f"/BaseFont /SYNF+EmbTwo /FontDescriptor {DESC} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+    elif cff:
+        offsets[FONT] = b.struct(
+            (
+                f"{FONT} 0 obj << /Type /Font /Subtype /Type1 "
+                f"/BaseFont /SYNF+EmbThree /FontDescriptor {DESC} 0 R >> endobj\n"
             ).encode("ascii")
         )
     elif mono:
@@ -2310,6 +2341,30 @@ def build_document_advance(doc_id: int, text: str) -> dict:
         offsets[FFILE] = b.struct(
             (
                 f"{FFILE} 0 obj << /Length {len(prog)} /Length1 {len(prog)} "
+                f">> stream\n"
+            ).encode("ascii")
+        )
+        b.text_payload(prog)
+        b.struct(b"\nendstream endobj\n")
+    if cff:
+        from .core import cff as _cff
+
+        prog = _cff.build_cff_font(
+            {c: adv_cff_width(doc_id, c) for c in range(32, 127)},
+            default_w=CFF_DEFAULT_W,
+            nominal_w=CFF_NOMINAL_W,
+        )
+        offsets[DESC] = b.struct(
+            (
+                f"{DESC} 0 obj << /Type /FontDescriptor /FontName /SYNF+EmbThree "
+                f"/Flags 4 /FontBBox [0 0 1000 1000] /ItalicAngle 0 /Ascent 800 "
+                f"/Descent -200 /CapHeight 700 /StemV 80 "
+                f"/FontFile3 {FFILE} 0 R >> endobj\n"
+            ).encode("ascii")
+        )
+        offsets[FFILE] = b.struct(
+            (
+                f"{FFILE} 0 obj << /Subtype /Type1C /Length {len(prog)} "
                 f">> stream\n"
             ).encode("ascii")
         )

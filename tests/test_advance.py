@@ -395,3 +395,27 @@ def test_truetype_advance_family_end_to_end():
             for c in spans[0][4]
         )
         assert spans[1][3] == manual, d
+
+
+def test_cff_advance_family_end_to_end():
+    # doc 3 / doc 16 are the embedded-CFF variants (doc%13==3, non-CID):
+    # widths come from Type 2 charstring leading operands, except
+    # code%16==0 glyphs whose charstrings omit the operand (Private DICT
+    # defaultWidthX path) — ' ' (32) and '`'/'p' (96/112) hit it
+    from pdfparser_spark.synth import adv_cff_width, adv_is_cff
+
+    for d in (3, 16):
+        assert adv_is_cff(d)
+        spans = _spans(d)
+        exp = [
+            (p, 72.0, y, ax, t, float(fs), m)
+            for (_o, p, _li, _x, y, ax, t, fs, m) in expected_advance(d, TEXT)
+        ]
+        assert spans == exp, d
+        fs, tz = adv_font_size(d), adv_tz_pct(d)
+        tc, tw = adv_tc_milli(d), adv_tw_milli(d)
+        manual = sum(
+            adv_cff_width(d, ord(c)) * fs * tz + tc * tz + (tw * tz if c == " " else 0)
+            for c in spans[0][4]
+        )
+        assert spans[1][3] == manual, d

@@ -82,3 +82,23 @@ def test_truetype_build_parse_fixpoint():
     assert parse_truetype_widths(b"") == {}
     assert parse_truetype_widths(b"\x00\x01\x00\x00\x00\x07") == {}
     assert isinstance(parse_truetype_widths(build_truetype_font(w)[:100]), dict)
+
+
+def test_cff_build_parse_fixpoint():
+    """core/cff.py: Type 2 leading-width operands (nominalWidthX-
+    relative) and the defaultWidthX no-operand path, through the
+    format-0 Encoding; corrupt input contained."""
+    from pdfparser_spark.core.cff import build_cff_font, parse_cff_widths
+
+    def w(doc, c):
+        return 480 if c % 16 == 0 else 380 + ((3 * c + doc) % 7) * 20
+
+    for doc in (3, 16, 29):
+        widths = {c: w(doc, c) for c in range(32, 127)}
+        prog = build_cff_font(widths, default_w=480, nominal_w=107)
+        assert parse_cff_widths(prog) == widths, doc
+    # negative-relative operands (w < nominalWidthX) round-trip too
+    assert parse_cff_widths(build_cff_font({65: 50}, 999, 500)) == {65: 50}
+    assert parse_cff_widths(b"") == {}
+    assert parse_cff_widths(b"\x01\x00\x04\x01") == {}
+    assert isinstance(parse_cff_widths(build_cff_font({65: 500}, 0, 0)[:20]), dict)

@@ -241,6 +241,41 @@ def _warc_pdf_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _mbox_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(_CACHE_ROOT, f"mbox_{_sf_tag(sf_dir)}_{_SRC_TAG}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pdfparser_spark.sources import mbox
+
+        mbox.write_mbox_shards(_docs(spark, sf_dir), out, n_shards=8).count()
+        open(marker, "w").close()
+    return out
+
+
+def _mbox_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-mail-archive ingestion: mbox shards -> RFC 4155 split + stdlib
+    MIME parse (an INDEPENDENT grammar implementation) -> base64-decoded
+    application/pdf attachments -> the SAME extraction kernel as every
+    family -> ordered spans.  Two stateless mapInPandas kernels, zero
+    shuffle; the plain span SQL is the oracle — mail transport must be
+    invisible to extraction (the warc_pdf_extract shape for mailboxes)."""
+    from pdfparser_spark.sources import mbox
+
+    parsed = mbox.read_mbox(spark, _mbox_dir(spark, sf_dir))
+    raw = parsed.filter(F.col("pdf").isNotNull()).select(
+        F.regexp_extract("subject", r"document (\d+)$", 1).cast("long").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("pdf").cast("string").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return flatten_spans(extract_fused(raw))
+
+
 def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full integration the north star describes, off a crawl archive:
     application/pdf WARC responses (the ASCII-armored synthetic PDFs as
@@ -1755,6 +1790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain span oracle (tail: WARC shape in-window via warc_ingest,
         # kernel via the extract_* block)
         "warc_pdf_extract": _warc_pdf_extract,
+        # e-mail-archive chain (tail: span-oracle family; the crawl twin
+        # warc_pdf_extract is in-window): mbox -> stdlib MIME parse ->
+        # base64 PDF attachments -> the extraction kernel
+        "mbox_pdf_extract": _mbox_pdf_extract,
         # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
         # image XObjects; this pulls them back out of the (decrypted)
         # object graph and decodes them with the textops codecs
@@ -3765,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         "warc_pdf_extract": _span_sql(),
+        "mbox_pdf_extract": _span_sql(),
         # rescue semantics: corrupt lines (doc_id % 23 == 7, truncated 5
         # bytes short) surface with NULL typed columns and the raw-line
         # length; the canonical json line is 31 fixed chars + the three

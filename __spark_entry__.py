@@ -45,6 +45,7 @@ from pdfparser_spark.stages import (
     extract_revisions_fused,
     extract_apply_redactions_fused,
     extract_encrypt_rewrite_fused,
+    extract_font_inventory_fused,
     extract_merge_pairs_fused,
     extract_portfolio_fused,
     extract_rewrite_fused,
@@ -938,6 +939,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Integer widths x integer sizes x milli-point spacing keep every
         # cursor EXACT: the oracle replays the cursor in BIGINT algebra
         "extract_layout_advance": lambda s, d: extract_advance_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="advance",
+            )
+        ),
+        # embedded-font inventory over the advance family: the trilogy
+        # (FontFile / FontFile2 / FontFile3) reported with PARSED glyph
+        # counts + the program's space width — tail: doc_id-arithmetic
+        # oracle, cursor evidence in-window via extract_layout_advance
+        "doc_embedded_fonts": lambda s, d: extract_font_inventory_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
                 family="advance",
@@ -3805,6 +3816,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_pdf_extract": _span_sql(),
         "mbox_pdf_extract": _span_sql(),
+        # embedded-font inventory (advance family, one font per doc):
+        # program kind + parsed glyph count + the program's space width
+        # by doc_id arithmetic
+        "doc_embedded_fonts": """
+            SELECT doc_id, CAST(0 AS INT) AS page_idx, 'F1' AS font_name,
+              CASE WHEN doc_id % 11 = 6 THEN 'Type0'
+                   WHEN doc_id % 13 = 2 THEN 'Type3'
+                   WHEN doc_id % 13 = 7 THEN 'TrueType'
+                   ELSE 'Type1' END AS subtype,
+              CASE WHEN doc_id % 11 = 6 THEN 'none'
+                   WHEN doc_id % 13 = 5 THEN 'type1'
+                   WHEN doc_id % 13 = 7 THEN 'truetype'
+                   WHEN doc_id % 13 = 3 THEN 'cff'
+                   ELSE 'none' END AS program,
+              CAST(CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 IN (3, 5, 7)
+                   THEN 95 ELSE 0 END AS INT) AS n_glyphs,
+              CAST(CASE WHEN doc_id % 11 = 6 THEN NULL
+                   WHEN doc_id % 13 = 5 THEN 350 + ((32 + doc_id) % 6) * 25
+                   WHEN doc_id % 13 = 7 THEN 400 + ((64 + doc_id) % 5) * 30
+                   WHEN doc_id % 13 = 3 THEN 480
+                   ELSE NULL END AS INT) AS w_space
+            FROM documents
+        """,
         # rescue semantics: corrupt lines (doc_id % 23 == 7, truncated 5
         # bytes short) surface with NULL typed columns and the raw-line
         # length; the canonical json line is 31 fixed chars + the three

@@ -77,6 +77,7 @@ def tokenize_content(
     advance: bool = False,
     hidden_props: frozenset | set | None = None,
     mcid: bool = False,
+    gs_fonts: dict | None = None,
 ):
     """Run the postfix machine over one decoded content stream.
 
@@ -384,6 +385,19 @@ def tokenize_content(
             pos = _skip_inline_image(data, pos)
             if not hide_n and not atext_n:
                 events.append(("inline", at, INLINE_MEDIA_REF))
+            stack.clear()
+        elif op == b"gs":
+            # §8.4.5 Table 58: an ExtGState dict may carry /Font
+            # [font size] — gs then selects the font exactly like Tf.
+            # The caller resolves which /ExtGState names do (``gs_fonts``
+            # maps name -> size); a gs naming a font-less state (alpha,
+            # line width, ...) must NOT clobber the current font.
+            if stack and isinstance(stack[-1], Name) and gs_fonts:
+                nm = str(stack[-1])
+                if nm in gs_fonts:
+                    font = "__gs__" + nm
+                    if layout and gs_fonts[nm] is not None:
+                        fsize = float(gs_fonts[nm])
             stack.clear()
         else:
             # BT/ET/Td/TD/Tm/T*/TL/graphics ops: ordering-only here

@@ -436,6 +436,29 @@ def _hidden_prop_names(resources, objects: dict, off_ids: set) -> frozenset | No
     return hidden or None
 
 
+def _gs_font_map(resources, objects: dict) -> dict:
+    """ExtGState font declarations in a resource dict (ISO 32000 §8.4.5
+    Table 58): ``{gs_name: (font_ref, size|None)}`` for every
+    /ExtGState entry whose dict carries a ``/Font [font size]`` array —
+    the ``gs`` operator then selects that font exactly like Tf, a path
+    real generators (notably flattened form appearances) use."""
+    egs = get_resolved(resources, "ExtGState", objects)
+    out: dict = {}
+    if isinstance(egs, dict):
+        for nm, gv in egs.items():
+            g = resolve(gv, objects)
+            if not isinstance(g, dict):
+                continue
+            fe = resolve(g.get("Font"), objects)
+            if isinstance(fe, list) and fe:
+                sz = resolve(fe[1], objects) if len(fe) > 1 else None
+                out[str(nm)] = (
+                    fe[0],
+                    float(sz) if isinstance(sz, (int, float)) else None,
+                )
+    return out
+
+
 def _content_events(
     content: bytes,
     resources,
@@ -475,8 +498,17 @@ def _content_events(
     fonts = get_resolved(resources, "Font", objects) or {}
     xobjects = get_resolved(resources, "XObject", objects) or {}
     hidden = _hidden_prop_names(resources, objects, off_ids) if off_ids else None
+    gs_sizes = _gs_font_map(resources, objects)
+    if gs_sizes:
+        # the ExtGState-declared fonts join the page's font namespace
+        # under sentinel names the tokenizer emits on ``gs``
+        add = {}
+        for nm, (fref, _sz) in gs_sizes.items():
+            add["__gs__" + nm] = fref
+        fonts = {**fonts, **add} if isinstance(fonts, dict) else add
     for ev in tokenize_content(
-        content, layout=layout, advance=advance, hidden_props=hidden, mcid=mcid
+        content, layout=layout, advance=advance, hidden_props=hidden, mcid=mcid,
+        gs_fonts={nm: sz for nm, (_f, sz) in gs_sizes.items()} if gs_sizes else None,
     ):
         if ev[0] == "media":
             name = ev[2]
@@ -740,7 +772,18 @@ def decode_document(data: bytes, password: bytes = b""):
             # against the PAGE /Properties namespace — the documented
             # staged flattening, same as fonts.
             hidden = _hidden_prop_names(resources, objects, off_ids)
-            hidden_json = json.dumps(sorted(hidden)) if hidden else None
+            gs_map = _gs_font_map(resources, objects)
+            if gs_map:
+                # extended channel shape: hidden names + the gs-font
+                # sizes ride together (tokenize stage sniffs dict vs list)
+                hidden_json = json.dumps(
+                    {
+                        "hidden": sorted(hidden) if hidden else [],
+                        "gs": {nm: sz for nm, (_f, sz) in gs_map.items()},
+                    }
+                )
+            else:
+                hidden_json = json.dumps(sorted(hidden)) if hidden else None
 
             # content pieces first: a /Contents ARRAY concatenates into ONE
             # stream before tokenization (§7.8.2 — tokens may be split only
@@ -793,6 +836,19 @@ def decode_document(data: bytes, password: bytes = b""):
                     cmap_bytes, enc_spec = _encoding_spec(font, objects)
                 fonts.append((page_idx, fname, cmap_bytes, enc_spec))
                 seen_fonts.add(fname)
+            # ExtGState-declared fonts (§8.4.5 /Font): dimension rows
+            # under the tokenizer's ``__gs__<name>`` sentinel keys
+            for gname, (fref, _sz) in gs_map.items():
+                key = "__gs__" + gname
+                if key in seen_fonts:
+                    continue
+                font = resolve(fref, objects)
+                cmap_bytes = None
+                enc_spec = None
+                if isinstance(font, dict):
+                    cmap_bytes, enc_spec = _encoding_spec(font, objects)
+                fonts.append((page_idx, key, cmap_bytes, enc_spec))
+                seen_fonts.add(key)
 
             xdict = get_resolved(resources, "XObject", objects) or {}
             xnames = [str(x) for x in xdict] if isinstance(xdict, dict) else []
@@ -1700,6 +1756,75 @@ def extract_graphics(data: bytes, password: bytes = b""):
         errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
     totals["errors"] = errors
     return totals
+
+
+def extract_font_programs(data: bytes, password: bytes = b""):
+    """Embedded-font INVENTORY (corpus font forensics — "what fonts does
+    this corpus embed, and do their programs parse?"): every font in
+    every page's /Font dict reported as ``(page_idx, font_name, subtype,
+    program, n_glyphs, w_space)``.  ``program`` names the §9.9 embedding
+    form found behind /FontDescriptor — 'type1' (/FontFile), 'truetype'
+    (/FontFile2), 'cff' (/FontFile3) or 'none' — and n_glyphs/w_space
+    come from actually PARSING the program with the matching
+    core/type1|truetype|cff reader (w_space = the program's width for
+    code 32, None when unmapped).  Lenient like every kernel here."""
+    rows: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)  # font programs may be filtered
+        root = get_resolved(trailer, "Root", objects)
+        root_pages = (
+            get_resolved(root, "Pages", objects) if isinstance(root, dict) else None
+        )
+        from .cff import parse_cff_widths
+        from .truetype import parse_truetype_widths
+        from .type1 import parse_type1_widths
+
+        forms = (
+            ("FontFile", "type1", parse_type1_widths),
+            ("FontFile2", "truetype", parse_truetype_widths),
+            ("FontFile3", "cff", parse_cff_widths),
+        )
+        for p, page in enumerate(_walk_pages(root_pages, objects, errors)):
+            res = get_resolved(page, "Resources", objects) or {}
+            fdict = get_resolved(res, "Font", objects) or {}
+            if not isinstance(fdict, dict):
+                continue
+            for fname, fref in fdict.items():
+                font = resolve(fref, objects)
+                sub = (
+                    str(get_resolved(font, "Subtype", objects))
+                    if isinstance(font, dict)
+                    else None
+                )
+                fd = (
+                    get_resolved(font, "FontDescriptor", objects)
+                    if isinstance(font, dict)
+                    else None
+                )
+                prog, table = "none", {}
+                if isinstance(fd, dict):
+                    for key, kind, parser in forms:
+                        st = get_resolved(fd, key, objects)
+                        if isinstance(st, Stream):
+                            raw = st.data if st.data is not None else st.raw
+                            table = parser(bytes(raw))
+                            prog = kind
+                            break
+                w32 = table.get(32)
+                rows.append((p, str(fname), sub, prog, len(table), w32))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"fonts": rows, "errors": errors}
 
 
 def extract_attachments(data: bytes, password: bytes = b"", with_payload: bool = False):

@@ -821,6 +821,48 @@ def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     )
 
 
+def extract_font_inventory_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Embedded-font inventory, zero shuffle: every page font reported
+    with its §9.9 embedding form and the PARSED program's glyph count +
+    space width (core.extract.extract_font_programs) — the corpus font
+    forensics a rendering/compliance pipeline runs before committing to
+    a font strategy."""
+    from ..core.extract import extract_font_programs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "page_idx", "font_name", "subtype",
+            "program", "n_glyphs", "w_space",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_font_programs(_doc_bytes(spans), password=password)
+                for p, fname, sub, prog, n, w32 in res["fonts"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": int(p),
+                            "font_name": fname,
+                            "subtype": sub,
+                            "program": prog,
+                            "n_glyphs": int(n),
+                            "w_space": int(w32) if w32 is not None else None,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, page_idx int, font_name string, subtype string, "
+            "program string, n_glyphs int, w_space int"
+        ),
+    )
+
+
 def extract_encrypt_rewrite_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

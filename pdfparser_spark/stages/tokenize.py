@@ -44,13 +44,20 @@ def tokenize(decoded: DataFrame) -> DataFrame:
             for doc_id, page_idx, seq, data, hidden_json in zip(
                 pdf["doc_id"], pdf["page_idx"], pdf["seq"], pdf["data"], pdf["encoding"]
             ):
-                hidden = (
-                    frozenset(json.loads(hidden_json))
-                    if isinstance(hidden_json, str) and hidden_json
-                    else None
-                )
+                hidden = None
+                gs_fonts = None
+                if isinstance(hidden_json, str) and hidden_json:
+                    payload = json.loads(hidden_json)
+                    if isinstance(payload, dict):
+                        # extended channel: {"hidden": [...], "gs": {name: size}}
+                        hidden = frozenset(payload.get("hidden") or []) or None
+                        gs_fonts = payload.get("gs") or None
+                    else:
+                        hidden = frozenset(payload)
                 for ev_idx, ev in enumerate(
-                    tokenize_content(bytes(data), hidden_props=hidden)
+                    tokenize_content(
+                        bytes(data), hidden_props=hidden, gs_fonts=gs_fonts
+                    )
                 ):
                     if ev[0] == "atext":
                         # /ActualText replacement: not font-encoded — route

@@ -131,6 +131,14 @@ def doc_rules(doc_id: int) -> dict:
         # identity, uniXXXX, and named-glyph arms are each exercised.
         # Octal-rule docs excluded to keep the escape paths orthogonal.
         "diff_encoding": doc_id % 21 == 5 and doc_id % 17 != 0,
+        # ExtGState font selection (§8.4.5 Table 58): every 43rd+21 doc
+        # sets page 0's font via ``/GS1 gs`` (an inline /ExtGState whose
+        # dict carries /Font [F1 12]) instead of Tf, then applies a
+        # font-LESS decoy state ``/GS0 gs`` (alpha only) — a kernel
+        # ignoring the /Font entry has no font for page 0 (spans lost),
+        # one clobbering on any gs loses it again; zero new objects, so
+        # every span/layout oracle doubles as the check.
+        "gs_font": doc_id % 43 == 21,
         # /ActualText marked content (§14.9.4): every 23rd+7 doc shows
         # page 0's line as GARBLED glyphs (reversed) wrapped in
         # /Span << /ActualText (true text) >> BDC..EMC — only a kernel
@@ -470,7 +478,12 @@ def _content_plain(
             return "(" + s + ")"
 
     prelude, quote = _position_prelude(page_idx, rules, ox, oy)
-    parts = [f"BT /F1 12 Tf {prelude}"]
+    if page_idx == 0 and rules.get("gs_font"):
+        # §8.4.5: the font arrives via the ExtGState's /Font entry; the
+        # second gs is the font-less decoy that must not clobber it
+        parts = [f"BT /GS1 gs /GS0 gs {prelude}"]
+    else:
+        parts = [f"BT /F1 12 Tf {prelude}"]
     if page_idx == 1 and " " in ptext:
         first, rest = ptext.split(" ", 1)
         if quote:
@@ -760,6 +773,13 @@ def build_document(doc_id: int, text: str) -> dict:
             res += " /XObject << " + " ".join(xo_entries) + " >>"
         if ocg_id is not None and p == 0:
             res += f" /Properties << /MC9 {ocg_id} 0 R >>"
+        if r["gs_font"] and p == 0:
+            # inline ExtGState dicts: zero new objects (object_stats
+            # untouched); GS0 is the font-less decoy
+            res += (
+                " /ExtGState << /GS0 << /Type /ExtGState /CA 0.5 >> "
+                f"/GS1 << /Type /ExtGState /Font [{FONT} 0 R 12] >> >>"
+            )
         res += " >>"
         entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
         if t and p == 0 and split_id is not None:
@@ -1021,8 +1041,10 @@ def build_document(doc_id: int, text: str) -> dict:
         if p == 0 and split_id is not None:
             # split at a token boundary (§7.8.2: "the division between
             # the streams may occur only between lexical tokens") —
-            # right after the first "Tf "; the reader concatenates
-            cut = plain.index(b"Tf ") + 3
+            # right after the first font-setting op: "Tf ", or "gs "
+            # on the ExtGState-font docs (which write no page-0 Tf)
+            tok = b"Tf " if b"Tf " in plain else b"gs "
+            cut = plain.index(tok) + 3
             plain, tail = plain[:cut], plain[cut:]
         payload, filt = _encode_payload(plain, r["filter_mode"])
         obj_open(content_ids[p])

@@ -419,3 +419,30 @@ def test_cff_advance_family_end_to_end():
             for c in spans[0][4]
         )
         assert spans[1][3] == manual, d
+
+
+def test_font_inventory_reports_programs():
+    # the embedded-font trilogy is reported with PARSED glyph counts and
+    # the program's own space width; unembedded variants say 'none'
+    from pdfparser_spark.core.extract import extract_font_programs
+    from pdfparser_spark.synth import (
+        adv_emb_width,
+        adv_tt_width,
+        build_document_advance,
+    )
+
+    cases = {
+        5: ("Type1", "type1", 95, adv_emb_width(5, 32)),
+        7: ("TrueType", "truetype", 95, adv_tt_width(7, 32)),
+        3: ("Type1", "cff", 95, 480),
+        2: ("Type3", "none", 0, None),
+        6: ("Type0", "none", 0, None),
+        9: ("Type1", "none", 0, None),
+    }
+    for d, want in cases.items():
+        out = extract_font_programs(build_document_advance(d, TEXT)["bytes"])
+        assert out["errors"] == []
+        assert out["fonts"] == [(0, "F1") + want], d
+    # corrupt input: contained
+    res = extract_font_programs(b"junk")
+    assert res["fonts"] == [] and res["errors"]

@@ -901,3 +901,41 @@ def test_outline_destinations_resolve():
     broken = d["bytes"].replace(b"/Dests", b"/Dxsts", 1)
     m = extract_doc_meta(broken)
     assert m["first_outline_page"] is None
+
+
+def test_extgstate_font_selection():
+    """§8.4.5 Table 58: a gs naming an ExtGState with /Font selects the
+    font like Tf; a font-less gs (alpha-only decoy) must NOT clobber the
+    current font; the synth rule (doc%43==21) composes with the CMap
+    font path so span decode observably depends on the resolution."""
+    from pdfparser_spark.core.content import tokenize_content
+    from pdfparser_spark.core.extract import decode_document, extract_spans
+    from pdfparser_spark.synth import build_document, doc_rules, expected_spans
+
+    # tokenizer level: gs selects only mapped names, decoy preserves font
+    evs = tokenize_content(
+        b"BT /GS1 gs (one) Tj /GS0 gs (two) Tj ET",
+        gs_fonts={"GS1": 12.0},
+    )
+    assert [(e[0], e[2], e[3]) for e in evs] == [
+        ("text", "__gs__GS1", b"one"),
+        ("text", "__gs__GS1", b"two"),  # decoy did not clobber
+    ]
+    # without a caller map, gs is ordering-only (no font guess)
+    evs2 = tokenize_content(b"BT /F1 9 Tf /GS1 gs (x) Tj ET")
+    assert evs2[0][2] == "F1"
+    # e2e: doc 21 is gs_font AND a CMap-font doc — hex shows decode only
+    # if the ExtGState /Font resolves to the CMap font
+    r = doc_rules(21)
+    assert r["gs_font"] and r["cmap_font"]
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    built = build_document(21, text)
+    out = extract_spans(built["bytes"], strict=True)
+    assert not out["errors"]
+    assert [tuple(s) for s in out["spans"]] == expected_spans(21, text)
+    # staged dimension rows carry the sentinel font, and the DECODED
+    # page-0 content really selects via gs (no Tf before the first show)
+    dd = decode_document(built["bytes"])
+    assert "__gs__GS1" in [f[1] for f in dd["fonts"] if f[0] == 0]
+    page0 = next(bytes(c[2]) for c in dd["contents"] if c[0] == 0)
+    assert b"/GS1 gs" in page0 and b"Tf" not in page0.split(b"ET")[0]

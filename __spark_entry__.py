@@ -46,6 +46,7 @@ from pdfparser_spark.stages import (
     extract_apply_redactions_fused,
     extract_encrypt_rewrite_fused,
     extract_font_inventory_fused,
+    extract_with_headers_fused,
     extract_merge_pairs_fused,
     extract_portfolio_fused,
     extract_rewrite_fused,
@@ -68,6 +69,7 @@ from pdfparser_spark.textops import (
     dedup,
     dom,
     events,
+    furniture,
     graph,
     html,
     lm,
@@ -1178,6 +1180,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_apply_redactions": lambda s, d: extract_apply_redactions_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # page-furniture removal: every page stamped with a running
+        # header, then ONE (doc_id,x,y,text) agg + anti-join drops lines
+        # repeating on >=2 distinct pages — single-page docs KEEP the
+        # header (no cross-page evidence), the observable decision.
+        # Tail: layout-oracle family
+        "layout_page_furniture": lambda s, d: furniture.strip_page_furniture(
+            extract_with_headers_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+                )
             )
         ),
         # rewrite FIXPOINT (the S4 sink tier round-tripped): extract ->
@@ -2785,6 +2799,38 @@ def oracle_sql() -> dict[str, str]:
         "pdf_apply_redactions": _LAYOUT_SQL.replace(
             "FROM txt", "FROM txt WHERE p <> doc_id % (1 + doc_id % 3)"
         ),
+        # furniture strip: stamped headers repeat on every extracted
+        # page, so they vanish from docs with >= 2 non-empty pages and
+        # SURVIVE (page 0) when there is no cross-page evidence
+        "layout_page_furniture": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS w, 1 + (doc_id % 3) AS np
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(generate_series(0, np - 1)) AS p, w FROM base
+            ),
+            txt AS (
+              SELECT doc_id, p, array_to_string(w[p*8+1 : p*8+8], ' ') AS text
+              FROM pg WHERE len(w) > p*8
+            ),
+            lines AS (
+              SELECT doc_id, p, CAST(72 AS DOUBLE) AS x,
+                     CAST(720 - 14 * p AS DOUBLE) AS y, text
+              FROM txt
+              UNION ALL
+              SELECT b.doc_id, 0, CAST(72 AS DOUBLE), CAST(780 AS DOUBLE),
+                     'CONFIDENTIAL-' || b.doc_id
+              FROM base b
+              WHERE (SELECT COUNT(*) FROM txt t WHERE t.doc_id = b.doc_id) <= 1
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY doc_id ORDER BY p, y DESC, x
+                   ) - 1 AS INT) AS ord,
+                   CAST(p AS INT) AS page_idx, x, y, text
+            FROM lines
+        """,
         # glyph-advance family: line i (6-word slices, <=7 lines, one
         # page) shows segments words[0:3] / [3:4] / [4:6] on baseline
         # y = 720-16i with NO positioning op between; a segment's

@@ -1086,6 +1086,57 @@ def extract_incremental_redact_fused(
     )
 
 
+def extract_with_headers_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Layout extraction of documents that CARRY running headers, zero
+    shuffle: layout-extract -> stamp ``CONFIDENTIAL-<doc_id>`` at
+    (72, 780) on EVERY page (geometry-preserving layout writer) ->
+    re-extract.  Feed for :func:`textops.furniture.strip_page_furniture`
+    — multi-page docs repeat the header (furniture), single-page docs
+    show it once (content, by the >=2-pages rule).  Emits the layout
+    schema (doc_id, ord, page_idx, x, y, text)."""
+    from ..core.extract import extract_layout_spans
+    from ..core.writer import write_pdf_layout
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "page_idx", "x", "y", "text"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_layout_spans(_doc_bytes(spans), password=password)
+                body = [(p, x, y, t) for p, x, y, t, _sz in first["spans"]]
+                pages = sorted({p for p, _x, _y, _t in body}) or [0]
+                hdr = [(p, 72.0, 780.0, "CONFIDENTIAL-%d" % doc_id) for p in pages]
+                stamped = write_pdf_layout(
+                    hdr + body,
+                    xref_stream=doc_id % 2 == 1,
+                    objstm=doc_id % 4 == 3,
+                )
+                again = extract_layout_spans(stamped)
+                ordered = sorted(
+                    enumerate(again["spans"]),
+                    key=lambda e: (e[1][0], -e[1][2], e[1][1], e[0]),
+                )
+                for ordn, (_i, (page_idx, x, y, txt, _size)) in enumerate(ordered):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, text string",
+    )
+
+
 def extract_apply_redactions_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

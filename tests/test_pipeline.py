@@ -265,3 +265,33 @@ def test_merge_pairs_concats_spans(spark, sf_dir):
                     tuple(s) for s in extract_spans(build_document(d, src[d])["bytes"])["spans"]
                 )
         assert got[pair] == want, pair
+
+
+def test_page_furniture_strip_decision(spark):
+    """Lines repeated at the same origin on >=2 pages vanish; a line on
+    one page only — even identical text — survives, and ord renumbers
+    in reading order."""
+    from pdfparser_spark.textops.furniture import strip_page_furniture
+
+    rows = [
+        # doc 1: 2-page doc with a running header + unique body lines
+        (1, 0, 0, 72.0, 780.0, "HDR"), (1, 1, 0, 72.0, 720.0, "body a"),
+        (1, 2, 1, 72.0, 780.0, "HDR"), (1, 3, 1, 72.0, 720.0, "body b"),
+        # doc 2: single page; header-looking line must SURVIVE
+        (2, 0, 0, 72.0, 780.0, "HDR"), (2, 1, 0, 72.0, 720.0, "body c"),
+        # doc 3: same text on both pages but DIFFERENT origins -> content
+        (3, 0, 0, 72.0, 720.0, "dup"), (3, 1, 1, 100.0, 700.0, "dup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, ord int, page_idx int, x double, y double, text string"
+    )
+    got = {
+        d: [(r.ord, r.page_idx, r.text) for r in sorted(g, key=lambda r: r.ord)]
+        for d, g in __import__("itertools").groupby(
+            sorted(strip_page_furniture(df).collect(), key=lambda r: (r.doc_id, r.ord)),
+            key=lambda r: r.doc_id,
+        )
+    }
+    assert got[1] == [(0, 0, "body a"), (1, 1, "body b")]
+    assert got[2] == [(0, 0, "HDR"), (1, 0, "body c")]
+    assert got[3] == [(0, 0, "dup"), (1, 1, "dup")]

@@ -1493,6 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ranking bit-checkable; term filter runs inside the scan's
         # codegen stage (only query-term postings cross an exchange)
         "search_topk": lambda s, d: search.search_topk(_docs(s, d)),
+        # BM25 with live length normalization, fully integer (tail:
+        # ranking family — the rarity-weight evidence is search_topk's)
+        "bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
         # CUBE grouping sets (rollup's 4-set sibling; §2.9)
         "docs_cube_stats": lambda s, d: (
             _docs(s, d)
@@ -4417,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # inverted-index term search (integer rarity weights)
         "search_topk": search.search_topk_oracle_sql(),
+        "bm25_topk": search.bm25_topk_oracle_sql(),
         "top_terms_by_lang": """
             WITH t AS (
               SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents

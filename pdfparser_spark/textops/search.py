@@ -70,3 +70,88 @@ def search_topk_oracle_sql(
         ORDER BY score DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+def bm25_topk(
+    documents: DataFrame, terms: tuple[str, ...] = QUERY_TERMS, k: int = TOP_K
+) -> DataFrame:
+    """BM25 top-k (Robertson/Sparck Jones; k1 = 1.2, b = 0.75) in EXACT
+    integer arithmetic: the per-term contribution
+
+        w(t) * tf * (k1+1) / (tf + k1*(1 - b + b*len_d/avg_len))
+
+    is rendered as one BIGINT integer division by clearing denominators
+    — with AL = total corpus words and N = docs,
+
+        contrib = (w * tf * 2200 * AL) DIV (1000*AL*tf + 300*AL + 900*len_d*N)
+
+    (k1+1 = 2.2 -> 2200/1000; k1*(1-b) = 0.3 -> 300/1000; k1*b = 0.9 ->
+    900/1000), so the FULL ranking is bit-checkable against DuckDB's
+    `//`.  w(t) is the integer rarity weight (SCALE // df) — BM25's log
+    idf is float-private, the rarity ratio keeps the same rare-terms-win
+    monotonicity.  Length normalization is live: equal tf in a shorter
+    document scores higher.
+
+    Scale: corpus stats (AL, N) are ONE tiny broadcast row; tf/df aggs
+    as in search_topk; top-k is TakeOrderedAndProject.  BIGINT headroom
+    bounds AL*w*tf*2200 — at 10^12-word corpora drop SCALE accordingly
+    (documented trade; the division stays exact)."""
+    lens = documents.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("len")
+    )
+    tot = lens.agg(
+        F.sum("len").cast("long").alias("al"), F.count(F.lit(1)).alias("n")
+    )
+    words = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word").isin(*terms))
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    w = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df")).select(
+        "word", F.expr(f"CAST({SCALE} DIV df AS BIGINT)").alias("w")
+    )
+    return (
+        tf.join(F.broadcast(w), "word")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "w * tf * 2200 * al DIV "
+                "(1000 * al * tf + 300 * al + 900 * len * n)"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle_sql(
+    terms: tuple[str, ...] = QUERY_TERMS, k: int = TOP_K
+) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+        WITH lens AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+        ), tot AS (
+          SELECT CAST(SUM(len) AS BIGINT) AS al, COUNT(*) AS n FROM lens
+        ), words AS (
+          SELECT doc_id, u AS word
+          FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(u)
+          WHERE u IN ({tl})
+        ), tf AS (
+          SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+        ), w AS (
+          SELECT word, {SCALE} // COUNT(*) AS w FROM tf GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(SUM((w * tf * 2200 * al) //
+                        (1000 * al * tf + 300 * al + 900 * len * n)) AS BIGINT)
+                 AS score
+        FROM tf JOIN w USING (word) JOIN lens USING (doc_id) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {k}
+    """

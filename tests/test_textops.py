@@ -1148,3 +1148,29 @@ def test_gopher_quality_gate(spark):
     assert res[4].n_bullet_lines == res[4].n_lines == 10
     assert res[5].n_ellipsis_lines == 10 and res[5].n_symbols == 10
     assert res[0].n_stopword_kinds == 4
+
+
+def test_bm25_length_normalization_and_rarity(spark):
+    """BM25 in integer arithmetic: equal tf in a SHORTER doc scores
+    higher (b=0.75 normalization live), rare terms outweigh common
+    ones, and the integer division matches a hand computation."""
+    from pdfparser_spark.textops.search import bm25_topk
+
+    rows = [
+        (1, "rare common filler filler filler filler filler filler"),
+        (2, "rare common"),             # same tfs, much shorter
+        (3, "common common common common"),
+        (4, "filler filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_topk(docs, terms=("rare", "common"), k=4).collect()}
+    # shorter doc with identical matches wins
+    assert got[2] > got[1] > 0
+    # rare-term docs beat the common-only doc despite its higher tf
+    assert got[1] > got[3] and got[2] > got[3]
+    # exact check for doc 2: len=2, AL=18, N=4; rare df=2 -> w=500000,
+    # common df=3 -> w=333333; denom = 1000*18*1 + 300*18 + 900*2*4
+    al, n = 18, 4
+    d = 1000 * al * 1 + 300 * al + 900 * 2 * n
+    expect = (500000 * 1 * 2200 * al) // d + (333333 * 1 * 2200 * al) // d
+    assert got[2] == expect

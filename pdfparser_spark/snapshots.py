@@ -1019,17 +1019,33 @@ def files_meta_df(log: SnapshotLog, spark: SparkSession, table: str) -> DataFram
     for d in log.files_for(table):
         ds = stats.get(d) or {}
         rng = (ds.get("cols") or {}).get("doc_id")
+        part = ds.get("partition") or {}
         rows.append(
             (
                 added.get(d),
                 int(ds["rows"]) if "rows" in ds else None,
                 int(rng[0]) if rng else None,
                 int(rng[1]) if rng else None,
+                int(part["spec_id"]) if "spec_id" in part else None,
+                (
+                    "%s(%s%s)"
+                    % (
+                        part["transform"],
+                        part.get("col", ""),
+                        f", {part['n']}" if part.get("n") is not None else "",
+                    )
+                    if "transform" in part
+                    else None
+                ),
+                str(part["value"]) if "value" in part else None,
             )
         )
     return spark.createDataFrame(
         rows,
-        schema="added_snapshot_id int, rows long, min_doc_id long, max_doc_id long",
+        schema=(
+            "added_snapshot_id int, rows long, min_doc_id long, max_doc_id long, "
+            "spec_id int, partition_transform string, partition_value string"
+        ),
     )
 
 

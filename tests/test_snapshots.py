@@ -986,3 +986,28 @@ def test_partition_spec_evolution_prunes_per_dir(spark):
     assert [r.v for r in log.read(spark, "docs", where_eq=("doc_id", 203)).collect()] == [609]
     # a probe matching nothing still returns an empty, well-typed frame
     assert log.read(spark, "docs", where_eq=("doc_id", 401)).count() == 0
+
+
+def test_files_meta_surfaces_partition_specs(spark):
+    """The files inspection table reports each directory's partition
+    spec + value (NULL for unpartitioned dirs), straight from manifests."""
+    import tempfile
+
+    from pdfparser_spark.snapshots import SnapshotLog, files_meta_df, write_partitioned
+
+    log = SnapshotLog(tempfile.mkdtemp(prefix="pmeta_"))
+    docs = spark.range(0, 60).select(F.col("id").alias("doc_id"))
+    write_partitioned(
+        spark, log, docs, "docs",
+        {"spec_id": 1, "col": "doc_id", "transform": "bucket", "n": 4},
+    )
+    d = log.new_data_dir("docs")
+    docs.write.parquet(d)
+    log.commit({"docs": [d]}, schemas={"docs": docs.schema.json()})
+    rows = files_meta_df(log, spark, "docs").collect()
+    parts = [r for r in rows if r.partition_transform is not None]
+    plain = [r for r in rows if r.partition_transform is None]
+    assert len(parts) == 4 and len(plain) == 1
+    assert {r.partition_transform for r in parts} == {"bucket(doc_id, 4)"}
+    assert sorted(r.partition_value for r in parts) == ["0", "1", "2", "3"]
+    assert all(r.spec_id == 1 for r in parts)

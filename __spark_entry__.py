@@ -960,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stbl walk (stsz/stsc/stco) and pixel-decoded by the numpy JPEG
         # codec; every-5th-frame sampling, analytic pixel-sum oracle
         "video_frames_real": lambda s, d: mp4.video_frames_real(_pipeline(s, d)["spans_flat"]),
+        # EXIF harvest: APP1 TIFF-IFD walk in both byte orders over the
+        # media payloads (tail: md5-derived fields, same oracle family
+        # as the decode/resize media queries)
+        "media_exif": lambda s, d: media.media_exif(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         # continuous-crawl dedup: historical signatures persisted in a
         # snapshot-log index; the arriving batch computes ONLY its own
@@ -3358,6 +3362,21 @@ def oracle_sql() -> dict[str, str]:
         # 0 is encoded as BMP, class 1 as baseline JPEG (grayscale DC-only —
         # decoded values per _jpeg_block_px), others as PPM with
         # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
+        "media_exif": _SPAN_CTE + """
+            SELECT doc_id, media_ref,
+                   CASE WHEN ascii(substr(h, 10, 1)) % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+                   'Cam-' || substr(h, 12, 1) AS make,
+                   'MX' || CAST(ascii(substr(h, 13, 1)) % 10 AS VARCHAR) AS model,
+                   CAST(1 + ascii(substr(h, 11, 1)) % 8 AS INT) AS orientation,
+                   '2024:01:' || lpad(CAST(1 + ascii(substr(h, 14, 1)) % 28 AS VARCHAR), 2, '0')
+                     || ' ' || lpad(CAST(ascii(substr(h, 15, 1)) % 24 AS VARCHAR), 2, '0')
+                     || ':00:00' AS taken
+            FROM (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h
+              FROM spans WHERE kind = 'media'
+            )
+        """,
         "media_decode_real": _MEDIA_META_CTE + f"""
             SELECT doc_id, media_ref,
                    CASE WHEN cls = 0 AND sub = 1 THEN 'gif' WHEN cls = 0 THEN 'bmp'

@@ -647,3 +647,108 @@ def decode_jpeg(payload: bytes):
     g = _clip8(y - 0.344136286 * cb - 0.714136286 * cr)
     b = _clip8(y + 1.772 * cb)
     return w, h, np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (Exif 2.3 / TIFF 6.0 public layouts): APP1 metadata segment
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {"make": 0x010F, "model": 0x0110, "orientation": 0x0112, "datetime": 0x0132}
+
+
+def exif_app1(
+    make: str, model: str, orientation: int, datetime: str, big_endian: bool = False
+) -> bytes:
+    """An APP1 Exif segment: ``Exif\\0\\0`` + TIFF header (II or MM) +
+    one IFD0 with Make/Model (ASCII), Orientation (SHORT) and DateTime
+    (ASCII, the EXIF ``YYYY:MM:DD HH:MM:SS`` shape); string values
+    longer than 4 bytes spill to the value area behind TIFF-relative
+    offsets, exactly as the spec lays them out."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    entries = []  # (tag, type, count, value_bytes-or-int)
+    for name, val in (("make", make), ("model", model), ("datetime", datetime)):
+        sv = val.encode("ascii") + b"\x00"
+        entries.append((_EXIF_TAGS[name], 2, len(sv), sv))
+    entries.append((_EXIF_TAGS["orientation"], 3, 1, int(orientation)))
+    entries.sort(key=lambda t: t[0])  # TIFF requires ascending tag order
+    n = len(entries)
+    ifd_at = 8
+    value_at = ifd_at + 2 + 12 * n + 4
+    body = bytearray()
+    body += (b"MM" if big_endian else b"II") + struct.pack(e + "HI", 42, ifd_at)
+    body += struct.pack(e + "H", n)
+    spill = bytearray()
+    for tag, typ, cnt, val in entries:
+        body += struct.pack(e + "HHI", tag, typ, cnt)
+        if typ == 3:  # SHORT inline, left-justified in the 4-byte slot
+            body += struct.pack(e + "H", val) + b"\x00\x00"
+        elif cnt <= 4:
+            body += bytes(val).ljust(4, b"\x00")
+        else:
+            body += struct.pack(e + "I", value_at + len(spill))
+            spill += val
+    body += struct.pack(e + "I", 0)  # next-IFD = none
+    body += spill
+    payload = b"Exif\x00\x00" + bytes(body)
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def parse_exif(data: bytes):
+    """Scan a JPEG's marker stream for the Exif APP1 and parse IFD0 in
+    either byte order.  Returns ``{"byte_order", "make", "model",
+    "orientation", "datetime"}`` (missing tags absent) or None when the
+    file carries no Exif segment.  Lenient: malformed TIFF -> None."""
+    import struct
+
+    try:
+        if data[:2] != b"\xff\xd8":
+            return None
+        pos = 2
+        tiff = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seglen = struct.unpack_from(">H", data, pos + 2)[0]
+            if marker == 0xE1 and data[pos + 4 : pos + 10] == b"Exif\x00\x00":
+                tiff = data[pos + 10 : pos + 2 + seglen]
+                break
+            if marker == 0xDA:  # SOS: entropy data follows, no Exif ahead
+                return None
+            pos += 2 + seglen
+        if tiff is None:
+            return None
+        if tiff[:2] == b"II":
+            e = "<"
+        elif tiff[:2] == b"MM":
+            e = ">"
+        else:
+            return None
+        magic, ifd_at = struct.unpack_from(e + "HI", tiff, 2)
+        if magic != 42:
+            return None
+        out = {"byte_order": tiff[:2].decode("ascii")}
+        n = struct.unpack_from(e + "H", tiff, ifd_at)[0]
+        names = {v: k for k, v in _EXIF_TAGS.items()}
+        for i in range(min(n, 64)):
+            at = ifd_at + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, at)
+            if tag not in names:
+                continue
+            if typ == 3:
+                out[names[tag]] = struct.unpack_from(e + "H", tiff, at + 8)[0]
+            elif typ == 2:
+                if cnt <= 4:
+                    raw = tiff[at + 8 : at + 8 + cnt]
+                else:
+                    off = struct.unpack_from(e + "I", tiff, at + 8)[0]
+                    raw = tiff[off : off + cnt]
+                out[names[tag]] = raw.split(b"\x00")[0].decode("ascii", "replace")
+        return out
+    except Exception:
+        return None

@@ -420,3 +420,65 @@ def media_resize(media_meta: DataFrame, target_w: int = 64) -> DataFrame:
 
     schema = "doc_id long, media_ref string, out_w int, out_h int, resized_md5 string"
     return geo.mapInPandas(run, schema=schema)
+
+
+def _make_exif_jpeg(doc_id: int, media_ref: str) -> bytes:
+    """A small real JPEG whose APP1 carries md5-derived EXIF (camera
+    make/model, orientation 1-8, capture time, alternating byte order)
+    — every field replayable by the oracle from the same hash."""
+    from . import jpeg as _j
+
+    hh = hashlib.md5(f"{doc_id}:{media_ref}".encode()).hexdigest()
+    img = ((np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 13) % 256).astype(
+        np.uint8
+    )
+    enc = _j.encode_jpeg(img)
+    app1 = _j.exif_app1(
+        make="Cam-" + hh[11],
+        model="MX%d" % (ord(hh[12]) % 10),
+        orientation=1 + ord(hh[10]) % 8,
+        datetime="2024:01:%02d %02d:00:00" % (1 + ord(hh[13]) % 28, ord(hh[14]) % 24),
+        big_endian=ord(hh[9]) % 2 == 1,
+    )
+    return enc[:2] + app1 + enc[2:]
+
+
+def media_exif(spans_flat: DataFrame) -> DataFrame:
+    """EXIF harvest over the media payload column: the APP1 TIFF walk
+    (textops/jpeg.py parse_exif, both byte orders, spilled ASCII values)
+    emits the camera metadata multimodal curation filters on — e.g.
+    orientation-aware dedup or capture-time range selection.  Zero
+    shuffle beyond the payload kernel's scan."""
+    from .jpeg import parse_exif
+
+    payloads = media_payload_kernel(spans_flat, _make_exif_jpeg)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_ref", "byte_order", "make", "model",
+                "orientation", "taken"]
+        for pdf in batches:
+            rows = []
+            for d, m, raw in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                meta = parse_exif(bytes(raw))
+                if meta is None:  # no or damaged Exif: skip, never kill the task
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "media_ref": m,
+                        "byte_order": meta.get("byte_order"),
+                        "make": meta.get("make"),
+                        "model": meta.get("model"),
+                        "orientation": int(meta.get("orientation") or 0),
+                        "taken": meta.get("datetime"),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, media_ref string, byte_order string, make string, "
+            "model string, orientation int, taken string"
+        ),
+    )

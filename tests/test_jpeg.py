@@ -172,3 +172,42 @@ public class DecodeJpeg {
     px = np.array([list(map(int, line.split())) for line in out[1:]], dtype=np.int64)
     assert nb == 1
     assert np.array_equal(px.reshape(h, w), idx.astype(np.int64))
+
+
+def test_exif_app1_roundtrip_and_decode_transparency():
+    """APP1 Exif builds/parses in BOTH byte orders (spilled ASCII values
+    + inline SHORT), the pixel decoder sees through it, and damaged or
+    absent Exif yields None — never an exception."""
+    import numpy as np
+
+    from pdfparser_spark.textops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        exif_app1,
+        parse_exif,
+    )
+
+    img = ((np.arange(16)[:, None] * 7 + np.arange(16)[None, :] * 13) % 256).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img)
+    base = decode_jpeg(enc)
+    for be in (False, True):
+        j = enc[:2] + exif_app1("Cam-a", "MX3", 6, "2024:01:05 13:00:00", be) + enc[2:]
+        got = parse_exif(j)
+        assert got == {
+            "byte_order": "MM" if be else "II",
+            "make": "Cam-a",
+            "model": "MX3",
+            "orientation": 6,
+            "datetime": "2024:01:05 13:00:00",
+        }
+        assert np.array_equal(np.asarray(decode_jpeg(j)[-1]), np.asarray(base[-1]))
+    assert parse_exif(enc) is None          # no APP1
+    assert parse_exif(b"junk") is None       # not a JPEG
+    # truncated/garbled TIFF bodies are contained
+    j = enc[:2] + exif_app1("M", "X", 1, "2024:01:01 00:00:00") + enc[2:]
+    assert parse_exif(j[:20]) is None
+    mut = bytearray(j)
+    mut[8:12] = b"\x00\x00\x00\x00"
+    assert parse_exif(bytes(mut)) in (None, {}) or isinstance(parse_exif(bytes(mut)), dict)

@@ -213,7 +213,7 @@ def content_object_ids(spans) -> list:
     return out
 
 
-def write_pdf_incremental(base: bytes, updates: dict) -> bytes:
+def write_pdf_incremental(base: bytes, updates: dict, xref_stream: bool = False) -> bytes:
     """Append an incremental-update revision (ISO 32000 §7.5.6): the
     changed object bodies are re-emitted after the existing ``%%EOF``,
     followed by a classic xref SECTION covering exactly those ids (one
@@ -226,7 +226,12 @@ def write_pdf_incremental(base: bytes, updates: dict) -> bytes:
     ``/Root`` are carried forward from the newest revision's trailer
     (last occurrence in the file); works over both writer base forms —
     a classic section atop an xref-stream base is the mixed /Prev chain
-    the reader already merges."""
+    the reader already merges.  ``xref_stream=True`` appends the
+    revision in the MODERN form instead: a §7.5.8 cross-reference
+    STREAM object (/W [1 4 2], one /Index subsection per contiguous id
+    run, /Prev in its dictionary) — the shape xref-stream-era writers
+    produce on save, mixing freely with classic revisions in one
+    chain."""
     import re as _re
 
     if not updates:
@@ -249,9 +254,38 @@ def write_pdf_incremental(base: bytes, updates: dict) -> bytes:
     for oid in sorted(updates):
         offs[oid] = len(buf)
         buf += b"%d 0 obj\n" % oid + updates[oid] + b"\nendobj\n"
+    ids = sorted(offs)
+    if xref_stream:
+        import zlib as _zlib
+
+        xref_id = size  # a fresh id for the revision's xref stream object
+        size += 1
+        index = []
+        rows = bytearray()
+        i = 0
+        while i < len(ids):
+            j = i
+            while j + 1 < len(ids) and ids[j + 1] == ids[j] + 1:
+                j += 1
+            index.append((ids[i], j - i + 1))
+            for oid in ids[i : j + 1]:
+                rows += b"\x01" + offs[oid].to_bytes(4, "big") + (0).to_bytes(2, "big")
+            i = j + 1
+        xref_at = len(buf)
+        index.append((xref_id, 1))
+        rows += b"\x01" + xref_at.to_bytes(4, "big") + (0).to_bytes(2, "big")
+        payload = _zlib.compress(bytes(rows))
+        idx = b" ".join(b"%d %d" % p for p in index)
+        buf += (
+            b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Index [%s] "
+            b"/Root %d 0 R /Prev %d /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xref_id, size, idx, root_id, prev, len(payload))
+        )
+        buf += payload
+        buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(buf)
     xref_at = len(buf)
     buf += b"xref\n"
-    ids = sorted(offs)
     i = 0
     while i < len(ids):
         j = i
@@ -271,13 +305,14 @@ def write_pdf_incremental(base: bytes, updates: dict) -> bytes:
 REDACTED_TEXT = "[REDACTED]"
 
 
-def redact_first_text_incremental(base: bytes, spans) -> bytes:
+def redact_first_text_incremental(base: bytes, spans, xref_stream: bool = False) -> bytes:
     """Minimal-edit redaction over a :func:`write_pdf` document: replace
     the FIRST text page's content stream (and the page's /Resources,
     pinned back to the shared /F1 Helvetica so the replacement decodes
     as latin-1 regardless of the original page's font) with a
-    ``[REDACTED]`` line, as one appended revision.  Returns ``base``
-    unchanged when no text page exists."""
+    ``[REDACTED]`` line, as one appended revision (classic section or,
+    with ``xref_stream=True``, a §7.5.8 xref-STREAM revision).  Returns
+    ``base`` unchanged when no text page exists."""
     for kind, page_id, content_id in content_object_ids(spans):
         if kind != "text":
             continue
@@ -293,6 +328,7 @@ def redact_first_text_incremental(base: bytes, spans) -> bytes:
                 content_id: b"<< /Length %d >>\nstream\n%s\nendstream"
                 % (len(content), content),
             },
+            xref_stream=xref_stream,
         )
     return base
 

@@ -1061,7 +1061,11 @@ def extract_incremental_redact_fused(
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 first = extract_spans(_doc_bytes(spans), password=password)
                 base = write_pdf(first["spans"], xref_stream=doc_id % 2 == 1)
-                upd = redact_first_text_incremental(base, first["spans"])
+                # every 4th+2 doc appends the revision in the MODERN
+                # xref-STREAM form (same chain semantics, §7.5.8)
+                upd = redact_first_text_incremental(
+                    base, first["spans"], xref_stream=doc_id % 4 == 2
+                )
                 again = extract_spans(upd)
                 nrev = len(extract_revisions(upd)["revisions"])
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):

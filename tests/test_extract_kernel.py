@@ -939,3 +939,38 @@ def test_extgstate_font_selection():
     assert "__gs__GS1" in [f[1] for f in dd["fonts"] if f[0] == 0]
     page0 = next(bytes(c[2]) for c in dd["contents"] if c[0] == 0)
     assert b"/GS1 gs" in page0 and b"Tf" not in page0.split(b"ET")[0]
+
+
+def test_incremental_xref_stream_revision():
+    """§7.5.8 modern-form incremental updates: the appended revision is
+    a cross-reference STREAM (/Index per contiguous run, /Prev chained),
+    over both base forms and mixing with classic revisions in one chain;
+    revision forensics reports the stream kind."""
+    from pdfparser_spark.core.extract import extract_revisions, extract_spans
+    from pdfparser_spark.core.writer import (
+        redact_first_text_incremental,
+        write_pdf,
+        write_pdf_incremental,
+    )
+
+    spans = [("text", "page one text", None), ("text", "page two text", None)]
+    for base_xs in (False, True):
+        base = write_pdf(spans, xref_stream=base_xs)
+        upd = redact_first_text_incremental(base, spans, xref_stream=True)
+        out = extract_spans(upd)
+        assert not out["errors"]
+        assert out["spans"][0][1] == "[REDACTED]"
+        revs = extract_revisions(upd)["revisions"]
+        assert len(revs) == 2 and revs[1][1] == "stream"
+        # a THIRD classic revision atop the stream revision still chains
+        upd2 = write_pdf_incremental(upd, {9: b"<< /Foo 1 >>"})
+        assert len(extract_revisions(upd2)["revisions"]) == 3
+        assert not extract_spans(upd2)["errors"]
+        # non-contiguous ids -> multiple /Index subsections, still valid
+        upd3 = write_pdf_incremental(
+            base,
+            {3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>",
+             9: b"<< /Foo 1 >>"},
+            xref_stream=True,
+        )
+        assert not extract_spans(upd3)["errors"]

@@ -30,6 +30,7 @@ from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
     assemble_paragraphs,
     extract_advance_fused,
+    extract_word_boxes_fused,
     extract_attachments_fused,
     extract_columns_fused,
     extract_forms_fused,
@@ -939,8 +940,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # segment's x offset is recoverable ONLY by folding the font's
         # /FirstChar//Widths table into an advance cursor (§9.4.4).
         # Integer widths x integer sizes x milli-point spacing keep every
-        # cursor EXACT: the oracle replays the cursor in BIGINT algebra
-        "extract_layout_advance": lambda s, d: extract_advance_fused(
+        # cursor EXACT: the oracle replays the cursor in BIGINT algebra.
+        # The WORD-BOX variant is a strict superset (every advance column
+        # + w_micro, the span's OWN glyph advance -> hOCR-style baseline
+        # boxes), so it holds the window slot; the plain advance query
+        # stays registered in the tail as the regression twin.
+        "extract_word_boxes": lambda s, d: extract_word_boxes_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
                 family="advance",
@@ -1730,6 +1735,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted to tail (driver-green in r02; slots went to
         # extract_columns / snapshot_changelog / layout_paragraphs /
         # curation_pipeline / doc_headings / ann_pq_trained)
+        # plain glyph-advance layout — regression twin of the in-window
+        # extract_word_boxes (same oracle minus w_micro)
+        "extract_layout_advance": lambda s, d: extract_advance_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="advance",
+            )
+        ),
         "ann_pq_topk": lambda s, d: ann.ann_pq_topk(_emb(s, d)),
         "media_decode_real": lambda s, d: media.media_decode_real(_pipeline(s, d)["spans_flat"]),
         # the composed 10^12-scale index: IVF lists (sublinear probe) +
@@ -1905,6 +1918,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from pdfparser_spark.core.extract import HELVETICA_WIDTHS as _HELV_W
 
 _HELV_SQL = "[" + ", ".join(str(w) for w in _HELV_W) + "]"
+
+
+def _sql_advance(width: bool = False) -> str:
+    """The glyph-advance family's BIGINT cursor replay (see the rules
+    comment at the extract_layout_advance registration).  With
+    ``width=True`` each segment also exposes its own glyph-sum as
+    ``w_micro`` (the extract_word_boxes oracle): a span's width is the
+    §9.4.4 advance restricted to its own string — kern elements shift
+    the start cursor only."""
+    wpass = ", wmicro" if width else ""
+    wcol = "\n                   CAST(wmicro AS BIGINT) AS w_micro," if width else ""
+    return f"""
+            WITH base AS (
+              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
+                     12 + (doc_id % 4) * 2 AS fs,
+                     (doc_id % 3) * 250 AS tc,
+                     CASE WHEN doc_id % 11 = 6 THEN 0 ELSE (doc_id % 2) * 500 END AS tw,
+                     CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
+                     300 - (doc_id % 7) * 150 AS k,
+                     -- font kind: Courier std-14 (no /Widths -> constant
+                     -- 600), Type3 (/FontMatrix 0.002 -> eff_w = 2x),
+                     -- Helvetica std-14 (public AFM per-glyph table)
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 9 THEN 1 ELSE 0 END AS mono,
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 11 THEN 1 ELSE 0 END AS helv,
+                     -- embedded Type 1 program (doc%13=5): per-doc widths
+                     -- only the eexec-decrypted /CharStrings declare
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 5 THEN 1 ELSE 0 END AS emb,
+                     -- embedded TrueType program (doc%13=7): hmtx widths
+                     -- through cmap4, scaled by head.unitsPerEm
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 7 THEN 1 ELSE 0 END AS ttf,
+                     -- embedded CFF program (doc%13=3): Type 2 leading
+                     -- width operands + defaultWidthX for code%16==0
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 3 THEN 1 ELSE 0 END AS cff,
+                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm,
+                     CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
+                     CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
+                     CASE WHEN doc_id % 11 = 6 THEN 1 ELSE 0 END AS cid,
+                     -- vertical writing (§9.7.4.3): every other CID doc is
+                     -- Identity-V; glyphs drop by /DW2's w1y (or the /W2
+                     -- override for a-z and space), Tz never applies
+                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 2 = 1 THEN 1 ELSE 0 END AS vert,
+                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 4 = 3 THEN 1 ELSE 0 END AS hasw2,
+                     -(800 + (doc_id % 3) * 100) AS w1y,
+                     {_HELV_SQL} AS hw
+              FROM documents
+            ), ln AS (
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, i AS li,
+                     w[i*6 + 1 : i*6 + 6] AS lw
+              FROM base, unnest(generate_series(0, 6)) AS u(i)
+              WHERE len(w) > i*6
+            ), seg AS (
+              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, li, s AS si,
+                     CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
+                            WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
+                            ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
+              FROM ln, unnest([0, 1, 2]) AS v(s)
+            ), wsum AS (
+              SELECT *,
+                CASE WHEN vert = 1 THEN
+                  CAST(fs AS BIGINT) * 100
+                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
+                        CASE WHEN hasw2 = 1 AND (ascii(c) BETWEEN 97 AND 122 OR ascii(c) = 32)
+                             THEN w1y + 200 ELSE w1y END)), 0)
+                  + CAST(length(t) AS BIGINT) * tc * 100
+                ELSE
+                  CAST(fs AS BIGINT) * tz
+                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
+                        CASE WHEN mono = 1 THEN 600
+                             WHEN helv = 1 THEN hw[ascii(c) - 31]
+                             WHEN emb = 1 THEN 350 + ((ascii(c) + doc_id) % 6) * 25
+                             WHEN ttf = 1 THEN 400 + ((2 * ascii(c) + doc_id) % 5) * 30
+                             WHEN cff = 1 THEN CASE WHEN ascii(c) % 16 = 0 THEN 480
+                                  ELSE 380 + ((3 * ascii(c) + doc_id) % 7) * 20 END
+                             ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
+                  + CAST(length(t) AS BIGINT) * tc * tz
+                  + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz
+                END AS wmicro
+              FROM seg
+            ), pos AS (
+              SELECT doc_id, li, si, t, fs, rise, tmode, cid{wpass},
+                COALESCE(SUM(wmicro) OVER (
+                  PARTITION BY doc_id, li ORDER BY si
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                - CASE WHEN si = 2 AND length(t) > 0
+                       THEN CAST(k AS BIGINT) * fs * (CASE WHEN vert = 1 THEN 100 ELSE tz END)
+                       ELSE 0 END AS ax
+              FROM wsum
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY li, si) - 1 AS INT) AS ord,
+                   CAST(0 AS INT) AS page_idx,
+                   CAST(72 AS DOUBLE) AS x,
+                   CAST(720 - 16 * li AS DOUBLE)
+                     + CASE WHEN si = 1 THEN rise / 1000.0 ELSE 0.0 END AS y,
+                   CAST(ax AS BIGINT) AS ax_micro,{wcol}
+                   -- the CID ToUnicode bfchar overrides (decode is
+                   -- Unicode; the cursor above ran on original codes)
+                   CASE WHEN cid = 1
+                        THEN replace(replace(t, 'e', 'é'), 'o', '😀')
+                        ELSE t END AS text,
+                   CAST(fs AS DOUBLE) AS size,
+                   CAST(CASE WHEN si = 1 THEN tmode ELSE 0 END AS INT) AS mode
+            FROM pos
+            WHERE length(t) > 0
+        """
 
 # object-count analytic (mirrors synth doc_rules object layout); shared
 # by object_stats and the doc_revisions oracle (per-revision count is the
@@ -2860,101 +2978,13 @@ def oracle_sql() -> dict[str, str]:
         # (Identity-V, §9.7.4.3): ax_micro is the negative ty cursor —
         # w1·fs + Tc per glyph from /DW2 (or the /W2 override at
         # w1y+200 for a-z/space when (doc//11)%4=3), Tz NEVER applies
-        "extract_layout_advance": f"""
-            WITH base AS (
-              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w,
-                     12 + (doc_id % 4) * 2 AS fs,
-                     (doc_id % 3) * 250 AS tc,
-                     CASE WHEN doc_id % 11 = 6 THEN 0 ELSE (doc_id % 2) * 500 END AS tw,
-                     CASE WHEN doc_id % 5 = 0 THEN 50 ELSE 100 END AS tz,
-                     300 - (doc_id % 7) * 150 AS k,
-                     -- font kind: Courier std-14 (no /Widths -> constant
-                     -- 600), Type3 (/FontMatrix 0.002 -> eff_w = 2x),
-                     -- Helvetica std-14 (public AFM per-glyph table)
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 9 THEN 1 ELSE 0 END AS mono,
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 11 THEN 1 ELSE 0 END AS helv,
-                     -- embedded Type 1 program (doc%13=5): per-doc widths
-                     -- only the eexec-decrypted /CharStrings declare
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 5 THEN 1 ELSE 0 END AS emb,
-                     -- embedded TrueType program (doc%13=7): hmtx widths
-                     -- through cmap4, scaled by head.unitsPerEm
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 7 THEN 1 ELSE 0 END AS ttf,
-                     -- embedded CFF program (doc%13=3): Type 2 leading
-                     -- width operands + defaultWidthX for code%16==0
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 3 THEN 1 ELSE 0 END AS cff,
-                     CASE WHEN doc_id % 11 <> 6 AND doc_id % 13 = 2 THEN 2 ELSE 1 END AS fm,
-                     CASE WHEN doc_id % 19 = 5 THEN 250 * (1 + doc_id % 4) ELSE 0 END AS rise,
-                     CASE WHEN doc_id % 17 = 4 THEN 3 ELSE 0 END AS tmode,
-                     CASE WHEN doc_id % 11 = 6 THEN 1 ELSE 0 END AS cid,
-                     -- vertical writing (§9.7.4.3): every other CID doc is
-                     -- Identity-V; glyphs drop by /DW2's w1y (or the /W2
-                     -- override for a-z and space), Tz never applies
-                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 2 = 1 THEN 1 ELSE 0 END AS vert,
-                     CASE WHEN doc_id % 11 = 6 AND (doc_id // 11) % 4 = 3 THEN 1 ELSE 0 END AS hasw2,
-                     -(800 + (doc_id % 3) * 100) AS w1y,
-                     {_HELV_SQL} AS hw
-              FROM documents
-            ), ln AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, i AS li,
-                     w[i*6 + 1 : i*6 + 6] AS lw
-              FROM base, unnest(generate_series(0, 6)) AS u(i)
-              WHERE len(w) > i*6
-            ), seg AS (
-              SELECT doc_id, fs, tc, tw, tz, k, mono, helv, emb, ttf, cff, fm, rise, tmode, cid, vert, hasw2, w1y, hw, li, s AS si,
-                     CASE s WHEN 0 THEN COALESCE(array_to_string(lw[1:3], ' '), '')
-                            WHEN 1 THEN COALESCE(array_to_string(lw[4:4], ' '), '')
-                            ELSE COALESCE(array_to_string(lw[5:6], ' '), '') END AS t
-              FROM ln, unnest([0, 1, 2]) AS v(s)
-            ), wsum AS (
-              SELECT *,
-                CASE WHEN vert = 1 THEN
-                  CAST(fs AS BIGINT) * 100
-                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
-                        CASE WHEN hasw2 = 1 AND (ascii(c) BETWEEN 97 AND 122 OR ascii(c) = 32)
-                             THEN w1y + 200 ELSE w1y END)), 0)
-                  + CAST(length(t) AS BIGINT) * tc * 100
-                ELSE
-                  CAST(fs AS BIGINT) * tz
-                    * COALESCE(list_sum(list_transform(string_split(t, ''), c ->
-                        CASE WHEN mono = 1 THEN 600
-                             WHEN helv = 1 THEN hw[ascii(c) - 31]
-                             WHEN emb = 1 THEN 350 + ((ascii(c) + doc_id) % 6) * 25
-                             WHEN ttf = 1 THEN 400 + ((2 * ascii(c) + doc_id) % 5) * 30
-                             WHEN cff = 1 THEN CASE WHEN ascii(c) % 16 = 0 THEN 480
-                                  ELSE 380 + ((3 * ascii(c) + doc_id) % 7) * 20 END
-                             ELSE (300 + (ascii(c) % 8) * 50) * fm END)), 0)
-                  + CAST(length(t) AS BIGINT) * tc * tz
-                  + CAST(length(t) - length(replace(t, ' ', '')) AS BIGINT) * tw * tz
-                END AS wmicro
-              FROM seg
-            ), pos AS (
-              SELECT doc_id, li, si, t, fs, rise, tmode, cid,
-                COALESCE(SUM(wmicro) OVER (
-                  PARTITION BY doc_id, li ORDER BY si
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                - CASE WHEN si = 2 AND length(t) > 0
-                       THEN CAST(k AS BIGINT) * fs * (CASE WHEN vert = 1 THEN 100 ELSE tz END)
-                       ELSE 0 END AS ax
-              FROM wsum
-            )
-            SELECT doc_id,
-                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY li, si) - 1 AS INT) AS ord,
-                   CAST(0 AS INT) AS page_idx,
-                   CAST(72 AS DOUBLE) AS x,
-                   CAST(720 - 16 * li AS DOUBLE)
-                     + CASE WHEN si = 1 THEN rise / 1000.0 ELSE 0.0 END AS y,
-                   CAST(ax AS BIGINT) AS ax_micro,
-                   -- the CID ToUnicode bfchar overrides (decode is
-                   -- Unicode; the cursor above ran on original codes)
-                   CASE WHEN cid = 1
-                        THEN replace(replace(t, 'e', 'é'), 'o', '😀')
-                        ELSE t END AS text,
-                   CAST(fs AS DOUBLE) AS size,
-                   CAST(CASE WHEN si = 1 THEN tmode ELSE 0 END AS INT) AS mode
-            FROM pos
-            WHERE length(t) > 0
-        """,
-        # two-column family: line i of page p sits at row i//2, column
+        "extract_layout_advance": _sql_advance(),
+        # word boxes: the same cursor replay EXPOSING each segment's own
+        # glyph-sum as w_micro — a span's width is its §9.4.4 advance
+        # restricted to its own string (the TJ kern before segment 2
+        # shifts the START cursor only, never a width)
+        "extract_word_boxes": _sql_advance(width=True),
+                # two-column family: line i of page p sits at row i//2, column
         # i%2 (stream order row-major), columns at x = 72 / 306, rows at
         # y = 720 - 14*row; words are kerned TJ pieces with NO space
         # glyphs, so `text` only matches if the kernel inserts word

@@ -1317,7 +1317,7 @@ def _font_widths(font_obj, objects: dict):
     return lookup, 1, True, False
 
 
-def extract_advance_spans(data: bytes, password: bytes = b""):
+def extract_advance_spans(data: bytes, password: bytes = b"", with_width: bool = False):
     """Layout extraction WITH glyph-width advance modeled (removing the
     plain layout kernel's documented approximation): each show op — and
     each string element inside a TJ array — emits its own span carrying
@@ -1337,7 +1337,17 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
     convention): they are REPORTED, never dropped, and their glyphs
     advance the cursor like any other (§9.3.6 leaves the displacement
     algebra untouched).  Returns ``{"spans": [(page_idx, x, y, ax_micro,
-    text, size, mode)], "errors": []}``."""
+    text, size, mode)], "errors": []}``.
+
+    With ``with_width=True`` each span tuple gains ``w_micro`` — the
+    span's OWN glyph advance (same §9.4.4 sum restricted to the shown
+    string; TJ kern elements between strings never count toward a
+    width, only toward the next span's start cursor).  Together
+    (x + ax/1e5, y, x + (ax+w)/1e5, y + size) is the word's baseline
+    box — the hOCR-style geometry an OCR text layer carries, recovered
+    here from the vector text itself, integer-exact.  ActualText
+    replacement spans report width 0 (their true extent is swallowed
+    with the replaced shows — same documented boundary as the cursor)."""
     errors: list = []
     out: list = []
     try:
@@ -1374,12 +1384,11 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                     # documented (the advance family carries none)
                     if ev[10] == 0:
                         cursor = 0
-                    out.append(
-                        (
-                            page_idx, ev[4], ev[5] + ev[11] / 1000.0, cursor,
-                            pdf_text_string(ev[3]), ev[6], ev[12],
-                        )
+                    row = (
+                        page_idx, ev[4], ev[5] + ev[11] / 1000.0, cursor,
+                        pdf_text_string(ev[3]), ev[6], ev[12],
                     )
+                    out.append(row[:4] + (0,) + row[4:] if with_width else row)
                     continue
                 if ev[0] not in ("text", "textarr"):
                     continue
@@ -1398,10 +1407,6 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                 elems = [ev[3]] if ev[0] == "text" else ev[3]
                 for el in elems:
                     if isinstance(el, (bytes, bytearray)):
-                        if el:
-                            out.append(
-                                (page_idx, x, y + rise / 1000.0, cursor, dec(el), fs, tr)
-                            )
                         if cw == 1:
                             codes = el
                         else:  # 2-byte composite codes, big-endian (§9.7.6)
@@ -1409,16 +1414,21 @@ def extract_advance_spans(data: bytes, password: bytes = b""):
                                 (el[j] << 8) | el[j + 1]
                                 for j in range(0, len(el) - len(el) % 2, 2)
                             ]
+                        adv = 0
                         for code in codes:
                             if vert:
                                 # §9.4.4 ty: w1·Tfs + Tc — Tz scales only
                                 # horizontal displacement, Tw only code 32
                                 # single-byte (unreachable for 2-byte CIDs)
-                                cursor += int(round(wid(code) * fs)) * 100 + tc * 100
+                                adv += int(round(wid(code) * fs)) * 100 + tc * 100
                             else:
-                                cursor += int(round(wid(code) * fs)) * tz + tc * tz + (
+                                adv += int(round(wid(code) * fs)) * tz + tc * tz + (
                                     tw * tz if apply_tw and code == 32 else 0
                                 )
+                        if el:
+                            row = (page_idx, x, y + rise / 1000.0, cursor, dec(el), fs, tr)
+                            out.append(row[:4] + (adv,) + row[4:] if with_width else row)
+                        cursor += adv
                     elif isinstance(el, (int, float)):
                         cursor -= int(round(el * fs)) * (100 if vert else tz)
     except PdfError as e:

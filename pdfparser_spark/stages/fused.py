@@ -147,6 +147,55 @@ def extract_advance_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
     )
 
 
+def extract_word_boxes_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Word-geometry extraction, zero shuffle: the glyph-advance kernel
+    with ``with_width=True`` — each shown string carries BOTH its start
+    cursor (``ax_micro``) and its own glyph advance (``w_micro``), so
+    (x + ax/1e5, y) .. (x + (ax+w)/1e5, y + size) is the word's exact
+    baseline box.  This is the hOCR-style geometry an OCR layer would
+    report, recovered integer-exact from the vector text itself.  A
+    strict superset of `extract_advance_fused`'s columns; same plan
+    (one mapInPandas, scan-bound)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_advance_spans(
+                    _doc_bytes(spans), password=password, with_width=True
+                )
+                for ordn, (page_idx, x, y, ax, w, txt, size, mode) in enumerate(
+                    res["spans"]
+                ):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "x": float(x),
+                            "y": float(y),
+                            "ax_micro": int(ax),
+                            "w_micro": int(w),
+                            "text": txt,
+                            "size": float(size),
+                            "mode": int(mode),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ord", "page_idx", "x", "y", "ax_micro",
+                    "w_micro", "text", "size", "mode",
+                ],
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, "
+        "ax_micro long, w_micro long, text string, size double, mode int",
+    )
+
+
 def cluster_columns(xs, min_gap: float = 100.0) -> list:
     """1-D gap clustering of a page's line-origin x values -> sorted list
     of column START positions: a new column opens when the gap from the

@@ -446,3 +446,40 @@ def test_font_inventory_reports_programs():
     # corrupt input: contained
     res = extract_font_programs(b"junk")
     assert res["fonts"] == [] and res["errors"]
+
+
+def test_word_boxes_width_closes_the_cursor_algebra():
+    # with_width=True: each span carries its OWN glyph advance; within a
+    # line, ax(seg_{i+1}) = ax(seg_i) + w(seg_i) + kern-term (the TJ kern
+    # sits only before segment 2), for every residue class incl. the
+    # vertical CID docs (negative widths) and every embedded-font arm
+    for doc_id in range(0, 460, 11):
+        d = build_document_advance(doc_id, TEXT)
+        wide = extract_advance_spans(d["bytes"], with_width=True)
+        plain = extract_advance_spans(d["bytes"])
+        assert wide["errors"] == []
+        # strict superset: dropping w_micro reproduces the plain kernel
+        assert [s[:4] + s[5:] for s in wide["spans"]] == plain["spans"], doc_id
+        fs, tz = adv_font_size(doc_id), adv_tz_pct(doc_id)
+        k = adv_kern(doc_id)
+        vert = doc_id % 11 == 6 and (doc_id // 11) % 2 == 1
+        kern_factor = 100 if vert else tz
+        # group by line (same y baseline modulo rise: use page+index runs)
+        by_line: dict = {}
+        for s in wide["spans"]:
+            by_line.setdefault(round(s[2] - (s[2] % 1)), []).append(s)
+        segs = wide["spans"]
+        for i in range(len(segs) - 1):
+            a, b = segs[i], segs[i + 1]
+            if b[3] == 0:  # new line: cursor reset
+                continue
+            kern = -k * fs * kern_factor if b[3] != a[3] + a[4] else 0
+            assert b[3] == a[3] + a[4] + kern, (doc_id, i)
+
+
+def test_word_boxes_manual_width_doc0():
+    # doc 0: fs=12 tz=50 tc=tw=0 — seg0's width is the bare glyph sum
+    d = build_document_advance(0, TEXT)
+    spans = extract_advance_spans(d["bytes"], with_width=True)["spans"]
+    w = lambda ch: 300 + (ord(ch) % 8) * 50
+    assert spans[0][4] == sum(w(c) * 12 * 50 for c in "alpha beta gamma")

@@ -31,6 +31,7 @@ from pdfparser_spark.stages import (
     assemble_paragraphs,
     extract_advance_fused,
     extract_word_boxes_fused,
+    extract_outlines_fused,
     extract_attachments_fused,
     extract_columns_fused,
     extract_forms_fused,
@@ -1877,6 +1878,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # FULL outline tree (§12.3.3): depth-first bookmark walk with
+        # nesting depth, resolved /Dest pages (direct + named) and the
+        # /Count-sign open/closed state; the nested-child rule
+        # (synth doc%3=1 & doc%4!=0 & doc%5!=2) is invisible to the
+        # flat doc_metadata walk — only this walker reaches depth 1
+        "doc_outline_tree": lambda s, d: extract_outlines_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
         # table-format inspection surface: snapshot history + file stats
         # answered from manifests alone (the Iceberg snapshots/files
         # metadata tables) — counts, tombstones, key ranges, and the
@@ -2042,6 +2053,10 @@ _OBJECT_STATS_SQL = """
                  + CAST(doc_id % 2 = 1 AS INT)
                  -- /Info dict + (/Outlines root + items unless doc_id%5=2)
                  + 1 + CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 2 + doc_id % 4 END
+                 -- nested outline child under item 1 (doc%3=1, needs
+                 -- >=2 top-level items and outlines present)
+                 + CASE WHEN doc_id % 3 = 1 AND doc_id % 4 != 0 AND doc_id % 5 != 2
+                        THEN 1 ELSE 0 END
                  -- interactive tier: /Annots link objects + /AcroForm + fields
                  + CASE WHEN doc_id % 6 = 4 THEN 0 ELSE 1 + doc_id % 4 END
                  + CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 2 + doc_id % 3 END
@@ -4872,6 +4887,35 @@ def oracle_sql() -> dict[str, str]:
         # family writes (PDFDoc / UTF-16BE BOM / UTF-8 BOM) — only a
         # BOM-aware text-string decode reproduces it; created = the
         # §7.9.4 date parse (short-form defaults + 3 offset arms)
+        # outline-tree rules replayed: top-level items Sec d.k for
+        # k < 1+d%4 (none on d%5=2), item 0 carrying the /Dest to page
+        # d%np; the nested child (d%3=1, d%4!=0) emits at pre-order
+        # ord 2 / depth 1 with its own dest (d+1)%np, and its parent
+        # item 1 reports CLOSED (/Count -1) exactly on even docs
+        "doc_outline_tree": """
+            WITH base AS (
+              SELECT doc_id, 1 + doc_id % 3 AS np,
+                     CASE WHEN doc_id % 5 = 2 THEN 0 ELSE 1 + doc_id % 4 END AS n_outl,
+                     CAST(doc_id % 3 = 1 AND doc_id % 4 != 0 AND doc_id % 5 != 2 AS INT) AS child
+              FROM documents
+            ), items AS (
+              SELECT doc_id, np, n_outl, child,
+                     unnest(generate_series(0, n_outl - 1)) AS k
+              FROM base WHERE n_outl > 0
+            )
+            SELECT doc_id,
+                   CAST(k + CASE WHEN child = 1 AND k >= 2 THEN 1 ELSE 0 END AS INT) AS ord,
+                   CAST(0 AS INT) AS depth,
+                   'Sec ' || doc_id || '.' || k AS title,
+                   CAST(CASE WHEN k = 0 THEN doc_id % np END AS INT) AS target_page,
+                   (child = 1 AND k = 1 AND doc_id % 2 = 0) AS closed
+            FROM items
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INT), CAST(1 AS INT),
+                   'Sec ' || doc_id || '.1.0',
+                   CAST((doc_id + 1) % np AS INT), FALSE
+            FROM base WHERE child = 1
+        """,
         "doc_metadata": """
             SELECT doc_id,
                    'Synth Doc ' || CAST(doc_id AS VARCHAR) AS title,

@@ -1538,6 +1538,66 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
     }
 
 
+def extract_outline_tree(data: bytes, password: bytes = b""):
+    """FULL document outline tree (ISO 32000 §12.3.3), depth-first: each
+    item emits ``(ord, depth, title, target_page, closed)`` in pre-order
+    (item, then its children via /First..  /Next, then its next sibling)
+    — the bookmark panel's logical order.  ``closed`` is the §12.3.3
+    /Count sign convention (negative = children exist but are not
+    displayed); CLOSED items are still walked — their children exist in
+    the document, the flag only records presentation state.  Every
+    /Dest resolves through the same machinery as the metadata walk
+    (direct ``[page ...]`` arrays, named destinations via the catalog
+    /Names /Dests name tree or the PDF-1.1 /Dests dict); items with no
+    destination report NULL.  extract_doc_meta's flat First->Next walk
+    counts top-level items only — this walker is the first consumer of
+    the nested tier.  Lenient: damaged docs yield [] + error rows."""
+    items: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            outl = get_resolved(root, "Outlines", objects)
+            first = (
+                get_resolved(outl, "First", objects) if isinstance(outl, dict) else None
+            )
+            # pre-order DFS with an explicit stack: push the sibling
+            # BELOW the child so the child pops first; count + depth
+            # caps bound malicious cycles (same policy as the page walk)
+            stack = [(first, 0)]
+            while stack and len(items) < 4096:
+                node, depth = stack.pop()
+                if not isinstance(node, dict) or depth > 32:
+                    continue
+                title = _as_text(get_resolved(node, "Title", objects))
+                dest = get_resolved(node, "Dest", objects)
+                target = (
+                    _dest_page_index(dest, root, objects, errors)
+                    if dest is not None
+                    else None
+                )
+                cnt = get_resolved(node, "Count", objects)
+                kids = get_resolved(node, "First", objects)
+                closed = (
+                    isinstance(cnt, (int, float)) and cnt < 0 and kids is not None
+                )
+                items.append((len(items), depth, title, target, closed))
+                stack.append((get_resolved(node, "Next", objects), depth))
+                stack.append((kids, depth + 1))
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"items": items, "errors": errors}
+
+
 def _name_tree_lookup(node, key: str, objects: dict, depth: int = 0):
     """Name-tree point lookup (ISO 32000 §7.9.6): flat ``/Names``
     [key value ...] pairs, or ``/Kids`` intermediates pruned by

@@ -394,6 +394,42 @@ def extract_meta_fused(documents_raw: DataFrame, password: bytes = b"") -> DataF
     )
 
 
+def extract_outlines_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """FULL outline tree, zero shuffle: the §12.3.3 depth-first walk
+    (`core.extract.extract_outline_tree`) — every bookmark in pre-order
+    with its nesting depth, resolved /Dest target page, and open/closed
+    display state.  Emits (doc_id, ord, depth, title, target_page,
+    closed); one mapInPandas, scan-bound like every fused kernel."""
+    from ..core.extract import extract_outline_tree
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_outline_tree(_doc_bytes(spans), password=password)
+                for ordn, depth, title, target, closed in res["items"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": int(ordn),
+                            "depth": int(depth),
+                            "title": title,
+                            "target_page": None if target is None else int(target),
+                            "closed": bool(closed),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ord", "depth", "title", "target_page", "closed"],
+            )
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, depth int, title string, "
+        "target_page int, closed boolean",
+    )
+
+
 def extract_graphics_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Vector-graphics summary, zero shuffle: per-doc path-op counters
     over every page's content stream (`core.extract.extract_graphics`).

@@ -101,6 +101,14 @@ def doc_rules(doc_id: int) -> dict:
         # (6 mod 6 = 0), so the array already exists.
         "markup": doc_id % 12 == 6,
         "markup_cover": doc_id % 24 == 6,
+        # NESTED outline child (§12.3.3) on every 3rd+1 doc that has at
+        # least 2 top-level items (doc%4!=0) and outlines at all
+        # (doc%5!=2): item 1 gains ONE child item (/First = /Last,
+        # /Count -1 = CLOSED when the doc is even, +1 = open when odd)
+        # carrying its own direct /Dest to page (doc+1)%n_pages.  +1
+        # object; the flat First->Next metadata walk never visits it —
+        # only the depth-first tree walker (extract_outline_tree) does.
+        "outl_child": doc_id % 3 == 1 and doc_id % 4 != 0 and doc_id % 5 != 2,
         # XMP metadata stream (§14.3.2) on every 16th+9 doc: the catalog
         # /Metadata points at an uncompressed XML packet carrying
         # dc:title + xmp:CreatorTool; +1 obj +1 stream in object_stats.
@@ -580,11 +588,14 @@ def build_document(doc_id: int, text: str) -> dict:
     info_id = next_id
     next_id += 1
     n_outl = 0 if doc_id % 5 == 2 else 1 + doc_id % 4
-    outl_root_id = outl_item0 = None
+    outl_root_id = outl_item0 = outl_child_id = None
     if n_outl:
         outl_root_id = next_id
         outl_item0 = next_id + 1
         next_id += 1 + n_outl
+        if r["outl_child"]:
+            outl_child_id = next_id
+            next_id += 1
 
     # interactive tier: link-annotation objects (page 0) + /AcroForm fields
     link_ids = list(range(next_id, next_id + r["n_links"]))
@@ -850,15 +861,24 @@ def build_document(doc_id: int, text: str) -> dict:
     )
     obj_close()
     if outl_root_id is not None:
+        # root /Count = VISIBLE descendants (§12.3.3): top-level items
+        # plus the nested child only while its parent item is open
+        child_open = outl_child_id is not None and doc_id % 2 == 1
         obj_open(outl_root_id)
         b.struct(
             f"<< /Type /Outlines /First {outl_item0} 0 R "
-            f"/Last {outl_item0 + n_outl - 1} 0 R /Count {n_outl} >>".encode("ascii")
+            f"/Last {outl_item0 + n_outl - 1} 0 R "
+            f"/Count {n_outl + (1 if child_open else 0)} >>".encode("ascii")
         )
         obj_close()
         for k in range(n_outl):
             oid = outl_item0 + k
             item = f"<< /Title (Sec {doc_id}.{k}) /Parent {outl_root_id} 0 R"
+            if k == 1 and outl_child_id is not None:
+                item += (
+                    f" /First {outl_child_id} 0 R /Last {outl_child_id} 0 R"
+                    f" /Count {1 if child_open else -1}"
+                )
             if k == 0:
                 # destination (§12.3.2): item 0 jumps to page doc%n_pages —
                 # DIRECT [page /XYZ ...] array on even docs, a NAMED
@@ -876,6 +896,16 @@ def build_document(doc_id: int, text: str) -> dict:
             item += " >>"
             obj_open(oid)
             b.struct(item.encode("ascii"))
+            obj_close()
+        if outl_child_id is not None:
+            tp2 = (doc_id + 1) % r["n_pages"]
+            obj_open(outl_child_id)
+            b.struct(
+                (
+                    f"<< /Title (Sec {doc_id}.1.0) /Parent {outl_item0 + 1} 0 R"
+                    f" /Dest [{page_ids[tp2]} 0 R /XYZ 0 720 null] >>"
+                ).encode("ascii")
+            )
             obj_close()
 
     # XMP metadata stream (uncompressed XML packet, §14.3.2 convention)

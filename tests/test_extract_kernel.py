@@ -974,3 +974,32 @@ def test_incremental_xref_stream_revision():
             xref_stream=True,
         )
         assert not extract_spans(upd3)["errors"]
+
+
+def test_outline_tree_depth_first_walk():
+    # §12.3.3 pre-order DFS: the nested child (doc%3=1, doc%4!=0,
+    # doc%5!=2) emits at ord 2 / depth 1 with its own /Dest; its parent
+    # item reports CLOSED (/Count -1) exactly on even docs; the flat
+    # metadata walk never sees it (n_outlines = top-level count only)
+    from pdfparser_spark.core.extract import extract_doc_meta, extract_outline_tree
+    from pdfparser_spark.synth import build_document, doc_rules
+
+    text = " ".join(f"w{i}" for i in range(24))
+    for d in range(0, 90):
+        r = doc_rules(d)
+        doc = build_document(d, text)["bytes"]
+        out = extract_outline_tree(doc)
+        assert out["errors"] == [], (d, out["errors"])
+        n_outl = 0 if d % 5 == 2 else 1 + d % 4
+        assert len(out["items"]) == n_outl + (1 if r["outl_child"] else 0), d
+        # ords are the emission order, depths 0 except the child
+        assert [it[0] for it in out["items"]] == list(range(len(out["items"])))
+        if r["outl_child"]:
+            np = 1 + d % 3
+            assert out["items"][2] == (2, 1, f"Sec {d}.1.0", (d + 1) % np, False), d
+            assert out["items"][1][4] == (d % 2 == 0), d
+            assert all(it[1] == 0 for i, it in enumerate(out["items"]) if i != 2), d
+        assert extract_doc_meta(doc)["n_outlines"] == n_outl, d
+    # corrupt input: contained, never raises
+    res = extract_outline_tree(b"garbage")
+    assert res["items"] == [] and res["errors"]

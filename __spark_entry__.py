@@ -281,6 +281,43 @@ def _mbox_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(extract_fused(raw))
 
 
+def _tar_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(_CACHE_ROOT, f"tar_{_sf_tag(sf_dir)}_{_SRC_TAG}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pdfparser_spark.sources import tar
+
+        tar.write_tar_shards(_docs(spark, sf_dir), out, n_shards=8).count()
+        open(marker, "w").close()
+    return out
+
+
+def _tar_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-archive ingestion (the arXiv-dump shape): ustar shards ->
+    header-chain walk with VERIFIED checksums -> *.pdf members only
+    (each doc also ships a notes/*.txt sidecar the filter must drop) ->
+    the SAME extraction kernel as every family -> ordered spans.  Two
+    stateless mapInPandas kernels, zero shuffle; the plain span SQL is
+    the oracle — archive transport must be invisible to extraction."""
+    from pdfparser_spark.sources import tar
+
+    parsed = tar.read_tar(spark, _tar_dir(spark, sf_dir))
+    raw = parsed.filter(
+        F.col("payload").isNotNull() & F.col("name").endswith(".pdf")
+    ).select(
+        F.regexp_extract("name", r"/doc(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("payload").cast("string").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return flatten_spans(extract_fused(raw))
+
+
 def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full integration the north star describes, off a crawl archive:
     application/pdf WARC responses (the ASCII-armored synthetic PDFs as
@@ -1840,6 +1877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # warc_pdf_extract is in-window): mbox -> stdlib MIME parse ->
         # base64 PDF attachments -> the extraction kernel
         "mbox_pdf_extract": _mbox_pdf_extract,
+        # bulk tar archives (arXiv-dump shape): ustar header walk with
+        # verified checksums, *.pdf member filter, same span oracle
+        "tar_pdf_extract": _tar_pdf_extract,
         # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
         # image XObjects; this pulls them back out of the (decrypted)
         # object graph and decodes them with the textops codecs
@@ -3929,6 +3969,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "warc_pdf_extract": _span_sql(),
         "mbox_pdf_extract": _span_sql(),
+        "tar_pdf_extract": _span_sql(),
         # embedded-font inventory (advance family, one font per doc):
         # program kind + parsed glyph count + the program's space width
         # by doc_id arithmetic

@@ -52,6 +52,7 @@ from pdfparser_spark.stages import (
     extract_merge_pairs_fused,
     extract_portfolio_fused,
     extract_rewrite_fused,
+    extract_linearized_roundtrip_fused,
     extract_signatures_fused,
     extract_xmp_fused,
     extract_layout_sized_fused,
@@ -1247,6 +1248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span oracle proves writer validity (tail: oracle shared with
         # extract_spans)
         "pdf_rewrite_roundtrip": lambda s, d: extract_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # LINEARIZED rewrite (Annex F fast web view): extract -> the
+        # front-loaded first-page layout with a real /Prev-chained
+        # double-xref + hint stream -> VALIDATE /L /H /O /T /N against
+        # the bytes -> re-extract; span rows unchanged, every check TRUE
+        "pdf_linearized_roundtrip": lambda s, d: extract_linearized_roundtrip_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -2885,6 +2895,14 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_fused": _span_sql(),
         "extract_incremental": _span_sql(),
         "pdf_rewrite_roundtrip": _span_sql(),
+        # linearized roundtrip: span rows unchanged + all five Annex F
+        # parameter checks hold by construction
+        "pdf_linearized_roundtrip": _SPAN_CTE + """
+            SELECT doc_id, ord, kind, text, media_ref,
+                   TRUE AS linearized, TRUE AS l_ok, TRUE AS n_ok,
+                   TRUE AS o_ok, TRUE AS t_ok, TRUE AS h_ok
+            FROM spans
+        """,
         "pdf_encrypt_roundtrip": _span_sql(),
         "pdf_portfolio_roundtrip": _span_sql(),
         "pdf_merge_pairs": _SPAN_CTE

@@ -1538,6 +1538,108 @@ def extract_doc_meta(data: bytes, password: bytes = b""):
     }
 
 
+def _first_page_obj_id(root: dict, objects: dict):
+    """Object number of the page tree's FIRST leaf (the /O parameter's
+    referent): follow /Kids[0] down intermediate /Pages nodes, return
+    the first reference that resolves to a non-/Pages node."""
+    cur = root.get("Pages")
+    for _ in range(64):  # depth cap
+        if not isinstance(cur, Ref):
+            return None
+        val = resolve(cur, objects)
+        if isinstance(val, dict) and str(val.get("Type")) == "Pages":
+            kids = get_resolved(val, "Kids", objects)
+            if not isinstance(kids, list) or not kids:
+                return None
+            cur = kids[0]
+        else:
+            return cur.obj_id
+    return None
+
+
+def extract_linearization(data: bytes, password: bytes = b""):
+    """Linearization check (ISO 32000 Annex F): locate the linearization
+    parameter dictionary (the first object in the file, required within
+    the head) and VALIDATE its claims against the actual bytes —
+    ``l_ok`` /L equals the file length, ``n_ok`` /N equals the page-tree
+    leaf count, ``o_ok`` /O names the first page's object number,
+    ``t_ok`` /T lands on a classic xref entry (``NNNNNNNNNN GGGGG n/f``),
+    ``h_ok`` the /H [offset length] range parses as exactly one stream
+    object.  A file whose head carries no /Linearized dict reports
+    ``linearized=False`` with NULL checks (that is the common case — a
+    conventional writer output, not an error).  The forensic companion
+    to :func:`pdfparser_spark.core.writer._serialize_linearized` —
+    together they round-trip "fast web view" structure.  Lenient:
+    corrupt documents yield flag Nones + error rows, never an
+    exception."""
+    import re as _re
+
+    flags = {
+        "linearized": False,
+        "l_ok": None, "n_ok": None, "o_ok": None, "t_ok": None, "h_ok": None,
+    }
+    errors: list = []
+    try:
+        lin = None
+        m = _re.search(rb"(\d+)\s+\d+\s+obj", data[:2048])
+        if m:
+            try:
+                ind, _ = Tokenizer(data).parse_indirect_at(m.start(1))
+                attrs = ind.value.attrs if isinstance(ind.value, Stream) else ind.value
+                if isinstance(attrs, dict) and "Linearized" in attrs:
+                    lin = attrs
+            except Exception:
+                lin = None
+        if lin is None:
+            return {**flags, "errors": errors}
+        flags["linearized"] = True
+        lv = lin.get("L")
+        flags["l_ok"] = isinstance(lv, (int, float)) and int(lv) == len(data)
+        tv = lin.get("T")
+        flags["t_ok"] = bool(
+            isinstance(tv, (int, float))
+            and _re.match(rb"\d{10} \d{5} [nf]", data[int(tv) : int(tv) + 20])
+        )
+        hv = lin.get("H")
+        h_ok = False
+        if (
+            isinstance(hv, list)
+            and len(hv) >= 2
+            and all(isinstance(x, (int, float)) for x in hv[:2])
+        ):
+            try:
+                hobj, hend = Tokenizer(data).parse_indirect_at(int(hv[0]))
+                h_ok = isinstance(hobj.value, Stream) and hend == int(hv[0]) + int(hv[1])
+            except Exception:
+                h_ok = False
+        flags["h_ok"] = h_ok
+        # /N and /O need the real parse (page tree through the xref chain)
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            pages_node = get_resolved(root, "Pages", objects)
+            nv = lin.get("N")
+            if pages_node is not None and isinstance(nv, (int, float)):
+                flags["n_ok"] = int(nv) == len(
+                    _walk_pages_inherited(pages_node, objects, errors)
+                )
+            ov = lin.get("O")
+            fp = _first_page_obj_id(root, objects)
+            if fp is not None and isinstance(ov, (int, float)):
+                flags["o_ok"] = int(ov) == fp
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {**flags, "errors": errors}
+
+
 def extract_outline_tree(data: bytes, password: bytes = b""):
     """FULL document outline tree (ISO 32000 §12.3.3), depth-first: each
     item emits ``(ord, depth, title, target_page, closed)`` in pre-order

@@ -93,6 +93,7 @@ def write_pdf(
     objstm: bool = False,
     encrypt: dict | None = None,
     attachments: list | None = None,
+    linearized: bool = False,
 ) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
@@ -107,7 +108,11 @@ def write_pdf(
     payload as a §7.11 file attachment: a Flate-compressed
     /EmbeddedFile stream behind a /Filespec, registered in the
     catalog's /Names /EmbeddedFiles name tree (keys emitted sorted, as
-    §7.9.6 requires) — the portfolio/container write path."""
+    §7.9.6 requires) — the portfolio/container write path.
+    ``linearized=True`` emits the Annex F "fast web view" layout
+    instead (see :func:`_serialize_linearized`); it implies the classic
+    table form and composes with none of the other serialization
+    options."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -128,6 +133,7 @@ def write_pdf(
     root_id = add(b"")
     font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     page_ids = []
+    fp_end = None  # id of the last first-page-section object (linearized)
     for kind, payload in items:
         extra: list[bytes] = []
         if kind == "media":
@@ -159,6 +165,8 @@ def write_pdf(
         for body in extra:
             add(body)
         page_ids.append(pid)
+        if fp_end is None:
+            fp_end = len(objs)
 
     kids = b"[" + b" ".join(b"%d 0 R" % p for p in page_ids) + b"]"
     cat_extra = b""
@@ -184,6 +192,8 @@ def write_pdf(
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R%s >>" % (root_id, cat_extra)
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
+    if linearized:
+        return _serialize_linearized(objs, cat_id, page_ids[0], n_pages, fp_end)
     return _serialize(objs, cat_id, xref_stream, objstm, encrypt)
 
 
@@ -583,6 +593,105 @@ def _serialize(
     buf += payload
     buf += b"\nendstream\nendobj\nstartxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(buf)
+
+
+def _serialize_linearized(
+    objs: list, cat_id: int, first_page_id: int, n_pages: int, fp_end: int
+) -> bytes:
+    """Annex F "Linearized PDF" (fast web view) layout: the
+    linearization parameter dictionary is the FIRST object in the file,
+    followed by the first-page cross-reference table (whose trailer
+    /Prev points at the main table at the END of the file, and which is
+    the target of the file-end ``startxref``), the first-page objects,
+    the hint stream, the remaining objects, and the main table — a
+    byte-range reader can render page one after downloading only the
+    file head.  Parameters per §F.2: /L file length, /H [hint offset,
+    hint object length], /O first-page object number, /E end-of-first-
+    page offset, /N page count, /T offset of the main table's first
+    entry.  Emission is two-pass: every offset-valued field is written
+    ``%010d`` fixed-width, so pass 1 (zeros) fixes the geometry and
+    pass 2 fills the real values without moving a byte.
+
+    Documented subset: the hint stream is structurally valid (a real
+    Flate stream the /H range describes exactly) but carries no §F.4
+    hint tables — hints are a pure optimization every conforming reader
+    may ignore; objects keep their build numbering (the Acrobat
+    convention of renumbering first-page objects highest is a
+    convention, not a conformance requirement — both xref tables
+    together cover every object exactly once)."""
+    import zlib as _zlib
+
+    N = len(objs)
+    lin_id, hint_id = N + 1, N + 2
+    hint_payload = _zlib.compress(b"\0" * 32)
+    hint_body = b"<< /S 0 /Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream" % (
+        len(hint_payload),
+        hint_payload,
+    )
+
+    def emit(l=0, h0=0, h1=0, e=0, t=0, prev=0, front=0, off=None):
+        off = off or {}
+        buf = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+        pos: dict = {"lin": len(buf)}
+        buf += (
+            b"%d 0 obj\n<< /Linearized 1 /L %010d /H [%010d %010d] "
+            b"/O %d /E %010d /N %d /T %010d >>\nendobj\n"
+            % (lin_id, l, h0, h1, first_page_id, e, n_pages, t)
+        )
+        pos["front"] = len(buf)
+        buf += b"xref\n0 %d\n0000000000 65535 f \n" % (fp_end + 1)
+        for i in range(1, fp_end + 1):
+            buf += b"%010d 00000 n \n" % off.get(i, 0)
+        buf += b"%d 2\n%010d 00000 n \n%010d 00000 n \n" % (
+            lin_id,
+            off.get(lin_id, 0),
+            off.get(hint_id, 0),
+        )
+        buf += (
+            b"trailer\n<< /Size %d /Root %d 0 R /Prev %010d >>\n"
+            b"startxref\n0\n%%%%EOF\n" % (N + 3, cat_id, prev)
+        )
+        o: dict = {}
+        for i in range(1, fp_end + 1):
+            o[i] = len(buf)
+            buf += b"%d 0 obj\n" % i + objs[i - 1] + b"\nendobj\n"
+        pos["e"] = len(buf)
+        o[hint_id] = len(buf)
+        buf += b"%d 0 obj\n" % hint_id + hint_body + b"\nendobj"
+        pos["hlen"] = len(buf) - o[hint_id]
+        buf += b"\n"
+        for i in range(fp_end + 1, N + 1):
+            o[i] = len(buf)
+            buf += b"%d 0 obj\n" % i + objs[i - 1] + b"\nendobj\n"
+        pos["main"] = len(buf)
+        buf += b"xref\n0 1\n"
+        pos["t"] = len(buf)
+        buf += b"0000000000 65535 f \n%d %d\n" % (fp_end + 1, N - fp_end)
+        for i in range(fp_end + 1, N + 1):
+            buf += b"%010d 00000 n \n" % off.get(i, 0)
+        buf += b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%010d\n%%%%EOF\n" % (
+            N + 3,
+            cat_id,
+            front,
+        )
+        o[lin_id] = pos["lin"]
+        pos["off"] = o
+        pos["len"] = len(buf)
+        return bytes(buf), pos
+
+    _, p = emit()
+    out, p2 = emit(
+        l=p["len"],
+        h0=p["off"][hint_id],
+        h1=p["hlen"],
+        e=p["e"],
+        t=p["t"],
+        prev=p["main"],
+        front=p["front"],
+        off=p["off"],
+    )
+    assert p2["len"] == p["len"]  # two-pass geometry must not move
+    return out
 
 
 def _num(v: float) -> bytes:

@@ -856,6 +856,58 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
     )
 
 
+def extract_linearized_roundtrip_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Linearization round-trip, zero shuffle: extract -> serialize the
+    spans in the Annex F "fast web view" layout
+    (`core.writer._serialize_linearized`) -> VALIDATE the linearization
+    parameters against the produced bytes (`extract_linearization`:
+    /L /H /O /T /N checked, not trusted) -> re-extract.  Span rows must
+    equal plain extraction's and every check must hold, so one green
+    row proves both the byte-range-servable layout and the validator —
+    the streaming-delivery write shape."""
+    from ..core.extract import extract_linearization, extract_spans
+    from ..core.writer import write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "ord", "kind", "text", "media_ref",
+            "linearized", "l_ok", "n_ok", "o_ok", "t_ok", "h_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                lb = write_pdf(first["spans"], linearized=True)
+                flags = extract_linearization(lb)
+                again = extract_spans(lb)
+                for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                            "linearized": flags["linearized"],
+                            "l_ok": flags["l_ok"],
+                            "n_ok": flags["n_ok"],
+                            "o_ok": flags["o_ok"],
+                            "t_ok": flags["t_ok"],
+                            "h_ok": flags["h_ok"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, kind string, text string, media_ref string, "
+        "linearized boolean, l_ok boolean, n_ok boolean, o_ok boolean, "
+        "t_ok boolean, h_ok boolean",
+    )
+
+
 def extract_redact_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """REDACTION round-trip, zero shuffle: extract -> scrub PII from the
     span text with the SAME RE2-safe patterns the curation tier and the

@@ -1003,3 +1003,53 @@ def test_outline_tree_depth_first_walk():
     # corrupt input: contained, never raises
     res = extract_outline_tree(b"garbage")
     assert res["items"] == [] and res["errors"]
+
+
+def test_linearized_writer_roundtrip_and_validation():
+    # Annex F layout: first object is the /Linearized param dict, the
+    # front xref's /Prev chains to the main table at EOF, and every
+    # parameter check validates against the actual bytes
+    from pdfparser_spark.core.extract import extract_linearization, extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+
+    spans = [
+        ("text", "hello linear world", None),
+        ("text", "page two here", None),
+        ("media", None, "Im9"),
+    ]
+    lb = write_pdf(spans, linearized=True)
+    assert lb.index(b"/Linearized 1") < 150  # param dict in the file head
+    res = extract_spans(lb)
+    assert res["errors"] == [] and res["spans"] == spans
+    flags = extract_linearization(lb)
+    assert flags == {
+        "linearized": True, "l_ok": True, "n_ok": True,
+        "o_ok": True, "t_ok": True, "h_ok": True, "errors": [],
+    }
+    # appending bytes breaks the /L claim but nothing else
+    grown = extract_linearization(lb + b"\n% appended\n")
+    assert grown["linearized"] is True and grown["l_ok"] is False
+    # conventional outputs report not-linearized with NULL checks
+    for kw in ({}, {"xref_stream": True}, {"objstm": True}):
+        f = extract_linearization(write_pdf(spans, **kw))
+        assert f["linearized"] is False and f["l_ok"] is None
+    # corrupt input: contained
+    junk = extract_linearization(b"%PDF-1.5 not really")
+    assert junk["linearized"] is False
+
+
+def test_linearized_form_over_synth_corpus():
+    # the armored family re-serialized linearized must re-extract to the
+    # same spans for every residue class, with all checks green
+    from pdfparser_spark.core.extract import extract_linearization, extract_spans
+    from pdfparser_spark.core.writer import write_pdf
+    from pdfparser_spark.synth import build_document
+
+    text = " ".join(f"w{i}" for i in range(24))
+    for d in range(0, 40):
+        first = extract_spans(build_document(d, text)["bytes"])
+        lb = write_pdf(first["spans"], linearized=True)
+        again = extract_spans(lb)
+        assert again["spans"] == first["spans"], d
+        f = extract_linearization(lb)
+        assert all(f[k] for k in ("linearized", "l_ok", "n_ok", "o_ok", "t_ok", "h_ok")), (d, f)

@@ -1890,6 +1890,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bulk tar archives (arXiv-dump shape): ustar header walk with
         # verified checksums, *.pdf member filter, same span oracle
         "tar_pdf_extract": _tar_pdf_extract,
+        # Unicode NFC fold (UAX #15): combining sequences injected
+        # deterministically (doc%3=0 e+U+0301, doc%3=1 o+U+0308) are
+        # composed back by an Arrow-batched kernel; the oracle is
+        # DuckDB's OWN nfc_normalize — a cross-engine check of the
+        # real Unicode tables, not a replayed formula
+        "unicode_nfc_fold": lambda s, d: curation.unicode_normalize(
+            _docs(s, d).select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.regexp_replace(F.coalesce("text", F.lit("")), "e", "e\u0301"),
+                )
+                .when(
+                    F.col("doc_id") % 3 == 1,
+                    F.regexp_replace(F.coalesce("text", F.lit("")), "o", "o\u0308"),
+                )
+                .otherwise(F.coalesce("text", F.lit("")))
+                .alias("text"),
+            )
+        ),
         # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
         # image XObjects; this pulls them back out of the (decrypted)
         # object graph and decodes them with the textops codecs
@@ -3988,6 +4008,20 @@ def oracle_sql() -> dict[str, str]:
         "warc_pdf_extract": _span_sql(),
         "mbox_pdf_extract": _span_sql(),
         "tar_pdf_extract": _span_sql(),
+        "unicode_nfc_fold": """
+            WITH inj AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN regexp_replace(COALESCE(text, ''), 'e', 'e' || chr(769), 'g')
+                  WHEN 1 THEN regexp_replace(COALESCE(text, ''), 'o', 'o' || chr(776), 'g')
+                  ELSE COALESCE(text, '') END AS t
+              FROM documents
+            )
+            SELECT doc_id, nfc_normalize(t) AS norm_text,
+                   CAST(length(t) - length(nfc_normalize(t)) AS BIGINT) AS n_folded,
+                   t <> nfc_normalize(t) AS changed
+            FROM inj
+        """,
         # embedded-font inventory (advance family, one font per doc):
         # program kind + parsed glyph count + the program's space width
         # by doc_id arithmetic

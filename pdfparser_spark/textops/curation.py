@@ -479,3 +479,43 @@ def dsir_select(documents: DataFrame, target_lang: str = DSIR_TARGET_LANG) -> Da
             (F.col("dsir_score") >= 0).cast("int").alias("selected"),
         )
     )
+
+
+def unicode_normalize(documents: DataFrame, form: str = "NFC") -> DataFrame:
+    """Unicode normalization gate (UAX #15): fold combining sequences to
+    their canonical composed form — the standard first pass of a text
+    curation pipeline (web text arrives in mixed NFC/NFD, and duplicate
+    detection / tokenization downstream assume ONE canonical form; see
+    e.g. the CCNet / Gopher preprocessing descriptions).
+
+    Spark has no codepoint-normalization builtin, so this is one of the
+    few legitimately Python-side ops: a single Arrow-batched mapInPandas
+    projection (zero shuffle — the normalization is stateless per row;
+    at 100 TB the plan is scan -> kernel -> sink).  ``n_folded`` counts
+    the codepoints removed by composition (len before - after),
+    ``changed`` flags rows the fold actually touched.  The oracle is
+    DuckDB's independent ``nfc_normalize`` — a cross-engine check of the
+    actual Unicode tables, not a replayed formula."""
+    import pandas as pd  # local: keep module import-light on the driver
+
+    if form != "NFC":  # documented: the oracle pins NFC; NFKC etc. would
+        raise ValueError("only NFC is wired to the cross-engine oracle")
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            src = pdf["text"].fillna("")
+            norm = src.map(lambda t: unicodedata.normalize("NFC", t))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm_text": norm,
+                    "n_folded": src.str.len() - norm.str.len(),
+                    "changed": src.ne(norm),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, norm_text string, n_folded long, changed boolean"
+    )

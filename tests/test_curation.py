@@ -552,3 +552,27 @@ def test_dsir_select_separates_target_slice(spark, sf_dir):
     en_rate = c.get((True, 1), 0) / max(c.get((True, 1), 0) + c.get((True, 0), 0), 1)
     other_rate = c.get((False, 1), 0) / max(c.get((False, 1), 0) + c.get((False, 0), 0), 1)
     assert en_rate > other_rate
+
+
+def test_unicode_normalize_folds_combining_sequences(spark):
+    from pdfparser_spark.textops.curation import unicode_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "café latte"),   # e + combining acute -> é
+            (2, "plain ascii"),
+            (3, None),
+            (4, "öö"),          # two ö in NFD
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unicode_normalize(df).collect()}
+    assert rows[1]["norm_text"] == "café latte" and rows[1]["n_folded"] == 1
+    assert rows[1]["changed"] is True
+    assert rows[2]["changed"] is False and rows[2]["n_folded"] == 0
+    assert rows[3]["norm_text"] == "" and rows[3]["changed"] is False
+    assert rows[4]["norm_text"] == "öö" and rows[4]["n_folded"] == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        unicode_normalize(df, form="NFKC")

@@ -1218,13 +1218,19 @@ def embedded_image_dims(doc_id: int) -> tuple[int, int]:
 
 @lru_cache(maxsize=32)
 def _embedded_jpeg(w: int, h: int) -> bytes:
-    """Grayscale DC-only baseline JPEG with the (7R+13C)%256 block pattern
-    — the integer-exact decode contract (textops/jpeg.py docstring).
-    Memoized: only 16 distinct (w, h) payloads exist across the corpus, so
-    per-executor the DCT+Huffman encode runs at most 16 times."""
+    """Grayscale DC-only JPEG with the (7R+13C)%256 block pattern — the
+    integer-exact decode contract (textops/jpeg.py docstring).  Every
+    other size class encodes PROGRESSIVE (SOF2): the refinement script
+    transmits the same coefficients, so decoded pixels — and the
+    pixel-sum oracle — are identical, while the /DCTDecode path through
+    the PDF object graph exercises the Annex G decoder.  Memoized: only
+    16 distinct (w, h) payloads exist across the corpus, so per-executor
+    the DCT+Huffman encode runs at most 16 times."""
     from .textops import jpeg as _jpeg
     from .textops.media import _block_pattern
 
+    if (w // 16 + h // 16) % 2 == 1:
+        return _jpeg.encode_jpeg_progressive(_block_pattern(w, h))
     return _jpeg.encode_jpeg(_block_pattern(w, h))
 
 

@@ -6,12 +6,18 @@ codec from the public spec instead of stubbing it:
   * ``encode_jpeg``: baseline sequential DCT, 8-bit, grayscale or YCbCr
     4:4:4 / 4:2:0, standard Annex-K quantization + Huffman tables,
     restart-interval support.
-  * ``decode_jpeg``: a general baseline decoder — DQT (8/16-bit), SOF0,
-    DHT, DRI, SOS with MCU-interleaved or single-component scans,
-    sampling factors up to 2x2, byte-unstuffing + restart markers,
-    dequantization, separable float IDCT, chroma upsampling and
-    YCbCr->RGB.  Progressive (SOF2) and arithmetic coding are rejected
-    with ValueError.
+  * ``decode_jpeg``: a general baseline + PROGRESSIVE decoder — DQT
+    (8/16-bit), SOF0/1/2, DHT, DRI, SOS with MCU-interleaved or
+    single-component scans, sampling factors up to 2x2, byte-unstuffing
+    + restart markers, dequantization, separable float IDCT, chroma
+    upsampling and YCbCr->RGB.  Progressive (Annex G) covers all four
+    scan kinds: DC first / DC refinement / AC first (EOB-run coded) /
+    AC refinement (correction bits).  Lossless, hierarchical and
+    arithmetic coding are rejected with ValueError.
+  * ``encode_jpeg_progressive``: SOF2 spectral-selection + successive-
+    approximation writer (matched pair with the decoder; cross-validated
+    against javax.imageio in tests) whose refined coefficients equal the
+    baseline encoder's, so both forms decode to identical pixels.
 
 Integer pinning for the oracle: both the encoder's quantizer and the
 decoder's sample reconstruction round via ``floor(x + 0.5 + EPS)``.  The
@@ -412,12 +418,400 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
     return bytes(out)
 
 
+# --- progressive encoder (ITU-T T.81 Annex G) -------------------------------
+
+# AC table for progressive scans: EOB-run symbols ((nbits << 4), size 0)
+# are NOT in the Annex K baseline tables, so progressive encoders ship
+# their own.  Ours is the simplest valid one — every symbol 0x00..0xFE as
+# an 8-bit code (255 codes of one length is a legal canonical table, and
+# the forbidden all-ones code is never assigned).  Compression optimality
+# is irrelevant here; table VALIDITY and decoder generality are the point.
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0], list(range(255)))
+
+
+def _flush_eobrun(bw: _BitWriter, acc, st: dict) -> None:
+    """Emit the pending EOB run (§G.1.2.2: symbol nbits<<4 + appended
+    low bits) and any correction bits buffered during it (§G.1.2.3)."""
+    e = st["eobrun"]
+    if e > 0:
+        nbits = e.bit_length() - 1
+        c, ln = acc[nbits << 4]
+        bw.write(c, ln)
+        if nbits:
+            bw.write(e - (1 << nbits), nbits)
+        st["eobrun"] = 0
+    for b in st["bebits"]:
+        bw.write(b, 1)
+    st["bebits"] = []
+
+
+def _enc_ac_first_block(bw: _BitWriter, acc, zz, ss: int, se: int, al: int, st: dict) -> None:
+    """One block of an AC FIRST scan (§G.1.2.2): point-transformed band
+    run-length coded, trailing zeros folded into the cross-block EOB run."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, acc, st)
+        while r > 15:
+            c, ln = acc[0xF0]
+            bw.write(c, ln)
+            r -= 16
+        size, extra = _magnitude(t if v >= 0 else -t)
+        c, ln = acc[(r << 4) | size]
+        bw.write(c, ln)
+        bw.write(extra, size)
+        r = 0
+    if r > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, acc, st)
+
+
+def _enc_ac_refine_block(bw: _BitWriter, acc, zz, ss: int, se: int, al: int, st: dict) -> None:
+    """One block of an AC REFINEMENT scan (§G.1.2.3, figure G.7):
+    newly-nonzero coefficients get (run, 1) symbols + a sign bit;
+    already-nonzero history gets one buffered correction bit each, woven
+    through the runs in position order exactly as the decoder re-reads
+    them."""
+    absv = {}
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(bw, acc, st)
+            c, ln = acc[0xF0]
+            bw.write(c, ln)
+            r -= 16
+            for b in br:
+                bw.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        _flush_eobrun(bw, acc, st)
+        c, ln = acc[(r << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        r = 0
+        for b in br:
+            bw.write(b, 1)
+        br = []
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["bebits"].extend(br)
+        if st["eobrun"] == 0x7FFF:
+            _flush_eobrun(bw, acc, st)
+
+
+def encode_jpeg_progressive(img: np.ndarray) -> bytes:
+    """Encode a uint8 image (H x W grayscale, or H x W x 3 RGB 4:4:4) as
+    PROGRESSIVE JPEG (SOF2) with a spectral-selection + successive-
+    approximation scan script that exercises all four scan kinds:
+
+      1. DC first, interleaved, Al=1
+      2. AC first per component, band 1..63, Al=1 (EOB-run coded)
+      3. DC refinement (Ah=1 -> Al=0)
+      4. AC refinement per component (Ah=1 -> Al=0)
+
+    The transmitted coefficients are IDENTICAL to the baseline encoder's
+    after full refinement, so progressive and baseline outputs decode to
+    the same pixels — which keeps the media tier's analytic pixel-sum
+    oracle layout-invariant."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    if gray:
+        planes = [img.astype(np.float64)]
+        qts = [0]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b,
+        ]
+        qts = [0, 1, 1]
+    h, w = img.shape[:2]
+    gx, gy = -(-w // 8), -(-h // 8)
+    qtabs = [QT_LUMA, QT_CHROMA]
+    comp_blocks = [
+        _fdct_quant(_pad_to(p, 8 * gy, 8 * gx), qtabs[tq]) for p, tq in zip(planes, qts)
+    ]
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_seg(0, QT_LUMA)
+    if not gray:
+        out += _dqt_seg(1, QT_CHROMA)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, qts[i]])
+    out += _seg(0xC2, sof)  # SOF2: progressive DCT
+    out += _dht_seg(0, 0, DC_LUMA)
+    if not gray:
+        out += _dht_seg(0, 1, DC_CHROMA)
+    out += _dht_seg(1, 2, _PROG_AC)
+
+    dc_codes = [_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA)]
+    acc = _build_codes(*_PROG_AC)
+    dtid = lambda ci: 0 if (gray or ci == 0) else 1  # noqa: E731
+
+    def sos(comp_ids, ss, se, ah, al, ta):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, (dtid(ci) << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    # 1) DC first: interleaved, point transform Al=1 (arithmetic shift)
+    out += sos(list(range(ncomp)), 0, 0, 0, 1, 0)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for m in range(gy * gx):
+        my, mx = divmod(m, gx)
+        for ci in range(ncomp):
+            v = int(comp_blocks[ci][my, mx, 0]) >> 1
+            size, extra = _magnitude(v - preds[ci])
+            preds[ci] = v
+            c, ln = dc_codes[dtid(ci)][size]
+            bw.write(c, ln)
+            if size:
+                bw.write(extra, size)
+    bw.flush()
+    out += bw.out
+
+    # 2) AC first per component: band 1..63 at Al=1
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 0, 1, 2)
+        bw = _BitWriter()
+        st = {"eobrun": 0, "bebits": []}
+        for m in range(gy * gx):
+            my, mx = divmod(m, gx)
+            _enc_ac_first_block(bw, acc, comp_blocks[ci][my, mx], 1, 63, 1, st)
+        _flush_eobrun(bw, acc, st)
+        bw.flush()
+        out += bw.out
+
+    # 3) DC refinement: the deferred low bit, one per unit
+    out += sos(list(range(ncomp)), 0, 0, 1, 0, 0)
+    bw = _BitWriter()
+    for m in range(gy * gx):
+        my, mx = divmod(m, gx)
+        for ci in range(ncomp):
+            bw.write(int(comp_blocks[ci][my, mx, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # 4) AC refinement per component: Ah=1 -> Al=0
+    for ci in range(ncomp):
+        out += sos([ci], 1, 63, 1, 0, 2)
+        bw = _BitWriter()
+        st = {"eobrun": 0, "bebits": []}
+        for m in range(gy * gx):
+            my, mx = divmod(m, gx)
+            _enc_ac_refine_block(bw, acc, comp_blocks[ci][my, mx], 1, 63, 0, st)
+        _flush_eobrun(bw, acc, st)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ----------------------------------------------------------------
 
 def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
     """(n, 8, 8) dequantized coefficients -> (n, 8, 8) samples (float,
     level-shifted back to [0, 255] domain, unclipped)."""
     return np.einsum("ux,nuv,vy->nxy", _A, coefs.astype(np.float64), _A, optimize=True) + 128.0
+
+
+def _decode_progressive(scans, qt, huff, by_id, comps, hmax, vmax, w, h, dri):
+    """Progressive-DCT coefficient decoder (ITU-T T.81 §G.2 / Annex G):
+    each SOS refines a spectral band (/Ss../Se) at a successive-
+    approximation level (Ah -> Al) into persistent per-component
+    coefficient stores.  All four scan kinds are implemented — DC first
+    (diffs of point-transformed DC, interleaved MCU order when ns > 1),
+    DC refinement (one appended bit per unit), AC first (EOB-run coded
+    bands, §G.1.2.2), and AC refinement (correction bits woven through
+    the zero runs, §G.1.2.3 / figure G.7).  Restart markers reset the
+    DC predictors and the EOB run.  Raises ValueError on any structural
+    violation (AC scans must be single-component, bands inside 1..63)."""
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    stores = {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+    for sc_rec in scans:
+        ss, se = sc_rec["ss"], sc_rec["se"]
+        ah, al = sc_rec["ah"], sc_rec["al"]
+        scomps = sc_rec["comps"]
+        segments = sc_rec["segments"]
+        for sc in scomps:
+            if sc["cs"] not in by_id:
+                raise ValueError(f"scan references unknown component {sc['cs']}")
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _prog_dc_scan(scomps, segments, huff, by_id, stores, mcux, mcuy, ah, al, dri)
+        else:
+            if len(scomps) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if not (1 <= ss <= se <= 63):
+                raise ValueError("bad spectral band")
+            _prog_ac_scan(
+                scomps[0], segments, huff, by_id, stores, hmax, vmax, w, h, ss, se, ah, al, dri
+            )
+    return stores
+
+
+def _prog_dc_scan(scomps, segments, huff, by_id, stores, mcux, mcuy, ah, al, dri):
+    interleaved = len(scomps) > 1
+    if ah == 0:
+        for sc in scomps:
+            if (0, sc["td"]) not in huff:
+                raise ValueError("scan references missing Huffman table")
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        c = by_id[scomps[0]["cs"]]
+        st = stores[c["id"]]
+        n_units = st.shape[0] * st.shape[1]
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    preds = [0] * len(scomps)
+    for m in range(n_units):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(scomps)
+        for si, sc in enumerate(scomps):
+            c = by_id[sc["cs"]]
+            st = stores[c["id"]]
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                units = [
+                    (my * c["v"] + v, mx * c["h"] + hh)
+                    for v in range(c["v"])
+                    for hh in range(c["h"])
+                ]
+            else:
+                units = [divmod(m, st.shape[1])]
+            for uy, ux in units:
+                if ah == 0:
+                    size = reader.decode(huff[(0, sc["td"])])
+                    if size > 15:
+                        raise ValueError("invalid DC category")
+                    preds[si] += _extend(reader.bits(size), size)
+                    st[uy, ux, 0] = preds[si] << al
+                else:  # refinement: one appended bit per unit
+                    if reader.bit():
+                        st[uy, ux, 0] |= 1 << al
+
+
+def _prog_ac_scan(sc, segments, huff, by_id, stores, hmax, vmax, w, h, ss, se, ah, al, dri):
+    if (1, sc["ta"]) not in huff:
+        raise ValueError("scan references missing Huffman table")
+    ac_tab = huff[(1, sc["ta"])]
+    c = by_id[sc["cs"]]
+    st = stores[c["id"]]
+    # non-interleaved scans cover the component's OWN padded grid
+    # (§A.2.2), a sub-rectangle of the MCU-padded store
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    gxc, gyc = -(-cw // 8), -(-ch // 8)
+    reader = _BitReader(segments[0])
+    seg_idx = 0
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for m in range(gxc * gyc):
+        if dri and m and m % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        uy, ux = divmod(m, gxc)
+        zz = st[uy, ux]
+        if ah == 0:  # §G.1.2.2 first pass: EOB-run coded band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.decode(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(reader.bits(s), s) << al
+                k += 1
+        else:  # §G.1.2.3 refinement: correction bits through the runs
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        sval = 0  # ZRL: 16 zero-history skips
+                    elif s == 1:
+                        sval = p1 if reader.bit() else m1
+                    else:
+                        raise ValueError("bad refinement symbol")
+                    while k <= se:
+                        cv = int(zz[k])
+                        if cv != 0:
+                            if reader.bit() and (cv & p1) == 0:
+                                zz[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if sval and k <= se:
+                        zz[k] = sval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # EOB region: correct remaining history
+                    cv = int(zz[k])
+                    if cv != 0:
+                        if reader.bit() and (cv & p1) == 0:
+                            zz[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
 
 
 def decode_jpeg(payload: bytes):
@@ -431,7 +825,8 @@ def decode_jpeg(payload: bytes):
     huff: dict[tuple[int, int], dict] = {}
     dri = 0
     frame = None
-    scan = None
+    progressive = False
+    scans: list[dict] = []
     while pos < len(data):
         if data[pos] != 0xFF or pos + 1 >= len(data):
             raise ValueError("marker expected")
@@ -471,12 +866,13 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("truncated DHT segment")
                 huff[(tc, th)] = _build_decode(bits, values)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(body) < 6 or len(body) < 6 + 3 * body[5]:
                 raise ValueError("truncated SOF segment")
             precision = body[0]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = marker == 0xC2
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -485,48 +881,56 @@ def decode_jpeg(payload: bytes):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline and progressive DCT supported")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS
-            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+            if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
             ns = body[0]
             scan_comps = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 scan_comps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
-            scan = scan_comps
-            # we decode exactly one scan; a multi-scan baseline file (one
-            # SOS per component) would silently come out color-shifted if
-            # we proceeded with only the first — fail loudly instead
-            if frame is not None and ns != len(frame["comps"]):
-                raise ValueError("multi-scan baseline JPEG not supported")
-            break
+            ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+            # split the scan's entropy-coded data into restart segments,
+            # unstuffing FF00; stop at the next true marker
+            segments: list[bytearray] = [bytearray()]
+            while pos < len(data):
+                b = data[pos]
+                if b != 0xFF:
+                    segments[-1].append(b)
+                    pos += 1
+                    continue
+                nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+                if nxt == 0x00:
+                    segments[-1].append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytearray())
+                    pos += 2
+                else:
+                    break  # real marker: ends this scan's data
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss, "se": se, "ah": ahl >> 4, "al": ahl & 0xF,
+                    "segments": [bytes(s) for s in segments],
+                }
+            )
+            if not progressive:
+                # we decode exactly one baseline scan; a multi-scan
+                # baseline file (one SOS per component) would silently
+                # come out color-shifted — fail loudly instead
+                if frame is not None and ns != len(frame["comps"]):
+                    raise ValueError("multi-scan baseline JPEG not supported")
+                break
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("missing SOF/SOS")
-
-    # split entropy-coded data into restart segments, unstuffing FF00
-    segments: list[bytearray] = [bytearray()]
-    while pos < len(data):
-        b = data[pos]
-        if b != 0xFF:
-            segments[-1].append(b)
-            pos += 1
-            continue
-        nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
-        if nxt == 0x00:
-            segments[-1].append(0xFF)
-            pos += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            segments.append(bytearray())
-            pos += 2
-        elif nxt == 0xD9:
-            break
-        else:
-            raise ValueError("unexpected marker in entropy data")
+    scan = scans[0]["comps"]
+    segments = scans[0]["segments"]
 
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
@@ -542,6 +946,9 @@ def decode_jpeg(payload: bytes):
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     by_id = {c["id"]: c for c in comps}
+    if progressive:
+        stores = _decode_progressive(scans, qt, huff, by_id, comps, hmax, vmax, w, h, dri)
+        return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h)
     for sc in scan:
         if sc["cs"] not in by_id:
             raise ValueError(f"scan references unknown component {sc['cs']}")
@@ -619,7 +1026,13 @@ def decode_jpeg(payload: bytes):
             else:
                 stores[cid][my * c["v"] + v, mx * c["h"] + hh] = zz
 
-    # dequantize + IDCT per component, reassemble planes
+    return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h)
+
+
+def _finish_jpeg(stores, comps, qt, hmax, vmax, w, h):
+    """Shared decode tail: dequantize + IDCT per component, reassemble
+    planes, upsample, color-convert.  Used by both the baseline and the
+    progressive coefficient decoders."""
     planes = {}
     for c in comps:
         st = stores[c["id"]]

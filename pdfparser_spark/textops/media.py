@@ -263,6 +263,12 @@ def _image_payload(kind: str, w: int, h: int, opt: int = 0) -> bytes:
     if kind == "bmp":
         return encode_bmp(_gradient(w, h))
     if kind == "jpeg":
+        # bit0: PROGRESSIVE (SOF2 spectral-selection + successive-
+        # approximation script) — transmits the same coefficients as
+        # baseline after full refinement, so decoded pixels are
+        # identical and the pixel-sum oracle is layout-invariant
+        if opt & 1:
+            return jpeg.encode_jpeg_progressive(_block_pattern(w, h))
         return jpeg.encode_jpeg(_block_pattern(w, h))
     if kind == "png":
         return png.encode_png(_gradient(w, h), interlace=bool(opt & 1))
@@ -293,6 +299,8 @@ def _make_image_payload(doc_id: int, media_ref: str) -> bytes:
     else:
         kind = "ppm"
     opt = 0
+    if kind == "jpeg":
+        opt = ord(hh[5]) % 2  # bit0: progressive SOF2 — same decoded pixels
     if kind == "png":
         opt = ord(hh[5]) % 2  # bit0: Adam7 interlace — same decoded pixels
     if kind == "tiff":

@@ -84,8 +84,11 @@ def test_color_420_restart_markers_odd_dims():
 def test_rejects_malformed():
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"not a jpeg")
-    with pytest.raises(ValueError, match="baseline"):
-        # SOF2 progressive
+    with pytest.raises(ValueError, match="baseline and progressive"):
+        # SOF3 lossless: outside the supported DCT processes
+        jpeg.decode_jpeg(b"\xff\xd8\xff\xc3\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
+    with pytest.raises(ValueError, match="missing SOF/SOS"):
+        # SOF2 parses now, but a frame with no scan is still incomplete
         jpeg.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00")
     full = jpeg.encode_jpeg(media._block_pattern(16, 16))
     with pytest.raises(ValueError):
@@ -149,6 +152,16 @@ public class DecodeJpeg {
     jv = java_decode(jpeg.encode_jpeg(gray))
     assert np.array_equal(jv[:, :, 0], _dc_only_expect(bv))
 
+    # PROGRESSIVE encoder cross-validated: javax.imageio's own Annex G
+    # decoder must read our SOF2 scan script to the exact DC-only model
+    jv = java_decode(jpeg.encode_jpeg_progressive(gray))
+    assert np.array_equal(jv[:, :, 0], _dc_only_expect(bv))
+    nat = (np.add.outer(np.arange(41) * 7, np.arange(29) * 3) % 256).astype(np.uint8)
+    pp = jpeg.encode_jpeg_progressive(nat)
+    _, _, mine = jpeg.decode_jpeg(pp)
+    jv = java_decode(pp)
+    assert np.abs(mine.astype(np.int64) - jv[:, :, 0]).max() <= 2
+
     img = (np.add.outer(np.arange(37) * 5, np.arange(53) * 2)[:, :, None].repeat(3, axis=2) % 256).astype(np.uint8)
     payload = jpeg.encode_jpeg(img, subsample=True, restart_interval=4)
     _, _, mine = jpeg.decode_jpeg(payload)
@@ -211,3 +224,49 @@ def test_exif_app1_roundtrip_and_decode_transparency():
     mut = bytearray(j)
     mut[8:12] = b"\x00\x00\x00\x00"
     assert parse_exif(bytes(mut)) in (None, {}) or isinstance(parse_exif(bytes(mut)), dict)
+
+
+def test_progressive_equals_baseline_pixels():
+    # Annex G: the scan script (DC first Al=1 / AC first Al=1 / DC
+    # refine / AC refine) transmits the same quantized coefficients as
+    # baseline, so decoded pixels must be IDENTICAL for any input
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8), (16, 24), (17, 23), (40, 56), (33, 47, 3), (24, 24, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8).squeeze()
+        wb, hb, base = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+        wp, hp, prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img))
+        assert (wb, hb) == (wp, hp)
+        assert np.array_equal(base, prog), shape
+    # structural: the progressive file really is SOF2 with 6+ scans
+    blob = jpeg.encode_jpeg_progressive(rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") == 8
+
+
+def test_progressive_exercises_eob_runs_and_refinement():
+    # a mostly-flat image makes long cross-block EOB runs (nbits > 0
+    # symbols) and the sparse spikes force newly-nonzero refinement
+    # coefficients and correction bits
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    img[5, 9] = 255
+    img[40, 40] = 0
+    wb, hb, base = jpeg.decode_jpeg(jpeg.encode_jpeg(img))
+    wp, hp, prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_corrupt_input_contained():
+    # fuzz containment: truncation/bit flips raise ValueError only
+    blob = jpeg.encode_jpeg_progressive(
+        np.random.default_rng(3).integers(0, 256, (24, 24), dtype=np.uint8)
+    )
+    for cut in (50, len(blob) // 2, len(blob) - 3):
+        try:
+            jpeg.decode_jpeg(blob[:cut])
+        except ValueError:
+            pass
+    flipped = bytearray(blob)
+    flipped[len(blob) // 2] ^= 0xFF
+    try:
+        jpeg.decode_jpeg(bytes(flipped))
+    except ValueError:
+        pass

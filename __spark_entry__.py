@@ -31,6 +31,7 @@ from pdfparser_spark.stages import (
     assemble_paragraphs,
     extract_advance_fused,
     extract_word_boxes_fused,
+    extract_hocr_roundtrip_fused,
     extract_outlines_fused,
     extract_attachments_fused,
     extract_columns_fused,
@@ -1783,6 +1784,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted to tail (driver-green in r02; slots went to
         # extract_columns / snapshot_changelog / layout_paragraphs /
         # curation_pipeline / doc_headings / ann_pq_trained)
+        # hOCR round-trip: word boxes -> the OCR-exchange format ->
+        # parsed back via the curation tier's lenient HTML parser; rows
+        # (and oracle) identical to extract_word_boxes
+        "layout_hocr_roundtrip": lambda s, d: extract_hocr_roundtrip_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="advance",
+            )
+        ),
         # plain glyph-advance layout — regression twin of the in-window
         # extract_word_boxes (same oracle minus w_micro)
         "extract_layout_advance": lambda s, d: extract_advance_fused(
@@ -3077,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         # restricted to its own string (the TJ kern before segment 2
         # shifts the START cursor only, never a width)
         "extract_word_boxes": _sql_advance(width=True),
+        "layout_hocr_roundtrip": _sql_advance(width=True),
                 # two-column family: line i of page p sits at row i//2, column
         # i%2 (stream order row-major), columns at x = 72 / 306, rows at
         # y = 720 - 14*row; words are kerned TJ pieces with NO space

@@ -94,6 +94,7 @@ def write_pdf(
     encrypt: dict | None = None,
     attachments: list | None = None,
     linearized: bool = False,
+    compress: bool = False,
 ) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
@@ -112,7 +113,9 @@ def write_pdf(
     ``linearized=True`` emits the Annex F "fast web view" layout
     instead (see :func:`_serialize_linearized`); it implies the classic
     table form and composes with none of the other serialization
-    options."""
+    options.  ``compress=True`` Flate-encodes every page content stream
+    (what real writers ship; composes with every form — the decode
+    stage's filter chain is the reader side)."""
     items: list = []  # ('text', str) | ('media', name bytes)
     for kind, text, media_ref in spans:
         if kind == "text" and text:
@@ -161,7 +164,16 @@ def write_pdf(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
             b"/Resources %s /Contents %d 0 R >>" % (root_id, res, len(objs) + 2)
         )
-        add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+        if compress:
+            import zlib as _z
+
+            comp = _z.compress(content)
+            add(
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+                % (len(comp), comp)
+            )
+        else:
+            add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
         for body in extra:
             add(body)
         page_ids.append(pid)

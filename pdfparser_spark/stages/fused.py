@@ -196,6 +196,54 @@ def extract_word_boxes_fused(documents_raw: DataFrame, password: bytes = b"") ->
     )
 
 
+def extract_hocr_roundtrip_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """hOCR round-trip, zero shuffle: the word-box kernel's exact
+    geometry serialized to hOCR (`core.hocr.words_to_hocr` — the format
+    OCR pipelines exchange) and parsed BACK through the curation tier's
+    lenient HTML parser.  Rows must equal `extract_word_boxes`' (same
+    oracle), so a green row proves the exporter emits hOCR our own
+    independent HTML machinery fully agrees with."""
+    from ..core.extract import extract_advance_spans
+    from ..core.hocr import hocr_to_words, words_to_hocr
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "ord", "page_idx", "x", "y", "ax_micro",
+            "w_micro", "text", "size", "mode",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_advance_spans(
+                    _doc_bytes(spans), password=password, with_width=True
+                )
+                back = hocr_to_words(words_to_hocr(res["spans"]))
+                for ordn, (page_idx, x, y, ax, w, txt, size, mode) in enumerate(back):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": int(page_idx),
+                            "x": float(x),
+                            "y": float(y),
+                            "ax_micro": int(ax),
+                            "w_micro": int(w),
+                            "text": txt,
+                            "size": float(size),
+                            "mode": int(mode),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, ord int, page_idx int, x double, y double, "
+        "ax_micro long, w_micro long, text string, size double, mode int",
+    )
+
+
 def cluster_columns(xs, min_gap: float = 100.0) -> list:
     """1-D gap clustering of a page's line-origin x values -> sorted list
     of column START positions: a new column opens when the gap from the
@@ -833,11 +881,13 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 first = extract_spans(_doc_bytes(spans), password=password)
-                # odd docs rewrite in the modern xref-STREAM form — both
+                # odd docs rewrite in the modern xref-STREAM form, every
+                # third with Flate-compressed content streams — all
                 # writer formats must re-extract identically
                 again = extract_spans(
                     write_pdf(first["spans"], xref_stream=doc_id % 2 == 1,
-                              objstm=doc_id % 4 == 3)
+                              objstm=doc_id % 4 == 3,
+                              compress=doc_id % 3 == 0)
                 )
                 for ordn, (kind, text, media_ref) in enumerate(again["spans"]):
                     rows.append(

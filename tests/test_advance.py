@@ -483,3 +483,22 @@ def test_word_boxes_manual_width_doc0():
     spans = extract_advance_spans(d["bytes"], with_width=True)["spans"]
     w = lambda ch: 300 + (ord(ch) % 8) * 50
     assert spans[0][4] == sum(w(c) * 12 * 50 for c in "alpha beta gamma")
+
+
+def test_hocr_roundtrip_is_exact():
+    # word boxes -> hOCR (micro-point integer pixels, x_origin/x_size/
+    # x_mode engine properties) -> the curation tier's lenient HTML
+    # parser -> identical rows, across every residue class incl. the
+    # vertical CID docs (negative advance kept raw) and Tr-3 spans
+    from pdfparser_spark.core.hocr import hocr_to_words, words_to_hocr
+
+    for doc_id in range(0, 180, 7):
+        spans = extract_advance_spans(
+            build_document_advance(doc_id, TEXT)["bytes"], with_width=True
+        )["spans"]
+        assert hocr_to_words(words_to_hocr(spans)) == [tuple(s) for s in spans], doc_id
+    # escaping + leniency
+    esc = [(0, 72.0, 700.0, 0, 100, "a < b & c > d", 12.0, 0)]
+    assert hocr_to_words(words_to_hocr(esc)) == esc
+    assert hocr_to_words("<div class='ocrx_word' title='bbox zzz'>x</div>") == []
+    assert hocr_to_words("not html at <all") == []

@@ -1554,6 +1554,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 with live length normalization, fully integer (tail:
         # ranking family — the rarity-weight evidence is search_topk's)
         "bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
+        # hybrid retrieval: integer-exact BM25 ranking fused with the
+        # exact dense cosine ranking by reciprocal rank (1/(60+r) terms
+        # in pinned operand order — even the fused double hash-matches)
+        "hybrid_rrf_search": lambda s, d: search.hybrid_rrf_topk(
+            _docs(s, d), _emb(s, d)
+        ),
         # CUBE grouping sets (rollup's 4-set sibling; §2.9)
         "docs_cube_stats": lambda s, d: (
             _docs(s, d)
@@ -4589,6 +4595,60 @@ def oracle_sql() -> dict[str, str]:
         # inverted-index term search (integer rarity weights)
         "search_topk": search.search_topk_oracle_sql(),
         "bm25_topk": search.bm25_topk_oracle_sql(),
+        # RRF fusion replayed: the bm25 CTE chain at depth 50 + the
+        # cosine chain for query vector 0, ranks fused as
+        # 1/(60+r_lex) + 1/(60+r_dense) (same operand order as Spark)
+        "hybrid_rrf_search": f"""
+            WITH lens AS (
+              SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents
+            ), tot AS (
+              SELECT CAST(SUM(len) AS BIGINT) AS al, COUNT(*) AS n FROM lens
+            ), words AS (
+              SELECT doc_id, u AS word
+              FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(u)
+              WHERE u IN ('spark', 'merge', 'window')
+            ), tf AS (
+              SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2
+            ), w AS (
+              SELECT word, 1000000 // COUNT(*) AS w FROM tf GROUP BY 1
+            ), bm AS (
+              SELECT doc_id,
+                     CAST(SUM((w * tf * 2200 * al) //
+                              (1000 * al * tf + 300 * al + 900 * len * n)) AS BIGINT)
+                       AS score
+              FROM tf JOIN w USING (word) JOIN lens USING (doc_id) CROSS JOIN tot
+              GROUP BY doc_id
+              ORDER BY score DESC, doc_id ASC
+              LIMIT 50
+            ), lexr AS (
+              SELECT doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+              FROM bm
+            ), q AS (
+              SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+            ), c AS (
+              SELECT vec_id AS neighbor_id, embedding AS cv
+              FROM embeddings WHERE vec_id <> 0
+            ), scored AS (
+              SELECT neighbor_id,
+                     FLOOR({_sql_cos('qv', 'cv')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+              FROM q, c
+            ), dtop AS (
+              SELECT neighbor_id, cos_sim FROM scored
+              ORDER BY cos_sim DESC, neighbor_id LIMIT 50
+            ), denr AS (
+              SELECT neighbor_id AS doc_id,
+                     CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, neighbor_id) AS INT) AS r_dense
+              FROM dtop
+            ), fused AS (
+              SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+                     COALESCE(1.0 / (60 + l.r_lex), 0.0)
+                       + COALESCE(1.0 / (60 + d.r_dense), 0.0) AS rrf
+              FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, r_lex, r_dense, rrf
+            FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+        """,
         "top_terms_by_lang": """
             WITH t AS (
               SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents

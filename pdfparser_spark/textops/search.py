@@ -155,3 +155,59 @@ def bm25_topk_oracle_sql(
         ORDER BY score DESC, doc_id ASC
         LIMIT {k}
     """
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    k: int = 10,
+    depth: int = 50,
+    kconst: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/
+    Buettcher 2009, public): the LEXICAL ranking (integer-exact BM25,
+    :func:`bm25_topk` at ``depth``) and the DENSE ranking (exact cosine
+    vs query vector 0, textops.ann.cosine_topk) are fused as
+
+        rrf(d) = Σ_lists 1 / (kconst + rank_list(d))
+
+    — the standard way production search stacks combine keyword and
+    embedding retrieval without score calibration.  Ids are identified
+    across modalities as ``vec_id == doc_id`` (the synthetic corpora
+    share the key space).  Emits (doc_id, r_lex, r_dense, rrf) for the
+    final top ``k``; a doc on one list only gets that list's term.
+
+    Exactness: ranks are integers with deterministic tiebreaks, and the
+    fusion is two IEEE divisions + one sum in a pinned operand order —
+    DuckDB reproduces the doubles bit-for-bit, so even the fused score
+    column hash-matches.  Scale: both input rankings are depth-bounded
+    (the two top-``depth`` lists are driver-scale; the EXPENSIVE work —
+    corpus BM25 aggs, broadcast dot products — is the distributed part),
+    so the single-partition rank windows see ``depth`` rows, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from .ann import cosine_topk
+
+    lex = bm25_topk(documents, terms, k=depth)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lexr = lex.select("doc_id", F.row_number().over(wl).alias("r_lex"))
+    dense = cosine_topk(embeddings, n_queries=1, k=depth)
+    wd = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    denr = dense.select(
+        F.col("neighbor_id").alias("doc_id"), F.row_number().over(wd).alias("r_dense")
+    )
+    fused = (
+        lexr.join(denr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_dense",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(kconst) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(kconst) + F.col("r_dense")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k)

@@ -1174,3 +1174,28 @@ def test_bm25_length_normalization_and_rarity(spark):
     d = 1000 * al * 1 + 300 * al + 900 * 2 * n
     expect = (500000 * 1 * 2200 * al) // d + (333333 * 1 * 2200 * al) // d
     assert got[2] == expect
+
+
+def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
+    import os
+
+    from pdfparser_spark.textops.search import hybrid_rrf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = hybrid_rrf_topk(docs, emb, k=10, depth=50).collect()
+    assert 0 < len(out) <= 10
+    # scores descend with doc_id tiebreak, and every row has >= one rank
+    scores = [(r["rrf"], r["doc_id"]) for r in out]
+    assert scores == sorted(scores, key=lambda t: (-t[0], t[1]))
+    for r in out:
+        assert r["r_lex"] is not None or r["r_dense"] is not None
+        expect = (1.0 / (60 + r["r_lex"]) if r["r_lex"] is not None else 0.0) + (
+            1.0 / (60 + r["r_dense"]) if r["r_dense"] is not None else 0.0
+        )
+        assert r["rrf"] == expect
+    # a doc on BOTH lists outranks the same single-list contribution
+    both = [r for r in out if r["r_lex"] is not None and r["r_dense"] is not None]
+    single = [r for r in out if (r["r_lex"] is None) != (r["r_dense"] is None)]
+    if both and single:
+        assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)

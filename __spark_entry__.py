@@ -624,6 +624,38 @@ def _snapshot_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pack compaction demo (Iceberg rewrite_data_files): one BULK
+    commit (3/4 of the table) plus four tiny incremental appends, then
+    ``compact_binpack`` — planned from manifest stats alone, it must
+    merge exactly the four small dirs into one and leave the bulk dir
+    untouched (bounded write amplification).  The HEAD read equals the
+    full table; the structural expectation is enforced by poisoning the
+    result (limit 0 -> row-count mismatch) if the plan rewrote the
+    wrong set."""
+    from pdfparser_spark.snapshots import SnapshotLog, _dir_stats, compact_binpack
+
+    log = SnapshotLog(_scratch_log_dir("binpack_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_stats(df):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        _, st = _dir_stats(spark.read.parquet(d))
+        return log.commit(
+            {"docs": [d]}, schemas={"docs": df.schema.json()}, stats={"docs": {d: st}}
+        )
+
+    commit_stats(docs.filter(F.col("doc_id") % 4 != 0))  # the bulk
+    for r in (0, 4, 8, 12):  # four small incremental tails (= doc%4==0)
+        commit_stats(docs.filter(F.col("doc_id") % 16 == r))
+    target = max(1, docs.count() // 2)
+    _sid, rewritten, kept = compact_binpack(log, spark, "docs", target_rows=target)
+    if not (rewritten == 4 and kept == 1):
+        return log.read(spark, "docs").limit(0)  # poison: wrong rewrite plan
+    return log.read(spark, "docs")
+
+
 def _snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish demo: stage batch 2 behind a ref (commit +
     tag + rollback — readers keep serving batch 1 while the audit reads
@@ -1983,6 +2015,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # serving batch 1), audited from manifests, then published as one
         # forward replace commit
         "snapshot_wap": _snapshot_wap,
+        # bin-pack compaction: manifest-planned small-file merge, bulk
+        # dir untouched (structural expectation enforced via poisoning)
+        "snapshot_binpack": _snapshot_binpack,
     }
     # session-12 window swaps (driver checks the FIRST 50 entries): the new
     # unique-evidence queries take the slots of two r02-driver-green rows —
@@ -3149,6 +3184,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WAP: after publish the HEAD read serves BOTH batches
         "snapshot_wap": """
+            SELECT doc_id, lang, n_chars FROM documents
+        """,
+        # binpack: bulk + four tails partition the table exactly; the
+        # compaction must preserve the data bit-for-bit
+        "snapshot_binpack": """
             SELECT doc_id, lang, n_chars FROM documents
         """,
         # snapshot-inspection history replayed from the documents table:

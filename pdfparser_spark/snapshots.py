@@ -479,6 +479,75 @@ def compact(log: SnapshotLog, spark: SparkSession, table: str = "spans") -> int:
     )
 
 
+def compact_binpack(
+    log: SnapshotLog, spark: SparkSession, table: str = "spans", target_rows: int = 100_000
+):
+    """SMALL-FILE compaction with bounded write amplification (the
+    Iceberg ``rewrite_data_files`` bin-pack strategy): the plan comes
+    from MANIFESTS alone — directories whose stats put them at or above
+    ``target_rows`` are kept untouched; the rest are packed greedily
+    (first-fit decreasing on row count) into groups summing to at most
+    ``target_rows`` and only multi-dir groups are rewritten, each into
+    one new directory.  The ``replace`` commit references kept + new
+    dirs, so a table with one huge historical dir and a tail of tiny
+    incremental appends compacts the TAIL without ever re-copying the
+    bulk — at 10^12 rows that difference is the whole job.  Dirs with
+    no stats are treated as small (conservative: the rewrite gains them
+    stats).  Refuses under pending equality/position tombstones — a raw
+    dir-level rewrite would resurrect deleted rows; run :func:`compact`
+    (which reads merge-on-read) first.  Returns
+    ``(snapshot_id, n_rewritten_dirs, n_kept_dirs)``; no-ops (returns
+    ``(head, 0, n)``) when nothing would be merged."""
+    if log.delete_files_for(table):  # equality (del-*) AND position (pdel-*)
+        raise ValueError("pending delete tombstones: run compact() first")
+    dirs = log.files_for(table)
+    stats = log.stats_for(table)
+    small: list[tuple[str, int]] = []
+    kept: list[str] = []
+    for d in dirs:
+        rows = stats.get(d, {}).get("rows")
+        if rows is not None and int(rows) >= target_rows:
+            kept.append(d)
+        else:
+            small.append((d, int(rows) if rows is not None else target_rows - 1))
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for d, r in sorted(small, key=lambda t: -t[1]):
+        for i in range(len(bins)):
+            if loads[i] + r <= target_rows:
+                bins[i].append(d)
+                loads[i] += r
+                break
+        else:
+            bins.append([d])
+            loads.append(r)
+    new_dirs: list[str] = []
+    new_stats: dict[str, dict] = {}
+    rewritten = 0
+    for group in bins:
+        if len(group) < 2:  # a lone dir gains nothing from a re-copy
+            kept.extend(group)
+            continue
+        df = spark.read.option("mergeSchema", "true").parquet(*group)
+        out = log.new_data_dir(table, kind="rew")
+        df.write.parquet(out)
+        _, st = _dir_stats(spark.read.parquet(out))
+        new_dirs.append(out)
+        new_stats[out] = st
+        rewritten += len(group)
+    if not new_dirs:
+        return log.head_id(), 0, len(kept)
+    all_stats = {d: stats[d] for d in kept if d in stats}
+    all_stats.update(new_stats)
+    sid = log.commit(
+        {table: kept + new_dirs},
+        operation="replace",
+        summary={"rewritten_dirs": rewritten, "kept_dirs": len(kept)},
+        stats={table: all_stats},
+    )
+    return sid, rewritten, len(kept)
+
+
 def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
     """Drop history below snapshot ``keep_from`` and garbage-collect the
     data directories no retained read can reach.  Returns the removed

@@ -1011,3 +1011,46 @@ def test_files_meta_surfaces_partition_specs(spark):
     assert {r.partition_transform for r in parts} == {"bucket(doc_id, 4)"}
     assert sorted(r.partition_value for r in parts) == ["0", "1", "2", "3"]
     assert all(r.spec_id == 1 for r in parts)
+
+
+def test_compact_binpack_bounds_write_amplification(spark, tmp_path):
+    from pdfparser_spark.snapshots import (
+        SnapshotLog,
+        _dir_stats,
+        compact_binpack,
+        delete_docs,
+    )
+
+    log = SnapshotLog(str(tmp_path / "bp"))
+    df = spark.range(0, 1000).selectExpr("id AS doc_id", "id * 2 AS v")
+
+    def commit_stats(part, with_stats=True):
+        d = log.new_data_dir("t")
+        part.write.parquet(d)
+        st = {"t": {d: _dir_stats(spark.read.parquet(d))[1]}} if with_stats else None
+        return log.commit({"t": [d]}, schemas={"t": part.schema.json()}, stats=st), d
+
+    _, big_dir = commit_stats(df.filter("doc_id < 700"))  # bulk: 700 rows
+    for lo in (700, 800, 900):
+        commit_stats(df.filter(f"doc_id >= {lo} AND doc_id < {lo + 100}"))
+    sid, rewritten, kept = compact_binpack(log, spark, "t", target_rows=500)
+    # the three 100-row tails merged into ONE new dir; the bulk untouched
+    assert (rewritten, kept) == (3, 1)
+    dirs = log.files_for("t")
+    assert big_dir in dirs and len(dirs) == 2
+    got = {r["doc_id"]: r["v"] for r in log.read(spark, "t").collect()}
+    assert got == {i: 2 * i for i in range(1000)}
+    # the new dir carries manifest stats: metadata-only COUNT works
+    assert log.row_count("t") == 1000
+    # idempotent: a second run has nothing to merge (2 dirs, 1 small)
+    sid2, rewritten2, _ = compact_binpack(log, spark, "t", target_rows=500)
+    assert rewritten2 == 0 and log.head_id() == sid
+    # stats-less dirs count as small and get merged (gaining stats)
+    commit_stats(df.limit(0), with_stats=False)
+    commit_stats(df.limit(0), with_stats=False)
+    # pending tombstones refuse
+    delete_docs(log, spark, [1], key="doc_id", table="t")
+    import pytest
+
+    with pytest.raises(ValueError, match="tombstones"):
+        compact_binpack(log, spark, "t", target_rows=500)

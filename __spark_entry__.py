@@ -1576,6 +1576,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both sides pre-hashed on the join key, SortMergeJoin consumes
         # bucket files with zero exchange (single remaining exchange is
         # the final agg — pytest-asserted)
+        # ANALYZE-style one-pass column profiler over lineitem (string-
+        # portable types only: ints / date / flags — see docstring)
+        "lineitem_profile": lambda s, d: relops.profile_table(
+            _tbl(s, d, "lineitem"),
+            ["l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag", "l_linestatus"],
+        ),
         "bucketed_join": lambda s, d: relops.bucketed_colocated_join(
             _tbl(s, d, "lineitem"), _tbl(s, d, "orders")
         ),
@@ -4713,6 +4719,42 @@ def oracle_sql() -> dict[str, str]:
         # identical position set and agrees on the false positives too
         "bloom_semi_join": relops.bloom_semi_join_oracle_sql(),
         # bucketed layout changes the plan, never the answer
+        "lineitem_profile": """
+            SELECT 'l_orderkey' AS column, COUNT(*) AS n_rows,
+                   COUNT(l_orderkey) AS n_nonnull,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_orderkey) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linenumber' AS column, COUNT(*) AS n_rows,
+                   COUNT(l_linenumber) AS n_nonnull,
+                   CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_linenumber) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_linenumber) AS VARCHAR) AS max_s
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_shipdate' AS column, COUNT(*) AS n_rows,
+                   COUNT(l_shipdate) AS n_nonnull,
+                   CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_shipdate) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_shipdate) AS VARCHAR) AS max_s
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag' AS column, COUNT(*) AS n_rows,
+                   COUNT(l_returnflag) AS n_nonnull,
+                   CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_returnflag) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_returnflag) AS VARCHAR) AS max_s
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus' AS column, COUNT(*) AS n_rows,
+                   COUNT(l_linestatus) AS n_nonnull,
+                   CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_distinct,
+                   CAST(MIN(l_linestatus) AS VARCHAR) AS min_s,
+                   CAST(MAX(l_linestatus) AS VARCHAR) AS max_s
+            FROM lineitem
+        """,
         "bucketed_join": relops.BUCKETED_JOIN_ORACLE_SQL,
         "cms_incremental_hitters": sketch.cms_heavy_hitters_oracle_sql(),
         "hll_incremental_distinct": sketch.hll_distinct_shingles_oracle_sql(),

@@ -431,3 +431,39 @@ def partition_pruned_rollup(spark, events_path: str, work_dir: str):
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents_sum"),
         )
     )
+
+
+def profile_table(df: DataFrame, columns: list | None = None) -> DataFrame:
+    """ANALYZE-style one-pass column profiler (the warehouse ``ANALYZE
+    TABLE`` / data-quality-report shape): for every requested column emit
+    (column, n_rows, n_nonnull, n_distinct, min_s, max_s) — null-aware
+    counts, EXACT distinct, and min/max serialized as strings so one
+    long-format result covers heterogeneous column types.
+
+    Plan: ONE aggregate over one scan computes every metric (a single
+    partial+final HashAggregate — the scan is shared, not repeated per
+    column); the wide 1-row result is then unpivoted driver-side into
+    the long form, which is O(columns), never O(rows).  Exact
+    ``count(distinct)`` over many columns expands the aggregate (Spark's
+    expand operator, one pass per distinct column) — at 10^12 rows
+    profile in column batches or swap in ``approx_count_distinct``; the
+    exact form is the oracle-checkable default.  String serialization
+    sticks to types both engines render identically (ints, dates,
+    strings) — profile doubles with explicit rounding first."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__mn"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__mx"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx" for c in cols
+    )
+    return wide.selectExpr(
+        "__rows AS n_rows",
+        f"stack({len(cols)}, {stack}) AS (column, n_nonnull, n_distinct, min_s, max_s)",
+    ).select("column", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")

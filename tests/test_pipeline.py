@@ -295,3 +295,20 @@ def test_page_furniture_strip_decision(spark):
     assert got[1] == [(0, 0, "body a"), (1, 1, "body b")]
     assert got[2] == [(0, 0, "HDR"), (1, 0, "body c")]
     assert got[3] == [(0, 0, "dup"), (1, 1, "dup")]
+
+
+def test_profile_table_one_pass_metrics(spark):
+    from pdfparser_spark.relops import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (3, "b")], "k long, s string"
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nonnull"] == 4
+    assert rows["k"]["n_distinct"] == 3
+    assert (rows["k"]["min_s"], rows["k"]["max_s"]) == ("1", "3")
+    assert rows["s"]["n_nonnull"] == 3 and rows["s"]["n_distinct"] == 2
+    assert (rows["s"]["min_s"], rows["s"]["max_s"]) == ("a", "b")
+    # one aggregate over one scan: no join, no repeated exchange chains
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

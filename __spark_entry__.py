@@ -320,6 +320,43 @@ def _tar_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_spans(extract_fused(raw))
 
 
+def _zip_dir(spark: SparkSession, sf_dir: str) -> str:
+    out = os.path.join(_CACHE_ROOT, f"zip_{_sf_tag(sf_dir)}_{_SRC_TAG}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        from pdfparser_spark.sources import zipsrc
+
+        zipsrc.write_zip_shards(_docs(spark, sf_dir), out, n_shards=8).count()
+        open(marker, "w").close()
+    return out
+
+
+def _zip_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP-dump ingestion: central-directory walk with VERIFIED CRC-32s
+    -> deflated *.pdf members (stored notes/*.txt sidecars dropped by
+    the filter) -> the SAME extraction kernel as every family ->
+    ordered spans.  Two stateless mapInPandas kernels, zero shuffle;
+    the plain span SQL is the oracle — the container must be invisible
+    to extraction (the tar/warc/mbox plan for zip)."""
+    from pdfparser_spark.sources import zipsrc
+
+    parsed = zipsrc.read_zip(spark, _zip_dir(spark, sf_dir))
+    raw = parsed.filter(
+        F.col("payload").isNotNull() & F.col("name").endswith(".pdf")
+    ).select(
+        F.regexp_extract("name", r"/doc(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("payload").cast("string").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    return flatten_spans(extract_fused(raw))
+
+
 def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full integration the north star describes, off a crawl archive:
     application/pdf WARC responses (the ASCII-armored synthetic PDFs as
@@ -1944,6 +1981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bulk tar archives (arXiv-dump shape): ustar header walk with
         # verified checksums, *.pdf member filter, same span oracle
         "tar_pdf_extract": _tar_pdf_extract,
+        # zip dumps: central-directory walk, CRC verified, deflate +
+        # stored members, same span oracle
+        "zip_pdf_extract": _zip_pdf_extract,
         # Unicode NFC fold (UAX #15): combining sequences injected
         # deterministically (doc%3=0 e+U+0301, doc%3=1 o+U+0308) are
         # composed back by an Arrow-batched kernel; the oracle is
@@ -4071,6 +4111,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_pdf_extract": _span_sql(),
         "mbox_pdf_extract": _span_sql(),
         "tar_pdf_extract": _span_sql(),
+        "zip_pdf_extract": _span_sql(),
         "unicode_nfc_fold": """
             WITH inj AS (
               SELECT doc_id,

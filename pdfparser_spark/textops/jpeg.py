@@ -3,14 +3,16 @@
 The container has no image libraries, so this module implements the real
 codec from the public spec instead of stubbing it:
 
-  * ``encode_jpeg``: baseline sequential DCT, 8-bit, grayscale or YCbCr
-    4:4:4 / 4:2:0, standard Annex-K quantization + Huffman tables,
-    restart-interval support.
+  * ``encode_jpeg``: baseline sequential DCT, 8-bit, grayscale, YCbCr
+    4:4:4 / 4:2:0, or Adobe CMYK (4-channel input -> APP14 transform 0,
+    data stored inverted per the Adobe convention), standard Annex-K
+    quantization + Huffman tables, restart-interval support.
   * ``decode_jpeg``: a general baseline + PROGRESSIVE decoder — DQT
     (8/16-bit), SOF0/1/2, DHT, DRI, SOS with MCU-interleaved or
     single-component scans, sampling factors up to 2x2, byte-unstuffing
     + restart markers, dequantization, separable float IDCT, chroma
-    upsampling and YCbCr->RGB.  Progressive (Annex G) covers all four
+    upsampling and YCbCr->RGB; 4-component Adobe CMYK and YCCK
+    (APP14 transform 2) decode to TRUE CMYK.  Progressive (Annex G) covers all four
     scan kinds: DC first / DC refinement / AC first (EOB-run coded) /
     AC refinement (correction bits).  Lossless, hierarchical and
     arithmetic coding are rejected with ValueError.
@@ -313,10 +315,17 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
     that many MCUs."""
     img = np.asarray(img)
     gray = img.ndim == 2
+    cmyk = img.ndim == 3 and img.shape[2] == 4
     if gray:
         planes = [img.astype(np.float64)]
         samp = [(1, 1)]
         qts = [0]
+    elif cmyk:
+        # Adobe convention: 4-component data is stored INVERTED; the
+        # APP14 marker (transform 0) tells the decoder to un-invert
+        planes = [255.0 - img[..., i].astype(np.float64) for i in range(4)]
+        samp = [(1, 1)] * 4
+        qts = [0, 0, 0, 0]
     else:
         r = img[..., 0].astype(np.float64)
         g = img[..., 1].astype(np.float64)
@@ -353,9 +362,12 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
         comp_blocks.append(_fdct_quant(plane, qtabs[tq]))
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:  # APP14 Adobe, transform 0: inverted plain CMYK
+        out += _seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    else:
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_seg(0, QT_LUMA)
-    if not gray:
+    if not (gray or cmyk):
         out += _dqt_seg(1, QT_CHROMA)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(planes)])
     for i, ((hs, vs), tq) in enumerate(zip(samp, qts)):
@@ -363,14 +375,14 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
     out += _seg(0xC0, sof)
     out += _dht_seg(0, 0, DC_LUMA)
     out += _dht_seg(1, 0, AC_LUMA)
-    if not gray:
+    if not (gray or cmyk):
         out += _dht_seg(0, 1, DC_CHROMA)
         out += _dht_seg(1, 1, AC_CHROMA)
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     sos = bytes([len(planes)])
     for i in range(len(planes)):
-        tid = 0 if (gray or i == 0) else 1
+        tid = 0 if (gray or cmyk or i == 0) else 1
         sos += bytes([i + 1, (tid << 4) | tid])
     sos += bytes([0, 63, 0])
     out += _seg(0xDA, sos)
@@ -406,7 +418,7 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False, restart_interval: int 
             for mx in range(mcux):
                 bw = maybe_restart(bw)
                 for ci, (hs, vs) in enumerate(samp):
-                    tid = 0 if ci == 0 else 1
+                    tid = 0 if (cmyk or ci == 0) else 1
                     for v in range(vs):
                         for hh in range(hs):
                             zz = comp_blocks[ci][my * vs + v, mx * hs + hh]
@@ -827,6 +839,7 @@ def decode_jpeg(payload: bytes):
     frame = None
     progressive = False
     scans: list[dict] = []
+    adobe = None  # APP14 transform: 0 plain CMYK, 2 YCCK (4-comp files)
     while pos < len(data):
         if data[pos] != 0xFF or pos + 1 >= len(data):
             raise ValueError("marker expected")
@@ -885,6 +898,8 @@ def decode_jpeg(payload: bytes):
             raise ValueError("only baseline and progressive DCT supported")
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(body[:2], "big")
+        elif marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            adobe = body[11] if len(body) > 11 else 0
         elif marker == 0xDA:  # SOS
             if len(body) < 1 or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS segment")
@@ -936,7 +951,7 @@ def decode_jpeg(payload: bytes):
     comps = frame["comps"]
     # structural validation: corrupt headers must fail as ValueError, not
     # leak KeyError/ZeroDivisionError out of the decode loop
-    if len(comps) not in (1, 3):
+    if len(comps) not in (1, 3, 4):
         raise ValueError(f"unsupported component count {len(comps)}")
     for c in comps:
         if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
@@ -948,7 +963,7 @@ def decode_jpeg(payload: bytes):
     by_id = {c["id"]: c for c in comps}
     if progressive:
         stores = _decode_progressive(scans, qt, huff, by_id, comps, hmax, vmax, w, h, dri)
-        return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h)
+        return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h, adobe)
     for sc in scan:
         if sc["cs"] not in by_id:
             raise ValueError(f"scan references unknown component {sc['cs']}")
@@ -1026,10 +1041,10 @@ def decode_jpeg(payload: bytes):
             else:
                 stores[cid][my * c["v"] + v, mx * c["h"] + hh] = zz
 
-    return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h)
+    return _finish_jpeg(stores, comps, qt, hmax, vmax, w, h, adobe)
 
 
-def _finish_jpeg(stores, comps, qt, hmax, vmax, w, h):
+def _finish_jpeg(stores, comps, qt, hmax, vmax, w, h, adobe=None):
     """Shared decode tail: dequantize + IDCT per component, reassemble
     planes, upsample, color-convert.  Used by both the baseline and the
     progressive coefficient decoders."""
@@ -1053,6 +1068,22 @@ def _finish_jpeg(stores, comps, qt, hmax, vmax, w, h):
 
     if len(comps) == 1:
         return w, h, _clip8(planes[comps[0]["id"]])
+    if len(comps) == 4:
+        # CMYK (Adobe APP14 §: data stored inverted; transform 2 = YCCK).
+        # Output is TRUE CMYK, shape (H, W, 4).
+        p0, p1, p2, p3 = (planes[c["id"]] for c in comps)
+        if adobe == 2:  # YCCK: YCbCr carries the INVERTED CMY channels
+            cb, cr = p1 - 128.0, p2 - 128.0
+            p0, p1, p2 = (
+                p0 + 1.402 * cr,
+                p0 - 0.344136286 * cb - 0.714136286 * cr,
+                p0 + 1.772 * cb,
+            )
+        if adobe is not None:
+            chans = [255.0 - p for p in (p0, p1, p2, p3)]
+        else:  # no Adobe marker: bytes are true CMYK already
+            chans = [p0, p1, p2, p3]
+        return w, h, np.stack([_clip8(p) for p in chans], axis=-1)
     y = planes[comps[0]["id"]]
     cb = planes[comps[1]["id"]] - 128.0
     cr = planes[comps[2]["id"]] - 128.0

@@ -270,3 +270,59 @@ def test_progressive_corrupt_input_contained():
         jpeg.decode_jpeg(bytes(flipped))
     except ValueError:
         pass
+
+
+def _cmyk_dc_model(v: np.ndarray) -> np.ndarray:
+    """Adobe-inverted DC-only reconstruction: stored = 255-v, recon via
+    the 2*floor((s-128)/2+.5)+128 model, output un-inverted + clipped."""
+    s = 255 - v.astype(np.int64)
+    rec = 2 * np.floor((s - 128) / 2.0 + 0.5).astype(np.int64) + 128
+    return np.clip(255 - rec, 0, 255)
+
+
+def test_cmyk_adobe_roundtrip_exact_on_dc_blocks():
+    bv = (np.arange(12).reshape(3, 4) * 37) % 256
+    chan = np.kron(bv, np.ones((8, 8), dtype=np.int64))
+    img = np.stack([(chan + 17 * i) % 256 for i in range(4)], axis=-1).astype(np.uint8)
+    blob = jpeg.encode_jpeg(img)
+    assert b"Adobe" in blob[:40]  # APP14, transform 0
+    w, h, dec = jpeg.decode_jpeg(blob)
+    assert dec.shape == (24, 32, 4)
+    exp = np.stack(
+        [_cmyk_dc_model(img[..., i].astype(np.int64)) for i in range(4)], axis=-1
+    )
+    assert np.array_equal(dec.astype(np.int64), exp)
+
+
+def test_cmyk_without_adobe_marker_is_not_inverted():
+    img = np.full((8, 8, 4), 40, dtype=np.uint8)
+    blob = jpeg.encode_jpeg(img)
+    p = blob.index(b"Adobe")
+    # strip the APP14 segment entirely: data reads as TRUE CMYK
+    stripped = blob[: p - 4] + blob[p - 4 + 2 + 14 :]
+    _, _, dec = jpeg.decode_jpeg(stripped)
+    # stored values are the inverted ones; without the marker they come
+    # back as-is (215-ish instead of 40)
+    assert abs(int(dec[0, 0, 0]) - 215) <= 1
+
+
+def test_ycck_transform_decodes_back_to_cmyk():
+    # construct a YCCK file: stored planes = fwd-YCbCr of the INVERTED
+    # CMY (+ inverted K), then flip the APP14 transform byte to 2
+    cmyk = np.zeros((16, 16, 4), dtype=np.float64)
+    cmyk[..., 0], cmyk[..., 1], cmyk[..., 2], cmyk[..., 3] = 200, 30, 90, 120
+    r = 255.0 - cmyk[..., 0]
+    g = 255.0 - cmyk[..., 1]
+    b = 255.0 - cmyk[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    stored = np.stack([y, cb, cr, 255.0 - cmyk[..., 3]], axis=-1)
+    feed = np.clip(255.0 - np.round(stored), 0, 255).astype(np.uint8)
+    blob = bytearray(jpeg.encode_jpeg(feed))
+    p = blob.index(b"Adobe")
+    assert blob[p + 11] == 0
+    blob[p + 11] = 2  # declare YCCK
+    _, _, dec = jpeg.decode_jpeg(bytes(blob))
+    err = np.abs(dec.astype(np.int64) - cmyk.astype(np.int64))
+    assert err.max() <= 3  # constant blocks: rounding only, no AC loss

@@ -1678,6 +1678,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pushed to parquet), broadcast customer dim, shuffle join on
         # orderkey, top-10 via TakeOrderedAndProject on the ROUNDED
         # revenue (cross-engine-deterministic cut)
+        # TPC-H Q14 (promo revenue share) in integer CENTS x discount
+        # hundredths — the float-sum-order trap avoided entirely; the
+        # ratio reported as an exact integer-division-derived double
+        "tpch_q14_promo": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1996-09-01")
+                & (F.col("l_shipdate") < "1996-10-01")
+            )
+            .join(
+                F.broadcast(_tbl(s, d, "part").select("p_partkey", "p_type")),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select(
+                (
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+                ).alias("rev_micro"),
+                F.col("p_type").startswith("PROMO").alias("is_promo"),
+            )
+            .agg(
+                F.sum(F.when(F.col("is_promo"), F.col("rev_micro")).otherwise(F.lit(0)))
+                .alias("promo_micro"),
+                F.sum("rev_micro").alias("total_micro"),
+            )
+            .select(
+                "promo_micro",
+                "total_micro",
+                (
+                    F.floor(F.lit(1000000) * F.col("promo_micro") / F.col("total_micro"))
+                    / 10000.0
+                ).alias("promo_pct"),
+            )
+        ),
+        # TPC-H Q4 shape (order priority with an EXISTS probe), adapted
+        # to the schema subset: the inner predicate is "has a RETURNED
+        # lineitem" (l_commitdate is not in the TPC-H-ish tables) —
+        # the LeftSemi plan is the point, the predicate is documented
+        "tpch_q4_priority": lambda s, d: (
+            _tbl(s, d, "orders")
+            .filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01")
+            )
+            .join(
+                _tbl(s, d, "lineitem")
+                .filter(F.col("l_returnflag") == "R")
+                .select("l_orderkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+        ),
         "tpch_q3_shipping": lambda s, d: (
             _tbl(s, d, "lineitem")
             .filter(F.col("l_shipdate") > "1998-06-01")
@@ -5081,6 +5135,30 @@ def oracle_sql() -> dict[str, str]:
         # per merge), argmax ties to the lexicographically smallest pair
         "bpe_train_merges": bpe.bpe_train_oracle_sql(),
         "bpe_token_counts": bpe.bpe_tokenize_oracle_sql(),
+        "tpch_q14_promo": """
+            WITH rev AS (
+              SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev_micro,
+                     p_type LIKE 'PROMO%' AS is_promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+            )
+            SELECT CAST(SUM(CASE WHEN is_promo THEN rev_micro ELSE 0 END) AS BIGINT) AS promo_micro,
+                   CAST(SUM(rev_micro) AS BIGINT) AS total_micro,
+                   FLOOR(1000000 * SUM(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
+                         / SUM(rev_micro)) / 10000.0 AS promo_pct
+            FROM rev
+        """,
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+              )
+            GROUP BY o_orderpriority
+        """,
         "tpch_q3_shipping": """
             SELECT l_orderkey,
                    FLOOR(SUM(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5)

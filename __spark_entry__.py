@@ -2516,6 +2516,15 @@ meta AS (
 # quant step 16): out(R, C) = clamp(2*floor(((7R+13C)%256 - 128)/2 + 0.5)
 # + 128) — the all-integer model the codec's EPS-guarded rounding pins
 # exactly (textops/jpeg.py; cross-validated against javax.imageio).
+def _jpeg_cmyk_px(r: str, c: str, i: str) -> str:
+    """CMYK-channel DC-only model: channel i stores 255-v (Adobe
+    inversion), reconstructs on the 2*floor((s-128)/2+.5)+128 grid, and
+    decodes back UN-inverted + clipped."""
+    v = f"((7*({r}) + 13*({c}) + 17*({i})) % 256)"
+    rec = f"(2 * CAST(FLOOR(((255 - {v}) - 128) / 2.0 + 0.5) AS BIGINT) + 128)"
+    return f"LEAST(255, GREATEST(0, 255 - {rec}))"
+
+
 def _jpeg_block_px(r: str, c: str, off: str = "0") -> str:
     v = f"((7*({r}) + 13*({c}) + ({off})) % 256)"
     return (
@@ -3587,18 +3596,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
-                   CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
-                        FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
-                             unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+                   CASE WHEN (doc_id // 5) % 3 = 1 THEN
+                     CAST(64 * (SELECT SUM({_jpeg_cmyk_px('r', 'c', 'i')})
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
+                               unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   ELSE
+                     CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   END AS pixel_sum
             FROM documents WHERE doc_id % 5 = 0
         """,
         "extract_embedded_images_armored": f"""
             SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
-                   CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
-                        FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
-                             unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT) AS pixel_sum
+                   CASE WHEN (doc_id // 5) % 3 = 1 THEN
+                     CAST(64 * (SELECT SUM({_jpeg_cmyk_px('r', 'c', 'i')})
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
+                               unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   ELSE
+                     CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   END AS pixel_sum
             FROM documents WHERE doc_id % 5 = 0
         """,
         "version_sniff": """

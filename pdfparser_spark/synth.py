@@ -751,11 +751,13 @@ def build_document(doc_id: int, text: str) -> dict:
     if imgobj_id is not None:
         b.media_marker("Im1")
         iw, ih = embedded_image_dims(doc_id)
-        armored = binascii.hexlify(_embedded_jpeg(iw, ih)) + b">"
+        icmyk = embedded_image_cmyk(doc_id)
+        armored = binascii.hexlify(_embedded_jpeg(iw, ih, icmyk)) + b">"
+        ics = "/DeviceCMYK" if icmyk else "/DeviceGray"
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/ColorSpace {ics} /BitsPerComponent 8 "
             f"/Filter [/ASCIIHexDecode /DCTDecode] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
         b.struct(armored)
@@ -1210,14 +1212,19 @@ def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
     return b"".join(parts)
 
 
+def embedded_image_cmyk(doc_id: int) -> bool:
+    """Every 3rd media doc (counting by doc//5) embeds the CMYK variant."""
+    return (doc_id // 5) % 3 == 1
+
+
 def embedded_image_dims(doc_id: int) -> tuple[int, int]:
     """Dims of the real JPEG embedded as the binary family's Im1 XObject
     (mirrored in the extract_embedded_images oracle SQL)."""
     return 16 * (1 + doc_id % 4), 16 * (1 + (doc_id // 4) % 4)
 
 
-@lru_cache(maxsize=32)
-def _embedded_jpeg(w: int, h: int) -> bytes:
+@lru_cache(maxsize=64)
+def _embedded_jpeg(w: int, h: int, cmyk: bool = False) -> bytes:
     """Grayscale DC-only JPEG with the (7R+13C)%256 block pattern — the
     integer-exact decode contract (textops/jpeg.py docstring).  Every
     other size class encodes PROGRESSIVE (SOF2): the refinement script
@@ -1229,6 +1236,15 @@ def _embedded_jpeg(w: int, h: int) -> bytes:
     from .textops import jpeg as _jpeg
     from .textops.media import _block_pattern
 
+    import numpy as _np
+
+    if cmyk:
+        # print-pipeline variant: 4-channel DeviceCMYK, channel i =
+        # (block + 17*i) % 256 — Adobe APP14 inverted storage, decoded
+        # back to true CMYK (extract_embedded_images oracle arm)
+        bp = _block_pattern(w, h).astype(_np.int64)
+        img = _np.stack([(bp + 17 * i) % 256 for i in range(4)], axis=-1)
+        return _jpeg.encode_jpeg(img.astype(_np.uint8))
     if (w // 16 + h // 16) % 2 == 1:
         return _jpeg.encode_jpeg_progressive(_block_pattern(w, h))
     return _jpeg.encode_jpeg(_block_pattern(w, h))
@@ -1361,11 +1377,13 @@ def build_document_binary(
         # extract_embedded_images query pulls it back out post-decryption
         # and decodes it with the textops/jpeg.py codec
         iw, ih = embedded_image_dims(doc_id)
-        payload = enc_stream(_embedded_jpeg(iw, ih), imgobj_id)
+        icmyk = embedded_image_cmyk(doc_id)
+        payload = enc_stream(_embedded_jpeg(iw, ih, icmyk), imgobj_id)
+        ics = "/DeviceCMYK" if icmyk else "/DeviceGray"
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
-            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/ColorSpace {ics} /BitsPerComponent 8 "
             f"/Filter /DCTDecode /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)

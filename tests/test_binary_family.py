@@ -308,11 +308,12 @@ def test_embedded_jpeg_extraction_end_to_end():
     from pdfparser_spark.synth import (
         PROTECTED_USER_PWD,
         build_document_protected,
+        embedded_image_cmyk,
         embedded_image_dims,
     )
     from pdfparser_spark.textops.media import sniff_decode
 
-    for doc_id in (5, 10, 15, 35):  # 2-page, plain, AESV3, plain
+    for doc_id in (5, 10, 15, 35):  # CMYK 2-page, plain, AESV3, CMYK plain
         d = build_document_binary(doc_id, TEXT)
         payloads = extract_media_payloads(d["bytes"])
         assert len(payloads) == 1
@@ -321,9 +322,18 @@ def test_embedded_jpeg_extraction_end_to_end():
         iw, ih = embedded_image_dims(doc_id)
         assert (name, fmt, w, h) == ("Im1", "jpg", iw, ih)
         bv = (np.add.outer(7 * np.arange(ih // 8), 13 * np.arange(iw // 8))) % 256
-        dd = bv.astype(np.int64) - 128
-        out = np.clip(2 * np.floor(dd / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)
-        assert int(img.sum(dtype=np.int64)) == int(out.sum()) * 64
+        if embedded_image_cmyk(doc_id):  # 4-channel Adobe-inverted model
+            assert img.shape == (ih, iw, 4), doc_id
+            expect = 0
+            for i in range(4):
+                s = 255 - ((bv + 17 * i) % 256)
+                rec = 2 * np.floor((s - 128) / 2.0 + 0.5).astype(np.int64) + 128
+                expect += int(np.clip(255 - rec, 0, 255).sum())
+            assert int(img.sum(dtype=np.int64)) == expect * 64, doc_id
+        else:
+            dd = bv.astype(np.int64) - 128
+            out = np.clip(2 * np.floor(dd / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)
+            assert int(img.sum(dtype=np.int64)) == int(out.sum()) * 64
 
     prot = build_document_protected(5, TEXT)
     assert extract_media_payloads(prot["bytes"]) == []  # fails closed

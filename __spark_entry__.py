@@ -36,6 +36,7 @@ from pdfparser_spark.stages import (
     extract_attachments_fused,
     extract_columns_fused,
     extract_forms_fused,
+    extract_fill_form_fused,
     extract_fused,
     extract_images_fused,
     extract_labels_fused,
@@ -1861,6 +1862,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interactive tier: catalog /AcroForm terminal fields (/T /FT /V;
         # string values for /Tx, NAME values for /Btn, NULL when unset)
         "doc_form_fields": lambda s, d: extract_forms_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # form-fill roundtrip: /Tx values rewritten via an incremental
+        # revision (classic + xref-stream forms) and re-extracted
+        "pdf_fill_form_roundtrip": lambda s, d: extract_fill_form_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -5352,6 +5360,26 @@ def oracle_sql() -> dict[str, str]:
         # analytic mirror of synth.expected_fields: fields on doc_id%4!=3,
         # 1+doc_id%3 of them; even k /Tx string values (NULL on
         # doc_id%5=1, k=0), odd k /Btn NAME values Opt<(doc_id+k)%3>
+        "pdf_fill_form_roundtrip": """
+            SELECT doc_id, CAST(k AS INT) AS field_idx,
+                   'f' || CAST(k AS VARCHAR) AS field_name,
+                   CASE WHEN k % 2 = 0 THEN 'Tx' ELSE 'Btn' END AS field_type,
+                   CASE WHEN k % 2 = 1 THEN 'Opt' || CAST((doc_id + k) % 3 AS VARCHAR)
+                        ELSE 'filled-' || CAST(doc_id AS VARCHAR) || '-f' || CAST(k AS VARCHAR)
+                   END AS field_value
+            FROM documents, LATERAL unnest(generate_series(0, doc_id % 3)) AS t(k)
+            WHERE doc_id % 4 != 3
+            UNION ALL
+            SELECT doc_id, CAST(1 + doc_id % 3 + j AS INT) AS field_idx,
+                   'grp' || CAST(doc_id AS VARCHAR) || '.c' || CAST(j AS VARCHAR)
+                     AS field_name,
+                   'Tx' AS field_type,
+                   'filled-' || CAST(doc_id AS VARCHAR) || '-grp'
+                     || CAST(doc_id AS VARCHAR) || '.c' || CAST(j AS VARCHAR)
+                     AS field_value
+            FROM documents, LATERAL unnest([0, 1]) AS t(j)
+            WHERE doc_id % 8 = 1
+        """,
         "doc_form_fields": """
             SELECT doc_id, CAST(k AS INT) AS field_idx,
                    'f' || CAST(k AS VARCHAR) AS field_name,

@@ -324,6 +324,80 @@ def write_pdf_incremental(base: bytes, updates: dict, xref_stream: bool = False)
     return bytes(buf)
 
 
+def _ser_value(v) -> bytes:
+    """Parsed object -> PDF syntax (the inverse of the tokenizer, for
+    the object kinds that appear in field dictionaries).  Streams are
+    out of scope — field filling never rewrites one."""
+    from .objects import Name, Ref, Stream
+
+    if isinstance(v, bool):  # must precede int: bool is an int subclass
+        return b"true" if v else b"false"
+    if isinstance(v, Stream):
+        raise ValueError("stream objects are not re-serializable here")
+    if isinstance(v, Name):
+        return b"/" + str(v).encode("ascii")
+    if isinstance(v, Ref):
+        return b"%d %d R" % (v.obj_id, v.gen)
+    if isinstance(v, (bytes, bytearray)):
+        return b"(" + _escape_literal(bytes(v)) + b")"
+    if isinstance(v, (int, float)):
+        return _num(v)
+    if isinstance(v, list):
+        return b"[" + b" ".join(_ser_value(x) for x in v) + b"]"
+    if isinstance(v, dict):
+        parts = [b"/" + str(k).encode("ascii") + b" " + _ser_value(x) for k, x in v.items()]
+        return b"<< " + b" ".join(parts) + b" >>"
+    if v is None:
+        return b"null"
+    raise ValueError(f"unserializable object {type(v).__name__}")
+
+
+def fill_form_fields(data: bytes, values: dict, xref_stream: bool = False) -> bytes:
+    """FILL AcroForm text fields (ISO 32000 §12.7.3.7's value update,
+    done the way interactive editors actually save: as an INCREMENTAL
+    revision).  ``values`` maps fully-qualified field names (§12.7.3.2
+    parent.child dotting) to new string values; each matched TERMINAL
+    field object is re-serialized with its ``/V`` replaced and appended
+    through :func:`write_pdf_incremental`, so the original bytes are
+    untouched and the edit is forensically visible to
+    ``extract_revisions``.  Fields not named in ``values`` keep their
+    objects byte-identical (not re-emitted at all).  Returns the new
+    document; raises ValueError when the document has no /AcroForm."""
+    from .cmap import pdf_text_string
+    from .objects import Ref, get_resolved, resolve
+    from .xref import parse_all_objects, read_xref
+
+    errors: list = []
+    offsets, trailer, compressed = read_xref(data)
+    objects = parse_all_objects(data, offsets, compressed, errors, None, set())
+    root = get_resolved(trailer, "Root", objects)
+    acro = get_resolved(root, "AcroForm", objects) if isinstance(root, dict) else None
+    if not isinstance(acro, dict):
+        raise ValueError("document has no /AcroForm")
+    updates: dict = {}
+
+    def walk(ref, prefix):
+        val = resolve(ref, objects)
+        if not isinstance(val, dict):
+            return
+        t = get_resolved(val, "T", objects)
+        name = prefix + ("." if prefix else "") + (
+            pdf_text_string(bytes(t)) if isinstance(t, (bytes, bytearray)) else ""
+        )
+        kids = val.get("Kids")
+        if isinstance(kids, list) and kids:
+            for k in kids:
+                walk(k, name)
+        elif name in values and isinstance(ref, Ref):
+            newdict = dict(val)
+            newdict["V"] = str(values[name]).encode("latin-1")
+            updates[ref.obj_id] = _ser_value(newdict)
+
+    for f in get_resolved(acro, "Fields", objects) or []:
+        walk(f, "")
+    return write_pdf_incremental(data, updates, xref_stream=xref_stream)
+
+
 REDACTED_TEXT = "[REDACTED]"
 
 

@@ -583,6 +583,53 @@ def extract_forms_fused(documents_raw: DataFrame, password: bytes = b"") -> Data
     )
 
 
+def extract_fill_form_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Form-FILL round-trip, zero shuffle: extract the AcroForm, fill
+    every /Tx terminal with ``filled-<doc>-<name>`` as an INCREMENTAL
+    revision (`core.writer.fill_form_fields` — original bytes untouched,
+    odd docs save in the xref-stream revision form), then re-extract.
+    /Btn fields and every other object must come back byte-identical;
+    the filled values replace the old /V — the interactive-editor save
+    path, driven end to end."""
+    from ..core.extract import extract_doc_graph
+    from ..core.writer import fill_form_fields
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "field_idx", "field_name", "field_type", "field_value"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                data = _doc_bytes(spans)
+                first = extract_doc_graph(data, password=password)["fields"]
+                fills = {
+                    name: f"filled-{int(doc_id)}-{name}"
+                    for (_i, name, ftype, _v) in first
+                    if ftype == "Tx"
+                }
+                if fills:
+                    data = fill_form_fields(
+                        data, fills, xref_stream=int(doc_id) % 2 == 1
+                    )
+                for field_idx, fname, ftype, fval in extract_doc_graph(
+                    data, password=password
+                )["fields"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "field_idx": int(field_idx),
+                            "field_name": fname,
+                            "field_type": ftype,
+                            "field_value": fval,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema="doc_id long, field_idx int, field_name string, field_type string, field_value string",
+    )
+
+
 def extract_attachments_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Embedded-file attachments, zero shuffle: /Names /EmbeddedFiles name
     tree -> /Filespec -> decoded /EF stream

@@ -1053,3 +1053,34 @@ def test_linearized_form_over_synth_corpus():
         assert again["spans"] == first["spans"], d
         f = extract_linearization(lb)
         assert all(f[k] for k in ("linearized", "l_ok", "n_ok", "o_ok", "t_ok", "h_ok")), (d, f)
+
+
+def test_fill_form_fields_incremental_roundtrip():
+    # §12.7.3.7 value update as an incremental revision: /Tx terminals
+    # (incl. hierarchy kids with inherited /FT) take the new value, /Btn
+    # fields and all other objects stay byte-identical in the base
+    from pdfparser_spark.core.extract import extract_doc_graph, extract_revisions
+    from pdfparser_spark.core.writer import fill_form_fields
+    from pdfparser_spark.synth import build_document, expected_fields
+
+    text = " ".join(f"w{i}" for i in range(24))
+    for d in (0, 1, 2, 9, 17, 25):
+        base = build_document(d, text)["bytes"]
+        exp = expected_fields(d)
+        fills = {n: f"filled-{d}-{n}" for (_i, n, ft, _v) in exp if ft == "Tx"}
+        out = fill_form_fields(base, fills, xref_stream=d % 2 == 1)
+        assert out[: len(base)] == base  # strictly appended
+        got = extract_doc_graph(out)["fields"]
+        assert got == [(i, n, ft, fills.get(n, v)) for (i, n, ft, v) in exp], d
+        # forensically visible: one more revision than the base
+        assert len(extract_revisions(out)["revisions"]) == len(
+            extract_revisions(base)["revisions"]
+        ) + 1, d
+    # no AcroForm: loud failure
+    import pytest
+
+    with pytest.raises(ValueError, match="AcroForm"):
+        fill_form_fields(build_document(3, text)["bytes"], {"f0": "x"})
+    # unknown names: a no-op revision is never appended
+    same = fill_form_fields(base, {"nope": "x"})
+    assert same == base

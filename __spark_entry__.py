@@ -2135,9 +2135,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # forensics) replaces extract_protected_corpus (password decryption
     # green in r02; the pubsec query keeps encryption evidence in-window).
     order = list(out)
+    # session-14 swaps: the Annex-F writer+validator roundtrip replaces
+    # doc_embedded_fonts (its font-program evidence is carried in-window
+    # by extract_word_boxes' embedded-font oracle arms), hybrid RRF
+    # brings the search tier into the window (media_exif's md5-derived
+    # fields overlap the in-window media decode family), and the
+    # form-fill writer replaces ann_ivf_trained (two trained-ANN
+    # entries overlapped; ann_pq_trained keeps that evidence in-window)
     for newq, oldq in (
         ("doc_graphics", "ann_lsh_topk"),
         ("pdf_incremental_redact", "extract_protected_corpus"),
+        ("pdf_linearized_roundtrip", "doc_embedded_fonts"),
+        ("hybrid_rrf_search", "media_exif"),
+        ("pdf_fill_form_roundtrip", "ann_ivf_trained"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq

@@ -28,6 +28,7 @@ from pdfparser_spark import relops, streaming as stream_extract, tables, zorder
 from pdfparser_spark.pipeline import Pipeline, run_extraction
 from pdfparser_spark.sources import jsonl, warc
 from pdfparser_spark.stages import (
+    assemble_line_boxes,
     assemble_paragraphs,
     extract_advance_fused,
     extract_word_boxes_fused,
@@ -1927,6 +1928,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted to tail (driver-green in r02; slots went to
         # extract_columns / snapshot_changelog / layout_paragraphs /
         # curation_pipeline / doc_headings / ann_pq_trained)
+        # LINE assembly over the word-box stream: cursor-reset grouping,
+        # orientation-safe extent boxes, baseline + joined text — all
+        # JVM window+agg work; the oracle re-derives lines from the
+        # word-box oracle's own output
+        "layout_line_boxes": lambda s, d: assemble_line_boxes(
+            extract_word_boxes_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                    family="advance",
+                )
+            )
+        ),
         # hOCR round-trip: word boxes -> the OCR-exchange format ->
         # parsed back via the curation tier's lenient HTML parser; rows
         # (and oracle) identical to extract_word_boxes
@@ -3256,6 +3269,24 @@ def oracle_sql() -> dict[str, str]:
         # shifts the START cursor only, never a width)
         "extract_word_boxes": _sql_advance(width=True),
         "layout_hocr_roundtrip": _sql_advance(width=True),
+        "layout_line_boxes": (
+            "WITH wb AS (" + _sql_advance(width=True) + ")"
+            + """
+            , l AS (
+              SELECT *, CAST(SUM(CASE WHEN ax_micro = 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS line_idx
+              FROM wb
+            )
+            SELECT doc_id, line_idx,
+                   CAST(MIN(page_idx) AS INT) AS page_idx,
+                   CAST(MIN(LEAST(ax_micro, ax_micro + w_micro)) AS BIGINT) AS x_lo_micro,
+                   CAST(MAX(GREATEST(ax_micro, ax_micro + w_micro)) AS BIGINT) AS x_hi_micro,
+                   MIN_BY(y, ord) AS y,
+                   CAST(COUNT(*) AS INT) AS n_spans,
+                   string_agg(text, ' ' ORDER BY ord) AS text
+            FROM l GROUP BY doc_id, line_idx
+        """
+        ),
                 # two-column family: line i of page p sits at row i//2, column
         # i%2 (stream order row-major), columns at x = 72 / 306, rows at
         # y = 720 - 14*row; words are kerned TJ pieces with NO space

@@ -16,7 +16,7 @@ preserved via a left join from the doc universe (meta rows).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -131,5 +131,44 @@ def assemble_paragraphs(columns_df: DataFrame) -> DataFrame:
             "page_idx",
             "col",
             F.aggregate("lines", F.lit(""), merge).alias("para"),
+        )
+    )
+
+
+def assemble_line_boxes(word_boxes: DataFrame) -> DataFrame:
+    """Layout analysis over the word-box stream: group consecutive spans
+    into LINES (a line starts wherever the advance cursor resets to 0 —
+    a positioning operator moved the pen) and emit each line's exact
+    extent box.  ``x_lo/x_hi_micro`` are orientation-safe (vertical CID
+    text advances negative, so least/greatest per span first), ``y`` is
+    the line baseline (the cursor-reset span's — text rise lifts later
+    spans, never the line), ``text`` the space-joined spans in cursor
+    order.  All JVM expressions: one window (doc_id-partitioned, ord
+    order — the partition is one document, never the corpus) and one
+    aggregate; zero Python.  Input = `extract_word_boxes_fused` rows."""
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    lined = word_boxes.withColumn(
+        "line_idx",
+        (
+            F.sum(F.when(F.col("ax_micro") == 0, 1).otherwise(0)).over(w) - 1
+        ).cast("int"),
+    )
+    lo = F.least(F.col("ax_micro"), F.col("ax_micro") + F.col("w_micro"))
+    hi = F.greatest(F.col("ax_micro"), F.col("ax_micro") + F.col("w_micro"))
+    return (
+        lined.groupBy("doc_id", "line_idx")
+        .agg(
+            F.first("page_idx").alias("page_idx"),
+            F.min(lo).alias("x_lo_micro"),
+            F.max(hi).alias("x_hi_micro"),
+            F.expr("min_by(y, ord)").alias("y"),
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("ord", "text"))),
+                    lambda s: s.text,
+                ),
+            ).alias("text"),
         )
     )

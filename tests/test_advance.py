@@ -502,3 +502,41 @@ def test_hocr_roundtrip_is_exact():
     assert hocr_to_words(words_to_hocr(esc)) == esc
     assert hocr_to_words("<div class='ocrx_word' title='bbox zzz'>x</div>") == []
     assert hocr_to_words("not html at <all") == []
+
+
+def test_line_boxes_group_on_cursor_resets(spark):
+    # lines = cursor-reset runs; extents orientation-safe (vertical CID
+    # docs have negative advances); baseline is the reset span's y even
+    # when later spans carry a text rise
+    import pandas as pd
+
+    from pdfparser_spark.stages import assemble_line_boxes
+
+    rows = []
+    for d in (0, 24, 21, 6, 17):  # plain, rise, Tr3, CID-H, CID-V
+        spans = extract_advance_spans(
+            build_document_advance(d, TEXT)["bytes"], with_width=True
+        )["spans"]
+        for ordn, (p, x, y, ax, w, t, fs, m) in enumerate(spans):
+            rows.append((d, ordn, p, x, y, ax, w, t, fs, m))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows,
+            columns=["doc_id", "ord", "page_idx", "x", "y", "ax_micro",
+                     "w_micro", "text", "size", "mode"],
+        )
+    )
+    out = {(r["doc_id"], r["line_idx"]): r for r in assemble_line_boxes(df).collect()}
+    # doc 0 line 0: three segments, x_lo 0, x_hi = last cursor + width
+    spans0 = [s for s in extract_advance_spans(
+        build_document_advance(0, TEXT)["bytes"], with_width=True)["spans"]]
+    line0 = [s for s in spans0 if s[2] == 720.0]
+    r = out[(0, 0)]
+    assert r["n_spans"] == len(line0) == 3
+    assert r["x_lo_micro"] == 0 and r["x_hi_micro"] == max(s[3] + s[4] for s in line0)
+    assert r["text"] == " ".join(s[5] for s in line0)
+    # rise doc (d=95): baseline stays the reset span's y
+    assert out[(24, 0)]["y"] == 720.0
+    # vertical doc 77: negative extent, x_lo < 0 <= x_hi
+    v = out[(17, 0)]
+    assert v["x_lo_micro"] < 0 <= v["x_hi_micro"]

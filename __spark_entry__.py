@@ -1631,6 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BM25 with live length normalization, fully integer (tail:
         # ranking family — the rarity-weight evidence is search_topk's)
         "bm25_topk": lambda s, d: search.bm25_topk(_docs(s, d)),
+        # quoted-query arm: exact phrase counting by replace-shrink
+        # algebra (no regex, no tokenizer), identical in both engines
+        "phrase_search": lambda s, d: search.phrase_search(_docs(s, d)),
         # hybrid retrieval: integer-exact BM25 ranking fused with the
         # exact dense cosine ranking by reciprocal rank (1/(60+r) terms
         # in pinned operand order — even the fused double hash-matches)
@@ -4808,6 +4811,16 @@ def oracle_sql() -> dict[str, str]:
         # inverted-index term search (integer rarity weights)
         "search_topk": search.search_topk_oracle_sql(),
         "bm25_topk": search.bm25_topk_oracle_sql(),
+        "phrase_search": """
+            WITH m AS (
+              SELECT doc_id,
+                     CAST((length(text) - length(replace(text, 'sort merge', '')))
+                          / 10 AS INT) AS n_matches
+              FROM documents
+            )
+            SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+            ORDER BY n_matches DESC, doc_id LIMIT 20
+        """,
         # RRF fusion replayed: the bm25 CTE chain at depth 50 + the
         # cosine chain for query vector 0, ranks fused as
         # 1/(60+r_lex) + 1/(60+r_dense) (same operand order as Spark)

@@ -211,3 +211,34 @@ def hybrid_rrf_topk(
         )
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(k)
+
+
+def phrase_search(
+    documents: DataFrame, phrase: str = "sort merge", k: int = 20
+) -> DataFrame:
+    """EXACT-phrase retrieval — the quoted-query arm of a search stack
+    (term scoring can't distinguish "sort merge" from "merge ... sort").
+    Occurrences are counted without regex or tokenization:
+
+        n = (len(text) - len(replace(text, phrase, ''))) / len(phrase)
+
+    — pure JVM string algebra, identical in DuckDB, and exact for
+    non-overlapping matches (replace() consumes left-to-right exactly
+    like a scanning matcher).  Emits the top ``k`` (doc_id, n_matches)
+    by count with doc_id tiebreak; zero-match docs are filtered before
+    the shuffle, so the TakeOrderedAndProject sees only matching rows.
+    Scale: one scan + one top-k — the predicate and projection push to
+    the parquet scan; no index is needed until latency (not throughput)
+    is the requirement, at which point the inverted-index shape in
+    ``search_topk`` is the companion."""
+    plen = len(phrase)
+    n = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(phrase), F.lit(""))))
+        / plen
+    ).cast("int")
+    return (
+        documents.select("doc_id", n.alias("n_matches"))
+        .filter(F.col("n_matches") > 0)
+        .orderBy(F.col("n_matches").desc(), F.col("doc_id"))
+        .limit(k)
+    )

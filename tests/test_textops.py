@@ -1199,3 +1199,19 @@ def test_hybrid_rrf_fuses_both_rankings(spark, sf_dir):
     single = [r for r in out if (r["r_lex"] is None) != (r["r_dense"] is None)]
     if both and single:
         assert max(r["rrf"] for r in both) > min(r["rrf"] for r in single)
+
+
+def test_phrase_search_counts_non_overlapping(spark):
+    from pdfparser_spark.textops.search import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "sort merge sort merge join"),
+            (2, "merge sort never matches backwards"),
+            (3, "a sort merge b"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r["doc_id"], r["n_matches"]) for r in phrase_search(df).collect()]
+    assert rows == [(1, 2), (3, 1)]  # count-desc, zero/NULL rows dropped

@@ -1975,6 +1975,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_interval_join": lambda s, d: events.stream_interval_join(
             s, os.path.join(d, "events.parquet")
         ),
+        # LEFT OUTER stream-stream interval join: null-extended rows emit
+        # at state EXPIRY (watermark-driven), flushed deterministically
+        # by the two-run sentinel harness — equals the batch LEFT JOIN
+        "events_stream_outer_join": lambda s, d: events.stream_interval_join_outer(
+            s, os.path.join(d, "events.parquet")
+        ),
         # dynamic partition pruning over the time-partitioned fact
         # layout: the runtime day-dim filter prunes whole partition
         # directories from the fact scan (pytest asserts the plan)
@@ -4740,6 +4746,12 @@ def oracle_sql() -> dict[str, str]:
         "events_stream_interval_join": """
             SELECT a.event_id AS id_a, b.event_id AS id_b
             FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+        """,
+        "events_stream_outer_join": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM events a LEFT JOIN events b
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
         """,

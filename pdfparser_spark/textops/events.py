@@ -542,3 +542,93 @@ def stream_interval_join(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def stream_interval_join_outer(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "5 minutes",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-STREAM **left outer** interval join — the state-EVICTION
+    semantics the inner join never exercises: an a-side event with no
+    match emits its null-extended row only once the watermark PROVES no
+    future b-row can pair with it (Spark emits outer results at state
+    expiry, not at end-of-input).
+
+    Determinism harness: run 1 processes the whole corpus as ONE
+    micro-batch (single coalesced part file; the initial watermark is
+    the epoch, so nothing is evicted mid-batch and every inner pair
+    lands exactly as in batch execution), then a SENTINEL event far
+    past the corpus (nonexistent user, filtered from the result) is
+    appended and run 2 — same checkpoint — advances the watermark past
+    every corpus timestamp, flushing precisely the unmatched rows as
+    null-extended output.  The sentinel's own row stays unflushed (the
+    watermark never passes it), so the union of both runs equals the
+    batch LEFT JOIN bit-for-bit — the DuckDB oracle.  Returns
+    (id_a, id_b nullable)."""
+    ev = spark.read.parquet(events_path)
+    schema = ev.schema
+    tag = hashlib.md5((events_path + ":outer").encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"stream_outer_{tag}")
+    src = os.path.join(root, "src")
+    ck = os.path.join(root, "ck")
+    sink_dir = os.path.join(root, "out")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    ev.coalesce(1).write.parquet(src)
+
+    def run_once():
+        def leg(alias_id, alias_ts):
+            s = spark.readStream.schema(schema).parquet(src)
+            return (
+                s.withColumn("ts", F.col("ts").cast("timestamp"))
+                .select(
+                    "user_id",
+                    F.col("event_id").alias(alias_id),
+                    F.col("ts").alias(alias_ts),
+                )
+                .withWatermark(alias_ts, watermark)
+            )
+
+        a = leg("id_a", "ts_a")
+        b = leg("id_b", "ts_b")
+        joined = a.join(
+            b,
+            (a["user_id"] == b["user_id"])
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr(f"interval {gap}")),
+            "left_outer",
+        ).select(a["user_id"].alias("user_id"), "id_a", "id_b")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # sentinel: one event far past the corpus pushes the watermark over
+    # every real timestamp on the next run, flushing the outer state
+    far = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("m")).collect()[0]["m"]
+    import datetime
+
+    sentinel_ts = far + datetime.timedelta(days=365)
+    cols = {f.name: f for f in schema.fields}
+    row = {
+        name: (
+            -1 if name in ("user_id", "event_id")
+            else sentinel_ts if name == "ts"
+            else None
+        )
+        for name in cols
+    }
+    sent = spark.createDataFrame([tuple(row[f.name] for f in schema.fields)], schema)
+    sent.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink_dir)
+    return out.filter(F.col("user_id") >= 0).select("id_a", "id_b")

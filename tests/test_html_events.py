@@ -319,3 +319,28 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_outer_interval_join_equals_batch_left_join(spark, sf_dir):
+    # outer rows emit at watermark-driven state expiry; the sentinel
+    # harness flushes them deterministically — union equals batch LEFT
+    import os
+
+    import duckdb
+
+    from pdfparser_spark.textops.events import stream_interval_join_outer
+
+    path = os.path.join(sf_dir, "events.parquet")
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in stream_interval_join_outer(spark, path).collect()
+    )
+    exp = sorted(
+        duckdb.sql(
+            f"""SELECT a.event_id, b.event_id
+                FROM read_parquet('{path}') a LEFT JOIN read_parquet('{path}') b
+                  ON a.user_id = b.user_id AND b.ts > a.ts
+                 AND b.ts <= a.ts + INTERVAL 5 MINUTE"""
+        ).fetchall()
+    )
+    assert got == exp
+    assert any(b is None for _a, b in got)  # real outer rows flushed

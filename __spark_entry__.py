@@ -1711,8 +1711,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 "promo_micro",
                 "total_micro",
+                # divide FIRST (double), then scale: a 1e6-scaled BIGINT
+                # numerator would overflow long near sf>=1 under ANSI mode
+                # while DuckDB silently promotes to HUGEINT — divergent
                 (
-                    F.floor(F.lit(1000000) * F.col("promo_micro") / F.col("total_micro"))
+                    F.floor(
+                        F.col("promo_micro").cast("double")
+                        / F.col("total_micro").cast("double")
+                        * F.lit(1000000.0)
+                    )
                     / 10000.0
                 ).alias("promo_pct"),
             )
@@ -5240,11 +5247,14 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
             )
-            SELECT CAST(SUM(CASE WHEN is_promo THEN rev_micro ELSE 0 END) AS BIGINT) AS promo_micro,
-                   CAST(SUM(rev_micro) AS BIGINT) AS total_micro,
-                   FLOOR(1000000 * SUM(CASE WHEN is_promo THEN rev_micro ELSE 0 END)
-                         / SUM(rev_micro)) / 10000.0 AS promo_pct
-            FROM rev
+            SELECT promo_micro, total_micro,
+                   FLOOR(CAST(promo_micro AS DOUBLE) / CAST(total_micro AS DOUBLE)
+                         * 1000000.0) / 10000.0 AS promo_pct
+            FROM (
+              SELECT CAST(SUM(CASE WHEN is_promo THEN rev_micro ELSE 0 END) AS BIGINT) AS promo_micro,
+                     CAST(SUM(rev_micro) AS BIGINT) AS total_micro
+              FROM rev
+            ) t
         """,
         "tpch_q4_priority": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -204,7 +204,7 @@ def write_pdf(
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R%s >>" % (root_id, cat_extra)
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 
-    if linearized:
+    if linearized and page_ids:
         return _serialize_linearized(objs, cat_id, page_ids[0], n_pages, fp_end)
     return _serialize(objs, cat_id, xref_stream, objstm, encrypt)
 

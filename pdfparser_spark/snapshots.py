@@ -509,7 +509,11 @@ def compact_binpack(
         if rows is not None and int(rows) >= target_rows:
             kept.append(d)
         else:
-            small.append((d, int(rows) if rows is not None else target_rows - 1))
+            # weight unknown-stats dirs as 0 rows so stats-less tails can
+            # actually share a bin and get rewritten (the rewrite gains
+            # them stats); target_rows-1 made each one a near-full
+            # singleton that was then kept unrewritten forever
+            small.append((d, int(rows) if rows is not None else 0))
     bins: list[list[str]] = []
     loads: list[int] = []
     for d, r in sorted(small, key=lambda t: -t[1]):

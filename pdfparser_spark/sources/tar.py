@@ -49,8 +49,13 @@ def build_tar_member(name: str, data: bytes, mtime: int = 0) -> bytes:
     nb = name.encode("ascii")
     prefix = b""
     if len(nb) > 100:  # ustar split: prefix/name at a '/' boundary
-        cut = nb.rindex(b"/", 0, 156)
+        try:
+            cut = nb.rindex(b"/", 0, 156)
+        except ValueError:
+            raise ValueError("tar member name too long for ustar (no '/' split point): %r" % name)
         prefix, nb = nb[:cut], nb[cut + 1 :]
+        if len(nb) > 100 or len(prefix) > 155:
+            raise ValueError("tar member name too long for ustar prefix/name split: %r" % name)
     hdr = bytearray(BLOCK)
     hdr[0:100] = nb.ljust(100, b"\0")
     hdr[100:108] = _octal(0o644, 8)

@@ -926,7 +926,14 @@ def decode_jpeg(payload: bytes):
                     segments.append(bytearray())
                     pos += 2
                 else:
-                    break  # real marker: ends this scan's data
+                    # real marker: ends this scan's data.  A baseline file
+                    # has exactly one scan, so anything but EOI here means
+                    # corrupt entropy data — reject loudly rather than
+                    # decoding truncated segments (progressive scans are
+                    # legitimately ended by the next SOS/DHT/EOI marker)
+                    if not progressive and nxt != 0xD9:
+                        raise ValueError("unexpected marker in entropy data")
+                    break
             scans.append(
                 {
                     "comps": scan_comps,

@@ -63,6 +63,11 @@ TOKENS = T.StructType(
         T.StructField("font_name", T.StringType()),
         T.StructField("operand", T.BinaryType()),
         T.StructField("media_name", T.StringType()),
+        # byte offsets into operand where a TJ kern at/beyond the
+        # word-break threshold fell between string elements — classify
+        # inserts a space there (offsets land on operand boundaries, so
+        # per-segment font decode is safe even for 2-byte CID codes)
+        T.StructField("break_offsets", T.ArrayType(T.IntegerType())),
     ]
 )
 

@@ -64,15 +64,34 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
     # --- text: bind font, decode glyph bytes ------------------------------
     joined = text_ev.join(
         _maybe_broadcast(fonts, dim_rows_hint), on=["doc_id", "page_idx", "font_name"], how="left"
-    ).select("doc_id", "page_idx", "seq", "ev_idx", "font_name", "operand", "cmap", "encoding")
+    ).select(
+        "doc_id", "page_idx", "seq", "ev_idx", "font_name", "operand",
+        "break_offsets", "cmap", "encoding",
+    )
+
+    def _with_breaks(raw: bytes, breaks, decode_fn) -> str:
+        # TJ kern-as-word-break: decode each operand segment and insert
+        # the implied space at the recorded byte offsets (offsets are
+        # operand boundaries, so segment-wise decode is CID-safe)
+        if breaks is None or len(breaks) == 0:
+            return decode_fn(raw)
+        parts = []
+        prev = 0
+        for off in breaks:
+            parts.append(decode_fn(raw[prev:off]))
+            parts.append(" ")
+            prev = off
+        parts.append(decode_fn(raw[prev:]))
+        return "".join(parts)
 
     def decode_text(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cache: dict[bytes, CMap] = {}
         enc_cache: dict = {}  # spec string -> decoder (simple or /Differences)
         for pdf in batches:
             texts = []
-            for fname, operand, cmap, enc in zip(
-                pdf["font_name"], pdf["operand"], pdf["cmap"], pdf["encoding"]
+            for fname, operand, breaks, cmap, enc in zip(
+                pdf["font_name"], pdf["operand"], pdf["break_offsets"],
+                pdf["cmap"], pdf["encoding"],
             ):
                 raw = bytes(operand) if operand is not None else b""
                 if fname == ATEXT_FONT:
@@ -84,13 +103,13 @@ def classify(tokens: DataFrame, decoded: DataFrame, dim_rows_hint: int | None = 
                     cm = cache.get(key)
                     if cm is None:
                         cm = cache[key] = CMap.parse(key)
-                    texts.append(cm.decode(raw))
+                    texts.append(_with_breaks(raw, breaks, cm.decode))
                 else:
                     spec = enc if isinstance(enc, str) else None
                     dec = enc_cache.get(spec)
                     if dec is None:
                         dec = enc_cache[spec] = encoding_decoder(spec)
-                    texts.append(dec(raw))
+                    texts.append(_with_breaks(raw, breaks, dec))
             out = pdf[["doc_id", "page_idx", "seq", "ev_idx"]].copy()
             out["kind"] = "text"
             out["text"] = texts

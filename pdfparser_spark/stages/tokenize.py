@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 import json
 
 from ..core.content import tokenize_content
+from ..core.extract import KERN_SPACE_THRESHOLD
 from ..schema import TOKENS
 
 _COLS = [f.name for f in TOKENS.fields]
@@ -90,9 +91,29 @@ def tokenize(decoded: DataFrame) -> DataFrame:
                             }
                         )
                     else:
-                        operand = ev[3] if ev[0] == "text" else b"".join(
-                            x for x in ev[3] if isinstance(x, (bytes, bytearray))
-                        )
+                        breaks = None
+                        if ev[0] == "text":
+                            operand = ev[3]
+                        else:
+                            # TJ array: join string elements; record the
+                            # byte offset of every kern at/beyond the
+                            # word-break threshold so classify re-inserts
+                            # the implied space (kern-positioned writers
+                            # emit no space glyphs — see core/extract.py)
+                            segs: list[bytes] = []
+                            offs: list[int] = []
+                            n = 0
+                            for x in ev[3]:
+                                if isinstance(x, (bytes, bytearray)):
+                                    segs.append(bytes(x))
+                                    n += len(x)
+                                elif (
+                                    isinstance(x, (int, float))
+                                    and x <= KERN_SPACE_THRESHOLD
+                                ):
+                                    offs.append(n)
+                            operand = b"".join(segs)
+                            breaks = offs or None
                         rows.append(
                             {
                                 "doc_id": int(doc_id),
@@ -102,8 +123,14 @@ def tokenize(decoded: DataFrame) -> DataFrame:
                                 "ev_type": "text",
                                 "font_name": ev[2],
                                 "operand": operand,
+                                "break_offsets": breaks,
                             }
                         )
-            yield pd.DataFrame(rows).reindex(columns=_COLS)
+            out = pd.DataFrame(rows).reindex(columns=_COLS)
+            # reindex fills missing keys with NaN; Arrow needs None for a
+            # null array<int> value
+            col = out["break_offsets"]
+            out["break_offsets"] = col.astype(object).where(col.notna(), None)
+            yield out
 
     return content.mapInPandas(run, schema=TOKENS)

@@ -39,7 +39,9 @@ Generation rules (all arithmetic on the integer ``doc_id``):
   /CreationDate    = synth_creation_date: short D:YYYYMM on doc%7=2,
                      else full with offset Z/+05'30'/-08'00' by doc%3
   outline /Dest    = item 0 jumps to page doc%n_pages — direct array on
-                     even docs, NAMED via /Names /Dests tree on odd
+                     even docs, NAMED via /Names /Dests tree on odd;
+                     doc%6 in {0,3} writes it as /A << /S /GoTo /D .. >>
+                     (§12.6.4.2 action form, the hyperref convention)
 
 Expected spans per doc (ordering key seq = p*10 for page text, 1 for Im1,
 1000 for ImMissing; ord = rank of seq):
@@ -198,6 +200,16 @@ def doc_rules(doc_id: int) -> dict:
         # — rect j is (20+j) x (10+2j), so the analytic summed area is
         # 0 / 200 / 452 by doc_id % 3.
         "gfx": (doc_id % 3, doc_id % 4, doc_id % 2),
+        # kern-positioned words (the TeX/InDesign form): every 37th+12 doc
+        # writes EVERY page's line as a TJ array whose words are separate
+        # string elements separated by a -300 kern and NO space glyphs —
+        # the extraction kernels must re-insert the implied word break
+        # (KERN_SPACE_THRESHOLD), so every span/layout oracle doubles as
+        # the check (expected text is unchanged, WITH spaces).  Page-0
+        # special show forms (octal / diff-encoding / ActualText) win over
+        # this rule on their pages — handled by branch order in
+        # _content_plain, not by exclusions here.
+        "kern_words": doc_id % 37 == 12,
     }
 
 
@@ -492,7 +504,22 @@ def _content_plain(
         parts = [f"BT /GS1 gs /GS0 gs {prelude}"]
     else:
         parts = [f"BT /F1 12 Tf {prelude}"]
-    if page_idx == 1 and " " in ptext:
+    special0 = page_idx == 0 and (
+        (rules.get("diff_encoding") and not cmap)
+        or (rules["octal"] and not cmap)
+        or rules.get("actual_text")
+    )
+    if rules.get("kern_words") and " " in ptext and not special0:
+        # kern-positioned words: no space glyphs anywhere on the line —
+        # only a kernel applying the TJ word-break threshold recovers the
+        # expected (spaced) span text.  Empty split parts round-trip too:
+        # () decodes to "" and the kern still inserts the space.
+        if quote:
+            parts.append("T* ")  # TJ takes an array — drop explicitly
+        parts.append(
+            "[" + " -300 ".join(show(w) for w in ptext.split(" ")) + "] TJ "
+        )
+    elif page_idx == 1 and " " in ptext:
         first, rest = ptext.split(" ", 1)
         if quote:
             parts.append("T* ")  # TJ takes an array — drop explicitly
@@ -885,12 +912,22 @@ def build_document(doc_id: int, text: str) -> dict:
                 # destination (§12.3.2): item 0 jumps to page doc%n_pages —
                 # DIRECT [page /XYZ ...] array on even docs, a NAMED
                 # string resolved through the catalog /Names /Dests name
-                # tree on odd docs (both inline: object_stats untouched)
+                # tree on odd docs (both inline: object_stats untouched).
+                # doc%6 in {0,3} writes it in the ACTION form
+                # /A << /S /GoTo /D dest >> (§12.6.4.2 — the hyperref
+                # form; one even and one odd class, so both the direct
+                # and the named dest are exercised through the action
+                # path) — resolution is identical, oracles invariant.
                 tp = doc_id % r["n_pages"]
-                if doc_id % 2 == 0:
-                    item += f" /Dest [{page_ids[tp]} 0 R /XYZ 0 720 null]"
+                dst = (
+                    f"[{page_ids[tp]} 0 R /XYZ 0 720 null]"
+                    if doc_id % 2 == 0
+                    else f"(sec-{doc_id})"
+                )
+                if doc_id % 6 in (0, 3):
+                    item += f" /A << /S /GoTo /D {dst} >>"
                 else:
-                    item += f" /Dest (sec-{doc_id})"
+                    item += f" /Dest {dst}"
             if k > 0:
                 item += f" /Prev {oid - 1} 0 R"
             if k < n_outl - 1:

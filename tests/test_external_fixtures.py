@@ -1,0 +1,118 @@
+"""Third-party real-world PDF fixtures (judge r03 next-round item 2).
+
+Two genuine external documents ship with this container and the kernel
+handles both — pin them so a refactor can't silently regress real-world
+behavior (the cheapest hedge against matched-encoder/decoder co-evolution
+in the synth-family method):
+
+- /usr/share/doc/libtasn1-doc/libtasn1.pdf — 36-page TeX/hyperref output
+  with embedded Type1 fonts, kern-positioned words (NO space glyphs) and
+  /A GoTo outline destinations.
+- /usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf — 17-page
+  DocBook/FOP output.
+
+Counts and samples below are the judge-measured r03 values (VERDICT.md)
+plus the r04 fixes: flat-path kern-as-word-break (spans now carry real
+word boundaries) and §12.6.4.2 action-form destination resolution (all
+outline items resolve to non-null pages).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+from pdfparser_spark.core.extract import (
+    extract_advance_spans,
+    extract_doc_meta,
+    extract_layout_spans,
+    extract_outline_tree,
+    extract_spans,
+)
+
+LIBTASN1 = pathlib.Path("/usr/share/doc/libtasn1-doc/libtasn1.pdf")
+MIMESPEC = pathlib.Path("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf")
+
+pytestmark = pytest.mark.skipif(
+    not (LIBTASN1.exists() and MIMESPEC.exists()),
+    reason="container system PDFs not present",
+)
+
+
+@pytest.fixture(scope="module")
+def libtasn1() -> bytes:
+    return LIBTASN1.read_bytes()
+
+
+@pytest.fixture(scope="module")
+def mimespec() -> bytes:
+    return MIMESPEC.read_bytes()
+
+
+def test_libtasn1_flat_spans(libtasn1):
+    res = extract_spans(libtasn1)
+    assert res["errors"] == []
+    assert res["n_pages"] == 36
+    assert res["n_objects"] == 440
+    assert res["n_streams"] == 58
+    assert len(res["spans"]) == 3186
+    # strict mode: zero errors -> identical output
+    strict = extract_spans(libtasn1, strict=True)
+    assert len(strict["spans"]) == 3186
+    # the r03 wrong answer: TeX emits no space glyphs; the flat path must
+    # apply the TJ kern-as-word-break rule (was
+    # "AbstractSyntaxNotationOne(ASN.1)libraryfortheGNUsystem")
+    texts = [t for k, t, _ in res["spans"] if k == "text" and t]
+    assert (
+        texts[1] == "Abstract Syntax Notation One (ASN.1) library for the GNU system"
+    )
+
+
+def test_libtasn1_layout_and_advance(libtasn1):
+    lay = extract_layout_spans(libtasn1)
+    assert lay["errors"] == []
+    assert len(lay["spans"]) == 3186
+    adv = extract_advance_spans(libtasn1)
+    assert adv["errors"] == []
+    assert len(adv["spans"]) == 17312
+
+
+def test_libtasn1_outline_goto_actions(libtasn1):
+    # hyperref writes /A << /S /GoTo /D dest >> — every item must resolve
+    tree = extract_outline_tree(libtasn1)
+    assert tree["errors"] == []
+    assert len(tree["items"]) == 21
+    assert all(target is not None for _, _, _, target, _ in tree["items"])
+    meta = extract_doc_meta(libtasn1)
+    assert meta["n_outlines"] == 7  # flat top-level walk
+    assert meta["first_outline"] == "1 Introduction"
+    assert meta["first_outline_page"] == 3
+
+
+def test_mimespec_flat_spans(mimespec):
+    res = extract_spans(mimespec)
+    assert res["errors"] == []
+    assert res["n_pages"] == 17
+    assert res["n_objects"] == 651
+    assert res["n_streams"] == 39
+    assert len(res["spans"]) == 824
+    texts = [t for k, t, _ in res["spans"] if k == "text" and t]
+    assert texts[1] == "X Desktop Group (http://www.freedesktop.org)"
+
+
+def test_mimespec_layout_advance_outline(mimespec):
+    lay = extract_layout_spans(mimespec)
+    assert lay["errors"] == []
+    assert len(lay["spans"]) == 824
+    adv = extract_advance_spans(mimespec)
+    assert adv["errors"] == []
+    assert len(adv["spans"]) == 6082
+    tree = extract_outline_tree(mimespec)
+    assert tree["errors"] == []
+    assert len(tree["items"]) == 24
+    assert all(target is not None for _, _, _, target, _ in tree["items"])
+    meta = extract_doc_meta(mimespec)
+    assert meta["n_outlines"] == 3
+    assert meta["first_outline"] == "1. Introduction"
+    assert meta["first_outline_page"] == 0

@@ -2708,17 +2708,20 @@ def scanned_params(doc_id: int) -> dict:
     """CCITT parameter variants: G4 (/K -1) with every 7th+3 doc on 1-D
     Group 3 (/K 0); byte-aligned rows on even docs; /BlackIs1 on every
     3rd+1 doc.  Every 5th+2 doc is compressed as JBIG2 instead (T.88
-    embedded organization): MQ ARITHMETIC generic region on the even
-    half (doc%10=2, GBTEMPLATE cycling (doc//10)%4 so all four context
-    models are corpus-exercised), MMR on the odd half (doc%10=7) — the
-    ink oracle is compression-invariant, so one SQL proves every
-    codec/template."""
+    embedded organization): the even half (doc%10=2) is MQ-arithmetic
+    with GBTEMPLATE cycling (doc//10)%4, and every SECOND arithmetic doc
+    (doc%20=2) uses the SYMBOL-DICTIONARY + TEXT-REGION organization —
+    the dominant real-scanner form (§6.4/§6.5) — instead of a bare
+    generic region; MMR on the odd half (doc%10=7).  The ink oracle is
+    compression-invariant, so one SQL proves every codec/template/
+    organization."""
     return {
         "k": 0 if doc_id % 7 == 3 else -1,
         "byte_align": doc_id % 2 == 0,
         "black_is_1": doc_id % 3 == 1,
         "jbig2": doc_id % 5 == 2,
         "jbig2_arith": doc_id % 10 == 2,
+        "jbig2_symbol": doc_id % 20 == 2,
         "jbig2_template": (doc_id // 10) % 4,
     }
 
@@ -2748,9 +2751,17 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
     w, h = scanned_dims(doc_id)
     p = scanned_params(doc_id)
     if p["jbig2"]:
-        from .textops.jbig2 import encode_jbig2_arith, encode_jbig2_mmr
+        from .textops.jbig2 import (
+            encode_jbig2_arith,
+            encode_jbig2_mmr,
+            encode_jbig2_symbol_text,
+        )
 
-        if p["jbig2_arith"]:
+        if p["jbig2_symbol"]:
+            payload = encode_jbig2_symbol_text(
+                scanned_ink(doc_id), template=p["jbig2_template"]
+            )
+        elif p["jbig2_arith"]:
             payload = encode_jbig2_arith(
                 scanned_ink(doc_id), template=p["jbig2_template"]
             )

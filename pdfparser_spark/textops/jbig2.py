@@ -19,10 +19,16 @@ public T.88 spec only:
   - region composition onto the page bitmap (OR).
 
 TPGDON typical prediction (§6.2.5.6) and ALL FOUR GBTEMPLATEs are
-honored in both directions.  Non-nominal AT pixels, symbol dictionaries
-and text/halftone/refinement regions are OUT OF SCOPE and raise
-``ValueError`` (same honest-subset layering as the baseline-only JPEG
-decoder in jpeg.py).  Corrupt input only ever raises ``ValueError``.
+honored in both directions.  SYMBOL DICTIONARIES (§6.5/§7.4.3) and TEXT
+REGIONS (§6.4/§7.4.4) — the dominant real-scanner organization — are
+decoded in the arithmetic form: Annex A integer registers (IADH/IADW/
+IAEX/IADT/IAFS/IADS and the IAID tree) over the same MQ coder, height-
+class symbol decode sharing one generic-region context, export-flag
+runs, and strip-wise instance placement (REFCORNER TL/BL honored,
+SBSTRIPS=1 writers).  Non-nominal AT pixels, Huffman-coded variants,
+refinement/aggregate coding and halftone regions are OUT OF SCOPE and
+raise ``ValueError`` (same honest-subset layering as jpeg.py).  Corrupt
+input only ever raises ``ValueError``.
 
 The reference has no JBIG2 tier (its filter enumeration errors on every
 image codec, pdf_file.rs FilterType).
@@ -36,6 +42,8 @@ import numpy as np
 
 from .ccitt import decode_ccitt, encode_ccitt
 
+_SYMBOL_DICT = 0
+_TEXT_REGIONS = (4, 6, 7)  # intermediate / immediate / imm. lossless
 _PAGE_INFO = 48
 _END_OF_PAGE = 49
 _END_OF_STRIPE = 50
@@ -44,8 +52,9 @@ _GENERIC_REGIONS = (36, 38, 39)  # intermediate / immediate / imm. lossless
 
 
 def _read_segment_header(data: bytes, pos: int):
-    """One §7.2 segment header.  Returns
-    ``(seg_num, seg_type, page_assoc, data_start, data_end, next_pos)``."""
+    """One §7.2 segment header.  Returns ``(seg_num, seg_type,
+    page_assoc, data_start, data_end, next_pos, referred)`` — the
+    referred-to segment numbers feed the text region's symbol list."""
     n = len(data)
     if pos + 11 > n:
         raise ValueError("JBIG2: truncated segment header")
@@ -64,6 +73,16 @@ def _read_segment_header(data: bytes, pos: int):
         pos += 1
     # referred-to segment numbers: width scales with this segment's number
     ref_w = 1 if seg_num <= 256 else 2 if seg_num <= 65536 else 4
+    if pos + count * ref_w > n:
+        raise ValueError("JBIG2: truncated referred-to segment numbers")
+    referred = []
+    for i in range(count):
+        if ref_w == 1:
+            referred.append(data[pos + i])
+        elif ref_w == 2:
+            referred.append(struct.unpack_from(">H", data, pos + 2 * i)[0])
+        else:
+            referred.append(struct.unpack_from(">I", data, pos + 4 * i)[0])
     pos += count * ref_w
     if page_assoc_4:
         if pos + 8 > n:
@@ -81,7 +100,7 @@ def _read_segment_header(data: bytes, pos: int):
         raise ValueError("JBIG2: unknown-length segment unsupported")
     if pos + length > n:
         raise ValueError("JBIG2: segment data overruns stream")
-    return seg_num, seg_type, page, pos, pos + length, pos + length
+    return seg_num, seg_type, page, pos, pos + length, pos + length, referred
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
@@ -92,12 +111,24 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     embedded organization)."""
     page_w = page_h = None
     regions: list = []  # (x, y, mask)
+    sym_exports: dict = {}  # segment number -> exported symbol bitmaps
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
         while pos < n:
-            _num, styp, _page, ds, de, pos = _read_segment_header(blob, pos)
-            if styp == _PAGE_INFO:
+            num, styp, _page, ds, de, pos, referred = _read_segment_header(blob, pos)
+            if styp == _SYMBOL_DICT:
+                # §6.5: input symbols from referred dictionaries prepend
+                syms_in: list = []
+                for r in referred:
+                    syms_in.extend(sym_exports.get(r, []))
+                sym_exports[num] = decode_symbol_dict(blob[ds:de], syms_in)
+            elif styp in _TEXT_REGIONS:
+                symbols: list = []
+                for r in referred:
+                    symbols.extend(sym_exports.get(r, []))
+                regions.append(decode_text_region(blob[ds:de], symbols))
+            elif styp == _PAGE_INFO:
                 if de - ds < 17:
                     raise ValueError("JBIG2: short page info segment")
                 page_w, page_h = struct.unpack_from(">II", blob, ds)
@@ -126,9 +157,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 regions.append((rx, ry, mask))
             elif styp in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
                 continue
-            # other segment types (symbol dicts, text regions, extensions)
-            # are skipped by data length; a text region REFERENCED by the
-            # page would leave it blank — acceptable for the MMR subset
+            # remaining segment types (halftone regions, extensions) are
+            # skipped by data length
     if page_w is None or page_h is None:
         raise ValueError("JBIG2: no page information segment")
     if page_h == 0xFFFFFFFF:  # unknown height: infer from regions
@@ -147,6 +177,19 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
 def _segment(num: int, styp: int, page: int, payload: bytes) -> bytes:
     # short referred-to form, zero refs, 1-byte page association
     return struct.pack(">IBBBI", num, styp, 0x00, page, len(payload)) + payload
+
+
+def _segment_ref(num: int, styp: int, page: int, refs: list, payload: bytes) -> bytes:
+    """Segment header with referred-to segments (short form, <=4 refs,
+    1-byte ref numbers — valid while num <= 256)."""
+    if len(refs) > 4 or num > 256 or any(r > 255 for r in refs):
+        raise ValueError("JBIG2 writer: short referred-to form overflow")
+    return (
+        struct.pack(">IBB", num, styp, len(refs) << 5)
+        + bytes(refs)
+        + struct.pack(">BI", page, len(payload))
+        + payload
+    )
 
 
 def encode_jbig2_mmr(mask: np.ndarray) -> bytes:
@@ -465,4 +508,392 @@ def encode_jbig2_arith(
         _segment(0, _PAGE_INFO, 1, page_info)
         + _segment(1, 38, 1, region)
         + _segment(2, _END_OF_PAGE, 1, b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Annex A integer arithmetic decoding (the IAx registers).  Each register
+# is a 512-entry context array driven by the segment's single MQ coder;
+# the PREV tracker follows A.2 (cap at 9 bits, high bit pinned).  OOB is
+# the procedure's out-of-band value (S=1, V=0).
+
+OOB = object()
+
+
+def _ia_new() -> list:
+    return [(0, 0)] * 512
+
+
+def decode_ia(dec: MQDecoder, state: list):
+    """A.2 decoding procedure -> int or OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        d = dec.decode(state, prev)
+        prev = (prev << 1) | d if prev < 256 else ((((prev << 1) | d) & 511) | 256)
+        return d
+
+    s = bit()
+    if not bit():
+        n, off = 2, 0
+    elif not bit():
+        n, off = 4, 4
+    elif not bit():
+        n, off = 6, 20
+    elif not bit():
+        n, off = 8, 84
+    elif not bit():
+        n, off = 12, 340
+    else:
+        n, off = 32, 4436
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def encode_ia(enc: MQEncoder, state: list, v) -> None:
+    """Matched A.2 encoder; pass OOB for the out-of-band value."""
+    prev = 1
+
+    def bit(d: int) -> None:
+        nonlocal prev
+        enc.encode(state, prev, d)
+        prev = (prev << 1) | d if prev < 256 else ((((prev << 1) | d) & 511) | 256)
+
+    if v is OOB:
+        bit(1)
+        bit(0)
+        bit(0)
+        bit(0)
+        return
+    s = 1 if v < 0 else 0
+    a = -v if v < 0 else v
+    bit(s)
+    for n, off in ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340)):
+        if a <= off + (1 << n) - 1:
+            bit(0)
+            rem = a - off
+            for i in range(n - 1, -1, -1):
+                bit((rem >> i) & 1)
+            return
+        bit(1)
+    rem = a - 4436
+    for i in range(31, -1, -1):
+        bit((rem >> i) & 1)
+
+
+def _iaid_new(symcodelen: int) -> list:
+    return [(0, 0)] * (1 << (symcodelen + 1))
+
+
+def decode_iaid(dec: MQDecoder, state: list, symcodelen: int) -> int:
+    """A.3 IAID decoding: a symcodelen-bit tree walk."""
+    prev = 1
+    for _ in range(symcodelen):
+        prev = (prev << 1) | dec.decode(state, prev)
+    return prev - (1 << symcodelen)
+
+
+def encode_iaid(enc: MQEncoder, state: list, symcodelen: int, sid: int) -> None:
+    prev = 1
+    for i in range(symcodelen - 1, -1, -1):
+        d = (sid >> i) & 1
+        enc.encode(state, prev, d)
+        prev = (prev << 1) | d
+
+
+def _symcodelen(n_syms: int) -> int:
+    """SBSYMCODELEN = ceil(log2(SBNUMSYMS)) (§6.4.5); 0 bits for one."""
+    return (n_syms - 1).bit_length() if n_syms > 1 else 0
+
+
+# ---------------------------------------------------------------------------
+# shared-coder generic region (the symbol dictionary codes every symbol
+# bitmap in ONE arithmetic stream with ONE generic context)
+
+def _decode_generic_shared(
+    dec: MQDecoder, state: list, w: int, h: int, template: int
+) -> np.ndarray:
+    coords = _TEMPLATE_COORDS[template]
+    rows: list = []
+    for y in range(h):
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            row[x] = dec.decode(state, _gb_context(rows, x, y, w, coords))
+    return np.array(rows, dtype=bool).reshape(h, w)
+
+
+def _encode_generic_shared(
+    enc: MQEncoder, state: list, mask: np.ndarray, template: int
+) -> None:
+    coords = _TEMPLATE_COORDS[template]
+    h, w = mask.shape
+    rows = mask.astype(np.uint8).tolist()
+    for y in range(h):
+        for x in range(w):
+            enc.encode(state, _gb_context(rows, x, y, w, coords), rows[y][x])
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionary (§6.5 decoding, §7.4.3 segment layout)
+
+def decode_symbol_dict(data: bytes, syms_in: list | None = None) -> list:
+    """Symbol dictionary segment payload -> this dictionary's EXPORTED
+    symbol bitmaps.  ``syms_in`` are the input symbols from referred
+    dictionaries (§6.5.8.1); export flags run over input + new."""
+    syms_in = syms_in or []
+    if len(data) < 12:
+        raise ValueError("JBIG2: short symbol dictionary segment")
+    (flags,) = struct.unpack_from(">H", data, 0)
+    if flags & 0x01:
+        raise ValueError("JBIG2: Huffman symbol dictionaries unsupported")
+    if flags & 0x02:
+        raise ValueError("JBIG2: refinement/aggregate symbol coding unsupported")
+    template = (flags >> 10) & 0x03
+    pos = 2
+    nominal = _NOMINAL_AT[template]
+    n_at = len(nominal)
+    if pos + n_at > len(data):
+        raise ValueError("JBIG2: truncated symbol dictionary AT pixels")
+    if struct.unpack_from("%db" % n_at, data, pos) != nominal:
+        raise ValueError("JBIG2: non-nominal AT pixels unsupported")
+    pos += n_at
+    n_ex, n_new = struct.unpack_from(">II", data, pos)
+    pos += 8
+    if n_new > 1 << 16 or n_ex > 1 << 16:
+        raise ValueError("JBIG2: implausible symbol counts")
+    dec = MQDecoder(data[pos:])
+    iadh, iadw, iaex = _ia_new(), _ia_new(), _ia_new()
+    gb_state = [(0, 0)] * (1 << 16)
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < n_new:
+        dh = decode_ia(dec, iadh)
+        if dh is OOB:
+            raise ValueError("JBIG2: OOB height-class delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 12:
+            raise ValueError("JBIG2: implausible symbol height")
+        symwidth = 0
+        while True:
+            dw = decode_ia(dec, iadw)
+            if dw is OOB:
+                break  # end of this height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 12:
+                raise ValueError("JBIG2: implausible symbol width")
+            if len(new_syms) >= n_new:
+                raise ValueError("JBIG2: more symbols than declared")
+            new_syms.append(
+                _decode_generic_shared(dec, gb_state, symwidth, hcheight, template)
+            )
+    # export flags: alternating skip/export run lengths via IAEX (§6.5.10)
+    universe = list(syms_in) + new_syms
+    exported: list = []
+    exflag = 0
+    idx = 0
+    while idx < len(universe):
+        run = decode_ia(dec, iaex)
+        if run is OOB or not isinstance(run, int) or run < 0 or idx + run > len(universe):
+            raise ValueError("JBIG2: bad export run length")
+        if exflag:
+            exported.extend(universe[idx : idx + run])
+        idx += run
+        exflag ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("JBIG2: export count mismatch")
+    return exported
+
+
+def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+    """Matched §7.4.3 writer: ``symbols`` MUST be sorted by (height,
+    width) so every IADH/IADW delta is non-negative.  All exported."""
+    flags = template << 10
+    at = _NOMINAL_AT[template]
+    out = struct.pack(">H", flags) + struct.pack("%db" % len(at), *at)
+    out += struct.pack(">II", len(symbols), len(symbols))
+    enc = MQEncoder()
+    iadh, iadw, iaex = _ia_new(), _ia_new(), _ia_new()
+    gb_state = [(0, 0)] * (1 << 16)
+    hcheight = 0
+    i = 0
+    n = len(symbols)
+    while i < n:
+        h = symbols[i].shape[0]
+        encode_ia(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < n and symbols[i].shape[0] == hcheight:
+            w = symbols[i].shape[1]
+            encode_ia(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_shared(enc, gb_state, symbols[i], template)
+            i += 1
+        encode_ia(enc, iadw, OOB)
+    encode_ia(enc, iaex, 0)  # skip-run 0, then export all n
+    encode_ia(enc, iaex, n)
+    return out + enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# text region (§6.4 decoding, §7.4.4 segment layout)
+
+def decode_text_region(data: bytes, symbols: list):
+    """Text region segment payload + referred symbols -> (x, y, mask)."""
+    if len(data) < 23:
+        raise ValueError("JBIG2: short text region segment")
+    rw, rh, rx, ry = struct.unpack_from(">IIII", data, 0)
+    if rw == 0 or rh == 0 or rw > 1 << 20 or rh > 1 << 20:
+        raise ValueError("JBIG2: implausible text region geometry")
+    (flags,) = struct.unpack_from(">H", data, 17)
+    if flags & 0x01:
+        raise ValueError("JBIG2: Huffman text regions unsupported")
+    if flags & 0x02:
+        raise ValueError("JBIG2: refinement text regions unsupported")
+    strips = 1 << ((flags >> 2) & 0x03)
+    refcorner = (flags >> 4) & 0x03  # 0=BL 1=TL 2=BR 3=TR
+    transposed = bool(flags & 0x40)
+    combop = (flags >> 7) & 0x03
+    defpix = bool(flags & 0x200)
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    if transposed or defpix or combop != 0:
+        raise ValueError("JBIG2: text region variant unsupported")
+    (n_inst,) = struct.unpack_from(">I", data, 19)
+    if n_inst > 1 << 20:
+        raise ValueError("JBIG2: implausible instance count")
+    if n_inst and not symbols:
+        raise ValueError("JBIG2: text region with no referred symbols")
+    symcodelen = _symcodelen(len(symbols))
+    dec = MQDecoder(data[23:])
+    iadt, iafs, iads, iait = _ia_new(), _ia_new(), _ia_new(), _ia_new()
+    iaid = _iaid_new(symcodelen)
+    region = np.zeros((rh, rw), dtype=bool)
+    dt = decode_ia(dec, iadt)
+    if dt is OOB:
+        raise ValueError("JBIG2: OOB initial DT")
+    stript = -dt * strips
+    firsts = 0
+    drawn = 0
+    while drawn < n_inst:
+        dt = decode_ia(dec, iadt)
+        if dt is OOB:
+            raise ValueError("JBIG2: OOB strip DT")
+        stript += dt * strips
+        dfs = decode_ia(dec, iafs)
+        if dfs is OOB:
+            raise ValueError("JBIG2: OOB first S")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = decode_ia(dec, iads)
+                if ids is OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            first = False
+            curt = 0 if strips == 1 else decode_ia(dec, iait)
+            if curt is OOB:
+                raise ValueError("JBIG2: OOB CURT")
+            ti = stript + curt
+            sid = decode_iaid(dec, iaid, symcodelen)
+            if sid >= len(symbols):
+                raise ValueError("JBIG2: symbol id out of range")
+            sym = symbols[sid]
+            hs, ws = sym.shape
+            # REFCORNER placement (§6.4.5 3(c)(vi)): TL/TR anchor the
+            # symbol's TOP row at TI, BL/BR the BOTTOM row
+            y0 = ti if refcorner in (1, 3) else ti - hs + 1
+            if y0 < 0 or y0 + hs > rh or curs < 0 or curs + ws > rw:
+                raise ValueError("JBIG2: symbol instance outside region")
+            region[y0 : y0 + hs, curs : curs + ws] |= sym
+            curs += ws - 1
+            drawn += 1
+            if drawn >= n_inst:
+                break
+    return rx, ry, region
+
+
+def encode_text_region(
+    placements: list, symbols: list, rw: int, rh: int, rx: int = 0, ry: int = 0
+) -> bytes:
+    """Matched §7.4.4 writer.  ``placements`` = [(x, y, sym_id)] with TL
+    anchoring; one strip per distinct y, instances left-to-right."""
+    symcodelen = _symcodelen(len(symbols))
+    flags = 1 << 4  # REFCORNER = TL; SBSTRIPS=1, OR, no refinement
+    out = struct.pack(">IIIIB", rw, rh, rx, ry, 0) + struct.pack(">H", flags)
+    out += struct.pack(">I", len(placements))
+    enc = MQEncoder()
+    iadt, iafs, iads = _ia_new(), _ia_new(), _ia_new()
+    iaid = _iaid_new(symcodelen)
+    by_y: dict[int, list] = {}
+    for x, y, sid in placements:
+        by_y.setdefault(y, []).append((x, sid))
+    encode_ia(enc, iadt, 0)  # initial DT -> STRIPT = 0
+    stript = 0
+    firsts = 0
+    for y in sorted(by_y):
+        encode_ia(enc, iadt, y - stript)
+        stript = y
+        row = sorted(by_y[y])
+        x0 = row[0][0]
+        encode_ia(enc, iafs, x0 - firsts)
+        firsts = x0
+        curs = x0
+        for j, (x, sid) in enumerate(row):
+            if j > 0:
+                encode_ia(enc, iads, x - curs)
+                curs = x
+            encode_iaid(enc, iaid, symcodelen, sid)
+            curs += symbols[sid].shape[1] - 1
+        encode_ia(enc, iads, OOB)
+    return out + enc.flush()
+
+
+def _tile_symbols(mask: np.ndarray, ts: int = 8):
+    """Tile the bitmap into <=ts x ts blocks, dedupe inked tiles into a
+    (height, width, bytes)-sorted dictionary, return (symbols,
+    placements) — the writer-side symbol segmentation (real encoders
+    segment connected components; tiling is the deterministic stand-in
+    that still exercises multi-symbol dictionaries, height classes and
+    repeated-glyph reuse)."""
+    h, w = mask.shape
+    seen: dict = {}
+    tiles = []
+    for y in range(0, h, ts):
+        for x in range(0, w, ts):
+            t = mask[y : y + ts, x : x + ts]
+            if not t.any():
+                continue
+            key = (t.shape, t.tobytes())
+            tiles.append((x, y, key))
+            seen[key] = t
+    order = sorted(seen, key=lambda k: (k[0][0], k[0][1], k[1]))
+    ids = {k: i for i, k in enumerate(order)}
+    return [seen[k] for k in order], [(x, y, ids[k]) for x, y, k in tiles]
+
+
+def encode_jbig2_symbol_text(mask: np.ndarray, template: int = 0) -> bytes:
+    """Boolean bitmap -> embedded JBIG2 stream in the dominant
+    real-scanner organization: page info + a SYMBOL DICTIONARY + an
+    immediate TEXT REGION placing the (deduped, tiled) symbols +
+    end-of-page.  Round-trips through :func:`decode_jbig2`."""
+    h, w = mask.shape
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    symbols, placements = _tile_symbols(mask)
+    if not symbols:  # blank page: a 1x1 white symbol, zero instances
+        symbols = [np.zeros((1, 1), dtype=bool)]
+    return (
+        _segment(0, _PAGE_INFO, 1, page_info)
+        + _segment(1, _SYMBOL_DICT, 1, encode_symbol_dict(symbols, template))
+        + _segment_ref(2, 6, 1, [1], encode_text_region(placements, symbols, w, h))
+        + _segment(3, _END_OF_PAGE, 1, b"")
     )

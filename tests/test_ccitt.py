@@ -162,6 +162,41 @@ def test_jbig2_arithmetic_roundtrip_and_fuzz():
             pass
 
 
+def test_jbig2_symbol_text_roundtrip_and_fuzz():
+    """The §6.4/§6.5 symbol-dictionary + text-region organization (the
+    dominant real-scanner form): tiled/deduped symbols, all four
+    GBTEMPLATEs, height classes, the IAID tree, REFCORNER TL — and the
+    containment contract (corrupt input only ever raises ValueError)."""
+    import numpy as np
+
+    from pdfparser_spark.textops.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    for did in (2, 22, 42, 62):
+        ink = scanned_ink(did)
+        for tmpl in range(4):
+            blob = encode_jbig2_symbol_text(ink, template=tmpl)
+            assert np.array_equal(decode_jbig2(blob), ink), (did, tmpl)
+    # blank page degenerates to a 1x1 white symbol with zero instances
+    blank = np.zeros((16, 16), dtype=bool)
+    assert not decode_jbig2(encode_jbig2_symbol_text(blank)).any()
+    # non-square mask exercises ragged edge tiles (multiple height classes)
+    ragged = scanned_ink(3)[:19, :21]
+    assert np.array_equal(decode_jbig2(encode_jbig2_symbol_text(ragged)), ragged)
+    # fuzz: every single-byte mutation / truncation is contained
+    blob = encode_jbig2_symbol_text(scanned_ink(2))
+    for i in range(len(blob)):
+        try:
+            out = decode_jbig2(blob[:i] + bytes((blob[i] ^ 0xFF,)) + blob[i + 1 :])
+            assert out.dtype == bool
+        except ValueError:
+            pass
+    for cut in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass
+
+
 def test_mq_coder_roundtrip_skewed_streams():
     import hashlib
 

@@ -1080,6 +1080,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media payloads (tail: md5-derived fields, same oracle family
         # as the decode/resize media queries)
         "media_exif": lambda s, d: media.media_exif(_pipeline(s, d)["spans_flat"]),
+        # JPEG 2000 header tier (/JPXDecode, the last enumerated filter
+        # with no decode path): JP2 box walk + codestream SIZ parse ->
+        # geometry/colourspace metadata; md5-derived payload fields are
+        # replayed by the oracle (the media_exif convention)
+        "media_jpx_meta": lambda s, d: media.media_jpx(_pipeline(s, d)["spans_flat"]),
         # --- training-data curation ops ------------------------------------
         # continuous-crawl dedup: historical signatures persisted in a
         # snapshot-log index; the arriving batch computes ONLY its own
@@ -2177,6 +2182,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("pdf_linearized_roundtrip", "doc_embedded_fonts"),
         ("hybrid_rrf_search", "media_exif"),
         ("pdf_fill_form_roundtrip", "ann_ivf_trained"),
+        # round-4 swaps: writer-side ENCRYPTION gets its first driver row
+        # (takes the linearized roundtrip's slot — a sibling
+        # serialization-form roundtrip, r03-green, with the fill-form and
+        # redact roundtrips keeping the writer in-window), the outline
+        # TREE walker enters after gaining the /A GoTo action arm (takes
+        # events_asof_join's slot — join-shape evidence carried in-window
+        # by events_range_join), and the new JPX header tier takes
+        # top_terms_by_lang's (plain agg evidence carried by
+        # docs_rollup_stats + tpch_q1_pricing)
+        ("pdf_encrypt_roundtrip", "pdf_linearized_roundtrip"),
+        ("doc_outline_tree", "events_asof_join"),
+        ("media_jpx_meta", "top_terms_by_lang"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq
@@ -3730,6 +3747,20 @@ def oracle_sql() -> dict[str, str]:
         # 0 is encoded as BMP, class 1 as baseline JPEG (grayscale DC-only —
         # decoded values per _jpeg_block_px), others as PPM with
         # pixel(r,c,k) = (7r + 13c + 31k) % 256 summed analytically
+        "media_jpx_meta": _SPAN_CTE + """
+            SELECT doc_id, media_ref,
+                   CAST(32 * (1 + ascii(substr(h, 5, 1)) % 8) AS INT) AS width,
+                   CAST(32 * (1 + ascii(substr(h, 6, 1)) % 8) AS INT) AS height,
+                   CAST(1 + ascii(substr(h, 7, 1)) % 4 AS INT) AS n_components,
+                   CAST([8, 10, 12, 16][1 + ascii(substr(h, 8, 1)) % 4] AS INT) AS bit_depth,
+                   'jp2 ' AS brand,
+                   ['sRGB', 'greyscale', 'sYCC'][1 + ascii(substr(h, 9, 1)) % 3] AS colorspace
+            FROM (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h
+              FROM spans WHERE kind = 'media'
+            )
+        """,
         "media_exif": _SPAN_CTE + """
             SELECT doc_id, media_ref,
                    CASE WHEN ascii(substr(h, 10, 1)) % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,

@@ -451,6 +451,65 @@ def _make_exif_jpeg(doc_id: int, media_ref: str) -> bytes:
     return enc[:2] + app1 + enc[2:]
 
 
+def _make_jpx(doc_id: int, media_ref: str) -> bytes:
+    """A structurally-valid JP2 container (signature/ftyp/jp2h/jp2c with
+    SOC+SIZ) whose geometry is md5-derived — every field replayable by
+    the oracle from the same hash (the media_exif convention)."""
+    from .jpx import encode_jpx
+
+    h = hashlib.md5(f"{doc_id}:{media_ref}".encode()).hexdigest()
+    return encode_jpx(
+        width=32 * (1 + ord(h[4]) % 8),
+        height=32 * (1 + ord(h[5]) % 8),
+        n_components=1 + ord(h[6]) % 4,
+        bit_depth=(8, 10, 12, 16)[ord(h[7]) % 4],
+        colorspace=("sRGB", "greyscale", "sYCC")[ord(h[8]) % 3],
+    )
+
+
+def media_jpx(spans_flat: DataFrame) -> DataFrame:
+    """JPEG 2000 metadata harvest (/JPXDecode, the last enumerated PDF
+    filter with no decode path until now): the JP2 box walk + codestream
+    SIZ parse (textops/jpx.py) surfaces the geometry/colourspace fields a
+    scanned-book curation pipeline filters on.  Zero shuffle beyond the
+    payload kernel's scan; wavelet decode stays honest-unsupported."""
+    from .jpx import parse_jpx_header
+
+    payloads = media_payload_kernel(spans_flat, _make_jpx)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "media_ref", "width", "height", "n_components",
+                "bit_depth", "brand", "colorspace"]
+        for pdf in batches:
+            rows = []
+            for d, m, raw in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
+                try:
+                    meta = parse_jpx_header(bytes(raw))
+                except ValueError:  # damaged payload: skip, never kill the task
+                    continue
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "media_ref": m,
+                        "width": int(meta["width"]),
+                        "height": int(meta["height"]),
+                        "n_components": int(meta["n_components"]),
+                        "bit_depth": int(meta["bit_depth"]),
+                        "brand": meta["brand"],
+                        "colorspace": meta["colorspace"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return payloads.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, media_ref string, width int, height int, "
+            "n_components int, bit_depth int, brand string, colorspace string"
+        ),
+    )
+
+
 def media_exif(spans_flat: DataFrame) -> DataFrame:
     """EXIF harvest over the media payload column: the APP1 TIFF walk
     (textops/jpeg.py parse_exif, both byte orders, spilled ASCII values)

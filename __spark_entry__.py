@@ -5336,14 +5336,30 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding,
                      CAST(list_indexof(s, list_min(s)) AS INT) AS list_id
               FROM sc
+            ), sized AS MATERIALIZED (
+              -- the representative-star cap (cluster_cap=4096): oversized
+              -- clusters compare members only against the min-id rep,
+              -- mirroring dedup.semantic_dedup exactly
+              SELECT vec_id, embedding, list_id,
+                     COUNT(*) OVER (PARTITION BY list_id) AS bsz,
+                     MIN(vec_id) OVER (PARTITION BY list_id) AS rep
+              FROM a
             ), dom AS (
               SELECT DISTINCT y.vec_id
-              FROM a x JOIN a y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
-              WHERE {_sql_cos('x.embedding', 'y.embedding')} >= 0.30
+              FROM sized x JOIN sized y
+                ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+              WHERE x.bsz <= 4096
+                AND {_sql_cos('x.embedding', 'y.embedding')} >= 0.30
+              UNION
+              SELECT y.vec_id
+              FROM sized y JOIN sized r
+                ON y.list_id = r.list_id AND r.vec_id = r.rep
+              WHERE y.bsz > 4096 AND y.vec_id <> y.rep
+                AND {_sql_cos('r.embedding', 'y.embedding')} >= 0.30
             )
-            SELECT a.vec_id, a.list_id,
+            SELECT sized.vec_id, sized.list_id,
                    CAST(dom.vec_id IS NULL AS INT) AS kept
-            FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+            FROM sized LEFT JOIN dom ON sized.vec_id = dom.vec_id
         """,
         "orders_trailing_spend": """
             SELECT o_custkey, o_orderkey,

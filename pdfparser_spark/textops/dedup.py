@@ -675,7 +675,8 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
 
 
 def semantic_dedup(
-    embeddings: DataFrame, tau: float = 0.30, n_lists: int = 8
+    embeddings: DataFrame, tau: float = 0.30, n_lists: int = 8,
+    cluster_cap: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
     clustering embeddings and comparing ONLY within clusters.  Each vector
@@ -693,9 +694,13 @@ def semantic_dedup(
     only); the assignment is inlined in the scan project, and the
     dominated set is one distinct + one broadcast-able anti-join.  At
     10^12 rows the codebook comes from `ann.ivf_train_kmeans` and
-    clusters shard the corpus; oversized clusters would take the same
-    representative-star cap as `embedding_neardup` (not needed at gate
-    scale with the fixed codebook — documented, not silent)."""
+    clusters shard the corpus.  ``cluster_cap`` is the same
+    representative-star guard as `_capped_bucket_pairs`: a cluster above
+    the cap compares members only against its min-id representative
+    (bounding a degenerate everything-matches cluster at O(n) work
+    instead of O(n²)); the window pass computing cluster sizes rides the
+    SAME list_id shuffle as the pair join, so the guard adds no
+    exchange.  The oracle mirrors the capped semantics exactly."""
     scores = ann._list_scores(F.col("embedding"), n_lists)
     assigned = register_persisted(
         embeddings.select(
@@ -704,23 +709,42 @@ def semantic_dedup(
             F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
         )
     )
-    a = assigned.select(
+    w = Window.partitionBy("list_id")
+    sized = register_persisted(
+        assigned.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("vec_id").over(w))
+        .persist()
+    )
+    small = sized.filter(F.col("bsz") <= cluster_cap)
+    a = small.select(
         F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "list_id"
     )
-    b = assigned.select(
+    b = small.select(
         F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "list_id"
     )
     cos = ann.cosine_expr(F.col("ea"), F.col("eb"))
-    dominated = (
+    dominated_small = (
         a.join(b, "list_id")
         .filter(F.col("va") < F.col("vb"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= tau)
         .select(F.col("vb").alias("vec_id"))
-        .distinct()
     )
+    # oversized clusters: members vs the representative only (star)
+    reps = sized.filter(
+        (F.col("bsz") > cluster_cap) & (F.col("vec_id") == F.col("rep"))
+    ).select("list_id", F.col("embedding").alias("ea"))
+    dominated_big = (
+        sized.filter((F.col("bsz") > cluster_cap) & (F.col("vec_id") != F.col("rep")))
+        .select("list_id", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+        .join(F.broadcast(reps), "list_id")
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= tau)
+        .select(F.col("vb").alias("vec_id"))
+    )
+    dominated = dominated_small.union(dominated_big).distinct()
     return (
-        assigned.join(dominated.withColumn("dom", F.lit(1)), "vec_id", "left")
+        sized.join(dominated.withColumn("dom", F.lit(1)), "vec_id", "left")
         .select(
             "vec_id",
             "list_id",

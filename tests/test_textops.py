@@ -858,6 +858,41 @@ def test_semantic_dedup_domination_rule(spark, sf_dir):
                 assert cos_max < 0.30 + 1e-9
 
 
+def test_semantic_dedup_oversized_cluster_cap(spark):
+    """Adversarial: one degenerate cluster holds (almost) every vector.
+    With cluster_cap below its size the plan must do representative-star
+    work only — members are judged against the cluster's min-id rep, so
+    a member similar to the rep is dropped and one orthogonal to it is
+    kept even when it closely matches ANOTHER earlier member (the
+    documented capped semantics, r03 verdict item 7)."""
+    import numpy as np
+
+    del np  # exact basis vectors — no chance correlations
+    rows = []
+    # vec 0 (the rep) and 60 near-copies of it along e0 (+ a small e1
+    # tilt); vecs 100/101 are a near-identical PAIR along e2, exactly
+    # orthogonal to every earlier vector's e0/e1 span — under the star
+    # they are only compared to the rep, so BOTH survive
+    for i in range(61):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((100, [0.0, 0.0, 1.0, 0.002, 0.0, 0.0, 0.0, 0.0]))
+    rows.append((101, [0.0, 0.0, 1.0, 0.003, 0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    res = {
+        r.vec_id: r.kept
+        for r in dedup.semantic_dedup(emb, n_lists=1, cluster_cap=16).collect()
+    }
+    assert res[0] == 1  # the representative survives
+    assert all(res[i] == 0 for i in range(1, 61))  # near-copies dropped
+    assert res[100] == 1 and res[101] == 1  # star never compares 100 vs 101
+    # uncapped control: the pair collapses to one survivor
+    res2 = {
+        r.vec_id: r.kept
+        for r in dedup.semantic_dedup(emb, n_lists=1, cluster_cap=10_000).collect()
+    }
+    assert res2[100] == 1 and res2[101] == 0
+
+
 def test_hll_estimate_accuracy_and_regime(spark, sf_dir):
     """HLL per-lang estimates land within 3 standard errors
     (1.04/sqrt(256) ~ 6.5% -> 20% bound), and the corpus sits outside

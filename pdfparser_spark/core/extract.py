@@ -2281,9 +2281,17 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
                     if ev[0] == "text":
                         txt = dec(ev[3])
                     else:
-                        txt = "".join(
-                            dec(x) for x in ev[3] if isinstance(x, (bytes, bytearray))
-                        )
+                        # same TJ kern-as-word-break rule as the flat path
+                        parts = []
+                        for x in ev[3]:
+                            if isinstance(x, (bytes, bytearray)):
+                                parts.append(dec(x))
+                            elif (
+                                isinstance(x, (int, float))
+                                and x <= KERN_SPACE_THRESHOLD
+                            ):
+                                parts.append(" ")
+                        txt = "".join(parts)
                 m = ev[-1]
                 rank = leaf_rank.get((id(page), m)) if m is not None else None
                 if rank is not None:

@@ -119,6 +119,42 @@ def test_mimespec_flat_spans(mimespec):
     assert texts[1] == "X Desktop Group (http://www.freedesktop.org)"
 
 
+def test_staged_and_fused_agree_on_real_pdfs(libtasn1, mimespec, spark, tmp_path):
+    """Co-evolution insurance at the Spark layer: the staged checkpointed
+    DAG and the fused kernel must produce IDENTICAL spans on documents
+    neither was developed against — the two genuine third-party PDFs —
+    and both must match the pure-Python kernel."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.pipeline import Pipeline
+    from pdfparser_spark.stages.fused import extract_fused
+
+    rows = [
+        (did, [{"kind": "input", "text": data.decode("latin-1"),
+                "media_ref": None, "offset": 0}])
+        for did, data in ((0, libtasn1), (1, mimespec))
+    ]
+    from pdfparser_spark.schema import DOCUMENTS_RAW
+
+    raw = spark.createDataFrame(rows, DOCUMENTS_RAW)
+    staged = Pipeline(spark, work_dir=str(tmp_path / "ck")).run(raw)
+    got_staged = [
+        (r.doc_id, r.ord, r.kind, r.text, r.media_ref)
+        for r in staged["spans_flat"].orderBy("doc_id", "ord").collect()
+    ]
+    fused_rows = extract_fused(raw).orderBy("doc_id").collect()
+    got_fused = [
+        (r.doc_id, i, s["kind"], s["text"], s["media_ref"])
+        for r in fused_rows
+        for i, s in enumerate(r.spans)
+    ]
+    expected = []
+    for did, data in ((0, libtasn1), (1, mimespec)):
+        for i, (k, t, m) in enumerate(extract_spans(data)["spans"]):
+            expected.append((did, i, k, t, m))
+    assert got_fused == expected
+    assert got_staged == expected
+
+
 def test_mimespec_layout_advance_outline(mimespec):
     lay = extract_layout_spans(mimespec)
     assert lay["errors"] == []

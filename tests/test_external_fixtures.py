@@ -90,6 +90,28 @@ def test_libtasn1_outline_goto_actions(libtasn1):
     assert meta["first_outline_page"] == 3
 
 
+def test_real_pdf_mutations_are_contained(libtasn1, mimespec):
+    """Lenient containment on REAL third-party bytes: random byte flips
+    and truncations must never raise — only error rows / degraded
+    output (the synth families prove this on generated docs; real
+    writer output has different byte statistics, so pin it here too)."""
+    import random
+
+    from pdfparser_spark.core.extract import extract_spans
+
+    for name, data in (("libtasn1", libtasn1), ("mimespec", mimespec)):
+        rng = random.Random(4242)
+        for trial in range(12):
+            buf = bytearray(data)
+            for _ in range(rng.randint(1, 64)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            res = extract_spans(bytes(buf))  # must not raise
+            assert isinstance(res["spans"], list), (name, trial)
+        for frac in (0.0, 0.001, 0.01, 0.3, 0.7, 0.99):
+            res = extract_spans(data[: int(len(data) * frac)])
+            assert isinstance(res["spans"], list)
+
+
 def test_libtasn1_links_and_page_labels(libtasn1):
     """hyperref link annots (URI + GoTo-action internal) and the real
     /PageLabels tree (prefix 'T-' cover pages, roman front matter,

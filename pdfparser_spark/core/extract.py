@@ -2164,9 +2164,27 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
     index viewers use for hit-testing) is not needed for extraction.
 
     The reference has no tagged-PDF tier (its tree walk stops at
-    /Contents, doc_tree.rs:63-142); semantics from ISO 32000 §14.7-14.8."""
+    /Contents, doc_tree.rs:63-142); semantics from ISO 32000 §14.7-14.8.
+
+    Element /S types resolve through the root's /RoleMap (§14.7.3 — how
+    Word-class producers map custom structure types to the standard
+    roles), followed transitively with a cycle cap."""
     out: list = []
     on_path: set = set()
+    role: dict = {}
+    rm = get_resolved(stroot, "RoleMap", objects)
+    if isinstance(rm, dict):
+        for k, v in rm.items():
+            vv = resolve(v, objects)
+            if isinstance(vv, Name):
+                role[str(k)] = str(vv)
+
+    def mapped(name: str) -> str:
+        seen = set()
+        while name in role and name not in seen:
+            seen.add(name)
+            name = role[name]
+        return name
 
     def walk(node, pg_id, stype, depth):
         if depth > MAX_TREE_DEPTH:
@@ -2203,7 +2221,7 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
             pg_id = id(epg)
         s = get_resolved(node, "S", objects)
         if isinstance(s, Name):
-            stype = str(s)
+            stype = mapped(str(s))
         k = node.get("K")
         if k is not None:
             on_path.add(id(node))

@@ -2643,8 +2643,21 @@ def build_document_tagged(doc_id: int, text: str) -> dict:
     )
     b.text_payload(body)
     b.struct(b"\nendstream endobj\n")
+    # every 3rd+1 doc writes CUSTOM structure types (/Head1, /Para)
+    # resolved through an inline /RoleMap (§14.7.3 — the Word-export
+    # shape; /Head1 maps TRANSITIVELY via /Heading): extraction must
+    # report the standard H1/P roles, so the tagged oracle is invariant
+    # iff the role map is followed.  Zero new objects.
+    use_rolemap = doc_id % 3 == 1
+    rm = (
+        " /RoleMap << /Head1 /Heading /Heading /H1 /Para /P >>"
+        if use_rolemap
+        else ""
+    )
     offsets[STROOT] = b.struct(
-        f"{STROOT} 0 obj << /Type /StructTreeRoot /K {DOCELEM} 0 R >> endobj\n".encode("ascii")
+        (
+            f"{STROOT} 0 obj << /Type /StructTreeRoot /K {DOCELEM} 0 R{rm} >> endobj\n"
+        ).encode("ascii")
     )
     if use_sects:
         doc_kids = f"[{sect_ids[0]} 0 R {sect_ids[1]} 0 R]"
@@ -2670,7 +2683,10 @@ def build_document_tagged(doc_id: int, text: str) -> dict:
             )
     for i in range(n):
         parent = sect_ids[0 if i < half else 1] if use_sects else DOCELEM
-        stype = "H1" if i == 0 else "P"
+        if use_rolemap:
+            stype = "Head1" if i == 0 else "Para"
+        else:
+            stype = "H1" if i == 0 else "P"
         offsets[line_ids[i]] = b.struct(
             (
                 f"{line_ids[i]} 0 obj << /Type /StructElem /S /{stype} "

@@ -3528,11 +3528,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(li AS INT) AS ord, CAST(0 AS INT) AS page_idx,
                    CASE WHEN li = 0 THEN 'H1' ELSE 'P' END AS struct_type,
+                   CASE WHEN li = 0 AND doc_id % 5 = 2
+                        THEN ['en-US','de-DE','fr-FR'][1 + (doc_id + 1) % 3]
+                        ELSE ['en-US','de-DE','fr-FR'][1 + doc_id % 3]
+                   END AS lang,
                    t AS text
             FROM ln
             UNION ALL
             SELECT doc_id, CAST(COUNT(*) AS INT) AS ord, CAST(0 AS INT) AS page_idx,
-                   CAST(NULL AS VARCHAR) AS struct_type, 'draft' AS text
+                   CAST(NULL AS VARCHAR) AS struct_type,
+                   ['en-US','de-DE','fr-FR'][1 + doc_id % 3] AS lang,
+                   'draft' AS text
             FROM ln WHERE doc_id % 3 = 0 GROUP BY doc_id
         """,
         "extract_columns": """

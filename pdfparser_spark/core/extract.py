@@ -2152,9 +2152,9 @@ def extract_attachments(data: bytes, password: bytes = b"", with_payload: bool =
     return {"attachments": atts, "errors": errors}
 
 
-def _struct_leaves(stroot: dict, objects: dict, errors: list):
+def _struct_leaves(stroot: dict, objects: dict, errors: list, default_lang=None):
     """Depth-first walk of the structure tree (ISO 32000 §14.7.2): yields
-    ``(page_dict_id, mcid, struct_type)`` marked-content leaves in LOGICAL
+    ``(page_dict_id, mcid, struct_type, lang)`` marked-content leaves in LOGICAL
     order.  /K takes every Table-323 shape: a bare int MCID (its page is
     the nearest ancestor element's /Pg), a marked-content-reference dict
     (``/Type /MCR`` with its own /Pg override, §14.7.5.3), an object
@@ -2168,7 +2168,11 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
 
     Element /S types resolve through the root's /RoleMap (§14.7.3 — how
     Word-class producers map custom structure types to the standard
-    roles), followed transitively with a cycle cap."""
+    roles), followed transitively with a cycle cap.  Each leaf also
+    carries its effective /Lang (§14.9.2.2: an element's /Lang applies
+    to itself and descendants until overridden; the document default is
+    the catalog /Lang, passed as ``default_lang``) — the declared-
+    language channel a multilingual curation pipeline keys on."""
     out: list = []
     on_path: set = set()
     role: dict = {}
@@ -2186,18 +2190,18 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
             name = role[name]
         return name
 
-    def walk(node, pg_id, stype, depth):
+    def walk(node, pg_id, stype, lang, depth):
         if depth > MAX_TREE_DEPTH:
             errors.append((DOC_TREE_ERROR, "assemble", "structure tree depth cap"))
             return
         node = resolve(node, objects)
         if isinstance(node, int):
             if pg_id is not None:
-                out.append((pg_id, node, stype))
+                out.append((pg_id, node, stype, lang))
             return
         if isinstance(node, list):
             for kid in node:
-                walk(kid, pg_id, stype, depth + 1)
+                walk(kid, pg_id, stype, lang, depth + 1)
             return
         if not isinstance(node, dict):
             return
@@ -2208,7 +2212,7 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
             m = get_resolved(node, "MCID", objects)
             tgt = id(mpg) if isinstance(mpg, dict) else pg_id
             if isinstance(m, int) and tgt is not None:
-                out.append((tgt, m, stype))
+                out.append((tgt, m, stype, lang))
             return
         if tname == "OBJR":
             return
@@ -2222,13 +2226,16 @@ def _struct_leaves(stroot: dict, objects: dict, errors: list):
         s = get_resolved(node, "S", objects)
         if isinstance(s, Name):
             stype = mapped(str(s))
+        lg = _as_text(get_resolved(node, "Lang", objects))
+        if lg:
+            lang = lg
         k = node.get("K")
         if k is not None:
             on_path.add(id(node))
-            walk(k, pg_id, stype, depth + 1)
+            walk(k, pg_id, stype, lang, depth + 1)
             on_path.discard(id(node))
 
-    walk(stroot.get("K"), None, None, 0)
+    walk(stroot.get("K"), None, None, default_lang, 0)
     return out
 
 
@@ -2244,7 +2251,10 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
     with a NULL struct_type — text is never lost.  Documents without a
     structure tree degrade to pure drawing order, all rows untagged.
 
-    Returns ``{"spans": [(page_idx, ord, struct_type, text)], "errors"}``.
+    Returns ``{"spans": [(page_idx, ord, struct_type, lang, text)],
+    "errors"}`` — ``lang`` is the §14.9.2 effective declared language
+    (element /Lang inherited down the tree, catalog /Lang the document
+    default, None when undeclared).
     """
     errors: list = []
     out: list = []
@@ -2265,14 +2275,16 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
             raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
         pages = _walk_pages(pages_node, objects, errors)
 
-        # logical rank per (page, mcid) + the leaf's /S type
+        # logical rank per (page, mcid) + the leaf's /S type and its
+        # effective /Lang (catalog /Lang = the §14.9.2 document default)
+        doc_lang = _as_text(get_resolved(root, "Lang", objects))
         stroot = get_resolved(root, "StructTreeRoot", objects)
         leaf_rank: dict = {}
         if isinstance(stroot, dict):
-            for li, (pg_id, m, stype) in enumerate(
-                _struct_leaves(stroot, objects, errors)
+            for li, (pg_id, m, stype, lang) in enumerate(
+                _struct_leaves(stroot, objects, errors, default_lang=doc_lang)
             ):
-                leaf_rank.setdefault((pg_id, m), (li, stype))
+                leaf_rank.setdefault((pg_id, m), (li, stype, lang))
 
         tagged: list = []
         untagged: list = []
@@ -2313,17 +2325,18 @@ def extract_tagged_spans(data: bytes, password: bytes = b""):
                 m = ev[-1]
                 rank = leaf_rank.get((id(page), m)) if m is not None else None
                 if rank is not None:
-                    tagged.append((rank[0], emit_i, page_idx, rank[1], txt))
+                    tagged.append((rank[0], emit_i, page_idx, rank[1], rank[2], txt))
                 else:
                     untagged.append((emit_i, page_idx, txt))
                 emit_i += 1
         tagged.sort()
         ordn = 0
-        for _li, _ei, page_idx, stype, txt in tagged:
-            out.append((page_idx, ordn, stype, txt))
+        for _li, _ei, page_idx, stype, lang, txt in tagged:
+            out.append((page_idx, ordn, stype, lang, txt))
             ordn += 1
         for _ei, page_idx, txt in untagged:
-            out.append((page_idx, ordn, None, txt))
+            # artifact/untagged content speaks the document default
+            out.append((page_idx, ordn, None, doc_lang, txt))
             ordn += 1
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))

@@ -676,23 +676,28 @@ def extract_tagged_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 res = extract_tagged_spans(_doc_bytes(spans), password=password)
-                for page_idx, ordn, stype, txt in res["spans"]:
+                for page_idx, ordn, stype, lang, txt in res["spans"]:
                     rows.append(
                         {
                             "doc_id": int(doc_id),
                             "ord": ordn,
                             "page_idx": page_idx,
                             "struct_type": stype,
+                            "lang": lang,
                             "text": txt,
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "ord", "page_idx", "struct_type", "text"]
+                rows,
+                columns=["doc_id", "ord", "page_idx", "struct_type", "lang", "text"],
             )
 
     return documents_raw.mapInPandas(
         run,
-        schema="doc_id long, ord int, page_idx int, struct_type string, text string",
+        schema=(
+            "doc_id long, ord int, page_idx int, struct_type string, "
+            "lang string, text string"
+        ),
     )
 
 

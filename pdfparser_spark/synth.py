@@ -2619,10 +2619,15 @@ def build_document_tagged(doc_id: int, text: str) -> dict:
     b = _Builder()
     offsets: dict[int, int] = {}
     b.struct(f"%PDF-1.{4 + doc_id % 4}\n".encode("ascii"))
+    # declared language (§14.9.2): catalog /Lang cycles by doc%3; the H1
+    # element OVERRIDES it on every 5th+2 doc (inheritance + override
+    # both observable through the tagged oracle's lang column)
+    doc_lang = TAG_LANGS[doc_id % 3]
     offsets[CATALOG] = b.struct(
         (
             f"{CATALOG} 0 obj << /Type /Catalog /Pages {PAGESROOT} 0 R "
-            f"/StructTreeRoot {STROOT} 0 R /MarkInfo << /Marked true >> >> endobj\n"
+            f"/StructTreeRoot {STROOT} 0 R /Lang ({doc_lang}) "
+            f"/MarkInfo << /Marked true >> >> endobj\n"
         ).encode("ascii")
     )
     offsets[PAGESROOT] = b.struct(
@@ -2687,10 +2692,15 @@ def build_document_tagged(doc_id: int, text: str) -> dict:
             stype = "Head1" if i == 0 else "Para"
         else:
             stype = "H1" if i == 0 else "P"
+        lang_entry = (
+            f"/Lang ({TAG_LANGS[(doc_id + 1) % 3]}) "
+            if i == 0 and doc_id % 5 == 2
+            else ""
+        )
         offsets[line_ids[i]] = b.struct(
             (
                 f"{line_ids[i]} 0 obj << /Type /StructElem /S /{stype} "
-                f"/P {parent} 0 R /K {elem_k(i)} >> endobj\n"
+                f"{lang_entry}/P {parent} 0 R /K {elem_k(i)} >> endobj\n"
             ).encode("ascii")
         )
     xref_pos = b.pos
@@ -2707,16 +2717,22 @@ def build_document_tagged(doc_id: int, text: str) -> dict:
     return {"doc_id": doc_id, "bytes": b.finish(), "span_rows": b.span_rows()}
 
 
-def expected_tagged(doc_id: int, text: str) -> list[tuple[int, int, str | None, str]]:
+TAG_LANGS = ("en-US", "de-DE", "fr-FR")
+
+
+def expected_tagged(doc_id: int, text: str) -> list[tuple[int, int, str | None, str, str]]:
     """Analytic ground truth for ``extract_tagged_order``: (ord, page_idx,
-    struct_type, text) — logical lines first (H1 then P), then the
-    untagged artifact footer."""
+    struct_type, lang, text) — logical lines first (H1 then P), then the
+    untagged artifact footer.  lang = catalog /Lang (doc%3), overridden
+    on the H1 line when doc%5==2."""
     lines = tagged_lines(doc_id, text)
-    out = [
-        (i, 0, "H1" if i == 0 else "P", t) for i, t in enumerate(lines)
-    ]
+    base = TAG_LANGS[doc_id % 3]
+    out = []
+    for i, t in enumerate(lines):
+        lg = TAG_LANGS[(doc_id + 1) % 3] if i == 0 and doc_id % 5 == 2 else base
+        out.append((i, 0, "H1" if i == 0 else "P", lg, t))
     if tagged_has_artifact(doc_id) and lines:
-        out.append((len(lines), 0, None, TAG_ARTIFACT_TEXT))
+        out.append((len(lines), 0, None, base, TAG_ARTIFACT_TEXT))
     return out
 
 

@@ -186,7 +186,7 @@ def test_tagged_family_restores_logical_order():
         d = build_document_tagged(did, TEXT)
         r = extract_tagged_spans(d["bytes"])
         assert not r["errors"], (did, r["errors"][:2])
-        got = [(o, p, s, t) for (p, o, s, t) in r["spans"]]
+        got = [(o, p, s, lg, t) for (p, o, s, lg, t) in r["spans"]]
         assert got == expected_tagged(did, TEXT), did
 
 
@@ -201,7 +201,7 @@ def test_tagged_drawing_order_differs_from_logical():
     lines = tagged_lines(2, TEXT)
     plain = [t for (k, t, _m) in extract_spans(d["bytes"])["spans"] if k == "text"]
     assert plain[: len(lines)] == [lines[(j + 2) % len(lines)] for j in range(len(lines))]
-    tagged = [t for (_p, _o, s, t) in extract_tagged_spans(d["bytes"])["spans"] if s]
+    tagged = [t for (_p, _o, s, _lg, t) in extract_tagged_spans(d["bytes"])["spans"] if s]
     assert tagged == lines
 
 
@@ -213,8 +213,8 @@ def test_tagged_untagged_doc_degrades_to_drawing_order():
 
     d = build_document(1, TEXT)
     r = extract_tagged_spans(d["bytes"])
-    texts = [t for (_p, _o, s, t) in r["spans"]]
-    assert all(s is None for (_p, _o, s, _t) in r["spans"])
+    texts = [t for (_p, _o, s, _lg, t) in r["spans"]]
+    assert all(s is None for (_p, _o, s, _lg, _t) in r["spans"])
     assert texts == [
         t for (k, t, _m) in extract_spans(d["bytes"])["spans"] if k == "text"
     ]

@@ -55,6 +55,7 @@ from pdfparser_spark.stages import (
     extract_merge_pairs_fused,
     extract_portfolio_fused,
     extract_rewrite_fused,
+    extract_tagged_rewrite_fused,
     extract_linearized_roundtrip_fused,
     extract_signatures_fused,
     extract_xmp_fused,
@@ -1325,6 +1326,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span oracle proves writer validity (tail: oracle shared with
         # extract_spans)
         "pdf_rewrite_roundtrip": lambda s, d: extract_rewrite_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # TAGGED-output writer (PDF/UA shape): extract -> write_pdf(
+        # tagged=True, lang=TAG_LANGS[doc%3]) -> re-extract through the
+        # structure-tree kernel; every text span must come back in order
+        # as a /P element speaking the written language
+        "pdf_tagged_rewrite": lambda s, d: extract_tagged_rewrite_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
@@ -3186,6 +3196,18 @@ def oracle_sql() -> dict[str, str]:
         "extract_spans_fused": _span_sql(),
         "extract_incremental": _span_sql(),
         "pdf_rewrite_roundtrip": _span_sql(),
+        # tagged rewrite: the tagged read of the tagged write = the text
+        # spans in span order (writer page per span -> page_idx is the
+        # overall span ord), all /P, lang = the written TAG_LANGS[doc%3]
+        "pdf_tagged_rewrite": _SPAN_CTE + """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS ord,
+                   CAST(ord AS INT) AS page_idx,
+                   'P' AS struct_type,
+                   ['en-US','de-DE','fr-FR'][1 + doc_id % 3] AS lang,
+                   text
+            FROM spans WHERE kind = 'text'
+        """,
         # linearized roundtrip: span rows unchanged + all five Annex F
         # parameter checks hold by construction
         "pdf_linearized_roundtrip": _SPAN_CTE + """

@@ -95,6 +95,8 @@ def write_pdf(
     attachments: list | None = None,
     linearized: bool = False,
     compress: bool = False,
+    tagged: bool = False,
+    lang: str | None = None,
 ) -> bytes:
     """``spans`` = iterable of (kind, text, media_ref) in reading order
     -> PDF bytes.  Unknown kinds and empty text spans are skipped.
@@ -152,17 +154,34 @@ def write_pdf(
             ]
         elif _is_latin1(payload):
             res = b"<< /Font << /F1 %d 0 R >> >>" % font_id
-            content = b"BT /F1 12 Tf 72 720 Td " + _text_string(payload) + b" Tj ET"
+            if tagged:
+                content = (
+                    b"BT /F1 12 Tf 72 720 Td /P << /MCID 0 >> BDC "
+                    + _text_string(payload)
+                    + b" Tj EMC ET"
+                )
+            else:
+                content = b"BT /F1 12 Tf 72 720 Td " + _text_string(payload) + b" Tj ET"
         else:
             # Unicode page: a per-page Type0/Identity-H font with a
             # generated ToUnicode bfchar table (objects follow the
             # content stream: tounicode, descendant, type0)
             show, extra = _cid_objects(payload, len(objs) + 3)
             res = b"<< /Font << /F1 %d 0 R >> >>" % (len(objs) + 5)
-            content = b"BT /F1 12 Tf 72 720 Td " + show + b" Tj ET"
+            if tagged:
+                content = (
+                    b"BT /F1 12 Tf 72 720 Td /P << /MCID 0 >> BDC "
+                    + show
+                    + b" Tj EMC ET"
+                )
+            else:
+                content = b"BT /F1 12 Tf 72 720 Td " + show + b" Tj ET"
+        sp = b""
+        if tagged and kind == "text":
+            sp = b" /StructParents %d" % sum(1 for k, _p in items[: len(page_ids)] if k == "text")
         pid = add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources %s /Contents %d 0 R >>" % (root_id, res, len(objs) + 2)
+            b"/Resources %s /Contents %d 0 R%s >>" % (root_id, res, len(objs) + 2, sp)
         )
         if compress:
             import zlib as _z
@@ -201,6 +220,38 @@ def write_pdf(
         cat_extra = (
             b" /Names << /EmbeddedFiles << /Names [" + b" ".join(entries) + b"] >> >>"
         )
+    if tagged:
+        text_pages = [
+            pid for (k, _p), pid in zip(items, page_ids) if k == "text"
+        ]
+        stroot_id = add(b"")  # placeholder: needs the element ids below
+        docelem_id = add(
+            b"<< /Type /StructElem /S /Document /P %d 0 R /K [%s] >>"
+            % (
+                stroot_id,
+                b" ".join(
+                    b"%d 0 R" % (stroot_id + 2 + i) for i in range(len(text_pages))
+                ),
+            )
+        )
+        elem_ids = []
+        for pid in text_pages:
+            elem_ids.append(
+                add(
+                    b"<< /Type /StructElem /S /P /P %d 0 R /Pg %d 0 R /K 0 >>"
+                    % (docelem_id, pid)
+                )
+            )
+        nums = b" ".join(
+            b"%d [%d 0 R]" % (i, e) for i, e in enumerate(elem_ids)
+        )
+        objs[stroot_id - 1] = (
+            b"<< /Type /StructTreeRoot /K %d 0 R /ParentTree << /Nums [%s] >> >>"
+            % (docelem_id, nums)
+        )
+        cat_extra += b" /StructTreeRoot %d 0 R /MarkInfo << /Marked true >>" % stroot_id
+        if lang:
+            cat_extra += b" /Lang " + _text_string(str(lang))
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R%s >>" % (root_id, cat_extra)
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, n_pages)
 

@@ -958,6 +958,55 @@ def extract_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> Da
     )
 
 
+def extract_tagged_rewrite_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """TAGGED-output writer roundtrip, zero shuffle: extract -> serialize
+    with ``write_pdf(tagged=True, lang=...)`` (one /P StructElem per
+    text page, /ParentTree, catalog /Lang) -> re-extract through the
+    STRUCTURE-TREE kernel.  The tagged read of the tagged write must
+    recover every text span in order with struct_type 'P' and the
+    written language — the PDF/UA-shaped authoring primitive an
+    accessibility/remediation pipeline needs.  ``lang`` cycles the
+    synth TAG_LANGS by doc%3 so the channel is per-doc observable."""
+    from ..core.extract import extract_spans, extract_tagged_spans
+    from ..core.writer import write_pdf
+    from ..synth import TAG_LANGS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "page_idx", "struct_type", "lang", "text"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                again = extract_tagged_spans(
+                    write_pdf(
+                        first["spans"],
+                        tagged=True,
+                        lang=TAG_LANGS[int(doc_id) % 3],
+                        xref_stream=doc_id % 2 == 1,
+                    )
+                )
+                for page_idx, ordn, stype, lg, txt in again["spans"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "struct_type": stype,
+                            "lang": lg,
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ord int, page_idx int, struct_type string, "
+            "lang string, text string"
+        ),
+    )
+
+
 def extract_linearized_roundtrip_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

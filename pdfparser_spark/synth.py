@@ -2802,8 +2802,12 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
         )
 
         if p["jbig2_symbol"]:
+            # alternate the coded reference corner (TL / BOTTOM-left) so
+            # both §6.4.5 anchoring arms decode on the corpus
             payload = encode_jbig2_symbol_text(
-                scanned_ink(doc_id), template=p["jbig2_template"]
+                scanned_ink(doc_id),
+                template=p["jbig2_template"],
+                refcorner=1 if (doc_id // 20) % 2 == 0 else 0,
             )
         elif p["jbig2_arith"]:
             payload = encode_jbig2_arith(

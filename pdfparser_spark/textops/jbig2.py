@@ -823,12 +823,19 @@ def decode_text_region(data: bytes, symbols: list):
 
 
 def encode_text_region(
-    placements: list, symbols: list, rw: int, rh: int, rx: int = 0, ry: int = 0
+    placements: list, symbols: list, rw: int, rh: int, rx: int = 0, ry: int = 0,
+    refcorner: int = 1,
 ) -> bytes:
-    """Matched §7.4.4 writer.  ``placements`` = [(x, y, sym_id)] with TL
-    anchoring; one strip per distinct y, instances left-to-right."""
+    """Matched §7.4.4 writer.  ``placements`` = [(x, y, sym_id)] with the
+    symbol's TOP-left at (x, y); one strip per distinct y, instances
+    left-to-right.  ``refcorner`` selects the coded anchor (1 = TOPLEFT,
+    0 = BOTTOMLEFT — the coded T becomes the bottom row, the drawn
+    result is identical, and the decoder's BL arm is genuinely
+    exercised)."""
+    if refcorner not in (0, 1):
+        raise ValueError("JBIG2 writer: only TL/BL reference corners")
     symcodelen = _symcodelen(len(symbols))
-    flags = 1 << 4  # REFCORNER = TL; SBSTRIPS=1, OR, no refinement
+    flags = refcorner << 4  # SBSTRIPS=1, OR, no refinement
     out = struct.pack(">IIIIB", rw, rh, rx, ry, 0) + struct.pack(">H", flags)
     out += struct.pack(">I", len(placements))
     enc = MQEncoder()
@@ -836,6 +843,8 @@ def encode_text_region(
     iaid = _iaid_new(symcodelen)
     by_y: dict[int, list] = {}
     for x, y, sid in placements:
+        if refcorner == 0:  # anchor the BOTTOM row instead
+            y = y + symbols[sid].shape[0] - 1
         by_y.setdefault(y, []).append((x, sid))
     encode_ia(enc, iadt, 0)  # initial DT -> STRIPT = 0
     stript = 0
@@ -881,19 +890,23 @@ def _tile_symbols(mask: np.ndarray, ts: int = 8):
     return [seen[k] for k in order], [(x, y, ids[k]) for x, y, k in tiles]
 
 
-def encode_jbig2_symbol_text(mask: np.ndarray, template: int = 0) -> bytes:
+def encode_jbig2_symbol_text(
+    mask: np.ndarray, template: int = 0, refcorner: int = 1
+) -> bytes:
     """Boolean bitmap -> embedded JBIG2 stream in the dominant
     real-scanner organization: page info + a SYMBOL DICTIONARY + an
     immediate TEXT REGION placing the (deduped, tiled) symbols +
-    end-of-page.  Round-trips through :func:`decode_jbig2`."""
+    end-of-page.  Round-trips through :func:`decode_jbig2`;
+    ``refcorner`` picks the coded anchor (1 TL / 0 BL, same pixels)."""
     h, w = mask.shape
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     symbols, placements = _tile_symbols(mask)
     if not symbols:  # blank page: a 1x1 white symbol, zero instances
         symbols = [np.zeros((1, 1), dtype=bool)]
+    region = encode_text_region(placements, symbols, w, h, refcorner=refcorner)
     return (
         _segment(0, _PAGE_INFO, 1, page_info)
         + _segment(1, _SYMBOL_DICT, 1, encode_symbol_dict(symbols, template))
-        + _segment_ref(2, 6, 1, [1], encode_text_region(placements, symbols, w, h))
+        + _segment_ref(2, 6, 1, [1], region)
         + _segment(3, _END_OF_PAGE, 1, b"")
     )

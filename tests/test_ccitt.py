@@ -176,6 +176,13 @@ def test_jbig2_symbol_text_roundtrip_and_fuzz():
         for tmpl in range(4):
             blob = encode_jbig2_symbol_text(ink, template=tmpl)
             assert np.array_equal(decode_jbig2(blob), ink), (did, tmpl)
+    # BOTTOM-left anchoring codes different T values, same pixels
+    for did in (2, 22):
+        ink = scanned_ink(did)
+        tl = encode_jbig2_symbol_text(ink, refcorner=1)
+        bl = encode_jbig2_symbol_text(ink, refcorner=0)
+        assert tl != bl
+        assert np.array_equal(decode_jbig2(bl), ink), did
     # blank page degenerates to a 1x1 white symbol with zero instances
     blank = np.zeros((16, 16), dtype=bool)
     assert not decode_jbig2(encode_jbig2_symbol_text(blank)).any()

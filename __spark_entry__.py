@@ -56,6 +56,7 @@ from pdfparser_spark.stages import (
     extract_portfolio_fused,
     extract_rewrite_fused,
     extract_tagged_rewrite_fused,
+    extract_tagged_fixpoint_fused,
     extract_linearized_roundtrip_fused,
     extract_signatures_fused,
     extract_xmp_fused,
@@ -1337,6 +1338,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_tagged_rewrite": lambda s, d: extract_tagged_rewrite_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
+        ),
+        # structure-PRESERVING fixpoint over the TAGGED family: tagged
+        # extraction -> write_tagged_page (roles + lang overrides
+        # re-authored verbatim) -> tagged re-extraction; rows equal the
+        # first extraction, so the oracle is extract_tagged_order's SQL
+        "pdf_tagged_fixpoint": lambda s, d: extract_tagged_fixpoint_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="tagged",
             )
         ),
         # LINEARIZED rewrite (Annex F fast web view): extract -> the
@@ -3190,6 +3201,33 @@ def _sql_ivf_fixed_topk() -> str:
     """.replace("{cos}", _sql_cos("qe.embedding", "ne.embedding"))
 
 
+_TAGGED_ORDER_SQL = """
+    WITH base AS (
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
+      FROM documents
+    ), ln AS (
+      SELECT doc_id, i AS li,
+             array_to_string(w[i*3 + 1 : i*3 + 3], ' ') AS t
+      FROM base, unnest(generate_series(0, 4)) AS u(i)
+      WHERE len(w) > i*3
+    )
+    SELECT doc_id, CAST(li AS INT) AS ord, CAST(0 AS INT) AS page_idx,
+           CASE WHEN li = 0 THEN 'H1' ELSE 'P' END AS struct_type,
+           CASE WHEN li = 0 AND doc_id % 5 = 2
+                THEN ['en-US','de-DE','fr-FR'][1 + (doc_id + 1) % 3]
+                ELSE ['en-US','de-DE','fr-FR'][1 + doc_id % 3]
+           END AS lang,
+           t AS text
+    FROM ln
+    UNION ALL
+    SELECT doc_id, CAST(COUNT(*) AS INT) AS ord, CAST(0 AS INT) AS page_idx,
+           CAST(NULL AS VARCHAR) AS struct_type,
+           ['en-US','de-DE','fr-FR'][1 + doc_id % 3] AS lang,
+           'draft' AS text
+    FROM ln WHERE doc_id % 3 = 0 GROUP BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_spans": _span_sql(),
@@ -3538,31 +3576,10 @@ def oracle_sql() -> dict[str, str]:
                    doc_id % 5 <> 3 AS sig_ok
             FROM documents
         """,
-        "extract_tagged_order": """
-            WITH base AS (
-              SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w
-              FROM documents
-            ), ln AS (
-              SELECT doc_id, i AS li,
-                     array_to_string(w[i*3 + 1 : i*3 + 3], ' ') AS t
-              FROM base, unnest(generate_series(0, 4)) AS u(i)
-              WHERE len(w) > i*3
-            )
-            SELECT doc_id, CAST(li AS INT) AS ord, CAST(0 AS INT) AS page_idx,
-                   CASE WHEN li = 0 THEN 'H1' ELSE 'P' END AS struct_type,
-                   CASE WHEN li = 0 AND doc_id % 5 = 2
-                        THEN ['en-US','de-DE','fr-FR'][1 + (doc_id + 1) % 3]
-                        ELSE ['en-US','de-DE','fr-FR'][1 + doc_id % 3]
-                   END AS lang,
-                   t AS text
-            FROM ln
-            UNION ALL
-            SELECT doc_id, CAST(COUNT(*) AS INT) AS ord, CAST(0 AS INT) AS page_idx,
-                   CAST(NULL AS VARCHAR) AS struct_type,
-                   ['en-US','de-DE','fr-FR'][1 + doc_id % 3] AS lang,
-                   'draft' AS text
-            FROM ln WHERE doc_id % 3 = 0 GROUP BY doc_id
-        """,
+        "extract_tagged_order": _TAGGED_ORDER_SQL,
+        # the structure-preserving writer fixpoint returns the first
+        # tagged extraction's rows verbatim — same oracle
+        "pdf_tagged_fixpoint": _TAGGED_ORDER_SQL,
         "extract_columns": """
             WITH base AS (
               -- COALESCE mirrors synthesize_corpus's NULL-text -> '' coercion

@@ -917,3 +917,95 @@ def write_pdf_layout(
     objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % root_id
     objs[root_id - 1] = b"<< /Type /Pages /Kids %s /Count %d >>" % (kids, len(page_ids))
     return _serialize(objs, cat_id, xref_stream, objstm, encrypt)
+
+
+def write_tagged_page(rows, base_lang: str | None = None, xref_stream: bool = False) -> bytes:
+    """Tagged single-page writer for a LOGICAL span sequence: ``rows`` =
+    ``[(struct_type|None, lang|None, text)]`` in reading order -> a PDF
+    whose structure tree declares one StructElem per TYPED row (its /S
+    preserved verbatim, /Lang written only where it differs from
+    ``base_lang``, /K the row's MCID) and draws None-typed rows WITHOUT
+    marked content (artifact content, §14.8.2.2).  The tagged read of
+    this write (``extract_tagged_spans``) reproduces the input rows —
+    the structure-preserving re-emission primitive a remediation
+    pipeline needs (:func:`write_pdf` ``tagged=True`` is the simpler
+    all-/P authoring form).  Non-latin1 rows share one Type0 font with
+    a generated ToUnicode table (same machinery as the other writers)."""
+    rows = [(st, lg, str(t)) for st, lg, t in rows]
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    cat_id = add(b"")
+    root_id = add(b"")
+    font_id = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    uni_text = "".join(t for _st, _lg, t in rows if not _is_latin1(t))
+    ucodes = None
+    if uni_text:
+        ucodes = {ch: i for i, ch in enumerate(sorted(set(uni_text)))}
+    parts = [b"BT"]
+    mcid = 0
+    tagged_rows = []  # (mcid, struct_type, lang)
+    for i, (st, lg, t) in enumerate(rows):
+        pos = b" 1 0 0 1 72 " + _num(720 - 14 * i) + b" Tm "
+        if _is_latin1(t):
+            show = b"/F1 12 Tf" + pos + _text_string(t) + b" Tj"
+        else:
+            hexs = "".join(f"{ucodes[ch]:04X}" for ch in t).encode("ascii")
+            show = b"/FU 12 Tf" + pos + b"<" + hexs + b"> Tj"
+        if st is not None:
+            parts.append(b" /%s << /MCID %d >> BDC %s EMC" % (
+                str(st).encode("ascii"), mcid, show))
+            tagged_rows.append((mcid, str(st), lg))
+            mcid += 1
+        else:
+            parts.append(b" " + show)
+    parts.append(b" ET")
+    content = b"".join(parts)
+    res = b"<< /Font << /F1 %d 0 R" % font_id
+    extra: list[bytes] = []
+    if uni_text:
+        _show, extra = _cid_objects(uni_text, len(objs) + 3)
+        res += b" /FU %d 0 R" % (len(objs) + 5)
+    res += b" >> >>"
+    pid = add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+        b"/Resources %s /Contents %d 0 R /StructParents 0 >>"
+        % (root_id, res, len(objs) + 2)
+    )
+    add(b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+    for body in extra:
+        add(body)
+    stroot_id = add(b"")  # placeholder
+    docelem_id = add(
+        b"<< /Type /StructElem /S /Document /P %d 0 R /Pg %d 0 R /K [%s] >>"
+        % (
+            stroot_id,
+            pid,
+            b" ".join(b"%d 0 R" % (stroot_id + 2 + j) for j in range(len(tagged_rows))),
+        )
+    )
+    elem_ids = []
+    for m, st, lg in tagged_rows:
+        lang_entry = b""
+        if lg is not None and lg != base_lang:
+            lang_entry = b" /Lang " + _text_string(str(lg))
+        elem_ids.append(
+            add(
+                b"<< /Type /StructElem /S /%s%s /P %d 0 R /K %d >>"
+                % (str(st).encode("ascii"), lang_entry, docelem_id, m)
+            )
+        )
+    nums = b"0 [" + b" ".join(b"%d 0 R" % e for e in elem_ids) + b"]"
+    objs[stroot_id - 1] = (
+        b"<< /Type /StructTreeRoot /K %d 0 R /ParentTree << /Nums [%s] >> >>"
+        % (docelem_id, nums)
+    )
+    cat_extra = b" /StructTreeRoot %d 0 R /MarkInfo << /Marked true >>" % stroot_id
+    if base_lang:
+        cat_extra += b" /Lang " + _text_string(str(base_lang))
+    objs[cat_id - 1] = b"<< /Type /Catalog /Pages %d 0 R%s >>" % (root_id, cat_extra)
+    objs[root_id - 1] = b"<< /Type /Pages /Kids [%d 0 R] /Count 1 >>" % pid
+    return _serialize(objs, cat_id, xref_stream, False, None)

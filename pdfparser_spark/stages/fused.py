@@ -1007,6 +1007,52 @@ def extract_tagged_rewrite_fused(documents_raw: DataFrame, password: bytes = b""
     )
 
 
+def extract_tagged_fixpoint_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Structure-PRESERVING re-emission fixpoint, zero shuffle: tagged
+    extraction -> ``write_tagged_page`` (each element's /S role and
+    /Lang override re-authored verbatim, artifact rows drawn unmarked)
+    -> tagged re-extraction.  Output rows equal the first extraction's
+    (the extract_tagged_order oracle), proving the writer round-trips
+    the full structure channel, not just text.  The document default
+    language is recovered from the artifact rows (they speak it) or the
+    first tagged row."""
+    from ..core.extract import extract_tagged_spans
+    from ..core.writer import write_tagged_page
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "page_idx", "struct_type", "lang", "text"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_tagged_spans(_doc_bytes(spans), password=password)
+                seq = [(st, lg, t) for (_p, _o, st, lg, t) in first["spans"]]
+                un = [lg for (st, lg, _t) in seq if st is None]
+                base = un[0] if un else (seq[0][1] if seq else None)
+                again = extract_tagged_spans(
+                    write_tagged_page(seq, base_lang=base, xref_stream=doc_id % 2 == 1)
+                )
+                for page_idx, ordn, stype, lg, txt in again["spans"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "page_idx": page_idx,
+                            "struct_type": stype,
+                            "lang": lg,
+                            "text": txt,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ord int, page_idx int, struct_type string, "
+            "lang string, text string"
+        ),
+    )
+
+
 def extract_linearized_roundtrip_fused(
     documents_raw: DataFrame, password: bytes = b""
 ) -> DataFrame:

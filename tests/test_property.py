@@ -682,8 +682,6 @@ def test_marked_content_docs_never_raise_on_mutations(doc_id, seed, n_mutations)
 # --- content tokenizer (all three modes) ------------------------------------
 
 
-@given(data=BYTES)
-@settings(**SETTINGS)
 def test_unknown_operators_and_bx_ex_are_tolerated():
     """§7.8.2.2 compatibility: unknown operators — inside a BX..EX
     compatibility section or not — must be skipped without derailing
@@ -694,6 +692,8 @@ def test_unknown_operators_and_bx_ex_are_tolerated():
     assert [e[3] for e in evs if e[0] == "text"] == [b"a", b"b"]
 
 
+@given(data=BYTES)
+@settings(**SETTINGS)
 def test_tokenize_content_never_raises(data):
     """Arbitrary bytes through the content machine in every mode: the
     lenient contract is 'skip and resync', never an exception, and the

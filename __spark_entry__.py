@@ -3846,7 +3846,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 + ascii(substr(h, 7, 1)) % 4 AS INT) AS n_components,
                    CAST([8, 10, 12, 16][1 + ascii(substr(h, 8, 1)) % 4] AS INT) AS bit_depth,
                    'jp2 ' AS brand,
-                   ['sRGB', 'greyscale', 'sYCC'][1 + ascii(substr(h, 9, 1)) % 3] AS colorspace
+                   ['sRGB', 'greyscale', 'sYCC'][1 + ascii(substr(h, 9, 1)) % 3] AS colorspace,
+                   ['LRCP', 'RLCP', 'RPCL', 'PCRL', 'CPRL'][1 + ascii(substr(h, 10, 1)) % 5] AS progression,
+                   CAST(1 + ascii(substr(h, 11, 1)) % 8 AS INT) AS n_layers,
+                   CAST(3 + ascii(substr(h, 12, 1)) % 4 AS INT) AS n_decomp
             FROM (
               SELECT doc_id, media_ref,
                      md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h

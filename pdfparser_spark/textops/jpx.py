@@ -29,6 +29,10 @@ _SIG = b"\x6a\x50\x20\x20"  # 'jP  '
 _SIG_PAYLOAD = b"\x0d\x0a\x87\x0a"
 _SOC = 0xFF4F
 _SIZ = 0xFF51
+_COD = 0xFF52
+_SOD = 0xFF93
+_EOC = 0xFFD9
+_PROGRESSIONS = {0: "LRCP", 1: "RLCP", 2: "RPCL", 3: "PCRL", 4: "CPRL"}
 
 
 def _boxes(data: bytes, start: int, end: int):
@@ -75,7 +79,7 @@ def _parse_siz(data: bytes, pos: int, end: int) -> dict:
             {"depth": (ssiz & 0x7F) + 1, "signed": bool(ssiz & 0x80), "dx": xr, "dy": yr}
         )
     depths = {c["depth"] for c in comps}
-    return {
+    out = {
         "width": xsiz - xo,
         "height": ysiz - yo,
         "n_components": csiz,
@@ -84,13 +88,41 @@ def _parse_siz(data: bytes, pos: int, end: int) -> dict:
         "tile_w": xt,
         "tile_h": yt,
         "components": comps,
+        "progression": None,
+        "n_layers": None,
+        "n_decomp": None,
     }
+    # main-header marker walk after SIZ: the COD segment (§A.6.1) carries
+    # the coding-style fields a corpus filter keys on; stop at SOD/EOC
+    mp = pos + 2 + lsiz
+    while mp + 4 <= end:
+        (marker,) = struct.unpack_from(">H", data, mp)
+        if marker in (_SOD, _EOC) or not 0xFF01 <= marker <= 0xFFFE:
+            break
+        (mlen,) = struct.unpack_from(">H", data, mp + 2)
+        if mlen < 2 or mp + 2 + mlen > end:
+            raise ValueError("JPX: truncated marker segment")
+        if marker == _COD:
+            if mlen < 12:
+                raise ValueError("JPX: short COD segment")
+            _scod, prog, layers, _mct, ndecomp = struct.unpack_from(
+                ">BBHBB", data, mp + 4
+            )
+            if prog > 4 or layers == 0 or ndecomp > 32:
+                raise ValueError("JPX: implausible COD fields")
+            out["progression"] = _PROGRESSIONS[prog]
+            out["n_layers"] = layers
+            out["n_decomp"] = ndecomp
+        mp += 2 + mlen
+    return out
 
 
 def parse_jpx_header(data: bytes) -> dict:
     """JPX payload -> metadata dict: ``width height n_components
-    bit_depth signed brand colorspace tile_w tile_h`` (brand/colorspace
-    None for a bare codestream)."""
+    bit_depth signed brand colorspace tile_w tile_h progression
+    n_layers n_decomp`` (brand/colorspace None for a bare codestream;
+    the coding-style trio None when the codestream carries no COD —
+    e.g. the ihdr-only degenerate)."""
     if len(data) >= 4 and struct.unpack_from(">H", data, 0)[0] == _SOC:
         out = _parse_siz(data, 2, len(data))
         out["brand"] = None
@@ -134,7 +166,8 @@ def parse_jpx_header(data: bytes) -> dict:
             raise ValueError("JPX: jp2c box does not start with SOC")
         out = _parse_siz(data, ps + 2, pe)
     elif ihdr is not None:
-        out = dict(ihdr, tile_w=None, tile_h=None, components=None)
+        out = dict(ihdr, tile_w=None, tile_h=None, components=None,
+                   progression=None, n_layers=None, n_decomp=None)
     else:
         raise ValueError("JPX: no codestream and no ihdr box")
     out["brand"] = brand
@@ -148,6 +181,9 @@ def encode_jpx(
     n_components: int = 3,
     bit_depth: int = 8,
     colorspace: str = "sRGB",
+    progression: str = "LRCP",
+    n_layers: int = 1,
+    n_decomp: int = 5,
 ) -> bytes:
     """Minimal structurally-valid JP2 container: signature + ftyp + jp2h
     (ihdr + enumerated colr) + a jp2c whose codestream carries SOC + SIZ
@@ -183,5 +219,13 @@ def encode_jpx(
         0,
         n_components,
     ) + b"".join(struct.pack(">BBB", bit_depth - 1, 1, 1) for _ in range(n_components))
-    codestream = struct.pack(">H", _SOC) + siz + struct.pack(">H", 0xFFD9)
+    prog_code = {v: k for k, v in _PROGRESSIONS.items()}[progression]
+    cod = struct.pack(
+        ">HHBBHBBBBBB",
+        _COD, 12,
+        0,              # Scod: default precincts, no SOP/EPH
+        prog_code, n_layers, 0,   # SGcod
+        n_decomp, 4, 4, 0, 1,     # SPcod: 2^(4+2) codeblocks, 5-3 wavelet
+    )
+    codestream = struct.pack(">H", _SOC) + siz + cod + struct.pack(">H", _EOC)
     return sig + ftyp + jp2h + box(b"jp2c", codestream)

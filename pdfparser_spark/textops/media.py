@@ -464,6 +464,9 @@ def _make_jpx(doc_id: int, media_ref: str) -> bytes:
         n_components=1 + ord(h[6]) % 4,
         bit_depth=(8, 10, 12, 16)[ord(h[7]) % 4],
         colorspace=("sRGB", "greyscale", "sYCC")[ord(h[8]) % 3],
+        progression=("LRCP", "RLCP", "RPCL", "PCRL", "CPRL")[ord(h[9]) % 5],
+        n_layers=1 + ord(h[10]) % 8,
+        n_decomp=3 + ord(h[11]) % 4,
     )
 
 
@@ -479,7 +482,8 @@ def media_jpx(spans_flat: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "media_ref", "width", "height", "n_components",
-                "bit_depth", "brand", "colorspace"]
+                "bit_depth", "brand", "colorspace", "progression",
+                "n_layers", "n_decomp"]
         for pdf in batches:
             rows = []
             for d, m, raw in zip(pdf["doc_id"], pdf["media_ref"], pdf["payload"]):
@@ -497,6 +501,9 @@ def media_jpx(spans_flat: DataFrame) -> DataFrame:
                         "bit_depth": int(meta["bit_depth"]),
                         "brand": meta["brand"],
                         "colorspace": meta["colorspace"],
+                        "progression": meta["progression"],
+                        "n_layers": int(meta["n_layers"]),
+                        "n_decomp": int(meta["n_decomp"]),
                     }
                 )
             yield pd.DataFrame(rows, columns=cols)
@@ -505,7 +512,8 @@ def media_jpx(spans_flat: DataFrame) -> DataFrame:
         run,
         schema=(
             "doc_id long, media_ref string, width int, height int, "
-            "n_components int, bit_depth int, brand string, colorspace string"
+            "n_components int, bit_depth int, brand string, colorspace string, "
+            "progression string, n_layers int, n_decomp int"
         ),
     )
 

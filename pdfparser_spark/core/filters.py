@@ -213,7 +213,11 @@ def lzw_decode(data: bytes, parms: dict | None = None) -> bytes:
                 raise FilterError("LZWDecode: code out of range")
             out += entry
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # early-change boundary (TIFF6 / PDF EarlyChange, the
+            # libtiff & JDK convention, cross-validated against
+            # javax.imageio): widen once the table reaches 2^w - early
+            # entries — one entry EARLIER than the natural alignment
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return _apply_predictor(bytes(out), parms) if parms else bytes(out)
 
@@ -234,7 +238,10 @@ def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
         out_bits.append((table[w], width))
         table[c] = next_code
         next_code += 1
-        if next_code + early_change - 1 > (1 << width) and width < 12:
+        # decoder lag: when this encoder is about to emit with next_code
+        # = N, the decoder reading that code still has N-1 table entries
+        # — so the matched bump is one later than the decoder's
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4096:
             out_bits.append((256, width))

@@ -1,0 +1,112 @@
+"""Cross-validation of the LOSSLESS media encoders against javax.imageio
+(the JDK's fully independent decoders, present in this container): PNG
+(sequential + Adam7), GIF, BMP, and TIFF (baseline / PackBits / LZW /
+LZW+Predictor-2, both byte orders) must decode to PIXEL-EXACT RGB.  The
+matched-pair synth method's residual risk is a co-evolved encoder/decoder
+bug — an independent third-party decoder agreeing on the bytes closes it
+(same standing as the existing JPEG javax test)."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from pdfparser_spark.textops import gif, png, tiff
+from pdfparser_spark.textops.media import encode_bmp
+
+pytestmark = pytest.mark.skipif(shutil.which("javac") is None, reason="no JDK")
+
+_JAVA = """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class DecodePix {
+    public static void main(String[] args) throws Exception {
+        BufferedImage img = ImageIO.read(new File(args[0]));
+        int w = img.getWidth(), h = img.getHeight();
+        StringBuilder sb = new StringBuilder();
+        sb.append(w).append(' ').append(h).append('\\n');
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int p = img.getRGB(x, y);
+                sb.append((p >> 16) & 255).append(' ')
+                  .append((p >> 8) & 255).append(' ')
+                  .append(p & 255).append('\\n');
+            }
+        System.out.print(sb);
+    }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def java_decode(tmp_path_factory):
+    d = tmp_path_factory.mktemp("javax")
+    src = d / "DecodePix.java"
+    src.write_text(_JAVA)
+    subprocess.run(["javac", "-d", str(d), str(src)], check=True)
+
+    def run(payload: bytes, suffix: str) -> np.ndarray:
+        f = d / ("t" + suffix)
+        f.write_bytes(payload)
+        out = subprocess.run(
+            ["java", "-cp", str(d), "DecodePix", str(f)],
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.splitlines()
+        w, h = map(int, out[0].split())
+        px = np.array([list(map(int, ln.split())) for ln in out[1:]], dtype=np.int64)
+        return px.reshape(h, w, 3)
+
+    return run
+
+
+def _rgb(h: int, w: int) -> np.ndarray:
+    r = (np.add.outer(np.arange(h) * 7, np.arange(w) * 13) % 256)
+    g = (np.add.outer(np.arange(h) * 3, np.arange(w) * 11) % 256)
+    b = (np.add.outer(np.arange(h) * 17, np.arange(w) * 5) % 256)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_png_cross_validated(java_decode):
+    img = _rgb(21, 17)
+    assert np.array_equal(java_decode(png.encode_png(img), ".png"), img)
+    assert np.array_equal(java_decode(png.encode_png(img, interlace=True), ".png"), img)
+    # NOTE no grayscale arm here: BufferedImage.getRGB color-manages
+    # TYPE_BYTE_GRAY through a linear gray space (a JDK rendering
+    # choice, not a codec property); the RGB + Adam7 arms above pin the
+    # PNG bytes, and tests/test_jpeg.py's raster-level harness covers
+    # gray sample extraction
+
+
+def test_gif_cross_validated(java_decode):
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [12, 34, 56], [250, 250, 1]],
+                   dtype=np.uint8)
+    idx = (np.add.outer(np.arange(19), np.arange(23)) % len(pal)).astype(np.uint8)
+    jv = java_decode(gif.encode_gif(idx, pal), ".gif")
+    assert np.array_equal(jv, pal[idx].astype(np.int64))
+
+
+def test_bmp_cross_validated(java_decode):
+    img = _rgb(13, 22)  # width*3 not divisible by 4: row padding exercised
+    assert np.array_equal(java_decode(encode_bmp(img), ".bmp"), img)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"big_endian": True},
+        {"packbits": True},
+        {"lzw": True},
+        {"lzw": True, "predictor": True},
+        {"lzw": True, "predictor": True, "big_endian": True},
+    ],
+)
+def test_tiff_cross_validated(java_decode, kw):
+    img = _rgb(15, 19)
+    assert np.array_equal(java_decode(tiff.encode_tiff(img, **kw), ".tiff"), img)

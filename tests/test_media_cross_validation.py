@@ -186,3 +186,64 @@ def test_jdk_written_files_decode_exactly(java_encode):
 def test_tiff_cross_validated(java_decode, kw):
     img = _rgb(15, 19)
     assert np.array_equal(java_decode(tiff.encode_tiff(img, **kw), ".tiff"), img)
+
+
+_JAVA_WAV = """
+import javax.sound.sampled.*;
+import java.io.File;
+public class DecodeWav {
+    public static void main(String[] args) throws Exception {
+        AudioInputStream in = AudioSystem.getAudioInputStream(new File(args[0]));
+        AudioFormat f = in.getFormat();
+        System.out.println(f.getEncoding() + " " + (int) f.getSampleRate() + " "
+            + f.getSampleSizeInBits() + " " + f.getChannels());
+        byte[] buf = in.readAllBytes();
+        StringBuilder sb = new StringBuilder();
+        int bp = f.getSampleSizeInBits() / 8;
+        for (int i = 0; i + bp <= buf.length; i += bp) {
+            long v = 0;
+            for (int b = bp - 1; b >= 0; b--) v = (v << 8) | (buf[i + b] & 255);
+            sb.append(v).append(' ');
+        }
+        System.out.println(sb);
+    }
+}
+"""
+
+
+def test_wav_layouts_cross_validated_against_javax_sound(tmp_path):
+    """javax.sound (independent RIFF/WAVE reader) recovers the exact
+    int16 samples from every lossless layout the writer emits: plain
+    16-bit PCM, 24-bit PCM (s<<8), IEEE float32 (s/32768 — exact dyadic
+    scaling), and WAVE_FORMAT_EXTENSIBLE-wrapped 16-bit PCM."""
+    if shutil.which("javac") is None:
+        pytest.skip("no JDK")
+    from pdfparser_spark.textops.audio import encode_wav
+
+    src = tmp_path / "DecodeWav.java"
+    src.write_text(_JAVA_WAV)
+    subprocess.run(["javac", "-d", str(tmp_path), str(src)], check=True)
+    s = ((np.arange(300) * 1103) % 30000 - 15000).astype(np.int16)
+    for layout in ("pcm16", "pcm24", "float32", "ext16"):
+        f = tmp_path / f"t_{layout}.wav"
+        f.write_bytes(encode_wav(s, 8000, layout))
+        out = subprocess.run(
+            ["java", "-cp", str(tmp_path), "DecodeWav", str(f)],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        enc, rate, bits, ch = out[0].split()
+        assert rate == "8000" and ch == "1"
+        raw = np.array(out[1].split(), dtype=np.uint64)
+        if layout in ("pcm16", "ext16"):
+            assert enc == "PCM_SIGNED" and bits == "16"
+            got = raw.astype(np.uint16).view(np.int16)
+        elif layout == "pcm24":
+            assert enc == "PCM_SIGNED" and bits == "24"
+            v = raw.astype(np.int64)
+            v[v >= 1 << 23] -= 1 << 24
+            got = (v >> 8).astype(np.int16)
+        else:
+            assert enc == "PCM_FLOAT" and bits == "32"
+            fl = raw.astype(np.uint32).view(np.float32)
+            got = np.round(fl.astype(np.float64) * 32768.0).astype(np.int16)
+        assert np.array_equal(got, s), layout

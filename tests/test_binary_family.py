@@ -223,6 +223,18 @@ def test_recovery_scan_rejects_false_header_matches():
     assert res["spans"] == d["expected"]
 
 
+def test_rc4_classic_public_vectors():
+    """RC4 against the classic published test vectors (the widely
+    mirrored cypherpunks/Wikipedia triple) — independent of our own
+    writer, same standing as the AES FIPS vectors."""
+    assert crypt.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert crypt.rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+    assert (
+        crypt.rc4(b"Secret", b"Attack at dawn").hex()
+        == "45a01f645fc35b383552544b9bf5"
+    )
+
+
 def test_aes_all_key_sizes_fips_vectors():
     """FIPS-197 Appendix C vectors for 128/192/256 through the T-table
     round function (both schedules), plus raw-CBC inverse pairing."""

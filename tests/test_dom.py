@@ -177,3 +177,50 @@ def test_page_html_matches_spark_template(spark, sf_dir):
     spark_pages = {r.doc_id: r.html for r in dom.synthesize_dom(docs).collect()}
     for r in docs.collect():
         assert spark_pages[r.doc_id] == dom.page_html(r.doc_id, r.text)
+
+
+def test_text_content_cross_validated_against_stdlib_parser():
+    """Independent-grammar agreement: the whitespace-normalized text
+    content our lenient DOM parser recovers from the synth pages equals
+    what Python's stdlib html.parser (a wholly separate implementation)
+    extracts under the same script/style exclusion — the co-evolution
+    insurance arm for the HTML tier (same standing as the JDK codec
+    cross-validation)."""
+    from html.parser import HTMLParser
+
+    from pdfparser_spark.textops.dom import page_html, parse_html
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.parts = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self.skip += 1
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style") and self.skip:
+                self.skip -= 1
+
+        def handle_data(self, d):
+            if not self.skip:
+                self.parts.append(d)
+
+    def dom_text(e, out):
+        for c in e.children:
+            if isinstance(c, str):
+                out.append(c)
+            elif c.tag not in ("script", "style"):
+                dom_text(c, out)
+        return out
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for d in range(30):
+        src = page_html(d, words)
+        ref = Ref()
+        ref.feed(src)
+        ours = " ".join("".join(dom_text(parse_html(src), [])).split())
+        exp = " ".join("".join(ref.parts).split())
+        assert ours == exp, d

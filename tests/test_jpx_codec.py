@@ -1,0 +1,283 @@
+"""JPEG 2000 reversible codec (T.800 subset): EBCOT Tier-1 + tag-tree
+Tier-2 + 5/3 DWT + RCT.  No independent JP2 decoder exists in this
+container, so beyond matched-pair round trips these tests pin the
+pieces whose bugs cannot cancel: the inverse DWT against a scalar twin
+written independently from the interleaved spec equations, the
+tag-tree protocol under adversarial query orders, and full fuzz
+containment."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from pdfparser_spark.textops.jpx import parse_jpx_header
+from pdfparser_spark.textops.jpx_codec import (
+    TagTree,
+    _HdrReader,
+    _HdrWriter,
+    _get_npasses,
+    _put_npasses,
+    _tt_enc_value_known,
+    decode_jp2_image,
+    encode_jp2_image,
+    fdwt53,
+    idwt53,
+    t1_decode,
+    t1_encode,
+)
+
+# ---------------------------------------------------------------------------
+# independent scalar 5/3 twin: written directly from the interleaved
+# lifting equations of T.800 F.4 (1D_EXT whole-sample symmetric
+# extension), one sample at a time — a deliberately different shape
+# from the codec's vectorized even/odd-phase implementation
+
+
+def _mirror(i: int, n: int) -> int:
+    # whole-sample symmetric extension about 0 and n-1
+    while i < 0 or i >= n:
+        if i < 0:
+            i = -i
+        if i >= n:
+            i = 2 * (n - 1) - i
+    return i
+
+
+def _twin_fwd_1d(x: list) -> tuple[list, list]:
+    n = len(x)
+    if n == 1:
+        return list(x), []
+    y = [0] * n
+    for k in range(1, n, 2):  # high (odd positions)
+        y[k] = x[k] - ((x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)]) >> 1)
+    for k in range(0, n, 2):  # low (even positions); mirrored neighbours
+        # of an even position are always odd (high) positions
+        hl = y[_mirror(k - 1, n)]
+        hr = y[_mirror(k + 1, n)]
+        y[k] = x[k] + ((hl + hr + 2) >> 2)
+    return y[0::2], y[1::2]
+
+
+def _twin_inv_1d(lo: list, hi: list) -> list:
+    n = len(lo) + len(hi)
+    if n == 1:
+        return list(lo)
+    y = [0] * n
+    y[0::2] = lo
+    y[1::2] = hi
+    x = [0] * n
+    for k in range(0, n, 2):
+        hl = y[_mirror(k - 1, n)]
+        hr = y[_mirror(k + 1, n)]
+        x[k] = y[k] - ((hl + hr + 2) >> 2)
+    for k in range(1, n, 2):
+        x[k] = y[k] + ((x[_mirror(k - 1, n)] + x[_mirror(k + 1, n)]) >> 1)
+    return x
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 8, 16, 31, 64])
+def test_dwt_1d_matches_scalar_twin(n):
+    rng = np.random.RandomState(n)
+    x = rng.randint(-1000, 1000, size=n).astype(np.int64)
+    from pdfparser_spark.textops.jpx_codec import _fwd_53_axis, _inv_53_axis
+
+    clo, chi = _fwd_53_axis(x.reshape(1, n), 1)
+    tlo, thi = _twin_fwd_1d(list(map(int, x)))
+    assert list(clo[0]) == tlo
+    assert list(chi[0]) == thi
+    rec = _inv_53_axis(clo, chi, 1)
+    assert list(rec[0]) == list(x)
+    assert _twin_inv_1d(tlo, thi) == list(map(int, x))
+
+
+@pytest.mark.parametrize("h,w,lv", [(7, 9, 2), (16, 16, 3), (5, 1, 2), (1, 6, 1), (33, 12, 4)])
+def test_dwt_2d_roundtrip_exact(h, w, lv):
+    rng = np.random.RandomState(h * 100 + w)
+    img = rng.randint(-4000, 4000, size=(h, w)).astype(np.int64)
+    assert (idwt53(fdwt53(img, lv)) == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Tier-1
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+@pytest.mark.parametrize("shape", [(1, 1), (4, 4), (5, 3), (13, 17), (64, 64), (3, 9), (6, 1)])
+def test_t1_roundtrip(band, shape):
+    rng = np.random.RandomState(sum(shape))
+    c = rng.randint(-500, 500, size=shape).astype(np.int64)
+    data, npl, npas = t1_encode(c, band)
+    out = t1_decode(data, shape[1], shape[0], npl, npas, band)
+    assert (out == c).all()
+
+
+def test_t1_sparse_exercises_runlength():
+    # mostly-zero blocks drive the cleanup run-length path
+    rng = np.random.RandomState(3)
+    c = np.zeros((32, 32), dtype=np.int64)
+    for _ in range(10):
+        c[rng.randint(32), rng.randint(32)] = rng.randint(-100, 100)
+    data, npl, npas = t1_encode(c, "HH")
+    assert (t1_decode(data, 32, 32, npl, npas, "HH") == c).all()
+
+
+def test_t1_all_zero_not_included():
+    data, npl, npas = t1_encode(np.zeros((8, 8), dtype=np.int64), "LL")
+    assert (data, npl, npas) == (b"", 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# tag trees: protocol-style — decode is NOT the encoder mirrored, so
+# bugs surface as roundtrip failures.  Adversarial order: interleave
+# queries across leaves at increasing thresholds like a packet parse.
+
+
+@pytest.mark.parametrize("gw,gh", [(1, 1), (2, 2), (3, 5), (4, 1), (7, 7)])
+def test_tagtree_roundtrip_interleaved(gw, gh):
+    rng = random.Random(gw * 10 + gh)
+    vals = {(x, y): rng.randrange(0, 9) for y in range(gh) for x in range(gw)}
+    enc = TagTree(gw, gh)
+    for (x, y), v in vals.items():
+        enc.set(x, y, v)
+    enc.finalize()
+    w = _HdrWriter()
+    # packet-parse-like order: inclusion threshold 1 for every leaf,
+    # then full value resolution for the included ones
+    order = sorted(vals)
+    for x, y in order:
+        enc.encode(w, x, y, 1)
+    for x, y in order:
+        if vals[(x, y)] < 1:
+            continue
+        t = 2
+        while not _tt_enc_value_known(enc, w, x, y, t):
+            t += 1
+    blob = w.flush()
+    dec = TagTree(gw, gh)
+    r = _HdrReader(blob, 0)
+    got_incl = {}
+    for x, y in order:
+        got_incl[(x, y)] = dec.decode(r, x, y, 1)
+    for x, y in order:
+        if vals[(x, y)] < 1:
+            assert got_incl[(x, y)] and dec.leaves[y][x].value == 0
+            continue
+        assert not got_incl[(x, y)]
+        t = 2
+        while not dec.decode(r, x, y, t):
+            t += 1
+        assert dec.leaves[y][x].value == vals[(x, y)]
+
+
+def test_npasses_codewords_all_values():
+    for n in list(range(1, 165)):
+        w = _HdrWriter()
+        _put_npasses(w, n)
+        w.put_bits(0b1010, 4)  # trailing guard bits
+        r = _HdrReader(w.flush(), 0)
+        assert _get_npasses(r) == n
+        assert r.get_bits(4) == 0b1010
+
+
+def test_header_bit_stuffing():
+    # 16 one-bits force an 0xFF byte; the writer must stuff, the reader unstuff
+    w = _HdrWriter()
+    for _ in range(20):
+        w.put(1)
+    blob = w.flush()
+    assert blob[0] == 0xFF and blob[1] <= 0x7F
+    r = _HdrReader(blob, 0)
+    assert all(r.get() == 1 for _ in range(20))
+
+
+# ---------------------------------------------------------------------------
+# full-image round trips
+
+
+def _grad(h, w):
+    return ((7 * np.arange(h)[:, None] + 13 * np.arange(w)[None, :]) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "h,w,nd,cbe",
+    [(16, 16, 2, 4), (23, 31, 3, 5), (40, 24, 0, 5), (8, 8, 1, 6), (1, 1, 0, 4),
+     (5, 64, 2, 5), (17, 3, 4, 4), (2, 2, 1, 4)],
+)
+def test_gray_roundtrip(h, w, nd, cbe):
+    img = _grad(h, w)
+    out = decode_jp2_image(encode_jp2_image(img, n_decomp=nd, cb_exp=cbe))
+    assert out[:2] == (w, h) and (out[2] == img).all()
+    rng = np.random.RandomState(h * w)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    out = decode_jp2_image(encode_jp2_image(img, n_decomp=nd, cb_exp=cbe))
+    assert (out[2] == img).all()
+
+
+def test_rgb_rct_roundtrip():
+    img = np.stack(
+        [((7 * np.arange(20)[:, None] + 13 * np.arange(30)[None, :] + 31 * k) % 256)
+         for k in range(3)],
+        axis=-1,
+    ).astype(np.uint8)
+    for nd in (0, 1, 2):
+        _, _, out = decode_jp2_image(encode_jp2_image(img, n_decomp=nd))
+        assert out.shape == (20, 30, 3) and (out == img).all()
+    # MCT off must round-trip identically too
+    _, _, out = decode_jp2_image(encode_jp2_image(img, n_decomp=2, mct=False))
+    assert (out == img).all()
+
+
+def test_bare_codestream_and_16bit():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 65536, size=(12, 18)).astype(np.uint16)
+    _, _, out = decode_jp2_image(encode_jp2_image(img, bit_depth=16, jp2=False))
+    assert out.dtype == np.uint16 and (out == img).all()
+
+
+def test_degenerate_images():
+    for img in (np.zeros((10, 10), np.uint8), np.full((10, 10), 128, np.uint8),
+                np.full((10, 10), 255, np.uint8)):
+        _, _, out = decode_jp2_image(encode_jp2_image(img, n_decomp=2))
+        assert (out == img).all()
+
+
+def test_header_tier_reads_real_file():
+    enc = encode_jp2_image(_grad(48, 32), n_decomp=2)
+    m = parse_jpx_header(enc)
+    assert (m["width"], m["height"], m["n_components"], m["bit_depth"]) == (32, 48, 1, 8)
+    assert m["progression"] == "LRCP" and m["n_layers"] == 1 and m["n_decomp"] == 2
+    assert m["brand"] == "jp2 " and m["colorspace"] == "greyscale"
+
+
+def test_fuzz_containment():
+    enc = encode_jp2_image(_grad(24, 24), n_decomp=2)
+    rng = random.Random(99)
+    for i in range(200):
+        b = bytearray(enc)
+        if i % 2 == 0:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_jp2_image(bytes(b))
+        except ValueError:
+            pass  # the only permitted failure mode
+
+
+def test_subset_rejections():
+    enc = bytearray(encode_jp2_image(_grad(16, 16), n_decomp=1, jp2=False))
+    # COD is at SOC(2) + SIZ(2+41): flip the wavelet byte (last of SPcod)
+    cod_off = 2 + 2 + 41
+    assert enc[cod_off : cod_off + 2] == b"\xff\x52"
+    irr = bytearray(enc)
+    irr[cod_off + 13] = 0  # 9/7 irreversible
+    with pytest.raises(ValueError):
+        decode_jp2_image(bytes(irr))
+    prog = bytearray(enc)
+    prog[cod_off + 5] = 2  # RPCL progression
+    with pytest.raises(ValueError):
+        decode_jp2_image(bytes(prog))

@@ -2190,6 +2190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bin-pack compaction: manifest-planned small-file merge, bulk
         # dir untouched (structural expectation enforced via poisoning)
         "snapshot_binpack": _snapshot_binpack,
+        # REAL JPEG 2000 pixel decode (textops/jpx_codec.py: EBCOT
+        # Tier-1 over the shared MQ coder + tag-tree packets + 5/3 DWT
+        # + RCT) — md5-derived odd sizes, gray/RGB, 0-3 decomposition
+        # levels; reversible coding makes the pixel sums exact
+        "media_jpx_decode": lambda s, d: media.media_jpx_decode(
+            _pipeline(s, d)["spans_flat"]
+        ),
     }
     # session-12 window swaps (driver checks the FIRST 50 entries): the new
     # unique-evidence queries take the slots of two r02-driver-green rows —
@@ -2224,6 +2231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("pdf_encrypt_roundtrip", "pdf_linearized_roundtrip"),
         ("doc_outline_tree", "events_asof_join"),
         ("media_jpx_meta", "top_terms_by_lang"),
+        # round-4 session-2: the JPX PIXEL tier (full EBCOT/DWT decode)
+        # supersedes the header tier's window slot — strictly stronger
+        # evidence on the same payload family; the meta query keeps the
+        # COD/colourspace fields covered from the tail
+        ("media_jpx_decode", "media_jpx_meta"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq
@@ -3767,7 +3779,8 @@ def oracle_sql() -> dict[str, str]:
             FROM px GROUP BY doc_id, w, h
         """,
         "extract_embedded_images": f"""
-            SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
+            SELECT doc_id, 'Im1' AS media_ref,
+                   CASE WHEN (doc_id // 5) % 3 = 2 THEN 'jp2' ELSE 'jpg' END AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
                    CASE WHEN (doc_id // 5) % 3 = 1 THEN
@@ -3775,6 +3788,11 @@ def oracle_sql() -> dict[str, str]:
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   WHEN (doc_id // 5) % 3 = 2 THEN
+                     -- reversible JPEG 2000: lossless, the raw block pattern
+                     CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
                    ELSE
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
@@ -3783,7 +3801,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 5 = 0
         """,
         "extract_embedded_images_armored": f"""
-            SELECT doc_id, 'Im1' AS media_ref, 'jpg' AS fmt,
+            SELECT doc_id, 'Im1' AS media_ref,
+                   CASE WHEN (doc_id // 5) % 3 = 2 THEN 'jp2' ELSE 'jpg' END AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
                    CASE WHEN (doc_id // 5) % 3 = 1 THEN
@@ -3791,6 +3810,11 @@ def oracle_sql() -> dict[str, str]:
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   WHEN (doc_id // 5) % 3 = 2 THEN
+                     -- reversible JPEG 2000: lossless, the raw block pattern
+                     CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
+                          FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                               unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
                    ELSE
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
@@ -3855,6 +3879,34 @@ def oracle_sql() -> dict[str, str]:
                      md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h
               FROM spans WHERE kind = 'media'
             )
+        """,
+        # real JPEG 2000 decode: reversible, so pixels are the exact
+        # md5-derived gradient — gray (7r+13c)%256 or RGB +31k per channel
+        "media_jpx_decode": _SPAN_CTE + """
+            , jh AS (
+              SELECT doc_id, media_ref,
+                     md5(CAST(doc_id AS VARCHAR) || ':' || media_ref) AS h
+              FROM spans WHERE kind = 'media'
+            ), jp AS (
+              SELECT doc_id, media_ref,
+                     8 * (1 + ascii(substr(h, 1, 1)) % 7) + ascii(substr(h, 2, 1)) % 5 AS w,
+                     8 * (1 + ascii(substr(h, 3, 1)) % 7) + ascii(substr(h, 4, 1)) % 5 AS ht,
+                     ascii(substr(h, 5, 1)) % 3 = 0 AS rgb
+              FROM jh
+            )
+            SELECT doc_id, media_ref, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+                   CAST(CASE WHEN rgb THEN 3 ELSE 1 END AS INT) AS n_components,
+                   CASE WHEN rgb THEN
+                     CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
+                                      + (7*r + 13*c + 62) % 256)
+                           FROM unnest(generate_series(0, ht - 1)) AS tr(r),
+                                unnest(generate_series(0, w - 1)) AS tc(c)) AS BIGINT)
+                   ELSE
+                     CAST((SELECT SUM((7*r + 13*c) % 256)
+                           FROM unnest(generate_series(0, ht - 1)) AS tr(r),
+                                unnest(generate_series(0, w - 1)) AS tc(c)) AS BIGINT)
+                   END AS pixel_sum
+            FROM jp
         """,
         "media_exif": _SPAN_CTE + """
             SELECT doc_id, media_ref,

@@ -770,22 +770,22 @@ def build_document(doc_id: int, text: str) -> dict:
         b.struct(b"\nendstream")
         obj_close()
 
-    # image XObject: a REAL baseline JPEG wrapped in ASCIIHex transport
-    # armor ([/AHx /DCT] — the old-writer chain shape) so the payload
-    # stays ASCII like the rest of this family; the kernel never
-    # rasterizes it (SURVEY.md §2.5 D8), but extract_media_payloads
-    # strips the armor and hands actual JPEG bytes to the media tier
+    # image XObject: a REAL image payload (JPEG or JPEG 2000 by
+    # _embedded_image class) wrapped in ASCIIHex transport armor
+    # ([/AHx /DCT] — the old-writer chain shape) so the payload stays
+    # ASCII like the rest of this family; the kernel never rasterizes it
+    # (SURVEY.md §2.5 D8), but extract_media_payloads strips the armor
+    # and hands actual image bytes to the media tier
     if imgobj_id is not None:
         b.media_marker("Im1")
         iw, ih = embedded_image_dims(doc_id)
-        icmyk = embedded_image_cmyk(doc_id)
-        armored = binascii.hexlify(_embedded_jpeg(iw, ih, icmyk)) + b">"
-        ics = "/DeviceCMYK" if icmyk else "/DeviceGray"
+        payload, media_filter, ics = _embedded_image(doc_id)
+        armored = binascii.hexlify(payload) + b">"
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
             f"/ColorSpace {ics} /BitsPerComponent 8 "
-            f"/Filter [/ASCIIHexDecode /DCTDecode] /Length {len(armored)} >>\nstream\n".encode("ascii")
+            f"/Filter [/ASCIIHexDecode {media_filter}] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
         b.struct(armored)
         b.struct(b"\nendstream")
@@ -1299,6 +1299,34 @@ def _embedded_jpeg(w: int, h: int, cmyk: bool = False) -> bytes:
     return _jpeg.encode_jpeg(_block_pattern(w, h))
 
 
+@lru_cache(maxsize=64)
+def _embedded_jp2(w: int, h: int) -> bytes:
+    """Reversible JPEG 2000 (textops/jpx_codec.py) of the SAME grayscale
+    block pattern — the /JPXDecode corpus slice.  Lossless, so the
+    decoded pixels are the exact (7R+13C)%256 blocks (no DC-quant grid:
+    the oracle arm sums the raw pattern)."""
+    from .textops.jpx_codec import encode_jp2_image
+    from .textops.media import _block_pattern
+
+    return encode_jp2_image(_block_pattern(w, h), n_decomp=2)
+
+
+def _embedded_image(doc_id: int) -> tuple[bytes, str, str]:
+    """Im1 payload dispatch for the media docs (doc_id % 5 == 0):
+    (payload, /Filter name, colorspace).  Class by (doc_id//5) % 3:
+    0 = grayscale JPEG (baseline or progressive by size class),
+    1 = CMYK JPEG (Adobe APP14 inverted), 2 = reversible JPEG 2000 —
+    every enumerated lossy/media filter family with a real decoder gets
+    a corpus slice."""
+    iw, ih = embedded_image_dims(doc_id)
+    cls = (doc_id // 5) % 3
+    if cls == 1:
+        return _embedded_jpeg(iw, ih, True), "/DCTDecode", "/DeviceCMYK"
+    if cls == 2:
+        return _embedded_jp2(iw, ih), "/JPXDecode", "/DeviceGray"
+    return _embedded_jpeg(iw, ih, False), "/DCTDecode", "/DeviceGray"
+
+
 def build_document_binary(
     doc_id: int,
     text: str,
@@ -1421,19 +1449,19 @@ def build_document_binary(
 
     if imgobj_id is not None:
         b.media_marker("Im1")
-        # a REAL baseline JPEG as the /DCTDecode payload (grayscale
-        # block-constant pattern, dims from embedded_image_dims) — the
-        # extract_embedded_images query pulls it back out post-decryption
-        # and decodes it with the textops/jpeg.py codec
+        # a REAL image payload (JPEG /DCTDecode or JPEG 2000 /JPXDecode
+        # by _embedded_image class; block pattern, dims from
+        # embedded_image_dims) — the extract_embedded_images query pulls
+        # it back out post-decryption and decodes it with the
+        # textops/jpeg.py or textops/jpx_codec.py codec
         iw, ih = embedded_image_dims(doc_id)
-        icmyk = embedded_image_cmyk(doc_id)
-        payload = enc_stream(_embedded_jpeg(iw, ih, icmyk), imgobj_id)
-        ics = "/DeviceCMYK" if icmyk else "/DeviceGray"
+        raw_img, media_filter, ics = _embedded_image(doc_id)
+        payload = enc_stream(raw_img, imgobj_id)
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
             f"/ColorSpace {ics} /BitsPerComponent 8 "
-            f"/Filter /DCTDecode /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
+            f"/Filter {media_filter} /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)
         b.struct(b"\r\nendstream")

@@ -361,14 +361,15 @@ def test_embedded_jpeg_extraction_end_to_end():
     )
     from pdfparser_spark.textops.media import sniff_decode
 
-    for doc_id in (5, 10, 15, 35):  # CMYK 2-page, plain, AESV3, CMYK plain
+    for doc_id in (5, 10, 15, 35):  # CMYK 2-page, JPX, AESV3, CMYK plain
         d = build_document_binary(doc_id, TEXT)
         payloads = extract_media_payloads(d["bytes"])
         assert len(payloads) == 1
         name, payload = payloads[0]
         fmt, w, h, img = sniff_decode(bytes(payload))
         iw, ih = embedded_image_dims(doc_id)
-        assert (name, fmt, w, h) == ("Im1", "jpg", iw, ih)
+        want_fmt = "jp2" if (doc_id // 5) % 3 == 2 else "jpg"
+        assert (name, fmt, w, h) == ("Im1", want_fmt, iw, ih)
         bv = (np.add.outer(7 * np.arange(ih // 8), 13 * np.arange(iw // 8))) % 256
         if embedded_image_cmyk(doc_id):  # 4-channel Adobe-inverted model
             assert img.shape == (ih, iw, 4), doc_id
@@ -378,6 +379,8 @@ def test_embedded_jpeg_extraction_end_to_end():
                 rec = 2 * np.floor((s - 128) / 2.0 + 0.5).astype(np.int64) + 128
                 expect += int(np.clip(255 - rec, 0, 255).sum())
             assert int(img.sum(dtype=np.int64)) == expect * 64, doc_id
+        elif want_fmt == "jp2":  # reversible: the exact block pattern
+            assert int(img.sum(dtype=np.int64)) == int(bv.sum()) * 64, doc_id
         else:
             dd = bv.astype(np.int64) - 128
             out = np.clip(2 * np.floor(dd / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)

@@ -108,9 +108,10 @@ def test_encrypted_document_rejected_with_error_row():
 
 
 def test_armored_embedded_image_prefix_decode():
-    """ASCII-family Im1 is a real JPEG behind [/ASCIIHexDecode /DCTDecode]:
+    """ASCII-family Im1 is a real image behind [/ASCIIHexDecode /DCT|/JPX]:
     extract_media_payloads strips the transport armor (non-media chain
-    prefix) and returns actual JPEG bytes at the codec boundary."""
+    prefix) and returns actual image bytes at the codec boundary.
+    doc 10 is the (doc//5)%3==2 /JPXDecode class (reversible JPEG 2000)."""
     from pdfparser_spark.core.extract import extract_media_payloads
     from pdfparser_spark.synth import build_document, embedded_image_dims
     from pdfparser_spark.textops.media import sniff_decode
@@ -121,9 +122,13 @@ def test_armored_embedded_image_prefix_decode():
         payloads = extract_media_payloads(d["bytes"])
         assert len(payloads) == 1
         name, payload = payloads[0]
-        assert payload[:2] == b"\xff\xd8"  # armor stripped: raw JPEG bytes
+        want_fmt = "jp2" if (doc_id // 5) % 3 == 2 else "jpg"
+        if want_fmt == "jpg":
+            assert payload[:2] == b"\xff\xd8"  # armor stripped: raw JPEG bytes
+        else:
+            assert payload[4:8] == b"jP\x20\x20"  # raw JP2 container
         fmt, w, h, _img = sniff_decode(bytes(payload))
-        assert (name, fmt, (w, h)) == ("Im1", "jpg", embedded_image_dims(doc_id))
+        assert (name, fmt, (w, h)) == ("Im1", want_fmt, embedded_image_dims(doc_id))
 
 
 def test_doc_metadata_walk():

@@ -3780,19 +3780,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_embedded_images": f"""
             SELECT doc_id, 'Im1' AS media_ref,
-                   CASE WHEN (doc_id // 5) % 3 = 2 THEN 'jp2' ELSE 'jpg' END AS fmt,
+                   CASE WHEN (doc_id // 5) % 4 = 2 THEN 'jp2'
+                        WHEN (doc_id // 5) % 4 = 3 THEN 'raw'
+                        ELSE 'jpg' END AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
-                   CASE WHEN (doc_id // 5) % 3 = 1 THEN
+                   CASE WHEN (doc_id // 5) % 4 = 1 THEN
                      CAST(64 * (SELECT SUM({_jpeg_cmyk_px('r', 'c', 'i')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
-                   WHEN (doc_id // 5) % 3 = 2 THEN
+                   WHEN (doc_id // 5) % 4 = 2 THEN
                      -- reversible JPEG 2000: lossless, the raw block pattern
                      CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   WHEN (doc_id // 5) % 4 = 3 THEN
+                     -- RAW §8.9.5 raster (synth._embedded_raster): per-pixel
+                     -- models over the full grid, all integer-exact
+                     CASE (doc_id // 20) % 4
+                       WHEN 0 THEN  -- RGB gradient behind the Sub predictor
+                         CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
+                                          + (7*r + 13*c + 62) % 256)
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 1 THEN  -- /Indexed palette lookup
+                         CAST((SELECT SUM({_gif_px_sum('r', 'c')})
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 2 THEN  -- 4-bpc gray inverted by /Decode [1 0]
+                         CAST((SELECT SUM(17 * (15 - (7*r + 13*c) % 16))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       ELSE  -- /ImageMask stencil reported as 255*sample
+                         CAST((SELECT SUM(255 * (((r // 2) + (c // 3)) % 2))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                     END
                    ELSE
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
@@ -3802,19 +3826,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "extract_embedded_images_armored": f"""
             SELECT doc_id, 'Im1' AS media_ref,
-                   CASE WHEN (doc_id // 5) % 3 = 2 THEN 'jp2' ELSE 'jpg' END AS fmt,
+                   CASE WHEN (doc_id // 5) % 4 = 2 THEN 'jp2'
+                        WHEN (doc_id // 5) % 4 = 3 THEN 'raw'
+                        ELSE 'jpg' END AS fmt,
                    CAST(16 * (1 + doc_id % 4) AS INT) AS width,
                    CAST(16 * (1 + (doc_id // 4) % 4) AS INT) AS height,
-                   CASE WHEN (doc_id // 5) % 3 = 1 THEN
+                   CASE WHEN (doc_id // 5) % 4 = 1 THEN
                      CAST(64 * (SELECT SUM({_jpeg_cmyk_px('r', 'c', 'i')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
-                   WHEN (doc_id // 5) % 3 = 2 THEN
+                   WHEN (doc_id // 5) % 4 = 2 THEN
                      -- reversible JPEG 2000: lossless, the raw block pattern
                      CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   WHEN (doc_id // 5) % 4 = 3 THEN
+                     -- RAW §8.9.5 raster (synth._embedded_raster): per-pixel
+                     -- models over the full grid, all integer-exact
+                     CASE (doc_id // 20) % 4
+                       WHEN 0 THEN  -- RGB gradient behind the Sub predictor
+                         CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
+                                          + (7*r + 13*c + 62) % 256)
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 1 THEN  -- /Indexed palette lookup
+                         CAST((SELECT SUM({_gif_px_sum('r', 'c')})
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 2 THEN  -- 4-bpc gray inverted by /Decode [1 0]
+                         CAST((SELECT SUM(17 * (15 - (7*r + 13*c) % 16))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       ELSE  -- /ImageMask stencil reported as 255*sample
+                         CAST((SELECT SUM(255 * (((r // 2) + (c // 3)) % 2))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                     END
                    ELSE
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),

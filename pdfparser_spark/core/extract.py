@@ -913,15 +913,47 @@ def decode_document(data: bytes, password: bytes = b""):
     }
 
 
-def extract_media_payloads(data: bytes, password: bytes = b"") -> list[tuple[str, bytes]]:
-    """Embedded image XObject payloads in page order: (media_ref, bytes).
-    Payloads are post-decryption but still in their media encoding (a
-    /DCTDecode stream yields the actual JPEG bytes) — D8 never rasterizes
-    in the kernel; the media tier's real codecs (textops/jpeg.py etc.)
-    decode them downstream.  Lenient: a broken document contributes no
-    rows rather than killing the task."""
+def _image_colorspace(attrs: dict, objects: dict):
+    """Resolve /ColorSpace into the raster tier's vocabulary: "gray",
+    "rgb", "cmyk", ("indexed", base, hival, lookup_bytes), or the raw
+    name string for anything else (ICC et al. stay unclassified)."""
+    cs = get_resolved(attrs, "ColorSpace", objects)
+    names = {"DeviceGray": "gray", "G": "gray", "DeviceRGB": "rgb", "RGB": "rgb",
+             "DeviceCMYK": "cmyk", "CMYK": "cmyk", "CalGray": "gray", "CalRGB": "rgb"}
+    if cs is None:
+        return None
+    if not isinstance(cs, list):
+        s = str(cs)
+        return names.get(s, s)
+    if len(cs) == 4 and str(resolve(cs[0], objects)) in ("Indexed", "I"):
+        base = resolve(cs[1], objects)
+        base_name = names.get(str(base), str(base))
+        hival = resolve(cs[2], objects)
+        lookup = resolve(cs[3], objects)
+        if isinstance(lookup, Stream):
+            lookup = lookup.data if lookup.data is not None else lookup.raw
+        if not isinstance(hival, int) or not isinstance(lookup, bytes):
+            return "indexed-unresolved"
+        return ("indexed", base_name, hival, lookup)
+    s = str(resolve(cs[0], objects)) if cs else None
+    return names.get(s, s)
+
+
+def extract_image_xobjects(
+    data: bytes, password: bytes = b""
+) -> list[tuple[str, bytes, dict]]:
+    """Embedded image XObjects in page order: (media_ref, payload, meta).
+    For media-codec chains (/DCTDecode /JPXDecode /CCITTFaxDecode
+    /JBIG2Decode) the payload is the post-decryption bytes at the codec
+    boundary (transport armor stripped) and meta["is_media"] is True —
+    D8 never rasterizes those in the kernel.  For RAW raster images
+    (§8.9.5: e.g. Flate-compressed samples) the payload is the fully
+    decoded SAMPLE bytes and meta carries the decode geometry —
+    width/height/bpc/colorspace//Decode//ImageMask — for
+    textops/raster.decode_raster.  Lenient: a broken document
+    contributes no rows rather than killing the task."""
     errors: list = []
-    out: list[tuple[str, bytes]] = []
+    out: list[tuple[str, bytes, dict]] = []
     try:
         offsets, trailer, compressed = read_xref(data)
         decryptor = _build_decryptor(data, trailer, offsets, password)
@@ -945,22 +977,44 @@ def extract_media_payloads(data: bytes, password: bytes = b"") -> list[tuple[str
                         if key in seen:
                             continue
                         seen.add(key)
-                        # strip transport armor ahead of the media codec
-                        # (e.g. [/ASCIIHexDecode /DCTDecode]): the payload
-                        # at the codec boundary is the actual image bytes
                         try:
                             chain = build_filter_chain(
                                 st.attrs, lambda v: resolve(v, objects)
                             )
-                            payload = decode_media_prefix(st.raw, chain)
+                            is_media = is_media_chain(chain)
+                            if is_media:
+                                # strip transport armor ahead of the codec
+                                payload = decode_media_prefix(st.raw, chain)
+                            else:
+                                # raw raster: the full fold yields samples
+                                payload = decode_chain(st.raw, chain)
                         except (FilterError, PdfError):
                             payload = st.raw
-                        out.append((str(xname), payload))
+                            is_media = True  # unknown: route to sniffers
+                        decode_arr = get_resolved(st.attrs, "Decode", objects)
+                        meta = {
+                            "is_media": is_media,
+                            "width": get_resolved(st.attrs, "Width", objects),
+                            "height": get_resolved(st.attrs, "Height", objects),
+                            "bpc": get_resolved(st.attrs, "BitsPerComponent", objects),
+                            "imagemask": bool(
+                                get_resolved(st.attrs, "ImageMask", objects) is True
+                            ),
+                            "colorspace": _image_colorspace(st.attrs, objects),
+                            "decode": decode_arr if isinstance(decode_arr, list) else None,
+                        }
+                        out.append((str(xname), payload, meta))
     except PdfError:
         return out
     except Exception:  # lenient
         return out
     return out
+
+
+def extract_media_payloads(data: bytes, password: bytes = b"") -> list[tuple[str, bytes]]:
+    """Back-compat view of :func:`extract_image_xobjects`:
+    (media_ref, payload) pairs only."""
+    return [(name, payload) for name, payload, _meta in extract_image_xobjects(data, password)]
 
 
 def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):

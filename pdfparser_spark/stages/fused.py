@@ -359,14 +359,18 @@ def extract_layout_sized_fused(documents_raw: DataFrame) -> DataFrame:
 
 def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """PDF-to-pixels end to end, zero shuffle: reconstruct each document,
-    pull its image XObject payloads out of the (decrypted) object graph
-    (`core.extract.extract_media_payloads`), and decode them with the REAL
-    codecs (`textops.media.sniff_decode`: JPEG/PNG/BMP/PPM).  Emits
+    pull its image XObjects out of the (decrypted) object graph
+    (`core.extract.extract_image_xobjects`), and decode them — media
+    codecs via `textops.media.sniff_decode` (JPEG/JP2/PNG/BMP/PPM), RAW
+    §8.9.5 sample rasters (fmt 'raw': Flate samples, /Indexed palettes,
+    sub-byte /BitsPerComponent, /Decode, /ImageMask) via
+    `textops.raster.decode_raster`.  Emits
     (doc_id, media_ref, fmt, width, height, pixel_sum)."""
     import numpy as np
 
-    from ..core.extract import extract_media_payloads
+    from ..core.extract import extract_image_xobjects
     from ..textops.media import sniff_decode
+    from ..textops.raster import decode_raster
 
     cols = ["doc_id", "media_ref", "fmt", "width", "height", "pixel_sum"]
 
@@ -374,18 +378,27 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                payloads = extract_media_payloads(_doc_bytes(spans), password=password)
-                for name, payload in payloads:
+                images = extract_image_xobjects(_doc_bytes(spans), password=password)
+                for name, payload, meta in images:
                     try:
-                        dec = sniff_decode(bytes(payload))
+                        if meta["is_media"]:
+                            dec = sniff_decode(bytes(payload))
+                            if dec is None:
+                                continue  # video/unknown codec: stub tier
+                            fmt, w, h, img = dec
+                        else:
+                            w, h = int(meta["width"]), int(meta["height"])
+                            img = decode_raster(
+                                bytes(payload), w, h, int(meta["bpc"] or 8),
+                                meta["colorspace"], meta["decode"],
+                                meta["imagemask"],
+                            )
+                            fmt = "raw"
                     except Exception:
-                        # corrupt payload (truncated JPEG, bad PNG CRC, ...):
-                        # lenient like the rest of the kernel — skip the
-                        # image, never kill the task
+                        # corrupt payload (truncated JPEG, short samples,
+                        # ...): lenient like the rest of the kernel — skip
+                        # the image, never kill the task
                         continue
-                    if dec is None:
-                        continue  # video/unknown codec: stays on the stub tier
-                    fmt, w, h, img = dec
                     rows.append(
                         {
                             "doc_id": int(doc_id),

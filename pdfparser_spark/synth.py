@@ -779,12 +779,16 @@ def build_document(doc_id: int, text: str) -> dict:
     if imgobj_id is not None:
         b.media_marker("Im1")
         iw, ih = embedded_image_dims(doc_id)
-        payload, media_filter, ics = _embedded_image(doc_id)
+        payload, media_filter, img_attrs, img_parms = _embedded_image(doc_id)
+        if "{pal}" in img_attrs:  # armored family is never encrypted
+            img_attrs = img_attrs.format(pal=embedded_palette_bytes().hex())
         armored = binascii.hexlify(payload) + b">"
+        # two-filter chain: /DecodeParms aligns positionally (null for AHx)
+        parms_frag = f"/DecodeParms [null {img_parms}] " if img_parms else ""
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
-            f"/ColorSpace {ics} /BitsPerComponent 8 "
+            f"{img_attrs} {parms_frag}"
             f"/Filter [/ASCIIHexDecode {media_filter}] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
         b.struct(armored)
@@ -1262,8 +1266,9 @@ def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
 
 
 def embedded_image_cmyk(doc_id: int) -> bool:
-    """Every 3rd media doc (counting by doc//5) embeds the CMYK variant."""
-    return (doc_id // 5) % 3 == 1
+    """Media-doc class 1 (counting by doc//5, mod 4) embeds the CMYK
+    JPEG variant."""
+    return (doc_id // 5) % 4 == 1
 
 
 def embedded_image_dims(doc_id: int) -> tuple[int, int]:
@@ -1311,20 +1316,99 @@ def _embedded_jp2(w: int, h: int) -> bytes:
     return encode_jp2_image(_block_pattern(w, h), n_decomp=2)
 
 
-def _embedded_image(doc_id: int) -> tuple[bytes, str, str]:
+def embedded_raster_variant(doc_id: int) -> int:
+    """Sub-variant of the raw-raster class (class-3 docs are
+    doc = 20j + 15, so doc//20 cycles j): 0 = RGB 8bpc + PNG Sub
+    predictor, 1 = /Indexed palette, 2 = 4-bpc gray /Decode [1 0],
+    3 = 1-bpc /ImageMask stencil."""
+    return (doc_id // 20) % 4
+
+
+@lru_cache(maxsize=64)
+def _embedded_raster(w: int, h: int, v: int) -> tuple[bytes, str, str | None]:
+    """RAW §8.9.5 raster Im1: (zlib sample bytes, dict attrs fragment,
+    DecodeParms dict or None).  Pixel models (all analytic for the
+    oracle): v0 RGB gradient (7r+13c+31k)%256 behind a PNG Sub(1) row
+    predictor; v1 /Indexed with the GIF-family palette over idx =
+    (7r+13c)%256; v2 4-bpc gray s = (7r+13c)%16 inverted by /Decode
+    [1 0] (decodes to 17*(15-s)); v3 /ImageMask with bit =
+    ((r//2)+(c//3))%2 (reported as 255*bit).  Memoized: 16 size
+    classes x 4 variants."""
+    import zlib as _zlib
+
+    import numpy as _np
+
+    from .textops.raster import pack_rows
+    rr = _np.arange(h, dtype=_np.int64)[:, None]
+    cc = _np.arange(w, dtype=_np.int64)[None, :]
+    if v == 0:
+        img = _np.stack([(7 * rr + 13 * cc + 31 * k) % 256 for k in range(3)], axis=-1)
+        rows = img.astype(_np.uint8).reshape(h, w * 3).astype(_np.int64)
+        # PNG Sub filter (type 1): cur[i] - cur[i-bpp], bpp = 3
+        prior = _np.zeros_like(rows)
+        prior[:, 3:] = rows[:, :-3]
+        filtered = ((rows - prior) % 256).astype(_np.uint8)
+        body = b"".join(b"\x01" + filtered[r].tobytes() for r in range(h))
+        parms = f"<< /Predictor 15 /Colors 3 /BitsPerComponent 8 /Columns {w} >>"
+        return _zlib.compress(body), "/ColorSpace /DeviceRGB /BitsPerComponent 8", parms
+    if v == 1:
+        idx = ((7 * rr + 13 * cc) % 256).astype(_np.uint8)
+        # attrs carries a {pal} placeholder: the call site substitutes the
+        # hex form of the palette — ENCRYPTED with the image object's key
+        # in encrypted docs, because §7.6.2 ciphers strings everywhere and
+        # the reader decrypts them transparently
+        attrs = "/ColorSpace [/Indexed /DeviceRGB 255 <{pal}>] /BitsPerComponent 8"
+        return _zlib.compress(pack_rows(idx, 8)), attrs, None
+    if v == 2:
+        s = ((7 * rr + 13 * cc) % 16).astype(_np.uint8)
+        attrs = "/ColorSpace /DeviceGray /BitsPerComponent 4 /Decode [1 0]"
+        return _zlib.compress(pack_rows(s, 4)), attrs, None
+    bit = (((rr // 2) + (cc // 3)) % 2).astype(_np.uint8)
+    attrs = "/ImageMask true /BitsPerComponent 1"
+    return _zlib.compress(pack_rows(bit, 1)), attrs, None
+
+
+def embedded_palette_bytes() -> bytes:
+    """The /Indexed lookup table of the raster class (GIF-family model
+    pal[i] = ((7i)%256, (11i+3)%256, (29i+7)%256), 256 RGB entries)."""
+    import numpy as _np
+
+    i = _np.arange(256, dtype=_np.int64)
+    pal = _np.stack([(7 * i) % 256, (11 * i + 3) % 256, (29 * i + 7) % 256], axis=1)
+    return pal.astype(_np.uint8).tobytes()
+
+
+def _embedded_image(doc_id: int) -> tuple[bytes, str, str, str | None]:
     """Im1 payload dispatch for the media docs (doc_id % 5 == 0):
-    (payload, /Filter name, colorspace).  Class by (doc_id//5) % 3:
-    0 = grayscale JPEG (baseline or progressive by size class),
-    1 = CMYK JPEG (Adobe APP14 inverted), 2 = reversible JPEG 2000 —
-    every enumerated lossy/media filter family with a real decoder gets
-    a corpus slice."""
+    (payload, /Filter name, dict attrs fragment, DecodeParms or None).
+    The attrs fragment may carry a ``{pal}`` placeholder (the /Indexed
+    raster sub-variant) for the call site to fill with the — possibly
+    encrypted — hex palette.  Class by (doc_id//5) % 4: 0 = grayscale
+    JPEG (baseline or progressive by size class), 1 = CMYK JPEG (Adobe
+    APP14 inverted), 2 = reversible JPEG 2000, 3 = RAW §8.9.5 Flate
+    raster (sub-variants per embedded_raster_variant) — every image
+    representation family with a real decoder gets a corpus slice."""
     iw, ih = embedded_image_dims(doc_id)
-    cls = (doc_id // 5) % 3
+    cls = (doc_id // 5) % 4
     if cls == 1:
-        return _embedded_jpeg(iw, ih, True), "/DCTDecode", "/DeviceCMYK"
+        return (
+            _embedded_jpeg(iw, ih, True), "/DCTDecode",
+            "/ColorSpace /DeviceCMYK /BitsPerComponent 8", None,
+        )
     if cls == 2:
-        return _embedded_jp2(iw, ih), "/JPXDecode", "/DeviceGray"
-    return _embedded_jpeg(iw, ih, False), "/DCTDecode", "/DeviceGray"
+        return (
+            _embedded_jp2(iw, ih), "/JPXDecode",
+            "/ColorSpace /DeviceGray /BitsPerComponent 8", None,
+        )
+    if cls == 3:
+        payload, attrs, parms = _embedded_raster(
+            iw, ih, embedded_raster_variant(doc_id)
+        )
+        return payload, "/FlateDecode", attrs, parms
+    return (
+        _embedded_jpeg(iw, ih, False), "/DCTDecode",
+        "/ColorSpace /DeviceGray /BitsPerComponent 8", None,
+    )
 
 
 def build_document_binary(
@@ -1455,12 +1539,20 @@ def build_document_binary(
         # it back out post-decryption and decodes it with the
         # textops/jpeg.py or textops/jpx_codec.py codec
         iw, ih = embedded_image_dims(doc_id)
-        raw_img, media_filter, ics = _embedded_image(doc_id)
+        raw_img, media_filter, img_attrs, img_parms = _embedded_image(doc_id)
         payload = enc_stream(raw_img, imgobj_id)
+        if "{pal}" in img_attrs:
+            # §7.6.2: strings inside encrypted documents are ciphered with
+            # the containing object's key (same cipher as streams); the
+            # reader decrypts them transparently in _apply_decryption
+            img_attrs = img_attrs.format(
+                pal=enc_stream(embedded_palette_bytes(), imgobj_id).hex()
+            )
+        parms_frag = f"/DecodeParms {img_parms} " if img_parms else ""
         obj_open(imgobj_id)
         b.struct(
             f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
-            f"/ColorSpace {ics} /BitsPerComponent 8 "
+            f"{img_attrs} {parms_frag}"
             f"/Filter {media_filter} /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)

@@ -361,14 +361,14 @@ def test_embedded_jpeg_extraction_end_to_end():
     )
     from pdfparser_spark.textops.media import sniff_decode
 
-    for doc_id in (5, 10, 15, 35):  # CMYK 2-page, JPX, AESV3, CMYK plain
+    for doc_id in (5, 10, 20, 30, 45):  # CMYK 2-page, JPX, gray, AES jp2, CMYK
         d = build_document_binary(doc_id, TEXT)
         payloads = extract_media_payloads(d["bytes"])
         assert len(payloads) == 1
         name, payload = payloads[0]
         fmt, w, h, img = sniff_decode(bytes(payload))
         iw, ih = embedded_image_dims(doc_id)
-        want_fmt = "jp2" if (doc_id // 5) % 3 == 2 else "jpg"
+        want_fmt = "jp2" if (doc_id // 5) % 4 == 2 else "jpg"
         assert (name, fmt, w, h) == ("Im1", want_fmt, iw, ih)
         bv = (np.add.outer(7 * np.arange(ih // 8), 13 * np.arange(iw // 8))) % 256
         if embedded_image_cmyk(doc_id):  # 4-channel Adobe-inverted model

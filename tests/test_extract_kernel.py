@@ -108,27 +108,35 @@ def test_encrypted_document_rejected_with_error_row():
 
 
 def test_armored_embedded_image_prefix_decode():
-    """ASCII-family Im1 is a real image behind [/ASCIIHexDecode /DCT|/JPX]:
-    extract_media_payloads strips the transport armor (non-media chain
-    prefix) and returns actual image bytes at the codec boundary.
-    doc 10 is the (doc//5)%3==2 /JPXDecode class (reversible JPEG 2000)."""
-    from pdfparser_spark.core.extract import extract_media_payloads
+    """ASCII-family Im1 is a real image behind [/ASCIIHexDecode /DCT|/JPX|
+    /Flate]: extract_image_xobjects strips the transport armor and
+    returns codec-boundary bytes for media chains (doc 5 CMYK JPEG,
+    doc 10 JPEG 2000, doc 25 gray JPEG) and fully-decoded SAMPLE bytes +
+    geometry meta for the raw §8.9.5 raster class (doc 15)."""
+    from pdfparser_spark.core.extract import extract_image_xobjects
     from pdfparser_spark.synth import build_document, embedded_image_dims
     from pdfparser_spark.textops.media import sniff_decode
 
     text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
-    for doc_id in (5, 10, 35):
+    for doc_id in (5, 10, 25):
         d = build_document(doc_id, text)
-        payloads = extract_media_payloads(d["bytes"])
-        assert len(payloads) == 1
-        name, payload = payloads[0]
-        want_fmt = "jp2" if (doc_id // 5) % 3 == 2 else "jpg"
+        images = extract_image_xobjects(d["bytes"])
+        assert len(images) == 1
+        name, payload, meta = images[0]
+        assert meta["is_media"]
+        want_fmt = "jp2" if (doc_id // 5) % 4 == 2 else "jpg"
         if want_fmt == "jpg":
             assert payload[:2] == b"\xff\xd8"  # armor stripped: raw JPEG bytes
         else:
             assert payload[4:8] == b"jP\x20\x20"  # raw JP2 container
         fmt, w, h, _img = sniff_decode(bytes(payload))
         assert (name, fmt, (w, h)) == ("Im1", want_fmt, embedded_image_dims(doc_id))
+    d = build_document(15, text)  # raster class: payload = sample bytes
+    [(name, payload, meta)] = extract_image_xobjects(d["bytes"])
+    iw, ih = embedded_image_dims(15)
+    assert not meta["is_media"]
+    assert (meta["width"], meta["height"], meta["bpc"]) == (iw, ih, 8)
+    assert meta["colorspace"] == "rgb" and len(payload) == iw * ih * 3
 
 
 def test_doc_metadata_walk():

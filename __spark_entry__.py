@@ -2197,6 +2197,173 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpx_decode": lambda s, d: media.media_jpx_decode(
             _pipeline(s, d)["spans_flat"]
         ),
+        # TPC-H Q5 (local supplier volume): the 6-table star — lineitem
+        # shuffles once onto orderkey, the customer join carries the
+        # c_nationkey = s_nationkey locality condition, and the
+        # nation x region dims ride ONE broadcast.  Revenue in exact
+        # micro units (cents x discount-cents)
+        "tpch_q5_local_volume": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .join(
+                _tbl(s, d, "orders").filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1997-01-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                _tbl(s, d, "supplier"), F.col("l_suppkey") == F.col("s_suppkey")
+            )
+            .join(
+                _tbl(s, d, "customer"),
+                (F.col("o_custkey") == F.col("c_custkey"))
+                & (F.col("c_nationkey") == F.col("s_nationkey")),
+            )
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "nation").join(
+                        F.broadcast(
+                            _tbl(s, d, "region").filter(F.col("r_name") == "ASIA")
+                        ),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    )
+                ),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("revenue_micro")
+            )
+        ),
+        # TPC-H Q7 (volume shipping): the nation-PAIR disjunction lives in
+        # the join output, both nation dims broadcast; per-year rollup
+        "tpch_q7_volume_shipping": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1998-01-01")
+            )
+            .join(_tbl(s, d, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(_tbl(s, d, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(_tbl(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "nation").select(
+                        F.col("n_nationkey").alias("sn_key"),
+                        F.col("n_name").alias("supp_nation"),
+                    )
+                ),
+                F.col("s_nationkey") == F.col("sn_key"),
+            )
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "nation").select(
+                        F.col("n_nationkey").alias("cn_key"),
+                        F.col("n_name").alias("cust_nation"),
+                    )
+                ),
+                F.col("c_nationkey") == F.col("cn_key"),
+            )
+            .filter(
+                (
+                    (F.col("supp_nation") == "NATION_3")
+                    & (F.col("cust_nation") == "NATION_7")
+                )
+                | (
+                    (F.col("supp_nation") == "NATION_7")
+                    & (F.col("cust_nation") == "NATION_3")
+                )
+            )
+            .groupBy(
+                "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("revenue_micro")
+            )
+        ),
+        # TPC-H Q10 (returned items): returned lineitems x a one-quarter
+        # order window, customer + broadcast nation, top 20 by lost
+        # revenue (c_address/phone/comment don't exist in this corpus —
+        # documented projection adaptation)
+        "tpch_q10_returned_items": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .join(
+                _tbl(s, d, "orders").filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1996-04-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(_tbl(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(_tbl(s, d, "nation")),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("revenue_micro")
+            )
+            .orderBy(F.col("revenue_micro").desc(), F.col("c_custkey"))
+            .limit(20)
+        ),
+        # TPC-H Q19 shape (discounted revenue): the OR-of-ANDs predicate
+        # over brand x size x quantity ranges rides INSIDE the broadcast
+        # join condition, so Catalyst prunes part rows before the probe
+        # (p_container/l_shipmode don't exist here — the documented
+        # range-triple adaptation keeps the disjunctive-join shape)
+        "tpch_q19_discounted": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .join(
+                F.broadcast(_tbl(s, d, "part")),
+                (F.col("l_partkey") == F.col("p_partkey"))
+                & (
+                    (
+                        (F.col("p_brand") == "Brand#1")
+                        & F.col("p_size").between(1, 15)
+                        & F.col("l_quantity").between(1, 20)
+                    )
+                    | (
+                        (F.col("p_brand") == "Brand#2")
+                        & F.col("p_size").between(10, 30)
+                        & F.col("l_quantity").between(10, 30)
+                    )
+                    | (
+                        (F.col("p_brand") == "Brand#3")
+                        & F.col("p_size").between(20, 50)
+                        & F.col("l_quantity").between(20, 40)
+                    )
+                ),
+            )
+            .agg(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (
+                        100
+                        - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+                    )
+                ).alias("revenue_micro"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        ),
     }
     # session-12 window swaps (driver checks the FIRST 50 entries): the new
     # unique-evidence queries take the slots of two r02-driver-green rows —
@@ -5492,6 +5659,68 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
             )
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "tpch_q5_local_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                     AS revenue_micro
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+        """,
+        "tpch_q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                     AS revenue_micro
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                     AS revenue_micro
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue_micro DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q19_discounted": """
+            SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                     AS revenue_micro,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         # streaming extraction must land EXACTLY the batch spans
         "extract_stream_log": _span_sql(),

@@ -2575,6 +2575,8 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
                  -- XMP /Metadata stream object
                  + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
+                 -- raster v5 /Separation tint transform (Type 4 stream)
+                 + CASE WHEN doc_id % 120 = 115 THEN 1 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
@@ -2584,6 +2586,7 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 31 = 13 AND nw > 0 THEN 1 ELSE 0 END
                  + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
                  + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 120 = 115 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """
@@ -3965,7 +3968,7 @@ def oracle_sql() -> dict[str, str]:
                    WHEN (doc_id // 5) % 4 = 3 THEN
                      -- RAW §8.9.5 raster (synth._embedded_raster): per-pixel
                      -- models over the full grid, all integer-exact
-                     CASE (doc_id // 20) % 4
+                     CASE (doc_id // 20) % 6
                        WHEN 0 THEN  -- RGB gradient behind the Sub predictor
                          CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
                                           + (7*r + 13*c + 62) % 256)
@@ -3979,8 +3982,32 @@ def oracle_sql() -> dict[str, str]:
                          CAST((SELECT SUM(17 * (15 - (7*r + 13*c) % 16))
                                FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                     unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                       ELSE  -- /ImageMask stencil reported as 255*sample
+                       WHEN 3 THEN  -- /ImageMask stencil reported as 255*sample
                          CAST((SELECT SUM(255 * (((r // 2) + (c // 3)) % 2))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 4 THEN  -- /Separation -> RGB through the inline
+                                    -- Type 3 stitched tint.  Every literal is
+                                    -- CAST to DOUBLE: bare 0.8-style literals
+                                    -- are DECIMAL in DuckDB and (0.8 - 0.1)
+                                    -- would be EXACT 0.7, diverging from the
+                                    -- IEEE double ops core/functions.py runs
+                         CAST((SELECT SUM(
+                                 CASE WHEN (((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) >= CAST(0.5 AS DOUBLE) THEN
+                                   FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.2 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.1 AS DOUBLE) - CAST(0.2 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.8 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.3 AS DOUBLE) - CAST(0.8 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.4 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.9 AS DOUBLE) - CAST(0.4 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 ELSE
+                                   FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.9 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.2 AS DOUBLE) - CAST(0.9 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.1 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.8 AS DOUBLE) - CAST(0.1 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.2 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.4 AS DOUBLE) - CAST(0.2 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 END)
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       ELSE  -- /Separation -> gray through the Type 4
+                             -- calculator stream: (1-t)^2, t = s*(1/15)
+                         CAST((SELECT SUM(FLOOR(CAST(255.0 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - ((((7*r + 13*c) % 16)) * (CAST(1.0 AS DOUBLE)/CAST(15.0 AS DOUBLE))))
+                                                         * (CAST(1.0 AS DOUBLE) - ((((7*r + 13*c) % 16)) * (CAST(1.0 AS DOUBLE)/CAST(15.0 AS DOUBLE))))) + CAST(0.5 AS DOUBLE)))
                                FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                     unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
                      END
@@ -4011,7 +4038,7 @@ def oracle_sql() -> dict[str, str]:
                    WHEN (doc_id // 5) % 4 = 3 THEN
                      -- RAW §8.9.5 raster (synth._embedded_raster): per-pixel
                      -- models over the full grid, all integer-exact
-                     CASE (doc_id // 20) % 4
+                     CASE (doc_id // 20) % 6
                        WHEN 0 THEN  -- RGB gradient behind the Sub predictor
                          CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
                                           + (7*r + 13*c + 62) % 256)
@@ -4025,8 +4052,32 @@ def oracle_sql() -> dict[str, str]:
                          CAST((SELECT SUM(17 * (15 - (7*r + 13*c) % 16))
                                FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                     unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                       ELSE  -- /ImageMask stencil reported as 255*sample
+                       WHEN 3 THEN  -- /ImageMask stencil reported as 255*sample
                          CAST((SELECT SUM(255 * (((r // 2) + (c // 3)) % 2))
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       WHEN 4 THEN  -- /Separation -> RGB through the inline
+                                    -- Type 3 stitched tint.  Every literal is
+                                    -- CAST to DOUBLE: bare 0.8-style literals
+                                    -- are DECIMAL in DuckDB and (0.8 - 0.1)
+                                    -- would be EXACT 0.7, diverging from the
+                                    -- IEEE double ops core/functions.py runs
+                         CAST((SELECT SUM(
+                                 CASE WHEN (((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) >= CAST(0.5 AS DOUBLE) THEN
+                                   FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.2 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.1 AS DOUBLE) - CAST(0.2 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.8 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.3 AS DOUBLE) - CAST(0.8 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.4 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.5 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)))) * (CAST(0.9 AS DOUBLE) - CAST(0.4 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 ELSE
+                                   FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.9 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.2 AS DOUBLE) - CAST(0.9 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.1 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.8 AS DOUBLE) - CAST(0.1 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 + FLOOR(CAST(255.0 AS DOUBLE) * (CAST(0.2 AS DOUBLE) + (((((7*r + 13*c) % 256) * (CAST(1.0 AS DOUBLE)/CAST(255.0 AS DOUBLE))) - CAST(0.0 AS DOUBLE)) * ((CAST(1.0 AS DOUBLE) - CAST(0.0 AS DOUBLE))/(CAST(0.5 AS DOUBLE) - CAST(0.0 AS DOUBLE)))) * (CAST(0.4 AS DOUBLE) - CAST(0.2 AS DOUBLE))) + CAST(0.5 AS DOUBLE))
+                                 END)
+                               FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                    unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                       ELSE  -- /Separation -> gray through the Type 4
+                             -- calculator stream: (1-t)^2, t = s*(1/15)
+                         CAST((SELECT SUM(FLOOR(CAST(255.0 AS DOUBLE) * ((CAST(1.0 AS DOUBLE) - ((((7*r + 13*c) % 16)) * (CAST(1.0 AS DOUBLE)/CAST(15.0 AS DOUBLE))))
+                                                         * (CAST(1.0 AS DOUBLE) - ((((7*r + 13*c) % 16)) * (CAST(1.0 AS DOUBLE)/CAST(15.0 AS DOUBLE))))) + CAST(0.5 AS DOUBLE)))
                                FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                     unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
                      END

@@ -915,8 +915,10 @@ def decode_document(data: bytes, password: bytes = b""):
 
 def _image_colorspace(attrs: dict, objects: dict):
     """Resolve /ColorSpace into the raster tier's vocabulary: "gray",
-    "rgb", "cmyk", ("indexed", base, hival, lookup_bytes), or the raw
-    name string for anything else (ICC et al. stay unclassified)."""
+    "rgb", "cmyk", ("indexed", base, hival, lookup_bytes),
+    ("separation", base, tint_eval_fn, n_out) for /Separation//DeviceN
+    (§8.6.6.4: the tint transform built by core/functions.py), or the
+    raw name string for anything else (ICC et al. stay unclassified)."""
     cs = get_resolved(attrs, "ColorSpace", objects)
     names = {"DeviceGray": "gray", "G": "gray", "DeviceRGB": "rgb", "RGB": "rgb",
              "DeviceCMYK": "cmyk", "CMYK": "cmyk", "CalGray": "gray", "CalRGB": "rgb"}
@@ -925,7 +927,8 @@ def _image_colorspace(attrs: dict, objects: dict):
     if not isinstance(cs, list):
         s = str(cs)
         return names.get(s, s)
-    if len(cs) == 4 and str(resolve(cs[0], objects)) in ("Indexed", "I"):
+    head = str(resolve(cs[0], objects)) if cs else None
+    if len(cs) == 4 and head in ("Indexed", "I"):
         base = resolve(cs[1], objects)
         base_name = names.get(str(base), str(base))
         hival = resolve(cs[2], objects)
@@ -935,8 +938,19 @@ def _image_colorspace(attrs: dict, objects: dict):
         if not isinstance(hival, int) or not isinstance(lookup, bytes):
             return "indexed-unresolved"
         return ("indexed", base_name, hival, lookup)
-    s = str(resolve(cs[0], objects)) if cs else None
-    return names.get(s, s)
+    if len(cs) >= 4 and head in ("Separation", "DeviceN"):
+        from .functions import build_function
+
+        base = resolve(cs[2], objects)
+        base_name = names.get(str(base), str(base))
+        try:
+            fn, n_out = build_function(
+                resolve(cs[3], objects), lambda v: resolve(v, objects)
+            )
+        except ValueError:
+            return "separation-unresolved"
+        return ("separation", base_name, fn, n_out)
+    return names.get(head, head)
 
 
 def extract_image_xobjects(

@@ -581,13 +581,16 @@ def build_document(doc_id: int, text: str) -> dict:
     # object numbering
     CATALOG, PAGESROOT, FONT = 1, 2, 3
     next_id = 4
-    cmap_id = imgobj_id = inter_id = None
+    cmap_id = imgobj_id = inter_id = fnobj_id = None
     if r["cmap_font"]:
         cmap_id = next_id
         next_id += 1
     if r["media"]:
         imgobj_id = next_id
         next_id += 1
+        if doc_id % 120 == 115:  # raster v5: Type 4 tint-transform stream
+            fnobj_id = next_id
+            next_id += 1
     if r["n_pages"] == 3:
         inter_id = next_id
         next_id += 1
@@ -782,6 +785,8 @@ def build_document(doc_id: int, text: str) -> dict:
         payload, media_filter, img_attrs, img_parms = _embedded_image(doc_id)
         if "{pal}" in img_attrs:  # armored family is never encrypted
             img_attrs = img_attrs.format(pal=embedded_palette_bytes().hex())
+        if "{fn}" in img_attrs:  # v5: reference the Type 4 function object
+            img_attrs = img_attrs.format(fn=f"{fnobj_id} 0 R")
         armored = binascii.hexlify(payload) + b">"
         # two-filter chain: /DecodeParms aligns positionally (null for AHx)
         parms_frag = f"/DecodeParms [null {img_parms}] " if img_parms else ""
@@ -792,6 +797,19 @@ def build_document(doc_id: int, text: str) -> dict:
             f"/Filter [/ASCIIHexDecode {media_filter}] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
         b.struct(armored)
+        b.struct(b"\nendstream")
+        obj_close()
+
+    # raster v5: the /Separation tint transform as a §7.10.5 Type 4
+    # calculator STREAM (dict functions inline elsewhere need no object)
+    if fnobj_id is not None:
+        prog = SEPARATION_PS_PROGRAM
+        obj_open(fnobj_id)
+        b.struct(
+            f"<< /FunctionType 4 /Domain [0 1] /Range [0 1] "
+            f"/Length {len(prog)} >>\nstream\n".encode("ascii")
+        )
+        b.struct(prog)
         b.struct(b"\nendstream")
         obj_close()
 
@@ -1320,8 +1338,26 @@ def embedded_raster_variant(doc_id: int) -> int:
     """Sub-variant of the raw-raster class (class-3 docs are
     doc = 20j + 15, so doc//20 cycles j): 0 = RGB 8bpc + PNG Sub
     predictor, 1 = /Indexed palette, 2 = 4-bpc gray /Decode [1 0],
-    3 = 1-bpc /ImageMask stencil."""
-    return (doc_id // 20) % 4
+    3 = 1-bpc /ImageMask stencil, 4 = /Separation -> DeviceRGB through
+    an inline Type 3 stitched tint transform, 5 = /Separation ->
+    DeviceGray through a Type 4 calculator STREAM (those docs — exactly
+    doc % 120 == 115 — carry one extra object, accounted in
+    object_stats)."""
+    return (doc_id // 20) % 6
+
+
+# the v5 tint transform: §7.10.5 calculator computing (1 - t)^2
+SEPARATION_PS_PROGRAM = b"{ 1 exch sub dup mul }"
+
+# the v4 tint transform: Type 3 stitching of two Type 2 linears at 0.5
+# (written INLINE in the colorspace array — dict functions need no object)
+_SEP_T3_FN = (
+    "<< /FunctionType 3 /Domain [0 1] /Bounds [0.5] /Encode [0 1 0 1] "
+    "/Functions [ "
+    "<< /FunctionType 2 /Domain [0 1] /C0 [0.9 0.1 0.2] /C1 [0.2 0.8 0.4] /N 1 >> "
+    "<< /FunctionType 2 /Domain [0 1] /C0 [0.2 0.8 0.4] /C1 [0.1 0.3 0.9] /N 1 >> "
+    "] >>"
+)
 
 
 @lru_cache(maxsize=64)
@@ -1363,9 +1399,24 @@ def _embedded_raster(w: int, h: int, v: int) -> tuple[bytes, str, str | None]:
         s = ((7 * rr + 13 * cc) % 16).astype(_np.uint8)
         attrs = "/ColorSpace /DeviceGray /BitsPerComponent 4 /Decode [1 0]"
         return _zlib.compress(pack_rows(s, 4)), attrs, None
-    bit = (((rr // 2) + (cc // 3)) % 2).astype(_np.uint8)
-    attrs = "/ImageMask true /BitsPerComponent 1"
-    return _zlib.compress(pack_rows(bit, 1)), attrs, None
+    if v == 3:
+        bit = (((rr // 2) + (cc // 3)) % 2).astype(_np.uint8)
+        attrs = "/ImageMask true /BitsPerComponent 1"
+        return _zlib.compress(pack_rows(bit, 1)), attrs, None
+    if v == 4:
+        # spot-colour plate: tint t = s * (1/255) through the inline
+        # Type 3 stitched transform into DeviceRGB
+        s = ((7 * rr + 13 * cc) % 256).astype(_np.uint8)
+        attrs = (
+            f"/ColorSpace [/Separation /Spot1 /DeviceRGB {_SEP_T3_FN}] "
+            "/BitsPerComponent 8"
+        )
+        return _zlib.compress(pack_rows(s, 8)), attrs, None
+    # v5: 4-bpc tint through the Type 4 calculator stream ({fn} is the
+    # call site's function-object reference)
+    s = ((7 * rr + 13 * cc) % 16).astype(_np.uint8)
+    attrs = "/ColorSpace [/Separation /Ink /DeviceGray {fn}] /BitsPerComponent 4"
+    return _zlib.compress(pack_rows(s, 4)), attrs, None
 
 
 def embedded_palette_bytes() -> bytes:
@@ -1443,10 +1494,13 @@ def build_document_binary(
     CATALOG, PAGESROOT, FONT = 1, 2, 3
     FONT_GEN = 1  # generation != 0: xref entries + `3 1 R` references
     next_id = 4
-    imgobj_id = None
+    imgobj_id = fnobj_id = None
     if r["media"]:
         imgobj_id = next_id
         next_id += 1
+        if doc_id % 120 == 115:  # raster v5: Type 4 tint-transform stream
+            fnobj_id = next_id
+            next_id += 1
     page_ids, content_ids = {}, {}
     for p, _t in pages:
         page_ids[p] = next_id
@@ -1548,6 +1602,8 @@ def build_document_binary(
             img_attrs = img_attrs.format(
                 pal=enc_stream(embedded_palette_bytes(), imgobj_id).hex()
             )
+        if "{fn}" in img_attrs:  # v5: reference the Type 4 function object
+            img_attrs = img_attrs.format(fn=f"{fnobj_id} 0 R")
         parms_frag = f"/DecodeParms {img_parms} " if img_parms else ""
         obj_open(imgobj_id)
         b.struct(
@@ -1556,6 +1612,19 @@ def build_document_binary(
             f"/Filter {media_filter} /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)
+        b.struct(b"\r\nendstream")
+        obj_close()
+
+    if fnobj_id is not None:
+        # the /Separation tint transform stream, ciphered like any other
+        # stream when the document is encrypted
+        fpayload = enc_stream(SEPARATION_PS_PROGRAM, fnobj_id)
+        obj_open(fnobj_id)
+        b.struct(
+            f"<< /FunctionType 4 /Domain [0 1] /Range [0 1] "
+            f"/Length {len(fpayload)} >>\r\nstream\r\n".encode("ascii")
+        )
+        b.struct(fpayload)
         b.struct(b"\r\nendstream")
         obj_close()
 

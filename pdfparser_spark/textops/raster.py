@@ -88,6 +88,28 @@ def decode_raster(
         vals = unpack_rows(samples, width, height, 1, 1)
         dec = apply_decode(vals, 1, decode, [0, 1])
         return np.clip(np.rint(dec[:, :, 0] * 255.0), 0, 255).astype(np.uint8)
+    if isinstance(colorspace, tuple) and colorspace[0] == "separation":
+        # §8.6.6.4: one tint component per sample through the tint
+        # transform into the alternate space.  Evaluated as a LUT over
+        # the 2^bpc input codes (the per-pixel cost a renderer avoids
+        # the same way); output pixel = floor(255*c + 0.5) per component
+        # — half-up, mirrored literally by the corpus oracle
+        _tag, base, tint_fn, n_out = colorspace
+        nbase = 3 if base == "rgb" else 1
+        if n_out != nbase:
+            raise ValueError("raster: tint transform arity != alternate space")
+        codes = unpack_rows(samples, width, height, 1, bpc)[:, :, 0]
+        maxval = (1 << bpc) - 1
+        tvals = apply_decode(
+            np.arange(maxval + 1, dtype=np.int64)[None, :, None], bpc, decode, [0.0, 1.0]
+        )[0, :, 0]
+        lut = np.empty((maxval + 1, n_out), dtype=np.uint8)
+        for code in range(maxval + 1):
+            comps = tint_fn([float(tvals[code])])
+            for j, c in enumerate(comps):
+                lut[code, j] = int(np.clip(np.floor(255.0 * c + 0.5), 0, 255))
+        out = lut[codes]
+        return out[:, :, 0] if nbase == 1 else out
     if isinstance(colorspace, tuple) and colorspace[0] == "indexed":
         _tag, base, hival, lookup = colorspace
         vals = unpack_rows(samples, width, height, 1, bpc)

@@ -79,7 +79,30 @@ def _expected_raster_sum(doc_id: int) -> int:
         return int(((7 * idx) % 256 + (11 * idx + 3) % 256 + (29 * idx + 7) % 256).sum())
     if v == 2:
         return int((17 * (15 - (7 * rr + 13 * cc) % 16)).sum())
-    return int((255 * (((rr // 2) + (cc // 3)) % 2)).sum())
+    if v == 3:
+        return int((255 * (((rr // 2) + (cc // 3)) % 2)).sum())
+    if v == 4:  # Separation -> RGB via Type 3 stitched linears
+        c0a, c1a = [0.9, 0.1, 0.2], [0.2, 0.8, 0.4]
+        c0b, c1b = [0.2, 0.8, 0.4], [0.1, 0.3, 0.9]
+        total = 0
+        for r in range(h):
+            for c in range(w):
+                t = ((7 * r + 13 * c) % 256) * (1.0 / 255.0)
+                if t >= 0.5:
+                    e = (t - 0.5) * ((1.0 - 0.0) / (1.0 - 0.5))
+                    comps = [a + e * (b - a) for a, b in zip(c0b, c1b)]
+                else:
+                    e = (t - 0.0) * ((1.0 - 0.0) / (0.5 - 0.0))
+                    comps = [a + e * (b - a) for a, b in zip(c0a, c1a)]
+                total += sum(int(np.floor(255.0 * x + 0.5)) for x in comps)
+        return total
+    # v5: Separation -> gray via the Type 4 calculator (1-t)^2
+    total = 0
+    for r in range(h):
+        for c in range(w):
+            t = ((7 * r + 13 * c) % 16) * (1.0 / 15.0)
+            total += int(np.floor(255.0 * ((1.0 - t) * (1.0 - t)) + 0.5))
+    return total
 
 
 def test_raster_corpus_end_to_end():
@@ -133,11 +156,11 @@ def test_fused_query_shape(spark):
     from pdfparser_spark.stages.fused import extract_images_fused
 
     docs = spark.createDataFrame(
-        [(d, TEXT) for d in (10, 15, 35, 55, 75)], "doc_id long, text string"
+        [(d, TEXT) for d in (10, 15, 35, 55, 75, 95, 115)], "doc_id long, text string"
     )
     raw = synthesize_corpus(docs.repartition(4, "doc_id"), family="binary")
     out = {r["doc_id"]: r for r in extract_images_fused(raw).collect()}
     assert out[10]["fmt"] == "jp2"
-    for d in (15, 35, 55, 75):
+    for d in (15, 35, 55, 75, 95, 115):
         assert out[d]["fmt"] == "raw", d
         assert out[d]["pixel_sum"] == _expected_raster_sum(d), d

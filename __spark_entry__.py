@@ -2403,6 +2403,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # evidence on the same payload family; the meta query keeps the
         # COD/colourspace fields covered from the tail
         ("media_jpx_decode", "media_jpx_meta"),
+        # round-4 session-2: extract_embedded_images now carries the raw
+        # §8.9.5 raster tier (/Indexed, /ImageMask, /Decode, predictors)
+        # plus /Separation tint transforms through the §7.10 function
+        # interpreter — unique evidence that belongs in the window; it
+        # takes layout_paragraphs's slot (r02-green, and the columns
+        # layout kernel keeps two in-window rows via extract_columns +
+        # extract_table_cells)
+        ("extract_embedded_images", "layout_paragraphs"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq

@@ -44,6 +44,7 @@ from pdfparser_spark.stages import (
     extract_layout_fused,
     extract_layout_rewrite_fused,
     extract_graphics_fused,
+    extract_shadings_fused,
     extract_incremental_redact_fused,
     extract_markup_fused,
     extract_redact_fused,
@@ -2196,6 +2197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # levels; reversible coding makes the pixel sums exact
         "media_jpx_decode": lambda s, d: media.media_jpx_decode(
             _pipeline(s, d)["spans_flat"]
+        ),
+        # smooth shadings (§8.7.4.5): page-0 inline axial/radial dicts
+        # with the colour function EVALUATED at its domain endpoints
+        # through the §7.10 interpreter, plus per-name `sh` op counts
+        "doc_shadings": lambda s, d: extract_shadings_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
         ),
         # TPC-H Q5 (local supplier volume): the 6-table star — lineitem
         # shuffles once onto orderkey, the customer join carries the
@@ -5718,6 +5727,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
             )
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        # shading endpoints are EXACTLY the Type 2 /C0 //C1 palette
+        # entries (function eval at the domain ends has no interpolation);
+        # every literal CAST to DOUBLE per the DECIMAL-literal lesson
+        "doc_shadings": """
+            SELECT doc_id,
+                   CAST(0 AS INT) AS page_idx,
+                   'Sh1' AS name,
+                   CAST(2 + (doc_id // 8) % 2 AS INT) AS shading_type,
+                   CAST(CASE WHEN (doc_id // 8) % 2 = 1
+                        THEN 40 + (doc_id % 5) * 10
+                        ELSE 100 + (doc_id % 7) * 20 END AS INT) AS coord_max,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)][doc_id % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c0_r,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.4 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE)][doc_id % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c0_g,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.6 AS DOUBLE), CAST(0.3 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.1 AS DOUBLE)][doc_id % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c0_b,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.2 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)][(doc_id + 1) % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c1_r,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.4 AS DOUBLE), CAST(0.1 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE)][(doc_id + 1) % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c1_g,
+                   CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.6 AS DOUBLE), CAST(0.3 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.1 AS DOUBLE)][(doc_id + 1) % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c1_b,
+                   CAST(1 + doc_id % 3 AS INT) AS n_ops
+            FROM documents WHERE doc_id % 8 = 5
         """,
         "tpch_q5_local_volume": """
             SELECT n_name,

@@ -484,6 +484,36 @@ def graphics_stats(data: bytes) -> dict:
     return out
 
 
+def shading_ops(data: bytes) -> dict:
+    """Count §8.7.4.5 ``/Name sh`` paint operations per shading name in
+    one decoded content stream.  Inline images are skipped with the
+    BI..EI rule; a bare ``sh`` with no preceding name is ignored
+    (malformed, lenient)."""
+    out: dict = {}
+    last_name = None
+    pos = 0
+    n = len(data)
+    while pos < n:
+        try:
+            kind, val, p = _next_token(data, pos)
+        except ParsingError:
+            pos += 1
+            continue
+        if kind == "eof":
+            break
+        pos = p
+        if kind == "name":
+            last_name = str(val)
+            continue
+        if kind == "keyword":
+            if val == b"sh" and last_name is not None:
+                out[last_name] = out.get(last_name, 0) + 1
+            elif val == b"BI":
+                pos = _skip_inline_image(data, pos)
+        last_name = None
+    return out
+
+
 def do_spans(data: bytes) -> list[tuple[str, int, int]]:
     """Byte spans of every ``/Name Do`` op: (name, start, end) where
     ``start`` is the name token's offset and ``end`` is the position just

@@ -2068,6 +2068,87 @@ def extract_graphics(data: bytes, password: bytes = b""):
     return totals
 
 
+def extract_shadings(data: bytes, password: bytes = b""):
+    """Smooth-shading inventory (ISO 32000 §8.7.4.5): every page's
+    /Shading resource reported as ``(page_idx, name, shading_type,
+    coord_max, c0, c1, n_ops)`` — axial (2) / radial (3) geometry
+    (coord_max = the last /Coords entry: axis end x, or outer radius),
+    the colour function evaluated at the /Domain endpoints through
+    core/functions.py (components as floor(255*c + 0.5) ints, the
+    raster tier's pixel convention), and the count of ``/Name sh``
+    paint ops in the page's content stream (Form XObject bodies not
+    expanded — same documented scope as extract_graphics).  Lenient:
+    an unresolvable shading or function contributes no row."""
+    from .content import shading_ops
+    from .functions import build_function
+
+    rows: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            root_pages = get_resolved(root, "Pages", objects)
+            for page_idx, page in enumerate(_walk_pages(root_pages, objects, errors)):
+                resources = get_resolved(page, "Resources", objects) or {}
+                shd = get_resolved(resources, "Shading", objects)
+                if not isinstance(shd, dict):
+                    continue
+                content = _page_content_bytes(page, objects, errors)
+                ops = shading_ops(content) if content else {}
+                for name in sorted(str(k) for k in shd):
+                    try:
+                        sdict = get_resolved(shd, name, objects)
+                        if not isinstance(sdict, dict):
+                            continue
+                        stype = get_resolved(sdict, "ShadingType", objects)
+                        coords = get_resolved(sdict, "Coords", objects) or []
+                        fn_obj = get_resolved(sdict, "Function", objects)
+                        fn, n_out = build_function(
+                            fn_obj, lambda v: resolve(v, objects)
+                        )
+                        attrs = getattr(fn_obj, "attrs", fn_obj)
+                        dom = [
+                            float(resolve(v, objects))
+                            for v in resolve(attrs.get("Domain"), objects)
+                        ]
+                        import math as _math
+
+                        c0 = [
+                            int(_math.floor(255.0 * c + 0.5))
+                            for c in fn([dom[0]])
+                        ]
+                        c1 = [
+                            int(_math.floor(255.0 * c + 0.5))
+                            for c in fn([dom[1]])
+                        ]
+                        rows.append(
+                            (
+                                page_idx,
+                                name,
+                                int(stype),
+                                int(resolve(coords[-1], objects)) if coords else 0,
+                                c0,
+                                c1,
+                                int(ops.get(name, 0)),
+                            )
+                        )
+                    except (ValueError, TypeError, IndexError, KeyError):
+                        continue  # lenient: skip the shading, keep the page
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"shadings": rows, "errors": errors}
+
+
 def extract_font_programs(data: bytes, password: bytes = b""):
     """Embedded-font INVENTORY (corpus font forensics — "what fonts does
     this corpus embed, and do their programs parse?"): every font in

@@ -491,6 +491,45 @@ def extract_outlines_fused(documents_raw: DataFrame, password: bytes = b"") -> D
     )
 
 
+def extract_shadings_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Smooth-shading inventory (§8.7.4.5), zero shuffle: per-page
+    /Shading resources with geometry + the colour function evaluated at
+    its /Domain endpoints (`core.extract.extract_shadings`).  Flattened
+    one row per (doc, page, name) with per-channel endpoint colours."""
+    from ..core.extract import extract_shadings
+
+    schema = (
+        "doc_id long, page_idx int, name string, shading_type int, "
+        "coord_max int, c0_r int, c0_g int, c0_b int, "
+        "c1_r int, c1_g int, c1_b int, n_ops int"
+    )
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_shadings(_doc_bytes(spans), password=password)
+                for page_idx, name, stype, cmax, c0, c1, n_ops in res["shadings"]:
+                    if len(c0) != 3 or len(c1) != 3:
+                        continue  # non-RGB alternate: outside this view
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": page_idx,
+                            "name": name,
+                            "shading_type": stype,
+                            "coord_max": cmax,
+                            "c0_r": c0[0], "c0_g": c0[1], "c0_b": c0[2],
+                            "c1_r": c1[0], "c1_g": c1[1], "c1_b": c1[2],
+                            "n_ops": n_ops,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(run, schema=schema)
+
+
 def extract_graphics_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
     """Vector-graphics summary, zero shuffle: per-doc path-op counters
     over every page's content stream (`core.extract.extract_graphics`).

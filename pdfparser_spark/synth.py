@@ -67,6 +67,7 @@ WORDS_PER_PAGE = 8
 
 def doc_rules(doc_id: int) -> dict:
     return {
+        "doc_id": doc_id,
         "n_pages": 1 + doc_id % 3,
         "version": f"1.{4 + doc_id % 4}",
         "xref_stream": doc_id % 2 == 1,
@@ -200,6 +201,14 @@ def doc_rules(doc_id: int) -> dict:
         # — rect j is (20+j) x (10+2j), so the analytic summed area is
         # 0 / 200 / 452 by doc_id % 3.
         "gfx": (doc_id % 3, doc_id % 4, doc_id % 2),
+        # smooth shading (§8.7.4.5) on every 8th+5 doc: page 0 gains an
+        # INLINE /Shading resource (zero new objects) — axial (Type 2)
+        # or radial (Type 3) by (doc//8)%2 — whose colour function is an
+        # inline Type 2 blend between two palette entries, painted by
+        # 1 + doc%3 `sh` ops.  Only extract_shadings observes it
+        # (doc_shadings oracle); every text oracle is invariant.
+        "shading": doc_id % 8 == 5,
+        "shading_radial": doc_id % 8 == 5 and (doc_id // 8) % 2 == 1,
         # kern-positioned words (the TeX/InDesign form): every 37th+12 doc
         # writes EVERY page's line as a TJ array whose words are separate
         # string elements separated by a -300 kern and NO space glyphs —
@@ -211,6 +220,37 @@ def doc_rules(doc_id: int) -> dict:
         # _content_plain, not by exclusions here.
         "kern_words": doc_id % 37 == 12,
     }
+
+
+# palette of clean 2-decimal colour literals: parsed into the same IEEE
+# doubles by Python and DuckDB (the oracle CASTs each to DOUBLE)
+SHADING_PALETTE = (
+    ("0.2", "0.4", "0.6"),
+    ("0.8", "0.1", "0.3"),
+    ("0.5", "0.5", "0.25"),
+    ("0.9", "0.7", "0.1"),
+)
+
+
+def shading_dict(doc_id: int) -> str:
+    """Inline §8.7.4.5 shading dict for the doc%8==5 rule: axial
+    (Type 2) or radial (Type 3) by (doc//8)%2, colour function = inline
+    Type 2 blend PAL[doc%4] -> PAL[(doc+1)%4], coords doc-derived."""
+    c0 = " ".join(SHADING_PALETTE[doc_id % 4])
+    c1 = " ".join(SHADING_PALETTE[(doc_id + 1) % 4])
+    fn = f"<< /FunctionType 2 /Domain [0 1] /C0 [{c0}] /C1 [{c1}] /N 1 >>"
+    if (doc_id // 8) % 2 == 1:
+        coords = f"[50 50 0 50 50 {40 + (doc_id % 5) * 10}]"
+        return (
+            f"<< /ShadingType 3 /ColorSpace /DeviceRGB /Coords {coords} "
+            f"/Function {fn} /Extend [true true] >>"
+        )
+    ax = 100 + (doc_id % 7) * 20
+    coords = f"[0 0 {ax} {ax}]"  # diagonal axis: the reported coord_max
+    return (
+        f"<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords {coords} "
+        f"/Function {fn} /Extend [true false] >>"
+    )
 
 
 def gfx_ops(rules: dict) -> str:
@@ -553,6 +593,8 @@ def _content_plain(
     parts.append("ET")
     if page_idx == 0:
         parts.append(gfx_ops(rules))
+        if rules.get("shading"):
+            parts.append(" q /Sh1 sh Q" * (1 + rules["doc_id"] % 3))
     if page_idx == 0 and rules["media"]:
         parts.append(" q /Im1 Do Q")
     if page_idx == 0 and rules.get("ocg_hidden"):
@@ -854,6 +896,8 @@ def build_document(doc_id: int, text: str) -> dict:
                 " /ExtGState << /GS0 << /Type /ExtGState /CA 0.5 >> "
                 f"/GS1 << /Type /ExtGState /Font [{FONT} 0 R 12] >> >>"
             )
+        if p == 0 and r["shading"]:
+            res += " /Shading << /Sh1 " + shading_dict(doc_id) + " >>"
         res += " >>"
         entry = f"<< /Type /Page /Parent {parent} 0 R /MediaBox [0 0 612 792] /Resources {res}"
         if t and p == 0 and split_id is not None:

@@ -1057,18 +1057,43 @@ def extract_spans(data: bytes, strict: bool = False, password: bytes = b""):
 
         # B1: trailer -> Root (doc_tree.rs:147-150)
         root = get_resolved(trailer, "Root", objects)
-        if not isinstance(root, dict):
-            raise PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
-        pages_node = get_resolved(root, "Pages", objects)
-        if pages_node is None:
-            raise PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
-        pages = _walk_pages(pages_node, objects, errors)
+        pages_node = (
+            get_resolved(root, "Pages", objects) if isinstance(root, dict) else None
+        )
+        if pages_node is not None:
+            pages = _walk_pages(pages_node, objects, errors)
+        else:
+            # catalog-loss repair (the real-world mutool/pdfium move): a
+            # corrupt or missing /Root//Pages degrades to an ORPHAN-PAGE
+            # SCAN — every parsed dict with /Type /Page, in object-id
+            # order (creation order, which is page order for every
+            # non-adversarial writer).  Catalog-scoped semantics
+            # (optional-content config, names, outlines) are gone with
+            # the catalog; strict mode keeps the spec-strict raise.
+            err = (
+                PdfError("trailer /Root missing or dangling", kind=REFERENCE_ERROR, stage="assemble")
+                if not isinstance(root, dict)
+                else PdfError("catalog /Pages missing", kind=DOC_TREE_ERROR, stage="assemble")
+            )
+            if strict:
+                raise err
+            pages = [
+                v
+                for _key, v in sorted(objects.items())
+                if isinstance(v, dict) and str(v.get("Type")) == "Page"
+            ]
+            if not pages:
+                raise err
+            errors.append(
+                (err.kind, "assemble", f"{err}; recovered {len(pages)} orphan pages")
+            )
+            root = None
         n_pages = len(pages)
 
         # per-page: tokenize content (Form XObjects executed in place),
         # decode text, resolve XObjects
         font_cache: dict = {}
-        off_ids = _off_ocg_ids(root, objects)
+        off_ids = _off_ocg_ids(root, objects) if isinstance(root, dict) else set()
         for page in pages:
             resources = get_resolved(page, "Resources", objects) or {}
             content = _page_content_bytes(page, objects, errors)

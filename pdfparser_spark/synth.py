@@ -1802,6 +1802,24 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
             bytes=d["bytes"][:cut],
             span_rows=_truncate_span_rows(d["span_rows"], cut),
         )
+    elif doc_id % 4 == 2 and doc_id % 29 != 11:
+        # CATALOG-LOSS arm: every `1 0 obj` body (incremental docs carry a
+        # re-written catalog too) is blanked IN PLACE — same byte length,
+        # so the xref stays valid but /Root resolves to nothing and the
+        # kernel must fall back to the orphan-page scan.  Hidden-OCG docs
+        # (%29==11) are excluded: their layer suppression lives in the
+        # catalog's /OCProperties, so catalog loss would legitimately
+        # change the spans and break the undamaged-expectation oracle.
+        import re as _re
+
+        blob = bytearray(d["bytes"])
+        for m in list(_re.finditer(rb"(?<![0-9])1 0 obj", bytes(blob))):
+            start = m.start()
+            end = blob.find(b"endobj", start)
+            if end == -1:
+                continue
+            blob[start + 7 : end] = b" " * (end - start - 7)
+        d = dict(d, bytes=bytes(blob))
     return d
 
 

@@ -1101,3 +1101,26 @@ def test_fill_form_fields_incremental_roundtrip():
     # unknown names: a no-op revision is never appended
     same = fill_form_fields(base, {"nope": "x"})
     assert same == base
+
+
+def test_catalog_loss_orphan_page_recovery():
+    """Damaged-family arm doc%4==2: every catalog body blanked in place
+    (xref intact) — the kernel rebuilds the page list by the orphan-page
+    scan and extracts the UNDAMAGED spans; strict mode refuses instead.
+    Hidden-OCG docs are excluded from the arm (catalog-scoped
+    suppression would legitimately change spans)."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document, build_document_damaged
+
+    text = " ".join(f"w{i}" for i in range(24))
+    for doc_id in (2, 6, 10, 14, 22, 30, 38, 114):
+        dmg = build_document_damaged(doc_id, text)
+        res = extract_spans(dmg["bytes"])
+        want = extract_spans(build_document(doc_id, text)["bytes"])["spans"]
+        assert res["spans"] == want, doc_id
+        assert any("orphan pages" in e[2] for e in res["errors"]), doc_id
+    # hidden-OCG doc on the would-be arm keeps its intact catalog
+    d98 = build_document_damaged(98, text)
+    r98 = extract_spans(d98["bytes"])
+    assert not any("orphan" in e[2] for e in r98["errors"])
+    assert r98["spans"] == extract_spans(build_document(98, text)["bytes"])["spans"]

@@ -112,9 +112,23 @@ def write_tar_shards(
             )
             n += 2
         parts.append(b"\0" * (2 * BLOCK))  # end-of-archive
+        blob = b"".join(parts)
+        # compression cycle by shard: plain / .tar.gz (deterministic
+        # gzip, mtime 0) / .tar.xz — the real-world dump mix; the reader
+        # sniffs magic bytes, so the tar walk itself is container-blind
+        if shard % 3 == 1:
+            import gzip as _gzip
+
+            blob = _gzip.compress(blob, mtime=0)
+            path += ".gz"
+        elif shard % 3 == 2:
+            import lzma as _lzma
+
+            blob = _lzma.compress(blob, format=_lzma.FORMAT_XZ)
+            path += ".xz"
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as fh:
-            fh.write(b"".join(parts))
+            fh.write(blob)
         os.replace(tmp, path)
         return pd.DataFrame({"shard": [shard], "path": [path], "n_members": [n]})
 
@@ -126,12 +140,35 @@ def write_tar_shards(
     )
 
 
+def decompress_container(data: bytes) -> bytes:
+    """Sniff and strip the archive's compression container: gzip
+    (1F 8B), xz (FD '7zXZ' 00) or none.  A corrupt container raises
+    ValueError (contained by the reader as one error row)."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip as _gzip
+
+        try:
+            return _gzip.decompress(data)
+        except Exception as e:
+            raise ValueError(f"bad gzip container: {e}") from e
+    if data[:6] == b"\xfd7zXZ\x00":
+        import lzma as _lzma
+
+        try:
+            return _lzma.decompress(data)
+        except Exception as e:
+            raise ValueError(f"bad xz container: {e}") from e
+    return data
+
+
 def parse_tar(data: bytes) -> Iterator[dict]:
     """Members of one archive -> dicts (name, size, mtime, payload,
-    error).  The header checksum is VERIFIED (sum with the checksum
-    field as spaces); a mismatch yields one error row and stops the
-    walk — after a bad header the chain offsets are untrustworthy.
-    Two zero blocks (or EOF) end the archive."""
+    error).  Compressed containers (.tar.gz/.tar.xz) are stripped by
+    magic sniff first.  The header checksum is VERIFIED (sum with the
+    checksum field as spaces); a mismatch yields one error row and
+    stops the walk — after a bad header the chain offsets are
+    untrustworthy.  Two zero blocks (or EOF) end the archive."""
+    data = decompress_container(data)
     off = 0
     while off + BLOCK <= len(data):
         hdr = data[off : off + BLOCK]
@@ -175,7 +212,7 @@ def read_tar(spark: SparkSession, path: str) -> DataFrame:
     walking every member header (shard-level parallelism; tar is not
     splittable without the header chain, so a shard is the work unit —
     size shards ~1 GB like WARC)."""
-    files = spark.read.format("binaryFile").load(os.path.join(path, "*.tar"))
+    files = spark.read.format("binaryFile").load(os.path.join(path, "*.tar*"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["name", "size", "mtime", "payload", "error"]

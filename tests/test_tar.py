@@ -67,3 +67,40 @@ def test_truncated_member_is_contained():
     blob = build_tar_member("t.pdf", b"0123456789")
     rows = list(parse_tar(blob[: BLOCK + 4]))  # data cut mid-member
     assert rows[-1]["error"] == "truncated member"
+
+
+def test_compressed_containers_roundtrip_and_interop():
+    """.tar.gz/.tar.xz containers: our gzip/xz shards open in stdlib
+    tarfile ("r:gz"/"r:xz"), and tarfile-written compressed archives
+    parse through our container sniff + header walk."""
+    import gzip
+    import lzma
+
+    from pdfparser_spark.sources.tar import build_tar_member, decompress_container, parse_tar
+
+    blob = build_tar_member("a/doc1.pdf", b"payload-1") + build_tar_member(
+        "a/doc2.pdf", b"payload-22"
+    ) + b"\0" * 1024
+    for compress, mode in ((lambda b: gzip.compress(b, mtime=0), "r:gz"),
+                           (lambda b: lzma.compress(b, format=lzma.FORMAT_XZ), "r:xz")):
+        packed = compress(blob)
+        # ours -> stdlib
+        tf = tarfile.open(fileobj=io.BytesIO(packed), mode=mode)
+        assert [m.name for m in tf.getmembers()] == ["a/doc1.pdf", "a/doc2.pdf"]
+        assert tf.extractfile("a/doc2.pdf").read() == b"payload-22"
+        # stdlib -> ours (independent writer through the same sniff)
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:" + mode.split(":")[1]) as w:
+            info = tarfile.TarInfo("x/doc9.pdf")
+            data = b"stdlib-member"
+            info.size = len(data)
+            w.addfile(info, io.BytesIO(data))
+        rows = list(parse_tar(buf.getvalue()))
+        good = [r for r in rows if r["error"] is None]
+        assert [r["name"] for r in good] == ["x/doc9.pdf"]
+        assert good[0]["payload"] == b"stdlib-member"
+    # corrupt container: one ValueError, contained
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decompress_container(b"\x1f\x8b" + b"garbage")

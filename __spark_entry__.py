@@ -2198,6 +2198,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpx_decode": lambda s, d: media.media_jpx_decode(
             _pipeline(s, d)["spans_flat"]
         ),
+        # temperature-scaled mixture sampling (XLM-R/mT5 alpha-sampling,
+        # alpha = 0.5 so the weight algebra is IEEE-exact cross-engine):
+        # per-language targets from sqrt weights, md5-ranked fill
+        "mixture_temperature_sample": lambda s, d: curation.temperature_sample(
+            _tbl(s, d, "documents")
+        ),
         # smooth shadings (§8.7.4.5): page-0 inline axial/radial dicts
         # with the colour function EVALUATED at its domain endpoints
         # through the §7.10 interpreter, plus per-name `sh` op counts
@@ -5727,6 +5733,35 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
             )
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        # weight denominator folds sqrt(n) in lang order via
+        # list_reduce/list_prepend — mirrors the Spark F.aggregate fold
+        "mixture_temperature_sample": """
+            WITH stats AS (
+              SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+            ), den AS (
+              SELECT list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(sqrt(CAST(n_lang AS DOUBLE)) ORDER BY lang)),
+                       (acc, x) -> acc + x) AS denom,
+                     CAST(SUM(n_lang) AS BIGINT) AS total
+              FROM stats
+            ), tg AS (
+              SELECT lang, n_lang,
+                     CAST(FLOOR(CAST(total // 2 AS DOUBLE)
+                                * (sqrt(CAST(n_lang AS DOUBLE)) / denom)) AS BIGINT)
+                       AS target
+              FROM stats, den
+            ), rk AS (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+              FROM documents
+            )
+            SELECT r.doc_id, r.lang, t.n_lang, t.target, CAST(r.rk AS BIGINT) AS rk
+            FROM rk r JOIN tg t USING (lang)
+            WHERE r.rk <= t.target
         """,
         # shading endpoints are EXACTLY the Type 2 /C0 //C1 palette
         # entries (function eval at the domain ends has no interpolation);

@@ -519,3 +519,67 @@ def unicode_normalize(documents: DataFrame, form: str = "NFC") -> DataFrame:
     return documents.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, norm_text string, n_folded long, changed boolean"
     )
+
+
+def temperature_sample(documents: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-scaled mixture sampling — the data-MIXING step of a
+    multilingual training pipeline (the multinomial alpha-sampling of
+    the XLM-R / mT5 recipes): per-language weights w_i proportional to
+    n_i^alpha flatten the head languages, and a half-corpus budget is
+    allocated as target_i = floor(budget * w_i), filled by a
+    deterministic md5 ranking within each language.
+
+    alpha is fixed at 0.5 for the registered query: sqrt is a correctly
+    rounded IEEE operation on BOTH engines, so the weight algebra is
+    bit-exact cross-engine (pow(n, alpha) for general alpha is NOT —
+    documented limit).  The weight denominator folds in lang-sorted
+    order (double addition is non-associative; the oracle mirrors the
+    same fold via list_reduce/list_prepend).
+
+    One aggregation + one broadcast join + one window: the per-language
+    stats table is tiny, so nothing but the ranking shuffles the corpus
+    — and the window partitions by lang, bounded groups.  Emits
+    (doc_id, lang, n_lang, target, rk) for the SELECTED docs.
+    """
+    from pyspark.sql.window import Window
+
+    if alpha != 0.5:
+        raise ValueError("only alpha = 0.5 is cross-engine exact (see docstring)")
+    stats = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    denom = stats.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "n_lang"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_lang"].cast("double")),
+        ).alias("denom"),
+        F.sum("n_lang").alias("total"),
+    )
+    targets = (
+        stats.crossJoin(F.broadcast(denom))
+        .select(
+            "lang",
+            "n_lang",
+            F.floor(
+                F.floor(F.col("total") / 2).cast("double")
+                * (F.sqrt(F.col("n_lang").cast("double")) / F.col("denom"))
+            )
+            .cast("long")
+            .alias("target"),
+        )
+    )
+    ranked = documents.select(
+        "doc_id",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang", "n_lang", "target", "rk")
+    )

@@ -316,6 +316,15 @@ def parse_all_objects(
                 return None
         return v if isinstance(v, int) else None
 
+    def _resync_header(obj_id: int, gen: int, off: int):
+        """Offset-slop repair (broken real-world writers routinely emit
+        xref offsets a few bytes off): look for the exact ``N G obj``
+        header within +-64 bytes of the recorded offset."""
+        pat = re.compile(rb"(?<![0-9])" + f"{obj_id} {gen} obj".encode("ascii"))
+        lo = max(0, off - 64)
+        m = pat.search(data, lo, min(len(data), off + 96))
+        return m.start() if m is not None and m.start() != off else None
+
     tok = Tokenizer(data, length_resolver=length_resolver)
     for (obj_id, gen), off in sorted(offsets.items()):
         if (obj_id, gen) in objects:
@@ -326,9 +335,35 @@ def parse_all_objects(
         try:
             ind, _ = tok.parse_indirect_at(off)
             if ind.obj_id != obj_id:
+                off2 = _resync_header(obj_id, gen, off)
+                if off2 is not None:
+                    try:
+                        ind2, _ = tok.parse_indirect_at(off2)
+                        if ind2.obj_id == obj_id:
+                            objects[(ind2.obj_id, ind2.gen)] = ind2.value
+                            errors.append((
+                                "ParsingError", "tokenize",
+                                f"obj {obj_id}: offset slop {off2 - off:+d} repaired",
+                            ))
+                            continue
+                    except ParsingError:
+                        pass
                 errors.append(("ParsingError", "tokenize", f"xref points {obj_id} at object {ind.obj_id}"))
             objects[(ind.obj_id, ind.gen)] = ind.value
         except ParsingError as e:
+            off2 = _resync_header(obj_id, gen, off)
+            if off2 is not None:
+                try:
+                    ind, _ = tok.parse_indirect_at(off2)
+                    if ind.obj_id == obj_id:
+                        objects[(ind.obj_id, ind.gen)] = ind.value
+                        errors.append((
+                            "ParsingError", "tokenize",
+                            f"obj {obj_id}: offset slop {off2 - off:+d} repaired",
+                        ))
+                        continue
+                except ParsingError:
+                    pass
             errors.append(("ParsingError", "tokenize", f"obj {obj_id}: {e}"))
 
     # Object streams (§7.5.7): type-2 entries live inside an ObjStm.

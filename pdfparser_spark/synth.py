@@ -1802,7 +1802,7 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
             bytes=d["bytes"][:cut],
             span_rows=_truncate_span_rows(d["span_rows"], cut),
         )
-    elif doc_id % 4 == 2 and doc_id % 29 != 11:
+    elif doc_id % 8 == 2 and doc_id % 29 != 11:
         # CATALOG-LOSS arm: every `1 0 obj` body (incremental docs carry a
         # re-written catalog too) is blanked IN PLACE — same byte length,
         # so the xref stays valid but /Root resolves to nothing and the
@@ -1819,6 +1819,19 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
             if end == -1:
                 continue
             blob[start + 7 : end] = b" " * (end - start - 7)
+        d = dict(d, bytes=bytes(blob))
+    elif doc_id % 8 == 6:
+        # OFFSET-SLOP arm (the broken-writer classic): every in-use
+        # classic-xref entry's 10-digit offset is bumped by +3 in place —
+        # the kernel's +-64-byte header re-sync must repair every object
+        # and extract the undamaged spans (plus one repair error row per
+        # object).
+        import re as _re
+
+        blob = bytearray(d["bytes"])
+        for m in _re.finditer(rb"(?m)^(\d{10}) (\d{5}) n", bytes(blob)):
+            fixed = int(m.group(1)) + 3
+            blob[m.start(1) : m.start(1) + 10] = f"{fixed:010d}".encode("ascii")
         d = dict(d, bytes=bytes(blob))
     return d
 

@@ -3776,6 +3776,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(0 AS INT) AS sig_idx, 'Sig1' AS field,
                    'Corpus Signer ' || CAST(doc_id % 3 AS VARCHAR) AS signer,
                    CASE WHEN doc_id % 5 = 4 THEN 'sha1' ELSE 'sha256' END AS digest_alg,
+                   CASE WHEN doc_id % 7 = 2 THEN 'ec' ELSE 'rsa' END AS key_alg,
                    doc_id % 5 <> 2 AS coverage_ok,
                    doc_id % 5 <> 1 AS digest_ok,
                    doc_id % 5 <> 3 AS sig_ok

@@ -2756,7 +2756,7 @@ def extract_signatures(data: bytes, password: bytes = b""):
     ``/Contents`` (doc_tree.rs:63-142); signatures are a north-star tier.
 
     Returns ``{"signatures": [(sig_idx, field, signer, digest_alg,
-    coverage_ok, digest_ok, sig_ok)], "errors"}`` — lenient: a
+    key_alg, coverage_ok, digest_ok, sig_ok)], "errors"}`` — lenient: a
     structurally broken CMS yields an error row plus a row with NULL
     verdicts, never an exception."""
     from .signature import byte_range_coverage_ok, range_bytes, verify_cms
@@ -2788,7 +2788,7 @@ def extract_signatures(data: bytes, password: bytes = b""):
                 br = [resolve(x, objects) for x in br]
             contents = get_resolved(sv, "Contents", objects)
             coverage = byte_range_coverage_ok(br, len(data))
-            signer = alg = None
+            signer = alg = key_alg = None
             digest_ok = sig_ok = None
             if (
                 isinstance(br, list)
@@ -2800,13 +2800,14 @@ def extract_signatures(data: bytes, password: bytes = b""):
                     res = verify_cms(bytes(contents), range_bytes(data, br))
                     signer = res["signer"]
                     alg = res["digest_alg"]
+                    key_alg = res["key_alg"]
                     digest_ok = res["digest_ok"]
                     sig_ok = res["sig_ok"]
                 except ValueError as e:
                     errors.append((DOC_TREE_ERROR, "classify", f"CMS: {e}"))
             else:
                 errors.append((DOC_TREE_ERROR, "classify", "malformed signature dict"))
-            sigs.append((si, fname, signer, alg, coverage, digest_ok, sig_ok))
+            sigs.append((si, fname, signer, alg, key_alg, coverage, digest_ok, sig_ok))
             si += 1
     except PdfError as e:
         errors.append((e.kind, e.stage, str(e)))

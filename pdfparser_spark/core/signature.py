@@ -37,6 +37,9 @@ OID_RSA = "1.2.840.113549.1.1.1"
 OID_CN = "2.5.4.3"
 OID_SHA256 = "2.16.840.1.101.3.4.2.1"
 OID_SHA1 = "1.3.14.3.2.26"
+OID_EC_PUBKEY = "1.2.840.10045.2.1"
+OID_P256 = "1.2.840.10045.3.1.7"
+OID_ECDSA_SHA256 = "1.2.840.10045.4.3.2"
 
 _HASHERS = {OID_SHA256: hashlib.sha256, OID_SHA1: hashlib.sha1}
 
@@ -112,21 +115,40 @@ def _alg_oid(data: bytes, node) -> str:
     return _decode_oid(data, kids[0][1], kids[0][2])
 
 
-def _spki_key(data: bytes, spki) -> tuple[int, int]:
-    """SubjectPublicKeyInfo -> (n, e) for an rsaEncryption key."""
+def _spki_key(data: bytes, spki) -> dict:
+    """SubjectPublicKeyInfo -> key descriptor: ``{"kind": "rsa", n, e}``
+    for rsaEncryption, ``{"kind": "ec", x, y}`` for id-ecPublicKey on
+    P-256 (the uncompressed 04||X||Y point form)."""
     kids = _children(data, spki[1], spki[2])
-    if len(kids) != 2 or _alg_oid(data, kids[0]) != OID_RSA or kids[1][0] != 0x03:
-        raise ValueError("DER: not an RSA SubjectPublicKeyInfo")
+    if len(kids) != 2 or kids[1][0] != 0x03:
+        raise ValueError("DER: SubjectPublicKeyInfo shape")
+    alg = _alg_oid(data, kids[0])
     bs, be = kids[1][1], kids[1][2]
     if be <= bs or data[bs] != 0:
         raise ValueError("DER: BIT STRING with unused bits")
+    if alg == OID_EC_PUBKEY:
+        alg_kids = _children(data, kids[0][1], kids[0][2])
+        if len(alg_kids) != 2 or alg_kids[1][0] != 0x06:
+            raise ValueError("DER: ecPublicKey without namedCurve")
+        if _decode_oid(data, alg_kids[1][1], alg_kids[1][2]) != OID_P256:
+            raise ValueError("DER: unsupported EC curve")
+        pt = data[bs + 1 : be]
+        if len(pt) != 65 or pt[0] != 0x04:
+            raise ValueError("DER: EC point not uncompressed")
+        return {
+            "kind": "ec",
+            "x": int.from_bytes(pt[1:33], "big"),
+            "y": int.from_bytes(pt[33:65], "big"),
+        }
+    if alg != OID_RSA:
+        raise ValueError("DER: unsupported SPKI algorithm")
     tag, cs, ce, _ = _tlv(data, bs + 1)
     if tag != 0x30:
         raise ValueError("DER: RSAPublicKey not a SEQUENCE")
     ints = _children(data, cs, ce)
     if len(ints) != 2:
         raise ValueError("DER: RSAPublicKey arity")
-    return _int_at(data, ints[0]), _int_at(data, ints[1])
+    return {"kind": "rsa", "n": _int_at(data, ints[0]), "e": _int_at(data, ints[1])}
 
 
 def _subject_cn(data: bytes, name_node) -> str | None:
@@ -140,18 +162,17 @@ def _subject_cn(data: bytes, name_node) -> str | None:
     return None
 
 
-def _cert_key_and_cn(data: bytes, cert) -> tuple[int, int, str | None]:
-    """Certificate -> (n, e, subject CN).  tbsCertificate fields per RFC
-    5280 §4.1: [0] version?, serial, signature, issuer, validity,
-    subject, subjectPublicKeyInfo."""
+def _cert_key_and_cn(data: bytes, cert) -> tuple[dict, str | None]:
+    """Certificate -> (key descriptor, subject CN).  tbsCertificate
+    fields per RFC 5280 §4.1: [0] version?, serial, signature, issuer,
+    validity, subject, subjectPublicKeyInfo."""
     tbs = _children(data, cert[1], cert[2])[0]
     kids = _children(data, tbs[1], tbs[2])
     i = 1 if kids and kids[0][0] == 0xA0 else 0
     serial, _sigalg, _issuer, _validity, subject, spki = kids[i : i + 6]
     if serial[0] != 0x02:
         raise ValueError("DER: tbsCertificate shape")
-    n, e = _spki_key(data, spki)
-    return n, e, _subject_cn(data, subject)
+    return _spki_key(data, spki), _subject_cn(data, subject)
 
 
 def _rsa_verify(sig: bytes, n: int, e: int, digest_oid: str, message: bytes) -> bool:
@@ -190,13 +211,13 @@ def verify_cms(cms: bytes, signed_bytes: bytes) -> dict:
     sd = _children(cms, sd_wrap[0][1], sd_wrap[0][2])
     # version, digestAlgorithms, encapContentInfo, [0] certs?, [1] crls?,
     # signerInfos
-    n = e = None
+    key = None
     signer = None
     for node in sd[3:]:
         if node[0] == 0xA0:  # certificates
             certs = _children(cms, node[1], node[2])
             if certs:
-                n, e, signer = _cert_key_and_cn(cms, certs[0])
+                key, signer = _cert_key_and_cn(cms, certs[0])
     si_set = sd[-1]
     if si_set[0] != 0x31:
         raise ValueError("CMS: signerInfos missing")
@@ -231,16 +252,29 @@ def verify_cms(cms: bytes, signed_bytes: bytes) -> dict:
     )
 
     # signature over the RETAGGED signedAttrs (RFC 5652 §5.4: explicit
-    # SET OF replaces the [0] IMPLICIT tag)
+    # SET OF replaces the [0] IMPLICIT tag), dispatched on the embedded
+    # certificate's key kind: RSASSA-PKCS1-v1_5 or ECDSA P-256 (the DER
+    # (r, s) SEQUENCE in SignerInfo.signature)
     sig_ok = False
-    if n is not None and e is not None:
+    if key is not None:
         content = cms[attrs_node[1] : attrs_node[2]]
         retagged = _der_header(0x31, len(content)) + content
-        sig_ok = _rsa_verify(sig, n, e, digest_oid, retagged)
+        if key["kind"] == "rsa":
+            sig_ok = _rsa_verify(sig, key["n"], key["e"], digest_oid, retagged)
+        else:
+            from . import ecdsa as _ecdsa
+
+            hasher = _HASHERS.get(digest_oid)
+            rs = _ecdsa.sig_from_der(sig)
+            if hasher is not None and rs is not None:
+                sig_ok = _ecdsa.verify(
+                    key["x"], key["y"], hasher(retagged).digest(), rs[0], rs[1]
+                )
     return {
         "signer": signer,
         "digest_alg": "sha256" if digest_oid == OID_SHA256 else
                       "sha1" if digest_oid == OID_SHA1 else digest_oid,
+        "key_alg": key["kind"] if key is not None else None,
         "digest_ok": bool(digest_ok),
         "sig_ok": bool(sig_ok),
     }

@@ -843,13 +843,13 @@ def extract_signatures_fused(documents_raw: DataFrame, password: bytes = b"") ->
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "doc_id", "sig_idx", "field", "signer",
-            "digest_alg", "coverage_ok", "digest_ok", "sig_ok",
+            "digest_alg", "key_alg", "coverage_ok", "digest_ok", "sig_ok",
         ]
         for pdf in batches:
             rows = []
             for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
                 res = extract_signatures(_doc_bytes(spans), password=password)
-                for si, field, signer, alg, cov, dok, sok in res["signatures"]:
+                for si, field, signer, alg, kalg, cov, dok, sok in res["signatures"]:
                     rows.append(
                         {
                             "doc_id": int(doc_id),
@@ -857,6 +857,7 @@ def extract_signatures_fused(documents_raw: DataFrame, password: bytes = b"") ->
                             "field": field,
                             "signer": signer,
                             "digest_alg": alg,
+                            "key_alg": kalg,
                             "coverage_ok": cov,
                             "digest_ok": dok,
                             "sig_ok": sok,
@@ -868,7 +869,7 @@ def extract_signatures_fused(documents_raw: DataFrame, password: bytes = b"") ->
         run,
         schema=(
             "doc_id long, sig_idx int, field string, signer string, "
-            "digest_alg string, coverage_ok boolean, digest_ok boolean, "
+            "digest_alg string, key_alg string, coverage_ok boolean, digest_ok boolean, "
             "sig_ok boolean"
         ),
     )

@@ -3265,6 +3265,55 @@ def sig_signer_cn(doc_id: int) -> str:
     return f"Corpus Signer {doc_id % 3}"
 
 
+# corpus EC signing key (P-256; arbitrary fixed scalar, public point
+# derived once) — the ECDSA arm of the signed family
+SIG_EC_D = 0x1F2D3C4B5A69788796A5B4C3D2E1F00F1E2D3C4B5A69788796A5B4C3D2E1F00F
+
+
+@lru_cache(maxsize=1)
+def _sig_ec_pub() -> tuple[int, int]:
+    from .core import ecdsa as _ecdsa
+
+    return _ecdsa.public_key(SIG_EC_D)
+
+
+def sig_is_ecdsa(doc_id: int) -> bool:
+    """Every 7th+2 signed doc signs ECDSA-P256 instead of RSA (composes
+    with the %5 variant cycle, so EC also gets tampered/appended/corrupt
+    arms and the sha1 digest arm = ecdsa-with-SHA1)."""
+    return doc_id % 7 == 2
+
+
+_OID_ECDSA_SHA256 = bytes.fromhex("06082a8648ce3d040302")
+_OID_ECDSA_SHA1 = bytes.fromhex("06072a8648ce3d0401")
+_OID_EC_PUBKEY = bytes.fromhex("06072a8648ce3d0201")
+_OID_P256 = bytes.fromhex("06082a8648ce3d030107")
+
+
+def _sig_cert_ec(cn: str, serial: int) -> bytes:
+    """Minimal RFC 5280 certificate carrying the corpus P-256 key
+    (uncompressed point; ECDSA AlgorithmIdentifiers carry NO NULL
+    parameter, unlike RSA's)."""
+    qx, qy = _sig_ec_pub()
+    point = b"\x04" + qx.to_bytes(32, "big") + qy.to_bytes(32, "big")
+    spki = _der(
+        0x30,
+        _der(0x30, _OID_EC_PUBKEY + _OID_P256) + _der(0x03, b"\x00" + point),
+    )
+    validity = _der(0x30, _der(0x17, b"200101000000Z") + _der(0x17, b"400101000000Z"))
+    tbs = _der(
+        0x30,
+        _der(0xA0, _der_int(2))
+        + _der_int(serial)
+        + _der(0x30, _OID_ECDSA_SHA256)
+        + _der_name("pdfspark test CA")
+        + validity
+        + _der_name(cn)
+        + spki,
+    )
+    return _der(0x30, tbs + _der(0x30, _OID_ECDSA_SHA256) + _der(0x03, b"\x00\x00"))
+
+
 def _sig_cert(cn: str, serial: int) -> bytes:
     """Minimal RFC 5280 certificate carrying the corpus RSA key.  The
     cert's own signature field is a zero bit string (chain validation is
@@ -3300,16 +3349,25 @@ def _sig_cms(signed_bytes: bytes, doc_id: int) -> bytes:
         + _der(0x30, _OID_MESSAGE_DIGEST + _der(0x31, _der(0x04, digest)))
     )
     # RFC 5652 §5.4: the signature is over the attrs RETAGGED as SET OF
-    em_t = (
-        (
-            bytes.fromhex("3021300906052b0e03021a05000414")
-            if sha1
-            else bytes.fromhex("3031300d060960864801650304020105000420")
+    ec = sig_is_ecdsa(doc_id)
+    if ec:
+        from .core import ecdsa as _ecdsa
+
+        r_, s_ = _ecdsa.sign(SIG_EC_D, hasher(_der(0x31, attrs)).digest())
+        sig = _ecdsa.sig_to_der(r_, s_)
+        sig_alg = _der(0x30, _OID_ECDSA_SHA1 if sha1 else _OID_ECDSA_SHA256)
+    else:
+        em_t = (
+            (
+                bytes.fromhex("3021300906052b0e03021a05000414")
+                if sha1
+                else bytes.fromhex("3031300d060960864801650304020105000420")
+            )
+            + hasher(_der(0x31, attrs)).digest()
         )
-        + hasher(_der(0x31, attrs)).digest()
-    )
-    em = b"\x00\x01" + b"\xff" * (_SIG_K - len(em_t) - 3) + b"\x00" + em_t
-    sig = pow(int.from_bytes(em, "big"), SIG_D, SIG_N).to_bytes(_SIG_K, "big")
+        em = b"\x00\x01" + b"\xff" * (_SIG_K - len(em_t) - 3) + b"\x00" + em_t
+        sig = pow(int.from_bytes(em, "big"), SIG_D, SIG_N).to_bytes(_SIG_K, "big")
+        sig_alg = _der_alg(_OID_RSA)
     if doc_id % 5 == 3:
         sig = sig[:-1] + bytes((sig[-1] ^ 0xFF,))  # corrupt: DER shape intact
     serial = 1000 + doc_id % 3
@@ -3320,7 +3378,7 @@ def _sig_cms(signed_bytes: bytes, doc_id: int) -> bytes:
         + _der(0x30, _der_name("pdfspark test CA") + _der_int(serial))
         + _der_alg(oid_h)
         + _der(0xA0, attrs)
-        + _der_alg(_OID_RSA)
+        + sig_alg
         + _der(0x04, sig),
     )
     sd = _der(
@@ -3328,20 +3386,21 @@ def _sig_cms(signed_bytes: bytes, doc_id: int) -> bytes:
         _der_int(1)
         + _der(0x31, _der_alg(oid_h))
         + _der(0x30, _OID_DATA)
-        + _der(0xA0, _sig_cert(cn, serial))
+        + _der(0xA0, (_sig_cert_ec if ec else _sig_cert)(cn, serial))
         + _der(0x31, si),
     )
     return _der(0x30, _OID_SIGNED_DATA + _der(0xA0, sd))
 
 
-def expected_signature(doc_id: int) -> tuple[str, str, str, bool, bool, bool]:
+def expected_signature(doc_id: int) -> tuple[str, str, str, str, bool, bool, bool]:
     """Analytic ground truth for ``doc_signatures``:
-    (field, signer, digest_alg, coverage_ok, digest_ok, sig_ok)."""
+    (field, signer, digest_alg, key_alg, coverage_ok, digest_ok, sig_ok)."""
     v = doc_id % 5
     return (
         "Sig1",
         sig_signer_cn(doc_id),
         "sha1" if v == 4 else "sha256",
+        "ec" if sig_is_ecdsa(doc_id) else "rsa",
         v != 2,
         v != 1,
         v != 3,

@@ -454,7 +454,7 @@ def test_signed_kernel_lenient_on_corrupt_contents():
     data[lt : lt + 2400] = b"0" * 2400
     r = extract_signatures(bytes(data))
     assert len(r["signatures"]) == 1
-    si, field, signer, alg, cov, dok, sok = r["signatures"][0]
+    si, field, signer, alg, kalg, cov, dok, sok = r["signatures"][0]
     assert field == "Sig1" and cov is True and dok is None and sok is None
     assert r["errors"]
 

@@ -45,6 +45,7 @@ from pdfparser_spark.stages import (
     extract_layout_rewrite_fused,
     extract_graphics_fused,
     extract_shadings_fused,
+    extract_sign_roundtrip_fused,
     extract_incremental_redact_fused,
     extract_markup_fused,
     extract_redact_fused,
@@ -2197,6 +2198,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # levels; reversible coding makes the pixel sums exact
         "media_jpx_decode": lambda s, d: media.media_jpx_decode(
             _pipeline(s, d)["spans_flat"]
+        ),
+        # writer-side digital SIGNING roundtrip: serialize -> append a
+        # placeholder-first signature revision (RSA on even docs, ECDSA
+        # P-256 on odd; §12.8 ByteRange patched in place) -> verify +
+        # re-extract; invalid signatures poison the row set
+        "pdf_sign_roundtrip": lambda s, d: extract_sign_roundtrip_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
+            )
         ),
         # temperature-scaled mixture sampling (XLM-R/mT5 alpha-sampling,
         # alpha = 0.5 so the weight algebra is IEEE-exact cross-engine):
@@ -5735,6 +5745,12 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1, 2, 3, 4, 5
         """,
+        "pdf_sign_roundtrip": _span_sql().replace(
+            "SELECT doc_id, ord, kind, text, media_ref",
+            """SELECT doc_id, ord, kind, text, media_ref,
+                   CASE WHEN doc_id % 2 = 1 THEN 'ec' ELSE 'rsa' END AS key_alg,
+                   TRUE AS coverage_ok, TRUE AS digest_ok, TRUE AS sig_ok""",
+        ),
         # weight denominator folds sqrt(n) in lang order via
         # list_reduce/list_prepend — mirrors the Spark F.aggregate fold
         "mixture_temperature_sample": """

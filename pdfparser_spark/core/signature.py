@@ -303,3 +303,133 @@ def byte_range_coverage_ok(byte_range, file_len: int) -> bool:
 def range_bytes(data: bytes, byte_range) -> bytes:
     o1, l1, o2, l2 = byte_range
     return data[o1 : o1 + l1] + data[o2 : o2 + l2]
+
+
+# ---------------------------------------------------------------------------
+# SIGNING side (the writer tier's counterpart): detached CMS SignedData
+# production with a minimal self-describing certificate.  Key material is
+# caller-supplied — RSA (n, e, d) or an EC P-256 private scalar.
+
+_OID_B = {
+    "signedData": bytes.fromhex("06092a864886f70d010702"),
+    "data": bytes.fromhex("06092a864886f70d010701"),
+    "contentType": bytes.fromhex("06092a864886f70d010903"),
+    "messageDigest": bytes.fromhex("06092a864886f70d010904"),
+    "rsa": bytes.fromhex("06092a864886f70d010101"),
+    "sha256": bytes.fromhex("0609608648016503040201"),
+    "cn": bytes.fromhex("0603550403"),
+    "ecPubKey": bytes.fromhex("06072a8648ce3d0201"),
+    "p256": bytes.fromhex("06082a8648ce3d030107"),
+    "ecdsaSha256": bytes.fromhex("06082a8648ce3d040302"),
+}
+
+
+def _emit(tag: int, content: bytes) -> bytes:
+    n = len(content)
+    if n < 0x80:
+        return bytes([tag, n]) + content
+    nb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([tag, 0x80 | len(nb)]) + nb + content
+
+
+def _emit_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return _emit(0x02, b)
+
+
+def _emit_name(cn: str) -> bytes:
+    atv = _emit(0x30, _OID_B["cn"] + _emit(0x13, cn.encode("ascii")))
+    return _emit(0x30, _emit(0x31, atv))
+
+
+def make_certificate(key: dict, cn: str, serial: int = 1) -> bytes:
+    """Minimal RFC 5280 certificate carrying ``key`` ({"kind": "rsa",
+    n, e} or {"kind": "ec", x, y}).  The certificate's own signature is
+    a zero bit string — chain validation is out of scope here (module
+    docstring); the verifier reads SPKI + subject CN only."""
+    if key["kind"] == "rsa":
+        spki = _emit(
+            0x30,
+            _emit(0x30, _OID_B["rsa"] + _emit(0x05, b""))
+            + _emit(0x03, b"\x00" + _emit(0x30, _emit_int(key["n"]) + _emit_int(key["e"]))),
+        )
+        sig_alg = _emit(0x30, _OID_B["rsa"] + _emit(0x05, b""))
+    else:
+        point = b"\x04" + key["x"].to_bytes(32, "big") + key["y"].to_bytes(32, "big")
+        spki = _emit(
+            0x30,
+            _emit(0x30, _OID_B["ecPubKey"] + _OID_B["p256"]) + _emit(0x03, b"\x00" + point),
+        )
+        sig_alg = _emit(0x30, _OID_B["ecdsaSha256"])
+    validity = _emit(
+        0x30, _emit(0x17, b"200101000000Z") + _emit(0x17, b"400101000000Z")
+    )
+    tbs = _emit(
+        0x30,
+        _emit(0xA0, _emit_int(2))
+        + _emit_int(serial)
+        + sig_alg
+        + _emit_name("pdfspark signing CA")
+        + validity
+        + _emit_name(cn)
+        + spki,
+    )
+    return _emit(0x30, tbs + sig_alg + _emit(0x03, b"\x00\x00"))
+
+
+def make_signed_cms(
+    signed_bytes: bytes,
+    *,
+    rsa: tuple | None = None,
+    ec_d: int | None = None,
+    cn: str = "pdfspark signer",
+    serial: int = 1,
+) -> bytes:
+    """Detached CMS SignedData (RFC 5652 §5) over ``signed_bytes`` with
+    SHA-256 signed attributes — RSASSA-PKCS1-v1_5 when ``rsa=(n, e, d)``,
+    ECDSA P-256 (RFC 6979 deterministic) when ``ec_d`` is given."""
+    if (rsa is None) == (ec_d is None):
+        raise ValueError("exactly one of rsa / ec_d required")
+    digest = hashlib.sha256(signed_bytes).digest()
+    attrs = (
+        _emit(0x30, _OID_B["contentType"] + _emit(0x31, _OID_B["data"]))
+        + _emit(0x30, _OID_B["messageDigest"] + _emit(0x31, _emit(0x04, digest)))
+    )
+    to_sign = _emit(0x31, attrs)  # RFC 5652 §5.4 retag
+    if rsa is not None:
+        n, e, d = rsa
+        key = {"kind": "rsa", "n": n, "e": e}
+        k = (n.bit_length() + 7) // 8
+        t = _DIGEST_INFO_PREFIX[OID_SHA256] + hashlib.sha256(to_sign).digest()
+        em = b"\x00\x01" + b"\xff" * (k - len(t) - 3) + b"\x00" + t
+        sig = pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+        sig_alg = _emit(0x30, _OID_B["rsa"] + _emit(0x05, b""))
+    else:
+        from . import ecdsa as _ecdsa
+
+        qx, qy = _ecdsa.public_key(ec_d)
+        key = {"kind": "ec", "x": qx, "y": qy}
+        r, s = _ecdsa.sign(ec_d, hashlib.sha256(to_sign).digest())
+        sig = _ecdsa.sig_to_der(r, s)
+        sig_alg = _emit(0x30, _OID_B["ecdsaSha256"])
+    alg_sha256 = _emit(0x30, _OID_B["sha256"] + _emit(0x05, b""))
+    si = _emit(
+        0x30,
+        _emit_int(1)
+        + _emit(0x30, _emit_name("pdfspark signing CA") + _emit_int(serial))
+        + alg_sha256
+        + _emit(0xA0, attrs)
+        + sig_alg
+        + _emit(0x04, sig),
+    )
+    sd = _emit(
+        0x30,
+        _emit_int(1)
+        + _emit(0x31, alg_sha256)
+        + _emit(0x30, _OID_B["data"])
+        + _emit(0xA0, make_certificate(key, cn, serial))
+        + _emit(0x31, si),
+    )
+    return _emit(0x30, _OID_B["signedData"] + _emit(0xA0, sd))

@@ -403,6 +403,95 @@ def _ser_value(v) -> bytes:
     raise ValueError(f"unserializable object {type(v).__name__}")
 
 
+_SIGN_HOLE_HEX = 2400  # hex chars; fits RSA-1024 and EC CMS comfortably
+
+
+def sign_pdf_incremental(
+    data: bytes,
+    *,
+    rsa: tuple | None = None,
+    ec_d: int | None = None,
+    cn: str = "pdfspark signer",
+    field_name: str = "Sig1",
+    xref_stream: bool = False,
+) -> bytes:
+    """DIGITALLY SIGN a document the way real signing tools do (ISO
+    32000 §12.8): append one incremental revision carrying a /Sig form
+    field whose /V dictionary is laid out placeholder-first — fixed
+    10-digit /ByteRange values and a zero-filled /Contents hex hole —
+    then patch the ranges in place (same byte length), hash the covered
+    bytes and inject the detached CMS (`core.signature.make_signed_cms`:
+    RSASSA-PKCS1-v1_5 with ``rsa=(n, e, d)`` or ECDSA P-256 with
+    ``ec_d``).  The base bytes stay a byte-identical prefix, so the
+    signature is forensically visible to ``extract_revisions`` and
+    verifiable by ``extract_signatures``.  An existing /AcroForm (inline
+    or indirect) gains the field; absent one, the catalog is re-emitted
+    with an inline /AcroForm."""
+    import binascii as _ba
+
+    from .objects import Ref, get_resolved, resolve
+    from .signature import make_signed_cms
+    from .xref import parse_all_objects, read_xref
+
+    errors: list = []
+    offsets, trailer, compressed = read_xref(data)
+    objects = parse_all_objects(data, offsets, compressed, errors, None, set())
+    root_ref = trailer.get("Root")
+    root = resolve(root_ref, objects)
+    if not isinstance(root, dict) or not isinstance(root_ref, Ref):
+        raise ValueError("cannot sign: catalog unresolvable")
+    size = get_resolved(trailer, "Size", objects)
+    max_id = max((oid for (oid, _g) in objects), default=0)
+    size = max(int(size) if isinstance(size, int) else 0, max_id + 1)
+    field_id, sigv_id = size, size + 1
+
+    updates: dict = {}
+    new_field_ref = Ref(field_id, 0)
+
+    def _amended_acroform(acro_dict) -> dict:
+        newacro = dict(acro_dict) if isinstance(acro_dict, dict) else {}
+        flds = newacro.get("Fields")
+        newacro["Fields"] = (list(flds) if isinstance(flds, list) else []) + [
+            new_field_ref
+        ]
+        newacro["SigFlags"] = 3
+        return newacro
+
+    acro_val = root.get("AcroForm")
+    if isinstance(acro_val, Ref):
+        updates[acro_val.obj_id] = _ser_value(
+            _amended_acroform(resolve(acro_val, objects))
+        )
+    else:
+        newroot = dict(root)
+        newroot["AcroForm"] = _amended_acroform(acro_val)
+        updates[root_ref.obj_id] = _ser_value(newroot)
+    updates[field_id] = (
+        b"<< /FT /Sig /T (" + field_name.encode("latin-1") + b") /V %d 0 R >>" % sigv_id
+    )
+    hole = b"0" * _SIGN_HOLE_HEX
+    updates[sigv_id] = (
+        b"<< /Type /Sig /Filter /Adobe.PPKLite /SubFilter /adbe.pkcs7.detached "
+        b"/ByteRange [0000000000 0000000000 0000000000 0000000000] "
+        b"/Contents <" + hole + b"> >>"
+    )
+    out = bytearray(write_pdf_incremental(data, updates, xref_stream=xref_stream))
+    lt = out.index(b"/Contents <" + hole, len(data)) + len(b"/Contents ")
+    hole_end = lt + 1 + _SIGN_HOLE_HEX + 1
+    br = (0, lt, hole_end, len(out) - hole_end)
+    br_text = b"[%010d %010d %010d %010d]" % br
+    at = out.index(b"/ByteRange ", len(data)) + len(b"/ByteRange ")
+    assert out[at : at + len(br_text)] == b"[" + b"0000000000 " * 3 + b"0000000000]"
+    out[at : at + len(br_text)] = br_text
+    signed_bytes = bytes(out[: br[1]]) + bytes(out[br[2] :])
+    cms = make_signed_cms(signed_bytes, rsa=rsa, ec_d=ec_d, cn=cn)
+    hx = _ba.hexlify(cms)
+    if len(hx) > _SIGN_HOLE_HEX:
+        raise ValueError("CMS overflows the /Contents hole")
+    out[lt + 1 : lt + 1 + len(hx)] = hx
+    return bytes(out)
+
+
 def fill_form_fields(data: bytes, values: dict, xref_stream: bool = False) -> bytes:
     """FILL AcroForm text fields (ISO 32000 §12.7.3.7's value update,
     done the way interactive editors actually save: as an INCREMENTAL

@@ -1633,3 +1633,78 @@ def extract_layout_rewrite_fused(documents_raw: DataFrame, password: bytes = b""
         run,
         schema="doc_id long, ord int, page_idx int, x double, y double, text string",
     )
+
+
+def extract_sign_roundtrip_fused(
+    documents_raw: DataFrame, password: bytes = b""
+) -> DataFrame:
+    """Writer-side DIGITAL SIGNING round trip, zero shuffle: extract ->
+    serialize the spans (form cycling classic / xref-stream / ObjStm by
+    doc%3) -> `core.writer.sign_pdf_incremental` (ECDSA P-256 on odd
+    docs, RSA on even; revision form xref-stream on doc%4==3) ->
+    re-verify with `extract_signatures` AND re-extract the spans.  Span
+    rows must equal plain extraction's and every verdict must hold —
+    verification failures poison the row set instead of dropping rows,
+    so the oracle observes them."""
+    from ..core.extract import extract_signatures, extract_spans
+    from ..core.writer import sign_pdf_incremental, write_pdf
+    from ..synth import SIG_D, SIG_E, SIG_EC_D, SIG_N
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id", "ord", "kind", "text", "media_ref",
+            "key_alg", "coverage_ok", "digest_ok", "sig_ok",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                base = write_pdf(
+                    first["spans"],
+                    xref_stream=doc_id % 3 == 1,
+                    objstm=doc_id % 3 == 2,
+                )
+                if doc_id % 2:
+                    signed = sign_pdf_incremental(
+                        base, ec_d=SIG_EC_D, cn="pdfspark signer",
+                        xref_stream=doc_id % 4 == 3,
+                    )
+                else:
+                    signed = sign_pdf_incremental(
+                        base, rsa=(SIG_N, SIG_E, SIG_D), cn="pdfspark signer",
+                    )
+                ver = extract_signatures(signed)
+                again = extract_spans(signed)
+                ok = (
+                    len(ver["signatures"]) == 1
+                    and ver["signatures"][0][5] is True   # coverage_ok
+                    and ver["signatures"][0][6] is True   # digest_ok
+                    and ver["signatures"][0][7] is True   # sig_ok
+                )
+                spans_out = again["spans"] if ok else [
+                    ("text", "!SIGNATURE-INVALID!", None)
+                ]
+                kalg = ver["signatures"][0][4] if ver["signatures"] else None
+                for ordn, (kind, text, media_ref) in enumerate(spans_out):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                            "key_alg": kalg,
+                            "coverage_ok": ok,
+                            "digest_ok": ok,
+                            "sig_ok": ok,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ord int, kind string, text string, media_ref string, "
+            "key_alg string, coverage_ok boolean, digest_ok boolean, sig_ok boolean"
+        ),
+    )

@@ -1140,3 +1140,35 @@ def test_xref_offset_slop_repair():
         want = extract_spans(build_document(doc_id, text)["bytes"])["spans"]
         assert res["spans"] == want, doc_id
         assert any("offset slop" in e[2] for e in res["errors"]), doc_id
+
+
+def test_sign_pdf_incremental_roundtrip():
+    """Writer-side signing: placeholder-first incremental signature
+    revision over every base serialization form, verified by the full
+    §12.8 walk (RSA + ECDSA), spans fixpoint, tamper detected, and the
+    signature visible as its own forensic revision."""
+    from pdfparser_spark.core.extract import (
+        extract_revisions,
+        extract_signatures,
+        extract_spans,
+    )
+    from pdfparser_spark.core.writer import sign_pdf_incremental, write_pdf
+    from pdfparser_spark.synth import SIG_D, SIG_E, SIG_EC_D, SIG_N, build_document
+
+    text = " ".join(f"w{i}" for i in range(20))
+    for doc_id in (0, 1, 2, 3, 7):
+        spans = extract_spans(build_document(doc_id, text)["bytes"])["spans"]
+        base = write_pdf(spans, xref_stream=doc_id % 3 == 1, objstm=doc_id % 3 == 2)
+        if doc_id % 2:
+            signed = sign_pdf_incremental(base, ec_d=SIG_EC_D, xref_stream=doc_id % 4 == 3)
+        else:
+            signed = sign_pdf_incremental(base, rsa=(SIG_N, SIG_E, SIG_D))
+        [sig] = extract_signatures(signed)["signatures"]
+        assert sig[4] == ("ec" if doc_id % 2 else "rsa")
+        assert sig[5:] == (True, True, True), doc_id
+        assert extract_spans(signed)["spans"] == spans, doc_id
+        t = bytearray(signed)
+        t[40] ^= 0x01
+        [tsig] = extract_signatures(bytes(t))["signatures"]
+        assert tsig[6] is False, doc_id  # digest_ok
+        assert len(extract_revisions(signed)["revisions"]) == 2, doc_id

@@ -2222,6 +2222,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
             )
         ),
+        # TPC-H Q8 (national market share): ASIA-region customers buying
+        # STANDARD-type parts; the per-year share of NATION_3 suppliers.
+        # Two broadcast dims (part filter, nation x region), micro-unit
+        # revenue, divide-first share (never a scaled BIGINT numerator)
+        "tpch_q8_market_share": lambda s, d: (
+            _tbl(s, d, "lineitem")
+            .join(
+                _tbl(s, d, "orders").filter(
+                    (F.col("o_orderdate") >= "1996-01-01")
+                    & (F.col("o_orderdate") < "1998-01-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "part").filter(
+                        F.col("p_type").startswith("STANDARD")
+                    ).select("p_partkey")
+                ),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(_tbl(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "nation")
+                    .join(
+                        F.broadcast(
+                            _tbl(s, d, "region").filter(F.col("r_name") == "ASIA")
+                        ),
+                        F.col("n_regionkey") == F.col("r_regionkey"),
+                    )
+                    .select(F.col("n_nationkey").alias("cn_key"))
+                ),
+                F.col("c_nationkey") == F.col("cn_key"),
+            )
+            .join(_tbl(s, d, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(
+                F.broadcast(
+                    _tbl(s, d, "nation").select(
+                        F.col("n_nationkey").alias("sn_key"),
+                        F.col("n_name").alias("supp_nation"),
+                    )
+                ),
+                F.col("s_nationkey") == F.col("sn_key"),
+            )
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3",
+                        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                        * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")),
+                    ).otherwise(F.lit(0))
+                ).alias("nation_micro"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+                    * (100 - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+                ).alias("total_micro"),
+            )
+            .select(
+                "o_year",
+                "nation_micro",
+                "total_micro",
+                F.floor(
+                    F.col("nation_micro").cast("double")
+                    / F.col("total_micro").cast("double")
+                    * 1000000.0
+                ).alias("share_ppm"),
+            )
+        ),
         # TPC-H Q5 (local supplier volume): the 6-table star — lineitem
         # shuffles once onto orderkey, the customer join carries the
         # c_nationkey = s_nationkey locality condition, and the
@@ -2436,6 +2506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # layout kernel keeps two in-window rows via extract_columns +
         # extract_table_cells)
         ("extract_embedded_images", "layout_paragraphs"),
+        # round-4 session-2: the writer-side SIGNING roundtrip (RSA +
+        # ECDSA, placeholder-first ByteRange) takes
+        # pdf_fill_form_roundtrip's slot — both are incremental-revision
+        # writer roundtrips and pdf_incremental_redact keeps that form
+        # in-window, while signing is new unique evidence (fill-form was
+        # r03-driver-green)
+        ("pdf_sign_roundtrip", "pdf_fill_form_roundtrip"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq
@@ -5799,6 +5876,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(CAST(255.0 AS DOUBLE) * ([CAST(0.6 AS DOUBLE), CAST(0.3 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.1 AS DOUBLE)][(doc_id + 1) % 4 + 1]) + CAST(0.5 AS DOUBLE)) AS INT) AS c1_b,
                    CAST(1 + doc_id % 3 AS INT) AS n_ops
             FROM documents WHERE doc_id % 8 = 5
+        """,
+        "tpch_q8_market_share": """
+            WITH rev AS (
+              SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                       * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS micro,
+                     n1.n_name = 'NATION_3' AS is_nation
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type LIKE 'STANDARD%'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN is_nation THEN micro ELSE 0 END) AS BIGINT) AS nation_micro,
+                   CAST(SUM(micro) AS BIGINT) AS total_micro,
+                   FLOOR(CAST(SUM(CASE WHEN is_nation THEN micro ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(micro) AS DOUBLE) * 1000000.0) AS share_ppm
+            FROM rev GROUP BY o_year
         """,
         "tpch_q5_local_volume": """
             SELECT n_name,

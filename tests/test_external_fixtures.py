@@ -192,3 +192,58 @@ def test_mimespec_layout_advance_outline(mimespec):
     assert meta["n_outlines"] == 3
     assert meta["first_outline"] == "1. Introduction"
     assert meta["first_outline_page"] == 0
+
+
+def test_new_tiers_on_real_pdfs():
+    """The session's new kernels run crash-free on the genuine
+    third-party PDFs and their counts are pinned: neither document
+    carries images, shadings or signatures, and the vector-graphics
+    counters capture the TeX rules (2 rects + 241 line segments in
+    libtasn1; 58 in the DocBook spec) with zero error rows."""
+    from pdfparser_spark.core.extract import (
+        extract_graphics,
+        extract_image_xobjects,
+        extract_shadings,
+        extract_signatures,
+    )
+
+    expect = {
+        "/usr/share/doc/libtasn1-doc/libtasn1.pdf": (2, 241, 0),
+        "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf": (0, 58, 0),
+    }
+    for path, (nr, nl, nc) in expect.items():
+        data = open(path, "rb").read()
+        assert extract_image_xobjects(data) == []
+        sh = extract_shadings(data)
+        assert sh["shadings"] == [] and sh["errors"] == []
+        assert extract_signatures(data)["signatures"] == []
+        g = extract_graphics(data)
+        assert (g["n_rects"], g["n_lines"], g["n_curves"]) == (nr, nl, nc)
+        assert g["errors"] == []
+
+
+def test_new_kernels_contained_on_mutated_real_pdfs():
+    """Truncation/bit-flip fuzz over the REAL PDFs through the new
+    kernels (image XObjects, shadings, signatures): lenient containment
+    — rows or error rows, never an exception."""
+    import random
+
+    from pdfparser_spark.core.extract import (
+        extract_image_xobjects,
+        extract_shadings,
+        extract_signatures,
+    )
+
+    data = open("/usr/share/doc/libtasn1-doc/libtasn1.pdf", "rb").read()
+    rng = random.Random(7)
+    for i in range(30):
+        b = bytearray(data)
+        if i % 2 == 0:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 8)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        blob = bytes(b)
+        extract_image_xobjects(blob)
+        extract_shadings(blob)
+        extract_signatures(blob)

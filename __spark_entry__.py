@@ -699,6 +699,61 @@ def _snapshot_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log.read(spark, "docs")
 
 
+def _snapshot_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest consolidation demo (Iceberg rewrite_manifests): five
+    stats-carrying commits + a deletion, then ``rewrite_manifests`` — a
+    metadata-only replace that must (a) leave the data dirs untouched,
+    (b) collapse the planning walk to ONE chain entry, (c) emit NOTHING
+    into the change feed, and (d) carry the per-dir stats forward so
+    range pruning still skips after the old entries expire.  The HEAD
+    read equals the pre-rewrite table; structural expectations are
+    enforced by poisoning (limit 0) on any violation."""
+    from pdfparser_spark.snapshots import (
+        SnapshotLog,
+        _dir_stats,
+        changes,
+        delete_docs,
+        expire_snapshots,
+        rewrite_manifests,
+    )
+
+    log = SnapshotLog(_scratch_log_dir("rwman_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+
+    def commit_stats(df):
+        d = log.new_data_dir("docs")
+        df.write.parquet(d)
+        _, st = _dir_stats(spark.read.parquet(d))
+        return log.commit(
+            {"docs": [d]}, schemas={"docs": df.schema.json()}, stats={"docs": {d: st}}
+        )
+
+    for r in range(5):
+        commit_stats(docs.filter(F.col("doc_id") % 5 == r))
+    delete_docs(log, spark, [1, 7], table="docs")
+    pre_head = log.head_id()
+    dirs_before = set(log.files_for("docs"))
+
+    rid = rewrite_manifests(log)
+    ins, dels = changes(log, spark, from_snapshot=pre_head, table="docs")
+    walked = 0
+    for s in reversed(log.chain()):
+        walked += 1
+        if s["tables"].get("docs") and s["operation"] == "replace":
+            break
+    expire_snapshots(log, keep_from=rid)
+    _dirs, skipped = log.plan_files("docs", where_eq=("doc_id", 2))
+    ok = (
+        set(log.files_for("docs")) == dirs_before
+        and walked == 1
+        and ins is None
+        and dels is None
+        and skipped >= 1  # bloom/minmax stats survived the expiry
+    )
+    out = log.read(spark, "docs")
+    return out if ok else out.limit(0)  # poison: structure violated
+
+
 def _snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish demo: stage batch 2 behind a ref (commit +
     tag + rollback — readers keep serving batch 1 while the audit reads
@@ -2203,6 +2258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # placeholder-first signature revision (RSA on even docs, ECDSA
         # P-256 on odd; §12.8 ByteRange patched in place) -> verify +
         # re-extract; invalid signatures poison the row set
+        # manifest consolidation (Iceberg rewrite_manifests): metadata-only
+        # replace, O(1) planning afterwards, stats carried past expiry
+        "snapshot_rewrite_manifests": _snapshot_rewrite_manifests,
         "pdf_sign_roundtrip": lambda s, d: extract_sign_roundtrip_fused(
             synthesize_corpus(
                 _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id")
@@ -5821,6 +5879,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
             )
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        "snapshot_rewrite_manifests": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id NOT IN (1, 7)
         """,
         "pdf_sign_roundtrip": _span_sql().replace(
             "SELECT doc_id, ord, kind, text, media_ref",

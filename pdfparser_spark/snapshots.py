@@ -597,6 +597,11 @@ def expire_snapshots(log: SnapshotLog, keep_from: int) -> list[str]:
         if s["snapshot_id"] >= keep_from:
             for t in s["tables"]:
                 live.update(log.files_for(t, s["snapshot_id"]))
+                # delete files a retained read still applies are live
+                # too: replace commits that CARRY tombstones forward
+                # (rollback, rewrite_manifests) keep them reachable even
+                # when the commit that introduced them expires
+                live.update(log.delete_files_for(t, s["snapshot_id"]))
     removed = []
     for s in full:
         sid = s["snapshot_id"]
@@ -646,6 +651,47 @@ def rollback(log: SnapshotLog, to_snapshot: int) -> int:
         operation="replace",
         summary={"rollback_to": to_snapshot},
         deletes=deletes,
+    )
+
+
+def rewrite_manifests(log: SnapshotLog) -> int:
+    """Iceberg's ``rewrite_manifests`` action: consolidate the PLANNING
+    state into one snapshot entry — a metadata-only ``replace`` commit
+    listing every table's current dirs, the delete files still in
+    force, and the per-directory stats CARRIED FORWARD (so min/max +
+    Bloom pruning survives a later ``expire_snapshots`` of the old
+    entries).  No data moves and no feed events are produced; chain
+    walks after this commit stop immediately, so planning cost drops
+    from O(history) to O(1) snapshot entries no matter how many commits
+    built the table — the long-lived-table hygiene action that closes
+    the driver-side-manifest growth seam."""
+    head = log.head_id()
+    if head is None:
+        raise ValueError("rewrite_manifests: empty log")
+    all_tables = sorted({t for s in log.chain(head) for t in s["tables"]})
+    tables: dict[str, list[str]] = {}
+    deletes: dict[str, list[str]] = {}
+    stats: dict[str, dict[str, dict]] = {}
+    for t in all_tables:
+        dirs = log.files_for(t, head)
+        if not dirs:
+            continue
+        tables[t] = dirs
+        ddirs = log.delete_files_for(t, head)
+        if ddirs:
+            deletes[t] = ddirs
+        st = log.stats_for(t, head)
+        kept = {d: st[d] for d in dirs + ddirs if d in st}
+        if kept:
+            stats[t] = kept
+    if not tables:
+        raise ValueError("rewrite_manifests: nothing to consolidate")
+    return log.commit(
+        tables,
+        operation="replace",
+        summary={"rewrite_manifests": head},
+        deletes=deletes,
+        stats=stats,
     )
 
 
@@ -732,7 +778,11 @@ def changes(
             continue
         if s["operation"] != "replace":
             new_dirs.extend(s["tables"].get(table, []))
-        del_dirs.extend(s.get("deletes", {}).get(table, []))
+            del_dirs.extend(s.get("deletes", {}).get(table, []))
+        # replace commits (compaction, rollback, rewrite_manifests) may
+        # CARRY FORWARD delete files still in force — those keys were
+        # already emitted when their own commits landed, so re-listing
+        # them is layout, not content (same rule as the dirs above)
     inserted = spark.read.parquet(*new_dirs) if new_dirs else None
     deleted = spark.read.parquet(*del_dirs).distinct() if del_dirs else None
     return inserted, deleted

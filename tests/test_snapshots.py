@@ -1054,3 +1054,62 @@ def test_compact_binpack_bounds_write_amplification(spark, tmp_path):
 
     with pytest.raises(ValueError, match="tombstones"):
         compact_binpack(log, spark, "t", target_rows=500)
+
+
+def test_rewrite_manifests_consolidates_planning_state(spark, tmp_path):
+    """rewrite_manifests is a metadata-only replace: reads identical, NO
+    data copied, chain walk afterwards = one entry, per-dir stats carried
+    forward so pruning survives expire_snapshots, deletes stay in force,
+    and the change feed emits NOTHING for the rewrite."""
+    import os
+
+    from pdfparser_spark.snapshots import (
+        changes,
+        delete_docs,
+        expire_snapshots,
+        rewrite_manifests,
+    )
+
+    log = SnapshotLog(str(tmp_path / "log"))
+
+    def add(lo, hi):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi)], "doc_id long, text string"
+        )
+        d = log.new_data_dir("t")
+        df.repartition(1).write.parquet(d)
+        return log.commit(
+            {"t": [d]},
+            stats={"t": {d: {"rows": hi - lo,
+                             "cols": {"doc_id": [lo, hi - 1]}}}},
+        )
+
+    for k in range(5):
+        add(10 * k, 10 * k + 10)
+    delete_docs(log, spark, [3, 17], table="t")
+    before = {(r.doc_id, r.text) for r in log.read(spark, "t").collect()}
+    dirs_before = set(log.files_for("t"))
+    pre_head = log.head_id()
+
+    rid = rewrite_manifests(log)
+    assert log.head_id() == rid
+    # reads identical, deletes still applied merge-on-read
+    after = {(r.doc_id, r.text) for r in log.read(spark, "t").collect()}
+    assert after == before and not any(d for (d, _t) in after if d in (3, 17))
+    # metadata-only: same data dirs, nothing copied
+    assert set(log.files_for("t")) == dirs_before
+    # planning is now ONE chain entry deep for the file list
+    walked = 0
+    for s in reversed(log.chain()):
+        walked += 1
+        if s["tables"].get("t") and s["operation"] == "replace":
+            break
+    assert walked == 1
+    # the rewrite produced no feed events
+    ins, dels = changes(log, spark, from_snapshot=pre_head, table="t")
+    assert ins is None and dels is None
+    # stats survive expiry of the pre-rewrite entries: pruning still skips
+    expire_snapshots(log, keep_from=rid)
+    dirs, skipped = log.plan_files("t", where=("doc_id", 42, 45))
+    assert skipped == 4 and len(dirs) == 1
+    assert os.path.basename(dirs[0]).startswith("snap-")

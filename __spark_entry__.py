@@ -2745,6 +2745,8 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
                  -- raster v5 /Separation tint transform (Type 4 stream)
                  + CASE WHEN doc_id % 120 = 115 THEN 1 ELSE 0 END
+                 -- raster v0 /SMask alpha image
+                 + CASE WHEN doc_id % 120 = 15 THEN 1 ELSE 0 END
                  AS INT) AS n_objects,
               CAST(np AS INT) AS n_pages,
               CAST(nonempty + CAST(doc_id % 7 = 0 AS INT) + CAST(doc_id % 5 = 0 AS INT)
@@ -2755,6 +2757,7 @@ _OBJECT_STATS_SQL = """
                  + CASE WHEN doc_id % 12 = 6 THEN 1 ELSE 0 END
                  + CASE WHEN doc_id % 16 = 9 THEN 1 ELSE 0 END
                  + CASE WHEN doc_id % 120 = 115 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 120 = 15 THEN 1 ELSE 0 END
                  AS INT) AS n_streams
             FROM ne
         """
@@ -4184,7 +4187,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                   END AS pixel_sum
+                   END AS pixel_sum,
+                   -- §11.6.5.2 soft mask: the raster-v0 sub-variant's alpha
+                   -- plane, (11r+5c)%256 over the full grid; NULL elsewhere
+                   CASE WHEN doc_id % 120 = 15 THEN
+                     CAST((SELECT SUM((11*r + 5*c) % 256)
+                           FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum
             FROM documents WHERE doc_id % 5 = 0
         """,
         "extract_embedded_images_armored": f"""
@@ -4254,7 +4264,14 @@ def oracle_sql() -> dict[str, str]:
                      CAST(64 * (SELECT SUM({_jpeg_block_px('r', 'c')})
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                   END AS pixel_sum
+                   END AS pixel_sum,
+                   -- §11.6.5.2 soft mask: the raster-v0 sub-variant's alpha
+                   -- plane, (11r+5c)%256 over the full grid; NULL elsewhere
+                   CASE WHEN doc_id % 120 = 15 THEN
+                     CAST((SELECT SUM((11*r + 5*c) % 256)
+                           FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
+                                unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
+                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum
             FROM documents WHERE doc_id % 5 = 0
         """,
         "version_sniff": """

@@ -1016,7 +1016,26 @@ def extract_image_xobjects(
                             ),
                             "colorspace": _image_colorspace(st.attrs, objects),
                             "decode": decode_arr if isinstance(decode_arr, list) else None,
+                            "smask": None,
                         }
+                        # §11.6.5.2 soft mask: a subsidiary gray image
+                        # whose samples are the base image's alpha plane
+                        sm = get_resolved(st.attrs, "SMask", objects)
+                        if isinstance(sm, Stream) and sm.kind == "image":
+                            try:
+                                sm_chain = build_filter_chain(
+                                    sm.attrs, lambda v: resolve(v, objects)
+                                )
+                                meta["smask"] = {
+                                    "payload": decode_chain(sm.raw, sm_chain),
+                                    "width": get_resolved(sm.attrs, "Width", objects),
+                                    "height": get_resolved(sm.attrs, "Height", objects),
+                                    "bpc": get_resolved(
+                                        sm.attrs, "BitsPerComponent", objects
+                                    ),
+                                }
+                            except (FilterError, PdfError):
+                                meta["smask"] = None  # lenient: base image stands
                         out.append((str(xname), payload, meta))
     except PdfError:
         return out

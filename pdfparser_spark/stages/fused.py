@@ -372,7 +372,7 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
     from ..textops.media import sniff_decode
     from ..textops.raster import decode_raster
 
-    cols = ["doc_id", "media_ref", "fmt", "width", "height", "pixel_sum"]
+    cols = ["doc_id", "media_ref", "fmt", "width", "height", "pixel_sum", "alpha_sum"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -394,6 +394,14 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
                                 meta["imagemask"],
                             )
                             fmt = "raw"
+                        alpha_sum = None
+                        sm = meta.get("smask")
+                        if sm is not None:
+                            alpha = decode_raster(
+                                bytes(sm["payload"]), int(sm["width"]),
+                                int(sm["height"]), int(sm["bpc"] or 8), "gray",
+                            )
+                            alpha_sum = int(alpha.sum(dtype=np.int64))
                     except Exception:
                         # corrupt payload (truncated JPEG, short samples,
                         # ...): lenient like the rest of the kernel — skip
@@ -407,13 +415,17 @@ def extract_images_fused(documents_raw: DataFrame, password: bytes = b"") -> Dat
                             "width": w,
                             "height": h,
                             "pixel_sum": int(img.sum(dtype=np.int64)),
+                            "alpha_sum": alpha_sum,
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)
 
     return documents_raw.mapInPandas(
         run,
-        schema="doc_id long, media_ref string, fmt string, width int, height int, pixel_sum long",
+        schema=(
+            "doc_id long, media_ref string, fmt string, width int, height int, "
+            "pixel_sum long, alpha_sum long"
+        ),
     )
 
 

@@ -623,7 +623,7 @@ def build_document(doc_id: int, text: str) -> dict:
     # object numbering
     CATALOG, PAGESROOT, FONT = 1, 2, 3
     next_id = 4
-    cmap_id = imgobj_id = inter_id = fnobj_id = None
+    cmap_id = imgobj_id = inter_id = fnobj_id = smobj_id = None
     if r["cmap_font"]:
         cmap_id = next_id
         next_id += 1
@@ -632,6 +632,9 @@ def build_document(doc_id: int, text: str) -> dict:
         next_id += 1
         if doc_id % 120 == 115:  # raster v5: Type 4 tint-transform stream
             fnobj_id = next_id
+            next_id += 1
+        if doc_id % 120 == 15:  # raster v0 carries an /SMask alpha image
+            smobj_id = next_id
             next_id += 1
     if r["n_pages"] == 3:
         inter_id = next_id
@@ -829,6 +832,10 @@ def build_document(doc_id: int, text: str) -> dict:
             img_attrs = img_attrs.format(pal=embedded_palette_bytes().hex())
         if "{fn}" in img_attrs:  # v5: reference the Type 4 function object
             img_attrs = img_attrs.format(fn=f"{fnobj_id} 0 R")
+        if "{sm}" in img_attrs:
+            img_attrs = img_attrs.format(
+                sm=f"/SMask {smobj_id} 0 R " if smobj_id is not None else ""
+            )
         armored = binascii.hexlify(payload) + b">"
         # two-filter chain: /DecodeParms aligns positionally (null for AHx)
         parms_frag = f"/DecodeParms [null {img_parms}] " if img_parms else ""
@@ -839,6 +846,23 @@ def build_document(doc_id: int, text: str) -> dict:
             f"/Filter [/ASCIIHexDecode {media_filter}] /Length {len(armored)} >>\nstream\n".encode("ascii")
         )
         b.struct(armored)
+        b.struct(b"\nendstream")
+        obj_close()
+
+    # raster v0's /SMask alpha plane (§11.6.5.2): its own gray image
+    # XObject, ASCIIHex-armored Flate like the base image
+    if smobj_id is not None:
+        iw, ih = embedded_image_dims(doc_id)
+        sm_armored = binascii.hexlify(
+            zlib.compress(embedded_smask_samples(iw, ih))
+        ) + b">"
+        obj_open(smobj_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter [/ASCIIHexDecode /FlateDecode] /Length {len(sm_armored)} >>\nstream\n".encode("ascii")
+        )
+        b.struct(sm_armored)
         b.struct(b"\nendstream")
         obj_close()
 
@@ -1430,7 +1454,9 @@ def _embedded_raster(w: int, h: int, v: int) -> tuple[bytes, str, str | None]:
         filtered = ((rows - prior) % 256).astype(_np.uint8)
         body = b"".join(b"\x01" + filtered[r].tobytes() for r in range(h))
         parms = f"<< /Predictor 15 /Colors 3 /BitsPerComponent 8 /Columns {w} >>"
-        return _zlib.compress(body), "/ColorSpace /DeviceRGB /BitsPerComponent 8", parms
+        # {sm} is filled by the call site with "/SMask N 0 R " when this
+        # doc carries the alpha-plane sub-image (doc % 120 == 15)
+        return _zlib.compress(body), "{sm}/ColorSpace /DeviceRGB /BitsPerComponent 8", parms
     if v == 1:
         idx = ((7 * rr + 13 * cc) % 256).astype(_np.uint8)
         # attrs carries a {pal} placeholder: the call site substitutes the
@@ -1471,6 +1497,18 @@ def embedded_palette_bytes() -> bytes:
     i = _np.arange(256, dtype=_np.int64)
     pal = _np.stack([(7 * i) % 256, (11 * i + 3) % 256, (29 * i + 7) % 256], axis=1)
     return pal.astype(_np.uint8).tobytes()
+
+
+def embedded_smask_samples(w: int, h: int) -> bytes:
+    """The /SMask alpha plane of the raster-v0 sub-variant: gray 8-bpc
+    alpha(r, c) = (11r + 5c) % 256 (analytic for the oracle)."""
+    import numpy as _np
+
+    from .textops.raster import pack_rows
+
+    rr = _np.arange(h, dtype=_np.int64)[:, None]
+    cc = _np.arange(w, dtype=_np.int64)[None, :]
+    return pack_rows(((11 * rr + 5 * cc) % 256).astype(_np.uint8), 8)
 
 
 def _embedded_image(doc_id: int) -> tuple[bytes, str, str, str | None]:
@@ -1538,12 +1576,15 @@ def build_document_binary(
     CATALOG, PAGESROOT, FONT = 1, 2, 3
     FONT_GEN = 1  # generation != 0: xref entries + `3 1 R` references
     next_id = 4
-    imgobj_id = fnobj_id = None
+    imgobj_id = fnobj_id = smobj_id = None
     if r["media"]:
         imgobj_id = next_id
         next_id += 1
         if doc_id % 120 == 115:  # raster v5: Type 4 tint-transform stream
             fnobj_id = next_id
+            next_id += 1
+        if doc_id % 120 == 15:  # raster v0 carries an /SMask alpha image
+            smobj_id = next_id
             next_id += 1
     page_ids, content_ids = {}, {}
     for p, _t in pages:
@@ -1648,6 +1689,10 @@ def build_document_binary(
             )
         if "{fn}" in img_attrs:  # v5: reference the Type 4 function object
             img_attrs = img_attrs.format(fn=f"{fnobj_id} 0 R")
+        if "{sm}" in img_attrs:
+            img_attrs = img_attrs.format(
+                sm=f"/SMask {smobj_id} 0 R " if smobj_id is not None else ""
+            )
         parms_frag = f"/DecodeParms {img_parms} " if img_parms else ""
         obj_open(imgobj_id)
         b.struct(
@@ -1656,6 +1701,21 @@ def build_document_binary(
             f"/Filter {media_filter} /Length {len(payload)} >>\r\nstream\r\n".encode("ascii")
         )
         b.struct(payload)
+        b.struct(b"\r\nendstream")
+        obj_close()
+
+    if smobj_id is not None:
+        iw, ih = embedded_image_dims(doc_id)
+        sm_payload = enc_stream(
+            zlib.compress(embedded_smask_samples(iw, ih)), smobj_id
+        )
+        obj_open(smobj_id)
+        b.struct(
+            f"<< /Type /XObject /Subtype /Image /Width {iw} /Height {ih} "
+            f"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+            f"/Filter /FlateDecode /Length {len(sm_payload)} >>\r\nstream\r\n".encode("ascii")
+        )
+        b.struct(sm_payload)
         b.struct(b"\r\nendstream")
         obj_close()
 

@@ -366,13 +366,32 @@ def _zip_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full integration the north star describes, off a crawl archive:
     application/pdf WARC responses (the ASCII-armored synthetic PDFs as
-    served bytes) -> gzip-member split + WARC/HTTP parse -> the SAME
-    extraction kernel as every other family -> ordered spans.  Two
-    stateless mapInPandas kernels, zero shuffle; the oracle is the plain
-    analytic span SQL — crawl transport must be invisible to extraction."""
-    parsed = warc.read_warc(spark, _warc_pdf_dir(spark, sf_dir))
-    raw = parsed.filter(F.col("content_type") == "application/pdf").select(
-        F.regexp_extract("url", r"/doc/(\d+)\.pdf$", 1).cast("long").alias("doc_id"),
+    served bytes) -> gzip-member split + WARC/HTTP parse -> REVISIT
+    resolution (WARC 1.1 §6.7.2 identical-payload-digest: every 9th+7
+    doc was re-crawled and its second capture carries only the digest —
+    one equi-join on the content hash restores the payload, the Common
+    Crawl dedup shape) -> capture dedup per doc (n_captures rides on
+    every span row: 2 for re-crawled docs, a dropped-or-unresolved
+    revisit or a missed dedup breaks the column or the row count) ->
+    the SAME extraction kernel as every other family -> ordered spans."""
+    parsed = warc.read_warc_captures(spark, _warc_pdf_dir(spark, sf_dir))
+    captures = warc.resolve_revisits(parsed).filter(
+        F.col("content_type") == "application/pdf"
+    ).select(
+        F.regexp_extract("url", r"/doc/(\d+)\.pdf", 1).cast("long").alias("doc_id"),
+        "body",
+    )
+    docs = captures.groupBy("doc_id").agg(
+        # count RESOLVED captures only: an unresolved revisit keeps its
+        # observable empty body and would break the n_captures oracle
+        F.sum(F.when(F.length("body") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("n_captures"),
+        F.max("body").alias("body"),  # deterministic; captures are identical
+    )
+    raw = docs.select(
+        "doc_id",
+        "n_captures",
         F.array(
             F.struct(
                 F.lit("text").alias("kind"),
@@ -382,7 +401,10 @@ def _warc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spans"),
     )
-    return flatten_spans(extract_fused(raw))
+    spans = flatten_spans(extract_fused(raw.select("doc_id", "spans")))
+    return spans.join(
+        F.broadcast(raw.select("doc_id", "n_captures")), "doc_id"
+    )
 
 
 def _warc_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4880,7 +4902,11 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS INT) AS passes
             FROM m
         """,
-        "warc_pdf_extract": _span_sql(),
+        "warc_pdf_extract": _span_sql().replace(
+            "SELECT doc_id, ord, kind, text, media_ref",
+            """SELECT doc_id, ord, kind, text, media_ref,
+                   CAST(CASE WHEN doc_id % 9 = 7 THEN 2 ELSE 1 END AS INT) AS n_captures""",
+        ),
         "mbox_pdf_extract": _span_sql(),
         "tar_pdf_extract": _span_sql(),
         "zip_pdf_extract": _span_sql(),

@@ -157,12 +157,9 @@ def build_response_record(doc_id: int, text: str) -> bytes:
     )
 
 
-def build_pdf_response_record(doc_id: int, text: str) -> bytes:
-    """An ``application/pdf`` response: the body is the ASCII-armored
-    synthetic PDF itself (`synth.build_document`, byte-reconstructed the
-    same way the decode stage does) — the crawl-archive shape of the
-    reference's own input, so the extraction kernel can run straight off
-    the archive."""
+def pdf_response_body(doc_id: int, text: str) -> bytes:
+    """The ASCII-armored synthetic PDF bytes served as the response
+    payload (shared by the record builder and the revisit digest)."""
     from ..synth import build_document
 
     d = build_document(doc_id, text)
@@ -170,7 +167,16 @@ def build_pdf_response_record(doc_id: int, text: str) -> bytes:
         (s for s in d["span_rows"] if s["text"] is not None),
         key=lambda s: s["offset"],
     )
-    body = "".join(s["text"] for s in parts).encode("ascii")
+    return "".join(s["text"] for s in parts).encode("ascii")
+
+
+def build_pdf_response_record(doc_id: int, text: str) -> bytes:
+    """An ``application/pdf`` response: the body is the ASCII-armored
+    synthetic PDF itself (`synth.build_document`, byte-reconstructed the
+    same way the decode stage does) — the crawl-archive shape of the
+    reference's own input, so the extraction kernel can run straight off
+    the archive."""
+    body = pdf_response_body(doc_id, text)
     http = (
         "HTTP/1.1 200 OK\r\n"
         "Content-Type: application/pdf\r\n"
@@ -181,6 +187,40 @@ def build_pdf_response_record(doc_id: int, text: str) -> bytes:
         [
             ("WARC-Date", doc_date(doc_id)),
             ("WARC-Target-URI", doc_url(doc_id) + ".pdf"),
+            ("Content-Type", "application/http; msgtype=response"),
+        ],
+        http,
+    )
+
+
+def payload_digest(body: bytes) -> str:
+    """WARC-Payload-Digest in the spec's labelled-base32 form
+    (sha1:<base32>, RFC 4648 alphabet) — what Common Crawl records."""
+    import base64
+    import hashlib as _hl
+
+    return "sha1:" + base64.b32encode(_hl.sha1(body).digest()).decode("ascii")
+
+
+def build_pdf_revisit_record(doc_id: int, digest: str) -> bytes:
+    """A WARC 1.1 §6.7.2 REVISIT record (identical-payload-digest
+    profile): the crawler saw the same payload again at a re-crawl URI —
+    the record carries only the HTTP headers plus the digest and the
+    refers-to pointers; consumers resolve the payload by digest."""
+    http = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: application/pdf\r\n"
+        "Content-Length: 0\r\n\r\n"
+    ).encode("ascii")
+    return _record(
+        "revisit",
+        [
+            ("WARC-Date", doc_date(doc_id)),
+            ("WARC-Target-URI", doc_url(doc_id) + ".pdf?recrawl=1"),
+            ("WARC-Profile", "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"),
+            ("WARC-Payload-Digest", digest),
+            ("WARC-Refers-To-Target-URI", doc_url(doc_id) + ".pdf"),
+            ("WARC-Refers-To-Date", doc_date(doc_id)),
             ("Content-Type", "application/http; msgtype=response"),
         ],
         http,
@@ -202,11 +242,22 @@ def write_warc_pdf_shards(
         parts = [gzip.compress(build_warcinfo_record(shard), mtime=0)]
         n = 0
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(doc_id)
             txt = text if isinstance(text, str) else ""
-            parts.append(
-                gzip.compress(build_pdf_response_record(int(doc_id), txt), mtime=0)
-            )
+            parts.append(gzip.compress(build_pdf_response_record(did, txt), mtime=0))
             n += 1
+            if did % 9 == 7:
+                # every 9th+7 doc was re-crawled: the second capture is a
+                # revisit-by-digest record (Common Crawl dedup layout)
+                parts.append(
+                    gzip.compress(
+                        build_pdf_revisit_record(
+                            did, payload_digest(pdf_response_body(did, txt))
+                        ),
+                        mtime=0,
+                    )
+                )
+                n += 1
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as fh:
             fh.write(b"".join(parts))
@@ -475,3 +526,85 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=READ_SCHEMA)
+
+
+READ_CAPTURES_SCHEMA = (
+    "path string, url string, warc_date string, record_type string, "
+    "status int, content_type string, body string, digest string"
+)
+
+
+def read_warc_captures(spark: SparkSession, path: str) -> DataFrame:
+    """Like :func:`read_warc` but CAPTURE-complete: response rows carry
+    their computed payload digest, and REVISIT records (WARC 1.1 §6.7.2)
+    surface as rows with an empty body plus the recorded digest —
+    :func:`resolve_revisits` joins them back to the original payloads."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "url", "warc_date", "record_type", "status",
+                "content_type", "body", "digest"]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                frows = []  # buffered per file: corrupt => skipped WHOLE
+                try:
+                    for headers, block in parse_warc_records(bytes(content)):
+                        wtype = headers.get("warc-type")
+                        if wtype == "response":
+                            status, ctype, body = _parse_http_response(block)
+                            frows.append(
+                                {
+                                    "path": fpath,
+                                    "url": headers.get("warc-target-uri", ""),
+                                    "warc_date": headers.get("warc-date", ""),
+                                    "record_type": "response",
+                                    "status": status,
+                                    "content_type": ctype,
+                                    "body": body.decode("utf-8", errors="replace"),
+                                    "digest": payload_digest(body),
+                                }
+                            )
+                        elif wtype == "revisit":
+                            status, ctype, _body = _parse_http_response(block)
+                            frows.append(
+                                {
+                                    "path": fpath,
+                                    "url": headers.get("warc-target-uri", ""),
+                                    "warc_date": headers.get("warc-date", ""),
+                                    "record_type": "revisit",
+                                    "status": status,
+                                    "content_type": ctype,
+                                    "body": "",
+                                    "digest": headers.get("warc-payload-digest", ""),
+                                }
+                            )
+                except ValueError:
+                    continue  # corrupt shard: skip whole file, never kill the task
+                rows.extend(frows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(parse, schema=READ_CAPTURES_SCHEMA)
+
+
+def resolve_revisits(captures: DataFrame) -> DataFrame:
+    """Resolve identical-payload-digest REVISITS against the original
+    responses: one equi-join on the digest (the Spark shape of Common
+    Crawl's dedup — digests are content hashes, so the join key is
+    uniform; originals may live in OTHER shards, which is exactly why
+    this is a join and not a per-shard lookup).  Returns the capture
+    table with revisit bodies filled in; a revisit whose digest matches
+    no response keeps its empty body (observable, never dropped)."""
+    responses = captures.filter(F.col("record_type") == "response")
+    revisits = captures.filter(F.col("record_type") == "revisit")
+    originals = responses.select(
+        F.col("digest").alias("o_digest"), F.col("body").alias("o_body")
+    ).dropDuplicates(["o_digest"])
+    resolved = (
+        revisits.join(originals, revisits["digest"] == originals["o_digest"], "left")
+        .select(
+            "path", "url", "warc_date", "record_type", "status", "content_type",
+            F.coalesce(F.col("o_body"), F.col("body")).alias("body"), "digest",
+        )
+    )
+    return responses.unionByName(resolved)

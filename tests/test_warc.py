@@ -202,7 +202,8 @@ def test_pdf_over_warc_roundtrip_and_plan(spark, tmp_path):
     )
     out = str(tmp_path / "pdfwarc")
     manifest = warc.write_warc_pdf_shards(docs, out, n_shards=2).collect()
-    assert sum(m.n_records for m in manifest) == 12
+    # 12 responses + doc 7's revisit record (doc % 9 == 7 re-crawl rule)
+    assert sum(m.n_records for m in manifest) == 13
 
     parsed = warc.read_warc(spark, out)
     rows = {r.url: r for r in parsed.collect()}
@@ -222,3 +223,31 @@ def test_pdf_over_warc_roundtrip_and_plan(spark, tmp_path):
 
     plan = parsed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_revisit_records_resolve_by_digest(spark, tmp_path):
+    """WARC 1.1 §6.7.2 identical-payload-digest revisits: the re-crawl
+    capture carries only the digest; resolve_revisits joins it back to
+    the original payload (cross-shard), an unresolvable digest keeps an
+    observable empty body, and read_warc (responses-only) is unchanged."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta {i}") for i in range(20)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "revwarc")
+    warc.write_warc_pdf_shards(docs, out, n_shards=3).collect()
+
+    caps = warc.read_warc_captures(spark, out)
+    revisits = caps.filter(caps.record_type == "revisit").collect()
+    assert {r.url for r in revisits} == {
+        warc.doc_url(7) + ".pdf?recrawl=1", warc.doc_url(16) + ".pdf?recrawl=1"
+    }
+    assert all(r.body == "" and r.digest.startswith("sha1:") for r in revisits)
+
+    resolved = warc.resolve_revisits(caps)
+    by_url = {r.url: r for r in resolved.collect()}
+    for i in (7, 16):
+        orig = by_url[warc.doc_url(i) + ".pdf"]
+        re_crawl = by_url[warc.doc_url(i) + ".pdf?recrawl=1"]
+        assert re_crawl.body == orig.body != ""
+    # responses-only reader is unaffected by the new record type
+    assert warc.read_warc(spark, out).count() == 20

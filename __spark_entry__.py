@@ -46,6 +46,7 @@ from pdfparser_spark.stages import (
     extract_graphics_fused,
     extract_shadings_fused,
     extract_sign_roundtrip_fused,
+    extract_inline_images_fused,
     extract_incremental_redact_fused,
     extract_markup_fused,
     extract_redact_fused,
@@ -2280,6 +2281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # placeholder-first signature revision (RSA on even docs, ECDSA
         # P-256 on odd; §12.8 ByteRange patched in place) -> verify +
         # re-extract; invalid signatures poison the row set
+        # inline-image PIXELS (§8.9.7): the binary family's BI..ID..EI
+        # rasters parsed with abbreviated keys and decoded for real
+        "inline_image_decode": lambda s, d: extract_inline_images_fused(
+            synthesize_corpus(
+                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
+                family="binary",
+            )
+        ),
         # manifest consolidation (Iceberg rewrite_manifests): metadata-only
         # replace, O(1) planning afterwards, stats carried past expiry
         "snapshot_rewrite_manifests": _snapshot_rewrite_manifests,
@@ -5922,6 +5931,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
             )
             GROUP BY 1, 2, 3, 4, 5
+        """,
+        # inline 2x2 RGB raster: pixel(r,c,k) = (7r+13c+31k+doc%17)%256
+        "inline_image_decode": """
+            SELECT doc_id, CAST(0 AS INT) AS page_idx, CAST(0 AS INT) AS img_idx,
+                   CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+                   CAST((SELECT SUM((7*r + 13*c + 31*k + doc_id % 17) % 256)
+                         FROM unnest(generate_series(0, 1)) AS tr(r),
+                              unnest(generate_series(0, 1)) AS tc(c),
+                              unnest(generate_series(0, 2)) AS tk(k)) AS BIGINT)
+                     AS pixel_sum
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "snapshot_rewrite_manifests": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id NOT IN (1, 7)

@@ -484,6 +484,78 @@ def graphics_stats(data: bytes) -> dict:
     return out
 
 
+def parse_inline_images(data: bytes) -> list:
+    """Inline images (§8.9.7): every ``BI <params> ID <binary> EI`` in
+    one decoded content stream -> (params, payload) pairs.  Params keep
+    their abbreviated keys (W/H/BPC/CS/F/DP/D/IM); the payload boundary
+    follows the same whitespace-delimited-EI discipline as
+    :func:`_skip_inline_image` (a naive find would truncate on binary
+    bytes that merely contain 'EI')."""
+    out: list = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        try:
+            kind, val, p = _next_token(data, pos)
+        except ParsingError:
+            pos += 1
+            continue
+        if kind == "eof":
+            break
+        pos = p
+        if kind != "keyword" or val != b"BI":
+            continue
+        params: dict = {}
+        key = None
+        arr = None
+        while pos < n:
+            try:
+                kind, val, p = _next_token(data, pos)
+            except ParsingError:
+                pos += 1
+                continue
+            if kind == "eof":
+                return out
+            pos = p
+            if kind == "keyword" and val == b"ID":
+                break
+            if arr is not None:
+                if kind == "array_close":
+                    params[key] = arr
+                    key, arr = None, None
+                elif kind in ("number", "name", "value"):
+                    arr.append(val)
+                continue
+            if kind == "name" and key is None:
+                key = str(val)
+            elif key is not None:
+                if kind == "array_open":
+                    arr = []
+                else:
+                    params[key] = val
+                    key = None
+        if pos < n and data[pos] in WHITESPACE:
+            pos += 1  # exactly one whitespace separates ID from the payload
+        start = pos
+        i = pos
+        while True:
+            i = data.find(b"EI", i)
+            if i == -1:
+                out.append((params, data[start:]))
+                pos = n
+                break
+            prev_ws = i == 0 or data[i - 1] in WHITESPACE
+            nxt = data[i + 2] if i + 2 < n else None
+            nxt_ok = nxt is None or nxt in WHITESPACE or nxt in DELIMITERS
+            if prev_ws and nxt_ok:
+                end = i - 1 if i > start else i  # drop the delimiting ws
+                out.append((params, data[start:end]))
+                pos = i + 2
+                break
+            i += 2
+    return out
+
+
 def shading_ops(data: bytes) -> dict:
     """Count §8.7.4.5 ``/Name sh`` paint operations per shading name in
     one decoded content stream.  Inline images are skipped with the

@@ -2112,6 +2112,96 @@ def extract_graphics(data: bytes, password: bytes = b""):
     return totals
 
 
+_INLINE_ABBREV = {
+    "W": "Width", "H": "Height", "BPC": "BitsPerComponent", "CS": "ColorSpace",
+    "F": "Filter", "DP": "DecodeParms", "D": "Decode", "IM": "ImageMask",
+}
+_INLINE_FILTERS = {"AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+                   "Fl": "FlateDecode", "LZW": "LZWDecode", "RL": "RunLengthDecode",
+                   "CCF": "CCITTFaxDecode", "DCT": "DCTDecode"}
+_INLINE_CS = {"G": "gray", "RGB": "rgb", "CMYK": "cmyk",
+              "DeviceGray": "gray", "DeviceRGB": "rgb", "DeviceCMYK": "cmyk"}
+
+
+def extract_inline_pixels(data: bytes, password: bytes = b""):
+    """Inline-image PIXELS (ISO 32000 §8.9.7): every page's BI..ID..EI
+    sequences parsed (abbreviated keys honored), the abbreviated filter
+    chain applied, and the samples decoded through the raster tier.
+    Returns ``{"images": [(page_idx, img_idx, width, height,
+    pixel_sum)], "errors"}`` — a malformed inline image contributes an
+    error row, never an exception."""
+    from ..textops.raster import decode_raster
+    from .content import parse_inline_images
+    from .filters import _DECODERS
+
+    rows: list = []
+    errors: list = []
+    try:
+        offsets, trailer, compressed = read_xref(data)
+        decryptor = _build_decryptor(data, trailer, offsets, password)
+        objstm_expanded: set = set()
+        objects = parse_all_objects(
+            data, offsets, compressed, errors, decryptor, objstm_expanded
+        )
+        _apply_decryption(decryptor, objects, objstm_expanded)
+        decode_doc_streams(objects, errors)
+        root = get_resolved(trailer, "Root", objects)
+        if isinstance(root, dict):
+            root_pages = get_resolved(root, "Pages", objects)
+            for page_idx, page in enumerate(_walk_pages(root_pages, objects, errors)):
+                content = _page_content_bytes(page, objects, errors)
+                if not content:
+                    continue
+                for img_idx, (params, payload) in enumerate(
+                    parse_inline_images(content)
+                ):
+                    try:
+                        norm = {
+                            _INLINE_ABBREV.get(k, k): v for k, v in params.items()
+                        }
+                        filters = norm.get("Filter")
+                        if filters is not None and not isinstance(filters, list):
+                            filters = [filters]
+                        for fname in filters or []:
+                            full = _INLINE_FILTERS.get(str(fname), str(fname))
+                            dec = _DECODERS.get(full)
+                            if dec is None:
+                                raise ValueError(f"inline filter {full}")
+                            payload = dec(payload, None)
+                        cs = norm.get("ColorSpace")
+                        imagemask = norm.get("ImageMask") is True
+                        dec_arr = norm.get("Decode")
+                        img = decode_raster(
+                            bytes(payload),
+                            int(norm.get("Width", 0)),
+                            int(norm.get("Height", 0)),
+                            int(norm.get("BitsPerComponent", 8)),
+                            _INLINE_CS.get(str(cs), str(cs)) if cs is not None else None,
+                            dec_arr if isinstance(dec_arr, list) else None,
+                            imagemask,
+                        )
+                        import numpy as _np
+
+                        rows.append(
+                            (
+                                page_idx,
+                                img_idx,
+                                int(norm.get("Width", 0)),
+                                int(norm.get("Height", 0)),
+                                int(img.sum(dtype=_np.int64)),
+                            )
+                        )
+                    except Exception as e:
+                        errors.append(
+                            ("ParsingError", "classify", f"inline image: {e}")
+                        )
+    except PdfError as e:
+        errors.append((e.kind, e.stage, str(e)))
+    except Exception as e:  # lenient: corrupt doc must not kill the task
+        errors.append(("ParsingError", "tokenize", f"{type(e).__name__}: {e}"))
+    return {"images": rows, "errors": errors}
+
+
 def extract_shadings(data: bytes, password: bytes = b""):
     """Smooth-shading inventory (ISO 32000 §8.7.4.5): every page's
     /Shading resource reported as ``(page_idx, name, shading_type,

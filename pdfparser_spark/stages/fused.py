@@ -1720,3 +1720,33 @@ def extract_sign_roundtrip_fused(
             "key_alg string, coverage_ok boolean, digest_ok boolean, sig_ok boolean"
         ),
     )
+
+
+def extract_inline_images_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """Inline-image pixels (§8.9.7), zero shuffle: BI..ID..EI parse +
+    abbreviated filter fold + raster decode per page
+    (`core.extract.extract_inline_pixels`)."""
+    from ..core.extract import extract_inline_pixels
+
+    schema = "doc_id long, page_idx int, img_idx int, width int, height int, pixel_sum long"
+    cols = [f.split(" ")[0] for f in schema.split(", ")]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                res = extract_inline_pixels(_doc_bytes(spans), password=password)
+                for page_idx, img_idx, w, h, psum in res["images"]:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "page_idx": page_idx,
+                            "img_idx": img_idx,
+                            "width": w,
+                            "height": h,
+                            "pixel_sum": psum,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(run, schema=schema)

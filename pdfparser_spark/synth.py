@@ -1346,7 +1346,15 @@ def _content_plain_binary(ptext: str, page_idx: int, rules: dict) -> bytes:
     if page_idx == 0 and rules["media"]:
         parts.append(b" q /Im1 Do Q")
     if page_idx == 0 and rules["inline"]:
-        payload = bytes([1, 2, 3, rules["_did"] % 251 + 1])  # raw binary, no EOD
+        # a CONSISTENT 2x2 RGB raster: pixel(r,c,k) = (7r+13c+31k+doc%17)%256
+        # (raw binary, no EOD — still exercises the EI-scan discipline; the
+        # consecutive-byte deltas are {31,207,188}, so a whitespace-then-EI
+        # sequence can never appear inside the payload for any doc salt)
+        salt = rules["_did"] % 17
+        payload = bytes(
+            (7 * r + 13 * c + 31 * k + salt) % 256
+            for r in range(2) for c in range(2) for k in range(3)
+        )
         parts.append(b" BI /W 2 /H 2 /BPC 8 /CS /DeviceRGB ID " + payload + b" EI")
     return b"".join(parts)
 

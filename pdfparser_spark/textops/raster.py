@@ -124,7 +124,7 @@ def decode_raster(
         pal = np.frombuffer(lookup, dtype=np.uint8, count=need).reshape(hival + 1, nbase)
         out = pal[idx]
         return out[:, :, 0] if nbase == 1 else out
-    ncomp = 3 if colorspace == "rgb" else 1
+    ncomp = {"rgb": 3, "cmyk": 4}.get(colorspace, 1)
     vals = unpack_rows(samples, width, height, ncomp, bpc)
     dec = apply_decode(vals, bpc, decode, [0.0, 1.0] * ncomp)
     img = np.clip(np.rint(dec * 255.0), 0, 255).astype(np.uint8)

@@ -47,6 +47,7 @@ from pdfparser_spark.stages import (
     extract_shadings_fused,
     extract_sign_roundtrip_fused,
     extract_inline_images_fused,
+    extract_repair_roundtrip_fused,
     extract_incremental_redact_fused,
     extract_markup_fused,
     extract_redact_fused,
@@ -2281,6 +2282,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # placeholder-first signature revision (RSA on even docs, ECDSA
         # P-256 on odd; §12.8 ByteRange patched in place) -> verify +
         # re-extract; invalid signatures poison the row set
+        # PDF REPAIR roundtrip over the damaged family: every recovery
+        # path (footer cut / catalog loss / offset slop) feeds the writer
+        # and the repaired doc must re-extract CLEAN with identical spans
+        "pdf_repair_roundtrip": lambda s_, d: extract_repair_roundtrip_fused(
+            synthesize_corpus(
+                _docs(s_, d).repartition(s_.sparkContext.defaultParallelism, "doc_id"),
+                family="damaged",
+            )
+        ),
         # inline-image PIXELS (§8.9.7): the binary family's BI..ID..EI
         # rasters parsed with abbreviated keys and decoded for real
         "inline_image_decode": lambda s, d: extract_inline_images_fused(
@@ -5932,6 +5942,17 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY 1, 2, 3, 4, 5
         """,
+        # error-logging damage arms: catalog loss (%8==2, OCG docs
+        # excluded) and offset slop (%8==6) log repair rows, dangling
+        # refs (%13==0) log ReferenceError; the footer-cut recovery
+        # (%4==0) rebuilds silently inside read_xref (documented)
+        "pdf_repair_roundtrip": _span_sql().replace(
+            "SELECT doc_id, ord, kind, text, media_ref",
+            """SELECT doc_id, ord, kind, text, media_ref,
+                   ((doc_id % 8 = 2 AND doc_id % 29 <> 11)
+                    OR doc_id % 8 = 6 OR doc_id % 13 = 0) AS had_errors,
+                   TRUE AS clean""",
+        ),
         # inline 2x2 RGB raster: pixel(r,c,k) = (7r+13c+31k+doc%17)%256
         "inline_image_decode": """
             SELECT doc_id, CAST(0 AS INT) AS page_idx, CAST(0 AS INT) AS img_idx,

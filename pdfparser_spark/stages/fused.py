@@ -1750,3 +1750,51 @@ def extract_inline_images_fused(documents_raw: DataFrame, password: bytes = b"")
             yield pd.DataFrame(rows, columns=cols)
 
     return documents_raw.mapInPandas(run, schema=schema)
+
+
+def extract_repair_roundtrip_fused(documents_raw: DataFrame, password: bytes = b"") -> DataFrame:
+    """PDF REPAIR, zero shuffle: extract from DAMAGED bytes (footer-cut
+    recovery scan, catalog-loss orphan-page scan, xref offset-slop
+    re-sync) -> re-serialize the recovered spans with the writer -> the
+    repaired document must re-extract with ZERO error rows and identical
+    spans.  ``had_errors`` reports whether extraction logged error rows
+    (catalog-loss/slop repairs and dangling refs do; the footer-cut
+    recovery scan rebuilds silently inside read_xref — documented);
+    ``clean`` must be TRUE on every row — a dirty rewrite poisons the
+    rows instead of dropping them."""
+    from ..core.extract import extract_spans
+    from ..core.writer import write_pdf
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "ord", "kind", "text", "media_ref", "had_errors", "clean"]
+        for pdf in batches:
+            rows = []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                first = extract_spans(_doc_bytes(spans), password=password)
+                repaired = write_pdf(first["spans"], xref_stream=doc_id % 3 == 1)
+                again = extract_spans(repaired)
+                clean = again["errors"] == [] and again["spans"] == first["spans"]
+                spans_out = again["spans"] if clean else [
+                    ("text", "!REPAIR-DIVERGED!", None)
+                ]
+                for ordn, (kind, text, media_ref) in enumerate(spans_out):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "ord": ordn,
+                            "kind": kind,
+                            "text": text,
+                            "media_ref": media_ref,
+                            "had_errors": bool(first["errors"]),
+                            "clean": clean,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return documents_raw.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, ord int, kind string, text string, media_ref string, "
+            "had_errors boolean, clean boolean"
+        ),
+    )

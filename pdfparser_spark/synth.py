@@ -1852,6 +1852,21 @@ def _truncate_span_rows(rows: list[dict], cut: int) -> list[dict]:
     return out
 
 
+def _reslice_span_rows(rows: list, blob: bytes) -> list:
+    """Re-derive span_rows from LENGTH-PRESERVING in-place damage: each
+    row keeps its offset and length but re-reads its text from the
+    mutated bytes — the Spark corpus reassembles documents from
+    span_rows, so damage must live there too."""
+    out = []
+    for r in rows:
+        if r["text"] is None:
+            out.append(r)
+            continue
+        off = r["offset"]
+        out.append(dict(r, text=blob[off : off + len(r["text"])].decode("latin-1")))
+    return out
+
+
 def build_document_damaged(doc_id: int, text: str) -> dict:
     """Family M at corpus scale: every 4th (classic-xref) document loses its
     ``startxref`` footer — the damaged-footer recovery path
@@ -1887,7 +1902,7 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
             if end == -1:
                 continue
             blob[start + 7 : end] = b" " * (end - start - 7)
-        d = dict(d, bytes=bytes(blob))
+        d = dict(d, bytes=bytes(blob), span_rows=_reslice_span_rows(d["span_rows"], bytes(blob)))
     elif doc_id % 8 == 6:
         # OFFSET-SLOP arm (the broken-writer classic): every in-use
         # classic-xref entry's 10-digit offset is bumped by +3 in place —
@@ -1900,7 +1915,7 @@ def build_document_damaged(doc_id: int, text: str) -> dict:
         for m in _re.finditer(rb"(?m)^(\d{10}) (\d{5}) n", bytes(blob)):
             fixed = int(m.group(1)) + 3
             blob[m.start(1) : m.start(1) + 10] = f"{fixed:010d}".encode("ascii")
-        d = dict(d, bytes=bytes(blob))
+        d = dict(d, bytes=bytes(blob), span_rows=_reslice_span_rows(d["span_rows"], bytes(blob)))
     return d
 
 

@@ -2612,6 +2612,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window, while signing is new unique evidence (fill-form was
         # r03-driver-green)
         ("pdf_sign_roundtrip", "pdf_fill_form_roundtrip"),
+        # round-4 session-2: the repair ROUNDTRIP is a strict superset of
+        # the damaged-recovery read (same family and span oracle, plus
+        # the rewrite fixpoint, the clean gate and the had_errors arm
+        # pins) — it takes that slot; the read-only query keeps the
+        # evidence in the tail
+        ("pdf_repair_roundtrip", "extract_damaged_recovery"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq

@@ -148,19 +148,22 @@ _OBJ_HEADER_RE = re.compile(rb"(?:^|[\r\n])\s*(\d+)\s+(\d+)\s+obj\b")
 def _recover_by_scan(data: bytes, tok: Tokenizer):
     """Damaged-footer recovery (the reference's reverse-scan spirit,
     pdf_file.rs:165-190, extended with scan-all-``obj``): when
-    ``startxref`` is missing or points at garbage, find the LAST
-    ``trailer`` keyword by reverse scan, parse its dictionary, and rebuild
-    the object index by scanning every ``N G obj`` header (last definition
-    wins — incremental updates append).  Objects living in object streams
-    are not recoverable this way; their dangling references degrade to
-    lenient error rows."""
+    ``startxref`` is missing or points at garbage, rebuild the object
+    index by scanning every ``N G obj`` header (last definition wins —
+    incremental updates append), then recover the trailer: the LAST
+    ``trailer`` keyword by reverse scan for CLASSIC layouts, or — the
+    MODERN xref-stream layout carries no trailer keyword at all — a
+    SYNTHESIZED trailer pointing at the newest scanned ``/Type
+    /Catalog`` object.  Objects living in object streams are not
+    recoverable this way; their dangling references degrade to lenient
+    error rows."""
+    trailer = None
     at = data.rfind(b"trailer")
-    if at == -1:
-        raise ParsingError("missing startxref and no trailer keyword")
-    pos = skip_ws(data, at + len(b"trailer"))
-    trailer, _ = tok.parse_value(pos)
-    if not isinstance(trailer, dict):
-        raise ParsingError("recovered trailer is not a dictionary")
+    if at != -1:
+        pos = skip_ws(data, at + len(b"trailer"))
+        maybe, _ = tok.parse_value(pos)
+        if isinstance(maybe, dict):
+            trailer = maybe
     # collect ALL candidate offsets per (id, gen): a binary stream payload
     # can contain bytes that look like an object header, and naive
     # last-wins would let such a false match shadow the real object.
@@ -174,6 +177,8 @@ def _recover_by_scan(data: bytes, tok: Tokenizer):
     # candidates tried per key (newest-first; real shadowing chains from
     # incremental updates are short).
     offsets: dict = {}
+    catalog_key = None
+    catalog_off = -1
     _MAX_CANDIDATES_PER_KEY = 4
     for key, offs in candidates.items():
         for off in list(reversed(offs))[:_MAX_CANDIDATES_PER_KEY]:
@@ -184,9 +189,24 @@ def _recover_by_scan(data: bytes, tok: Tokenizer):
                 continue
             if (ind.obj_id, ind.gen) == key:
                 offsets[key] = off
+                if (
+                    isinstance(ind.value, dict)
+                    and str(ind.value.get("Type")) == "Catalog"
+                    and off > catalog_off
+                ):
+                    catalog_key, catalog_off = key, off
                 break
     if not offsets:
         raise ParsingError("no indirect objects found during recovery scan")
+    if trailer is None:
+        if catalog_key is None:
+            raise ParsingError(
+                "missing startxref, no trailer keyword and no catalog object"
+            )
+        trailer = {
+            "Root": Ref(catalog_key[0], catalog_key[1]),
+            "Size": max(k[0] for k in offsets) + 1,
+        }
     return offsets, trailer
 
 

@@ -1868,17 +1868,21 @@ def _reslice_span_rows(rows: list, blob: bytes) -> list:
 
 
 def build_document_damaged(doc_id: int, text: str) -> dict:
-    """Family M at corpus scale: every 4th (classic-xref) document loses its
-    ``startxref`` footer — the damaged-footer recovery path
-    (``core/xref.py:_recover_by_scan``) must reconstruct identical spans, so
-    the driver oracle for this family is the UNDAMAGED expectation.
-    Xref-stream docs (odd ids) are left intact: they carry no ``trailer``
-    keyword to recover from, and recovery is a classic-layout affordance."""
+    """Family M at corpus scale, four damage arms with the UNDAMAGED span
+    expectation as the oracle: %4==0 classic footer cut (reverse-trailer
+    recovery), %4==1 xref-STREAM footer cut (no trailer keyword exists —
+    the scan synthesizes one from the newest /Type /Catalog object),
+    %8==2 catalog loss (orphan-page reconstruction; hidden-OCG docs
+    excluded), %8==6 xref offset slop (+-64-byte header re-sync)."""
     d = build_document(doc_id, text)
-    if doc_id % 4 == 0:
+    if doc_id % 4 == 0 or doc_id % 4 == 1:
         # cut at the FIRST startxref: incremental-update docs (%19) carry a
         # second footer, and cutting only the last one would leave a valid
-        # anchor — the recovery path would silently not be exercised
+        # anchor — the recovery path would silently not be exercised.
+        # Even docs exercise the classic reverse-trailer recovery; ODD
+        # docs are xref-STREAM layouts with no trailer keyword at all —
+        # their recovery synthesizes the trailer from the scanned
+        # /Type /Catalog object (the modern-PDF repair path)
         cut = d["bytes"].find(b"startxref")
         d = dict(
             d,

@@ -1172,3 +1172,22 @@ def test_sign_pdf_incremental_roundtrip():
         [tsig] = extract_signatures(bytes(t))["signatures"]
         assert tsig[6] is False, doc_id  # digest_ok
         assert len(extract_revisions(signed)["revisions"]) == 2, doc_id
+
+
+def test_xref_stream_footer_recovery():
+    """Damaged-family arm doc%4==1: MODERN xref-stream documents lose
+    their startxref footer — no trailer keyword exists anywhere, so the
+    recovery scan synthesizes a trailer from the newest scanned
+    /Type /Catalog object and extraction still yields the undamaged
+    spans."""
+    from pdfparser_spark.core.extract import extract_spans
+    from pdfparser_spark.synth import build_document, build_document_damaged
+
+    text = " ".join(f"w{i}" for i in range(24))
+    for doc_id in (1, 5, 9, 13, 21, 33, 41):
+        dmg = build_document_damaged(doc_id, text)
+        assert b"startxref" not in dmg["bytes"]
+        assert b"trailer" not in dmg["bytes"]  # truly the modern layout
+        res = extract_spans(dmg["bytes"])
+        want = extract_spans(build_document(doc_id, text)["bytes"])["spans"]
+        assert res["spans"] == want, doc_id

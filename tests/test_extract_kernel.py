@@ -79,10 +79,15 @@ def test_strict_mode_empties_errored_doc():
 
 
 def test_corrupt_doc_is_lenient_not_fatal():
+    """Truncation never raises.  Since the catalog-scan recovery landed,
+    a cut that leaves a consistent prefix (catalog + empty page tree)
+    extracts zero spans with zero errors — deeper cuts that destroy the
+    catalog still surface error rows."""
     d = build_document(2, "some words here for a tiny document body ok")
     res = extract_spans(d["bytes"][: len(d["bytes"]) // 3])
     assert res["spans"] == []
-    assert res["errors"]
+    res = extract_spans(d["bytes"][: len(d["bytes"]) // 20])
+    assert res["spans"] == [] and res["errors"]
 
 
 def test_encrypted_document_rejected_with_error_row():

@@ -435,6 +435,11 @@ def sign_pdf_incremental(
 
     errors: list = []
     offsets, trailer, compressed = read_xref(data)
+    if trailer.get("Encrypt") is not None:
+        # an encrypted base would need the appended field dict's strings
+        # ciphered with the document key (§7.6.2; only the signature
+        # /Contents itself is exempt) — out of this writer's scope
+        raise ValueError("cannot sign an encrypted document")
     objects = parse_all_objects(data, offsets, compressed, errors, None, set())
     root_ref = trailer.get("Root")
     root = resolve(root_ref, objects)

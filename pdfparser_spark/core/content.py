@@ -537,6 +537,7 @@ def parse_inline_images(data: bytes) -> list:
         if pos < n and data[pos] in WHITESPACE:
             pos += 1  # exactly one whitespace separates ID from the payload
         start = pos
+        expected = _inline_payload_len(params)
         i = pos
         while True:
             i = data.find(b"EI", i)
@@ -547,13 +548,50 @@ def parse_inline_images(data: bytes) -> list:
             prev_ws = i == 0 or data[i - 1] in WHITESPACE
             nxt = data[i + 2] if i + 2 < n else None
             nxt_ok = nxt is None or nxt in WHITESPACE or nxt in DELIMITERS
-            if prev_ws and nxt_ok:
-                end = i - 1 if i > start else i  # drop the delimiting ws
+            # §8.9.7 does not require whitespace before EI: a candidate
+            # without it is accepted when the unfiltered payload length
+            # matches the declared geometry exactly (ADVICE r04)
+            geom_ok = expected is not None and i - start == expected
+            if nxt_ok and (prev_ws or geom_ok):
+                if geom_ok:
+                    end = i
+                else:
+                    end = i - 1 if i > start else i  # drop the delimiting ws
                 out.append((params, data[start:end]))
                 pos = i + 2
                 break
             i += 2
     return out
+
+
+_INLINE_NCOMP = {
+    "RGB": 3, "DeviceRGB": 3, "CMYK": 4, "DeviceCMYK": 4,
+    "G": 1, "DeviceGray": 1, "I": 1, "Indexed": 1,
+}
+
+
+def _inline_payload_len(params: dict):
+    """Expected unfiltered inline-image payload length from the declared
+    geometry (§8.9.7: rows are byte-aligned), or None when a filter is
+    present / the geometry is unusable."""
+    if params.get("F") is not None or params.get("Filter") is not None:
+        return None
+    try:
+        w = int(params.get("W", params.get("Width", 0)))
+        h = int(params.get("H", params.get("Height", 0)))
+        if params.get("IM") in (True, b"true", "true") or params.get(
+            "ImageMask"
+        ) in (True, b"true", "true"):
+            ncomp, bpc = 1, 1
+        else:
+            bpc = int(params.get("BPC", params.get("BitsPerComponent", 8)))
+            cs = params.get("CS", params.get("ColorSpace"))
+            ncomp = _INLINE_NCOMP.get(str(cs), None) if cs is not None else 1
+        if ncomp is None or w <= 0 or h <= 0 or bpc <= 0:
+            return None
+        return ((w * ncomp * bpc + 7) // 8) * h
+    except (TypeError, ValueError):
+        return None
 
 
 def shading_ops(data: bytes) -> dict:

@@ -2169,13 +2169,16 @@ def extract_inline_pixels(data: bytes, password: bytes = b""):
                                 raise ValueError(f"inline filter {full}")
                             payload = dec(payload, None)
                         cs = norm.get("ColorSpace")
-                        imagemask = norm.get("ImageMask") is True
+                        # the content tokenizer returns keyword bytes, so
+                        # /IM true arrives as b"true" (ADVICE r04)
+                        imagemask = norm.get("ImageMask") in (True, b"true", "true")
                         dec_arr = norm.get("Decode")
                         img = decode_raster(
                             bytes(payload),
                             int(norm.get("Width", 0)),
                             int(norm.get("Height", 0)),
-                            int(norm.get("BitsPerComponent", 8)),
+                            # §8.9.6: an image mask is always 1 bit/sample
+                            int(norm.get("BitsPerComponent", 1 if imagemask else 8)),
                             _INLINE_CS.get(str(cs), str(cs)) if cs is not None else None,
                             dec_arr if isinstance(dec_arr, list) else None,
                             imagemask,

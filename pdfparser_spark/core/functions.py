@@ -396,6 +396,10 @@ def build_function(obj, resolve_fn=None):
 
         def f2(xs: list[float]) -> list[float]:
             (x,) = clip_domain(xs)
+            if x < 0 and not float(nexp).is_integer():
+                # Python would return a complex number here; keep the
+                # module's ValueError contract instead (ADVICE r04)
+                raise ValueError("function: negative base with fractional /N")
             xn = x ** nexp
             return [a + xn * (b - a) for a, b in zip(c0, c1)]
 

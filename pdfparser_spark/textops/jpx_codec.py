@@ -20,15 +20,18 @@ Files outside the subset raise ``ValueError`` — the fuzz-hardening
 contract every media codec here shares (corrupt input never kills a
 Spark task).
 
-Cross-validation note: no independent JPEG 2000 decoder exists in this
-container (no PIL/glymur/OpenJPEG; the JDK's ImageIO has no JP2 plugin)
-— unlike the PNG/TIFF/JPEG/WAV codecs this pair could not be pinned
-against a second implementation.  Mitigations: the inverse DWT is
-tested against an independently-written scalar twin
-(tests/test_jpx_codec.py), the MQ coder is the T.88 table already
-exercised by JBIG2, tag trees and packet headers are protocol-style
-(self-delimiting — encode/decode bugs do not cancel), and every
-round-trip property test runs odd sizes, all depths and 0..3
+Cross-validation note: no third-party JPEG 2000 decoder exists in this
+container (no PIL/glymur/OpenJPEG; the JDK's ImageIO has no JP2 plugin),
+so the independent check is ``tests/jpx_twin.py`` — a complete from-spec
+decoder twin (own MQ table transcription, own Tier-1 context derivation,
+own tag-tree/packet-header readers, Annex-F *interleaved* DWT synthesis
+instead of this module's split-phase lifting) that shares zero code with
+this module and :mod:`.jbig2`.  ``tests/test_jpx_twin.py`` decodes this
+encoder's output through it pixel-exact across shapes/depths/levels, and
+additionally pins the MQ encoder against the published T.88 Annex H
+compressed-data prefix.  The older mitigations still stand: the scalar
+1D DWT twin (tests/test_jpx_codec.py), self-delimiting tag trees, and
+round-trip property tests over odd sizes, all depths and 0..3
 decomposition levels.
 
 Reference parity: the reference enumerates JPXDecode as unsupported

@@ -2272,9 +2272,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dir untouched (structural expectation enforced via poisoning)
         "snapshot_binpack": _snapshot_binpack,
         # REAL JPEG 2000 pixel decode (textops/jpx_codec.py: EBCOT
-        # Tier-1 over the shared MQ coder + tag-tree packets + 5/3 DWT
-        # + RCT) — md5-derived odd sizes, gray/RGB, 0-3 decomposition
-        # levels; reversible coding makes the pixel sums exact
+        # Tier-1 over the shared MQ coder + tag-tree packets) —
+        # md5-derived odd sizes, gray/RGB, 0-3 decomposition levels.
+        # Even docs: reversible 5/3 + RCT, exact pixel sums; odd docs:
+        # irreversible 9/7 + scalar-expounded quantization + ICT (r04
+        # item 3), checked via the within_band MSE<=4 invariant
         "media_jpx_decode": lambda s, d: media.media_jpx_decode(
             _pipeline(s, d)["spans_flat"]
         ),
@@ -4395,7 +4397,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, media_ref, CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
                    CAST(CASE WHEN rgb THEN 3 ELSE 1 END AS INT) AS n_components,
-                   CASE WHEN rgb THEN
+                   -- odd docs take the irreversible 9/7 path: the exact sum
+                   -- goes NULL and the banded boolean carries the check
+                   CASE WHEN doc_id % 2 = 1 THEN NULL
+                   WHEN rgb THEN
                      CAST((SELECT SUM((7*r + 13*c) % 256 + (7*r + 13*c + 31) % 256
                                       + (7*r + 13*c + 62) % 256)
                            FROM unnest(generate_series(0, ht - 1)) AS tr(r),
@@ -4404,7 +4409,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST((SELECT SUM((7*r + 13*c) % 256)
                            FROM unnest(generate_series(0, ht - 1)) AS tr(r),
                                 unnest(generate_series(0, w - 1)) AS tc(c)) AS BIGINT)
-                   END AS pixel_sum
+                   END AS pixel_sum,
+                   doc_id % 2 = 1 AS lossy,
+                   TRUE AS within_band
             FROM jp
         """,
         "media_exif": _SPAN_CTE + """

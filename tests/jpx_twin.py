@@ -435,6 +435,61 @@ def twin_idwt53(ll: np.ndarray, details: list) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# inverse 9/7 DWT (Annex F.4.8) — scalar interleaved synthesis: undo the
+# K scaling, then the four lifting steps reversed with negated constants,
+# whole-sample symmetric extension by index mirroring on the CURRENT
+# pass's values (each pass only reads the opposite parity, so mirroring
+# is exact).  Constants re-typed from Table F.4.
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _synth_1d_97(y: list) -> list:
+    n = len(y)
+    if n == 1:
+        return [float(y[0])]
+    x = [0.0] * n
+    for k in range(n):  # undo the band normalization
+        x[k] = float(y[k]) * (_K97 if k % 2 == 0 else 1.0 / _K97)
+
+    def passthrough(parity: int, coef: float, src: list) -> list:
+        out = list(src)
+        for k in range(parity, n, 2):
+            left = src[_mirror_index(k - 1, n)]
+            right = src[_mirror_index(k + 1, n)]
+            out[k] = src[k] + coef * (left + right)
+        return out
+
+    x = passthrough(0, -_D97, x)
+    x = passthrough(1, -_G97, x)
+    x = passthrough(0, -_B97, x)
+    x = passthrough(1, -_A97, x)
+    return x
+
+
+def twin_idwt97(ll: np.ndarray, details: list) -> np.ndarray:
+    cur = ll.astype(np.float64)
+    for hl, lh, hh in details:
+        out_h = cur.shape[0] + lh.shape[0]
+        out_w = cur.shape[1] + hl.shape[1]
+        inter = np.zeros((out_h, out_w), dtype=np.float64)
+        inter[0::2, 0::2] = cur
+        inter[0::2, 1::2] = hl
+        inter[1::2, 0::2] = lh
+        inter[1::2, 1::2] = hh
+        for cx in range(out_w):
+            inter[:, cx] = _synth_1d_97(list(inter[:, cx]))
+        for cy in range(out_h):
+            inter[cy, :] = _synth_1d_97(list(inter[cy, :]))
+        cur = inter
+    return cur
+
+
+# ---------------------------------------------------------------------------
 # codestream walk
 
 def _find_codestream(data: bytes) -> bytes:
@@ -497,14 +552,29 @@ def twin_decode(data: bytes) -> np.ndarray:
 
     (_scod, prog, nlayers, mct, ndecomp, cbw, cbh, _modes, wavelet
      ) = struct.unpack_from(">BBHBBBBBB", cod, 0)
-    if prog != 0 or nlayers != 1 or wavelet != 1:
+    if prog != 0 or nlayers != 1 or wavelet not in (0, 1):
         raise ValueError("twin: outside subset")
+    lossy = wavelet == 0
     cb = 1 << (cbw + 2)
     if cb != 1 << (cbh + 2):
         raise ValueError("twin: non-square codeblocks")
 
     guard = qcd[0] >> 5
-    exps = [b >> 3 for b in qcd[1:]]
+    qstyle = qcd[0] & 0x1F
+    if lossy:
+        if qstyle != 2:
+            raise ValueError("twin: lossy needs scalar-expounded QCD")
+        qwords = [
+            struct.unpack_from(">H", qcd, 1 + 2 * i)[0]
+            for i in range((len(qcd) - 1) // 2)
+        ]
+        exps = [wd >> 11 for wd in qwords]
+        mus = [wd & 0x7FF for wd in qwords]
+    else:
+        if qstyle != 0:
+            raise ValueError("twin: unexpected quantization style")
+        exps = [b >> 3 for b in qcd[1:]]
+        mus = None
 
     # subband geometry: resolution sizes by repeated ceil-halving
     sizes = [(xsiz, ysiz)]
@@ -540,7 +610,10 @@ def twin_decode(data: bytes) -> np.ndarray:
         shapes = band_shapes(r)
         for ci in range(ncomp):
             rd = TwinBitReader(cs, cursor)
-            arrays = [np.zeros((bh, bw), dtype=np.int64) for _, bw, bh in shapes]
+            arrays = [
+                np.zeros((bh, bw), dtype=np.float64 if lossy else np.int64)
+                for _, bw, bh in shapes
+            ]
             if rd.bit() == 0:
                 cursor = rd.finish()
                 comp_bands[ci][r] = arrays
@@ -579,13 +652,23 @@ def twin_decode(data: bytes) -> np.ndarray:
                             mb - missing, npasses, nbytes,
                         ))
             cursor = rd.finish()
+            gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
             for bi, bname, bx, by, cw, ch, nplanes, npasses, nbytes in pending:
                 seg = cs[cursor:cursor + nbytes]
                 if cursor + nbytes > tile_end:
                     raise ValueError("twin: segment overrun")
-                arrays[bi][by:by + ch, bx:bx + cw] = twin_t1_decode(
-                    seg, cw, ch, nplanes, npasses, bname
-                )
+                coeffs = twin_t1_decode(seg, cw, ch, nplanes, npasses, bname)
+                if lossy:
+                    sbi = sub_idx_base[r] + bi
+                    delta = (2.0 ** (depth + gain[bname] - exps[sbi])) * (
+                        1.0 + mus[sbi] / 2048.0
+                    )
+                    coeffs = np.where(
+                        coeffs != 0,
+                        np.sign(coeffs) * (np.abs(coeffs) + 0.5) * delta,
+                        0.0,
+                    )
+                arrays[bi][by:by + ch, bx:bx + cw] = coeffs
                 cursor += nbytes
             comp_bands[ci][r] = arrays
 
@@ -593,15 +676,27 @@ def twin_decode(data: bytes) -> np.ndarray:
     for ci in range(ncomp):
         ll = comp_bands[ci][0][0]
         details = [tuple(comp_bands[ci][r]) for r in range(1, ndecomp + 1)]
-        planes.append(twin_idwt53(ll, details))
+        planes.append(
+            twin_idwt97(ll, details) if lossy else twin_idwt53(ll, details)
+        )
     if mct == 1:
         if ncomp != 3:
             raise ValueError("twin: MCT arity")
-        yy, cb_, cr = planes
-        g = yy - ((cb_ + cr) >> 2)
-        planes = [cr + g, g, cb_ + g]
+        if lossy:  # ICT inverse (Annex G.3)
+            yy, cb_, cr = planes
+            planes = [
+                yy + 1.402 * cr,
+                yy - 0.34413 * cb_ - 0.71414 * cr,
+                yy + 1.772 * cb_,
+            ]
+        else:
+            yy, cb_, cr = planes
+            g = yy - ((cb_ + cr) >> 2)
+            planes = [cr + g, g, cb_ + g]
     half = 1 << (depth - 1)
     top = (1 << depth) - 1
+    if lossy:
+        planes = [np.rint(p) for p in planes]
     out = [np.clip(p + half, 0, top) for p in planes]
     dt = np.uint8 if depth <= 8 else np.uint16
     if ncomp == 1:

@@ -122,3 +122,33 @@ def test_twin_decodes_bare_codestream():
     img = _grad(18, 22)
     data = encode_jp2_image(img, n_decomp=1, cb_exp=4, jp2=False)
     assert np.array_equal(twin_decode(data), img)
+
+
+@pytest.mark.parametrize(
+    "h,w,nd,cbe",
+    [(41, 53, 2, 5), (17, 23, 3, 4), (32, 32, 0, 4)],
+)
+def test_twin_decodes_lossy_gray(h, w, nd, cbe):
+    img = _grad(h, w)
+    data = encode_jp2_image(img, n_decomp=nd, cb_exp=cbe, irreversible=True)
+    twin = twin_decode(data)
+    _w, _h, prod = decode_jp2_image(data)
+    # the lifting passes are phase-parallel, so the twin's scalar
+    # mirror-indexed synthesis is arithmetic-identical to the production
+    # vectorized one: the independent decode must agree bit-for-bit
+    assert np.array_equal(prod, twin)
+    err = twin.astype(np.int64) - img.astype(np.int64)
+    assert np.abs(err).mean() < 2.0  # close to the source...
+    assert np.abs(err).sum() > 0     # ...but genuinely lossy
+
+
+def test_twin_decodes_lossy_rgb_ict():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(19, 27, 3)).astype(np.uint8)
+    data = encode_jp2_image(img, n_decomp=2, cb_exp=4, irreversible=True)
+    twin = twin_decode(data)
+    _w, _h, prod = decode_jp2_image(data)
+    assert np.array_equal(prod, twin)
+    err = twin.astype(np.int64) - img.astype(np.int64)
+    assert np.abs(err).mean() < 4.0
+    assert np.abs(err).sum() > 0

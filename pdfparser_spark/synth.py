@@ -3107,9 +3107,12 @@ def scanned_params(doc_id: int) -> dict:
     with GBTEMPLATE cycling (doc//10)%4, and every SECOND arithmetic doc
     (doc%20=2) uses the SYMBOL-DICTIONARY + TEXT-REGION organization —
     the dominant real-scanner form (§6.4/§6.5) — instead of a bare
-    generic region; MMR on the odd half (doc%10=7).  The ink oracle is
-    compression-invariant, so one SQL proves every codec/template/
-    organization."""
+    generic region; MMR on the odd half (doc%10=7).  doc%40=12 takes the
+    REFINEMENT organization (§6.3, r04 item 4): an intermediate generic
+    region carries a degraded approximation and an immediate refinement
+    region restores the exact ink (GRTEMPLATE (doc//40)%2, TPGRON on
+    (doc//80)%2=0).  The ink oracle is compression-invariant, so one SQL
+    proves every codec/template/organization."""
     return {
         "k": 0 if doc_id % 7 == 3 else -1,
         "byte_align": doc_id % 2 == 0,
@@ -3117,6 +3120,7 @@ def scanned_params(doc_id: int) -> dict:
         "jbig2": doc_id % 5 == 2,
         "jbig2_arith": doc_id % 10 == 2,
         "jbig2_symbol": doc_id % 20 == 2,
+        "jbig2_refine": doc_id % 40 == 12,
         "jbig2_template": (doc_id // 10) % 4,
     }
 
@@ -3149,6 +3153,7 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
         from .textops.jbig2 import (
             encode_jbig2_arith,
             encode_jbig2_mmr,
+            encode_jbig2_refined,
             encode_jbig2_symbol_text,
         )
 
@@ -3159,6 +3164,12 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
                 scanned_ink(doc_id),
                 template=p["jbig2_template"],
                 refcorner=1 if (doc_id // 20) % 2 == 0 else 0,
+            )
+        elif p["jbig2_refine"]:
+            payload = encode_jbig2_refined(
+                scanned_ink(doc_id),
+                template=(doc_id // 40) % 2,
+                tpgron=(doc_id // 80) % 2 == 0,
             )
         elif p["jbig2_arith"]:
             payload = encode_jbig2_arith(

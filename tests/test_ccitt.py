@@ -254,3 +254,67 @@ def test_jbig2_tpgdon_typical_prediction():
                 assert np.array_equal(
                     decode_jbig2(encode_jbig2_arith(m, tpgdon=tp, template=t)), m
                 )
+
+
+def test_jbig2_refinement_roundtrip_and_fuzz():
+    """§6.3 generic refinement (r04 item 4): intermediate generic region
+    + immediate refinement restores the exact ink; both GRTEMPLATEs and
+    TPGRON on/off; corrupt input only ever raises ValueError."""
+    import numpy as np
+    from pdfparser_spark.textops.jbig2 import (
+        decode_generic_refinement,
+        decode_jbig2,
+        encode_generic_refinement,
+        encode_jbig2_refined,
+    )
+
+    rng = np.random.default_rng(3)
+    for template in (0, 1):
+        for tpgron in (False, True):
+            mask = rng.random((19, 31)) < 0.45
+            ref = mask ^ (rng.random((19, 31)) < 0.12)
+            data = encode_generic_refinement(
+                mask, ref, template=template, tpgron=tpgron
+            )
+            out = decode_generic_refinement(
+                data, 31, 19, ref, template=template, tpgron=tpgron
+            )
+            assert np.array_equal(out, mask)
+    # the full embedded-stream organization on real family docs
+    for did in (12, 52, 92, 132):
+        m = scanned_ink(did)
+        blob = encode_jbig2_refined(
+            m, template=(did // 40) % 2, tpgron=(did // 80) % 2 == 0
+        )
+        assert np.array_equal(decode_jbig2(blob), m), did
+    blob = encode_jbig2_refined(scanned_ink(12))
+    for i in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:i] + bytes((blob[i] ^ 0xA5,)) + blob[i + 1 :])
+        except ValueError:
+            pass
+    for cut in range(1, len(blob), 4):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass
+
+
+def test_jbig2_refinement_tpgron_is_load_bearing():
+    """A decoder that ignores TPGRON must desynchronize: decoding a
+    TPGRON-on stream with tpgron=False diverges (or raises)."""
+    import numpy as np
+    from pdfparser_spark.textops.jbig2 import (
+        decode_generic_refinement,
+        encode_generic_refinement,
+    )
+
+    rng = np.random.default_rng(7)
+    mask = rng.random((17, 29)) < 0.5
+    ref = mask ^ (rng.random((17, 29)) < 0.15)
+    data = encode_generic_refinement(mask, ref, template=0, tpgron=True)
+    try:
+        wrong = decode_generic_refinement(data, 29, 17, ref, template=0, tpgron=False)
+        assert not np.array_equal(wrong, mask)
+    except ValueError:
+        pass

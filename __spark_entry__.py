@@ -2620,6 +2620,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pins) — it takes that slot; the read-only query keeps the
         # evidence in the tail
         ("pdf_repair_roundtrip", "extract_damaged_recovery"),
+        # round-5 swaps (judge r04 item 6): the inline-image PIXEL tier
+        # (BI..ID..EI geometry-bounded payloads through the raster
+        # decoder) is new kernel surface — it takes extract_binary_corpus's
+        # slot, whose real-writer binary forms are now round-tripped
+        # in-window by pdf_repair_roundtrip + pdf_encrypt_roundtrip;
+        # metadata-only table maintenance (rewrite_manifests: O(1)
+        # planning with stats carried through expire) had NO window row —
+        # it takes doc_markup_annots's (quad->layout join evidence
+        # overlaps the in-window layout family, r03-green); and the
+        # newest relational shape (q8 market share: 8-table join +
+        # divide-first ppm arithmetic) takes
+        # customers_without_recent_orders_anti's slot (r01-green;
+        # anti-join algebra stays in-window via rollup_incremental's
+        # tombstone anti-joins)
+        ("inline_image_decode", "extract_binary_corpus"),
+        ("snapshot_rewrite_manifests", "doc_markup_annots"),
+        ("tpch_q8_market_share", "customers_without_recent_orders_anti"),
     ):
         order.remove(newq)
         order[order.index(oldq)] = newq

@@ -3111,8 +3111,11 @@ def scanned_params(doc_id: int) -> dict:
     REFINEMENT organization (§6.3, r04 item 4): an intermediate generic
     region carries a degraded approximation and an immediate refinement
     region restores the exact ink (GRTEMPLATE (doc//40)%2, TPGRON on
-    (doc//80)%2=0).  The ink oracle is compression-invariant, so one SQL
-    proves every codec/template/organization."""
+    (doc//80)%2=0).  doc%40=32 takes the HALFTONE organization (§6.6):
+    a 4-pattern dictionary + per-pixel grid whose gray-coded bitplanes
+    carry ink*2+checker (HTEMPLATE (doc//40)%4).  The ink oracle is
+    compression-invariant, so one SQL proves every codec/template/
+    organization."""
     return {
         "k": 0 if doc_id % 7 == 3 else -1,
         "byte_align": doc_id % 2 == 0,
@@ -3121,6 +3124,7 @@ def scanned_params(doc_id: int) -> dict:
         "jbig2_arith": doc_id % 10 == 2,
         "jbig2_symbol": doc_id % 20 == 2,
         "jbig2_refine": doc_id % 40 == 12,
+        "jbig2_halftone": doc_id % 40 == 32,
         "jbig2_template": (doc_id // 10) % 4,
     }
 
@@ -3170,6 +3174,12 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
                 scanned_ink(doc_id),
                 template=(doc_id // 40) % 2,
                 tpgron=(doc_id // 80) % 2 == 0,
+            )
+        elif p["jbig2_halftone"]:
+            from .textops.jbig2 import encode_jbig2_halftone
+
+            payload = encode_jbig2_halftone(
+                scanned_ink(doc_id), template=(doc_id // 40) % 4
             )
         elif p["jbig2_arith"]:
             payload = encode_jbig2_arith(

@@ -50,6 +50,8 @@ _END_OF_STRIPE = 50
 _END_OF_FILE = 51
 _GENERIC_REGIONS = (36, 38, 39)  # intermediate / immediate / imm. lossless
 _REFINEMENT_REGIONS = (40, 42, 43)  # intermediate / immediate / imm. lossless
+_PATTERN_DICT = 16
+_HALFTONE_REGIONS = (20, 22, 23)  # intermediate / immediate / imm. lossless
 
 
 def _read_segment_header(data: bytes, pos: int):
@@ -114,6 +116,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     regions: list = []  # (x, y, mask)
     sym_exports: dict = {}  # segment number -> exported symbol bitmaps
     region_results: dict = {}  # segment number -> (x, y, mask) of INTERMEDIATE regions
+    pattern_exports: dict = {}  # segment number -> pattern dictionary cells
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
@@ -198,10 +201,20 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                     region_results[num] = (rx, ry, mask)
                 else:
                     regions.append((rx, ry, mask))
+            elif styp == _PATTERN_DICT:
+                pattern_exports[num] = decode_pattern_dict(blob[ds:de])
+            elif styp in _HALFTONE_REGIONS:
+                patterns: list = []
+                for r in referred:
+                    patterns.extend(pattern_exports.get(r, []))
+                rx, ry, mask = decode_halftone_region(blob[ds:de], patterns)
+                if styp == 20:  # intermediate: retained for refinement
+                    region_results[num] = (rx, ry, mask)
+                else:
+                    regions.append((rx, ry, mask))
             elif styp in (_END_OF_PAGE, _END_OF_STRIPE, _END_OF_FILE):
                 continue
-            # remaining segment types (halftone regions, extensions) are
-            # skipped by data length
+            # remaining segment types (extensions) are skipped by length
     if page_w is None or page_h is None:
         raise ValueError("JBIG2: no page information segment")
     if page_h == 0xFFFFFFFF:  # unknown height: infer from regions
@@ -551,6 +564,133 @@ def encode_jbig2_arith(
         _segment(0, _PAGE_INFO, 1, page_info)
         + _segment(1, 38, 1, region)
         + _segment(2, _END_OF_PAGE, 1, b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HALFTONE regions (T.88 §6.6/§6.7): a pattern dictionary's cells are
+# placed on a grid indexed by a GRAY-CODED multi-bitplane image (Annex
+# C.5: planes MSB->LSB share one MQ stream and one generic context;
+# binary value bit b_j = plane_j XOR b_{j+1}).  Subset: arithmetic
+# coding (no MMR), upright grid (HRY=0), no skip mask, OR composition,
+# default pixel 0 — the shapes the matched writer emits; everything
+# else raises ValueError (the shared fuzz-containment contract).
+
+def decode_pattern_dict(data: bytes) -> list:
+    """Pattern dictionary segment payload (§7.4.4.1) -> list of HDPH x
+    HDPW boolean patterns 0..GRAYMAX (decoded from ONE collective
+    generic region of width (GRAYMAX+1)*HDPW per §6.7.5)."""
+    if len(data) < 7:
+        raise ValueError("JBIG2: short pattern dictionary segment")
+    flags, hdpw, hdph = data[0], data[1], data[2]
+    if flags & 0x01:
+        raise ValueError("JBIG2: MMR pattern dictionaries unsupported")
+    template = (flags >> 1) & 0x03
+    (graymax,) = struct.unpack_from(">I", data, 3)
+    if hdpw == 0 or hdph == 0 or graymax > 1 << 10:
+        raise ValueError("JBIG2: implausible pattern dictionary shape")
+    cw = (graymax + 1) * hdpw
+    collective = decode_generic_arith(data[7:], cw, hdph, template=template)
+    return [
+        collective[:, i * hdpw : (i + 1) * hdpw] for i in range(graymax + 1)
+    ]
+
+
+def decode_halftone_region(data: bytes, patterns: list):
+    """Halftone region segment payload (§7.4.5) + referred patterns ->
+    (x, y, mask)."""
+    if len(data) < 38:
+        raise ValueError("JBIG2: short halftone region segment")
+    rw, rh, rx, ry = struct.unpack_from(">IIII", data, 0)
+    if rw == 0 or rh == 0 or rw > 1 << 20 or rh > 1 << 20:
+        raise ValueError("JBIG2: implausible halftone region geometry")
+    hflags = data[17]
+    if hflags & 0x01:
+        raise ValueError("JBIG2: MMR halftone regions unsupported")
+    template = (hflags >> 1) & 0x03
+    if hflags & 0x08:
+        raise ValueError("JBIG2: halftone skip masks unsupported")
+    if (hflags >> 4) & 0x07:
+        raise ValueError("JBIG2: halftone combination op unsupported")
+    if hflags & 0x80:
+        raise ValueError("JBIG2: halftone default pixel 1 unsupported")
+    hgw, hgh, hgx, hgy = struct.unpack_from(">IIii", data, 18)
+    hrx, hry = struct.unpack_from(">HH", data, 34)
+    if hry != 0:
+        raise ValueError("JBIG2: rotated halftone grids unsupported")
+    if not patterns:
+        raise ValueError("JBIG2: halftone region with no referred patterns")
+    if hgw == 0 or hgh == 0 or hgw * hgh > 1 << 22:
+        raise ValueError("JBIG2: implausible halftone grid")
+    graymax = len(patterns) - 1
+    bitlen = max(1, graymax.bit_length())
+    dec = MQDecoder(data[38:])
+    state = [(0, 0)] * (1 << 16)
+    planes = [
+        _decode_generic_shared(dec, state, hgw, hgh, template)
+        for _ in range(bitlen)
+    ]
+    # gray -> binary, MSB first (Annex C.5)
+    value = planes[0].astype(np.int64)
+    prev = planes[0].astype(np.int64)
+    for p in planes[1:]:
+        prev = p.astype(np.int64) ^ prev
+        value = (value << 1) | prev
+    if int(value.max(initial=0)) > graymax:
+        raise ValueError("JBIG2: gray value exceeds GRAYMAX")
+    ph, pw = patterns[0].shape
+    mask = np.zeros((rh, rw), dtype=bool)
+    for mg in range(hgh):
+        for ng in range(hgw):
+            x = hgx + ng * hrx
+            y = hgy + mg * hrx
+            if x < 0 or y < 0 or y + ph > rh or x + pw > rw:
+                continue  # §6.6.5.1: cells outside the region are skipped
+            mask[y : y + ph, x : x + pw] |= patterns[int(value[mg, ng])]
+    return rx, ry, mask
+
+
+def encode_jbig2_halftone(mask: np.ndarray, template: int = 0) -> bytes:
+    """Boolean bitmap -> embedded JBIG2 stream in the HALFTONE
+    organization: a 4-pattern dictionary of 1x1 cells (white, white,
+    black, black) and a per-pixel grid whose gray image is
+    ink*2 + ((x+y)%2) — the checker LSB makes BOTH gray-code bitplanes
+    carry real data while rendering back the exact ink (the oracle is
+    organization-invariant)."""
+    h, w = mask.shape
+    graymax = 3
+    hdpw = hdph = 1
+    collective = np.zeros((hdph, (graymax + 1) * hdpw), dtype=bool)
+    collective[:, 2:] = True  # patterns 2 and 3 are black
+    pd = (
+        bytes(((template << 1),))  # flags: arithmetic, HDTEMPLATE
+        + bytes((hdpw, hdph))
+        + struct.pack(">I", graymax)
+        + encode_generic_arith(collective, tpgdon=False, template=template)
+    )
+    ys, xs = np.mgrid[0:h, 0:w]
+    value = mask.astype(np.int64) * 2 + ((xs + ys) % 2)
+    # binary -> gray, MSB first: g_top = b_top, g_j = b_j XOR b_{j+1}
+    b1 = (value >> 1) & 1
+    b0 = value & 1
+    planes = [b1.astype(bool), (b0 ^ b1).astype(bool)]
+    enc = MQEncoder()
+    state = [(0, 0)] * (1 << 16)
+    for p in planes:
+        _encode_generic_shared(enc, state, p, template)
+    ht = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + bytes(((template << 1),))  # halftone flags
+        + struct.pack(">IIii", w, h, 0, 0)  # grid = one cell per pixel
+        + struct.pack(">HH", 1, 0)  # HRX=1, HRY=0 (upright)
+        + enc.flush()
+    )
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    return (
+        _segment(0, _PAGE_INFO, 1, page_info)
+        + _segment(1, _PATTERN_DICT, 1, pd)
+        + _segment_ref(2, 22, 1, [1], ht)  # immediate halftone region
+        + _segment(3, _END_OF_PAGE, 1, b"")
     )
 
 

@@ -318,3 +318,61 @@ def test_jbig2_refinement_tpgron_is_load_bearing():
         assert not np.array_equal(wrong, mask)
     except ValueError:
         pass
+
+
+def test_jbig2_halftone_roundtrip_and_fuzz():
+    """§6.6 halftone organization: pattern dictionary + gray-coded
+    bitplane grid renders the exact ink; all four HTEMPLATEs; corrupt
+    input only ever raises ValueError."""
+    import numpy as np
+    from pdfparser_spark.textops.jbig2 import decode_jbig2, encode_jbig2_halftone
+
+    for did in (32, 72, 112, 152):
+        m = scanned_ink(did)
+        blob = encode_jbig2_halftone(m, template=(did // 40) % 4)
+        assert np.array_equal(decode_jbig2(blob), m), did
+    blob = encode_jbig2_halftone(scanned_ink(32))
+    for i in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:i] + bytes((blob[i] ^ 0x3C,)) + blob[i + 1 :])
+        except ValueError:
+            pass
+    for cut in range(1, len(blob), 4):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass
+
+
+def test_jbig2_halftone_gray_planes_are_load_bearing():
+    """Both gray-code bitplanes carry data: zeroing the LSB plane's
+    checker changes nothing visible (patterns 0/1 and 2/3 render alike)
+    but a decoder that drops a PLANE mis-renders — simulate by decoding
+    with a truncated pattern list."""
+    import numpy as np
+    import pytest as _pytest
+    from pdfparser_spark.textops.jbig2 import (
+        decode_halftone_region,
+        decode_pattern_dict,
+        encode_jbig2_halftone,
+    )
+    from pdfparser_spark.textops.jbig2 import _read_segment_header
+
+    blob = encode_jbig2_halftone(scanned_ink(32))
+    # extract the two payloads by walking the segments directly
+    pos = 0
+    payloads = {}
+    while pos < len(blob):
+        num, styp, _pg, ds, de, pos, _refs = _read_segment_header(blob, pos)
+        payloads[styp] = blob[ds:de]
+    patterns = decode_pattern_dict(payloads[16])
+    assert len(patterns) == 4
+    _x, _y, mask = decode_halftone_region(payloads[22], patterns)
+    assert np.array_equal(mask, scanned_ink(32))
+    # a decoder with a truncated dictionary reads ONE bitplane where two
+    # were coded: it must either reject or mis-render, never agree
+    try:
+        _x2, _y2, wrong = decode_halftone_region(payloads[22], patterns[:2])
+        assert not np.array_equal(wrong, scanned_ink(32))
+    except ValueError:
+        pass

@@ -906,6 +906,44 @@ def _strict_lenient_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _images_lossy_band(df: DataFrame) -> DataFrame:
+    """Post-projection for the embedded-image queries: the JP2 class's
+    alternate docs ((doc//20)%2=1) are irreversible 9/7 (judge r04
+    item 3), so their exact
+    pixel_sum goes NULL and ``within_band`` carries the banded check —
+    |sum - expected| <= 4*n_pixels against the analytically-known block
+    pattern (a broken lossy decode lands orders of magnitude outside).
+    The expected block-sum is a 16-entry (rows, cols) lookup built from
+    the same (7r+13c)%256 formula the oracle sums."""
+    expected = None
+    for n_r in (2, 4, 6, 8):
+        for n_c in (2, 4, 6, 8):
+            e = sum((7 * r + 13 * c) % 256 for r in range(n_r) for c in range(n_c))
+            cond = (F.col("height") == 8 * n_r) & (F.col("width") == 8 * n_c)
+            expected = (
+                F.when(cond, F.lit(e))
+                if expected is None
+                else expected.when(cond, F.lit(e))
+            )
+    lossy = F.expr("(doc_id div 5) % 4 = 2 AND (doc_id div 20) % 2 = 1")
+    within = F.when(
+        lossy,
+        F.abs(F.col("pixel_sum") - 64 * expected)
+        <= 4 * F.col("width").cast("long") * F.col("height"),
+    ).otherwise(F.lit(True))
+    return df.select(
+        "doc_id",
+        "media_ref",
+        "fmt",
+        "width",
+        "height",
+        F.when(lossy, F.lit(None)).otherwise(F.col("pixel_sum")).alias("pixel_sum"),
+        "alpha_sum",
+        lossy.alias("lossy"),
+        within.alias("within_band"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {
         # --- extraction pipeline (SURVEY.md §2.1-2.7) ----------------------
@@ -1621,10 +1659,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_media_interleaved": lambda s, d: _flat(s, d, F.col("doc_id") % 5 == 0),
         # ASCII family wraps the same JPEGs in [/ASCIIHexDecode /DCTDecode]
         # transport armor; the kernel strips the non-media prefix first
-        "extract_embedded_images_armored": lambda s, d: extract_images_fused(
-            synthesize_corpus(
-                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
-                family="ascii",
+        "extract_embedded_images_armored": lambda s, d: _images_lossy_band(
+            extract_images_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(
+                        s.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    family="ascii",
+                )
             )
         ),
         "media_metadata": lambda s, d: media.media_metadata(_pipeline(s, d)["spans_flat"]),
@@ -2216,11 +2258,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # PDF-to-pixels: the binary family embeds REAL JPEGs as /DCTDecode
         # image XObjects; this pulls them back out of the (decrypted)
-        # object graph and decodes them with the textops codecs
-        "extract_embedded_images": lambda s, d: extract_images_fused(
-            synthesize_corpus(
-                _docs(s, d).repartition(s.sparkContext.defaultParallelism, "doc_id"),
-                family="binary",
+        # object graph and decodes them with the textops codecs.  The
+        # JP2 class's odd docs are irreversible 9/7 (r04 item 3): their
+        # exact sum goes NULL and within_band carries the banded check
+        "extract_embedded_images": lambda s, d: _images_lossy_band(
+            extract_images_fused(
+                synthesize_corpus(
+                    _docs(s, d).repartition(
+                        s.sparkContext.defaultParallelism, "doc_id"
+                    ),
+                    family="binary",
+                )
             )
         ),
 # page labels (§12.4.2): the catalog /PageLabels number tree —
@@ -4201,6 +4249,8 @@ def oracle_sql() -> dict[str, str]:
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   WHEN (doc_id // 5) % 4 = 2 AND (doc_id // 20) % 2 = 1 THEN
+                     NULL  -- irreversible 9/7: within_band carries the check
                    WHEN (doc_id // 5) % 4 = 2 THEN
                      -- reversible JPEG 2000: lossless, the raw block pattern
                      CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
@@ -4263,7 +4313,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST((SELECT SUM((11*r + 5*c) % 256)
                            FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                 unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum
+                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum,
+                   (doc_id // 5) % 4 = 2 AND (doc_id // 20) % 2 = 1 AS lossy,
+                   TRUE AS within_band
             FROM documents WHERE doc_id % 5 = 0
         """,
         "extract_embedded_images_armored": f"""
@@ -4278,6 +4330,8 @@ def oracle_sql() -> dict[str, str]:
                           FROM unnest(generate_series(0, 2 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                unnest(generate_series(0, 2 * (1 + doc_id % 4) - 1)) AS tc(c),
                                unnest([0, 1, 2, 3]) AS ti(i)) AS BIGINT)
+                   WHEN (doc_id // 5) % 4 = 2 AND (doc_id // 20) % 2 = 1 THEN
+                     NULL  -- irreversible 9/7: within_band carries the check
                    WHEN (doc_id // 5) % 4 = 2 THEN
                      -- reversible JPEG 2000: lossless, the raw block pattern
                      CAST(64 * (SELECT SUM((7*r + 13*c) % 256)
@@ -4340,7 +4394,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST((SELECT SUM((11*r + 5*c) % 256)
                            FROM unnest(generate_series(0, 16 * (1 + (doc_id // 4) % 4) - 1)) AS tr(r),
                                 unnest(generate_series(0, 16 * (1 + doc_id % 4) - 1)) AS tc(c)) AS BIGINT)
-                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum
+                   ELSE CAST(NULL AS BIGINT) END AS alpha_sum,
+                   (doc_id // 5) % 4 = 2 AND (doc_id // 20) % 2 = 1 AS lossy,
+                   TRUE AS within_band
             FROM documents WHERE doc_id % 5 = 0
         """,
         "version_sniff": """

@@ -1399,15 +1399,17 @@ def _embedded_jpeg(w: int, h: int, cmyk: bool = False) -> bytes:
 
 
 @lru_cache(maxsize=64)
-def _embedded_jp2(w: int, h: int) -> bytes:
-    """Reversible JPEG 2000 (textops/jpx_codec.py) of the SAME grayscale
-    block pattern — the /JPXDecode corpus slice.  Lossless, so the
-    decoded pixels are the exact (7R+13C)%256 blocks (no DC-quant grid:
-    the oracle arm sums the raw pattern)."""
+def _embedded_jp2(w: int, h: int, lossy: bool = False) -> bytes:
+    """JPEG 2000 (textops/jpx_codec.py) of the SAME grayscale block
+    pattern — the /JPXDecode corpus slice.  Even docs are lossless 5/3
+    (decoded pixels are the exact (7R+13C)%256 blocks; the oracle arm
+    sums the raw pattern); odd docs take the irreversible 9/7 +
+    quantization path (judge r04 item 3) — the query NULLs their exact
+    sum and carries a banded |sum - expected| check instead."""
     from .textops.jpx_codec import encode_jp2_image
     from .textops.media import _block_pattern
 
-    return encode_jp2_image(_block_pattern(w, h), n_decomp=2)
+    return encode_jp2_image(_block_pattern(w, h), n_decomp=2, irreversible=lossy)
 
 
 def embedded_raster_variant(doc_id: int) -> int:
@@ -1538,7 +1540,7 @@ def _embedded_image(doc_id: int) -> tuple[bytes, str, str, str | None]:
         )
     if cls == 2:
         return (
-            _embedded_jp2(iw, ih), "/JPXDecode",
+            _embedded_jp2(iw, ih, (doc_id // 20) % 2 == 1), "/JPXDecode",
             "/ColorSpace /DeviceGray /BitsPerComponent 8", None,
         )
     if cls == 3:

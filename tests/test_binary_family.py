@@ -379,8 +379,14 @@ def test_embedded_jpeg_extraction_end_to_end():
                 rec = 2 * np.floor((s - 128) / 2.0 + 0.5).astype(np.int64) + 128
                 expect += int(np.clip(255 - rec, 0, 255).sum())
             assert int(img.sum(dtype=np.int64)) == expect * 64, doc_id
-        elif want_fmt == "jp2":  # reversible: the exact block pattern
-            assert int(img.sum(dtype=np.int64)) == int(bv.sum()) * 64, doc_id
+        elif want_fmt == "jp2":
+            if (doc_id // 20) % 2 == 1:  # irreversible 9/7 half (r05)
+                got = int(img.sum(dtype=np.int64))
+                want = int(bv.sum()) * 64
+                assert abs(got - want) <= 4 * iw * ih, doc_id
+                assert got != want, doc_id  # genuinely lossy
+            else:  # reversible: the exact block pattern
+                assert int(img.sum(dtype=np.int64)) == int(bv.sum()) * 64, doc_id
         else:
             dd = bv.astype(np.int64) - 128
             out = np.clip(2 * np.floor(dd / 2.0 + 0.5).astype(np.int64) + 128, 0, 255)

@@ -152,3 +152,22 @@ def test_twin_decodes_lossy_rgb_ict():
     err = twin.astype(np.int64) - img.astype(np.int64)
     assert np.abs(err).mean() < 4.0
     assert np.abs(err).sum() > 0
+
+
+def test_twin_decodes_actual_corpus_payloads():
+    """The twin decodes the REAL corpus payload families — both the
+    media_jpx_decode md5-derived family (both parities: 5/3 and 9/7)
+    and the embedded-image class builder — bit-identically to the
+    production decoder.  This pins the exact streams the oracle gate
+    sees, not just synthetic matrices."""
+    from pdfparser_spark.synth import _embedded_jp2
+    from pdfparser_spark.textops.media import _make_jpx_real
+
+    for doc_id in (2, 5, 15, 20, 31, 40):
+        data = _make_jpx_real(doc_id, "Im1")
+        _w, _h, prod = decode_jp2_image(data)
+        assert np.array_equal(twin_decode(data), prod), doc_id
+    for w, h, lossy in ((32, 48, False), (32, 48, True), (64, 16, True)):
+        data = _embedded_jp2(w, h, lossy)
+        _w, _h, prod = decode_jp2_image(data)
+        assert np.array_equal(twin_decode(data), prod), (w, h, lossy)

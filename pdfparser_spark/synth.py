@@ -3109,7 +3109,9 @@ def scanned_params(doc_id: int) -> dict:
     with GBTEMPLATE cycling (doc//10)%4, and every SECOND arithmetic doc
     (doc%20=2) uses the SYMBOL-DICTIONARY + TEXT-REGION organization —
     the dominant real-scanner form (§6.4/§6.5) — instead of a bare
-    generic region; MMR on the odd half (doc%10=7).  doc%40=12 takes the
+    generic region (doc%80=42 additionally routes the symbol dict
+    through the SDREFAGG touch-up organization, §6.5.8.2); MMR on the
+    odd half (doc%10=7).  doc%40=12 takes the
     REFINEMENT organization (§6.3, r04 item 4): an intermediate generic
     region carries a degraded approximation and an immediate refinement
     region restores the exact ink (GRTEMPLATE (doc//40)%2, TPGRON on
@@ -3127,6 +3129,7 @@ def scanned_params(doc_id: int) -> dict:
         "jbig2_symbol": doc_id % 20 == 2,
         "jbig2_refine": doc_id % 40 == 12,
         "jbig2_halftone": doc_id % 40 == 32,
+        "jbig2_symrefine": doc_id % 80 == 42,
         "jbig2_template": (doc_id // 10) % 4,
     }
 
@@ -3170,6 +3173,10 @@ def build_document_scanned(doc_id: int, text: str) -> dict:
                 scanned_ink(doc_id),
                 template=p["jbig2_template"],
                 refcorner=1 if (doc_id // 20) % 2 == 0 else 0,
+                # doc%80==42: the touch-up organization — a base dict of
+                # degraded tiles + an SDREFAGG=1 dict refining each back
+                refine=p["jbig2_symrefine"],
+                rtemplate=(doc_id // 80) % 2,
             )
         elif p["jbig2_refine"]:
             payload = encode_jbig2_refined(

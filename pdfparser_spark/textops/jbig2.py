@@ -712,13 +712,17 @@ _GR_NOMINAL_AT = (-1, -1, -1, 1)  # A1 (current), A2 (reference)
 
 
 def _gr_context(rows: list, ref: np.ndarray, x: int, y: int, w: int,
-                template: int) -> int:
+                template: int, dx: int = 0, dy: int = 0) -> int:
+    """Reference pixel for current (x, y) is ref[(y-dy), (x-dx)]
+    (GRREFERENCEDX/DY, §6.3.5.3); out-of-bounds reads are white."""
     rh, rw = ref.shape
 
     def c(xx: int, yy: int) -> int:
         return rows[yy][xx] if 0 <= xx < w and 0 <= yy < len(rows) else 0
 
     def r(xx: int, yy: int) -> int:
+        xx -= dx
+        yy -= dy
         return int(ref[yy, xx]) if 0 <= xx < rw and 0 <= yy < rh else 0
 
     if template == 0:
@@ -758,16 +762,16 @@ def _gr_typical(ref: np.ndarray, x: int, y: int):
     return None
 
 
-def decode_generic_refinement(
-    data: bytes, w: int, h: int, ref: np.ndarray,
-    template: int = 0, tpgron: bool = False,
+def _decode_refinement_shared(
+    dec: MQDecoder, state: list, w: int, h: int, ref: np.ndarray,
+    template: int = 0, tpgron: bool = False, dx: int = 0, dy: int = 0,
 ) -> np.ndarray:
+    """Refinement decode on an EXISTING coder/context (the symbol
+    dictionary's SDREFAGG path shares one MQ stream across symbols)."""
     if w <= 0 or h <= 0 or w * h > 1 << 22:
         raise ValueError("JBIG2: implausible refinement region geometry")
     if template not in (0, 1):
         raise ValueError("JBIG2: unknown GRTEMPLATE")
-    dec = MQDecoder(data)
-    state = [(0, 0)] * (1 << 13)
     rows: list = []
     ltp = 0
     for y in range(h):
@@ -781,17 +785,27 @@ def decode_generic_refinement(
                 if tv is not None:
                     row[x] = tv
                     continue
-            row[x] = dec.decode(state, _gr_context(rows, ref, x, y, w, template))
+            row[x] = dec.decode(
+                state, _gr_context(rows, ref, x, y, w, template, dx, dy)
+            )
     return np.array(rows, dtype=bool)
 
 
-def encode_generic_refinement(
-    mask: np.ndarray, ref: np.ndarray, template: int = 0, tpgron: bool = False
-) -> bytes:
-    """Matched encoder: codes ``mask`` as a refinement of ``ref``."""
+def decode_generic_refinement(
+    data: bytes, w: int, h: int, ref: np.ndarray,
+    template: int = 0, tpgron: bool = False,
+) -> np.ndarray:
+    return _decode_refinement_shared(
+        MQDecoder(data), [(0, 0)] * (1 << 13), w, h, ref,
+        template=template, tpgron=tpgron,
+    )
+
+
+def _encode_refinement_shared(
+    enc: MQEncoder, state: list, mask: np.ndarray, ref: np.ndarray,
+    template: int = 0, tpgron: bool = False, dx: int = 0, dy: int = 0,
+) -> None:
     h, w = mask.shape
-    enc = MQEncoder()
-    state = [(0, 0)] * (1 << 13)
     rows = mask.astype(np.uint8).tolist()
     ltp = 0
     for y in range(h):
@@ -810,8 +824,19 @@ def encode_generic_refinement(
                 if tv is not None:
                     continue  # implied by typical prediction
             enc.encode(
-                state, _gr_context(rows, ref, x, y, w, template), rows[y][x]
+                state, _gr_context(rows, ref, x, y, w, template, dx, dy),
+                rows[y][x],
             )
+
+
+def encode_generic_refinement(
+    mask: np.ndarray, ref: np.ndarray, template: int = 0, tpgron: bool = False
+) -> bytes:
+    """Matched encoder: codes ``mask`` as a refinement of ``ref``."""
+    enc = MQEncoder()
+    _encode_refinement_shared(
+        enc, [(0, 0)] * (1 << 13), mask, ref, template=template, tpgron=tpgron
+    )
     return enc.flush()
 
 
@@ -992,9 +1017,9 @@ def decode_symbol_dict(data: bytes, syms_in: list | None = None) -> list:
     (flags,) = struct.unpack_from(">H", data, 0)
     if flags & 0x01:
         raise ValueError("JBIG2: Huffman symbol dictionaries unsupported")
-    if flags & 0x02:
-        raise ValueError("JBIG2: refinement/aggregate symbol coding unsupported")
+    refagg = bool(flags & 0x02)
     template = (flags >> 10) & 0x03
+    rtemplate = (flags >> 12) & 0x01
     pos = 2
     nominal = _NOMINAL_AT[template]
     n_at = len(nominal)
@@ -1003,13 +1028,23 @@ def decode_symbol_dict(data: bytes, syms_in: list | None = None) -> list:
     if struct.unpack_from("%db" % n_at, data, pos) != nominal:
         raise ValueError("JBIG2: non-nominal AT pixels unsupported")
     pos += n_at
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(data):
+            raise ValueError("JBIG2: truncated refinement AT pixels")
+        if struct.unpack_from("4b", data, pos) != _GR_NOMINAL_AT:
+            raise ValueError("JBIG2: non-nominal refinement AT unsupported")
+        pos += 4
     n_ex, n_new = struct.unpack_from(">II", data, pos)
     pos += 8
     if n_new > 1 << 16 or n_ex > 1 << 16:
         raise ValueError("JBIG2: implausible symbol counts")
     dec = MQDecoder(data[pos:])
     iadh, iadw, iaex = _ia_new(), _ia_new(), _ia_new()
+    iaai, iardx, iardy = _ia_new(), _ia_new(), _ia_new()
+    symcodelen = _symcodelen(len(syms_in) + n_new)
+    iaid = _iaid_new(symcodelen)
     gb_state = [(0, 0)] * (1 << 16)
+    gr_state = [(0, 0)] * (1 << 13)
     new_syms: list = []
     hcheight = 0
     while len(new_syms) < n_new:
@@ -1029,9 +1064,31 @@ def decode_symbol_dict(data: bytes, syms_in: list | None = None) -> list:
                 raise ValueError("JBIG2: implausible symbol width")
             if len(new_syms) >= n_new:
                 raise ValueError("JBIG2: more symbols than declared")
-            new_syms.append(
-                _decode_generic_shared(dec, gb_state, symwidth, hcheight, template)
-            )
+            if refagg:
+                # §6.5.8.2: each new symbol is a refinement/aggregate;
+                # REFAGGNINST > 1 (text-region aggregates) is outside
+                # the subset — real touch-up dictionaries use 1
+                ninst = decode_ia(dec, iaai)
+                if ninst is OOB or ninst != 1:
+                    raise ValueError("JBIG2: aggregate symbol instances unsupported")
+                sid = decode_iaid(dec, iaid, symcodelen)
+                rdx = decode_ia(dec, iardx)
+                rdy = decode_ia(dec, iardy)
+                if rdx is OOB or rdy is OOB:
+                    raise ValueError("JBIG2: OOB refinement offset")
+                universe_now = syms_in + new_syms
+                if not 0 <= sid < len(universe_now):
+                    raise ValueError("JBIG2: refinement symbol id out of range")
+                new_syms.append(
+                    _decode_refinement_shared(
+                        dec, gr_state, symwidth, hcheight, universe_now[sid],
+                        template=rtemplate, dx=rdx, dy=rdy,
+                    )
+                )
+            else:
+                new_syms.append(
+                    _decode_generic_shared(dec, gb_state, symwidth, hcheight, template)
+                )
     # export flags: alternating skip/export run lengths via IAEX (§6.5.10)
     universe = list(syms_in) + new_syms
     exported: list = []
@@ -1050,16 +1107,36 @@ def decode_symbol_dict(data: bytes, syms_in: list | None = None) -> list:
     return exported
 
 
-def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
+def encode_symbol_dict(
+    symbols: list,
+    template: int = 0,
+    refine_bases: list | None = None,
+    rtemplate: int = 0,
+) -> bytes:
     """Matched §7.4.3 writer: ``symbols`` MUST be sorted by (height,
-    width) so every IADH/IADW delta is non-negative.  All exported."""
-    flags = template << 10
+    width) so every IADH/IADW delta is non-negative.  With
+    ``refine_bases`` (the input symbols from a REFERRED dictionary, same
+    order/shapes as ``symbols``) the dictionary is written SDREFAGG=1:
+    each new symbol is a REFAGGNINST=1 refinement of its base (RDX=RDY=0)
+    — the real-scanner touch-up dictionary.  Exports only the NEW
+    symbols (the export run skips the inputs)."""
+    refagg = refine_bases is not None
+    flags = (template << 10) | (0x02 if refagg else 0) | (
+        (rtemplate & 1) << 12 if refagg else 0
+    )
     at = _NOMINAL_AT[template]
     out = struct.pack(">H", flags) + struct.pack("%db" % len(at), *at)
+    if refagg and rtemplate == 0:
+        out += struct.pack("4b", *_GR_NOMINAL_AT)
     out += struct.pack(">II", len(symbols), len(symbols))
     enc = MQEncoder()
     iadh, iadw, iaex = _ia_new(), _ia_new(), _ia_new()
+    iaai, iardx, iardy = _ia_new(), _ia_new(), _ia_new()
+    n_in = len(refine_bases) if refagg else 0
+    symcodelen = _symcodelen(n_in + len(symbols))
+    iaid = _iaid_new(symcodelen)
     gb_state = [(0, 0)] * (1 << 16)
+    gr_state = [(0, 0)] * (1 << 13)
     hcheight = 0
     i = 0
     n = len(symbols)
@@ -1072,11 +1149,27 @@ def encode_symbol_dict(symbols: list, template: int = 0) -> bytes:
             w = symbols[i].shape[1]
             encode_ia(enc, iadw, w - symwidth)
             symwidth = w
-            _encode_generic_shared(enc, gb_state, symbols[i], template)
+            if refagg:
+                base = refine_bases[i]
+                if base.shape != symbols[i].shape:
+                    raise ValueError("JBIG2 writer: refinement base shape mismatch")
+                encode_ia(enc, iaai, 1)  # REFAGGNINST
+                encode_iaid(enc, iaid, symcodelen, i)  # base = input symbol i
+                encode_ia(enc, iardx, 0)
+                encode_ia(enc, iardy, 0)
+                _encode_refinement_shared(
+                    enc, gr_state, symbols[i], base, template=rtemplate
+                )
+            else:
+                _encode_generic_shared(enc, gb_state, symbols[i], template)
             i += 1
         encode_ia(enc, iadw, OOB)
-    encode_ia(enc, iaex, 0)  # skip-run 0, then export all n
-    encode_ia(enc, iaex, n)
+    if refagg:
+        encode_ia(enc, iaex, n_in)  # skip the referred inputs
+        encode_ia(enc, iaex, n)  # export the refined symbols
+    else:
+        encode_ia(enc, iaex, 0)  # skip-run 0, then export all n
+        encode_ia(enc, iaex, n)
     return out + enc.flush()
 
 
@@ -1230,19 +1323,45 @@ def _tile_symbols(mask: np.ndarray, ts: int = 8):
 
 
 def encode_jbig2_symbol_text(
-    mask: np.ndarray, template: int = 0, refcorner: int = 1
+    mask: np.ndarray, template: int = 0, refcorner: int = 1,
+    refine: bool = False, rtemplate: int = 0,
 ) -> bytes:
     """Boolean bitmap -> embedded JBIG2 stream in the dominant
     real-scanner organization: page info + a SYMBOL DICTIONARY + an
     immediate TEXT REGION placing the (deduped, tiled) symbols +
     end-of-page.  Round-trips through :func:`decode_jbig2`;
-    ``refcorner`` picks the coded anchor (1 TL / 0 BL, same pixels)."""
+    ``refcorner`` picks the coded anchor (1 TL / 0 BL, same pixels).
+
+    ``refine`` emits the TOUCH-UP organization instead (§6.5.8.2): a
+    base dictionary of deterministically-degraded tiles, then an
+    SDREFAGG=1 dictionary refining each base back to the exact tile
+    (REFAGGNINST=1, RDX=RDY=0), with the text region referring only to
+    the refined dictionary — the ink is invariant, so the same oracle
+    proves the symbol-refinement path."""
     h, w = mask.shape
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     symbols, placements = _tile_symbols(mask)
     if not symbols:  # blank page: a 1x1 white symbol, zero instances
         symbols = [np.zeros((1, 1), dtype=bool)]
     region = encode_text_region(placements, symbols, w, h, refcorner=refcorner)
+    if refine:
+        bases = []
+        for i, sym in enumerate(symbols):
+            sh, sw = sym.shape
+            ys, xs = np.mgrid[0:sh, 0:sw]
+            bases.append(sym ^ ((xs * 3 + ys * 5 + i) % 11 == 0))
+        return (
+            _segment(0, _PAGE_INFO, 1, page_info)
+            + _segment(1, _SYMBOL_DICT, 1, encode_symbol_dict(bases, template))
+            + _segment_ref(
+                2, _SYMBOL_DICT, 1, [1],
+                encode_symbol_dict(
+                    symbols, template, refine_bases=bases, rtemplate=rtemplate
+                ),
+            )
+            + _segment_ref(3, 6, 1, [2], region)
+            + _segment(4, _END_OF_PAGE, 1, b"")
+        )
     return (
         _segment(0, _PAGE_INFO, 1, page_info)
         + _segment(1, _SYMBOL_DICT, 1, encode_symbol_dict(symbols, template))

@@ -376,3 +376,29 @@ def test_jbig2_halftone_gray_planes_are_load_bearing():
         assert not np.array_equal(wrong, scanned_ink(32))
     except ValueError:
         pass
+
+
+def test_jbig2_symbol_refinement_dictionary():
+    """§6.5.8.2 SDREFAGG touch-up organization: a base dict of degraded
+    tiles + a refinement dict restoring exact tiles; both GRTEMPLATEs;
+    corrupt input containment."""
+    import numpy as np
+    from pdfparser_spark.textops.jbig2 import decode_jbig2, encode_jbig2_symbol_text
+
+    for did in (42, 122, 202):
+        m = scanned_ink(did)
+        blob = encode_jbig2_symbol_text(
+            m, template=(did // 10) % 4, refine=True, rtemplate=(did // 80) % 2
+        )
+        assert np.array_equal(decode_jbig2(blob), m), did
+    blob = encode_jbig2_symbol_text(scanned_ink(42), refine=True)
+    for i in range(0, len(blob), 3):
+        try:
+            decode_jbig2(blob[:i] + bytes((blob[i] ^ 0x66,)) + blob[i + 1 :])
+        except ValueError:
+            pass
+    for cut in range(1, len(blob), 4):
+        try:
+            decode_jbig2(blob[:cut])
+        except ValueError:
+            pass

@@ -11,7 +11,9 @@ matched encoder used by the synth corpus.
 Documented subset (everything a reversible single-tile file needs):
   - one tile = the whole image, origin 0 (SIZ offsets 0)
   - reversible 5/3 filter, no quantization (QCD style 0)
-  - one quality layer, LRCP progression, default precincts (one
+  - one quality layer, all five B.12 progression orders (with one
+    layer + one precinct they collapse to resolution- vs
+    component-major packet sequences), default precincts (one
     precinct per resolution for the sizes involved)
   - no coder mode switches (single MQ codeword per codeblock,
     no bypass / reset / termall / vertically-causal / segmentation)
@@ -833,6 +835,18 @@ def _codeblocks(bw: int, bh: int, cb: int):
     return out
 
 
+def _packet_order(prog: int, n_res: int, n_comp: int):
+    """Packet (resolution, component) sequence for progression ``prog``
+    (B.12): with one layer and one precinct per resolution, LRCP/RLCP/
+    RPCL all reduce to resolution-major and PCRL/CPRL to
+    component-major."""
+    if prog in (0, 1, 2):
+        return [(r, c) for r in range(n_res) for c in range(n_comp)]
+    if prog in (3, 4):
+        return [(r, c) for c in range(n_comp) for r in range(n_res)]
+    raise ValueError("JPX: unknown progression order")
+
+
 # ---------------------------------------------------------------------------
 # encoder
 
@@ -845,6 +859,7 @@ def encode_jp2_image(
     jp2: bool = True,
     irreversible: bool = False,
     qstep: float = 2.0,
+    progression: int = 0,
 ) -> bytes:
     """Encode a grayscale (H,W) or RGB (H,W,3) unsigned image as a
     JPEG 2000 file (JP2 container when ``jp2``, else a bare codestream).
@@ -854,7 +869,9 @@ def encode_jp2_image(
     wavelet + scalar-expounded quantization (QCD style 2) with absolute
     step ``qstep`` (in sample units at 8-bit depth; scaled by
     ``2**(bit_depth-8)`` at other depths) — the lossy tier real
-    scanned-book corpora contain (judge r04 item 3)."""
+    scanned-book corpora contain (judge r04 item 3).  ``progression``
+    picks the B.12 packet order (0 LRCP .. 4 CPRL; with one layer and
+    one precinct these collapse to resolution- vs component-major)."""
     if img.ndim == 2:
         comps = [img]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -936,10 +953,11 @@ def encode_jp2_image(
             sb_idx += len(layout)
         comp_blocks.append(res_list)
 
-    # Tier-2: LRCP, one layer, one precinct -> packet per (r, c)
+    # Tier-2: one layer, one precinct -> packet per (r, c) in the
+    # declared progression's order
     body = bytearray()
-    for r in range(n_decomp + 1):
-        for c in range(ncomp):
+    for r, c in _packet_order(progression, n_decomp + 1, ncomp):
+        if True:
             band_entries = comp_blocks[c][r]
             any_data = any(b["npasses"] > 0 for blocks in band_entries for b in blocks)
             hw_ = _HdrWriter()
@@ -991,7 +1009,7 @@ def encode_jp2_image(
     ) + b"".join(struct.pack(">BBB", bit_depth - 1, 1, 1) for _ in range(ncomp))
     cod = struct.pack(
         ">HHBBHBBBBBB",
-        _COD, 12, 0, 0, 1, 1 if use_mct else 0,
+        _COD, 12, 0, progression, 1, 1 if use_mct else 0,
         n_decomp, cb_exp - 2, cb_exp - 2, 0, 0 if irreversible else 1,
     )
     if irreversible:  # scalar expounded (style 2): 16-bit (eps, mu) words
@@ -1116,8 +1134,8 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
     )
     if scod & 0x01:
         raise ValueError("JPX: user precincts outside subset")
-    if prog != 0 or layers != 1:
-        raise ValueError("JPX: only single-layer LRCP in subset")
+    if prog > 4 or layers != 1:
+        raise ValueError("JPX: only single-layer coding in subset")
     if modes != 0:
         raise ValueError("JPX: coder mode switches outside subset")
     if wavelet not in (0, 1):
@@ -1175,9 +1193,9 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
         [None] * (n_decomp + 1) for _ in range(csiz)
     ]  # [comp][res] -> list of band coefficient arrays
     pos = body_pos
-    for r in range(n_decomp + 1):
+    for r, c in _packet_order(prog, n_decomp + 1, csiz):
         layout = band_layout[r][1]
-        for c in range(csiz):
+        if True:
             rd = _HdrReader(data, pos)
             band_dtype = np.float64 if irreversible else np.int64
             arrays = []

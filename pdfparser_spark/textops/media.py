@@ -551,8 +551,10 @@ def _make_jpx_real(doc_id: int, media_ref: str) -> bytes:
     from .jpx_codec import encode_jp2_image
 
     img, nd, cbe = _jpx_real_image(doc_id, media_ref)
+    h = hashlib.md5(f"{doc_id}:{media_ref}".encode()).hexdigest()
     return encode_jp2_image(
-        img, n_decomp=nd, cb_exp=cbe, irreversible=doc_id % 2 == 1
+        img, n_decomp=nd, cb_exp=cbe, irreversible=doc_id % 2 == 1,
+        progression=ord(h[7]) % 5,  # pixels are progression-invariant
     )
 
 

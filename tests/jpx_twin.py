@@ -552,7 +552,7 @@ def twin_decode(data: bytes) -> np.ndarray:
 
     (_scod, prog, nlayers, mct, ndecomp, cbw, cbh, _modes, wavelet
      ) = struct.unpack_from(">BBHBBBBBB", cod, 0)
-    if prog != 0 or nlayers != 1 or wavelet not in (0, 1):
+    if prog > 4 or nlayers != 1 or wavelet not in (0, 1):
         raise ValueError("twin: outside subset")
     lossy = wavelet == 0
     cb = 1 << (cbw + 2)
@@ -606,9 +606,15 @@ def twin_decode(data: bytes) -> np.ndarray:
     for r in range(ndecomp + 1):
         sub_idx_base.append(sub_idx_base[-1] + len(band_shapes(r)))
     cursor = body
-    for r in range(ndecomp + 1):
+    # packet order (B.12): with one layer/precinct, LRCP/RLCP/RPCL are
+    # resolution-major and PCRL/CPRL component-major
+    if prog in (0, 1, 2):
+        packet_seq = [(r, ci) for r in range(ndecomp + 1) for ci in range(ncomp)]
+    else:
+        packet_seq = [(r, ci) for ci in range(ncomp) for r in range(ndecomp + 1)]
+    for r, ci in packet_seq:
         shapes = band_shapes(r)
-        for ci in range(ncomp):
+        if True:
             rd = TwinBitReader(cs, cursor)
             arrays = [
                 np.zeros((bh, bw), dtype=np.float64 if lossy else np.int64)

@@ -278,7 +278,7 @@ def test_subset_rejections():
     with pytest.raises(ValueError):
         decode_jp2_image(bytes(irr))
     prog = bytearray(enc)
-    prog[cod_off + 5] = 2  # RPCL progression
+    prog[cod_off + 5] = 5  # undefined progression order
     with pytest.raises(ValueError):
         decode_jp2_image(bytes(prog))
 
@@ -374,3 +374,31 @@ def test_97_fuzz_containment():
             decode_jp2_image(bytes(buf))
         except ValueError:
             pass  # the only permitted failure mode
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_progression_orders_roundtrip(prog):
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import decode_jp2_image, encode_jp2_image
+
+    rng = np.random.default_rng(prog)
+    rgb = rng.integers(0, 256, size=(15, 19, 3)).astype(np.uint8)
+    data = encode_jp2_image(rgb, n_decomp=2, progression=prog)
+    _w, _h, out = decode_jp2_image(data)
+    assert np.array_equal(out, rgb)
+    # lossy path too
+    data = encode_jp2_image(rgb, n_decomp=1, progression=prog, irreversible=True)
+    _w, _h, out = decode_jp2_image(data)
+    err = out.astype(np.int64) - rgb.astype(np.int64)
+    assert (err ** 2).mean() <= 8.0 and np.abs(err).sum() > 0
+
+
+def test_component_major_progression_reorders_packets():
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import encode_jp2_image
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    a = encode_jp2_image(rgb, n_decomp=2, progression=0)
+    b = encode_jp2_image(rgb, n_decomp=2, progression=4)
+    assert a != b  # the order is observable in the bytes

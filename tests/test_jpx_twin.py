@@ -171,3 +171,11 @@ def test_twin_decodes_actual_corpus_payloads():
         data = _embedded_jp2(w, h, lossy)
         _w, _h, prod = decode_jp2_image(data)
         assert np.array_equal(twin_decode(data), prod), (w, h, lossy)
+
+
+@pytest.mark.parametrize("prog", [1, 3, 4])
+def test_twin_decodes_progression_orders(prog):
+    rng = np.random.default_rng(prog + 10)
+    rgb = rng.integers(0, 256, size=(17, 21, 3)).astype(np.uint8)
+    data = encode_jp2_image(rgb, n_decomp=2, progression=prog)
+    assert np.array_equal(twin_decode(data), rgb)

@@ -11,10 +11,10 @@ matched encoder used by the synth corpus.
 Documented subset (everything a reversible single-tile file needs):
   - one tile = the whole image, origin 0 (SIZ offsets 0)
   - reversible 5/3 filter, no quantization (QCD style 0)
-  - one quality layer, all five B.12 progression orders (with one
-    layer + one precinct they collapse to resolution- vs
-    component-major packet sequences), default precincts (one
-    precinct per resolution for the sizes involved)
+  - up to 64 quality layers (codeblock contributions split at
+    pass-proportional byte boundaries per B.10.8), all five B.12
+    progression orders, default precincts (one precinct per
+    resolution for the sizes involved)
   - no coder mode switches (single MQ codeword per codeblock,
     no bypass / reset / termall / vertically-causal / segmentation)
   - components at full resolution (no subsampling), 8..16 bit
@@ -835,15 +835,38 @@ def _codeblocks(bw: int, bh: int, cb: int):
     return out
 
 
-def _packet_order(prog: int, n_res: int, n_comp: int):
-    """Packet (resolution, component) sequence for progression ``prog``
-    (B.12): with one layer and one precinct per resolution, LRCP/RLCP/
-    RPCL all reduce to resolution-major and PCRL/CPRL to
-    component-major."""
-    if prog in (0, 1, 2):
-        return [(r, c) for r in range(n_res) for c in range(n_comp)]
+def _packet_order(prog: int, n_res: int, n_comp: int, n_layers: int = 1):
+    """Packet (layer, resolution, component) sequence for progression
+    ``prog`` (B.12) with one precinct per resolution: 0 LRCP, 1 RLCP,
+    2 RPCL (layer innermost), 3 PCRL / 4 CPRL (component-major)."""
+    if prog == 0:
+        return [
+            (l, r, c)
+            for l in range(n_layers)
+            for r in range(n_res)
+            for c in range(n_comp)
+        ]
+    if prog == 1:
+        return [
+            (l, r, c)
+            for r in range(n_res)
+            for l in range(n_layers)
+            for c in range(n_comp)
+        ]
+    if prog == 2:
+        return [
+            (l, r, c)
+            for r in range(n_res)
+            for c in range(n_comp)
+            for l in range(n_layers)
+        ]
     if prog in (3, 4):
-        return [(r, c) for c in range(n_comp) for r in range(n_res)]
+        return [
+            (l, r, c)
+            for c in range(n_comp)
+            for r in range(n_res)
+            for l in range(n_layers)
+        ]
     raise ValueError("JPX: unknown progression order")
 
 
@@ -860,6 +883,7 @@ def encode_jp2_image(
     irreversible: bool = False,
     qstep: float = 2.0,
     progression: int = 0,
+    n_layers: int = 1,
 ) -> bytes:
     """Encode a grayscale (H,W) or RGB (H,W,3) unsigned image as a
     JPEG 2000 file (JP2 container when ``jp2``, else a bare codestream).
@@ -870,8 +894,9 @@ def encode_jp2_image(
     step ``qstep`` (in sample units at 8-bit depth; scaled by
     ``2**(bit_depth-8)`` at other depths) — the lossy tier real
     scanned-book corpora contain (judge r04 item 3).  ``progression``
-    picks the B.12 packet order (0 LRCP .. 4 CPRL; with one layer and
-    one precinct these collapse to resolution- vs component-major)."""
+    picks the B.12 packet order (0 LRCP .. 4 CPRL).  ``n_layers``
+    splits every codeblock's coded data across that many quality
+    layers at pass-proportional byte boundaries (B.10.8)."""
     if img.ndim == 2:
         comps = [img]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -885,6 +910,8 @@ def encode_jp2_image(
     h, w = comps[0].shape
     if n_decomp < 0 or n_decomp > 32:
         raise ValueError("JPX: bad decomposition count")
+    if not 1 <= n_layers <= 64:
+        raise ValueError("JPX: layer count out of range")
     use_mct = (len(comps) == 3) if mct is None else bool(mct)
     if use_mct and len(comps) != 3:
         raise ValueError("JPX: MCT requires 3 components")
@@ -953,54 +980,96 @@ def encode_jp2_image(
             sb_idx += len(layout)
         comp_blocks.append(res_list)
 
-    # Tier-2: one layer, one precinct -> packet per (r, c) in the
-    # declared progression's order
+    # Tier-2: one precinct -> packet per (layer, r, c) in the declared
+    # progression's order.  Each codeblock's single terminated MQ
+    # codeword is distributed across layers at pass-proportional byte
+    # boundaries (B.10.8 allows arbitrary segmentation between layers;
+    # the full decode concatenates the contributions).
+    for comp in comp_blocks:
+        for band_entries in comp:
+            for blocks in band_entries:
+                for blk in blocks:
+                    np_total = blk["npasses"]
+                    nb = len(blk["data"])
+                    passes, chunks = [], []
+                    prev_p = prev_b = 0
+                    for li in range(n_layers):
+                        p_to = np_total * (li + 1) // n_layers
+                        b_to = nb * p_to // np_total if np_total else 0
+                        passes.append(p_to - prev_p)
+                        chunks.append(blk["data"][prev_b:b_to])
+                        prev_p, prev_b = p_to, b_to
+                    blk["layer_passes"] = passes
+                    blk["layer_chunks"] = chunks
+                    blk["first_layer"] = next(
+                        (li for li, p in enumerate(passes) if p), n_layers
+                    )
+                    blk["lblock"] = 3
+
+    trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
     body = bytearray()
-    for r, c in _packet_order(progression, n_decomp + 1, ncomp):
-        if True:
-            band_entries = comp_blocks[c][r]
-            any_data = any(b["npasses"] > 0 for blocks in band_entries for b in blocks)
-            hw_ = _HdrWriter()
-            if not any_data:
-                hw_.put(0)
-                body += hw_.flush()
+    for li, r, c in _packet_order(progression, n_decomp + 1, ncomp, n_layers):
+        band_entries = comp_blocks[c][r]
+        any_contrib = any(
+            blk["layer_passes"][li] > 0 for blocks in band_entries for blk in blocks
+        )
+        hw_ = _HdrWriter()
+        if not any_contrib:
+            hw_.put(0)
+            body += hw_.flush()
+            continue
+        hw_.put(1)
+        for bi, (blocks, (bname, bw, bh)) in enumerate(
+            zip(band_entries, band_layout[r][1])
+        ):
+            if not blocks:
                 continue
-            hw_.put(1)
-            for blocks, (bname, bw, bh) in zip(band_entries, band_layout[r][1]):
-                if not blocks:
-                    continue
-                gw = (bw + cb - 1) // cb
-                gh = (bh + cb - 1) // cb
+            gw = (bw + cb - 1) // cb
+            gh = (bh + cb - 1) // cb
+            if (r, c, bi) not in trees:
                 incl = TagTree(gw, gh)
                 zbp = TagTree(gw, gh)
                 for i, blk in enumerate(blocks):
-                    incl.set(i % gw, i // gw, 0 if blk["npasses"] > 0 else 1)
+                    incl.set(i % gw, i // gw, blk["first_layer"])
                     zbp.set(i % gw, i // gw, blk["missing"])
                 incl.finalize()
                 zbp.finalize()
-                for i, blk in enumerate(blocks):
-                    x, y = i % gw, i // gw
-                    incl.encode(hw_, x, y, 1)
-                    if blk["npasses"] <= 0:
-                        continue
+                trees[(r, c, bi)] = (incl, zbp)
+            incl, zbp = trees[(r, c, bi)]
+            for i, blk in enumerate(blocks):
+                x, y = i % gw, i // gw
+                first = blk["first_layer"]
+                if first > li:
+                    # not included yet: raise the tag-tree bound
+                    incl.encode(hw_, x, y, li + 1)
+                    continue
+                if first == li:
+                    incl.encode(hw_, x, y, li + 1)
                     t = 1
                     while not _tt_enc_value_known(zbp, hw_, x, y, t):
                         t += 1
-                    _put_npasses(hw_, blk["npasses"])
-                    # length signalling: Lblock init 3
-                    lblock = 3
-                    nbits_len = lblock + _floor_log2(blk["npasses"])
-                    need = max(1, len(blk["data"]).bit_length())
-                    while need > nbits_len:
-                        hw_.put(1)
-                        lblock += 1
-                        nbits_len += 1
-                    hw_.put(0)
-                    hw_.put_bits(len(blk["data"]), nbits_len)
-            body += hw_.flush()
-            for blocks in band_entries:
-                for blk in blocks:
-                    body += blk["data"]
+                else:
+                    # already included: one contributes-this-layer bit
+                    np_l = blk["layer_passes"][li]
+                    hw_.put(1 if np_l else 0)
+                    if not np_l:
+                        continue
+                np_l = blk["layer_passes"][li]
+                chunk = blk["layer_chunks"][li]
+                _put_npasses(hw_, np_l)
+                nbits_len = blk["lblock"] + _floor_log2(np_l)
+                need = max(1, len(chunk).bit_length())
+                while need > nbits_len:
+                    hw_.put(1)
+                    blk["lblock"] += 1
+                    nbits_len += 1
+                hw_.put(0)
+                hw_.put_bits(len(chunk), nbits_len)
+        body += hw_.flush()
+        for blocks in band_entries:
+            for blk in blocks:
+                if blk["layer_passes"][li] > 0:
+                    body += blk["layer_chunks"][li]
 
     # markers
     siz = struct.pack(
@@ -1009,7 +1078,7 @@ def encode_jp2_image(
     ) + b"".join(struct.pack(">BBB", bit_depth - 1, 1, 1) for _ in range(ncomp))
     cod = struct.pack(
         ">HHBBHBBBBBB",
-        _COD, 12, 0, progression, 1, 1 if use_mct else 0,
+        _COD, 12, 0, progression, n_layers, 1 if use_mct else 0,
         n_decomp, cb_exp - 2, cb_exp - 2, 0, 0 if irreversible else 1,
     )
     if irreversible:  # scalar expounded (style 2): 16-bit (eps, mu) words
@@ -1134,8 +1203,8 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
     )
     if scod & 0x01:
         raise ValueError("JPX: user precincts outside subset")
-    if prog > 4 or layers != 1:
-        raise ValueError("JPX: only single-layer coding in subset")
+    if prog > 4 or not 1 <= layers <= 64:
+        raise ValueError("JPX: progression/layer structure outside subset")
     if modes != 0:
         raise ValueError("JPX: coder mode switches outside subset")
     if wavelet not in (0, 1):
@@ -1188,83 +1257,98 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("JPX: expected SOD")
     body_pos = pos + 14
 
-    # parse packets (LRCP): layer 0, resolutions, components
+    # parse packets in the declared progression's (layer, r, c) order;
+    # per-codeblock state (inclusion, Lblock, accumulated pass counts +
+    # data chunks) persists across layers, then every included block
+    # decodes once from its concatenated contributions
+    band_dtype = np.float64 if irreversible else np.int64
     comp_bands = [
-        [None] * (n_decomp + 1) for _ in range(csiz)
-    ]  # [comp][res] -> list of band coefficient arrays
+        [
+            [
+                np.zeros((bh, bw), dtype=band_dtype)
+                for _bname, bw, bh in band_layout[r][1]
+            ]
+            for r in range(n_decomp + 1)
+        ]
+        for _c in range(csiz)
+    ]
+    trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
+    blkstate: dict = {}  # (r, c, bi, i) -> accumulation dict
     pos = body_pos
-    for r, c in _packet_order(prog, n_decomp + 1, csiz):
+    for li, r, c in _packet_order(prog, n_decomp + 1, csiz, layers):
         layout = band_layout[r][1]
-        if True:
-            rd = _HdrReader(data, pos)
-            band_dtype = np.float64 if irreversible else np.int64
-            arrays = []
-            if not rd.get():  # empty packet
-                pos = rd.align()
-                for bname, bw, bh in layout:
-                    arrays.append(np.zeros((bh, bw), dtype=band_dtype))
-                comp_bands[c][r] = arrays
+        rd = _HdrReader(data, pos)
+        if not rd.get():  # empty packet: no tree state advances
+            pos = rd.align()
+            continue
+        pending = []  # keys of blocks contributing to THIS packet
+        for bi, (bname, bw, bh) in enumerate(layout):
+            blocks = _codeblocks(bw, bh, cb) if bw > 0 and bh > 0 else []
+            if not blocks:
                 continue
-            sb_base = sum(len(b) for _, b in band_layout[:r])
-            band_cb_info = []
-            for bi, (bname, bw, bh) in enumerate(layout):
-                arr = np.zeros((bh, bw), dtype=band_dtype)
-                arrays.append(arr)
-                blocks = _codeblocks(bw, bh, cb) if bw > 0 and bh > 0 else []
-                if not blocks:
-                    band_cb_info.append((bname, arr, []))
-                    continue
-                gw = (bw + cb - 1) // cb
-                gh = (bh + cb - 1) // cb
-                incl = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
-                entries = []
-                for i, (x0, y0, cw, ch) in enumerate(blocks):
-                    x, y = i % gw, i // gw
-                    if not incl.decode(rd, x, y, 1):
-                        entries.append(None)
-                        continue
+            gw = (bw + cb - 1) // cb
+            gh = (bh + cb - 1) // cb
+            if (r, c, bi) not in trees:
+                trees[(r, c, bi)] = (TagTree(gw, gh), TagTree(gw, gh))
+            incl, zbp = trees[(r, c, bi)]
+            for i, (x0, y0, cw, ch) in enumerate(blocks):
+                x, y = i % gw, i // gw
+                key = (r, c, bi, i)
+                st = blkstate.get(key)
+                if st is None:
+                    if not incl.decode(rd, x, y, li + 1):
+                        continue  # not included yet
                     t = 1
                     while not zbp.decode(rd, x, y, t):
                         t += 1
                         if t > 64:
                             raise ValueError("JPX: runaway zero-bitplane tree")
-                    missing = zbp.leaves[y][x].value
-                    npasses = _get_npasses(rd)
-                    lblock = 3
-                    while rd.get():
-                        lblock += 1
-                        if lblock > 32:
-                            raise ValueError("JPX: runaway Lblock")
-                    nlen = lblock + _floor_log2(npasses)
-                    seg_len = rd.get_bits(nlen)
-                    entries.append((x0, y0, cw, ch, missing, npasses, seg_len))
-                band_cb_info.append((bname, arr, entries))
-            pos = rd.align()
-            # packet body: codeblock segments in the header's order
-            for bi, (bname, arr, entries) in enumerate(band_cb_info):
-                mb_b = mb[sb_base + bi]
-                for ent in entries:
-                    if ent is None:
+                    st = {
+                        "geom": (bname, x0, y0, cw, ch),
+                        "missing": zbp.leaves[y][x].value,
+                        "lblock": 3,
+                        "passes": 0,
+                        "chunks": [],
+                    }
+                    blkstate[key] = st
+                else:
+                    if not rd.get():  # no contribution this layer
                         continue
-                    x0, y0, cw, ch, missing, npasses, seg_len = ent
-                    if pos + seg_len > tile_end:
-                        raise ValueError("JPX: codeblock segment overruns tile")
-                    nplanes = mb_b - missing
-                    coeffs = t1_decode(
-                        data[pos : pos + seg_len], cw, ch, nplanes, npasses, bname
-                    )
-                    if irreversible:
-                        # mid-point reconstruction (E.5): (|q| + 1/2) * delta
-                        d_b = deltas[sb_base + bi]
-                        coeffs = np.where(
-                            coeffs != 0,
-                            np.sign(coeffs) * (np.abs(coeffs) + 0.5) * d_b,
-                            0.0,
-                        )
-                    arr[y0 : y0 + ch, x0 : x0 + cw] = coeffs
-                    pos += seg_len
-            comp_bands[c][r] = arrays
+                np_l = _get_npasses(rd)
+                while rd.get():
+                    st["lblock"] += 1
+                    if st["lblock"] > 32:
+                        raise ValueError("JPX: runaway Lblock")
+                nlen = st["lblock"] + _floor_log2(np_l)
+                seg_len = rd.get_bits(nlen)
+                pending.append((key, np_l, seg_len))
+        pos = rd.align()
+        # packet body: contributions in the header's order
+        for key, np_l, seg_len in pending:
+            if pos + seg_len > tile_end:
+                raise ValueError("JPX: codeblock segment overruns tile")
+            st = blkstate[key]
+            st["chunks"].append(data[pos : pos + seg_len])
+            st["passes"] += np_l
+            pos += seg_len
+
+    sb_bases = [sum(len(b) for _, b in band_layout[:r]) for r in range(n_decomp + 1)]
+    for (r, c, bi, _i), st in blkstate.items():
+        bname, x0, y0, cw, ch = st["geom"]
+        mb_b = mb[sb_bases[r] + bi]
+        nplanes = mb_b - st["missing"]
+        coeffs = t1_decode(
+            b"".join(st["chunks"]), cw, ch, nplanes, st["passes"], bname
+        )
+        if irreversible:
+            # mid-point reconstruction (E.5): (|q| + 1/2) * delta
+            d_b = deltas[sb_bases[r] + bi]
+            coeffs = np.where(
+                coeffs != 0,
+                np.sign(coeffs) * (np.abs(coeffs) + 0.5) * d_b,
+                0.0,
+            )
+        comp_bands[c][r][bi][y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
     # reconstruct each component
     planes = []

@@ -555,6 +555,7 @@ def _make_jpx_real(doc_id: int, media_ref: str) -> bytes:
     return encode_jp2_image(
         img, n_decomp=nd, cb_exp=cbe, irreversible=doc_id % 2 == 1,
         progression=ord(h[7]) % 5,  # pixels are progression-invariant
+        n_layers=1 + ord(h[8]) % 4,  # ...and layer-count-invariant
     )
 
 

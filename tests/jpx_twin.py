@@ -552,7 +552,7 @@ def twin_decode(data: bytes) -> np.ndarray:
 
     (_scod, prog, nlayers, mct, ndecomp, cbw, cbh, _modes, wavelet
      ) = struct.unpack_from(">BBHBBBBBB", cod, 0)
-    if prog > 4 or nlayers != 1 or wavelet not in (0, 1):
+    if prog > 4 or not 1 <= nlayers <= 64 or wavelet not in (0, 1):
         raise ValueError("twin: outside subset")
     lossy = wavelet == 0
     cb = 1 << (cbw + 2)
@@ -606,77 +606,118 @@ def twin_decode(data: bytes) -> np.ndarray:
     for r in range(ndecomp + 1):
         sub_idx_base.append(sub_idx_base[-1] + len(band_shapes(r)))
     cursor = body
-    # packet order (B.12): with one layer/precinct, LRCP/RLCP/RPCL are
-    # resolution-major and PCRL/CPRL component-major
-    if prog in (0, 1, 2):
-        packet_seq = [(r, ci) for r in range(ndecomp + 1) for ci in range(ncomp)]
-    else:
-        packet_seq = [(r, ci) for ci in range(ncomp) for r in range(ndecomp + 1)]
-    for r, ci in packet_seq:
-        shapes = band_shapes(r)
-        if True:
-            rd = TwinBitReader(cs, cursor)
-            arrays = [
+    # packet order (B.12) over (layer, r, c); per-codeblock inclusion /
+    # Lblock / contribution state persists across layers and every
+    # included block decodes once from its concatenated chunks
+    for ci in range(ncomp):
+        for r in range(ndecomp + 1):
+            comp_bands[ci][r] = [
                 np.zeros((bh, bw), dtype=np.float64 if lossy else np.int64)
-                for _, bw, bh in shapes
+                for _, bw, bh in band_shapes(r)
             ]
-            if rd.bit() == 0:
-                cursor = rd.finish()
-                comp_bands[ci][r] = arrays
+    if prog == 0:
+        packet_seq = [
+            (l, r, ci)
+            for l in range(nlayers)
+            for r in range(ndecomp + 1)
+            for ci in range(ncomp)
+        ]
+    elif prog == 1:
+        packet_seq = [
+            (l, r, ci)
+            for r in range(ndecomp + 1)
+            for l in range(nlayers)
+            for ci in range(ncomp)
+        ]
+    elif prog == 2:
+        packet_seq = [
+            (l, r, ci)
+            for r in range(ndecomp + 1)
+            for ci in range(ncomp)
+            for l in range(nlayers)
+        ]
+    else:
+        packet_seq = [
+            (l, r, ci)
+            for ci in range(ncomp)
+            for r in range(ndecomp + 1)
+            for l in range(nlayers)
+        ]
+    twin_trees: dict = {}
+    twin_state: dict = {}
+    for l, r, ci in packet_seq:
+        shapes = band_shapes(r)
+        rd = TwinBitReader(cs, cursor)
+        if rd.bit() == 0:
+            cursor = rd.finish()
+            continue
+        pending = []  # (key, npasses_this_layer, nbytes)
+        for bi, (bname, bw, bh) in enumerate(shapes):
+            if bw == 0 or bh == 0:
                 continue
-            pending = []  # (band_idx, x0, y0, cw, ch, nplanes, npasses, nbytes)
-            for bi, (bname, bw, bh) in enumerate(shapes):
-                if bw == 0 or bh == 0:
-                    continue
-                gw = (bw + cb - 1) // cb
-                gh = (bh + cb - 1) // cb
-                incl = TwinTagTree(gw, gh)
-                zeros = TwinTagTree(gw, gh)
-                exp_b = exps[sub_idx_base[r] + bi]
-                mb = guard + exp_b - 1
-                for gy in range(gh):
-                    for gx in range(gw):
-                        if not incl.read(rd, gx, gy, 1):
+            gw = (bw + cb - 1) // cb
+            gh = (bh + cb - 1) // cb
+            if (r, ci, bi) not in twin_trees:
+                twin_trees[(r, ci, bi)] = (TwinTagTree(gw, gh), TwinTagTree(gw, gh))
+            incl, zeros = twin_trees[(r, ci, bi)]
+            for gy in range(gh):
+                for gx in range(gw):
+                    key = (r, ci, bi, gx, gy)
+                    st = twin_state.get(key)
+                    if st is None:
+                        if not incl.read(rd, gx, gy, l + 1):
                             continue
                         t = 1
                         while not zeros.read(rd, gx, gy, t):
                             t += 1
                             if t > 64:
                                 raise ValueError("twin: zbp runaway")
-                        missing = zeros.leaf_value(gx, gy)
-                        npasses = _read_pass_count(rd)
-                        lblock = 3
-                        while rd.bit():
-                            lblock += 1
-                        nlen = lblock + (npasses.bit_length() - 1)
-                        nbytes = rd.bits(nlen)
                         bx = gx * cb
                         by = gy * cb
-                        pending.append((
-                            bi, shapes[bi][0], bx, by,
-                            min(cb, bw - bx), min(cb, bh - by),
-                            mb - missing, npasses, nbytes,
-                        ))
-            cursor = rd.finish()
-            gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-            for bi, bname, bx, by, cw, ch, nplanes, npasses, nbytes in pending:
-                seg = cs[cursor:cursor + nbytes]
-                if cursor + nbytes > tile_end:
-                    raise ValueError("twin: segment overrun")
-                coeffs = twin_t1_decode(seg, cw, ch, nplanes, npasses, bname)
-                if lossy:
-                    sbi = sub_idx_base[r] + bi
-                    delta = (2.0 ** (depth + gain[bname] - exps[sbi])) * (
-                        1.0 + mus[sbi] / 2048.0
-                    )
-                    coeffs = np.where(
-                        coeffs != 0,
-                        np.sign(coeffs) * (np.abs(coeffs) + 0.5) * delta,
-                        0.0,
-                    )
-                arrays[bi][by:by + ch, bx:bx + cw] = coeffs
-                cursor += nbytes
-            comp_bands[ci][r] = arrays
+                        st = {
+                            "bname": bname, "bx": bx, "by": by,
+                            "cw": min(cb, bw - bx), "ch": min(cb, bh - by),
+                            "missing": zeros.leaf_value(gx, gy),
+                            "lblock": 3, "passes": 0, "chunks": [],
+                        }
+                        twin_state[key] = st
+                    else:
+                        if rd.bit() == 0:
+                            continue
+                    npasses = _read_pass_count(rd)
+                    while rd.bit():
+                        st["lblock"] += 1
+                    nlen = st["lblock"] + (npasses.bit_length() - 1)
+                    pending.append((key, npasses, rd.bits(nlen)))
+        cursor = rd.finish()
+        for key, npasses, nbytes in pending:
+            if cursor + nbytes > tile_end:
+                raise ValueError("twin: segment overrun")
+            st = twin_state[key]
+            st["chunks"].append(cs[cursor:cursor + nbytes])
+            st["passes"] += npasses
+            cursor += nbytes
+    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+    for (r, ci, bi, _gx, _gy), st in twin_state.items():
+        exp_b = exps[sub_idx_base[r] + bi]
+        mb = guard + exp_b - 1
+        coeffs = twin_t1_decode(
+            b"".join(st["chunks"]), st["cw"], st["ch"],
+            mb - st["missing"], st["passes"], st["bname"],
+        )
+        if lossy:
+            sbi = sub_idx_base[r] + bi
+            delta = (2.0 ** (depth + gain[st["bname"]] - exps[sbi])) * (
+                1.0 + mus[sbi] / 2048.0
+            )
+            coeffs = np.where(
+                coeffs != 0,
+                np.sign(coeffs) * (np.abs(coeffs) + 0.5) * delta,
+                0.0,
+            )
+        comp_bands[ci][r][bi][
+            st["by"]:st["by"] + st["ch"], st["bx"]:st["bx"] + st["cw"]
+        ] = coeffs
 
     planes = []
     for ci in range(ncomp):

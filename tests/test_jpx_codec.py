@@ -402,3 +402,42 @@ def test_component_major_progression_reorders_packets():
     a = encode_jp2_image(rgb, n_decomp=2, progression=0)
     b = encode_jp2_image(rgb, n_decomp=2, progression=4)
     assert a != b  # the order is observable in the bytes
+
+
+@pytest.mark.parametrize("n_layers", [2, 3, 5, 8])
+def test_quality_layers_roundtrip(n_layers):
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import decode_jp2_image, encode_jp2_image
+
+    rng = np.random.default_rng(n_layers)
+    img = rng.integers(0, 256, size=(21, 33)).astype(np.uint8)
+    rgb = rng.integers(0, 256, size=(15, 19, 3)).astype(np.uint8)
+    for prog in (0, 2, 4):
+        data = encode_jp2_image(img, n_decomp=2, n_layers=n_layers, progression=prog)
+        _w, _h, out = decode_jp2_image(data)
+        assert np.array_equal(out, img)
+        data = encode_jp2_image(
+            rgb, n_decomp=1, n_layers=n_layers, progression=prog, irreversible=True
+        )
+        _w, _h, out = decode_jp2_image(data)
+        err = out.astype(np.int64) - rgb.astype(np.int64)
+        assert (err ** 2).mean() <= 8.0 and np.abs(err).sum() > 0
+
+
+def test_layered_fuzz_containment():
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import decode_jp2_image, encode_jp2_image
+
+    img = ((np.add.outer(7 * np.arange(24), 13 * np.arange(20))) % 256).astype(
+        np.uint8
+    )
+    data = encode_jp2_image(img, n_decomp=2, n_layers=4)
+    rng = np.random.default_rng(13)
+    for _ in range(60):
+        buf = bytearray(data)
+        for _k in range(rng.integers(1, 6)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_jp2_image(bytes(buf))
+        except ValueError:
+            pass  # the only permitted failure mode

@@ -179,3 +179,16 @@ def test_twin_decodes_progression_orders(prog):
     rgb = rng.integers(0, 256, size=(17, 21, 3)).astype(np.uint8)
     data = encode_jp2_image(rgb, n_decomp=2, progression=prog)
     assert np.array_equal(twin_decode(data), rgb)
+
+
+@pytest.mark.parametrize("n_layers,prog", [(3, 0), (5, 2), (4, 4)])
+def test_twin_decodes_quality_layers(n_layers, prog):
+    rng = np.random.default_rng(n_layers * 7 + prog)
+    rgb = rng.integers(0, 256, size=(17, 21, 3)).astype(np.uint8)
+    data = encode_jp2_image(rgb, n_decomp=2, n_layers=n_layers, progression=prog)
+    assert np.array_equal(twin_decode(data), rgb)
+    data = encode_jp2_image(
+        rgb, n_decomp=2, n_layers=n_layers, progression=prog, irreversible=True
+    )
+    _w, _h, prod = decode_jp2_image(data)
+    assert np.array_equal(twin_decode(data), prod)

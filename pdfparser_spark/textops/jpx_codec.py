@@ -8,8 +8,10 @@ packet headers (Annex B.10), the reversible 5/3 integer wavelet
 (Annex F) and the reversible component transform (Annex G.2), plus the
 matched encoder used by the synth corpus.
 
-Documented subset (everything a reversible single-tile file needs):
-  - one tile = the whole image, origin 0 (SIZ offsets 0)
+Documented subset:
+  - origin 0 (SIZ/tile offsets 0); single- OR multi-tile on an
+    XTsiz=YTsiz grid, one tile-part per tile, each independently
+    coded (the parallel-decode shape of large scans)
   - reversible 5/3 filter, no quantization (QCD style 0)
   - up to 64 quality layers (codeblock contributions split at
     pass-proportional byte boundaries per B.10.8), all five B.12
@@ -884,6 +886,7 @@ def encode_jp2_image(
     qstep: float = 2.0,
     progression: int = 0,
     n_layers: int = 1,
+    tile_size: int | None = None,
 ) -> bytes:
     """Encode a grayscale (H,W) or RGB (H,W,3) unsigned image as a
     JPEG 2000 file (JP2 container when ``jp2``, else a bare codestream).
@@ -896,7 +899,10 @@ def encode_jp2_image(
     scanned-book corpora contain (judge r04 item 3).  ``progression``
     picks the B.12 packet order (0 LRCP .. 4 CPRL).  ``n_layers``
     splits every codeblock's coded data across that many quality
-    layers at pass-proportional byte boundaries (B.10.8)."""
+    layers at pass-proportional byte boundaries (B.10.8).
+    ``tile_size`` tiles the image on an XTsiz=YTsiz grid, one
+    independently-coded tile-part per tile (the parallel-decode shape
+    large scans use); None = single whole-image tile."""
     if img.ndim == 2:
         comps = [img]
     elif img.ndim == 3 and img.shape[2] == 3:
@@ -948,133 +954,156 @@ def encode_jp2_image(
                 epsilons.append(bit_depth + _GAIN[bname] + 1)
     mb = [guard + e - 1 for e in epsilons]
 
-    comp_blocks = []  # [comp][resolution] -> list of per-band lists of cb dicts
-    for plane in planes:
-        bands = fdwt97(plane, n_decomp) if irreversible else fdwt53(plane, n_decomp)
-        res_list = []
-        sb_idx = 0
-        for r, layout in band_layout:
-            arrays = [bands[0]] if r == 0 else list(bands[r])
-            band_entries = []
-            for bi, ((bname, bw, bh), arr) in enumerate(zip(layout, arrays)):
-                if arr.shape != (bh, bw):
-                    raise AssertionError("band geometry mismatch")
-                if irreversible:
-                    # deadzone quantizer (E.4): q = sign(c) * floor(|c|/d)
-                    d_b = quant[sb_idx + bi][2]
-                    arr = (
-                        np.sign(arr) * np.floor(np.abs(arr) / d_b)
-                    ).astype(np.int64)
-                mb_b = mb[sb_idx + bi]
-                blocks = []
-                for x0, y0, cw, ch in _codeblocks(bw, bh, cb):
-                    data, npl, npas = t1_encode(arr[y0 : y0 + ch, x0 : x0 + cw], bname)
-                    if npl > mb_b:
-                        raise AssertionError("coefficient exceeds Mb headroom")
-                    blocks.append(
-                        {"data": data, "nplanes": npl, "npasses": npas,
-                         "missing": mb_b - npl}
-                    )
-                band_entries.append(blocks)
-            res_list.append(band_entries)
-            sb_idx += len(layout)
-        comp_blocks.append(res_list)
+    def _encode_tile(tile_planes: list, tw: int, th: int) -> bytes:
+        """DWT + Tier-1 + Tier-2 for ONE tile (independent coding)."""
+        tile_layout = _band_dims(tw, th, n_decomp)
+        comp_blocks = []  # [comp][resolution] -> list of per-band lists of cb dicts
+        for plane in tile_planes:
+            bands = fdwt97(plane, n_decomp) if irreversible else fdwt53(plane, n_decomp)
+            res_list = []
+            sb_idx = 0
+            for r, layout in tile_layout:
+                arrays = [bands[0]] if r == 0 else list(bands[r])
+                band_entries = []
+                for bi, ((bname, bw, bh), arr) in enumerate(zip(layout, arrays)):
+                    if arr.shape != (bh, bw):
+                        raise AssertionError("band geometry mismatch")
+                    if irreversible:
+                        # deadzone quantizer (E.4): q = sign(c) * floor(|c|/d)
+                        d_b = quant[sb_idx + bi][2]
+                        arr = (
+                            np.sign(arr) * np.floor(np.abs(arr) / d_b)
+                        ).astype(np.int64)
+                    mb_b = mb[sb_idx + bi]
+                    blocks = []
+                    for x0, y0, cw, ch in _codeblocks(bw, bh, cb):
+                        data, npl, npas = t1_encode(arr[y0 : y0 + ch, x0 : x0 + cw], bname)
+                        if npl > mb_b:
+                            raise AssertionError("coefficient exceeds Mb headroom")
+                        blocks.append(
+                            {"data": data, "nplanes": npl, "npasses": npas,
+                             "missing": mb_b - npl}
+                        )
+                    band_entries.append(blocks)
+                res_list.append(band_entries)
+                sb_idx += len(layout)
+            comp_blocks.append(res_list)
 
-    # Tier-2: one precinct -> packet per (layer, r, c) in the declared
-    # progression's order.  Each codeblock's single terminated MQ
-    # codeword is distributed across layers at pass-proportional byte
-    # boundaries (B.10.8 allows arbitrary segmentation between layers;
-    # the full decode concatenates the contributions).
-    for comp in comp_blocks:
-        for band_entries in comp:
+        # Tier-2: one precinct -> packet per (layer, r, c) in the declared
+        # progression's order.  Each codeblock's single terminated MQ
+        # codeword is distributed across layers at pass-proportional byte
+        # boundaries (B.10.8 allows arbitrary segmentation between layers;
+        # the full decode concatenates the contributions).
+        for comp in comp_blocks:
+            for band_entries in comp:
+                for blocks in band_entries:
+                    for blk in blocks:
+                        np_total = blk["npasses"]
+                        nb = len(blk["data"])
+                        passes, chunks = [], []
+                        prev_p = prev_b = 0
+                        for li in range(n_layers):
+                            p_to = np_total * (li + 1) // n_layers
+                            b_to = nb * p_to // np_total if np_total else 0
+                            passes.append(p_to - prev_p)
+                            chunks.append(blk["data"][prev_b:b_to])
+                            prev_p, prev_b = p_to, b_to
+                        blk["layer_passes"] = passes
+                        blk["layer_chunks"] = chunks
+                        blk["first_layer"] = next(
+                            (li for li, p in enumerate(passes) if p), n_layers
+                        )
+                        blk["lblock"] = 3
+
+        trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
+        body = bytearray()
+        for li, r, c in _packet_order(progression, n_decomp + 1, ncomp, n_layers):
+            band_entries = comp_blocks[c][r]
+            any_contrib = any(
+                blk["layer_passes"][li] > 0 for blocks in band_entries for blk in blocks
+            )
+            hw_ = _HdrWriter()
+            if not any_contrib:
+                hw_.put(0)
+                body += hw_.flush()
+                continue
+            hw_.put(1)
+            for bi, (blocks, (bname, bw, bh)) in enumerate(
+                zip(band_entries, tile_layout[r][1])
+            ):
+                if not blocks:
+                    continue
+                gw = (bw + cb - 1) // cb
+                gh = (bh + cb - 1) // cb
+                if (r, c, bi) not in trees:
+                    incl = TagTree(gw, gh)
+                    zbp = TagTree(gw, gh)
+                    for i, blk in enumerate(blocks):
+                        incl.set(i % gw, i // gw, blk["first_layer"])
+                        zbp.set(i % gw, i // gw, blk["missing"])
+                    incl.finalize()
+                    zbp.finalize()
+                    trees[(r, c, bi)] = (incl, zbp)
+                incl, zbp = trees[(r, c, bi)]
+                for i, blk in enumerate(blocks):
+                    x, y = i % gw, i // gw
+                    first = blk["first_layer"]
+                    if first > li:
+                        # not included yet: raise the tag-tree bound
+                        incl.encode(hw_, x, y, li + 1)
+                        continue
+                    if first == li:
+                        incl.encode(hw_, x, y, li + 1)
+                        t = 1
+                        while not _tt_enc_value_known(zbp, hw_, x, y, t):
+                            t += 1
+                    else:
+                        # already included: one contributes-this-layer bit
+                        np_l = blk["layer_passes"][li]
+                        hw_.put(1 if np_l else 0)
+                        if not np_l:
+                            continue
+                    np_l = blk["layer_passes"][li]
+                    chunk = blk["layer_chunks"][li]
+                    _put_npasses(hw_, np_l)
+                    nbits_len = blk["lblock"] + _floor_log2(np_l)
+                    need = max(1, len(chunk).bit_length())
+                    while need > nbits_len:
+                        hw_.put(1)
+                        blk["lblock"] += 1
+                        nbits_len += 1
+                    hw_.put(0)
+                    hw_.put_bits(len(chunk), nbits_len)
+            body += hw_.flush()
             for blocks in band_entries:
                 for blk in blocks:
-                    np_total = blk["npasses"]
-                    nb = len(blk["data"])
-                    passes, chunks = [], []
-                    prev_p = prev_b = 0
-                    for li in range(n_layers):
-                        p_to = np_total * (li + 1) // n_layers
-                        b_to = nb * p_to // np_total if np_total else 0
-                        passes.append(p_to - prev_p)
-                        chunks.append(blk["data"][prev_b:b_to])
-                        prev_p, prev_b = p_to, b_to
-                    blk["layer_passes"] = passes
-                    blk["layer_chunks"] = chunks
-                    blk["first_layer"] = next(
-                        (li for li, p in enumerate(passes) if p), n_layers
-                    )
-                    blk["lblock"] = 3
+                    if blk["layer_passes"][li] > 0:
+                        body += blk["layer_chunks"][li]
 
-    trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
-    body = bytearray()
-    for li, r, c in _packet_order(progression, n_decomp + 1, ncomp, n_layers):
-        band_entries = comp_blocks[c][r]
-        any_contrib = any(
-            blk["layer_passes"][li] > 0 for blocks in band_entries for blk in blocks
-        )
-        hw_ = _HdrWriter()
-        if not any_contrib:
-            hw_.put(0)
-            body += hw_.flush()
-            continue
-        hw_.put(1)
-        for bi, (blocks, (bname, bw, bh)) in enumerate(
-            zip(band_entries, band_layout[r][1])
-        ):
-            if not blocks:
-                continue
-            gw = (bw + cb - 1) // cb
-            gh = (bh + cb - 1) // cb
-            if (r, c, bi) not in trees:
-                incl = TagTree(gw, gh)
-                zbp = TagTree(gw, gh)
-                for i, blk in enumerate(blocks):
-                    incl.set(i % gw, i // gw, blk["first_layer"])
-                    zbp.set(i % gw, i // gw, blk["missing"])
-                incl.finalize()
-                zbp.finalize()
-                trees[(r, c, bi)] = (incl, zbp)
-            incl, zbp = trees[(r, c, bi)]
-            for i, blk in enumerate(blocks):
-                x, y = i % gw, i // gw
-                first = blk["first_layer"]
-                if first > li:
-                    # not included yet: raise the tag-tree bound
-                    incl.encode(hw_, x, y, li + 1)
-                    continue
-                if first == li:
-                    incl.encode(hw_, x, y, li + 1)
-                    t = 1
-                    while not _tt_enc_value_known(zbp, hw_, x, y, t):
-                        t += 1
-                else:
-                    # already included: one contributes-this-layer bit
-                    np_l = blk["layer_passes"][li]
-                    hw_.put(1 if np_l else 0)
-                    if not np_l:
-                        continue
-                np_l = blk["layer_passes"][li]
-                chunk = blk["layer_chunks"][li]
-                _put_npasses(hw_, np_l)
-                nbits_len = blk["lblock"] + _floor_log2(np_l)
-                need = max(1, len(chunk).bit_length())
-                while need > nbits_len:
-                    hw_.put(1)
-                    blk["lblock"] += 1
-                    nbits_len += 1
-                hw_.put(0)
-                hw_.put_bits(len(chunk), nbits_len)
-        body += hw_.flush()
-        for blocks in band_entries:
-            for blk in blocks:
-                if blk["layer_passes"][li] > 0:
-                    body += blk["layer_chunks"][li]
+        return bytes(body)
+
+    xt = tile_size if tile_size else max(w, 1)
+    yt = tile_size if tile_size else max(h, 1)
+    if tile_size is not None and tile_size < 1 << max(2, n_decomp):
+        raise ValueError("JPX: tile size too small for the decomposition")
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    if ntx * nty > 4096:
+        raise ValueError("JPX: too many tiles")
+    tile_bodies = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            tw = min(xt, w - tx * xt)
+            th = min(yt, h - ty * yt)
+            tile_bodies.append(_encode_tile(
+                [p[ty * yt : ty * yt + th, tx * xt : tx * xt + tw] for p in planes],
+                tw, th,
+            ))
 
     # markers
     siz = struct.pack(
         ">HHHIIIIIIIIH",
-        _SIZ, 38 + 3 * ncomp, 0, w, h, 0, 0, w, h, 0, 0, ncomp,
+        _SIZ, 38 + 3 * ncomp, 0, w, h, 0, 0, xt, yt, 0, 0, ncomp,
     ) + b"".join(struct.pack(">BBB", bit_depth - 1, 1, 1) for _ in range(ncomp))
     cod = struct.pack(
         ">HHBBHBBBBBB",
@@ -1089,13 +1118,15 @@ def encode_jp2_image(
         qcd = struct.pack(">HHB", _QCD, 3 + len(epsilons), (guard << 5) | 0) + bytes(
             e << 3 for e in epsilons
         )
-    tile_body = bytes(body)
-    psot = 12 + 2 + len(tile_body)  # SOT segment + SOD marker + body
-    sot = struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
-    cs = (
-        struct.pack(">H", _SOC) + siz + cod + qcd + sot
-        + struct.pack(">H", _SOD) + tile_body + struct.pack(">H", _EOC)
-    )
+    parts = b""
+    for ti, tile_body in enumerate(tile_bodies):
+        psot = 12 + 2 + len(tile_body)  # SOT segment + SOD marker + body
+        parts += (
+            struct.pack(">HHHIBB", _SOT, 10, ti, psot, 0, 1)
+            + struct.pack(">H", _SOD)
+            + tile_body
+        )
+    cs = struct.pack(">H", _SOC) + siz + cod + qcd + parts + struct.pack(">H", _EOC)
     if not jp2:
         return cs
 
@@ -1183,9 +1214,13 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
     (_rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, csiz) = struct.unpack_from(
         ">HIIIIIIIIH", siz, 0
     )
-    if xo or yo or xto or yto or xt < xsiz or yt < ysiz:
-        raise ValueError("JPX: multi-tile or offset images outside subset")
+    if xo or yo or xto or yto or xt == 0 or yt == 0:
+        raise ValueError("JPX: image/tile offsets outside subset")
     w, h = xsiz, ysiz
+    ntx = (w + xt - 1) // xt
+    nty = (h + yt - 1) // yt
+    if ntx * nty > 4096:
+        raise ValueError("JPX: too many tiles")
     if csiz < 1 or len(siz) < 36 + 3 * csiz:
         raise ValueError("JPX: bad component count")
     depths = []
@@ -1245,118 +1280,140 @@ def _decode_jp2_inner(data: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError("JPX: QCD carries too few subband exponents")
     mb = [guard + e - 1 for e in exps]
 
-    # tile part
-    (marker,) = struct.unpack_from(">H", data, pos)
-    if marker != _SOT:
-        raise ValueError("JPX: expected SOT")
-    _lsot, _isot, psot, _tpsot, _tnsot = struct.unpack_from(">HHIBB", data, pos + 2)
-    tile_end = pos + psot if psot else cs1 - 2
-    if tile_end > cs1:
-        raise ValueError("JPX: tile overruns codestream")
-    if struct.unpack_from(">H", data, pos + 12)[0] != _SOD:
-        raise ValueError("JPX: expected SOD")
-    body_pos = pos + 14
-
-    # parse packets in the declared progression's (layer, r, c) order;
-    # per-codeblock state (inclusion, Lblock, accumulated pass counts +
-    # data chunks) persists across layers, then every included block
-    # decodes once from its concatenated contributions
-    band_dtype = np.float64 if irreversible else np.int64
-    comp_bands = [
-        [
+    def _decode_tile(body_pos_t: int, tile_end: int, tw: int, th: int) -> list:
+        """Packet walk + codeblock decode for ONE tile-part ->
+        [comp][res] band coefficient arrays."""
+        n_res = n_decomp + 1
+        tile_layout = _band_dims(tw, th, n_decomp)
+        band_dtype = np.float64 if irreversible else np.int64
+        comp_bands = [
             [
-                np.zeros((bh, bw), dtype=band_dtype)
-                for _bname, bw, bh in band_layout[r][1]
+                [
+                    np.zeros((bh, bw), dtype=band_dtype)
+                    for _bname, bw, bh in tile_layout[r][1]
+                ]
+                for r in range(n_res)
             ]
-            for r in range(n_decomp + 1)
+            for _c in range(csiz)
         ]
-        for _c in range(csiz)
-    ]
-    trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
-    blkstate: dict = {}  # (r, c, bi, i) -> accumulation dict
-    pos = body_pos
-    for li, r, c in _packet_order(prog, n_decomp + 1, csiz, layers):
-        layout = band_layout[r][1]
-        rd = _HdrReader(data, pos)
-        if not rd.get():  # empty packet: no tree state advances
-            pos = rd.align()
-            continue
-        pending = []  # keys of blocks contributing to THIS packet
-        for bi, (bname, bw, bh) in enumerate(layout):
-            blocks = _codeblocks(bw, bh, cb) if bw > 0 and bh > 0 else []
-            if not blocks:
+        trees: dict = {}  # (r, c, band_index) -> (incl_tree, zbp_tree)
+        blkstate: dict = {}  # (r, c, bi, i) -> accumulation dict
+        pos = body_pos_t
+        for li, r, c in _packet_order(prog, n_res, csiz, layers):
+            layout = tile_layout[r][1]
+            rd = _HdrReader(data, pos)
+            if not rd.get():  # empty packet: no tree state advances
+                pos = rd.align()
                 continue
-            gw = (bw + cb - 1) // cb
-            gh = (bh + cb - 1) // cb
-            if (r, c, bi) not in trees:
-                trees[(r, c, bi)] = (TagTree(gw, gh), TagTree(gw, gh))
-            incl, zbp = trees[(r, c, bi)]
-            for i, (x0, y0, cw, ch) in enumerate(blocks):
-                x, y = i % gw, i // gw
-                key = (r, c, bi, i)
-                st = blkstate.get(key)
-                if st is None:
-                    if not incl.decode(rd, x, y, li + 1):
-                        continue  # not included yet
-                    t = 1
-                    while not zbp.decode(rd, x, y, t):
-                        t += 1
-                        if t > 64:
-                            raise ValueError("JPX: runaway zero-bitplane tree")
-                    st = {
-                        "geom": (bname, x0, y0, cw, ch),
-                        "missing": zbp.leaves[y][x].value,
-                        "lblock": 3,
-                        "passes": 0,
-                        "chunks": [],
-                    }
-                    blkstate[key] = st
-                else:
-                    if not rd.get():  # no contribution this layer
-                        continue
-                np_l = _get_npasses(rd)
-                while rd.get():
-                    st["lblock"] += 1
-                    if st["lblock"] > 32:
-                        raise ValueError("JPX: runaway Lblock")
-                nlen = st["lblock"] + _floor_log2(np_l)
-                seg_len = rd.get_bits(nlen)
-                pending.append((key, np_l, seg_len))
-        pos = rd.align()
-        # packet body: contributions in the header's order
-        for key, np_l, seg_len in pending:
-            if pos + seg_len > tile_end:
-                raise ValueError("JPX: codeblock segment overruns tile")
-            st = blkstate[key]
-            st["chunks"].append(data[pos : pos + seg_len])
-            st["passes"] += np_l
-            pos += seg_len
+            pending = []  # keys of blocks contributing to THIS packet
+            for bi, (bname, bw, bh) in enumerate(layout):
+                blocks = _codeblocks(bw, bh, cb) if bw > 0 and bh > 0 else []
+                if not blocks:
+                    continue
+                gw = (bw + cb - 1) // cb
+                gh = (bh + cb - 1) // cb
+                if (r, c, bi) not in trees:
+                    trees[(r, c, bi)] = (TagTree(gw, gh), TagTree(gw, gh))
+                incl, zbp = trees[(r, c, bi)]
+                for i, (x0, y0, cw, ch) in enumerate(blocks):
+                    x, y = i % gw, i // gw
+                    key = (r, c, bi, i)
+                    st = blkstate.get(key)
+                    if st is None:
+                        if not incl.decode(rd, x, y, li + 1):
+                            continue  # not included yet
+                        t = 1
+                        while not zbp.decode(rd, x, y, t):
+                            t += 1
+                            if t > 64:
+                                raise ValueError("JPX: runaway zero-bitplane tree")
+                        st = {
+                            "geom": (bname, x0, y0, cw, ch),
+                            "missing": zbp.leaves[y][x].value,
+                            "lblock": 3,
+                            "passes": 0,
+                            "chunks": [],
+                        }
+                        blkstate[key] = st
+                    else:
+                        if not rd.get():  # no contribution this layer
+                            continue
+                    np_l = _get_npasses(rd)
+                    while rd.get():
+                        st["lblock"] += 1
+                        if st["lblock"] > 32:
+                            raise ValueError("JPX: runaway Lblock")
+                    nlen = st["lblock"] + _floor_log2(np_l)
+                    seg_len = rd.get_bits(nlen)
+                    pending.append((key, np_l, seg_len))
+            pos = rd.align()
+            # packet body: contributions in the header's order
+            for key, np_l, seg_len in pending:
+                if pos + seg_len > tile_end:
+                    raise ValueError("JPX: codeblock segment overruns tile")
+                st = blkstate[key]
+                st["chunks"].append(data[pos : pos + seg_len])
+                st["passes"] += np_l
+                pos += seg_len
 
-    sb_bases = [sum(len(b) for _, b in band_layout[:r]) for r in range(n_decomp + 1)]
-    for (r, c, bi, _i), st in blkstate.items():
-        bname, x0, y0, cw, ch = st["geom"]
-        mb_b = mb[sb_bases[r] + bi]
-        nplanes = mb_b - st["missing"]
-        coeffs = t1_decode(
-            b"".join(st["chunks"]), cw, ch, nplanes, st["passes"], bname
-        )
-        if irreversible:
-            # mid-point reconstruction (E.5): (|q| + 1/2) * delta
-            d_b = deltas[sb_bases[r] + bi]
-            coeffs = np.where(
-                coeffs != 0,
-                np.sign(coeffs) * (np.abs(coeffs) + 0.5) * d_b,
-                0.0,
+        sb_bases = [sum(len(b) for _, b in tile_layout[:r]) for r in range(n_res)]
+        for (r, c, bi, _i), st in blkstate.items():
+            bname, x0, y0, cw, ch = st["geom"]
+            mb_b = mb[sb_bases[r] + bi]
+            nplanes = mb_b - st["missing"]
+            coeffs = t1_decode(
+                b"".join(st["chunks"]), cw, ch, nplanes, st["passes"], bname
             )
-        comp_bands[c][r][bi][y0 : y0 + ch, x0 : x0 + cw] = coeffs
+            if irreversible:
+                # mid-point reconstruction (E.5): (|q| + 1/2) * delta
+                d_b = deltas[sb_bases[r] + bi]
+                coeffs = np.where(
+                    coeffs != 0,
+                    np.sign(coeffs) * (np.abs(coeffs) + 0.5) * d_b,
+                    0.0,
+                )
+            comp_bands[c][r][bi][y0 : y0 + ch, x0 : x0 + cw] = coeffs
 
-    # reconstruct each component
-    planes = []
-    for c in range(csiz):
-        bands = [comp_bands[c][0][0]]
-        for r in range(1, n_decomp + 1):
-            bands.append(tuple(comp_bands[c][r]))
-        planes.append(idwt97(bands) if irreversible else idwt53(bands))
+        return comp_bands
+
+    # tile parts: each decodes independently and composites into the
+    # full component planes (the parallel-decode shape of large scans)
+    comp_planes = [
+        np.zeros((h, w), dtype=np.float64 if irreversible else np.int64)
+        for _ in range(csiz)
+    ]
+    seen_tiles = set()
+    while pos + 2 <= cs1:
+        (marker,) = struct.unpack_from(">H", data, pos)
+        if marker == _EOC:
+            break
+        if marker != _SOT:
+            raise ValueError("JPX: expected SOT")
+        _lsot, isot, psot, _tpsot, _tnsot = struct.unpack_from(">HHIBB", data, pos + 2)
+        tile_end = pos + psot if psot else cs1 - 2
+        if tile_end > cs1 or tile_end <= pos + 14:
+            raise ValueError("JPX: tile overruns codestream")
+        if struct.unpack_from(">H", data, pos + 12)[0] != _SOD:
+            raise ValueError("JPX: expected SOD")
+        if not 0 <= isot < ntx * nty or isot in seen_tiles:
+            raise ValueError("JPX: bad tile index")
+        seen_tiles.add(isot)
+        tx, ty = isot % ntx, isot // ntx
+        tw = min(xt, w - tx * xt)
+        th = min(yt, h - ty * yt)
+        comp_bands = _decode_tile(pos + 14, tile_end, tw, th)
+        for c in range(csiz):
+            bands = [comp_bands[c][0][0]]
+            for r in range(1, n_decomp + 1):
+                bands.append(tuple(comp_bands[c][r]))
+            plane_t = idwt97(bands) if irreversible else idwt53(bands)
+            comp_planes[c][ty * yt : ty * yt + th, tx * xt : tx * xt + tw] = plane_t
+        pos = tile_end
+    if len(seen_tiles) != ntx * nty:
+        raise ValueError("JPX: missing tile-parts")
+
+    # reconstruct (per-tile inverse DWTs already composited)
+    planes = comp_planes
     if use_mct:
         planes = list(
             ict_inverse(*planes) if irreversible else rct_inverse(*planes)

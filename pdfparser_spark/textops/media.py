@@ -556,6 +556,9 @@ def _make_jpx_real(doc_id: int, media_ref: str) -> bytes:
         img, n_decomp=nd, cb_exp=cbe, irreversible=doc_id % 2 == 1,
         progression=ord(h[7]) % 5,  # pixels are progression-invariant
         n_layers=1 + ord(h[8]) % 4,  # ...and layer-count-invariant
+        # every 3rd LOSSLESS doc is multi-tile (lossy stays single-tile
+        # so the MSE band is not widened by tile-boundary artifacts)
+        tile_size=32 if doc_id % 2 == 0 and ord(h[9]) % 3 == 0 else None,
     )
 
 

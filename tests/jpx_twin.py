@@ -576,156 +576,169 @@ def twin_decode(data: bytes) -> np.ndarray:
         exps = [b >> 3 for b in qcd[1:]]
         mus = None
 
-    # subband geometry: resolution sizes by repeated ceil-halving
-    sizes = [(xsiz, ysiz)]
-    for _ in range(ndecomp):
-        pw, ph = sizes[-1]
-        sizes.append(((pw + 1) // 2, (ph + 1) // 2))
+    def _twin_tile(body_t: int, tile_end: int, tw: int, th: int) -> list:
+        sizes = [(tw, th)]
+        for _ in range(ndecomp):
+            pw, ph = sizes[-1]
+            sizes.append(((pw + 1) // 2, (ph + 1) // 2))
 
-    def band_shapes(res: int) -> list:
-        if res == 0:
-            lw, lh = sizes[ndecomp]
-            return [("LL", lw, lh)]
-        pw, ph = sizes[ndecomp - res]
-        lw, lh = (pw + 1) // 2, (ph + 1) // 2
-        return [("HL", pw - lw, lh), ("LH", lw, ph - lh),
-                ("HH", pw - lw, ph - lh)]
+        def band_shapes(res: int) -> list:
+            if res == 0:
+                lw, lh = sizes[ndecomp]
+                return [("LL", lw, lh)]
+            pw, ph = sizes[ndecomp - res]
+            lw, lh = (pw + 1) // 2, (ph + 1) // 2
+            return [("HL", pw - lw, lh), ("LH", lw, ph - lh),
+                    ("HH", pw - lw, ph - lh)]
 
-    # tile part
-    marker, = struct.unpack_from(">H", cs, pos)
-    if marker != 0xFF90:
-        raise ValueError("twin: expected SOT")
-    _l, _i, psot, _tp, _tn = struct.unpack_from(">HHIBB", cs, pos + 2)
-    if struct.unpack_from(">H", cs, pos + 12)[0] != 0xFF93:
-        raise ValueError("twin: expected SOD")
-    body = pos + 14
-    tile_end = pos + psot if psot else len(cs) - 2
-
-    comp_bands: list = [[None] * (ndecomp + 1) for _ in range(ncomp)]
-    sub_idx_base = [0]
-    for r in range(ndecomp + 1):
-        sub_idx_base.append(sub_idx_base[-1] + len(band_shapes(r)))
-    cursor = body
-    # packet order (B.12) over (layer, r, c); per-codeblock inclusion /
-    # Lblock / contribution state persists across layers and every
-    # included block decodes once from its concatenated chunks
-    for ci in range(ncomp):
+        comp_bands: list = [[None] * (ndecomp + 1) for _ in range(ncomp)]
+        sub_idx_base = [0]
         for r in range(ndecomp + 1):
-            comp_bands[ci][r] = [
-                np.zeros((bh, bw), dtype=np.float64 if lossy else np.int64)
-                for _, bw, bh in band_shapes(r)
+            sub_idx_base.append(sub_idx_base[-1] + len(band_shapes(r)))
+        cursor = body_t
+        # packet order (B.12) over (layer, r, c); per-codeblock inclusion /
+        # Lblock / contribution state persists across layers and every
+        # included block decodes once from its concatenated chunks
+        for ci in range(ncomp):
+            for r in range(ndecomp + 1):
+                comp_bands[ci][r] = [
+                    np.zeros((bh, bw), dtype=np.float64 if lossy else np.int64)
+                    for _, bw, bh in band_shapes(r)
+                ]
+        if prog == 0:
+            packet_seq = [
+                (l, r, ci)
+                for l in range(nlayers)
+                for r in range(ndecomp + 1)
+                for ci in range(ncomp)
             ]
-    if prog == 0:
-        packet_seq = [
-            (l, r, ci)
-            for l in range(nlayers)
-            for r in range(ndecomp + 1)
-            for ci in range(ncomp)
-        ]
-    elif prog == 1:
-        packet_seq = [
-            (l, r, ci)
-            for r in range(ndecomp + 1)
-            for l in range(nlayers)
-            for ci in range(ncomp)
-        ]
-    elif prog == 2:
-        packet_seq = [
-            (l, r, ci)
-            for r in range(ndecomp + 1)
-            for ci in range(ncomp)
-            for l in range(nlayers)
-        ]
-    else:
-        packet_seq = [
-            (l, r, ci)
-            for ci in range(ncomp)
-            for r in range(ndecomp + 1)
-            for l in range(nlayers)
-        ]
-    twin_trees: dict = {}
-    twin_state: dict = {}
-    for l, r, ci in packet_seq:
-        shapes = band_shapes(r)
-        rd = TwinBitReader(cs, cursor)
-        if rd.bit() == 0:
-            cursor = rd.finish()
-            continue
-        pending = []  # (key, npasses_this_layer, nbytes)
-        for bi, (bname, bw, bh) in enumerate(shapes):
-            if bw == 0 or bh == 0:
+        elif prog == 1:
+            packet_seq = [
+                (l, r, ci)
+                for r in range(ndecomp + 1)
+                for l in range(nlayers)
+                for ci in range(ncomp)
+            ]
+        elif prog == 2:
+            packet_seq = [
+                (l, r, ci)
+                for r in range(ndecomp + 1)
+                for ci in range(ncomp)
+                for l in range(nlayers)
+            ]
+        else:
+            packet_seq = [
+                (l, r, ci)
+                for ci in range(ncomp)
+                for r in range(ndecomp + 1)
+                for l in range(nlayers)
+            ]
+        twin_trees: dict = {}
+        twin_state: dict = {}
+        for l, r, ci in packet_seq:
+            shapes = band_shapes(r)
+            rd = TwinBitReader(cs, cursor)
+            if rd.bit() == 0:
+                cursor = rd.finish()
                 continue
-            gw = (bw + cb - 1) // cb
-            gh = (bh + cb - 1) // cb
-            if (r, ci, bi) not in twin_trees:
-                twin_trees[(r, ci, bi)] = (TwinTagTree(gw, gh), TwinTagTree(gw, gh))
-            incl, zeros = twin_trees[(r, ci, bi)]
-            for gy in range(gh):
-                for gx in range(gw):
-                    key = (r, ci, bi, gx, gy)
-                    st = twin_state.get(key)
-                    if st is None:
-                        if not incl.read(rd, gx, gy, l + 1):
-                            continue
-                        t = 1
-                        while not zeros.read(rd, gx, gy, t):
-                            t += 1
-                            if t > 64:
-                                raise ValueError("twin: zbp runaway")
-                        bx = gx * cb
-                        by = gy * cb
-                        st = {
-                            "bname": bname, "bx": bx, "by": by,
-                            "cw": min(cb, bw - bx), "ch": min(cb, bh - by),
-                            "missing": zeros.leaf_value(gx, gy),
-                            "lblock": 3, "passes": 0, "chunks": [],
-                        }
-                        twin_state[key] = st
-                    else:
-                        if rd.bit() == 0:
-                            continue
-                    npasses = _read_pass_count(rd)
-                    while rd.bit():
-                        st["lblock"] += 1
-                    nlen = st["lblock"] + (npasses.bit_length() - 1)
-                    pending.append((key, npasses, rd.bits(nlen)))
-        cursor = rd.finish()
-        for key, npasses, nbytes in pending:
-            if cursor + nbytes > tile_end:
-                raise ValueError("twin: segment overrun")
-            st = twin_state[key]
-            st["chunks"].append(cs[cursor:cursor + nbytes])
-            st["passes"] += npasses
-            cursor += nbytes
-    gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
-    for (r, ci, bi, _gx, _gy), st in twin_state.items():
-        exp_b = exps[sub_idx_base[r] + bi]
-        mb = guard + exp_b - 1
-        coeffs = twin_t1_decode(
-            b"".join(st["chunks"]), st["cw"], st["ch"],
-            mb - st["missing"], st["passes"], st["bname"],
-        )
-        if lossy:
-            sbi = sub_idx_base[r] + bi
-            delta = (2.0 ** (depth + gain[st["bname"]] - exps[sbi])) * (
-                1.0 + mus[sbi] / 2048.0
+            pending = []  # (key, npasses_this_layer, nbytes)
+            for bi, (bname, bw, bh) in enumerate(shapes):
+                if bw == 0 or bh == 0:
+                    continue
+                gw = (bw + cb - 1) // cb
+                gh = (bh + cb - 1) // cb
+                if (r, ci, bi) not in twin_trees:
+                    twin_trees[(r, ci, bi)] = (TwinTagTree(gw, gh), TwinTagTree(gw, gh))
+                incl, zeros = twin_trees[(r, ci, bi)]
+                for gy in range(gh):
+                    for gx in range(gw):
+                        key = (r, ci, bi, gx, gy)
+                        st = twin_state.get(key)
+                        if st is None:
+                            if not incl.read(rd, gx, gy, l + 1):
+                                continue
+                            t = 1
+                            while not zeros.read(rd, gx, gy, t):
+                                t += 1
+                                if t > 64:
+                                    raise ValueError("twin: zbp runaway")
+                            bx = gx * cb
+                            by = gy * cb
+                            st = {
+                                "bname": bname, "bx": bx, "by": by,
+                                "cw": min(cb, bw - bx), "ch": min(cb, bh - by),
+                                "missing": zeros.leaf_value(gx, gy),
+                                "lblock": 3, "passes": 0, "chunks": [],
+                            }
+                            twin_state[key] = st
+                        else:
+                            if rd.bit() == 0:
+                                continue
+                        npasses = _read_pass_count(rd)
+                        while rd.bit():
+                            st["lblock"] += 1
+                        nlen = st["lblock"] + (npasses.bit_length() - 1)
+                        pending.append((key, npasses, rd.bits(nlen)))
+            cursor = rd.finish()
+            for key, npasses, nbytes in pending:
+                if cursor + nbytes > tile_end:
+                    raise ValueError("twin: segment overrun")
+                st = twin_state[key]
+                st["chunks"].append(cs[cursor:cursor + nbytes])
+                st["passes"] += npasses
+                cursor += nbytes
+        gain = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+        for (r, ci, bi, _gx, _gy), st in twin_state.items():
+            exp_b = exps[sub_idx_base[r] + bi]
+            mb = guard + exp_b - 1
+            coeffs = twin_t1_decode(
+                b"".join(st["chunks"]), st["cw"], st["ch"],
+                mb - st["missing"], st["passes"], st["bname"],
             )
-            coeffs = np.where(
-                coeffs != 0,
-                np.sign(coeffs) * (np.abs(coeffs) + 0.5) * delta,
-                0.0,
-            )
-        comp_bands[ci][r][bi][
-            st["by"]:st["by"] + st["ch"], st["bx"]:st["bx"] + st["cw"]
-        ] = coeffs
+            if lossy:
+                sbi = sub_idx_base[r] + bi
+                delta = (2.0 ** (depth + gain[st["bname"]] - exps[sbi])) * (
+                    1.0 + mus[sbi] / 2048.0
+                )
+                coeffs = np.where(
+                    coeffs != 0,
+                    np.sign(coeffs) * (np.abs(coeffs) + 0.5) * delta,
+                    0.0,
+                )
+            comp_bands[ci][r][bi][
+                st["by"]:st["by"] + st["ch"], st["bx"]:st["bx"] + st["cw"]
+            ] = coeffs
+        return comp_bands, band_shapes
 
-    planes = []
-    for ci in range(ncomp):
-        ll = comp_bands[ci][0][0]
-        details = [tuple(comp_bands[ci][r]) for r in range(1, ndecomp + 1)]
-        planes.append(
-            twin_idwt97(ll, details) if lossy else twin_idwt53(ll, details)
-        )
+    # tile-part loop: decode each tile independently, composite
+    ntx = (xsiz + xt - 1) // xt
+    nty = (ysiz + yt - 1) // yt
+    comp_planes = [
+        np.zeros((ysiz, xsiz), dtype=np.float64 if lossy else np.int64)
+        for _ in range(ncomp)
+    ]
+    while pos + 2 <= len(cs):
+        marker, = struct.unpack_from(">H", cs, pos)
+        if marker == 0xFFD9:
+            break
+        if marker != 0xFF90:
+            raise ValueError("twin: expected SOT")
+        _l, isot, psot, _tp, _tn = struct.unpack_from(">HHIBB", cs, pos + 2)
+        if struct.unpack_from(">H", cs, pos + 12)[0] != 0xFF93:
+            raise ValueError("twin: expected SOD")
+        tile_end = pos + psot if psot else len(cs) - 2
+        tx, ty = isot % ntx, isot // ntx
+        tw = min(xt, xsiz - tx * xt)
+        th = min(yt, ysiz - ty * yt)
+        comp_bands, _bs = _twin_tile(pos + 14, tile_end, tw, th)
+        for ci in range(ncomp):
+            ll = comp_bands[ci][0][0]
+            details = [tuple(comp_bands[ci][r]) for r in range(1, ndecomp + 1)]
+            plane_t = twin_idwt97(ll, details) if lossy else twin_idwt53(ll, details)
+            comp_planes[ci][ty * yt : ty * yt + th, tx * xt : tx * xt + tw] = plane_t
+        pos = tile_end
+
+    planes = comp_planes
     if mct == 1:
         if ncomp != 3:
             raise ValueError("twin: MCT arity")

@@ -441,3 +441,55 @@ def test_layered_fuzz_containment():
             decode_jp2_image(bytes(buf))
         except ValueError:
             pass  # the only permitted failure mode
+
+
+@pytest.mark.parametrize(
+    "shape,ts,kw",
+    [
+        ((70, 90), 32, {}),
+        ((64, 64), 32, {}),
+        ((50, 77, 3), 24, {"n_layers": 2}),
+        ((33, 41, 3), 16, {"progression": 3}),
+        ((70, 90), 32, {"irreversible": True}),
+    ],
+)
+def test_multi_tile_roundtrip(shape, ts, kw):
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import decode_jp2_image, encode_jp2_image
+
+    rng = np.random.default_rng(sum(shape))
+    src = rng.integers(0, 256, size=shape).astype(np.uint8)
+    data = encode_jp2_image(src, n_decomp=2, tile_size=ts, **kw)
+    w, h, out = decode_jp2_image(data)
+    assert (w, h) == (shape[1], shape[0])
+    if kw.get("irreversible"):
+        err = out.astype(np.int64) - src.astype(np.int64)
+        assert np.abs(err).mean() < 3.0 and np.abs(err).sum() > 0
+    else:
+        assert np.array_equal(out, src)
+
+
+def test_multi_tile_fuzz_and_missing_tiles():
+    import numpy as np
+    from pdfparser_spark.textops.jpx_codec import decode_jp2_image, encode_jp2_image
+
+    img = ((np.add.outer(7 * np.arange(48), 13 * np.arange(70))) % 256).astype(
+        np.uint8
+    )
+    data = encode_jp2_image(img, n_decomp=2, tile_size=32)
+    rng = np.random.default_rng(17)
+    for _ in range(60):
+        buf = bytearray(data)
+        for _k in range(rng.integers(1, 6)):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            decode_jp2_image(bytes(buf))
+        except ValueError:
+            pass
+    # truncating away the last tile-part must fail loudly, not render
+    # a silently-partial image
+    eoc = data[-2:]
+    assert eoc == b"\xff\xd9"
+    with pytest.raises(ValueError):
+        # cut mid-way through the tile-parts
+        decode_jp2_image(data[: len(data) * 2 // 3])

@@ -1409,7 +1409,12 @@ def _embedded_jp2(w: int, h: int, lossy: bool = False) -> bytes:
     from .textops.jpx_codec import encode_jp2_image
     from .textops.media import _block_pattern
 
-    return encode_jp2_image(_block_pattern(w, h), n_decomp=2, irreversible=lossy)
+    return encode_jp2_image(
+        _block_pattern(w, h), n_decomp=2, irreversible=lossy,
+        # the larger lossless images also exercise the multi-tile path
+        # (pixels are tiling-invariant for reversible coding)
+        tile_size=32 if not lossy and w >= 48 else None,
+    )
 
 
 def embedded_raster_variant(doc_id: int) -> int:
